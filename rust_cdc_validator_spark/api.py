@@ -1,0 +1,131 @@
+"""Public API facade mirroring the reference's entry surface.
+
+Reference: ``CDCOperator::{snapshot, validate}`` driven by
+``CDCOperatorPayload`` (src/cdc/cdc_operator.rs:26,254;
+src/cdc/cdc_operator_payload.rs:4-93). Our equivalents are
+``CdcValidator.snapshot(...)`` and ``.validate(...)`` over a ``Catalog`` and
+a filesystem root, with the same flags and the same invariants
+(``only_datadiff`` and ``only_snapshot`` are mutually exclusive,
+cdc_operator_payload.rs:70-72).
+
+Multi-table orchestration: the reference runs up to NUM_OF_BUFFERS=80 table
+pipelines concurrently (cdc_operator.rs:237-248). On Spark the per-table work
+is itself distributed, so table-level fan-out is a driver-side thread pool
+issuing independent jobs — the scheduler interleaves their stages.
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+
+from rust_cdc_validator_spark.operators.diff import DiffReport, diff_tables
+from rust_cdc_validator_spark.operators.replay import replay_snapshot
+from rust_cdc_validator_spark.sources.catalog import Catalog
+from rust_cdc_validator_spark.sources.manifest import FileMode, discover_files
+
+
+@dataclass
+class CdcPayload:
+    """Config mirroring CDCOperatorPayload (cdc_operator_payload.rs:4-22)."""
+
+    bucket_root: str          # e.g. file:///tmp/cdc or s3a://bucket/prefix
+    database: str
+    schema: str
+    included_tables: list[str] = field(default_factory=list)
+    excluded_tables: list[str] = field(default_factory=list)
+    mode: FileMode = FileMode.DATE_AWARE
+    start_date: datetime | None = None
+    stop_date: datetime | None = None
+    chunk_size: int = 1000        # main.rs:75-77 default
+    start_position: int = 0       # main.rs:81-83 default
+    only_datadiff: bool = False
+    only_snapshot: bool = False
+    max_parallel_tables: int = int(os.environ.get("NUM_OF_BUFFERS", "80"))
+
+    def __post_init__(self) -> None:
+        if self.only_datadiff and self.only_snapshot:
+            # reference panics on this combination (cdc_operator_payload.rs:70-72)
+            raise ValueError("only_datadiff and only_snapshot are mutually exclusive")
+
+
+class CdcValidator:
+    """snapshot + validate over DMS-layout CDC parquet, Spark-first."""
+
+    def __init__(self, spark, catalog: Catalog):
+        self.spark = spark
+        self.catalog = catalog
+
+    def table_root(self, payload: CdcPayload, table: str) -> str:
+        # {prefix}/{database}/{schema}/{table}/ (s3_operator.rs:144-154)
+        return posixpath.join(payload.bucket_root, payload.database, payload.schema, table)
+
+    def _tables(self, payload: CdcPayload) -> list[str]:
+        return self.catalog.get_tables_in_schema(
+            payload.schema,
+            include=payload.included_tables or None,
+            exclude=payload.excluded_tables or None,
+        )
+
+    def snapshot_table(self, payload: CdcPayload, table: str) -> DataFrame:
+        """Reconstruct one table's final state from its LOAD+CDC files."""
+        entries = discover_files(
+            self.spark,
+            self.table_root(payload, table),
+            mode=payload.mode,
+            start_date=payload.start_date,
+            stop_date=payload.stop_date,
+        )
+        columns = self.catalog.get_table_columns(payload.schema, table)
+        pk = self.catalog.get_primary_key(payload.schema, table)
+        return replay_snapshot(
+            self.spark, entries, pk, expected_columns=list(columns)
+        )
+
+    def snapshot(self, payload: CdcPayload) -> dict[str, DataFrame]:
+        """All tables, fanned out like cdc_operator.rs:237-248."""
+        tables = self._tables(payload)
+        results: dict[str, DataFrame] = {}
+        with ThreadPoolExecutor(max_workers=max(1, min(payload.max_parallel_tables, 32))) as ex:
+            futures = {t: ex.submit(self.snapshot_table, payload, t) for t in tables}
+            for t, fut in futures.items():
+                results[t] = fut.result()
+        return results
+
+    def validate(
+        self,
+        payload: CdcPayload,
+        source_frames: dict[str, DataFrame],
+        target_frames: dict[str, DataFrame],
+    ) -> dict[str, DiffReport]:
+        """Native diff replacing the rust-pgdatadiff delegation
+        (cdc_operator.rs:254-288)."""
+        reports: dict[str, DiffReport] = {}
+        for t in self._tables(payload):
+            if t not in source_frames or t not in target_frames:
+                continue
+            pk = self.catalog.get_primary_key(payload.schema, t)
+            reports[t] = diff_tables(
+                source_frames[t],
+                target_frames[t],
+                primary_key=pk,
+                chunk_size=payload.chunk_size,
+                start_position=payload.start_position,
+                table=t,
+            )
+        return reports
+
+    def run(self, payload: CdcPayload, source_frames: dict[str, DataFrame] | None = None):
+        """Full pipeline with the reference's flag gating (main.rs:345-373)."""
+        snapshots: dict[str, DataFrame] = {}
+        if not payload.only_datadiff:
+            snapshots = self.snapshot(payload)
+        if payload.only_snapshot:
+            return snapshots, {}
+        reports = self.validate(payload, source_frames or {}, snapshots)
+        return snapshots, reports

@@ -1,0 +1,6 @@
+from rust_cdc_validator_spark.operators.replay import (  # noqa: F401
+    net_effect,
+    replay_snapshot,
+    with_sequence,
+)
+from rust_cdc_validator_spark.operators.diff import diff_tables, DiffReport  # noqa: F401

@@ -1,0 +1,166 @@
+"""Distributed table diff — the validator half of the reference, native.
+
+The reference delegates validation to the external crate ``rust-pgdatadiff``
+v0.1.6 (src/cdc/cdc_operator.rs:254-288): per table, compare row counts, then
+compare PK-ordered chunks of ``chunk_size`` rows (default 1000,
+dms-cdc-operator-client/src/main.rs:75-77) by content hash, starting at chunk
+``start_position``. Here the whole comparison is a Spark plan:
+
+1. count diff        — two distributed counts;
+2. chunk-hash diff   — row digest → row_number over PK order → chunk id →
+                       per-chunk aggregate digest → full outer join on chunk;
+3. row drill-down    — anti-join both directions on (pk, row digest), i.e.
+                       EXCEPT ALL semantics, restricted to mismatched chunks.
+
+Scale notes: the row digest is computed scan-side (whole-stage codegen,
+xxhash64/md5 are JVM built-ins); the global row_number for chunking is the
+one inherently serial step, so the chunk digest uses an order-insensitive
+SUM over per-row hashes within a chunk — associative, so Spark computes it
+with partial (map-side) aggregation. The drill-down join shuffles only on
+mismatched chunks. All knobs keep the reference defaults.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def row_digest(df: DataFrame, cols: list[str] | None = None) -> F.Column:
+    """Deterministic per-row digest over ``cols`` (default: all columns).
+
+    Canonical string form before hashing (SURVEY.md §7 hard-part 3): every
+    value cast to string with a NULL sentinel, joined with an unlikely
+    separator, then md5. Decimals/timestamps render canonically via cast.
+    """
+    cols = cols or df.columns
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in cols]
+    return F.md5(F.concat_ws("\x1f", *parts))
+
+
+@dataclass
+class DiffReport:
+    """Per-table verdicts, mirroring pgdatadiff's report shape."""
+
+    table: str
+    source_count: int
+    target_count: int
+    chunks_compared: int
+    mismatched_chunks: list[int]
+    rows_only_in_source: DataFrame | None = None
+    rows_only_in_target: DataFrame | None = None
+    details: dict = field(default_factory=dict)
+
+    @property
+    def counts_match(self) -> bool:
+        return self.source_count == self.target_count
+
+    @property
+    def is_match(self) -> bool:
+        return self.counts_match and not self.mismatched_chunks
+
+
+def _chunked(
+    df: DataFrame, primary_key: list[str], chunk_size: int, value_cols: list[str]
+) -> DataFrame:
+    """(chunk_id, chunk_digest, chunk_rows) per PK-ordered chunk."""
+    w = Window.orderBy(*[F.col(c) for c in primary_key])
+    with_hash = df.select(
+        *primary_key,
+        row_digest(df, value_cols).alias("_row_hash"),
+    ).withColumn("_chunk", F.floor((F.row_number().over(w) - F.lit(1)) / chunk_size))
+    # Order-insensitive chunk digest: sum of row-hash prefixes. Associative →
+    # map-side partial agg; no per-chunk sort needed.
+    return with_hash.groupBy("_chunk").agg(
+        F.sum(F.conv(F.substring("_row_hash", 1, 14), 16, 10).cast("decimal(38,0)")).alias(
+            "_digest"
+        ),
+        F.count(F.lit(1)).alias("_rows"),
+    )
+
+
+def diff_tables(
+    source: DataFrame,
+    target: DataFrame,
+    primary_key: list[str],
+    chunk_size: int = 1000,
+    start_position: int = 0,
+    table: str = "table",
+    drill_down: bool = True,
+) -> DiffReport:
+    """Compare two tables; defaults match the reference CLI
+    (chunk_size=1000, start_position=0, main.rs:75-83).
+
+    ``start_position`` skips the first k chunks (reference semantics of the
+    pgdatadiff ``start_position`` knob, cdc_operator.rs:274).
+
+    No-PK tables fall back to full-row-hash comparison: the row digest over
+    all columns becomes the join key (SURVEY.md §7 hard-part 2).
+    """
+    common = [c for c in source.columns if c in set(target.columns)]
+    source = source.select(*common)
+    target = target.select(*common)
+    value_cols = common if not primary_key else common
+
+    src_count = source.count()
+    tgt_count = target.count()
+
+    if not primary_key:
+        only_src = source.exceptAll(target)
+        only_tgt = target.exceptAll(source)
+        n_src, n_tgt = only_src.count(), only_tgt.count()
+        return DiffReport(
+            table=table,
+            source_count=src_count,
+            target_count=tgt_count,
+            chunks_compared=0,
+            mismatched_chunks=[],
+            rows_only_in_source=only_src,
+            rows_only_in_target=only_tgt,
+            details={"mode": "full-row-hash", "rows_only_in_source": n_src,
+                     "rows_only_in_target": n_tgt},
+        )
+
+    s_chunks = _chunked(source, primary_key, chunk_size, value_cols).filter(
+        F.col("_chunk") >= start_position
+    )
+    t_chunks = _chunked(target, primary_key, chunk_size, value_cols).filter(
+        F.col("_chunk") >= start_position
+    )
+    joined = s_chunks.alias("s").join(
+        t_chunks.alias("t"), on="_chunk", how="full_outer"
+    )
+    mismatched = (
+        joined.filter(
+            ~(
+                F.col("s._digest").eqNullSafe(F.col("t._digest"))
+                & F.col("s._rows").eqNullSafe(F.col("t._rows"))
+            )
+        )
+        .select("_chunk")
+        .orderBy("_chunk")
+    )
+    bad_chunks = [r["_chunk"] for r in mismatched.collect()]
+    chunks_compared = joined.count()
+
+    only_src = only_tgt = None
+    if drill_down and bad_chunks:
+        # Row-level drill-down via keyed hash anti-join, both directions.
+        s_h = source.withColumn("_row_hash", row_digest(source, value_cols))
+        t_h = target.withColumn("_row_hash", row_digest(target, value_cols))
+        keys = [*primary_key, "_row_hash"]
+        only_src = s_h.join(t_h, on=keys, how="left_anti").drop("_row_hash")
+        only_tgt = t_h.join(s_h, on=keys, how="left_anti").drop("_row_hash")
+
+    return DiffReport(
+        table=table,
+        source_count=src_count,
+        target_count=tgt_count,
+        chunks_compared=chunks_compared,
+        mismatched_chunks=bad_chunks,
+        rows_only_in_source=only_src,
+        rows_only_in_target=only_tgt,
+        details={"chunk_size": chunk_size, "start_position": start_position},
+    )

@@ -1,0 +1,147 @@
+"""Net-effect CDC replay — the Spark-first redesign of the reference's
+row-at-a-time apply loop.
+
+Reference semantics (src/cdc/cdc_operator.rs:152-216 +
+src/postgres/postgres_operator_impl.rs:193-404): process files strictly in
+manifest order; within a file, rows in order; each record applied as
+INSERT / INSERT..ON CONFLICT UPDATE / DELETE-by-PK. The final table state is
+therefore "last writer per primary key wins, deletes remove the key", where
+"last" is ordered by (file rank, row position within file).
+
+A sequential apply is O(rows) database round-trips and fundamentally
+single-node. The net-effect reduction computes the identical fixpoint with
+ONE distributed shuffle:
+
+    seq   = file_rank * 2^40 + row_index_within_file
+    state = rows where row_number() over (partition by pk order by seq desc) = 1
+    final = state where last op != 'D'
+
+Row position within a file comes from the parquet reader's
+``_metadata.row_index`` (stable, per-file, 0-based) and file rank from a
+broadcast join against the (tiny) manifest — so ordering survives arbitrary
+task parallelism. At 100 TB this is a single vectorized scan + one hash
+shuffle on the PK, with AQE handling skewed keys.
+
+Tables without a primary key (reference returns an empty PK list,
+postgres_operator_impl.rs:83-94, and its ON CONFLICT () would be invalid SQL
+— a latent reference bug): we define the behavior as append-only replay of
+inserts (SURVEY.md §7 hard-part 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rust_cdc_validator_spark.sources.catalog import (
+    ENVELOPE_COLS,
+    OP_COL,
+    check_schema_containment,
+)
+from rust_cdc_validator_spark.sources.manifest import ManifestEntry, build_manifest
+
+# 2^40 rows per file leaves room for any real parquet file while keeping
+# (file_rank, row_index) packable into one orderable int64.
+_SEQ_FILE_STRIDE = 1 << 40
+
+
+def with_sequence(df: DataFrame, manifest_df: DataFrame) -> DataFrame:
+    """Attach the total replay order ``_seq`` to a raw multi-file scan.
+
+    ``df`` must be read with the parquet file source so ``_metadata`` is
+    available. The manifest join is explicitly broadcast: it has one row per
+    file and must never shuffle the fact side.
+    """
+    tagged = df.withColumn("_path", F.col("_metadata.file_path")).withColumn(
+        "_row_idx", F.col("_metadata.row_index")
+    )
+    joined = tagged.join(
+        F.broadcast(manifest_df.withColumnRenamed("path", "_path")),
+        on="_path",
+        how="inner",
+    )
+    return joined.withColumn(
+        "_seq",
+        F.col("file_seq") * F.lit(_SEQ_FILE_STRIDE) + F.col("_row_idx"),
+    ).drop("_path", "_row_idx", "file_seq", "is_load")
+
+
+def net_effect(
+    changes: DataFrame,
+    primary_key: list[str],
+    op_col: str = OP_COL,
+    seq_col: str = "_seq",
+    drop_envelope: bool = True,
+) -> DataFrame:
+    """Reduce an ordered change log to final table state.
+
+    ``changes`` carries data columns + ``op_col`` ('I'/'U'/'D'; null ⇒ 'I',
+    the LOAD-file case) + ``seq_col`` (total order). Result: one row per live
+    primary key — identical to sequentially applying every change in
+    ``seq_col`` order (insert/upsert/delete), the reference's fixpoint.
+
+    Op matching is exact equality; the reference's substring ``contains('D')``
+    (postgres_operator_impl.rs:302-315,345) is a looseness, not a semantic
+    (SURVEY.md §2.2 P3).
+    """
+    op = F.coalesce(F.col(op_col), F.lit("I"))
+    if not primary_key:
+        # No PK → append-only replay: deletes/updates have no key to address.
+        out = changes.filter(op != F.lit("D")).drop(seq_col)
+        return out.drop(*ENVELOPE_COLS) if drop_envelope else out
+
+    w = Window.partitionBy(*primary_key).orderBy(F.col(seq_col).desc())
+    last = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", seq_col)
+    )
+    final = last.filter(F.coalesce(F.col(op_col), F.lit("I")) != F.lit("D"))
+    return final.drop(*ENVELOPE_COLS) if drop_envelope else final
+
+
+def replay_snapshot(
+    spark,
+    entries: list[ManifestEntry],
+    primary_key: list[str],
+    expected_columns: list[str] | None = None,
+) -> DataFrame:
+    """End-to-end snapshot of one table: manifest → scan → net effect.
+
+    Mirrors CDCOperator::snapshot's per-table pipeline
+    (src/cdc/cdc_operator.rs:57-231) as one declarative plan:
+    read every LOAD + CDC file in a single distributed scan, sequence rows,
+    reduce to final state. ``expected_columns`` triggers the schema-drift
+    containment check (cdc_operator.rs:170-184).
+    """
+    if not entries:
+        raise ValueError("empty manifest: no files to replay")
+    paths = [e.path for e in entries]
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    if expected_columns is not None:
+        check_schema_containment(df.columns, expected_columns)
+
+    # LOAD files may predate the envelope columns; normalize their presence.
+    for c in ENVELOPE_COLS:
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast("string"))
+
+    manifest_df = build_manifest(spark, entries)
+    seqd = with_sequence(df, manifest_df)
+    return net_effect(seqd, primary_key)
+
+
+def apply_changes_sql(
+    changes: DataFrame, primary_key: list[str], seq_col: str = "_seq"
+) -> str:
+    """The equivalent ANSI SQL for ``net_effect`` (used by oracle checks)."""
+    pk = ", ".join(primary_key)
+    cols = [c for c in changes.columns if c not in (seq_col, *ENVELOPE_COLS)]
+    sel = ", ".join(cols)
+    return f"""
+        SELECT {sel} FROM (
+            SELECT *, row_number() OVER (PARTITION BY {pk} ORDER BY {seq_col} DESC) AS _rn
+            FROM __changes__
+        ) t WHERE _rn = 1 AND coalesce({OP_COL}, 'I') <> 'D'
+    """

@@ -1,0 +1,66 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rust_cdc_validator_spark.operators.diff import diff_tables
+
+
+def _base(spark, n=3500):
+    return spark.range(n).select(
+        F.col("id").alias("pk"),
+        (F.col("id") * 7 % 100).alias("v"),
+        F.concat(F.lit("row_"), F.col("id")).alias("s"),
+    )
+
+
+def test_identical_tables_match(spark):
+    a, b = _base(spark), _base(spark)
+    rep = diff_tables(a, b, ["pk"], chunk_size=1000)
+    assert rep.is_match and rep.counts_match
+    assert rep.chunks_compared == 4  # 3500 rows / 1000
+
+
+def test_value_drift_flags_exact_chunk(spark):
+    a = _base(spark)
+    b = _base(spark).withColumn(
+        "v", F.when(F.col("pk") == 1500, F.lit(-1)).otherwise(F.col("v"))
+    )
+    rep = diff_tables(a, b, ["pk"], chunk_size=1000)
+    assert rep.counts_match
+    assert rep.mismatched_chunks == [1]  # row 1500 lives in chunk 1
+    src_only = {r["pk"] for r in rep.rows_only_in_source.collect()}
+    tgt_only = {r["pk"] for r in rep.rows_only_in_target.collect()}
+    assert src_only == tgt_only == {1500}
+
+
+def test_missing_and_extra_rows(spark):
+    a = _base(spark)
+    missing = diff_tables(a, a.filter("pk <> 42"), ["pk"], chunk_size=1000)
+    assert not missing.counts_match
+    assert 0 in missing.mismatched_chunks
+    extra = diff_tables(a.filter("pk <> 42"), a, ["pk"], chunk_size=1000)
+    assert {r["pk"] for r in extra.rows_only_in_target.collect()} == {42}
+
+
+def test_start_position_skips_early_defect(spark):
+    a = _base(spark)
+    b = _base(spark).withColumn(
+        "v", F.when(F.col("pk") == 10, F.lit(-1)).otherwise(F.col("v"))
+    )
+    rep = diff_tables(a, b, ["pk"], chunk_size=1000, start_position=1, drill_down=False)
+    assert rep.mismatched_chunks == []  # defect in chunk 0, skipped
+
+
+def test_no_pk_full_row_hash(spark):
+    a = _base(spark, 100).drop("pk")
+    b = a.union(a.limit(1))  # one duplicated row in target
+    rep = diff_tables(a, b, [], table="nopk")
+    assert rep.details["rows_only_in_target"] == 1
+    assert rep.details["rows_only_in_source"] == 0
+
+
+def test_null_vs_empty_string_detected(spark):
+    a = spark.createDataFrame([(1, None)], "pk int, v string")
+    b = spark.createDataFrame([(1, "")], "pk int, v string")
+    rep = diff_tables(a, b, ["pk"], chunk_size=10)
+    assert rep.mismatched_chunks == [0]

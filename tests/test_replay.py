@@ -1,0 +1,103 @@
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+
+from rust_cdc_validator_spark.operators.replay import net_effect, replay_snapshot
+from rust_cdc_validator_spark.sources.manifest import FileMode, discover_files
+from tests.cdc_fixtures import customers_scenario, sequential_apply, write_cdc_file
+
+
+def test_replay_matches_sequential_apply(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("cdc"))
+    root, expected = customers_scenario(base)
+    entries = discover_files(
+        spark, root, FileMode.DATE_AWARE,
+        start_date=datetime(2024, 1, 1, tzinfo=timezone.utc),
+    )
+    assert entries[0].is_load and entries[0].path.endswith("LOAD00000001.parquet")
+    result = replay_snapshot(spark, entries, ["id"],
+                             expected_columns=["id", "name", "score", "active"])
+    got = sorted(
+        (r["id"], r["name"], r["score"], r["active"])
+        for r in result.collect()
+    )
+    want = sorted((e["id"], e["name"], e["score"], e["active"]) for e in expected)
+    assert got == want
+    # envelope columns dropped
+    assert set(result.columns) == {"id", "name", "score", "active"}
+
+
+def test_replay_composite_pk(spark, tmp_path):
+    cols = ["Op", "_dms_ingestion_timestamp", "order_id", "line_no", "qty"]
+    root = str(tmp_path / "db/public/order_items")
+    load = [{"Op": "I", "_dms_ingestion_timestamp": "t", "order_id": o, "line_no": l, "qty": 1}
+            for o in (1, 2) for l in (1, 2)]
+    cdc = [
+        {"Op": "U", "_dms_ingestion_timestamp": "t", "order_id": 1, "line_no": 2, "qty": 9},
+        {"Op": "D", "_dms_ingestion_timestamp": "t", "order_id": 2, "line_no": 1, "qty": 0},
+    ]
+    write_cdc_file(f"{root}/LOAD00000001.parquet", load, cols)
+    write_cdc_file(f"{root}/2024/01/02/a.parquet", cdc, cols)
+    entries = discover_files(spark, root, FileMode.DATE_AWARE,
+                             start_date=datetime(2020, 1, 1, tzinfo=timezone.utc))
+    got = sorted((r["order_id"], r["line_no"], r["qty"])
+                 for r in replay_snapshot(spark, entries, ["order_id", "line_no"]).collect())
+    want = sorted((e["order_id"], e["line_no"], e["qty"])
+                  for e in sequential_apply([load, cdc], ["order_id", "line_no"]))
+    assert got == want
+
+
+def test_replay_no_pk_append_only(spark, tmp_path):
+    cols = ["Op", "_dms_ingestion_timestamp", "event_id", "payload"]
+    root = str(tmp_path / "db/public/events_log")
+    load = [{"Op": "I", "_dms_ingestion_timestamp": "t", "event_id": "a", "payload": "x"}]
+    cdc = [{"Op": "I", "_dms_ingestion_timestamp": "t", "event_id": "a", "payload": "x"},
+           {"Op": "D", "_dms_ingestion_timestamp": "t", "event_id": "a", "payload": "x"}]
+    write_cdc_file(f"{root}/LOAD00000001.parquet", load, cols)
+    write_cdc_file(f"{root}/2024/01/02/a.parquet", cdc, cols)
+    entries = discover_files(spark, root, FileMode.DATE_AWARE,
+                             start_date=datetime(2020, 1, 1, tzinfo=timezone.utc))
+    # append-only: duplicates kept, deletes ignored → 2 rows
+    assert replay_snapshot(spark, entries, []).count() == 2
+
+
+def test_schema_drift_raises(spark, tmp_path):
+    cols = ["Op", "_dms_ingestion_timestamp", "id", "legacy_col"]
+    root = str(tmp_path / "db/public/customers")
+    write_cdc_file(f"{root}/LOAD00000001.parquet",
+                   [{"Op": "I", "_dms_ingestion_timestamp": "t", "id": 1, "legacy_col": "x"}],
+                   cols)
+    entries = discover_files(spark, root, FileMode.FULL_LOAD_ONLY)
+    with pytest.raises(ValueError, match="schema drift"):
+        replay_snapshot(spark, entries, ["id"], expected_columns=["id"])
+
+
+def test_date_pruning_excludes_out_of_window_cdc(spark, tmp_path):
+    import os, time
+    cols = ["Op", "_dms_ingestion_timestamp", "id", "v"]
+    root = str(tmp_path / "db/public/t")
+    write_cdc_file(f"{root}/LOAD00000001.parquet",
+                   [{"Op": "I", "_dms_ingestion_timestamp": "t", "id": 1, "v": 1}], cols)
+    old = f"{root}/2020/01/01/old.parquet"
+    write_cdc_file(old, [{"Op": "U", "_dms_ingestion_timestamp": "t", "id": 1, "v": 99}], cols)
+    past = time.mktime((2020, 1, 1, 0, 0, 0, 0, 0, 0))
+    os.utime(old, (past, past))
+    entries = discover_files(spark, root, FileMode.DATE_AWARE,
+                             start_date=datetime(2024, 1, 1, tzinfo=timezone.utc))
+    # LOAD always kept; stale CDC file pruned by mtime window
+    assert [e.is_load for e in entries] == [True]
+    rows = replay_snapshot(spark, entries, ["id"]).collect()
+    assert rows[0]["v"] == 1
+
+
+def test_net_effect_shuffled_input_order_independent(spark):
+    # property-style: net_effect depends only on _seq, not on input row order
+    rows = [(i % 7, "U" if i % 3 else "I", i, f"v{i}") for i in range(200)]
+    rows += [(k, "D", 200 + k, None) for k in (1, 3)]
+    df = spark.createDataFrame(rows, "id int, Op string, _seq long, val string")
+    a = net_effect(df, ["id"], drop_envelope=False)
+    b = net_effect(df.orderBy("val"), ["id"], drop_envelope=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert a.filter("id in (1,3)").count() == 0
