@@ -1,0 +1,212 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup is a hash-groupBy; near-dup is MinHash+LSH (band bucket
+self-join — the scalable path: candidate generation never compares all
+pairs), SimHash Hamming-radius, and n-gram Jaccard verification. All
+candidate generation is expressed as joins on hash buckets so Catalyst
+shuffles on bucket keys only; at 100 TB the band join is the dominant
+shuffle and is tunable via (num_hashes, num_bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rust_cdc_validator_spark.functions.hashing import (
+    hamming64,
+    lsh_bands,
+    minhash_signatures,
+    simhash_signatures,
+)
+from rust_cdc_validator_spark.functions.text import word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact text value; add group size.
+
+    One shuffle on xxhash64(text) — we group on the hash, not the full text,
+    so shuffle rows stay narrow; the text itself never moves.
+    """
+    h = df.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("_h"))
+    groups = h.groupBy("_h").agg(
+        F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("copies")
+    )
+    return groups.select("keeper_id", "copies")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash + banded LSH.
+
+    shingle → minhash signature → band buckets → explode → self-join on
+    (band_id, bucket) → distinct (a, b) with a < b. Only docs sharing at
+    least one full band ever meet in the join — the LSH guarantee that makes
+    this sub-quadratic at scale.
+    """
+    rows_per_band = num_hashes // num_bands
+    sig = minhash_signatures(
+        df, id_col, word_shingles(F.col(text_col), shingle_n), num_hashes
+    )
+    return _band_candidates(sig, num_bands, rows_per_band)
+
+
+def _band_candidates(sig: DataFrame, num_bands: int, rows_per_band: int) -> DataFrame:
+    buckets = sig.select(
+        "_id", F.explode(lsh_bands(F.col("_sig"), num_bands, rows_per_band)).alias("_b")
+    ).select("_id", F.col("_b.band_id").alias("band_id"), F.col("_b.bucket").alias("bucket"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(b, on=["band_id", "bucket"], how="inner")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+    min_est_jaccard: float = 0.0,
+) -> DataFrame:
+    """LSH candidates + MinHash-estimated Jaccard in one plan, computing the
+    signature table once (cached) instead of per stage."""
+    sig = minhash_signatures(
+        df, id_col, word_shingles(F.col(text_col), shingle_n), num_hashes
+    ).cache()
+    cands = _band_candidates(sig, num_bands, num_hashes // num_bands)
+    sims = _estimate_jaccard(sig, cands, num_hashes)
+    return sims.filter(F.col("est_jaccard") >= min_est_jaccard)
+
+
+def minhash_similarity(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Estimate Jaccard for candidate pairs as fraction of agreeing
+    minhashes (the MinHash estimator)."""
+    sig = minhash_signatures(
+        df, id_col, word_shingles(F.col(text_col), shingle_n), num_hashes
+    )
+    return _estimate_jaccard(sig, candidates, num_hashes)
+
+
+def _estimate_jaccard(sig: DataFrame, candidates: DataFrame, num_hashes: int) -> DataFrame:
+    j = (
+        candidates.join(sig.withColumnRenamed("_id", "id_a").withColumnRenamed("_sig", "_sig_a"), "id_a")
+        .join(sig.withColumnRenamed("_id", "id_b").withColumnRenamed("_sig", "_sig_b"), "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            )
+            / F.lit(float(num_hashes)),
+        )
+    )
+    return j.select("id_a", "id_b", "est_jaccard")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
+
+    |A∩B| from a shingle-equality join (integer counting — engine-portable),
+    |A∪B| = |A|+|B|-|A∩B|. The shingle join shuffles on the shingle hash;
+    hot shingles are the skew risk — mitigated by AQE skew-join (enabled in
+    session defaults).
+
+    Shingles are reduced to xxhash64 longs before the join — an 8-byte join
+    key instead of a ~20-byte string halves shuffle volume; the 2⁻⁶⁴
+    collision probability is negligible against exact-count semantics.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("_s0"),
+    ).select("_id", F.xxhash64("_s0").alias("_s"))
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="_s")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def simhash_dedup_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """SimHash near-dup candidates within a Hamming radius.
+
+    Block on 16-bit signature quadrants (pigeonhole: ≤3 differing bits ⇒ at
+    least one of 4 quadrants identical), join within blocks, verify exact
+    Hamming distance. Sub-quadratic like LSH banding.
+    """
+    sig = simhash_signatures(df, id_col, word_shingles(F.col(text_col), shingle_n))
+    quads = sig.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftrightunsigned(F.col("_sim"), 16 * q)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("_q"),
+    ).select("_id", "_sim", F.col("_q.q").alias("q"), F.col("_q.key").alias("key"))
+    pairs = (
+        quads.alias("a")
+        .join(quads.alias("b"), on=["q", "key"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming64(F.col("a._sim"), F.col("b._sim")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,224 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Physical design: Spark's higher-order functions (``aggregate``/``zip_with``)
+are interpreted, not whole-stage-codegen'd — a 64-dim dot product per row
+pair through them is ~100× slower than Arrow-batched numpy. So the hot paths
+here are ``mapInPandas`` stages doing blocked matrix products:
+
+* brute-force top-k: the query set is broadcast as a dense float64 matrix;
+  each corpus partition computes ``Q @ C_blockᵀ`` and emits its block-local
+  top-k per query; a final window merges block top-ks into global top-k.
+  Corpus never shuffles; the merge input is only n_queries × n_blocks × k
+  rows. This is the exact-search baseline that scales with corpus size.
+* LSH bucketing: random-hyperplane sign bits for all tables are computed in
+  one ``V @ Pᵀ`` per batch, then candidates come from an equi-join on
+  (table, bucket) — ANN joins shuffle only bucket-collision pairs.
+
+The Column-level fold versions live in functions/vectors.py for small/oracle
+work; these operators are the production path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """Collect (ids, unit-normalized float64 matrix) — for the broadcast
+    side only; the corpus side always streams."""
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms
+
+
+_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("neighbor_id", T.LongType(), False),
+        T.StructField("cos_sim", T.DoubleType(), False),
+    ]
+)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k: blocked matrix product + block-local top-k +
+    global merge. Returns (query_id, neighbor_id, cos_sim, rank); ties
+    broken by neighbor id for determinism."""
+    spark = corpus.sparkSession
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qi, qm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            c = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cn = np.linalg.norm(c, axis=1, keepdims=True)
+            cn[cn == 0] = 1.0
+            sims = qm @ (c / cn).T  # (n_queries, block)
+            if not include_self:
+                sims = np.where(qi[:, None] == c_ids[None, :], -np.inf, sims)
+            kk = min(k, sims.shape[1])
+            # block-local top-k per query (argpartition: O(block) per query)
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows_q = np.repeat(qi, kk)
+            rows_n = c_ids[idx.ravel()]
+            rows_s = np.take_along_axis(sims, idx, axis=1).ravel()
+            keep = np.isfinite(rows_s)
+            yield pd.DataFrame(
+                {"query_id": rows_q[keep], "neighbor_id": rows_n[keep],
+                 "cos_sim": rows_s[keep]}
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(block_topk, _TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return partial.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _hyperplanes(dim: int, seed: int, num_tables: int, num_planes: int) -> np.ndarray:
+    """Deterministic hyperplanes, shape (num_tables, num_planes, dim)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, num_planes, dim))
+    return planes / np.linalg.norm(planes, axis=2, keepdims=True)
+
+
+_BUCKET_SCHEMA = T.StructType(
+    [
+        T.StructField("_id", T.LongType(), False),
+        T.StructField("_v", T.ArrayType(T.DoubleType()), False),
+        T.StructField("tbl", T.IntegerType(), False),
+        T.StructField("bucket", T.LongType(), False),
+    ]
+)
+
+
+def _bucketed(
+    df: DataFrame, id_col: str, vec_col: str, planes: np.ndarray
+) -> DataFrame:
+    """One row per (vector, table) with its packed sign-bit bucket; vectors
+    come out unit-normalized so downstream scoring is a plain dot."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc.value  # (T, P, D)
+        n_tables, n_planes, _ = pl.shape
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(v, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            v = v / n
+            # signs: (T, rows, P) → buckets (T, rows)
+            proj = np.einsum("rd,tpd->trp", v, pl)
+            buckets = ((proj > 0) @ weights).astype(np.int64)
+            out_ids = np.tile(ids, n_tables)
+            out_tbl = np.repeat(np.arange(n_tables, dtype=np.int32), len(ids))
+            yield pd.DataFrame(
+                {
+                    "_id": out_ids,
+                    "_v": list(np.tile(v, (n_tables, 1))),
+                    "tbl": out_tbl,
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, _BUCKET_SCHEMA)
+
+
+@F.pandas_udf(T.DoubleType())
+def _dot_pdf(a: pd.Series, b: pd.Series) -> pd.Series:
+    am = np.stack(a.to_numpy())
+    bm = np.stack(b.to_numpy())
+    return pd.Series(np.einsum("rd,rd->r", am, bm))
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH: bucket both sides
+    per table, equi-join on (tbl, bucket), exact-score candidates (vectorized
+    pandas UDF), rank. Recall grows with num_tables at one narrow projection
+    each."""
+    planes = _hyperplanes(dim, seed, num_tables, num_planes)
+    cb = _bucketed(corpus, id_col, vec_col, planes).withColumnRenamed(
+        "_id", "neighbor_id"
+    ).withColumnRenamed("_v", "_nv")
+    qb = _bucketed(queries, id_col, vec_col, planes).withColumnRenamed(
+        "_id", "query_id"
+    ).withColumnRenamed("_v", "_qv")
+    cand = (
+        qb.join(cb, on=["tbl", "bucket"])
+        .select("query_id", "neighbor_id", "_qv", "_nv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    if not include_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", _dot_pdf(F.col("_qv"), F.col("_nv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    num_planes: int = 10,
+    num_tables: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above ``threshold`` via LSH
+    candidate generation + exact verification."""
+    pairs = lsh_bucket_topk(
+        df, df, dim=dim, id_col=id_col, vec_col=vec_col, k=50,
+        num_planes=num_planes, num_tables=num_tables,
+    )
+    return (
+        pairs.filter(
+            (F.col("cos_sim") >= threshold) & (F.col("query_id") < F.col("neighbor_id"))
+        )
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            "cos_sim",
+        )
+    )

@@ -1,0 +1,645 @@
+"""Query catalog: every implemented operator exposed as a (spark, sf_dir) →
+DataFrame callable plus an equivalent ANSI-SQL oracle for DuckDB.
+
+Engine-portability rules (so value hashes match across Spark and DuckDB):
+* money/double aggregations go through exact DECIMAL sums, cast to DOUBLE at
+  the end (per-row double arithmetic is IEEE-identical in both engines;
+  multi-row double SUM order is not);
+* divisions happen once, in double, at the end;
+* every computed column is aliased identically in both dialects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rust_cdc_validator_spark.functions.text import STOPWORDS
+from rust_cdc_validator_spark.functions.vectors import cosine
+from rust_cdc_validator_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_candidates,
+)
+from rust_cdc_validator_spark.operators.diff import row_digest
+from rust_cdc_validator_spark.operators.multimodal import media_features
+from rust_cdc_validator_spark.operators.replay import net_effect
+from rust_cdc_validator_spark.operators.similarity import brute_force_topk, lsh_bucket_topk
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read it as raw int64 nanos (`ts_ns`). Downstream time
+    bucketing stays in integer nanos — timezone-free and engine-portable."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("ts_ns", F.col("ts").cast("long")).drop("ts")
+
+
+def _dsum(col, scale: str = "decimal(18,2)"):
+    """Exact decimal sum rendered as double (engine-portable)."""
+    return F.sum(col.cast(scale)).cast("double")
+
+
+# --------------------------------------------------------------------------
+# Relational core (proves scan/filter/agg/join/window/sort on TPC-H-ish data)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price, "decimal(24,8)").alias("sum_disc_price"),
+            _dsum(charge, "decimal(24,8)").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp_ntz")
+    )
+    # customer is tiny vs lineitem: broadcast it so the orders⋈customer join
+    # never shuffles the fact side on a 100 TB cluster.
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "decimal(24,8)"
+            ).alias("revenue")
+        )
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND l_shipdate  > TIMESTAMP '1999-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(dims), (orders.o_custkey == dims.c_custkey)
+              & (supp.s_nationkey == dims.c_nationkey))
+        .groupBy("r_name", "n_name")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "decimal(24,8)"
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+    )
+
+
+TOP_PARTS_SQL = """
+SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rnk
+  FROM part
+) t WHERE rnk <= 3
+"""
+
+
+_NS_PER_HOUR = 3_600_000_000_000
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over the event stream, bucketed in
+    integer epoch-hours (tz-free; see _events)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.expr(f"ts_ns div {_NS_PER_HOUR}").alias("hour_bucket"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("sum_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = f"""
+SELECT epoch_ns(ts) // {_NS_PER_HOUR} AS hour_bucket, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# CDC domain (SURVEY.md §2.10): net-effect replay + diff as queries
+# --------------------------------------------------------------------------
+
+
+def cdc_net_effect_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat `events` as a CDC change log keyed by user_id: error ⇒ D,
+    signup ⇒ I, anything else ⇒ U; event_id is the total order. The result
+    is each user's final state — exercising operators/replay.net_effect."""
+    ev = _events(spark, sf_dir)
+    log = ev.select(
+        F.col("user_id"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("Op"),
+        F.col("event_id").alias("_seq"),
+    )
+    return net_effect(log, ["user_id"])
+
+
+CDC_NET_EFFECT_SQL = """
+SELECT user_id, last_event_id, last_event_type, last_value FROM (
+  SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+         value AS last_value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1 AND last_event_type <> 'error'
+"""
+
+
+def cdc_replay_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a LOAD + 2 CDC files from `orders` and replay: update
+    totalprice (+10) for keys %7=0, then delete keys %13=0. Oracle states
+    the expected final table directly — a semantic (not structural) check."""
+    orders = _t(spark, sf_dir, "orders")
+    stride = F.lit(1 << 40)
+    load = orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.lit("I").alias("Op"), F.col("o_orderkey").cast("long").alias("_seq"),
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey", "o_custkey",
+            (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+            F.lit("U").alias("Op"),
+            (stride + F.col("o_orderkey")).cast("long").alias("_seq"),
+        )
+    )
+    deletes = (
+        orders.filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            F.lit("D").alias("Op"),
+            (stride * 2 + F.col("o_orderkey")).cast("long").alias("_seq"),
+        )
+    )
+    return net_effect(load.unionByName(updates).unionByName(deletes), ["o_orderkey"])
+
+
+CDC_REPLAY_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+WHERE o_orderkey % 13 <> 0
+"""
+
+
+def diff_rows_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff drill-down (the validator's core primitive): target is
+    orders minus keys %997=0 with totalprice perturbed on keys %499=0;
+    emit (key, side) for every divergent row via keyed-hash anti-joins."""
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    src = _t(spark, sf_dir, "orders").select(*cols)
+    tgt = (
+        src.filter(F.col("o_orderkey") % 997 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 499 == 0, F.col("o_totalprice") + 1.0)
+            .otherwise(F.col("o_totalprice")),
+        )
+    )
+    s_h = src.withColumn("_h", row_digest(src, cols))
+    t_h = tgt.withColumn("_h", row_digest(tgt, cols))
+    keys = ["o_orderkey", "_h"]
+    only_src = s_h.join(t_h, keys, "left_anti").select(
+        "o_orderkey", F.lit("source_only").alias("side")
+    )
+    only_tgt = t_h.join(s_h, keys, "left_anti").select(
+        "o_orderkey", F.lit("target_only").alias("side")
+    )
+    return only_src.unionByName(only_tgt)
+
+
+DIFF_DRILLDOWN_SQL = """
+SELECT o_orderkey, 'source_only' AS side FROM orders
+WHERE o_orderkey % 997 = 0 OR o_orderkey % 499 = 0
+UNION ALL
+SELECT o_orderkey, 'target_only' AS side FROM orders
+WHERE o_orderkey % 499 = 0 AND o_orderkey % 997 <> 0
+"""
+
+
+def diff_chunk_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK-ordered chunking (validator unit-of-comparison, chunk_size=1000 —
+    the reference default, main.rs:75-77)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        orders.select("o_orderkey")
+        .withColumn("chunk_id", F.floor((F.row_number().over(w) - 1) / 1000))
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+DIFF_CHUNK_SQL = """
+SELECT chunk_id, COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM (
+  SELECT o_orderkey,
+         CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 1000) AS BIGINT) AS chunk_id
+  FROM orders
+) t GROUP BY chunk_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators: dedup / text analysis / similarity
+# --------------------------------------------------------------------------
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS copies
+FROM documents GROUP BY text
+"""
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_alpha_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0))
+    no_space = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        n_alpha_tokens.alias("n_alpha_tokens"),
+        (no_space / n_tokens).alias("mean_token_len"),
+    )
+
+
+TEXT_STATS_SQL = """
+SELECT doc_id,
+       LENGTH(text) AS n_chars_actual,
+       LEN(string_split(text, ' ')) AS n_tokens,
+       LEN(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
+       LENGTH(replace(text, ' ', '')) / LEN(string_split(text, ' ')) AS mean_token_len
+FROM documents
+"""
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring with fully portable arithmetic: length term,
+    stopword term, combined score (punctuation omitted here: testdata text
+    is punctuation-free; the richer scorer lives in functions/text.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    sw_ratio = n_sw / F.size(toks)
+    length_term = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
+    sw_term = F.least(sw_ratio * 3, F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        n_sw.alias("n_stopwords"),
+        length_term.alias("length_term"),
+        ((length_term + sw_term) / 2).alias("quality"),
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+       LEN(list_filter(string_split(text, ' '),
+                       t -> list_contains([{_SW_LIST}], t))) AS n_stopwords,
+       LEAST(LENGTH(text) / 500.0, 1.0) AS length_term,
+       (LEAST(LENGTH(text) / 500.0, 1.0) +
+        LEAST(3 * (LEN(list_filter(string_split(text, ' '),
+                       t -> list_contains([{_SW_LIST}], t))) * 1.0 / LEN(string_split(text, ' '))),
+              1.0)) / 2 AS quality
+FROM documents
+"""
+
+
+def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    has_the = F.when(
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")).contains(" the "), 1
+    ).otherwise(0)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars") / F.count(F.lit(1))).alias("mean_chars"),
+        F.sum(has_the).alias("n_with_the"),
+    )
+
+
+LANG_PROFILE_SQL = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       SUM(n_chars) / COUNT(*) AS mean_chars,
+       SUM(CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END) AS n_with_the
+FROM documents GROUP BY lang
+"""
+
+
+def ngram_jaccard_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc count of near-dup partners (3-word-shingle Jaccard ≥ 0.5)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
+    both = pairs.select(F.col("id_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    return both.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_partners"))
+
+
+NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+  FROM toks WHERE len(t) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5
+)
+SELECT doc_id, COUNT(*) AS n_partners FROM (
+  SELECT id_a AS doc_id FROM pairs UNION ALL SELECT id_b FROM pairs
+) t GROUP BY doc_id
+"""
+
+
+def knn_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest neighbor per embedding (brute-force cosine baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    top = brute_force_topk(emb, emb, id_col="vec_id", vec_col="embedding", k=1)
+    return top.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("neighbor_id").alias("nn_id"),
+        F.round(F.col("cos_sim"), 6).alias("cos_sim_r"),
+    )
+
+
+KNN_TOP1_SQL = """
+WITH normed AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (a.nrm * b.nrm) AS cos_sim
+  FROM normed a JOIN normed b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, nn_id, ROUND(cos_sim, 6) AS cos_sim_r FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos_sim DESC, nn_id) AS rn
+  FROM scored
+) t WHERE rn = 1
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: documents.text encoded as an opaque payload,
+    pushed through the Arrow-batched mapInPandas feature extractor (decode
+    stage stubbed — see operators/multimodal.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = media_features(media)
+    return feats.select("media_id", "n_bytes", "content_sha256")
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS content_sha256
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Hash-sketch operators (xxhash64-based — no SQL oracle; driver rows-only)
+# --------------------------------------------------------------------------
+
+
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        docs, "text", "doc_id", num_hashes=32, num_bands=8, min_est_jaccard=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup_candidates(docs, "text", "doc_id", max_hamming=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    top = lsh_bucket_topk(
+        emb, emb, dim=64, id_col="vec_id", vec_col="embedding", k=1,
+        num_planes=6, num_tables=8,
+    )
+    return top.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("neighbor_id").alias("nn_id"),
+        F.round(F.col("cos_sim"), 6).alias("cos_sim_r"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "top_parts_per_brand": top_parts_per_brand,
+    "events_hourly": events_hourly,
+    "events_json_extract": events_json_extract,
+    "cdc_net_effect_events": cdc_net_effect_events,
+    "cdc_replay_orders": cdc_replay_orders,
+    "diff_rows_drilldown": diff_rows_drilldown,
+    "diff_chunk_layout": diff_chunk_layout,
+    "dedup_exact_docs": dedup_exact_docs,
+    "text_stats": text_stats,
+    "text_quality": text_quality,
+    "lang_profile": lang_profile,
+    "ngram_jaccard_partners": ngram_jaccard_partners,
+    "knn_top1": knn_top1,
+    "multimodal_features": multimodal_features,
+    "minhash_near_dup": minhash_near_dup,
+    "simhash_near_dup": simhash_near_dup,
+    "ann_lsh_top1": ann_lsh_top1,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_region_revenue": Q5_SQL,
+    "top_parts_per_brand": TOP_PARTS_SQL,
+    "events_hourly": EVENTS_HOURLY_SQL,
+    "events_json_extract": EVENTS_JSON_SQL,
+    "cdc_net_effect_events": CDC_NET_EFFECT_SQL,
+    "cdc_replay_orders": CDC_REPLAY_ORDERS_SQL,
+    "diff_rows_drilldown": DIFF_DRILLDOWN_SQL,
+    "diff_chunk_layout": DIFF_CHUNK_SQL,
+    "dedup_exact_docs": DEDUP_EXACT_SQL,
+    "text_stats": TEXT_STATS_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "lang_profile": LANG_PROFILE_SQL,
+    "ngram_jaccard_partners": NGRAM_JACCARD_SQL,
+    "knn_top1": KNN_TOP1_SQL,
+    "multimodal_features": MULTIMODAL_SQL,
+    # minhash_near_dup / simhash_near_dup / ann_lsh_top1: xxhash64-based,
+    # not SQL-expressible → rows-only check by design.
+}

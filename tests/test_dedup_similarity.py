@@ -1,0 +1,117 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rust_cdc_validator_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_candidates,
+)
+from rust_cdc_validator_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup,
+    lsh_bucket_topk,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("today", "tomorrow")),  # near dup of 1
+        (4, "completely different words about spark query engines and shuffles"),
+        (5, "another unrelated sentence mentioning parquet files and columnar data"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    out = {r["keeper_id"]: r["copies"] for r in exact_dedup(_docs(spark), "text", "doc_id").collect()}
+    assert out[1] == 2  # docs 1,2 identical
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_minhash_finds_near_dups_not_unrelated(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_near_dup_pairs(
+            _docs(spark), "text", "doc_id", num_hashes=32, num_bands=16
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical docs: every minhash agrees
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_ngram_jaccard_exact_values(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), "text", "doc_id", threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # doc3 differs in last word: 12 shingles each, 11 shared → 11/13
+    assert abs(pairs[(1, 3)] - 11 / 13) < 1e-9
+    assert (1, 4) not in pairs
+
+
+def test_simhash_candidates(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_dedup_candidates(_docs(spark), "text", "doc_id",
+                                               max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0  # identical text → identical signature
+    assert (1, 4) not in pairs and (1, 5) not in pairs
+
+
+def test_simhash_signature_distances(spark):
+    from pyspark.sql import functions as F
+    from rust_cdc_validator_spark.functions.hashing import hamming64, simhash_signatures
+    from rust_cdc_validator_spark.functions.text import word_shingles
+
+    sig = simhash_signatures(_docs(spark), "doc_id", word_shingles(F.col("text"), 3))
+    s = {r["_id"]: r["_sim"] for r in sig.collect()}
+    df = spark.createDataFrame(
+        [(s[1], s[2]), (s[1], s[3]), (s[1], s[4])], "a long, b long"
+    )
+    d12, d13, d14 = [
+        r["h"] for r in df.select(hamming64(F.col("a"), F.col("b")).alias("h")).collect()
+    ]
+    assert d12 == 0          # identical docs
+    assert d13 < d14         # near dup closer than unrelated doc
+
+
+def _vectors(spark):
+    import math
+    rows = []
+    for i in range(50):
+        angle = (i % 10) * math.pi / 20  # 10 clusters of 5 near-identical
+        jitter = (i // 10) * 1e-3
+        rows.append((i, [math.cos(angle + jitter), math.sin(angle + jitter), 0.0, 0.1]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_exact(spark):
+    v = _vectors(spark)
+    top1 = brute_force_topk(v, v, k=1).collect()
+    assert len(top1) == 50
+    for r in top1:
+        # nearest neighbor of i is in the same angular cluster
+        assert r["neighbor_id"] % 10 == r["query_id"] % 10
+        assert r["cos_sim"] > 0.999999
+
+
+def test_lsh_recall_against_brute_force(spark):
+    v = _vectors(spark)
+    exact = {r["query_id"]: r["neighbor_id"] for r in brute_force_topk(v, v, k=1).collect()}
+    approx = {r["query_id"]: r["neighbor_id"]
+              for r in lsh_bucket_topk(v, v, dim=4, k=1, num_planes=4, num_tables=8).collect()}
+    hits = sum(1 for q, n in exact.items() if approx.get(q) == n)
+    assert hits / len(exact) >= 0.8  # high recall on clustered data
+
+
+def test_embedding_near_dup_pairs(spark):
+    v = _vectors(spark)
+    pairs = embedding_near_dup(v, threshold=0.9999, dim=4, num_planes=4, num_tables=8).collect()
+    assert all(r["id_a"] % 10 == r["id_b"] % 10 for r in pairs)
+    assert len(pairs) > 0

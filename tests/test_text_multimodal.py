@@ -1,0 +1,100 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_cdc_validator_spark.functions import text as TX
+from rust_cdc_validator_spark.operators.multimodal import (
+    binary_stats,
+    frame_sample_plan,
+    media_features,
+)
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox, it jumps!"), (2, "  spaced   out  "), (3, "")],
+        "id long, t string",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            TX.token_count(F.col("t")).alias("n"),
+            TX.regex_token_count(F.col("t")).alias("nre"),
+            TX.stopword_ratio(F.col("t")).alias("sw"),
+            TX.quality_score(F.col("t")).alias("q"),
+        ).collect()
+    }
+    assert out[1]["n"] == 6
+    assert out[1]["nre"] == 8  # 6 words + comma + bang
+    assert abs(out[1]["sw"] - 2 / 6) < 1e-9  # 'the', 'it'
+    assert out[2]["n"] == 2
+    assert out[3]["n"] == 0
+    assert 0.0 <= out[1]["q"] <= 1.0
+
+
+def test_word_shingles_and_fingerprint(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], "id long, t string")
+    rows = {r["id"]: r for r in df.select(
+        "id", TX.word_shingles(F.col("t"), 3).alias("sh"),
+        TX.fingerprint(F.col("t"), window=2).alias("fp")).collect()}
+    assert rows[1]["sh"] == ["a b c", "b c d"]
+    assert rows[2]["sh"] == ["a b"]  # short-doc fallback
+    assert isinstance(rows[1]["fp"], int)
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is here"), (2, "straße über den fluß"),
+         (3, "xyzzy qqq")],
+        "id long, t string",
+    )
+    out = {r["id"]: r["lang"] for r in df.select(
+        "id", TX.lang_id(F.col("t")).alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"
+
+
+def _media(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes", "image/png", 64, 64, None),
+        (2, "video", b"\x00\x00ftyp fake", "video/mp4", 640, 360, 3500),
+        (3, "audio", None, "audio/wav", None, None, 2000),
+    ]
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string, "
+              "width int, height int, duration_ms long")
+
+
+def test_media_features_stub(spark):
+    feats = {r["media_id"]: r for r in media_features(_media(spark)).collect()}
+    assert feats[1]["n_bytes"] == 15
+    assert feats[1]["content_sha256"] == hashlib.sha256(b"\x89PNG fake bytes").hexdigest()
+    assert len(feats[1]["feature"]) == 8
+    assert feats[3]["n_bytes"] == 0  # null payload handled
+
+
+def test_media_features_strict_raises(spark):
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises(Exception) as exc_info:
+        media_features(_media(spark), strict=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, Py4JJavaError
+    )
+
+
+def test_binary_stats_builtin(spark):
+    out = binary_stats(
+        _media(spark).filter("payload is not null"), "media_id", "payload"
+    ).collect()
+    assert {r["media_id"]: r["n_bytes"] for r in out} == {1: 15, 2: 11}
+
+
+def test_frame_sample_plan(spark):
+    frames = frame_sample_plan(_media(spark), every_ms=1000).collect()
+    # video id=2, 3500ms → frames at 0,1000,2000,3000
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
