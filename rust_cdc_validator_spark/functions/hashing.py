@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from rust_cdc_validator_spark.plans.inspect import ensure_parallelism
+
 
 def minhash_signature(features: Column, num_hashes: int = 64) -> Column:
     """Array of ``num_hashes`` min-hashes over the feature array (shingles).
@@ -110,7 +112,9 @@ def minhash_signatures(
     Docs whose feature array is empty get a MaxValue-sentinel signature.
     """
     sentinel = 0x7FFFFFFFFFFFFFFF
-    feats = df.select(F.col(id_col).alias("_id"), F.explode_outer(features).alias("_f"))
+    feats = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), F.explode_outer(features).alias("_f")
+    )
     hashed = feats.select(
         "_id", *[F.xxhash64("_f", F.lit(i)).alias(f"_h{i}") for i in range(num_hashes)]
     )
@@ -136,7 +140,7 @@ def simhash_signatures(
     Same result as ``simhash64`` but with one aggregation stage instead of
     63 array folds per row.
     """
-    feats = df.select(
+    feats = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), F.explode_outer(features).alias("_f")
     ).select("_id", F.when(F.col("_f").isNotNull(), F.xxhash64("_f")).alias("_h"))
     votes = feats.groupBy("_id").agg(

@@ -20,6 +20,7 @@ from rust_cdc_validator_spark.functions.hashing import (
     simhash_signatures,
 )
 from rust_cdc_validator_spark.functions.text import word_shingles
+from rust_cdc_validator_spark.plans.inspect import ensure_parallelism
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -142,7 +143,7 @@ def ngram_jaccard_pairs(
     key instead of a ~20-byte string halves shuffle volume; the 2⁻⁶⁴
     collision probability is negligible against exact-count semantics.
     """
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("_s0"),
     ).select("_id", F.xxhash64("_s0").alias("_s"))

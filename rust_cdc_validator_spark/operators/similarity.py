@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from rust_cdc_validator_spark.plans.inspect import ensure_parallelism
+
 
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
     """Collect (ids, unit-normalized float64 matrix) — for the broadcast
@@ -88,7 +90,9 @@ def brute_force_topk(
                  "cos_sim": rows_s[keep]}
             )
 
-    partial = corpus.select(id_col, vec_col).mapInPandas(block_topk, _TOPK_SCHEMA)
+    partial = ensure_parallelism(corpus.select(id_col, vec_col)).mapInPandas(
+        block_topk, _TOPK_SCHEMA
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -148,7 +152,9 @@ def _bucketed(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(gen, _BUCKET_SCHEMA)
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        gen, _BUCKET_SCHEMA
+    )
 
 
 @F.pandas_udf(T.DoubleType())
