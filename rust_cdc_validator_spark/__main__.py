@@ -1,0 +1,127 @@
+"""CLI driver mirroring the reference's `validate` command surface
+(dms-cdc-operator-client/src/main.rs:110-155 clap args; flag gating at
+:345-373). One command, two phases: snapshot (CDC replay) then validate
+(diff), gated by --only-snapshot / --only-datadiff.
+
+The catalog comes from a JSON file (StaticCatalog shape) or a JDBC URL:
+
+    {"public": {"customers": {"columns": {"id": "bigint", ...},
+                              "primary_key": ["id"]}}}
+
+Usage:
+    python -m rust_cdc_validator_spark \
+        --bucket-root file:///data/cdc --database db --schema public \
+        --catalog-json catalog.json --start-date 2024-01-01 \
+        --output /tmp/snapshots [--only-snapshot | --only-datadiff] \
+        [--chunk-size 1000] [--start-position 0] \
+        [--included-tables t1 t2] [--excluded-tables t3] \
+        [--mode date_aware|full_load_only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from datetime import datetime, timezone
+
+from rust_cdc_validator_spark.api import CdcPayload, CdcValidator
+from rust_cdc_validator_spark.session import get_spark
+from rust_cdc_validator_spark.sources.catalog import StaticCatalog
+from rust_cdc_validator_spark.sources.manifest import FileMode
+
+
+def _load_catalog(path: str) -> StaticCatalog:
+    with open(path) as f:
+        raw = json.load(f)
+    tables = {
+        schema: {
+            t: (spec["columns"], spec.get("primary_key", []))
+            for t, spec in ts.items()
+        }
+        for schema, ts in raw.items()
+    }
+    return StaticCatalog(tables)
+
+
+def _parse_date(s: str | None) -> datetime | None:
+    if not s:
+        return None
+    return datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="rust_cdc_validator_spark")
+    p.add_argument("--bucket-root", required=True)
+    p.add_argument("--database", required=True)
+    p.add_argument("--schema", required=True)
+    p.add_argument("--catalog-json", required=True)
+    p.add_argument("--output", required=True, help="dir for snapshot parquet")
+    p.add_argument("--mode", choices=[m.value for m in FileMode],
+                   default=FileMode.DATE_AWARE.value)
+    p.add_argument("--start-date")
+    p.add_argument("--stop-date")
+    p.add_argument("--included-tables", nargs="*", default=[])
+    p.add_argument("--excluded-tables", nargs="*", default=[])
+    # reference CLI defaults: main.rs:75-83
+    p.add_argument("--chunk-size", type=int, default=1000)
+    p.add_argument("--start-position", type=int, default=0)
+    p.add_argument("--only-snapshot", action="store_true")
+    p.add_argument("--only-datadiff", action="store_true")
+    p.add_argument("--source-root", help="parquet dir of source tables for validate")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    payload = CdcPayload(
+        bucket_root=args.bucket_root,
+        database=args.database,
+        schema=args.schema,
+        included_tables=args.included_tables,
+        excluded_tables=args.excluded_tables,
+        mode=FileMode(args.mode),
+        start_date=_parse_date(args.start_date),
+        stop_date=_parse_date(args.stop_date),
+        chunk_size=args.chunk_size,
+        start_position=args.start_position,
+        only_datadiff=args.only_datadiff,
+        only_snapshot=args.only_snapshot,
+    )
+    spark = get_spark("cdc-validator-cli")
+    validator = CdcValidator(spark, _load_catalog(args.catalog_json))
+
+    snapshots = {}
+    if not payload.only_datadiff:
+        snapshots = validator.snapshot(payload)
+        for table, df in snapshots.items():
+            out = f"{args.output}/{table}"
+            df.write.mode("overwrite").parquet(out)
+            print(f"snapshot {table}: {spark.read.parquet(out).count()} rows -> {out}")
+    if payload.only_snapshot:
+        return 0
+
+    if not args.source_root:
+        print("validate skipped: --source-root not given", file=sys.stderr)
+        return 0
+    sources = {
+        t: spark.read.parquet(f"{args.source_root}/{t}")
+        for t in validator._tables(payload)
+    }
+    targets = snapshots or {
+        t: spark.read.parquet(f"{args.output}/{t}") for t in sources
+    }
+    reports = validator.validate(payload, sources, targets)
+    ok = True
+    for t, rep in reports.items():
+        status = "MATCH" if rep.is_match else "MISMATCH"
+        print(
+            f"validate {t}: {status} counts={rep.source_count}/{rep.target_count} "
+            f"bad_chunks={rep.mismatched_chunks}"
+        )
+        ok &= rep.is_match
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

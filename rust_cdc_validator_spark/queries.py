@@ -563,6 +563,212 @@ FROM documents
 """
 
 
+def orders_except_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set op (EXCEPT ALL): full orders minus a filtered copy —
+    the validator's 'rows in A not in B' primitive as a first-class query."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    subset = orders.filter(F.col("o_orderkey") % 3 != 0)
+    return orders.exceptAll(subset)
+
+
+ORDERS_EXCEPT_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+EXCEPT ALL
+SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0
+"""
+
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (multi-level grouping in one pass)."""
+    ev = _events(spark, sf_dir)
+    day = F.expr(f"ts_ns div {24 * _NS_PER_HOUR}").alias("day_bucket")
+    return (
+        ev.rollup(day, F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             _dsum(F.col("value")).alias("sum_value"))
+    )
+
+
+EVENTS_ROLLUP_SQL = f"""
+SELECT epoch_ns(ts) // {24 * _NS_PER_HOUR} AS day_bucket, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (day_bucket, event_type)
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts after a >30-minute gap per user
+    (lag window + running sum — the batch form of session windows)."""
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    gap_us = 30 * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    sess = (
+        ev.withColumn("_prev", F.lag("ts_us").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("ts_us") - F.col("_prev") > gap_us), 1
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("_new").over(w))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
+
+
+# microsecond precision: DuckDB's TIMESTAMP coerces the parquet NANOS
+# column to µs on read, so both engines bucket on µs.
+EVENTS_SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+), sess AS (
+  SELECT user_id, ts_us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def diff_chunk_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk content digests over PK-ordered 1000-row chunks of orders —
+    the validator's comparison unit with engine-portable md5 digests
+    (min/max of per-row hex digests + count summarize a chunk)."""
+    orders = _t(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+    )
+    w = Window.orderBy("o_orderkey")
+    return (
+        orders.select("o_orderkey", F.md5(row_str).alias("_h"))
+        .withColumn("chunk_id", F.floor((F.row_number().over(w) - 1) / 1000))
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_h").alias("min_digest"),
+            F.max("_h").alias("max_digest"),
+        )
+    )
+
+
+DIFF_CHUNK_DIGEST_SQL = """
+SELECT chunk_id, COUNT(*) AS n_rows, MIN(h) AS min_digest, MAX(h) AS max_digest
+FROM (
+  SELECT CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 1000) AS BIGINT)
+           AS chunk_id,
+         md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+             || '|' || o_orderstatus) AS h
+  FROM orders
+) t GROUP BY chunk_id
+"""
+
+
+def docs_quality_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate pipeline: keep docs with >=2 stopwords and >=150 chars,
+    report survivor counts per (lang, source) — the filter stage of a
+    training-data pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    kept = docs.filter((n_sw >= 2) & (F.length("text") >= 150))
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+DOCS_QUALITY_FILTERED_SQL = f"""
+SELECT lang, source, COUNT(*) AS n_docs, SUM(LENGTH(text)) AS total_chars
+FROM documents
+WHERE LEN(list_filter(string_split(text, ' '),
+                      t -> list_contains([{_SW_LIST}], t))) >= 2
+  AND LENGTH(text) >= 150
+GROUP BY lang, source
+"""
+
+
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token histogram: top 100 tokens by frequency (tie-break on
+    token) — explode + count, the vocabulary-building primitive."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    counts = tok.filter(F.col("token") != "").groupBy("token").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    return counts.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 100
+    )
+
+
+TOKEN_FREQUENCIES_SQL = """
+SELECT token, freq, rnk FROM (
+  SELECT token, freq,
+         row_number() OVER (ORDER BY freq DESC, token) AS rnk
+  FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  ) t WHERE token <> '' GROUP BY token
+  -- freq computed in outer query below
+) x WHERE rnk <= 100
+"""
+
+# DuckDB needs the aggregate before the window; restate cleanly:
+TOKEN_FREQUENCIES_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), counts AS (
+  SELECT token, COUNT(*) AS freq FROM toks WHERE token <> '' GROUP BY token
+)
+SELECT token, freq, rnk FROM (
+  SELECT token, freq, row_number() OVER (ORDER BY freq DESC, token) AS rnk
+  FROM counts
+) x WHERE rnk <= 100
+"""
+
+
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding stats: count + exact-decimal sum of L2 norms
+    (per-row norm is IEEE-deterministic; the cross-row sum goes through
+    decimal for engine portability)."""
+    from rust_cdc_validator_spark.functions.vectors import norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.round(norm(F.col("embedding")), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_norm_r"),
+    )
+
+
+EMBEDDING_LABEL_STATS_SQL = """
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(ROUND(sqrt(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DECIMAL(18,6)))
+            AS DOUBLE) AS sum_norm_r
+FROM embeddings GROUP BY label
+"""
+
+
 # --------------------------------------------------------------------------
 # Hash-sketch operators (xxhash64-based — no SQL oracle; driver rows-only)
 # --------------------------------------------------------------------------
@@ -617,6 +823,13 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard_partners": ngram_jaccard_partners,
     "knn_top1": knn_top1,
     "multimodal_features": multimodal_features,
+    "orders_except_filtered": orders_except_filtered,
+    "events_rollup": events_rollup,
+    "events_sessionize": events_sessionize,
+    "diff_chunk_digest": diff_chunk_digest,
+    "docs_quality_filtered": docs_quality_filtered,
+    "token_frequencies": token_frequencies,
+    "embedding_label_stats": embedding_label_stats,
     "minhash_near_dup": minhash_near_dup,
     "simhash_near_dup": simhash_near_dup,
     "ann_lsh_top1": ann_lsh_top1,
@@ -640,6 +853,13 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_partners": NGRAM_JACCARD_SQL,
     "knn_top1": KNN_TOP1_SQL,
     "multimodal_features": MULTIMODAL_SQL,
+    "orders_except_filtered": ORDERS_EXCEPT_SQL,
+    "events_rollup": EVENTS_ROLLUP_SQL,
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "diff_chunk_digest": DIFF_CHUNK_DIGEST_SQL,
+    "docs_quality_filtered": DOCS_QUALITY_FILTERED_SQL,
+    "token_frequencies": TOKEN_FREQUENCIES_SQL,
+    "embedding_label_stats": EMBEDDING_LABEL_STATS_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1: xxhash64-based,
     # not SQL-expressible → rows-only check by design.
 }
