@@ -203,6 +203,135 @@ def lsh_bucket_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _kmeans_lite(
+    sample: np.ndarray, n_cells: int, iters: int = 8, seed: int = 42
+) -> np.ndarray:
+    """Tiny deterministic k-means on a driver-side sample — the coarse
+    quantizer for IVF. Production would use pyspark.ml KMeans on the full
+    corpus; the IVF *structure* (cell assignment join) is identical."""
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = sample @ cents.T  # cosine on unit vectors: maximize dot
+        assign = d.argmax(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    sample_size: int = 10_000,
+    seed: int = 42,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are assigned to their nearest coarse
+    centroid (one cell each); queries probe their ``n_probe`` nearest cells;
+    candidates = equi-join on cell id, scored exactly, ranked.
+
+    The corpus shuffles ONCE on cell id (and at 100 TB the cell assignment
+    can be written as a partitioned/bucketed table and reused across query
+    batches — the classic IVF index layout).
+    """
+    spark = corpus.sparkSession
+    sample_pdf = corpus.select(vec_col).limit(sample_size).toPandas()
+    sample = np.stack(sample_pdf[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cents = _kmeans_lite(sample / norms, n_cells, seed=seed)
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(n_top: int):
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                ids = pdf["_id"].to_numpy()
+                v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                n = np.linalg.norm(v, axis=1, keepdims=True)
+                n[n == 0] = 1.0
+                v = v / n
+                sims = v @ c.T
+                top = np.argsort(-sims, axis=1)[:, :n_top]
+                yield pd.DataFrame(
+                    {
+                        "_id": np.repeat(ids, n_top),
+                        "_v": list(np.repeat(v, n_top, axis=0)),
+                        "cell": top.ravel().astype(np.int32),
+                    }
+                )
+
+        return gen
+
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("_v", T.ArrayType(T.DoubleType()), False),
+            T.StructField("cell", T.IntegerType(), False),
+        ]
+    )
+    prep_c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    )
+    prep_q = ensure_parallelism(
+        queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    )
+    cb = prep_c.mapInPandas(assign(1), schema).withColumn("_role", F.lit("c"))
+    qb = prep_q.mapInPandas(assign(n_probe), schema).withColumn("_role", F.lit("q"))
+
+    # Score per cell with a grouped matmul: vectors shuffle once per cell
+    # membership (not once per candidate PAIR — that blows up as
+    # |cell|² rows of doubled 64-dim payloads).
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = pdf[pdf["_role"] == "q"]
+        cs = pdf[pdf["_role"] == "c"]
+        if qs.empty or cs.empty:
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "cos_sim"])
+        qm = np.stack(qs["_v"].to_numpy())
+        cm = np.stack(cs["_v"].to_numpy())
+        qi = qs["_id"].to_numpy()
+        ci = cs["_id"].to_numpy()
+        sims = qm @ cm.T
+        if not include_self:
+            sims = np.where(qi[:, None] == ci[None, :], -np.inf, sims)
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        s = np.take_along_axis(sims, idx, axis=1).ravel()
+        keep = np.isfinite(s)
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qi, kk)[keep],
+                "neighbor_id": ci[idx.ravel()][keep],
+                "cos_sim": s[keep],
+            }
+        )
+
+    scored = (
+        cb.unionByName(qb)
+        .groupBy("cell")
+        .applyInPandas(score_cell, _TOPK_SCHEMA)
+        # a query probing n_probe cells may see the same neighbor in several
+        # cells — keep one
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup(
     df: DataFrame,
     id_col: str = "vec_id",

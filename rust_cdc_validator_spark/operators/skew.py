@@ -1,0 +1,70 @@
+"""Skew mitigation: salted joins and salted aggregation.
+
+AQE's skew-join (enabled in session.py) handles most skew at runtime by
+splitting oversized partitions. Salting is the static fallback for extreme
+hot keys — e.g. a null-heavy join column or a power-law CDC key:
+
+* salted_join: scatter the big side across ``salt_factor`` salts, replicate
+  the small side once per salt; join on (key, salt). Hot-key partitions
+  split ``salt_factor`` ways at the cost of small-side duplication.
+* salted_agg: two-phase aggregation — partial agg on (key, salt), final
+  recombine on key. Only valid for algebraic aggregates; the caller states
+  both phases explicitly so the recombination is always correct.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt_col(salt_factor: int) -> Column:
+    return F.pmod(
+        F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_factor)
+    ).cast("int")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with salted keys; equals ``big.join(small, on, how)`` for
+    row-preserving join types (inner/left)."""
+    big_s = big.withColumn("_salt", _salt_col(salt_factor))
+    salts = big.sparkSession.range(salt_factor).select(
+        F.col("id").cast("int").alias("_salt")
+    )
+    small_s = small.crossJoin(F.broadcast(salts))
+    return big_s.join(small_s, on=[*on, "_salt"], how=how).drop("_salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: dict[str, Column],
+    final_aggs: dict[str, Callable[[str], Column]],
+    salt_factor: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for hot grouping keys.
+
+    ``partial_aggs``: output name → aggregate expression for phase 1 (over
+    (keys, salt)). ``final_aggs``: same names → fn(col_name) recombining
+    partials in phase 2, e.g.::
+
+        salted_agg(df, ["k"],
+                   partial_aggs={"n": F.count(F.lit(1)), "s": F.sum("v")},
+                   final_aggs={"n": F.sum, "s": F.sum})
+    """
+    partial = (
+        df.withColumn("_salt", _salt_col(salt_factor))
+        .groupBy(*keys, "_salt")
+        .agg(*[c.alias(name) for name, c in partial_aggs.items()])
+    )
+    return partial.groupBy(*keys).agg(
+        *[fn(name).alias(name) for name, fn in final_aggs.items()]
+    )

@@ -788,6 +788,19 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (the other scale path besides LSH)."""
+    from rust_cdc_validator_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    top = ivf_topk(emb, emb, k=1, n_cells=16, n_probe=4)
+    return top.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("neighbor_id").alias("nn_id"),
+        F.round(F.col("cos_sim"), 6).alias("cos_sim_r"),
+    )
+
+
 def ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     top = lsh_bucket_topk(
@@ -799,6 +812,68 @@ def ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("nn_id"),
         F.round(F.col("cos_sim"), 6).alias("cos_sim_r"),
     )
+
+
+def customers_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence predicates as semi/anti joins: customers with at least one
+    urgent order but no error event — EXISTS/NOT EXISTS, the join forms the
+    validator's drill-down is built from."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    err_users = _events(spark, sf_dir).filter(F.col("event_type") == "error")
+    with_urgent = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    )
+    return with_urgent.join(
+        err_users, with_urgent.c_custkey == err_users.user_id, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+CUSTOMERS_SEMI_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM events
+                  WHERE user_id = c_custkey AND event_type = 'error')
+"""
+
+
+def supplier_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows beyond ranking: lag deltas and running sums per
+    supplier over ship dates (frame-spec window coverage)."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_suppkey", F.col("l_shipdate").alias("ship_date")
+    ).agg(_dsum(F.col("l_quantity")).alias("day_qty"))
+    w = Window.partitionBy("l_suppkey").orderBy("ship_date")
+    return daily.select(
+        "l_suppkey",
+        "ship_date",
+        "day_qty",
+        F.sum("day_qty").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "running_qty"
+        ),
+        (F.col("day_qty") - F.lag("day_qty", 1).over(w)).alias("qty_delta"),
+        F.row_number().over(w).alias("day_rank"),
+    )
+
+
+SUPPLIER_RUNNING_SQL = """
+WITH daily AS (
+  SELECT l_suppkey, l_shipdate AS ship_date,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS day_qty
+  FROM lineitem GROUP BY l_suppkey, l_shipdate
+)
+SELECT l_suppkey, ship_date, day_qty,
+       SUM(day_qty) OVER (PARTITION BY l_suppkey ORDER BY ship_date
+                          ROWS UNBOUNDED PRECEDING) AS running_qty,
+       day_qty - lag(day_qty, 1) OVER (PARTITION BY l_suppkey ORDER BY ship_date)
+         AS qty_delta,
+       row_number() OVER (PARTITION BY l_suppkey ORDER BY ship_date) AS day_rank
+FROM daily
+"""
 
 
 # --------------------------------------------------------------------------
@@ -833,6 +908,9 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_near_dup": minhash_near_dup,
     "simhash_near_dup": simhash_near_dup,
     "ann_lsh_top1": ann_lsh_top1,
+    "ann_ivf_top1": ann_ivf_top1,
+    "customers_semi_anti": customers_semi_anti,
+    "supplier_running_totals": supplier_running_totals,
 }
 
 ORACLES: dict[str, str] = {
@@ -860,6 +938,8 @@ ORACLES: dict[str, str] = {
     "docs_quality_filtered": DOCS_QUALITY_FILTERED_SQL,
     "token_frequencies": TOKEN_FREQUENCIES_SQL,
     "embedding_label_stats": EMBEDDING_LABEL_STATS_SQL,
-    # minhash_near_dup / simhash_near_dup / ann_lsh_top1: xxhash64-based,
-    # not SQL-expressible → rows-only check by design.
+    "customers_semi_anti": CUSTOMERS_SEMI_ANTI_SQL,
+    "supplier_running_totals": SUPPLIER_RUNNING_SQL,
+    # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1:
+    # hash/quantizer-based, not SQL-expressible → rows-only by design.
 }
