@@ -1,0 +1,56 @@
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from rust_cdc_validator_spark.api import CdcPayload, CdcValidator
+from rust_cdc_validator_spark.sources.catalog import StaticCatalog
+from tests.cdc_fixtures import write_cdc_file
+
+
+def _bucket(tmp_path):
+    root = str(tmp_path / "bucket")
+    cols_a = ["Op", "_dms_ingestion_timestamp", "id", "v"]
+    write_cdc_file(f"{root}/db/public/alpha/LOAD00000001.parquet",
+                   [{"Op": "I", "_dms_ingestion_timestamp": "t", "id": i, "v": i}
+                    for i in range(5)], cols_a)
+    write_cdc_file(f"{root}/db/public/alpha/2024/01/02/a.parquet",
+                   [{"Op": "D", "_dms_ingestion_timestamp": "t", "id": 0, "v": 0}], cols_a)
+    cols_b = ["Op", "_dms_ingestion_timestamp", "k", "name"]
+    write_cdc_file(f"{root}/db/public/beta/LOAD00000001.parquet",
+                   [{"Op": "I", "_dms_ingestion_timestamp": "t", "k": 10, "name": "x"},
+                    {"Op": "I", "_dms_ingestion_timestamp": "t", "k": 11, "name": "y"}],
+                   cols_b)
+    catalog = StaticCatalog({"public": {
+        "alpha": ({"id": "bigint", "v": "bigint"}, ["id"]),
+        "beta": ({"k": "bigint", "name": "text"}, ["k"]),
+    }})
+    return root, catalog
+
+
+def _payload(root, **kw):
+    return CdcPayload(bucket_root=root, database="db", schema="public",
+                      start_date=datetime(2020, 1, 1, tzinfo=timezone.utc), **kw)
+
+
+def test_run_snapshots_all_tables_and_validates(spark, tmp_path):
+    root, catalog = _bucket(tmp_path)
+    v = CdcValidator(spark, catalog)
+    snaps, reports = v.run(_payload(root), source_frames=None)
+    assert set(snaps) == {"alpha", "beta"}
+    assert snaps["alpha"].count() == 4  # id 0 deleted
+    assert snaps["beta"].count() == 2
+    assert reports == {}  # no source frames supplied → nothing to diff
+
+    # validate snapshots against themselves → all match
+    _, reports2 = v.run(_payload(root), source_frames=snaps)
+    assert all(r.is_match for r in reports2.values())
+    assert set(reports2) == {"alpha", "beta"}
+
+
+def test_run_respects_include_exclude(spark, tmp_path):
+    root, catalog = _bucket(tmp_path)
+    v = CdcValidator(spark, catalog)
+    snaps, _ = v.run(_payload(root, included_tables=["beta"], only_snapshot=True))
+    assert set(snaps) == {"beta"}
+    snaps2, _ = v.run(_payload(root, excluded_tables=["beta"], only_snapshot=True))
+    assert set(snaps2) == {"alpha"}
