@@ -167,6 +167,84 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster near-dup pairs into groups: iterative min-label propagation
+    (the alternating small-star style fixpoint). Returns (node, component)
+    where component = min node id reachable from ``node``.
+
+    Each iteration is one shuffle (groupBy node); converges in
+    O(log(diameter)) rounds for dup clusters (which are near-cliques, so
+    usually 2-3 rounds). ``max_iterations`` bounds pathological chains.
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .union(
+            edges.select(F.col(id_a).alias("src"), F.col(id_a).alias("dst"))
+        )  # self-edges keep isolated-in-pair nodes present
+        .distinct()
+    )
+    labels = sym.groupBy("src").agg(F.min("dst").alias("comp"))
+    for _ in range(max_iterations):
+        # propagate: node's new label = min(own label, neighbors' labels)
+        neighbor_labels = (
+            sym.join(labels.withColumnRenamed("src", "dst"), on="dst")
+            .groupBy("src")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_labels, on="src", how="left")
+            .select(
+                "src",
+                F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="src")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias("node"), F.col("comp").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash+LSH candidates → Jaccard-estimate
+    filter → connected components → (doc, cluster keeper). Docs with no
+    near-dup partner keep themselves. The training-data dedup end-game:
+    ``filter(col(id) == col('keeper_id'))`` drops all near-dups."""
+    pairs = minhash_near_dup_pairs(
+        df, text_col, id_col, num_hashes, num_bands, shingle_n, min_est_jaccard
+    )
+    comps = connected_components(pairs)
+    all_ids = df.select(F.col(id_col).alias("node"))
+    joined = all_ids.join(comps, on="node", how="left")
+    return joined.select(
+        F.col("node").alias(id_col),
+        F.coalesce(F.col("component"), F.col("node")).alias("keeper_id"),
+    )
+
+
 def simhash_dedup_candidates(
     df: DataFrame,
     text_col: str,

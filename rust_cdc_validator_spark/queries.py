@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from rust_cdc_validator_spark.functions.text import STOPWORDS
 from rust_cdc_validator_spark.functions.vectors import cosine
 from rust_cdc_validator_spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
@@ -788,6 +789,30 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: MinHash+LSH → connected components →
+    per-doc cluster keeper (iterative — rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_clusters(docs, "text", "doc_id", num_hashes=32, num_bands=8)
+
+
+def top_orders_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT (TakeOrderedAndProject): top 25 orders by
+    totalprice, deterministic tie-break on key."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+TOP_ORDERS_LIMIT_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+"""
+
+
 def ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN (the other scale path besides LSH)."""
     from rust_cdc_validator_spark.operators.similarity import ivf_topk
@@ -911,6 +936,8 @@ QUERIES: dict[str, QueryFn] = {
     "ann_ivf_top1": ann_ivf_top1,
     "customers_semi_anti": customers_semi_anti,
     "supplier_running_totals": supplier_running_totals,
+    "dedup_clusters_docs": dedup_clusters_docs,
+    "top_orders_limit": top_orders_limit,
 }
 
 ORACLES: dict[str, str] = {
@@ -940,6 +967,7 @@ ORACLES: dict[str, str] = {
     "embedding_label_stats": EMBEDDING_LABEL_STATS_SQL,
     "customers_semi_anti": CUSTOMERS_SEMI_ANTI_SQL,
     "supplier_running_totals": SUPPLIER_RUNNING_SQL,
+    "top_orders_limit": TOP_ORDERS_LIMIT_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1:
     # hash/quantizer-based, not SQL-expressible → rows-only by design.
 }

@@ -1,0 +1,33 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rust_cdc_validator_spark.operators.dedup import connected_components, dedup_clusters
+
+
+def test_connected_components_chain_and_clique(spark):
+    # clique {1,2,3}, chain 10-11-12-13, isolated pair {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == comp[12] == comp[13] == 10
+    assert comp[20] == comp[21] == 20
+
+
+def test_dedup_clusters_end_to_end(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base),
+        (3, base.replace("today", "tomorrow")),
+        (4, "completely different words about spark query engines and shuffles"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    keep = {r["doc_id"]: r["keeper_id"] for r in
+            dedup_clusters(docs, "text", "doc_id", num_hashes=32, num_bands=16).collect()}
+    assert keep[1] == keep[2] == keep[3] == 1  # near-dup cluster keeps min id
+    assert keep[4] == 4                        # singleton keeps itself
+    assert len(keep) == 4
