@@ -7,24 +7,28 @@ dms-cdc-operator-client/src/main.rs:75-77) by content hash, starting at chunk
 ``start_position``. Here the whole comparison is a Spark plan:
 
 1. count diff        — two distributed counts;
-2. chunk-hash diff   — row digest → row_number over PK order → chunk id →
-                       per-chunk aggregate digest → full outer join on chunk;
+2. chunk-hash diff   — row digest → PK-range chunk id (quantile boundaries
+                       from the source side) → per-chunk aggregate digest →
+                       full outer join on chunk;
 3. row drill-down    — anti-join both directions on (pk, row digest), i.e.
-                       EXCEPT ALL semantics, restricted to mismatched chunks.
+                       EXCEPT ALL semantics.
 
 Scale notes: the row digest is computed scan-side (whole-stage codegen,
-xxhash64/md5 are JVM built-ins); the global row_number for chunking is the
-one inherently serial step, so the chunk digest uses an order-insensitive
-SUM over per-row hashes within a chunk — associative, so Spark computes it
-with partial (map-side) aggregation. The drill-down join shuffles only on
-mismatched chunks. All knobs keep the reference defaults.
+xxhash64/md5 are JVM built-ins). Chunking is PK-RANGE based, not
+position-based like pgdatadiff: a global row_number would be a
+single-partition sort (unusable at 100 TB) and one missing row would shift
+every later chunk; range buckets need no global sort, stay aligned across
+tables, and localize each defect to the chunk containing its key. The chunk
+digest is an order-insensitive SUM over per-row hashes — associative, so
+Spark computes it with partial (map-side) aggregation. All knobs keep the
+reference defaults (chunk_size 1000, start_position 0).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -62,15 +66,59 @@ class DiffReport:
         return self.counts_match and not self.mismatched_chunks
 
 
+def _chunk_boundaries(
+    df: DataFrame, primary_key: list[str], chunk_size: int
+) -> list[float]:
+    """Quantile boundaries over the (hashed) PK so chunks hold ~chunk_size
+    rows each. Driver-side list of at most n_chunks-1 doubles — tiny."""
+    n = df.count()
+    n_chunks = max(1, (n + chunk_size - 1) // chunk_size)
+    if n_chunks == 1:
+        return []
+    probs = [i / n_chunks for i in range(1, n_chunks)]
+    keyed = df.select(_pk_order_key(primary_key).alias("_k"))
+    return keyed.approxQuantile("_k", probs, 0.001)
+
+
+def _pk_order_key(primary_key: list[str]) -> F.Column:
+    """Single orderable double derived from the PK. Numeric first column
+    carries real key order (range chunks are contiguous keyspans); non-numeric
+    keys fall back to hash order — buckets lose contiguity but remain
+    consistent across both tables, which is all the diff needs."""
+    first = F.col(primary_key[0])
+    # try_cast, not cast: ANSI mode (Spark 4 default) throws on non-numeric
+    # strings; NULL routes the key to the hash fallback instead.
+    return F.coalesce(
+        first.try_cast("double"), F.xxhash64(first).cast("double")
+    )
+
+
 def _chunked(
-    df: DataFrame, primary_key: list[str], chunk_size: int, value_cols: list[str]
+    df: DataFrame,
+    primary_key: list[str],
+    chunk_size: int,
+    value_cols: list[str],
+    boundaries: list[float],
 ) -> DataFrame:
-    """(chunk_id, chunk_digest, chunk_rows) per PK-ordered chunk."""
-    w = Window.orderBy(*[F.col(c) for c in primary_key])
+    """(chunk_id, chunk_digest, chunk_rows) per PK-RANGE chunk.
+
+    Scale redesign vs position-based chunks (what pgdatadiff does): a global
+    ``row_number`` over PK order is a single-partition sort — unusable at
+    100 TB — and one missing row shifts every later chunk, flagging them all.
+    PK-range buckets (quantile boundaries from the source side, broadcast as
+    a literal CASE ladder) need NO global sort, stay aligned across the two
+    tables regardless of missing/extra rows, and localize every defect to
+    exactly the chunk whose key range contains it.
+    """
+    key = _pk_order_key(primary_key)
+    # chunk id as a sum of threshold indicators: chunk = Σ 1[key >= boundary_i]
+    chunk = F.lit(0)
+    for b in boundaries:
+        chunk = chunk + F.when(key >= F.lit(b), 1).otherwise(0)
     with_hash = df.select(
-        *primary_key,
         row_digest(df, value_cols).alias("_row_hash"),
-    ).withColumn("_chunk", F.floor((F.row_number().over(w) - F.lit(1)) / chunk_size))
+        chunk.cast("long").alias("_chunk"),
+    )
     # Order-insensitive chunk digest: sum of row-hash prefixes. Associative →
     # map-side partial agg; no per-chunk sort needed.
     return with_hash.groupBy("_chunk").agg(
@@ -123,10 +171,13 @@ def diff_tables(
                      "rows_only_in_target": n_tgt},
         )
 
-    s_chunks = _chunked(source, primary_key, chunk_size, value_cols).filter(
+    # boundaries computed once from the source side and shared, so both
+    # tables bucket identically
+    boundaries = _chunk_boundaries(source, primary_key, chunk_size)
+    s_chunks = _chunked(source, primary_key, chunk_size, value_cols, boundaries).filter(
         F.col("_chunk") >= start_position
     )
-    t_chunks = _chunked(target, primary_key, chunk_size, value_cols).filter(
+    t_chunks = _chunked(target, primary_key, chunk_size, value_cols, boundaries).filter(
         F.col("_chunk") >= start_position
     )
     joined = s_chunks.alias("s").join(

@@ -59,6 +59,26 @@ def test_no_pk_full_row_hash(spark):
     assert rep.details["rows_only_in_source"] == 0
 
 
+def test_string_pk_hash_fallback(spark):
+    # non-numeric PK: try_cast yields NULL, hash-order buckets kick in
+    # (plain cast would throw under ANSI mode)
+    a = _base(spark, 3000).select(
+        F.concat(F.lit("key_"), F.col("pk")).alias("pk"), "v", "s"
+    )
+    b = a.withColumn("v", F.when(F.col("pk") == "key_77", -1).otherwise(F.col("v")))
+    rep = diff_tables(a, b, ["pk"], chunk_size=1000)
+    assert len(rep.mismatched_chunks) == 1
+    assert {r["pk"] for r in rep.rows_only_in_source.collect()} == {"key_77"}
+
+
+def test_missing_row_flags_only_its_chunk(spark):
+    # PK-range chunks stay aligned: a missing EARLY row must flag exactly
+    # one chunk, not shift-and-flag every later chunk
+    a = _base(spark, 5000)
+    rep = diff_tables(a, a.filter("pk <> 5"), ["pk"], chunk_size=1000, drill_down=False)
+    assert rep.mismatched_chunks == [0]
+
+
 def test_null_vs_empty_string_detected(spark):
     a = spark.createDataFrame([(1, None)], "pk int, v string")
     b = spark.createDataFrame([(1, "")], "pk int, v string")

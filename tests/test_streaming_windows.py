@@ -1,0 +1,88 @@
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyspark.sql.types as T
+
+from rust_cdc_validator_spark.streaming.windows import (
+    running_totals_stateful,
+    windowed_counts,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_events(path, rows):
+    import datetime as dt
+
+    def ts(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    pq.write_table(
+        pa.table(
+            {
+                "ts": [ts(*r[0]) for r in rows],
+                "user_id": [r[1] for r in rows],
+                "event_type": [r[2] for r in rows],
+                "value": [r[3] for r in rows],
+            }
+        ),
+        path,
+    )
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    _write_events(
+        str(src / "a.parquet"),
+        [((0, 10), 1, "click", 1.0), ((0, 50), 2, "click", 1.0),
+         ((1, 5), 1, "view", 1.0), ((1, 30), 3, "click", 1.0)],
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory").queryName("win_counts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["window_start"].hour, r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert rows == {(0, "click"): 2, (1, "view"): 1, (1, "click"): 1}
+
+
+def test_running_totals_stateful_across_batches(spark, tmp_path):
+    src = tmp_path / "events2"
+    src.mkdir()
+    _write_events(str(src / "a.parquet"),
+                  [((0, 1), 1, "x", 10.0), ((0, 2), 1, "x", 5.0), ((0, 3), 2, "x", 1.0)])
+    _write_events(str(src / "b.parquet"),
+                  [((0, 4), 1, "x", 2.5), ((0, 5), 2, "x", 4.0)])
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")  # force 2 micro-batches
+        .parquet(str(src))
+    )
+    out = running_totals_stateful(stream)
+    q = (
+        out.writeStream.format("memory").queryName("running")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # last update per user reflects accumulated state across batches
+    rows = spark.sql(
+        "SELECT user_id, max(total_value) AS t, max(n_events) AS n "
+        "FROM running GROUP BY user_id"
+    ).collect()
+    got = {r["user_id"]: (r["t"], r["n"]) for r in rows}
+    assert got[1] == (17.5, 3)
+    assert got[2] == (5.0, 2)
