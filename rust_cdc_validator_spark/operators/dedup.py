@@ -172,16 +172,41 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
-    """Cluster near-dup pairs into groups: iterative min-label propagation
-    (the alternating small-star style fixpoint). Returns (node, component)
-    where component = min node id reachable from ``node``.
+    """Cluster near-dup pairs into groups. Returns (node, component) where
+    component = min node id reachable from ``node``.
 
-    Each iteration is one shuffle (groupBy node); converges in
-    O(log(diameter)) rounds for dup clusters (which are near-cliques, so
-    usually 2-3 rounds). ``max_iterations`` bounds pathological chains.
+    Scale-adaptive: near-dup edge sets are usually tiny relative to the
+    corpus (they ARE the duplicates), so when the edge count is under
+    ``driver_threshold`` (~a few MB) we collect and run exact union-find on
+    the driver — one job instead of 4 jobs × rounds. Larger graphs use
+    distributed min-label propagation: one shuffle per round,
+    O(log diameter) rounds (dup clusters are near-cliques → 2-3 rounds),
+    ``max_iterations`` bounding pathological chains, ``localCheckpoint``
+    cutting lineage per round.
     """
     spark = edges.sparkSession
+
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        pairs = edges.select(id_a, id_b).collect()
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in pairs:
+            ra, rb = find(r[0]), find(r[1])
+            if ra != rb:
+                # union by min id so the component label is the min node
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        return spark.createDataFrame(rows, "node long, component long")
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

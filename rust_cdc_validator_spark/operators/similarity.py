@@ -164,6 +164,42 @@ def _dot_pdf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(np.einsum("rd,rd->r", am, bm))
 
 
+def _make_group_scorer(k: int, include_self: bool):
+    """Grouped candidate scorer shared by LSH buckets and IVF cells: rows
+    tagged ``_role`` ('q'/'c') with ``_id`` + unit vector ``_v``; emits the
+    group-local top-k per query via one block matmul."""
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = pdf[pdf["_role"] == "q"]
+        cs = pdf[pdf["_role"] == "c"]
+        if qs.empty or cs.empty:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
+        qm = np.stack(qs["_v"].to_numpy())
+        cm = np.stack(cs["_v"].to_numpy())
+        qi = qs["_id"].to_numpy()
+        ci = cs["_id"].to_numpy()
+        sims = qm @ cm.T
+        if not include_self:
+            sims = np.where(qi[:, None] == ci[None, :], -np.inf, sims)
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        s = np.take_along_axis(sims, idx, axis=1).ravel()
+        keep = np.isfinite(s)
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qi, kk)[keep],
+                "neighbor_id": ci[idx.ravel()][keep],
+                "cos_sim": s[keep],
+            }
+        )
+
+    return score_group
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -181,21 +217,19 @@ def lsh_bucket_topk(
     pandas UDF), rank. Recall grows with num_tables at one narrow projection
     each."""
     planes = _hyperplanes(dim, seed, num_tables, num_planes)
-    cb = _bucketed(corpus, id_col, vec_col, planes).withColumnRenamed(
-        "_id", "neighbor_id"
-    ).withColumnRenamed("_v", "_nv")
-    qb = _bucketed(queries, id_col, vec_col, planes).withColumnRenamed(
-        "_id", "query_id"
-    ).withColumnRenamed("_v", "_qv")
-    cand = (
-        qb.join(cb, on=["tbl", "bucket"])
-        .select("query_id", "neighbor_id", "_qv", "_nv")
+    cb = _bucketed(corpus, id_col, vec_col, planes).withColumn("_role", F.lit("c"))
+    qb = _bucketed(queries, id_col, vec_col, planes).withColumn("_role", F.lit("q"))
+
+    # Score per (table, bucket) with a grouped matmul — same shape as the
+    # IVF scorer: vectors shuffle once per bucket membership, never once per
+    # candidate pair.
+    scored = (
+        cb.unionByName(qb)
+        .groupBy("tbl", "bucket")
+        .applyInPandas(
+            _make_group_scorer(k, include_self), _TOPK_SCHEMA
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    if not include_self:
-        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.select(
-        "query_id", "neighbor_id", _dot_pdf(F.col("_qv"), F.col("_nv")).alias("cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -293,37 +327,12 @@ def ivf_topk(
 
     # Score per cell with a grouped matmul: vectors shuffle once per cell
     # membership (not once per candidate PAIR — that blows up as
-    # |cell|² rows of doubled 64-dim payloads).
-    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        qs = pdf[pdf["_role"] == "q"]
-        cs = pdf[pdf["_role"] == "c"]
-        if qs.empty or cs.empty:
-            return pd.DataFrame(columns=["query_id", "neighbor_id", "cos_sim"])
-        qm = np.stack(qs["_v"].to_numpy())
-        cm = np.stack(cs["_v"].to_numpy())
-        qi = qs["_id"].to_numpy()
-        ci = cs["_id"].to_numpy()
-        sims = qm @ cm.T
-        if not include_self:
-            sims = np.where(qi[:, None] == ci[None, :], -np.inf, sims)
-        kk = min(k, sims.shape[1])
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        s = np.take_along_axis(sims, idx, axis=1).ravel()
-        keep = np.isfinite(s)
-        return pd.DataFrame(
-            {
-                "query_id": np.repeat(qi, kk)[keep],
-                "neighbor_id": ci[idx.ravel()][keep],
-                "cos_sim": s[keep],
-            }
-        )
-
+    # |cell|² rows of doubled 64-dim payloads). A query probing n_probe
+    # cells may meet the same neighbor twice — dedup on ids only.
     scored = (
         cb.unionByName(qb)
         .groupBy("cell")
-        .applyInPandas(score_cell, _TOPK_SCHEMA)
-        # a query probing n_probe cells may see the same neighbor in several
-        # cells — keep one
+        .applyInPandas(_make_group_scorer(k, include_self), _TOPK_SCHEMA)
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -789,6 +789,80 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as columns (groupBy().pivot())."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all grouping-set combinations in
+    one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+LINEITEM_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average) —
+    Catalyst decorrelates it into an aggregate + join."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__li")
+    return spark.sql("""
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS small_qty_revenue,
+               COUNT(*) AS n_small
+        FROM __li outer_li
+        WHERE l_quantity < (SELECT 0.5 * AVG(inner_li.l_quantity)
+                            FROM __li inner_li
+                            WHERE inner_li.l_partkey = outer_li.l_partkey)
+        GROUP BY l_partkey
+    """)
+
+
+SMALL_QTY_REVENUE_SQL = """
+SELECT l_partkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS small_qty_revenue,
+       COUNT(*) AS n_small
+FROM lineitem outer_li
+WHERE l_quantity < (SELECT 0.5 * AVG(inner_li.l_quantity)
+                    FROM lineitem inner_li
+                    WHERE inner_li.l_partkey = outer_li.l_partkey)
+GROUP BY l_partkey
+"""
+
+
 def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline: MinHash+LSH → connected components →
     per-doc cluster keeper (iterative — rows-only check)."""
@@ -938,6 +1012,9 @@ QUERIES: dict[str, QueryFn] = {
     "supplier_running_totals": supplier_running_totals,
     "dedup_clusters_docs": dedup_clusters_docs,
     "top_orders_limit": top_orders_limit,
+    "events_pivot": events_pivot,
+    "lineitem_cube": lineitem_cube,
+    "small_quantity_revenue": small_quantity_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -968,6 +1045,9 @@ ORACLES: dict[str, str] = {
     "customers_semi_anti": CUSTOMERS_SEMI_ANTI_SQL,
     "supplier_running_totals": SUPPLIER_RUNNING_SQL,
     "top_orders_limit": TOP_ORDERS_LIMIT_SQL,
+    "events_pivot": EVENTS_PIVOT_SQL,
+    "lineitem_cube": LINEITEM_CUBE_SQL,
+    "small_quantity_revenue": SMALL_QTY_REVENUE_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1:
     # hash/quantizer-based, not SQL-expressible → rows-only by design.
 }
