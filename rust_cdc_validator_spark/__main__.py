@@ -61,6 +61,7 @@ def build_parser() -> argparse.ArgumentParser:
                    default=FileMode.DATE_AWARE.value)
     p.add_argument("--start-date")
     p.add_argument("--stop-date")
+    p.add_argument("--absolute-path", help="single parquet file (absolute_path mode)")
     p.add_argument("--included-tables", nargs="*", default=[])
     p.add_argument("--excluded-tables", nargs="*", default=[])
     # reference CLI defaults: main.rs:75-83
@@ -83,6 +84,7 @@ def main(argv: list[str] | None = None) -> int:
         mode=FileMode(args.mode),
         start_date=_parse_date(args.start_date),
         stop_date=_parse_date(args.stop_date),
+        absolute_path=args.absolute_path,
         chunk_size=args.chunk_size,
         start_position=args.start_position,
         only_datadiff=args.only_datadiff,

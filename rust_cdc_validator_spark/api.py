@@ -42,6 +42,7 @@ class CdcPayload:
     mode: FileMode = FileMode.DATE_AWARE
     start_date: datetime | None = None
     stop_date: datetime | None = None
+    absolute_path: str | None = None  # ABSOLUTE_PATH mode: the single file
     chunk_size: int = 1000        # main.rs:75-77 default
     start_position: int = 0       # main.rs:81-83 default
     only_datadiff: bool = False
@@ -80,6 +81,7 @@ class CdcValidator:
             mode=payload.mode,
             start_date=payload.start_date,
             stop_date=payload.stop_date,
+            absolute_path=payload.absolute_path,
         )
         columns = self.catalog.get_table_columns(payload.schema, table)
         pk = self.catalog.get_primary_key(payload.schema, table)

@@ -45,6 +45,14 @@ from rust_cdc_validator_spark.sources.manifest import ManifestEntry, build_manif
 _SEQ_FILE_STRIDE = 1 << 40
 
 
+def _norm_path(col: F.Column) -> F.Column:
+    """Canonicalize a file path for manifest↔scan matching: the scan's
+    ``_metadata.file_path`` is a URI (``file:///tmp/x``) while user/HDFS
+    paths may be bare (``/tmp/x``) — strip the scheme and slash-run so both
+    forms compare equal."""
+    return F.regexp_replace(col, r"^[a-zA-Z0-9+.\-]+:/{1,3}", "/")
+
+
 def with_sequence(df: DataFrame, manifest_df: DataFrame) -> DataFrame:
     """Attach the total replay order ``_seq`` to a raw multi-file scan.
 
@@ -52,14 +60,13 @@ def with_sequence(df: DataFrame, manifest_df: DataFrame) -> DataFrame:
     available. The manifest join is explicitly broadcast: it has one row per
     file and must never shuffle the fact side.
     """
-    tagged = df.withColumn("_path", F.col("_metadata.file_path")).withColumn(
-        "_row_idx", F.col("_metadata.row_index")
+    tagged = df.withColumn(
+        "_path", _norm_path(F.col("_metadata.file_path"))
+    ).withColumn("_row_idx", F.col("_metadata.row_index"))
+    manifest_keyed = manifest_df.select(
+        _norm_path(F.col("path")).alias("_path"), "is_load", "file_seq"
     )
-    joined = tagged.join(
-        F.broadcast(manifest_df.withColumnRenamed("path", "_path")),
-        on="_path",
-        how="inner",
-    )
+    joined = tagged.join(F.broadcast(manifest_keyed), on="_path", how="inner")
     return joined.withColumn(
         "_seq",
         F.col("file_seq") * F.lit(_SEQ_FILE_STRIDE) + F.col("_row_idx"),

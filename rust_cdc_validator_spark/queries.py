@@ -863,6 +863,59 @@ GROUP BY l_partkey
 """
 
 
+def orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + monthly rollup (scalar date functions F4)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+ORDERS_MONTHLY_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY 1, 2
+"""
+
+
+def string_functions_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface: case, substring, replace, length,
+    concat, levenshtein — all JVM built-ins."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 4).alias("name_prefix"),
+        F.regexp_replace("c_name", "_", "-").alias("name_dashed"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("/", "c_mktsegment", "c_name").alias("seg_name"),
+        F.levenshtein(F.lower("c_name"), F.lower("c_mktsegment")).alias("lev_to_segment"),
+    )
+
+
+STRING_FUNCS_SQL = """
+SELECT c_custkey,
+       UPPER(c_name) AS name_upper,
+       SUBSTRING(c_name, 1, 4) AS name_prefix,
+       REPLACE(c_name, '_', '-') AS name_dashed,
+       LENGTH(c_name) AS name_len,
+       c_mktsegment || '/' || c_name AS seg_name,
+       levenshtein(LOWER(c_name), LOWER(c_mktsegment)) AS lev_to_segment
+FROM customer
+"""
+
+
 def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline: MinHash+LSH → connected components →
     per-doc cluster keeper (iterative — rows-only check)."""
@@ -1015,6 +1068,8 @@ QUERIES: dict[str, QueryFn] = {
     "events_pivot": events_pivot,
     "lineitem_cube": lineitem_cube,
     "small_quantity_revenue": small_quantity_revenue,
+    "orders_monthly": orders_monthly,
+    "string_functions_demo": string_functions_demo,
 }
 
 ORACLES: dict[str, str] = {
@@ -1048,6 +1103,8 @@ ORACLES: dict[str, str] = {
     "events_pivot": EVENTS_PIVOT_SQL,
     "lineitem_cube": LINEITEM_CUBE_SQL,
     "small_quantity_revenue": SMALL_QTY_REVENUE_SQL,
+    "orders_monthly": ORDERS_MONTHLY_SQL,
+    "string_functions_demo": STRING_FUNCS_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1:
     # hash/quantizer-based, not SQL-expressible → rows-only by design.
 }

@@ -92,6 +92,19 @@ def test_date_pruning_excludes_out_of_window_cdc(spark, tmp_path):
     assert rows[0]["v"] == 1
 
 
+def test_absolute_path_mode(spark, tmp_path):
+    cols = ["Op", "_dms_ingestion_timestamp", "id", "v"]
+    root = str(tmp_path / "db/public/t")
+    path = f"{root}/LOAD00000001.parquet"
+    write_cdc_file(path, [{"Op": "I", "_dms_ingestion_timestamp": "t", "id": 1, "v": 7}], cols)
+    entries = discover_files(spark, root, FileMode.ABSOLUTE_PATH, absolute_path=path)
+    assert [e.path for e in entries] == [path]
+    rows = replay_snapshot(spark, entries, ["id"]).collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(1, 7)]
+    with pytest.raises(ValueError, match="absolute_path"):
+        discover_files(spark, root, FileMode.ABSOLUTE_PATH)
+
+
 def test_net_effect_shuffled_input_order_independent(spark):
     # property-style: net_effect depends only on _seq, not on input row order
     rows = [(i % 7, "U" if i % 3 else "I", i, f"v{i}") for i in range(200)]
