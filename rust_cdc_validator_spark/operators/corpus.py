@@ -1,0 +1,108 @@
+"""Corpus-preparation operators: the end-to-end stages a training-data
+pipeline runs between raw documents and training shards.
+
+All engine-portable (no xxhash64 in anything that needs an oracle):
+deterministic sampling uses md5-derived buckets, contamination uses exact
+shingle joins, normalization is plain string functions — so every operator
+here is value-checkable against an independent SQL engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rust_cdc_validator_spark.functions.text import STOPWORDS, word_shingles
+from rust_cdc_validator_spark.plans.inspect import ensure_parallelism
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for dedup: lowercase, strip punctuation,
+    collapse whitespace."""
+    t = F.lower(col)
+    t = F.regexp_replace(t, r"[\p{Punct}]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def md5_bucket(col: Column, buckets: int = 16) -> Column:
+    """Deterministic, engine-portable bucket in [0, buckets): value of the
+    first hex digit of md5(string form). ``buckets`` must divide 16 — the
+    single-hex-digit form keeps the SQL oracle expressible in engines
+    without a base-conversion function (strpos over '0123456789abcdef')."""
+    assert 16 % buckets == 0, "buckets must divide 16"
+    digit = F.conv(F.substring(F.md5(col.cast("string")), 1, 1), 16, 10).cast("int")
+    return digit % buckets
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, rate_buckets: int = 16, keep_bucket: int = 0
+) -> DataFrame:
+    """Systematic 1/rate_buckets sample keyed on the row id — stable across
+    runs, engines, and partitionings (unlike RNG-based ``sample``), which is
+    what reproducible corpus splits need."""
+    return df.filter(md5_bucket(F.col(id_col), rate_buckets) == keep_bucket)
+
+
+def contamination_check(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: which training docs share at least one
+    ``shingle_n``-gram with any benchmark doc, and how many.
+
+    Exact (no sketches): explode distinct shingles on both sides, equi-join.
+    The benchmark side is typically small → Catalyst broadcasts it; the
+    train side streams. Returns (doc_id, n_contaminated_shingles,
+    n_benchmark_docs_hit) for flagged docs only.
+    """
+    t_sh = ensure_parallelism(train).select(
+        F.col(id_col).alias("train_id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        ).alias("_s"),
+    )
+    b_sh = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        ).alias("_s"),
+    )
+    hits = t_sh.join(b_sh, on="_s")
+    return hits.groupBy(F.col("train_id").alias(id_col)).agg(
+        F.count_distinct("_s").alias("n_contaminated_shingles"),
+        F.count_distinct("bench_id").alias("n_benchmark_docs_hit"),
+    )
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 100,
+    min_stopwords: int = 1,
+) -> DataFrame:
+    """The composed pipeline: quality gate → normalized exact dedup
+    (keep lowest id per normalized text) → per-doc stats. One declarative
+    plan: Catalyst fuses the filter into the scan and the dedup is a single
+    hash shuffle on the normalized-text hash."""
+    toks = F.split(F.col(text_col), " ")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+    gated = docs.filter(
+        (F.length(text_col) >= min_chars) & (n_sw >= min_stopwords)
+    ).withColumn("_norm", normalize_text(F.col(text_col)))
+
+    w_min = gated.groupBy("_norm").agg(F.min(id_col).alias("_keeper"))
+    deduped = gated.join(w_min, on="_norm").filter(F.col(id_col) == F.col("_keeper"))
+
+    return deduped.select(
+        id_col,
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        n_sw.alias("n_stopwords"),
+    )

@@ -770,6 +770,87 @@ FROM embeddings GROUP BY label
 """
 
 
+def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-prep pipeline: quality gate → normalized exact dedup
+    → per-doc stats (operators/corpus.prepare_training_corpus)."""
+    from rust_cdc_validator_spark.operators.corpus import prepare_training_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return prepare_training_corpus(docs, min_chars=100, min_stopwords=1)
+
+
+TRAINING_CORPUS_SQL = f"""
+WITH gated AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS norm
+  FROM documents
+  WHERE LENGTH(text) >= 100
+    AND LEN(list_filter(string_split(text, ' '),
+                        t -> list_contains([{_SW_LIST}], t))) >= 1
+), keepers AS (
+  SELECT norm, MIN(doc_id) AS keeper FROM gated GROUP BY norm
+)
+SELECT g.doc_id,
+       LENGTH(g.text) AS n_chars,
+       LEN(string_split(g.text, ' ')) AS n_tokens,
+       LEN(list_filter(string_split(g.text, ' '),
+                       t -> list_contains([{_SW_LIST}], t))) AS n_stopwords
+FROM gated g JOIN keepers k ON g.norm = k.norm AND g.doc_id = k.keeper
+"""
+
+
+def sample_bucket_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1/8 systematic sample keyed on doc_id (md5-digit
+    buckets — reproducible across runs, engines, partitionings)."""
+    from rust_cdc_validator_spark.operators.corpus import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", rate_buckets=8).select(
+        "doc_id", "lang", "source"
+    )
+
+
+SAMPLE_BUCKET_SQL = """
+SELECT doc_id, lang, source FROM documents
+WHERE (strpos('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8 = 0
+"""
+
+
+def contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (source <> 'src0') sharing
+    any 8-gram with the benchmark set (source = 'src0')."""
+    from rust_cdc_validator_spark.operators.corpus import contamination_check
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    return contamination_check(train, bench, shingle_n=8)
+
+
+CONTAMINATION_SQL = """
+WITH sh AS (
+  SELECT doc_id, source, unnest(list_distinct(
+           list_transform(range(1, len(t) - 6),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                  || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))) AS s
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 8
+  UNION ALL
+  SELECT doc_id, source, array_to_string(t, ' ') AS s
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) < 8
+)
+SELECT a.doc_id,
+       COUNT(DISTINCT a.s) AS n_contaminated_shingles,
+       COUNT(DISTINCT b.doc_id) AS n_benchmark_docs_hit
+FROM sh a JOIN sh b ON a.s = b.s
+WHERE a.source <> 'src0' AND b.source = 'src0'
+GROUP BY a.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Hash-sketch operators (xxhash64-based — no SQL oracle; driver rows-only)
 # --------------------------------------------------------------------------
@@ -1070,6 +1151,9 @@ QUERIES: dict[str, QueryFn] = {
     "small_quantity_revenue": small_quantity_revenue,
     "orders_monthly": orders_monthly,
     "string_functions_demo": string_functions_demo,
+    "training_corpus": training_corpus,
+    "sample_bucket_docs": sample_bucket_docs,
+    "contamination_docs": contamination_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1105,6 +1189,9 @@ ORACLES: dict[str, str] = {
     "small_quantity_revenue": SMALL_QTY_REVENUE_SQL,
     "orders_monthly": ORDERS_MONTHLY_SQL,
     "string_functions_demo": STRING_FUNCS_SQL,
+    "training_corpus": TRAINING_CORPUS_SQL,
+    "sample_bucket_docs": SAMPLE_BUCKET_SQL,
+    "contamination_docs": CONTAMINATION_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1:
     # hash/quantizer-based, not SQL-expressible → rows-only by design.
 }
