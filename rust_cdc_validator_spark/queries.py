@@ -344,8 +344,11 @@ WHERE o_orderkey % 499 = 0 AND o_orderkey % 997 <> 0
 
 
 def diff_chunk_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PK-ordered chunking (validator unit-of-comparison, chunk_size=1000 —
-    the reference default, main.rs:75-77)."""
+    """PK-ordered POSITION chunking — reference-parity demo of pgdatadiff's
+    exact chunk semantics (chunk_size=1000 default, main.rs:75-77). The
+    global window is intentionally single-partition here (the semantics
+    require a total order); the production diff operator uses PK-range
+    chunks instead (operators/diff.py, diff_chunk_digest)."""
     orders = _t(spark, sf_dir, "orders")
     w = Window.orderBy("o_orderkey")
     return (
@@ -647,9 +650,10 @@ FROM sess GROUP BY user_id, session_id
 
 
 def diff_chunk_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk content digests over PK-ordered 1000-row chunks of orders —
-    the validator's comparison unit with engine-portable md5 digests
-    (min/max of per-row hex digests + count summarize a chunk)."""
+    """Chunk content digests over PK-RANGE chunks of orders (keyspans of
+    1000) — the production diff design (operators/diff.py): no global sort,
+    fully parallel, chunks aligned across tables by key value. Digests are
+    engine-portable md5 min/max + count."""
     orders = _t(spark, sf_dir, "orders")
     row_str = F.concat_ws(
         "|",
@@ -657,10 +661,11 @@ def diff_chunk_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").cast("string"),
         F.col("o_orderstatus"),
     )
-    w = Window.orderBy("o_orderkey")
     return (
-        orders.select("o_orderkey", F.md5(row_str).alias("_h"))
-        .withColumn("chunk_id", F.floor((F.row_number().over(w) - 1) / 1000))
+        orders.select(
+            F.expr("o_orderkey div 1000").alias("chunk_id"),
+            F.md5(row_str).alias("_h"),
+        )
         .groupBy("chunk_id")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -671,14 +676,14 @@ def diff_chunk_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DIFF_CHUNK_DIGEST_SQL = """
-SELECT chunk_id, COUNT(*) AS n_rows, MIN(h) AS min_digest, MAX(h) AS max_digest
+SELECT o_orderkey // 1000 AS chunk_id, COUNT(*) AS n_rows,
+       MIN(h) AS min_digest, MAX(h) AS max_digest
 FROM (
-  SELECT CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 1000) AS BIGINT)
-           AS chunk_id,
+  SELECT o_orderkey,
          md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
              || '|' || o_orderstatus) AS h
   FROM orders
-) t GROUP BY chunk_id
+) t GROUP BY 1
 """
 
 
