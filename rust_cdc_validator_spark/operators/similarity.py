@@ -277,6 +277,11 @@ def ivf_topk(
     The corpus shuffles ONCE on cell id (and at 100 TB the cell assignment
     can be written as a partitioned/bucketed table and reused across query
     batches — the classic IVF index layout).
+
+    Recall note: IVF recall depends on cluster structure — ~0.67 top-1 on
+    uniformly random vectors (the true NN often sits in an unprobed cell)
+    vs >0.9 on clustered embeddings. For unstructured data prefer
+    ``lsh_bucket_topk`` or raise ``n_probe``.
     """
     spark = corpus.sparkSession
     sample_pdf = corpus.select(vec_col).limit(sample_size).toPandas()
