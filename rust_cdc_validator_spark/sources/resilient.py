@@ -3,8 +3,13 @@
 The reference logs failed insert chunks and continues the loop
 (src/postgres/postgres_operator_impl.rs:248-261) — failures vanish into
 logs. Here the same resilience is explicit: a partition-wise sink that
-captures per-chunk failures into an accumulator and returns them as a
+captures per-chunk failures into accumulators and returns them as a
 report, so the caller decides whether partial success is acceptable.
+
+Execution is an ACTION (``foreachPartition``), not a counted
+transformation: Spark applies accumulator updates from actions exactly
+once per successful task, so the report stays correct under task retries
+and speculative execution.
 """
 
 from __future__ import annotations
@@ -12,18 +17,25 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 
+from pyspark import TaskContext
+
+# cap the failure detail shipped to the driver: a total outage on a
+# 100 TB job would otherwise accumulate millions of strings
+MAX_FAILURE_SAMPLES = 100
+
 
 @dataclass
 class WriteReport:
-    """Outcome of a resilient write: counts + captured failures."""
+    """Outcome of a resilient write: counts + a bounded failure sample."""
 
     rows_attempted: int
     rows_written: int
-    failures: list[str]
+    failure_count: int
+    failures: list[str]  # first MAX_FAILURE_SAMPLES, with partition/chunk context
 
     @property
     def ok(self) -> bool:
-        return not self.failures
+        return self.failure_count == 0
 
 
 def resilient_foreach_sink(
@@ -42,9 +54,12 @@ def resilient_foreach_sink(
     sc = df.sparkSession.sparkContext
     written = sc.accumulator(0)
     attempted = sc.accumulator(0)
-    failures = sc.accumulator([], _ListAccum())
+    n_failures = sc.accumulator(0)
+    failure_samples = sc.accumulator([], _ListAccum())
 
-    def run_partition(pid: int, rows: Iterator) -> Iterator:
+    def run_partition(rows: Iterator) -> None:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else -1
         buf: list = []
         chunk_no = 0
 
@@ -57,7 +72,8 @@ def resilient_foreach_sink(
                 write_chunk(list(buf))
                 written.add(len(buf))
             except Exception as exc:  # error-continue: capture, keep going
-                failures.add([f"partition={pid} chunk={chunk_no}: {exc!r}"])
+                n_failures.add(1)
+                failure_samples.add([f"partition={pid} chunk={chunk_no}: {exc!r}"])
             chunk_no += 1
             buf.clear()
 
@@ -66,22 +82,25 @@ def resilient_foreach_sink(
             if len(buf) >= chunk_size:
                 flush()
         flush()
-        return iter(())
 
-    df.rdd.mapPartitionsWithIndex(run_partition).count()  # force execution
+    df.foreachPartition(run_partition)
+    samples = list(failure_samples.value)[:MAX_FAILURE_SAMPLES]
     return WriteReport(
         rows_attempted=attempted.value,
         rows_written=written.value,
-        failures=list(failures.value),
+        failure_count=n_failures.value,
+        failures=samples,
     )
 
 
 class _ListAccum:
-    """AccumulatorParam for list concatenation."""
+    """AccumulatorParam for bounded list concatenation (driver-side merge
+    keeps only the first MAX_FAILURE_SAMPLES entries)."""
 
     def zero(self, value):
         return []
 
     def addInPlace(self, a, b):
-        a.extend(b)
+        if len(a) < MAX_FAILURE_SAMPLES:
+            a.extend(b[: MAX_FAILURE_SAMPLES - len(a)])
         return a

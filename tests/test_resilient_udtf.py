@@ -13,16 +13,29 @@ def test_resilient_sink_captures_failures_and_continues(spark):
 
     rep = resilient_foreach_sink(df, flaky_write, chunk_size=100)
     assert rep.rows_attempted == 1000
-    assert not rep.ok
-    assert len(rep.failures) == 1 and "simulated sink outage" in rep.failures[0]
-    # exactly one 100-row chunk lost; everything else written
-    assert rep.rows_written == 900
+    assert not rep.ok and rep.failure_count == 1
+    assert "simulated sink outage" in rep.failures[0]
+    # exactly one chunk (≤100 rows, exact size depends on partition layout)
+    # was lost; report arithmetic must be consistent
+    lost = rep.rows_attempted - rep.rows_written
+    assert 0 < lost <= 100
 
 
 def test_resilient_sink_all_ok(spark):
     df = spark.range(250)
     rep = resilient_foreach_sink(df, lambda rows: None, chunk_size=100)
-    assert rep.ok and rep.rows_written == 250
+    assert rep.ok and rep.rows_written == 250 and rep.failure_count == 0
+
+
+def test_resilient_sink_total_outage_bounded_report(spark):
+    def always_fail(rows):
+        raise RuntimeError("down")
+
+    rep = resilient_foreach_sink(spark.range(2000).repartition(8), always_fail,
+                                 chunk_size=10)
+    assert rep.rows_written == 0
+    assert rep.failure_count >= 8  # every chunk failed
+    assert len(rep.failures) <= 100  # sample is bounded
 
 
 def test_udtf_lateral_join(spark):
