@@ -165,6 +165,114 @@ GROUP BY r_name, n_name
 """
 
 
+def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a join — customers whose single orders
+    exceed 150 units total quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+BIG_ORDERS_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150
+) b
+JOIN orders ON b.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer + nation."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "decimal(24,8)"
+            ).alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_returned"),
+        )
+    )
+
+
+RETURNED_ITEMS_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE)
+         AS lost_revenue,
+       COUNT(*) AS n_returned
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+"""
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregation ratio — share of revenue
+    from 'STANDARD'-type parts per month (single double division at the
+    end; both sums exact decimal)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    monthly = joined.groupBy(
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+    ).agg(
+        F.sum(
+            F.when(F.col("p_type").startswith("STANDARD"), rev).otherwise(0.0).cast(
+                "decimal(24,8)"
+            )
+        ).alias("_std"),
+        F.sum(rev.cast("decimal(24,8)")).alias("_all"),
+    )
+    return monthly.select(
+        "ship_year",
+        "ship_month",
+        (F.col("_std").cast("double") / F.col("_all").cast("double")).alias(
+            "standard_share"
+        ),
+        F.col("_all").cast("double").alias("total_revenue"),
+    )
+
+
+PROMO_SHARE_SQL = """
+SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+       CAST(SUM(CASE WHEN p_type LIKE 'STANDARD%'
+                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))
+                ELSE CAST(0.0 AS DECIMAL(24,8)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE)
+         AS standard_share,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE)
+         AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2
+"""
+
+
 def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand").orderBy(
@@ -1123,6 +1231,9 @@ QUERIES: dict[str, QueryFn] = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
     "top_parts_per_brand": top_parts_per_brand,
+    "big_orders": big_orders,
+    "returned_items": returned_items,
+    "promo_revenue_share": promo_revenue_share,
     "events_hourly": events_hourly,
     "events_json_extract": events_json_extract,
     "cdc_net_effect_events": cdc_net_effect_events,
@@ -1166,6 +1277,9 @@ ORACLES: dict[str, str] = {
     "q3_shipping_priority": Q3_SQL,
     "q5_region_revenue": Q5_SQL,
     "top_parts_per_brand": TOP_PARTS_SQL,
+    "big_orders": BIG_ORDERS_SQL,
+    "returned_items": RETURNED_ITEMS_SQL,
+    "promo_revenue_share": PROMO_SHARE_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_json_extract": EVENTS_JSON_SQL,
     "cdc_net_effect_events": CDC_NET_EFFECT_SQL,
