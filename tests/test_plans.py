@@ -41,6 +41,31 @@ def test_q5_broadcasts_dims(spark, sf_dir):
     assert uses_broadcast_join(q5_region_revenue(spark, sf_dir))
 
 
+def test_net_effect_uses_window_group_limit(spark, sf_dir):
+    """Pin the map-side rank-limit: Spark's WindowGroupLimit collapses the
+    change log to ~one row per (partition, key) BEFORE the shuffle — the
+    property that keeps the net-effect shuffle small at 100 TB."""
+    from rust_cdc_validator_spark.plans.inspect import explain_str
+    from rust_cdc_validator_spark.queries import cdc_replay_orders
+
+    plan = explain_str(cdc_replay_orders(spark, sf_dir))
+    assert plan.count("WindowGroupLimit") >= 2  # partial (pre-shuffle) + final
+
+
+def test_replay_manifest_join_is_broadcast(spark, tmp_path):
+    from rust_cdc_validator_spark.operators.replay import replay_snapshot
+    from rust_cdc_validator_spark.plans.inspect import uses_broadcast_join
+    from rust_cdc_validator_spark.sources.manifest import FileMode, discover_files
+    from tests.cdc_fixtures import write_cdc_file
+
+    cols = ["Op", "_dms_ingestion_timestamp", "id", "v"]
+    root = str(tmp_path / "db/public/t")
+    write_cdc_file(f"{root}/LOAD00000001.parquet",
+                   [{"Op": "I", "_dms_ingestion_timestamp": "t", "id": 1, "v": 1}], cols)
+    entries = discover_files(spark, root, FileMode.FULL_LOAD_ONLY)
+    assert uses_broadcast_join(replay_snapshot(spark, entries, ["id"]))
+
+
 def test_projection_prunes_unread_columns(spark, sf_dir):
     df = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
