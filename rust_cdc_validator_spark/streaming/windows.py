@@ -67,6 +67,19 @@ def _update_totals(
     yield pd.DataFrame({"user_id": [key[0]], "total_value": [total], "n_events": [n]})
 
 
+def dedup_stream(
+    stream: DataFrame,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once event dedup across micro-batches: Spark keeps the seen
+    id set as streaming state, bounded by the watermark (ids older than the
+    watermark can be evicted because duplicates that late are dropped by
+    the watermark anyway)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates([id_col])
+
+
 def running_totals_stateful(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
     """Per-key running (total, count) that survives across micro-batches —
     arbitrary stateful processing via Arrow-batched pandas."""

@@ -60,6 +60,37 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     assert rows == {(0, "click"): 2, (1, "view"): 1, (1, "click"): 1}
 
 
+def test_dedup_stream_across_batches(spark, tmp_path):
+    from rust_cdc_validator_spark.streaming.windows import dedup_stream
+
+    src = tmp_path / "events3"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()),
+         T.StructField("event_id", T.LongType()),
+         T.StructField("v", T.DoubleType())]
+    )
+    import datetime as dt
+    import pyarrow as pa_, pyarrow.parquet as pq_
+
+    def w(name, rows):
+        pq_.write_table(
+            pa_.table({"ts": [dt.datetime(2024, 1, 1, 0, m) for m, _, _ in rows],
+                       "event_id": [e for _, e, _ in rows],
+                       "v": [v for _, _, v in rows]}), str(src / name))
+
+    w("a.parquet", [(1, 10, 1.0), (2, 11, 2.0), (3, 10, 99.0)])  # dup in batch
+    w("b.parquet", [(4, 10, 99.0), (5, 12, 3.0)])               # dup across batch
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    q = (dedup_stream(stream, "event_id", "ts").writeStream
+         .format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id, count(*) c FROM dedup_out GROUP BY 1").collect()
+    assert {r["event_id"]: r["c"] for r in rows} == {10: 1, 11: 1, 12: 1}
+
+
 def test_running_totals_stateful_across_batches(spark, tmp_path):
     src = tmp_path / "events2"
     src.mkdir()
