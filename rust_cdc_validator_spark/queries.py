@@ -692,6 +692,22 @@ SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 
 """
 
 
+def active_customer_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op INTERSECT: customer keys that also appear as event users."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id")
+    )
+    users = _events(spark, sf_dir).select(F.col("user_id").alias("entity_id"))
+    return cust.intersect(users)
+
+
+ACTIVE_CUSTOMER_IDS_SQL = """
+SELECT c_custkey AS entity_id FROM customer
+INTERSECT
+SELECT user_id AS entity_id FROM events
+"""
+
+
 def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (multi-level grouping in one pass)."""
     ev = _events(spark, sf_dir)
@@ -1248,6 +1264,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_top1": knn_top1,
     "multimodal_features": multimodal_features,
     "orders_except_filtered": orders_except_filtered,
+    "active_customer_ids": active_customer_ids,
     "events_rollup": events_rollup,
     "events_sessionize": events_sessionize,
     "diff_chunk_digest": diff_chunk_digest,
@@ -1294,6 +1311,7 @@ ORACLES: dict[str, str] = {
     "knn_top1": KNN_TOP1_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "orders_except_filtered": ORDERS_EXCEPT_SQL,
+    "active_customer_ids": ACTIVE_CUSTOMER_IDS_SQL,
     "events_rollup": EVENTS_ROLLUP_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "diff_chunk_digest": DIFF_CHUNK_DIGEST_SQL,
