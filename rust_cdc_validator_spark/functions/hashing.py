@@ -129,6 +129,58 @@ def minhash_signatures(
     )
 
 
+def simhash_signatures_fast(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, _sim: long) via a pure map-side mapInPandas stage — SimHash is
+    per-document, so it needs NO shuffle: shingle, hash (md5, 8 bytes),
+    unpack bits with numpy, vote, pack. ~an order of magnitude faster than
+    the 63-column aggregate formulation and the right shape at 100 TB
+    (signature computation rides the scan stage).
+
+    Hash function is md5 (python-side) rather than JVM xxhash64 — SimHash
+    only needs a deterministic hash, not a specific one; signatures are NOT
+    comparable across the two formulations.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            sigs = np.zeros(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf[text_col]):
+                toks = (text or "").split()
+                if len(toks) >= shingle_n:
+                    feats = [
+                        " ".join(toks[j : j + shingle_n])
+                        for j in range(len(toks) - shingle_n + 1)
+                    ]
+                else:
+                    feats = [" ".join(toks)]
+                h = np.frombuffer(
+                    b"".join(hashlib.md5(f.encode()).digest()[:8] for f in feats),
+                    dtype=np.uint64,
+                )
+                bits = (h[:, None] >> np.arange(63, dtype=np.uint64)) & 1
+                votes = 2 * bits.sum(axis=0).astype(np.int64) - len(feats)
+                sigs[i] = int(((votes > 0).astype(np.uint64)
+                               << np.arange(63, dtype=np.uint64)).sum())
+            yield pd.DataFrame({"_id": ids, "_sim": sigs})
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("_id", T.LongType()), T.StructField("_sim", T.LongType())]
+    )
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(gen, schema)
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str,

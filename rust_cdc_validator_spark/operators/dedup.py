@@ -17,7 +17,7 @@ from rust_cdc_validator_spark.functions.hashing import (
     hamming64,
     lsh_bands,
     minhash_signatures,
-    simhash_signatures,
+    simhash_signatures_fast,
 )
 from rust_cdc_validator_spark.functions.text import word_shingles
 from rust_cdc_validator_spark.plans.inspect import ensure_parallelism
@@ -283,7 +283,7 @@ def simhash_dedup_candidates(
     least one of 4 quadrants identical), join within blocks, verify exact
     Hamming distance. Sub-quadratic like LSH banding.
     """
-    sig = simhash_signatures(df, id_col, word_shingles(F.col(text_col), shingle_n))
+    sig = simhash_signatures_fast(df, id_col, text_col, shingle_n)
     quads = sig.select(
         "_id",
         "_sim",
