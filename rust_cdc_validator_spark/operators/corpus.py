@@ -78,6 +78,36 @@ def contamination_check(
     )
 
 
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column data-quality profile: rows, nulls, distinct count, min/max
+    (as strings) — one aggregation pass over the table, one output row per
+    column. The pre-flight check before replay/diff/dedup pipelines."""
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs.extend(
+            [
+                F.count(F.lit(1)).alias(f"{c}__rows"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+                F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+                F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+                F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            ]
+        )
+    wide = df.agg(*aggs)
+    stacked = wide.selectExpr(
+        "stack("
+        + str(len(cols))
+        + ", "
+        + ", ".join(
+            f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+            for c in cols
+        )
+        + ") as (column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    )
+    return stacked
+
+
 def prepare_training_corpus(
     docs: DataFrame,
     text_col: str = "text",

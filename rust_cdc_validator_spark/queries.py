@@ -899,6 +899,45 @@ FROM embeddings GROUP BY label
 """
 
 
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of orders (nulls / distinct /
+    min / max in one pass) — operators/corpus.profile_table."""
+    from rust_cdc_validator_spark.operators.corpus import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+ORDERS_PROFILE_SQL = """
+SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*),
+       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*),
+       SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*),
+       SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+"""
+
+
 def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus-prep pipeline: quality gate → normalized exact dedup
     → per-doc stats (operators/corpus.prepare_training_corpus)."""
@@ -1284,6 +1323,7 @@ QUERIES: dict[str, QueryFn] = {
     "small_quantity_revenue": small_quantity_revenue,
     "orders_monthly": orders_monthly,
     "string_functions_demo": string_functions_demo,
+    "orders_profile": orders_profile,
     "training_corpus": training_corpus,
     "sample_bucket_docs": sample_bucket_docs,
     "contamination_docs": contamination_docs,
@@ -1326,6 +1366,7 @@ ORACLES: dict[str, str] = {
     "small_quantity_revenue": SMALL_QTY_REVENUE_SQL,
     "orders_monthly": ORDERS_MONTHLY_SQL,
     "string_functions_demo": STRING_FUNCS_SQL,
+    "orders_profile": ORDERS_PROFILE_SQL,
     "training_corpus": TRAINING_CORPUS_SQL,
     "sample_bucket_docs": SAMPLE_BUCKET_SQL,
     "contamination_docs": CONTAMINATION_SQL,
