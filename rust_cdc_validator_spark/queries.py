@@ -1165,6 +1165,40 @@ FROM customer
 """
 
 
+def customer_balance_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function breadth: ntile quartiles, percent_rank, cume_dist,
+    first/last value over frames — per market segment on account balance."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal"), F.col("c_custkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("c_custkey").over(wf).alias("poorest_in_segment"),
+        F.last("c_custkey").over(wf).alias("richest_in_segment"),
+    )
+
+
+CUSTOMER_BALANCE_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       ntile(4) OVER w AS balance_quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       first_value(c_custkey) OVER wf AS poorest_in_segment,
+       last_value(c_custkey) OVER wf AS richest_in_segment
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+       wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline: MinHash+LSH → connected components →
     per-doc cluster keeper (iterative — rows-only check)."""
@@ -1316,6 +1350,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_ivf_top1": ann_ivf_top1,
     "customers_semi_anti": customers_semi_anti,
     "supplier_running_totals": supplier_running_totals,
+    "customer_balance_analytics": customer_balance_analytics,
     "dedup_clusters_docs": dedup_clusters_docs,
     "top_orders_limit": top_orders_limit,
     "events_pivot": events_pivot,
@@ -1360,6 +1395,7 @@ ORACLES: dict[str, str] = {
     "embedding_label_stats": EMBEDDING_LABEL_STATS_SQL,
     "customers_semi_anti": CUSTOMERS_SEMI_ANTI_SQL,
     "supplier_running_totals": SUPPLIER_RUNNING_SQL,
+    "customer_balance_analytics": CUSTOMER_BALANCE_SQL,
     "top_orders_limit": TOP_ORDERS_LIMIT_SQL,
     "events_pivot": EVENTS_PIVOT_SQL,
     "lineitem_cube": LINEITEM_CUBE_SQL,
