@@ -53,16 +53,27 @@ def _norm_path(col: F.Column) -> F.Column:
     return F.regexp_replace(col, r"^[a-zA-Z0-9+.\-]+:/{1,3}", "/")
 
 
-def with_sequence(df: DataFrame, manifest_df: DataFrame) -> DataFrame:
+def with_sequence(
+    df: DataFrame, manifest_df: DataFrame, has_row_index: bool = True
+) -> DataFrame:
     """Attach the total replay order ``_seq`` to a raw multi-file scan.
 
-    ``df`` must be read with the parquet file source so ``_metadata`` is
-    available. The manifest join is explicitly broadcast: it has one row per
-    file and must never shuffle the fact side.
+    The manifest join is explicitly broadcast: it has one row per file and
+    must never shuffle the fact side.
+
+    ``has_row_index=True`` (parquet): within-file order comes free from
+    ``_metadata.row_index``. ``False`` (csv — its file source exposes no
+    row_index): derive it as row_number per file ordered by
+    ``monotonically_increasing_id`` — partition ids follow the scan's block
+    order and the low-bit counter follows read order within a block, so
+    (mono_id) sorts rows in file order; costs one shuffle on file path.
     """
-    tagged = df.withColumn(
-        "_path", _norm_path(F.col("_metadata.file_path"))
-    ).withColumn("_row_idx", F.col("_metadata.row_index"))
+    tagged = df.withColumn("_path", _norm_path(F.col("_metadata.file_path")))
+    if has_row_index:
+        tagged = tagged.withColumn("_row_idx", F.col("_metadata.row_index"))
+    else:
+        w = Window.partitionBy("_path").orderBy(F.monotonically_increasing_id())
+        tagged = tagged.withColumn("_row_idx", F.row_number().over(w) - F.lit(1))
     manifest_keyed = manifest_df.select(
         _norm_path(F.col("path")).alias("_path"), "is_load", "file_seq"
     )
@@ -112,6 +123,8 @@ def replay_snapshot(
     entries: list[ManifestEntry],
     primary_key: list[str],
     expected_columns: list[str] | None = None,
+    file_format: str = "parquet",
+    schema=None,
 ) -> DataFrame:
     """End-to-end snapshot of one table: manifest → scan → net effect.
 
@@ -120,11 +133,23 @@ def replay_snapshot(
     read every LOAD + CDC file in a single distributed scan, sequence rows,
     reduce to final state. ``expected_columns`` triggers the schema-drift
     containment check (cdc_operator.rs:170-184).
+
+    ``file_format``: 'parquet' (the reference's only format) or 'csv' —
+    DMS's *default* output format, headerless with the envelope columns
+    first; CSV requires an explicit ``schema`` (ordered like the files).
+    ``_metadata.row_index`` works for both file sources.
     """
     if not entries:
         raise ValueError("empty manifest: no files to replay")
     paths = [e.path for e in entries]
-    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if file_format == "parquet":
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    elif file_format == "csv":
+        if schema is None:
+            raise ValueError("csv replay requires an explicit schema")
+        df = spark.read.schema(schema).option("header", "false").csv(paths)
+    else:
+        raise ValueError(f"unsupported file_format: {file_format!r}")
 
     if expected_columns is not None:
         check_schema_containment(df.columns, expected_columns)
@@ -135,7 +160,7 @@ def replay_snapshot(
             df = df.withColumn(c, F.lit(None).cast("string"))
 
     manifest_df = build_manifest(spark, entries)
-    seqd = with_sequence(df, manifest_df)
+    seqd = with_sequence(df, manifest_df, has_row_index=(file_format == "parquet"))
     return net_effect(seqd, primary_key)
 
 

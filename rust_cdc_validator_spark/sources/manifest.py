@@ -77,7 +77,8 @@ def _hadoop_list(spark, root: str) -> list[tuple[str, float]]:
     while it.hasNext():
         st = it.next()
         p = st.getPath().toString()
-        if p.endswith(".parquet"):
+        # DMS emits parquet or (by default) csv; ignore markers/manifests
+        if p.endswith((".parquet", ".csv", ".csv.gz")):
             out.append((p, st.getModificationTime() / 1000.0))
     return out
 
