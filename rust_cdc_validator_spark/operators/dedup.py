@@ -188,9 +188,13 @@ def connected_components(
     """
     spark = edges.sparkSession
 
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
-        pairs = edges.select(id_a, id_b).collect()
+    # Probe-and-keep: limit(threshold+1).collect() materializes the edge
+    # pipeline ONCE — if everything fit, those rows ARE the edge set (a
+    # separate count() would recompute the whole upstream candidate
+    # pipeline just to decide the path).
+    probe = edges.select(id_a, id_b).limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        pairs = probe
         parent: dict = {}
 
         def find(x):
@@ -217,17 +221,33 @@ def connected_components(
     )
     labels = sym.groupBy("src").agg(F.min("dst").alias("comp"))
     for _ in range(max_iterations):
-        # propagate: node's new label = min(own label, neighbors' labels)
+        # (a) neighbor step: node's label = min(own, neighbors' labels)
         neighbor_labels = (
             sym.join(labels.withColumnRenamed("src", "dst"), on="dst")
             .groupBy("src")
             .agg(F.min("comp").alias("n_comp"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_labels, on="src", how="left")
             .select(
                 "src",
                 F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+        )
+        # (b) pointer halving: comp = min(comp, comp[comp]) — shortcut
+        # through the label graph. Without this, plain neighbor propagation
+        # converges in O(diameter) rounds (a 200-node chain would need 200
+        # iterations); with it the combined step is O(log n).
+        parent = stepped.select(
+            F.col("src").alias("comp"), F.col("comp").alias("g_comp")
+        )
+        new_labels = (
+            stepped.join(parent, on="comp", how="left")
+            .select(
+                "src",
+                F.least(F.col("comp"), F.coalesce(F.col("g_comp"), F.col("comp"))).alias(
                     "comp"
                 ),
             )

@@ -17,6 +17,18 @@ def test_connected_components_chain_and_clique(spark):
     assert comp[20] == comp[21] == 20
 
 
+def test_connected_components_long_chain_distributed(spark):
+    # 201-node chain through the DISTRIBUTED path: plain neighbor
+    # propagation would need 200 rounds; pointer halving makes it O(log n)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    comp = {r["node"]: r["component"]
+            for r in connected_components(edges, driver_threshold=0).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 201
+
+
 def test_dedup_clusters_end_to_end(spark):
     base = "the quick brown fox jumps over the lazy dog near the river bank today"
     rows = [
