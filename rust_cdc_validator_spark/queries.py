@@ -1165,6 +1165,49 @@ FROM customer
 """
 
 
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentile aggregates per return flag — median,
+    p90, p99 (both engines use linear interpolation; values match
+    bit-for-bit)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+        F.percentile("l_extendedprice", 0.99).alias("p99_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+QUANTITY_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       median(l_quantity) AS med_qty,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price,
+       quantile_cont(l_extendedprice, 0.99) AS p99_price,
+       COUNT(*) AS n_items
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery (Catalyst rewrites to an anti join): customers that
+    never placed an order."""
+    cust = _t(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("__cust")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__ord")
+    return spark.sql("""
+        SELECT c_custkey, c_name FROM __cust
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM __ord
+                                WHERE o_orderpriority = '1-URGENT')
+    """)
+
+
+CUSTOMERS_NO_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+"""
+
+
 def customer_balance_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic-function breadth: ntile quartiles, percent_rank, cume_dist,
     first/last value over frames — per market segment on account balance."""
@@ -1350,6 +1393,8 @@ QUERIES: dict[str, QueryFn] = {
     "ann_ivf_top1": ann_ivf_top1,
     "customers_semi_anti": customers_semi_anti,
     "supplier_running_totals": supplier_running_totals,
+    "quantity_percentiles": quantity_percentiles,
+    "customers_without_orders": customers_without_orders,
     "customer_balance_analytics": customer_balance_analytics,
     "dedup_clusters_docs": dedup_clusters_docs,
     "top_orders_limit": top_orders_limit,
@@ -1395,6 +1440,8 @@ ORACLES: dict[str, str] = {
     "embedding_label_stats": EMBEDDING_LABEL_STATS_SQL,
     "customers_semi_anti": CUSTOMERS_SEMI_ANTI_SQL,
     "supplier_running_totals": SUPPLIER_RUNNING_SQL,
+    "quantity_percentiles": QUANTITY_PERCENTILES_SQL,
+    "customers_without_orders": CUSTOMERS_NO_ORDERS_SQL,
     "customer_balance_analytics": CUSTOMER_BALANCE_SQL,
     "top_orders_limit": TOP_ORDERS_LIMIT_SQL,
     "events_pivot": EVENTS_PIVOT_SQL,
