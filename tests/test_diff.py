@@ -79,6 +79,27 @@ def test_missing_row_flags_only_its_chunk(spark):
     assert rep.mismatched_chunks == [0]
 
 
+def test_decimal_beyond_i64_mantissa_detected(spark):
+    """FIXTURES.md §4 last defect: two decimals identical in their first
+    18 digits, differing only beyond i64-mantissa precision. The reference
+    truncates the i128 mantissa to i64 (postgres_row_struct.rs:43) and
+    would compare them equal; our full-precision digest must flag them."""
+    from decimal import Decimal
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("pk", T.LongType()),
+        T.StructField("amount", T.DecimalType(38, 10)),
+    ])
+    base = Decimal("12345678901234567890123456.7890123456")
+    tweaked = Decimal("12345678901234567890123456.7890123457")  # last digit
+    a = spark.createDataFrame([(1, base), (2, Decimal("1.0"))], schema)
+    b = spark.createDataFrame([(1, tweaked), (2, Decimal("1.0"))], schema)
+    rep = diff_tables(a, b, ["pk"], chunk_size=10)
+    assert not rep.is_match
+    assert {r["pk"] for r in rep.rows_only_in_source.collect()} == {1}
+
+
 def test_null_vs_empty_string_detected(spark):
     a = spark.createDataFrame([(1, None)], "pk int, v string")
     b = spark.createDataFrame([(1, "")], "pk int, v string")
