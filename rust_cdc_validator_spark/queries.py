@@ -336,7 +336,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_SQL = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
 FROM events
 GROUP BY event_type
@@ -571,9 +571,9 @@ def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LANG_PROFILE_SQL = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-       SUM(n_chars) / COUNT(*) AS mean_chars,
-       SUM(CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END) AS n_with_the
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) / COUNT(*) AS mean_chars,
+       CAST(SUM(CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END) AS BIGINT) AS n_with_the
 FROM documents GROUP BY lang
 """
 
@@ -763,8 +763,8 @@ WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
 ), sess AS (
   SELECT user_id, ts_us,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -827,7 +827,8 @@ def docs_quality_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOCS_QUALITY_FILTERED_SQL = f"""
-SELECT lang, source, COUNT(*) AS n_docs, SUM(LENGTH(text)) AS total_chars
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
 FROM documents
 WHERE LEN(list_filter(string_split(text, ' '),
                       t -> list_contains([{_SW_LIST}], t))) >= 2
@@ -912,26 +913,26 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORDERS_PROFILE_SQL = """
 SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
-       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT o_orderkey) AS n_distinct,
        CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
        CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
 FROM orders
 UNION ALL
 SELECT 'o_custkey', COUNT(*),
-       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT o_custkey),
        CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
 FROM orders
 UNION ALL
 SELECT 'o_orderstatus', COUNT(*),
-       SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT o_orderstatus),
        MIN(o_orderstatus), MAX(o_orderstatus)
 FROM orders
 UNION ALL
 SELECT 'o_orderpriority', COUNT(*),
-       SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT o_orderpriority),
        MIN(o_orderpriority), MAX(o_orderpriority)
 FROM orders

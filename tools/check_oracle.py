@@ -1,6 +1,16 @@
 """Replicate the driver's correctness gate locally: run each Spark query and
-its DuckDB oracle at sf0.01, compare row count, column names, and
-order-insensitive values.
+its DuckDB oracle at sf0.01, compare row count, column names, result TYPES,
+and order-insensitive exact values.
+
+Round-1 lesson (VERDICT.md "What's wrong" #1): the driver's value-hash is
+type-sensitive — a DuckDB HUGEINT (bare SUM over integers) hashes differently
+from Spark's BIGINT even when every value matches. The old norm_cell()
+(%.10g / str) erased that distinction, so the local gate passed while the
+driver failed. This version compares:
+  * Arrow schema type CLASSES per column (int / float / decimal / str / ...)
+    — DuckDB surfaces HUGEINT as decimal128(38,0) in Arrow, so a bare
+    integer SUM now fails locally exactly as it does on the driver;
+  * exact typed reprs of every cell (no float rounding, Decimal != int).
 
 Usage: python tools/check_oracle.py [query ...]
 """
@@ -15,23 +25,66 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
+import pyarrow as pa  # noqa: E402
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def type_class(t: pa.DataType) -> str:
+    """Coarse, engine-portable type class for an Arrow type. Integer widths
+    are collapsed (Spark int32 vs DuckDB int64 is benign) but the
+    int/float/decimal/string boundaries are preserved — those are what the
+    driver's hash is sensitive to."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_class(t.value_type)}>"
+    return str(t)
+
+
 def norm_cell(v):
+    """Type-tagged repr; floats rounded to 10 significant digits.
+
+    Floats are the ONE family compared approximately: cross-engine
+    decimal→double casts differ in the last ulp (q1's sum_disc_price:
+    ...410907 vs ...41090703) yet hash-match on the driver, so the driver's
+    value-hash tolerates sub-10-digit float noise. Everything else —
+    including the int/decimal type boundary the old gate missed — is exact."""
+    if v is None:
+        return "~null~"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.10g}"
-    return str(v)
+        return "NaN" if math.isnan(v) else f"{v:.10g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if hasattr(v, "isoformat"):  # date/datetime: compare instants, not tzinfo
+        return v.isoformat()
+    return f"{type(v).__name__}:{v!r}"
 
 
-def frame_key(cols, rows):
+def frame_key(tbl: pa.Table):
+    cols = tbl.column_names
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     sorted_cols = [cols[i] for i in order]
-    out = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
-    return sorted_cols, out
+    sorted_types = [type_class(tbl.schema.field(cols[i]).type) for i in order]
+    pyrows = tbl.to_pylist()
+    out = sorted(
+        tuple(norm_cell(r[cols[i]]) for i in order) for r in pyrows
+    )
+    return sorted_cols, sorted_types, out
 
 
 def main() -> int:
@@ -53,22 +106,26 @@ def main() -> int:
             continue
         t0 = time.time()
         sdf = fn(spark, sf_dir)
-        srows = [tuple(r) for r in sdf.collect()]
-        scols = list(sdf.columns)
+        stbl = sdf.toArrow()
         spark_s = time.time() - t0
         if name not in ORACLES:
-            print(f"  {name:28s} rows-only: {len(srows):7d} rows  ({spark_s:.1f}s)")
+            print(
+                f"  {name:28s} rows-only: {stbl.num_rows:7d} rows  ({spark_s:.1f}s)"
+            )
             continue
         t0 = time.time()
-        res = con.execute(ORACLES[name])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        otbl = con.execute(ORACLES[name]).arrow()
         duck_s = time.time() - t0
-        sc, sv = frame_key(scols, srows)
-        oc, ov = frame_key(ocols, orows)
+        sc, st, sv = frame_key(stbl)
+        oc, ot, ov = frame_key(otbl)
         status = "OK"
         if sc != oc:
             status = f"COLS MISMATCH spark={sc} duck={oc}"
+        elif st != ot:
+            bad = [
+                (c, a, b) for c, a, b in zip(sc, st, ot) if a != b
+            ]
+            status = f"TYPES MISMATCH {bad} (spark vs duck)"
         elif len(sv) != len(ov):
             status = f"ROWCOUNT spark={len(sv)} duck={len(ov)}"
         elif sv != ov:
@@ -79,7 +136,7 @@ def main() -> int:
         if status != "OK":
             failures.append(name)
         print(
-            f"  {name:28s} {status if status != 'OK' else f'OK {len(sv):7d} rows'}"
+            f"  {name:28s} {status if status != 'OK' else f'OK {stbl.num_rows:7d} rows'}"
             f"  (spark {spark_s:.1f}s, duck {duck_s:.1f}s)"
         )
     spark.stop()
