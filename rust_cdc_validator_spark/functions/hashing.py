@@ -129,6 +129,75 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_fast(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, _sig: array<long>) via a pure map-side mapInPandas stage —
+    MinHash is per-document, so like ``simhash_signatures_fast`` it needs NO
+    shuffle: shingle, one md5 base hash per shingle (8 bytes → uint64), then
+    k universal-hash "permutations" ``(a_i·h + b_i) mod 2⁶⁴`` (odd ``a_i`` ⇒
+    bijective on Z₂⁶⁴) masked to 63 bits, min-reduced per doc with one numpy
+    reduction. Replaces round 1's explode → 64 hash columns → wide
+    min-aggregate, whose (id, 64 longs) shuffle dominated `minhash_near_dup`
+    (VERDICT r1 perf audit); here signature computation rides the scan stage.
+
+    Shingle semantics mirror ``text.word_shingles``: whitespace tokens,
+    n-word windows, docs with < n tokens contribute one all-tokens shingle.
+    Empty docs get the MaxValue sentinel signature. Signatures are NOT
+    comparable across formulations (different hash family) — band-bucket
+    collisions and Jaccard estimates are statistically equivalent.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    a_co = (rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b_co = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+    sentinel = 0x7FFFFFFFFFFFFFFF
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            sigs = np.full((len(pdf), num_hashes), sentinel, dtype=np.int64)
+            for i, text in enumerate(pdf[text_col]):
+                toks = (text or "").split()
+                if not toks:
+                    continue
+                if len(toks) >= shingle_n:
+                    feats = {
+                        " ".join(toks[j : j + shingle_n])
+                        for j in range(len(toks) - shingle_n + 1)
+                    }
+                else:
+                    feats = {" ".join(toks)}
+                base = np.frombuffer(
+                    b"".join(hashlib.md5(f.encode()).digest()[:8] for f in feats),
+                    dtype=np.uint64,
+                )
+                # (k, n_shingles) universal hashes, wrap-around mod 2^64,
+                # masked to 63 bits so the int64 signature stays non-negative
+                perms = (a_co[:, None] * base[None, :] + b_co[:, None]) >> np.uint64(1)
+                sigs[i] = perms.min(axis=1).astype(np.int64)
+            yield pd.DataFrame({"_id": ids, "_sig": list(sigs)})
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("_sig", T.ArrayType(T.LongType())),
+        ]
+    )
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(gen, schema)
+
+
 def simhash_signatures_fast(
     df: DataFrame,
     id_col: str,

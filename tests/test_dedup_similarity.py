@@ -110,6 +110,47 @@ def test_lsh_recall_against_brute_force(spark):
     assert hits / len(exact) >= 0.8  # high recall on clustered data
 
 
+def test_hot_bucket_cap_prevents_quadratic_join(spark):
+    """A planted degenerate bucket (10k identical docs → one LSH bucket per
+    band) must be dropped by the population cap, not exploded into ~10⁸ join
+    rows. With the cap the pipeline returns quickly and reports no pairs from
+    the degenerate group, while genuine near-dups elsewhere still surface."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(i, "boilerplate header repeated verbatim in every document") for i in range(10_000)]
+    rows += [(20_001, base), (20_002, base.replace("today", "tomorrow"))]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup_pairs(
+            df, "text", "doc_id", num_hashes=32, num_bands=16, max_bucket_size=100
+        ).collect()
+    }
+    assert (20_001, 20_002) in pairs  # real near-dup still found
+    assert not any(a < 20_000 and b < 20_000 for a, b in pairs)  # hot bucket dropped
+
+
+def test_ngram_hot_shingle_cap(spark):
+    """Shingles above the document-frequency cap are excluded from both the
+    intersection and the sizes, so capped Jaccard stays a true Jaccard over
+    the remaining shingles."""
+    shared = "alpha beta gamma"  # one hot shingle in every doc
+    rows = [(i, f"{shared} unique{i} filler{i} tail{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(
+        df, "text", "doc_id", shingle_n=3, threshold=0.01, max_shingle_df=10
+    ).collect()
+    # the only shared shingle is hot (df=20 > 10) → no pair shares anything
+    assert pairs == []
+
+
+def test_brute_force_guard_raises_on_large_query_set(spark):
+    v = _vectors(spark)
+    import pytest
+
+    with pytest.raises(ValueError, match="max_broadcast_queries"):
+        brute_force_topk(v, v, k=1, max_broadcast_queries=10)
+
+
 def test_embedding_near_dup_pairs(spark):
     v = _vectors(spark)
     pairs = embedding_near_dup(v, threshold=0.9999, dim=4, num_planes=4, num_tables=8).collect()
