@@ -122,12 +122,40 @@ class CdcValidator:
             )
         return reports
 
-    def run(self, payload: CdcPayload, source_frames: dict[str, DataFrame] | None = None):
-        """Full pipeline with the reference's flag gating (main.rs:345-373)."""
+    def run(
+        self,
+        payload: CdcPayload,
+        source_frames: dict[str, DataFrame] | None = None,
+        target_frames: dict[str, DataFrame] | None = None,
+    ):
+        """Full pipeline with the reference's flag gating (main.rs:345-373).
+
+        ``only_datadiff`` skips the snapshot but STILL diffs (reference
+        semantics: the datadiff runs against previously-written snapshots,
+        cdc_operator.rs:254-288) — so in that mode the caller must supply
+        ``target_frames`` (e.g. snapshots persisted by an earlier run).
+        Passing nothing used to silently validate zero tables and return an
+        empty report dict that read as success; now it raises.
+        """
         snapshots: dict[str, DataFrame] = {}
         if not payload.only_datadiff:
             snapshots = self.snapshot(payload)
         if payload.only_snapshot:
             return snapshots, {}
-        reports = self.validate(payload, source_frames or {}, snapshots)
+        targets = target_frames if target_frames is not None else snapshots
+        if payload.only_datadiff:
+            if not targets:
+                raise ValueError(
+                    "only_datadiff skips the snapshot, so target_frames "
+                    "(previously persisted snapshots) are required — "
+                    "otherwise nothing would be validated"
+                )
+            reports = self.validate(payload, source_frames or {}, targets)
+            if not reports:
+                raise ValueError(
+                    "only_datadiff validated zero tables: no overlap between "
+                    "catalog tables, source_frames, and target_frames"
+                )
+            return snapshots, reports
+        reports = self.validate(payload, source_frames or {}, targets)
         return snapshots, reports

@@ -64,15 +64,22 @@ def with_sequence(
     ``has_row_index=True`` (parquet): within-file order comes free from
     ``_metadata.row_index``. ``False`` (csv — its file source exposes no
     row_index): derive it as row_number per file ordered by
-    ``monotonically_increasing_id`` — partition ids follow the scan's block
-    order and the low-bit counter follows read order within a block, so
-    (mono_id) sorts rows in file order; costs one shuffle on file path.
+    (``_metadata.file_block_start``, ``monotonically_increasing_id``).
+    The byte offset is the contractual part: Spark's file source bin-packs
+    splits ordered by SIZE, not offset, so mono-id alone preserving offset
+    order across a multi-split file is incidental (a stable sort of
+    equal-size splits), not guaranteed. Block start orders the splits by
+    file position; mono id orders rows within one split (the low-bit
+    counter follows read order inside a task). Costs one shuffle on file
+    path.
     """
     tagged = df.withColumn("_path", _norm_path(F.col("_metadata.file_path")))
     if has_row_index:
         tagged = tagged.withColumn("_row_idx", F.col("_metadata.row_index"))
     else:
-        w = Window.partitionBy("_path").orderBy(F.monotonically_increasing_id())
+        w = Window.partitionBy("_path").orderBy(
+            F.col("_metadata.file_block_start"), F.monotonically_increasing_id()
+        )
         tagged = tagged.withColumn("_row_idx", F.row_number().over(w) - F.lit(1))
     manifest_keyed = manifest_df.select(
         _norm_path(F.col("path")).alias("_path"), "is_load", "file_seq"
@@ -137,7 +144,8 @@ def replay_snapshot(
     ``file_format``: 'parquet' (the reference's only format) or 'csv' —
     DMS's *default* output format, headerless with the envelope columns
     first; CSV requires an explicit ``schema`` (ordered like the files).
-    ``_metadata.row_index`` works for both file sources.
+    ``_metadata.row_index`` exists only for the parquet source; CSV order
+    is derived from (file_block_start, monotonic id) in ``with_sequence``.
     """
     if not entries:
         raise ValueError("empty manifest: no files to replay")

@@ -54,3 +54,34 @@ def test_run_respects_include_exclude(spark, tmp_path):
     assert set(snaps) == {"beta"}
     snaps2, _ = v.run(_payload(root, excluded_tables=["beta"], only_snapshot=True))
     assert set(snaps2) == {"alpha"}
+
+
+def test_run_only_datadiff_requires_targets_and_diffs(spark, tmp_path):
+    """only_datadiff skips the snapshot but must STILL diff (reference
+    semantics). With no target_frames there is nothing to validate — that
+    used to return an empty report dict that read as success; now it
+    raises. With persisted snapshots supplied, the diff actually runs."""
+    import pytest
+
+    root, catalog = _bucket(tmp_path)
+    v = CdcValidator(spark, catalog)
+    snaps, _ = v.run(_payload(root, only_snapshot=True))
+
+    with pytest.raises(ValueError, match="target_frames"):
+        v.run(_payload(root, only_datadiff=True), source_frames=snaps)
+
+    snapshots, reports = v.run(
+        _payload(root, only_datadiff=True),
+        source_frames=snaps,
+        target_frames=snaps,
+    )
+    assert snapshots == {}  # snapshot stage skipped
+    assert set(reports) == {"alpha", "beta"}
+    assert all(r.is_match for r in reports.values())
+
+    with pytest.raises(ValueError, match="zero tables"):
+        v.run(
+            _payload(root, only_datadiff=True),
+            source_frames=snaps,
+            target_frames={"nonexistent": snaps["alpha"]},
+        )

@@ -65,3 +65,79 @@ def test_streaming_resumes_with_new_files(spark, tmp_path):
     _run(spark, root, state)
     got = {r["id"]: r["v"] for r in spark.read.parquet(state).collect()}
     assert got == {2: 2}
+
+
+def test_same_timestamp_tiebreak_is_deterministic(spark, tmp_path):
+    """Same key + same ingestion timestamp inside one micro-batch (common for
+    DMS batched writes): the later (file, row) wins, mirroring the batch
+    replay's (file_seq, row_index) total order — not an arbitrary row."""
+    root = str(tmp_path / "stream/db/public/t")
+    state = str(tmp_path / "state")
+    ts = "2024-01-01T00:00:00Z"
+    write_cdc_file(
+        f"{root}/LOAD00000001.parquet",
+        [{"Op": "I", "_dms_ingestion_timestamp": ts, "id": 1, "v": 0}],
+        COLS,
+    )
+    # one file, two same-ts updates to the same key: row order decides
+    write_cdc_file(
+        f"{root}/2024/01/02/a.parquet",
+        [{"Op": "U", "_dms_ingestion_timestamp": ts, "id": 1, "v": 100},
+         {"Op": "U", "_dms_ingestion_timestamp": ts, "id": 1, "v": 200}],
+        COLS,
+    )
+    # a lexicographically later file with the same ts: file order decides
+    write_cdc_file(
+        f"{root}/2024/01/02/b.parquet",
+        [{"Op": "U", "_dms_ingestion_timestamp": ts, "id": 1, "v": 300}],
+        COLS,
+    )
+    q = start_incremental_replay(
+        spark, root, SCHEMA, ["id"], state, max_files_per_trigger=10
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: r["v"] for r in spark.read.parquet(state).collect()}
+    assert got == {1: 300}
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """A micro-batch touching one key must rewrite only that key's hash
+    bucket; every other bucket's files stay byte-identical on disk."""
+    import glob
+    import os
+    import time
+
+    root = str(tmp_path / "stream/db/public/t")
+    state = str(tmp_path / "state")
+    write_cdc_file(
+        f"{root}/LOAD00000001.parquet",
+        [{"Op": "I", "_dms_ingestion_timestamp": "2024-01-01T00:00:00Z",
+          "id": i, "v": i} for i in range(40)],
+        COLS,
+    )
+    _run(spark, root, state)
+
+    def bucket_files():
+        out = {}
+        for d in glob.glob(f"{state}/_bucket=*"):
+            files = sorted(glob.glob(f"{d}/*.parquet"))
+            out[os.path.basename(d)] = [(f, os.path.getmtime(f)) for f in files]
+        return out
+
+    before = bucket_files()
+    assert len(before) > 1  # 40 keys spread over several buckets
+    time.sleep(1.1)  # mtime granularity
+
+    write_cdc_file(
+        f"{root}/2024/01/02/a.parquet",
+        [{"Op": "U", "_dms_ingestion_timestamp": "2024-01-02T00:00:00Z",
+          "id": 7, "v": 777}],
+        COLS,
+    )
+    _run(spark, root, state)
+    after = bucket_files()
+
+    changed = [b for b in before if after.get(b) != before[b]]
+    assert len(changed) == 1  # exactly the bucket containing id=7
+    got = {r["id"]: r["v"] for r in spark.read.parquet(state).collect()}
+    assert got[7] == 777 and len(got) == 40
