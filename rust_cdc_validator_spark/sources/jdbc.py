@@ -16,9 +16,17 @@ either:
 * for targets without conflict support, a partition-wise executemany upsert
   via ``foreachPartition``.
 
-No live database exists in the test environment, so execution is exercised
-against SQL-text goldens (the reference's own unit-test strategy,
-table_query.rs:103-195) and the writer plumbing is config-checked.
+Two statement dialects:
+* ``postgres`` — ``INSERT .. ON CONFLICT DO UPDATE`` + row-value ``IN``
+  delete, matching the reference's target database;
+* ``ansi`` — ``MERGE INTO`` + correlated-``EXISTS`` delete, for targets
+  without ON CONFLICT (Derby, Oracle, SQL Server, DB2).
+
+Execution is exercised BOTH as SQL-text goldens (the reference's own
+unit-test strategy, table_query.rs:103-195) AND live end-to-end against
+embedded Apache Derby (whose jars ship inside pyspark for the Hive
+metastore): tests/test_jdbc_live.py drives the real distributed JDBC
+writer plus server-side merge/delete and reads back final state.
 """
 
 from __future__ import annotations
@@ -88,17 +96,80 @@ def delete_sql(table: str, primary_key: list[str], staging_table: str) -> str:
     )
 
 
+def delete_sql_exists(table: str, primary_key: list[str], staging_table: str) -> str:
+    """Portable delete by PK via correlated EXISTS — row-value ``IN``
+    (``delete_sql``) is Postgres-friendly but not universal (Derby rejects
+    multi-column IN subqueries)."""
+    cond = " AND ".join(f"s.{c} = t.{c}" for c in primary_key)
+    return (
+        f"DELETE FROM {table} t WHERE EXISTS "
+        f"(SELECT 1 FROM {staging_table} s WHERE {cond})"
+    )
+
+
+def merge_sql(
+    table: str,
+    columns: list[str],
+    primary_key: list[str],
+    staging_table: str,
+) -> str:
+    """ANSI ``MERGE INTO`` upsert for targets without ON CONFLICT."""
+    on = " AND ".join(f"t.{c} = s.{c}" for c in primary_key)
+    updates = ", ".join(
+        f"t.{c} = s.{c}" for c in columns if c not in set(primary_key)
+    )
+    cols = ", ".join(columns)
+    vals = ", ".join(f"s.{c}" for c in columns)
+    return (
+        f"MERGE INTO {table} t USING {staging_table} s ON ({on}) "
+        f"WHEN MATCHED THEN UPDATE SET {updates} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
+def execute_statements(
+    spark,
+    url: str,
+    statements: list[str],
+    properties: dict[str, str] | None = None,
+) -> list[int]:
+    """Run server-side statements over one JDBC connection (driver-side,
+    through the JVM's DriverManager — the same classpath the distributed
+    writer uses). Returns per-statement update counts. This is the "caller
+    runs them on its connection" leg of ``merge_net_effect``."""
+    jvm = spark.sparkContext._jvm
+    props = properties or {}
+    if "driver" in props:
+        # ensure the driver class is registered with DriverManager
+        jvm.java.lang.Class.forName(props["driver"])
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    counts: list[int] = []
+    try:
+        for sql in statements:
+            stmt = conn.createStatement()
+            try:
+                counts.append(stmt.executeUpdate(sql))
+            finally:
+                stmt.close()
+    finally:
+        conn.close()
+    return counts
+
+
 def merge_net_effect(
     net_state_upserts: DataFrame,
     deletes: DataFrame,
     target: JdbcTarget,
     primary_key: list[str],
     staging_prefix: str = "_cdc_staging",
+    dialect: str = "postgres",
 ) -> list[str]:
     """CDC apply (S10) against a live target: write net-effect rows to
     staging tables via the JDBC writer, then emit the two set-based
-    statements to run server-side. Returns the statements (the caller runs
-    them on its connection — keeps this module testable without a DB)."""
+    statements to run server-side — pass them to ``execute_statements`` (or
+    your own connection; returning them keeps this module testable without
+    a DB). ``dialect``: 'postgres' (ON CONFLICT) or 'ansi' (MERGE INTO,
+    for Derby/Oracle/SQL Server)."""
     up_staging = f"{staging_prefix}_upserts"
     del_staging = f"{staging_prefix}_deletes"
     append_dataframe(net_state_upserts, JdbcTarget(
@@ -110,6 +181,11 @@ def merge_net_effect(
         batch_size=target.batch_size, num_partitions=target.num_partitions,
     ))
     cols = [c for c in net_state_upserts.columns if c not in ENVELOPE_COLS]
+    if dialect == "ansi":
+        return [
+            delete_sql_exists(target.table, primary_key, del_staging),
+            merge_sql(target.table, cols, primary_key, up_staging),
+        ]
     return [
         delete_sql(target.table, primary_key, del_staging),
         upsert_sql(target.table, cols, primary_key, up_staging),

@@ -92,3 +92,17 @@ def test_containment_allows_envelope_and_subset():
     check_schema_containment(["Op", "_dms_ingestion_timestamp", "id"], ["id", "x"])
     with pytest.raises(ValueError, match="schema drift"):
         check_schema_containment(["id", "rogue"], ["id"])
+
+
+def test_ansi_merge_and_exists_delete_goldens():
+    from rust_cdc_validator_spark.sources.jdbc import delete_sql_exists, merge_sql
+
+    assert merge_sql("t", ["id", "a"], ["id"], "_stg") == (
+        "MERGE INTO t t USING _stg s ON (t.id = s.id) "
+        "WHEN MATCHED THEN UPDATE SET t.a = s.a "
+        "WHEN NOT MATCHED THEN INSERT (id, a) VALUES (s.id, s.a)"
+    )
+    assert delete_sql_exists("t", ["id", "k"], "_stg") == (
+        "DELETE FROM t t WHERE EXISTS "
+        "(SELECT 1 FROM _stg s WHERE s.id = t.id AND s.k = t.k)"
+    )
