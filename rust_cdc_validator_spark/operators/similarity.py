@@ -31,10 +31,24 @@ from pyspark.sql import types as T
 from rust_cdc_validator_spark.plans.inspect import ensure_parallelism
 
 
-def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str, max_rows: int | None = None):
     """Collect (ids, unit-normalized float64 matrix) — for the broadcast
-    side only; the corpus side always streams."""
-    pdf = df.select(id_col, vec_col).toPandas()
+    side only; the corpus side always streams.
+
+    ``max_rows`` guards the driver: the collect is bounded to max_rows + 1
+    rows (one LIMIT job, no separate count scan) and raises if the budget
+    is exceeded."""
+    sel = df.select(id_col, vec_col)
+    if max_rows is not None:
+        sel = sel.limit(max_rows + 1)
+    pdf = sel.toPandas()
+    if max_rows is not None and len(pdf) > max_rows:
+        raise ValueError(
+            f"brute_force_topk broadcasts the query set to the driver; the "
+            f"query set exceeds max_broadcast_queries={max_rows}. Use "
+            f"lsh_bucket_topk or ivf_topk for large query sets, or raise "
+            f"the budget explicitly."
+        )
     ids = pdf[id_col].to_numpy()
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -67,20 +81,13 @@ def brute_force_topk(
     The QUERY side is collected to the driver and broadcast — that is the
     whole design (corpus streams, queries ride along) and it is only safe
     when the query set is bounded. ``max_broadcast_queries`` enforces the
-    bound: above it we raise instead of OOMing the driver (VERDICT r1 #4);
+    bound: the collect itself is LIMITed to budget+1 rows (no extra count
+    job, no unbounded pull) and raises when exceeded (VERDICT r1 #4);
     route large query sets to ``lsh_bucket_topk`` or ``ivf_topk``, whose
     both sides stay distributed.
     """
     spark = corpus.sparkSession
-    n_queries = queries.count()
-    if n_queries > max_broadcast_queries:
-        raise ValueError(
-            f"brute_force_topk broadcasts the query set to the driver; "
-            f"{n_queries} queries exceed max_broadcast_queries="
-            f"{max_broadcast_queries}. Use lsh_bucket_topk or ivf_topk for "
-            f"large query sets, or raise the budget explicitly."
-        )
-    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col, max_broadcast_queries)
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
     def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -271,7 +278,7 @@ def _fit_coarse_quantizer(
     from pyspark.ml.feature import Normalizer
     from pyspark.ml.functions import array_to_vector
 
-    n = corpus.count()
+    n = corpus.count()  # parquet count is metadata-only — cheap
     fraction = min(1.0, sample_size / max(n, 1))
     sample = corpus.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
@@ -279,9 +286,14 @@ def _fit_coarse_quantizer(
     if fraction < 1.0:
         sample = sample.sample(withReplacement=False, fraction=fraction, seed=seed)
     unit = Normalizer(inputCol="features", outputCol="nf", p=2.0).transform(sample)
+    # the sample is ≤ sample_size rows: collapse to a few partitions so each
+    # k-means|| iteration is a couple of tasks, not shuffle-partitions many
+    # (per-iteration scheduling overhead dominates an in-memory 10k-row fit)
+    unit = unit.coalesce(4).cache()
     model = KMeans(
-        k=n_cells, seed=seed, featuresCol="nf", maxIter=20
+        k=n_cells, seed=seed, featuresCol="nf", maxIter=10
     ).fit(unit)
+    unit.unpersist()
     cents = np.stack([np.asarray(c) for c in model.clusterCenters()]).astype(np.float64)
     norms = np.linalg.norm(cents, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
