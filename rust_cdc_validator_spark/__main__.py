@@ -52,11 +52,14 @@ def _parse_date(s: str | None) -> datetime | None:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="rust_cdc_validator_spark")
-    p.add_argument("--bucket-root", required=True)
-    p.add_argument("--database", required=True)
-    p.add_argument("--schema", required=True)
-    p.add_argument("--catalog-json", required=True)
-    p.add_argument("--output", required=True, help="dir for snapshot parquet")
+    p.add_argument("--interactive", action="store_true",
+                   help="prompt for any value not given as a flag "
+                        "(the reference client's inquire flow)")
+    p.add_argument("--bucket-root")
+    p.add_argument("--database")
+    p.add_argument("--schema")
+    p.add_argument("--catalog-json")
+    p.add_argument("--output", help="dir for snapshot parquet")
     p.add_argument("--mode", choices=[m.value for m in FileMode],
                    default=FileMode.DATE_AWARE.value)
     p.add_argument("--start-date")
@@ -73,8 +76,55 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+_REQUIRED = ["bucket_root", "database", "schema", "catalog_json", "output"]
+
+
+def _prompt_missing(args, input_fn=input) -> None:
+    """Interactive prompt flow mirroring the reference client's inquire
+    prompts (dms-cdc-operator-client/src/main.rs:157-285): each value not
+    already given as a flag is asked for on stdin; empty input keeps the
+    default (required values re-prompt)."""
+
+    def ask(label, default=None, required=False, cast=lambda s: s):
+        while True:
+            suffix = f" [{default}]" if default not in (None, "", []) else ""
+            raw = input_fn(f"{label}{suffix}: ").strip()
+            if not raw:
+                if required and default in (None, ""):
+                    print("  value required", file=sys.stderr)
+                    continue
+                return default
+            return cast(raw)
+
+    args.bucket_root = args.bucket_root or ask(
+        "bucket root (file:///... or s3a://...)", required=True)
+    args.database = args.database or ask("database name", required=True)
+    args.schema = args.schema or ask("schema name", required=True)
+    args.catalog_json = args.catalog_json or ask("catalog JSON path", required=True)
+    args.output = args.output or ask("snapshot output dir", required=True)
+    args.mode = ask("mode", default=args.mode)
+    if FileMode(args.mode) is FileMode.DATE_AWARE and not args.start_date:
+        args.start_date = ask("start date (ISO)", required=True)
+        args.stop_date = args.stop_date or ask("stop date (ISO, empty = none)")
+    if not args.included_tables:
+        raw = ask("included tables (space-separated, empty = all)")
+        args.included_tables = raw.split() if raw else []
+    args.chunk_size = ask("chunk size", default=args.chunk_size, cast=int)
+    args.start_position = ask("start position", default=args.start_position, cast=int)
+
+
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.interactive:
+        _prompt_missing(args)
+    missing = [k for k in _REQUIRED if not getattr(args, k)]
+    if missing:
+        parser.error(
+            "missing required arguments: "
+            + ", ".join("--" + m.replace("_", "-") for m in missing)
+            + " (or use --interactive)"
+        )
     payload = CdcPayload(
         bucket_root=args.bucket_root,
         database=args.database,

@@ -78,18 +78,27 @@ def contamination_check(
     )
 
 
-def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, approx: bool = False
+) -> DataFrame:
     """Per-column data-quality profile: rows, nulls, distinct count, min/max
     (as strings) — one aggregation pass over the table, one output row per
-    column. The pre-flight check before replay/diff/dedup pipelines."""
+    column. The pre-flight check before replay/diff/dedup pipelines.
+
+    ``approx=True`` switches the distinct counts to HyperLogLog
+    (``approx_count_distinct``, default rsd 5%) — exact ``count_distinct``
+    keeps full per-column hash sets through the aggregation and is the one
+    piece of this profile that doesn't fly at 100 TB (VERDICT r1 on
+    orders_profile); the sketch is constant-memory per column."""
     cols = columns or df.columns
+    distinct_fn = F.approx_count_distinct if approx else F.count_distinct
     aggs = []
     for c in cols:
         aggs.extend(
             [
                 F.count(F.lit(1)).alias(f"{c}__rows"),
                 F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-                F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+                distinct_fn(F.col(c)).alias(f"{c}__distinct"),
                 F.min(F.col(c)).cast("string").alias(f"{c}__min"),
                 F.max(F.col(c)).cast("string").alias(f"{c}__max"),
             ]

@@ -456,8 +456,17 @@ def diff_chunk_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact chunk semantics (chunk_size=1000 default, main.rs:75-77). The
     global window is intentionally single-partition here (the semantics
     require a total order); the production diff operator uses PK-range
-    chunks instead (operators/diff.py, diff_chunk_digest)."""
+    chunks instead (operators/diff.py, diff_chunk_digest). A size guard
+    refuses inputs where a single-partition sort would be pathological —
+    the parquet count is metadata-only, so the guard is ~free."""
     orders = _t(spark, sf_dir, "orders")
+    n = orders.count()
+    if n > 50_000_000:
+        raise ValueError(
+            f"diff_chunk_layout is a single-partition total-order demo; "
+            f"{n} rows exceed its 50M guard — use diff_chunk_digest "
+            f"(PK-range chunks, fully parallel) for production diffs"
+        )
     w = Window.orderBy("o_orderkey")
     return (
         orders.select("o_orderkey")

@@ -31,7 +31,7 @@ writer plus server-side merge/delete and reads back final state.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame
 
@@ -42,11 +42,42 @@ DEFAULT_BATCH_SIZE = 10_000  # reference rows_per_df, postgres_operator_impl.rs:
 
 @dataclass
 class JdbcTarget:
+    """Connection + write config, mirroring the reference's PostgresConfig
+    (src/postgres/postgres_config.rs:51-79).
+
+    Pool-size parity: the reference bounds a deadpool at max_connections
+    (cdc_operator.rs:279-280); here writer concurrency = ``num_partitions``
+    (each JDBC write partition holds one connection), so the same knob
+    bounds the same resource.
+
+    TLS parity: ``ssl_mode`` / ``ssl_root_cert`` map onto the Postgres JDBC
+    driver's sslmode/sslrootcert; ``accept_invalid_certs`` (the reference's
+    dangerous-but-real flag for self-signed dev targets) maps to the
+    driver's NonValidatingFactory. All three merge into the connection
+    properties; explicit ``properties`` win on key conflicts.
+    """
+
     url: str
     table: str  # schema-qualified
     properties: dict[str, str] = field(default_factory=dict)
     batch_size: int = DEFAULT_BATCH_SIZE
     num_partitions: int | None = None  # caps concurrent connections
+    ssl_mode: str | None = None  # disable | require | verify-ca | verify-full
+    ssl_root_cert: str | None = None
+    accept_invalid_certs: bool = False
+
+    def connection_properties(self) -> dict[str, str]:
+        props: dict[str, str] = {}
+        if self.ssl_mode:
+            props["ssl"] = "true"
+            props["sslmode"] = self.ssl_mode
+        if self.ssl_root_cert:
+            props["sslrootcert"] = self.ssl_root_cert
+        if self.accept_invalid_certs:
+            props["ssl"] = "true"
+            props["sslfactory"] = "org.postgresql.ssl.NonValidatingFactory"
+        props.update(self.properties)
+        return props
 
 
 def append_dataframe(df: DataFrame, target: JdbcTarget) -> None:
@@ -60,7 +91,7 @@ def append_dataframe(df: DataFrame, target: JdbcTarget) -> None:
         .option("url", target.url)
         .option("dbtable", target.table)
         .option("batchsize", str(target.batch_size))
-        .options(**target.properties)
+        .options(**target.connection_properties())
         .mode("append")
         .save()
     )
@@ -172,14 +203,8 @@ def merge_net_effect(
     for Derby/Oracle/SQL Server)."""
     up_staging = f"{staging_prefix}_upserts"
     del_staging = f"{staging_prefix}_deletes"
-    append_dataframe(net_state_upserts, JdbcTarget(
-        url=target.url, table=up_staging, properties=target.properties,
-        batch_size=target.batch_size, num_partitions=target.num_partitions,
-    ))
-    append_dataframe(deletes.select(*primary_key), JdbcTarget(
-        url=target.url, table=del_staging, properties=target.properties,
-        batch_size=target.batch_size, num_partitions=target.num_partitions,
-    ))
+    append_dataframe(net_state_upserts, replace(target, table=up_staging))
+    append_dataframe(deletes.select(*primary_key), replace(target, table=del_staging))
     cols = [c for c in net_state_upserts.columns if c not in ENVELOPE_COLS]
     if dialect == "ansi":
         return [

@@ -106,3 +106,25 @@ def test_ansi_merge_and_exists_delete_goldens():
         "DELETE FROM t t WHERE EXISTS "
         "(SELECT 1 FROM _stg s WHERE s.id = t.id AND s.k = t.k)"
     )
+
+
+def test_tls_connection_properties_parity():
+    """S11: accept_invalid_certs / sslmode / sslrootcert parity with the
+    reference's PostgresConfig (postgres_config.rs:51-79)."""
+    from rust_cdc_validator_spark.sources.jdbc import JdbcTarget
+
+    t = JdbcTarget(url="jdbc:postgresql://h/db", table="t",
+                   ssl_mode="verify-full", ssl_root_cert="/certs/ca.pem")
+    p = t.connection_properties()
+    assert p["ssl"] == "true" and p["sslmode"] == "verify-full"
+    assert p["sslrootcert"] == "/certs/ca.pem"
+
+    t2 = JdbcTarget(url="jdbc:postgresql://h/db", table="t",
+                    accept_invalid_certs=True)
+    p2 = t2.connection_properties()
+    assert p2["sslfactory"] == "org.postgresql.ssl.NonValidatingFactory"
+
+    # explicit properties win on conflicts
+    t3 = JdbcTarget(url="u", table="t", ssl_mode="require",
+                    properties={"sslmode": "disable"})
+    assert t3.connection_properties()["sslmode"] == "disable"

@@ -64,3 +64,40 @@ def test_cli_validate_mismatch_exit_code(spark, bucket):
         "--output", out, "--only-datadiff", "--source-root", bad,
     ])
     assert rc == 1  # MISMATCH → exit 1
+
+
+def test_interactive_prompts_fill_missing_args(monkeypatch):
+    """--interactive asks for every value not given as a flag, mirroring
+    the reference client's inquire flow; scripted stdin drives it."""
+    from rust_cdc_validator_spark.__main__ import _prompt_missing, build_parser
+
+    args = build_parser().parse_args(["--interactive", "--database", "db"])
+    answers = iter([
+        "file:///tmp/cdc",   # bucket root
+        "public",            # schema
+        "/tmp/catalog.json", # catalog json
+        "/tmp/out",          # output
+        "",                  # mode → keep default date_aware
+        "2024-01-01",        # start date (required in date_aware)
+        "",                  # stop date → none
+        "t1 t2",             # included tables
+        "500",               # chunk size
+        "",                  # start position → default 0
+    ])
+    _prompt_missing(args, input_fn=lambda prompt: next(answers))
+    assert args.bucket_root == "file:///tmp/cdc"
+    assert args.database == "db"  # flag value not re-asked
+    assert args.schema == "public"
+    assert args.start_date == "2024-01-01" and args.stop_date is None
+    assert args.included_tables == ["t1", "t2"]
+    assert args.chunk_size == 500 and args.start_position == 0
+
+
+def test_missing_required_args_error_names_interactive(capsys):
+    import pytest
+    from rust_cdc_validator_spark.__main__ import main
+
+    with pytest.raises(SystemExit) as exc:
+        main(["--database", "db"])
+    assert exc.value.code == 2
+    assert "--interactive" in capsys.readouterr().err
