@@ -188,38 +188,52 @@ def _dot_pdf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(np.einsum("rd,rd->r", am, bm))
 
 
-def _make_group_scorer(k: int, include_self: bool):
+def _make_group_scorer(k: int, include_self: bool, q_block: int = 1024):
     """Grouped candidate scorer shared by LSH buckets and IVF cells: rows
     tagged ``_role`` ('q'/'c') with ``_id`` + unit vector ``_v``; emits the
-    group-local top-k per query via one block matmul."""
+    group-local top-k per query via blocked matmuls.
+
+    The query side is processed in ``q_block``-row blocks so the similarity
+    matrix is at most q_block × |candidates| — a degenerate 10k × 10k
+    bucket would otherwise allocate an 800 MB sims matrix in one task.
+    Blocking bounds memory at a few MB per block with identical results.
+    """
+
+    empty = pd.DataFrame(
+        {"query_id": pd.Series(dtype="int64"),
+         "neighbor_id": pd.Series(dtype="int64"),
+         "cos_sim": pd.Series(dtype="float64")}
+    )
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         qs = pdf[pdf["_role"] == "q"]
         cs = pdf[pdf["_role"] == "c"]
         if qs.empty or cs.empty:
-            return pd.DataFrame(
-                {"query_id": pd.Series(dtype="int64"),
-                 "neighbor_id": pd.Series(dtype="int64"),
-                 "cos_sim": pd.Series(dtype="float64")}
-            )
-        qm = np.stack(qs["_v"].to_numpy())
+            return empty
         cm = np.stack(cs["_v"].to_numpy())
-        qi = qs["_id"].to_numpy()
         ci = cs["_id"].to_numpy()
-        sims = qm @ cm.T
-        if not include_self:
-            sims = np.where(qi[:, None] == ci[None, :], -np.inf, sims)
-        kk = min(k, sims.shape[1])
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        s = np.take_along_axis(sims, idx, axis=1).ravel()
-        keep = np.isfinite(s)
-        return pd.DataFrame(
-            {
-                "query_id": np.repeat(qi, kk)[keep],
-                "neighbor_id": ci[idx.ravel()][keep],
-                "cos_sim": s[keep],
-            }
-        )
+        out = []
+        for start in range(0, len(qs), q_block):
+            qsb = qs.iloc[start : start + q_block]
+            qm = np.stack(qsb["_v"].to_numpy())
+            qi = qsb["_id"].to_numpy()
+            sims = qm @ cm.T
+            if not include_self:
+                sims = np.where(qi[:, None] == ci[None, :], -np.inf, sims)
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            s = np.take_along_axis(sims, idx, axis=1).ravel()
+            keep = np.isfinite(s)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qi, kk)[keep],
+                        "neighbor_id": ci[idx.ravel()][keep],
+                        "cos_sim": s[keep],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else empty
 
     return score_group
 
