@@ -6,12 +6,18 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is fully materialized through the `noop` sink (distributed
 execution, no driver collect). One warm-up query amortizes JVM/codegen
 startup out of the measurements.
+
+$SPARK_GRAFT_BENCH_REPS (default 1) runs each query N times and reports
+the per-query MEDIAN — single runs swing up to ~5× on a few queries from
+GC/JIT noise (round-1 observation on lineitem_cube), so set REPS=3 when
+comparing plans.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -31,11 +37,15 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1360,6 +1360,262 @@ FROM daily
 """
 
 
+def min_price_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 flavor (no partsupp table in the testdata, so sale prices
+    stand in for supply cost): per large part, the supplier with the lowest
+    average sale price — correlated-min semantics as a window rank, the
+    Spark-native rewrite of q2's correlated subquery."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 48)
+    sup = _t(spark, sf_dir, "supplier")
+    avg_price = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(
+            (_dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price")
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("avg_price").asc(), F.col("l_suppkey").asc()
+    )
+    best = avg_price.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        best.join(F.broadcast(sup), best.l_suppkey == sup.s_suppkey)
+        .select(
+            "p_partkey",
+            F.col("l_suppkey").alias("best_suppkey"),
+            "s_name",
+            F.round("avg_price", 4).alias("avg_price_r"),
+        )
+    )
+
+
+MIN_PRICE_SUPPLIER_SQL = """
+WITH avg_price AS (
+  SELECT p_partkey, l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS avg_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size >= 48
+  GROUP BY p_partkey, l_suppkey
+), best AS (
+  SELECT p_partkey, l_suppkey, avg_price,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY avg_price ASC, l_suppkey ASC) AS rn
+  FROM avg_price
+)
+SELECT p_partkey, l_suppkey AS best_suppkey, s_name,
+       ROUND(avg_price, 4) AS avg_price_r
+FROM best JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1
+"""
+
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 flavor: revenue by (supplier nation, customer nation, year)
+    — a 5-table multi-join where every dimension side is broadcast and only
+    the two fact-side joins shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    supp_nat = F.broadcast(
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("supp_nation")
+        )
+    )
+    cust_nat = cust.join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(supp_nat, li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_nat, orders.o_custkey == F.col("c_custkey"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "decimal(24,8)",
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+NATION_TRADE_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       EXTRACT(YEAR FROM l_shipdate) AS ship_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name < cn.n_name
+GROUP BY sn.n_name, cn.n_name, EXTRACT(YEAR FROM l_shipdate)
+"""
+
+
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form behind ROLLUP/CUBE (those are
+    covered by events_rollup / lineitem_cube): explicit set list with a
+    grouping-id disambiguator, expressed in Spark SQL so Catalyst plans the
+    single-pass Expand."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
+
+
+LINEITEM_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def big_basket_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 flavor: customers whose single orders exceed a total
+    quantity threshold — aggregate-then-HAVING, then join back to the
+    dimension side."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 270)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty"
+        )
+    )
+
+
+BIG_BASKET_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 270
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery semantics ("orders priced over 1.5× their
+    customer's average"), decorrelated Spark-style into a window average —
+    one shuffle on the correlation key instead of a per-row subquery."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    priced = orders.withColumn(
+        "cust_avg",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+            / F.count(F.lit(1)).over(w)
+        ).cast("double"),
+    )
+    # cust_avg stays an UNROUNDED double: both engines derive it from the
+    # same exact decimal sum, so the raw doubles agree bit-for-bit, while
+    # ROUND(x, 4) can flip the last digit when x sits on a rounding tie
+    return priced.filter(
+        F.col("o_totalprice").cast("double") > 1.5 * F.col("cust_avg")
+    ).select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("price_d"),
+        "cust_avg",
+    )
+
+
+ORDERS_ABOVE_AVG_SQL = """
+WITH priced AS (
+  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price_d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, price_d, cust_avg
+FROM priced WHERE price_d > 1.5 * cust_avg
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (winnowing-lite): min hash over
+    8-token shingles, grouped to expose collision clusters — the cheap
+    first-pass dup triage before MinHash. This catalog variant uses md5 so
+    DuckDB can replay it; the production column (functions/text.fingerprint)
+    is JVM xxhash64, same shape."""
+    from rust_cdc_validator_spark.functions.text import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.array_min(
+        F.transform(word_shingles(F.col("text"), 8), lambda s: F.md5(s))
+    )
+    per_doc = docs.select(F.col("doc_id"), fp.alias("fp"))
+    return per_doc.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("keeper_id"),
+    )
+
+
+DOC_FINGERPRINTS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), t -> t <> '') AS tk
+  FROM documents
+), fps AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 8 THEN
+           list_min(list_transform(range(1, len(tk) - 8 + 2),
+                                   i -> md5(array_to_string(tk[i:i+7], ' '))))
+         ELSE md5(array_to_string(tk, ' ')) END AS fp
+  FROM toks
+)
+SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+FROM fps GROUP BY fp
+"""
+
+
+def embedding_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (LSH candidates + exact
+    verification) — the vector-space sibling of minhash_near_dup.
+    Approximate candidate generation → rows-only check (no SQL oracle).
+    The testdata embeddings are near-uniform (max pairwise cosine ≈ 0.51),
+    so the threshold is set where the data has mass; real embedding
+    near-dup corpora run this at ≥ 0.95."""
+    from rust_cdc_validator_spark.operators.similarity import embedding_near_dup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.45,
+        dim=64, num_planes=6, num_tables=8,
+    ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r"))
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1413,6 +1669,13 @@ QUERIES: dict[str, QueryFn] = {
     "training_corpus": training_corpus,
     "sample_bucket_docs": sample_bucket_docs,
     "contamination_docs": contamination_docs,
+    "min_price_supplier_per_part": min_price_supplier_per_part,
+    "nation_trade_volume": nation_trade_volume,
+    "lineitem_grouping_sets": lineitem_grouping_sets,
+    "big_basket_customers": big_basket_customers,
+    "orders_above_cust_avg": orders_above_cust_avg,
+    "doc_fingerprints": doc_fingerprints,
+    "embedding_near_dup_docs": embedding_near_dup_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1459,6 +1722,13 @@ ORACLES: dict[str, str] = {
     "training_corpus": TRAINING_CORPUS_SQL,
     "sample_bucket_docs": SAMPLE_BUCKET_SQL,
     "contamination_docs": CONTAMINATION_SQL,
-    # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1:
-    # hash/quantizer-based, not SQL-expressible → rows-only by design.
+    "min_price_supplier_per_part": MIN_PRICE_SUPPLIER_SQL,
+    "nation_trade_volume": NATION_TRADE_SQL,
+    "lineitem_grouping_sets": LINEITEM_GROUPING_SETS_SQL,
+    "big_basket_customers": BIG_BASKET_SQL,
+    "orders_above_cust_avg": ORDERS_ABOVE_AVG_SQL,
+    "doc_fingerprints": DOC_FINGERPRINTS_SQL,
+    # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
+    # embedding_near_dup_docs: hash/quantizer-based, not SQL-expressible →
+    # rows-only by design.
 }
