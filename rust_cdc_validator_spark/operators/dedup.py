@@ -309,7 +309,14 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        # cut lineage per round; when a reliable checkpoint dir is
+        # configured (sc.setCheckpointDir), prefer it — localCheckpoint
+        # state dies with an executor, which at cluster scale would force
+        # recomputing the whole iteration chain
+        if spark.sparkContext.getCheckpointDir() is not None:
+            labels = new_labels.checkpoint(eager=True)
+        else:
+            labels = new_labels.localCheckpoint(eager=True)
         if changed == 0:
             break
     return labels.select(F.col("src").alias("node"), F.col("comp").alias("component"))

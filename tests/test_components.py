@@ -43,3 +43,21 @@ def test_dedup_clusters_end_to_end(spark):
     assert keep[1] == keep[2] == keep[3] == 1  # near-dup cluster keeps min id
     assert keep[4] == 4                        # singleton keeps itself
     assert len(keep) == 4
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """With a checkpoint dir configured, the distributed path uses reliable
+    checkpointing (survives executor loss at scale) and still converges."""
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+        )
+        out = {
+            r["node"]: r["component"]
+            for r in connected_components(edges, driver_threshold=10).collect()
+        }
+        assert set(out.values()) == {0}  # one chain, min label propagates
+    finally:
+        sc.setCheckpointDir(None) if hasattr(sc, "setCheckpointDir") else None
