@@ -132,23 +132,35 @@ def _hyperplanes(dim: int, seed: int, num_tables: int, num_planes: int) -> np.nd
     return planes / np.linalg.norm(planes, axis=2, keepdims=True)
 
 
-_BUCKET_SCHEMA = T.StructType(
-    [
-        T.StructField("_id", T.LongType(), False),
-        T.StructField("_v", T.ArrayType(T.DoubleType()), False),
-        T.StructField("tbl", T.IntegerType(), False),
-        T.StructField("bucket", T.LongType(), False),
-    ]
-)
+# The replicated vector payload is shipped once per (table) membership
+# through the bucket shuffle, so at num_tables=8 the payload is the dominant
+# shuffle cost (VERDICT r1 perf audit). ``payload_dtype='float32'`` halves
+# it on the wire; scoring upcasts to float64 either way. Trade-off: the
+# ~1e-7 rounding on unit vectors is below any meaningful similarity
+# threshold, but it CAN reorder neighbors whose similarities differ by
+# < 1e-7 (near-identical vectors) — hence float64 is the default and
+# float32 the at-scale opt-in.
+def _bucket_schema(dtype: str) -> T.StructType:
+    vec_t = T.FloatType() if dtype == "float32" else T.DoubleType()
+    return T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("_v", T.ArrayType(vec_t), False),
+            T.StructField("tbl", T.IntegerType(), False),
+            T.StructField("bucket", T.LongType(), False),
+        ]
+    )
 
 
 def _bucketed(
-    df: DataFrame, id_col: str, vec_col: str, planes: np.ndarray
+    df: DataFrame, id_col: str, vec_col: str, planes: np.ndarray,
+    payload_dtype: str = "float64",
 ) -> DataFrame:
     """One row per (vector, table) with its packed sign-bit bucket; vectors
     come out unit-normalized so downstream scoring is a plain dot."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(planes)
+    np_dtype = np.float32 if payload_dtype == "float32" else np.float64
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pl = bc.value  # (T, P, D)
@@ -170,14 +182,14 @@ def _bucketed(
             yield pd.DataFrame(
                 {
                     "_id": out_ids,
-                    "_v": list(np.tile(v, (n_tables, 1))),
+                    "_v": list(np.tile(v.astype(np_dtype), (n_tables, 1))),
                     "tbl": out_tbl,
                     "bucket": buckets.ravel(),
                 }
             )
 
     return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
-        gen, _BUCKET_SCHEMA
+        gen, _bucket_schema(payload_dtype)
     )
 
 
@@ -210,12 +222,12 @@ def _make_group_scorer(k: int, include_self: bool, q_block: int = 1024):
         cs = pdf[pdf["_role"] == "c"]
         if qs.empty or cs.empty:
             return empty
-        cm = np.stack(cs["_v"].to_numpy())
+        cm = np.stack(cs["_v"].to_numpy()).astype(np.float64)
         ci = cs["_id"].to_numpy()
         out = []
         for start in range(0, len(qs), q_block):
             qsb = qs.iloc[start : start + q_block]
-            qm = np.stack(qsb["_v"].to_numpy())
+            qm = np.stack(qsb["_v"].to_numpy()).astype(np.float64)
             qi = qsb["_id"].to_numpy()
             sims = qm @ cm.T
             if not include_self:
@@ -249,14 +261,20 @@ def lsh_bucket_topk(
     num_tables: int = 4,
     seed: int = 42,
     include_self: bool = False,
+    payload_dtype: str = "float64",
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH: bucket both sides
     per table, equi-join on (tbl, bucket), exact-score candidates (vectorized
     pandas UDF), rank. Recall grows with num_tables at one narrow projection
-    each."""
+    each. ``payload_dtype='float32'`` halves the dominant shuffle payload —
+    see the _bucket_schema note for the precision trade."""
     planes = _hyperplanes(dim, seed, num_tables, num_planes)
-    cb = _bucketed(corpus, id_col, vec_col, planes).withColumn("_role", F.lit("c"))
-    qb = _bucketed(queries, id_col, vec_col, planes).withColumn("_role", F.lit("q"))
+    cb = _bucketed(corpus, id_col, vec_col, planes, payload_dtype).withColumn(
+        "_role", F.lit("c")
+    )
+    qb = _bucketed(queries, id_col, vec_col, planes, payload_dtype).withColumn(
+        "_role", F.lit("q")
+    )
 
     # Score per (table, bucket) with a grouped matmul — same shape as the
     # IVF scorer: vectors shuffle once per bucket membership, never once per
@@ -325,6 +343,7 @@ def ivf_topk(
     sample_size: int = 10_000,
     seed: int = 42,
     include_self: bool = False,
+    payload_dtype: str = "float64",
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors are assigned to their nearest coarse
     centroid (one cell each); queries probe their ``n_probe`` nearest cells;
@@ -359,17 +378,19 @@ def ivf_topk(
                 yield pd.DataFrame(
                     {
                         "_id": np.repeat(ids, n_top),
-                        "_v": list(np.repeat(v, n_top, axis=0)),
+                        "_v": list(np.repeat(v.astype(np_dtype), n_top, axis=0)),
                         "cell": top.ravel().astype(np.int32),
                     }
                 )
 
         return gen
 
+    np_dtype = np.float32 if payload_dtype == "float32" else np.float64
+    vec_t = T.FloatType() if payload_dtype == "float32" else T.DoubleType()
     schema = T.StructType(
         [
             T.StructField("_id", T.LongType(), False),
-            T.StructField("_v", T.ArrayType(T.DoubleType()), False),
+            T.StructField("_v", T.ArrayType(vec_t), False),
             T.StructField("cell", T.IntegerType(), False),
         ]
     )

@@ -156,3 +156,14 @@ def test_embedding_near_dup_pairs(spark):
     pairs = embedding_near_dup(v, threshold=0.9999, dim=4, num_planes=4, num_tables=8).collect()
     assert all(r["id_a"] % 10 == r["id_b"] % 10 for r in pairs)
     assert len(pairs) > 0
+
+
+def test_lsh_float32_payload_optin(spark):
+    """payload_dtype='float32' (the at-scale shuffle-halving opt-in) still
+    retrieves same-cluster neighbors; only sub-1e-7 orderings may differ."""
+    v = _vectors(spark)
+    out = lsh_bucket_topk(
+        v, v, dim=4, k=1, num_planes=4, num_tables=8, payload_dtype="float32"
+    ).collect()
+    same_cluster = sum(1 for r in out if r["neighbor_id"] % 10 == r["query_id"] % 10)
+    assert same_cluster / len(out) >= 0.9

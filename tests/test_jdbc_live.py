@@ -107,3 +107,25 @@ def test_execute_statements_surfaces_sql_errors(spark, tmp_path):
     url = _url(tmp_path)
     with pytest.raises(Exception, match="(?i)syntax|sqlexception"):
         execute_statements(spark, url, ["THIS IS NOT SQL"], DERBY)
+
+
+def test_jdbc_catalog_query_path_live(spark, tmp_path):
+    """S5-S7's JDBC leg: the catalog's query mechanism (pushdown subquery
+    through spark.read.jdbc) executed against a live database. Derby has no
+    information_schema, so the Postgres catalog SQL itself stays
+    golden-tested; this drives the _query plumbing against Derby's SYS
+    tables instead."""
+    from rust_cdc_validator_spark.sources.catalog import JdbcCatalog
+
+    url = _url(tmp_path)
+    execute_statements(
+        spark, url,
+        ["CREATE TABLE catprobe (id BIGINT NOT NULL PRIMARY KEY, v BIGINT)"],
+        DERBY,
+    )
+    cat = JdbcCatalog(spark, url, properties=DERBY)
+    rows = cat._query(
+        "SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLETYPE = 'T'"
+    ).collect()
+    names = {r[0] for r in rows}
+    assert "CATPROBE" in names
