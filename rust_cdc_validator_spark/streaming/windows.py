@@ -90,3 +90,97 @@ def running_totals_stateful(stream: DataFrame, key_col: str = "user_id") -> Data
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SESS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+_SESS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def sessionize_stateful(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    gap_us: int = 1_800_000_000,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming sessionization — the stateful sibling of the batch
+    ``events_sessionize`` query: per key, events within ``gap_us`` of the
+    previous event belong to one session; a longer silence CLOSES the open
+    session, which is emitted as one row. The open session survives across
+    micro-batches as explicit state.
+
+    ``idle_timeout_ms`` (processing-time) flushes a still-open session when
+    its key has been silent that long — without it, a key that never speaks
+    again holds its last session open forever (fine for AvailableNow
+    drains, wrong for continuous mode; the timeout is the state-eviction
+    contract applyInPandasWithState exists for).
+    """
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "session_start_us": pd.Series(dtype="int64"),
+                "session_end_us": pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+            }
+        )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "session_start_us": [start],
+                 "session_end_us": [last], "n_events": [n]}
+            )
+            return
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple] = []
+        ts_all = sorted(int(t) for pdf in pdfs for t in pdf[ts_us_col])
+        for t in ts_all:
+            if last is not None and t - last > gap_us:
+                closed.append((key[0], start, last, n))
+                start, n = t, 0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+        state.update((start, last, n))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start_us", "session_end_us", "n_events"],
+            )
+        else:
+            yield _empty()
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_SESS_OUT_SCHEMA,
+        stateStructType=_SESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -117,3 +117,38 @@ def test_running_totals_stateful_across_batches(spark, tmp_path):
     got = {r["user_id"]: (r["t"], r["n"]) for r in rows}
     assert got[1] == (17.5, 3)
     assert got[2] == (5.0, 2)
+
+
+def test_sessionize_stateful_closes_on_gap_across_batches(spark, tmp_path):
+    """Open sessions survive micro-batch boundaries as explicit state; a
+    gap observed in a later batch closes and emits the earlier session."""
+    from rust_cdc_validator_spark.streaming.windows import sessionize_stateful
+
+    src = tmp_path / "sess"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()),
+         T.StructField("ts_us", T.LongType())]
+    )
+
+    def w(name, rows):
+        pq.write_table(
+            pa.table({"user_id": [u for u, _ in rows],
+                      "ts_us": [t for _, t in rows]}), str(src / name))
+
+    # gap_us=1000. Batch 1: user 1 at 0,60 (one open session); user 2 at 0.
+    w("a.parquet", [(1, 0), (1, 60), (2, 0)])
+    # Batch 2: user 1 at 5000 (gap > 1000 → closes [0,60] n=2);
+    # user 2 at 500 (within gap → still open, nothing emitted).
+    w("b.parquet", [(1, 5000), (2, 500)])
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    q = (sessionize_stateful(stream, gap_us=1000).writeStream
+         .format("memory").queryName("sess_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = [tuple(r) for r in spark.sql(
+        "SELECT user_id, session_start_us, session_end_us, n_events "
+        "FROM sess_out").collect()]
+    assert rows == [(1, 0, 60, 2)]
