@@ -105,3 +105,20 @@ def test_null_vs_empty_string_detected(spark):
     b = spark.createDataFrame([(1, "")], "pk int, v string")
     rep = diff_tables(a, b, ["pk"], chunk_size=10)
     assert rep.mismatched_chunks == [0]
+
+
+def test_composite_pk_diff(spark):
+    """Composite PKs: chunk order derives from the first key column only
+    (consistent across both sides), while the drill-down anti-join uses the
+    FULL key tuple — a defect on (2, 'b') must not implicate (2, 'a')."""
+    rows = [(i, s, i * 10 + ord(s)) for i in range(50) for s in ("a", "b")]
+    src = spark.createDataFrame(rows, "k1 long, k2 string, v long")
+    tgt_rows = [
+        (k1, k2, -1 if (k1, k2) == (2, "b") else v) for k1, k2, v in rows
+    ]
+    tgt = spark.createDataFrame(tgt_rows, "k1 long, k2 string, v long")
+    rep = diff_tables(src, tgt, ["k1", "k2"], chunk_size=20)
+    assert not rep.is_match
+    src_only = {(r["k1"], r["k2"]) for r in rep.rows_only_in_source.collect()}
+    tgt_only = {(r["k1"], r["k2"]) for r in rep.rows_only_in_target.collect()}
+    assert src_only == {(2, "b")} and tgt_only == {(2, "b")}
