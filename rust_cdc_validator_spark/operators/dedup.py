@@ -186,17 +186,22 @@ def ngram_jaccard_pairs(
     key instead of a ~20-byte string halves shuffle volume; the 2⁻⁶⁴
     collision probability is negligible against exact-count semantics.
     """
+    from pyspark.sql import Window
+
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("_s0"),
     ).select("_id", F.xxhash64("_s0").alias("_s"))
-    rare = (
-        sh.groupBy("_s")
-        .agg(F.count(F.lit(1)).alias("_df"))
+    # document frequency via a count window over the shingle partitioning —
+    # one hash shuffle on _s (NOT single-partition: partitionBy(_s)), whose
+    # output partitioning the self-join below reuses, vs. a separate
+    # aggregate + semi-join which would shuffle the shingle set twice more
+    w_df = Window.partitionBy("_s")
+    sh = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(w_df))
         .filter(F.col("_df") <= max_shingle_df)
-        .select("_s")
+        .drop("_df")
     )
-    sh = sh.join(rare, on="_s", how="left_semi")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     inter = (
         sh.alias("a")
