@@ -72,19 +72,20 @@ def _band_candidates(
     in a dropped bucket still meet in any of their other (num_bands - 1)
     bands; a group identical enough to overflow EVERY band is boilerplate
     the pipeline should route to exact_dedup, not pairwise comparison.
-    The cap filter is a count + left_semi join on the same (band_id, bucket)
-    keys as the pair join, so it rides the same shuffle partitioning.
+    The cap is a count window over the same (band_id, bucket) partitioning
+    the pair join shuffles on — one shuffle, no extra aggregate+semi-join.
     """
+    from pyspark.sql import Window
+
     buckets = sig.select(
         "_id", F.explode(lsh_bands(F.col("_sig"), num_bands, rows_per_band)).alias("_b")
     ).select("_id", F.col("_b.band_id").alias("band_id"), F.col("_b.bucket").alias("bucket"))
-    small = (
-        buckets.groupBy("band_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") <= max_bucket_size)
-        .select("band_id", "bucket")
+    w_pop = Window.partitionBy("band_id", "bucket")
+    buckets = (
+        buckets.withColumn("_pop", F.count(F.lit(1)).over(w_pop))
+        .filter(F.col("_pop") <= max_bucket_size)
+        .drop("_pop")
     )
-    buckets = buckets.join(small, on=["band_id", "bucket"], how="left_semi")
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(b, on=["band_id", "bucket"], how="inner")
