@@ -20,7 +20,7 @@ import os
 import posixpath
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame
 
@@ -53,6 +53,20 @@ class CdcPayload:
         if self.only_datadiff and self.only_snapshot:
             # reference panics on this combination (cdc_operator_payload.rs:70-72)
             raise ValueError("only_datadiff and only_snapshot are mutually exclusive")
+        if self.mode is FileMode.DATE_AWARE and not self.start_date:
+            # the reference client requires start-date in DateAware mode
+            # (main.rs:60-63, required unless only_snapshot of a full load)
+            raise ValueError("DATE_AWARE mode requires start_date")
+        # accept ISO strings for the date bounds (the reference client takes
+        # "YYYY-MM-DDTHH:MM:SSZ" strings, main.rs:60-68) — naive values are
+        # pinned to UTC exactly like the CLI's _parse_date
+        for f_ in ("start_date", "stop_date"):
+            val = getattr(self, f_)
+            if isinstance(val, str):
+                dt = datetime.fromisoformat(val.replace("Z", "+00:00"))
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                object.__setattr__(self, f_, dt)
 
 
 class CdcValidator:

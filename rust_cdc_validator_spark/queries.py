@@ -1616,6 +1616,207 @@ def embedding_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r"))
 
 
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks up the most recent same-user
+    purchase at-or-before it (backward inclusive). Spark has no ASOF JOIN;
+    operators/asof.py implements it as union + one keyed window (one
+    shuffle, no pair explosion) — DuckDB's native ASOF JOIN is the oracle."""
+    from rust_cdc_validator_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_us",
+        F.col("value").alias("last_purchase_value"),
+        F.col("event_id").alias("purchase_event_id"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        value_cols=["last_purchase_value", "purchase_event_id"],
+        tiebreak="purchase_event_id",
+    )
+
+
+EVENTS_ASOF_PURCHASE_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+), purch AS (
+  SELECT user_id, ts_us, value, event_id FROM (
+    SELECT user_id, ts_us, value, event_id,
+           row_number() OVER (PARTITION BY user_id, ts_us
+                              ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+), clicks AS (
+  SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'
+)
+SELECT c.user_id, c.ts_us, c.event_id,
+       p.value AS last_purchase_value,
+       p.event_id AS purchase_event_id
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+"""
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: top-token fraction and
+    duplicate-bigram fraction (filters for boilerplate/spam in a training
+    corpus). Bigram stats are computed MAP-SIDE with array ops (zero
+    shuffle); the token mode needs a real distributed mode -> one narrow
+    (doc_id, tok) shuffle with map-side partial counts."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    map_side = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+    )
+    top = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    return map_side.join(top, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("top_c").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "top_token_frac"
+        ),
+        (
+            F.lit(1.0)
+            - F.col("n_distinct_bigrams").cast("double")
+            / F.nullif(F.col("n_bigrams"), F.lit(0)).cast("double")
+        ).alias("dup_bigram_frac"),
+    )
+
+
+DOC_REPETITION_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), map_side AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         len(tk) - 1 AS n_bigrams,
+         len(list_distinct(list_transform(range(1, len(tk)),
+                           i -> tk[i] || ' ' || tk[i+1]))) AS n_distinct_bigrams
+  FROM toks WHERE len(tk) >= 1
+), top AS (
+  SELECT doc_id, MAX(c) AS top_c FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT m.doc_id, m.n_tokens,
+       CAST(t.top_c AS DOUBLE) / CAST(m.n_tokens AS DOUBLE) AS top_token_frac,
+       1.0 - CAST(m.n_distinct_bigrams AS DOUBLE)
+             / CAST(NULLIF(m.n_bigrams, 0) AS DOUBLE) AS dup_bigram_frac
+FROM map_side m JOIN top t USING (doc_id)
+"""
+
+
+def lang_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style distinguishing terms per language: score = tf * N / df
+    (inverse-document-frequency WITHOUT the log — monotone in df, and pure
+    multiply/divide is IEEE-correctly-rounded in both engines, so values
+    hash-match bit-exactly; ln() can differ in the last ulp across libm
+    implementations). Top-5 per lang; the ranking window is over the
+    post-aggregation (lang, token) relation — vocabulary-sized, not
+    corpus-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    tokd = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = tokd.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tokd.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs_total"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * F.col("n_docs_total").cast("double")
+            / F.col("df").cast("double"),
+        )
+    )
+    wr = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "tok", "tf", "df", "score", "rnk")
+    )
+
+
+LANG_DISTINCTIVE_TERMS_SQL = """
+WITH tokd AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), tf AS (
+  SELECT lang, tok, COUNT(*) AS tf FROM tokd GROUP BY lang, tok
+), dfreq AS (
+  SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tokd)
+  GROUP BY tok
+), total AS (
+  SELECT COUNT(*) AS n_docs_total FROM documents
+), scored AS (
+  SELECT t.lang, t.tok, t.tf, d.df,
+         CAST(t.tf AS DOUBLE) * CAST(n.n_docs_total AS DOUBLE)
+           / CAST(d.df AS DOUBLE) AS score
+  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN total n
+)
+SELECT lang, tok, tf, df, score, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY score DESC, tok) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+def events_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing pass over a free-text column: redact digit runs
+    in `events.props` (stand-in for phone/account numbers; the synthetic
+    corpus has no real PII) and report how many digit characters were
+    removed — the redaction stage of a training-data pipeline, pure JVM
+    regexp (no UDF)."""
+    ev = _events(spark, sf_dir)
+    n_digits = F.length("props") - F.length(F.regexp_replace("props", "[0-9]", ""))
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "#").alias("scrubbed"),
+        n_digits.alias("n_digits"),
+    )
+
+
+EVENTS_PII_SCRUB_SQL = """
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed,
+       LENGTH(props) - LENGTH(regexp_replace(props, '[0-9]', '', 'g')) AS n_digits
+FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1676,6 +1877,10 @@ QUERIES: dict[str, QueryFn] = {
     "orders_above_cust_avg": orders_above_cust_avg,
     "doc_fingerprints": doc_fingerprints,
     "embedding_near_dup_docs": embedding_near_dup_docs,
+    "events_asof_purchase": events_asof_purchase,
+    "doc_repetition_stats": doc_repetition_stats,
+    "lang_distinctive_terms": lang_distinctive_terms,
+    "events_pii_scrub": events_pii_scrub,
 }
 
 ORACLES: dict[str, str] = {
@@ -1728,6 +1933,10 @@ ORACLES: dict[str, str] = {
     "big_basket_customers": BIG_BASKET_SQL,
     "orders_above_cust_avg": ORDERS_ABOVE_AVG_SQL,
     "doc_fingerprints": DOC_FINGERPRINTS_SQL,
+    "events_asof_purchase": EVENTS_ASOF_PURCHASE_SQL,
+    "doc_repetition_stats": DOC_REPETITION_STATS_SQL,
+    "lang_distinctive_terms": LANG_DISTINCTIVE_TERMS_SQL,
+    "events_pii_scrub": EVENTS_PII_SCRUB_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs: hash/quantizer-based, not SQL-expressible →
     # rows-only by design.
