@@ -9,7 +9,7 @@ here is value-checkable against an independent SQL engine.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rust_cdc_validator_spark.functions.text import STOPWORDS, word_shingles
@@ -115,6 +115,80 @@ def profile_table(
         + ") as (column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
     )
     return stacked
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    shards: int = 16,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences ("packing").
+
+    Greedy offset packing, shard-local: documents are hashed into ``shards``
+    independent shards (md5, engine-portable), ordered by id within a shard,
+    and a document starting at cumulative token offset ``o`` goes to pack
+    ``floor(o / budget)``. A pack may overflow by at most its last document
+    (best-effort packing — the standard trade made by large-scale pipelines,
+    which truncate or span the overflow at tokenization time; exact first-fit
+    bin packing is inherently sequential and cannot shard).
+
+    Scale shape: one hash shuffle into shards, one per-shard sort for the
+    running-sum window — the same cost class as a groupBy. No driver state;
+    shard count just needs to exceed cluster parallelism. Rows with
+    ``token_col > budget`` form (over-full) packs of their own rather than
+    being dropped — the caller decides whether to split or discard them.
+
+    Returns one row per document: (id, shard, pack_id, token offset within
+    the pack) — the shard/pack assignment a writer would group by.
+    """
+    shard = md5_bucket(F.col(id_col), shards).alias("shard")
+    w = Window.partitionBy("shard").orderBy(id_col)
+    with_off = (
+        docs.select(F.col(id_col), shard, F.col(token_col))
+        .withColumn(
+            "_start",
+            F.coalesce(
+                F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+    )
+    return with_off.select(
+        id_col,
+        "shard",
+        F.floor(F.col("_start") / budget).cast("bigint").alias("pack_id"),
+        (F.col("_start") % budget).alias("pack_offset"),
+        token_col,
+    )
+
+
+def cap_per_domain(
+    docs: DataFrame,
+    domain_col: str = "source",
+    k: int = 10,
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``k`` documents per domain/source — the standard
+    anti-overrepresentation gate in web-corpus curation (a handful of hot
+    domains otherwise dominate the token mix).
+
+    Rank within domain by (``order_col`` desc, id asc — deterministic) and
+    keep rank <= k. One hash shuffle on the domain; per-domain sort is
+    bounded by domain size. A pathologically hot domain (say 10^9 rows of
+    one host at 100 TB) still sorts in one task's partition — for that case
+    pre-filter with an approximate per-domain count and sample before the
+    exact window; AQE's skew handling covers the moderate cases.
+    """
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= k)
+    )
 
 
 def prepare_training_corpus(

@@ -1025,6 +1025,118 @@ GROUP BY a.doc_id
 """
 
 
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training shards: shard docs (md5, portable),
+    assign each to a fixed-token-budget pack by cumulative offset
+    (operators/corpus.pack_sequences), report per-pack fill. One shuffle +
+    one per-shard sort — groupBy cost class at any scale."""
+    from rust_cdc_validator_spark.operators.corpus import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))
+    )
+    packs = pack_sequences(docs, budget=512, shards=8)
+    return packs.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
+PACKED_SEQUENCES_SQL = """
+WITH toks AS (
+  SELECT doc_id, LEN(string_split(text, ' ')) AS n_tokens,
+         (strpos('0123456789abcdef',
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8 AS shard
+  FROM documents
+), offs AS (
+  SELECT shard, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM toks
+)
+SELECT CAST(shard AS INTEGER) AS shard,
+       CAST(FLOOR(start_off / 512.0) AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM offs GROUP BY shard, pack_id
+"""
+
+
+def domain_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain representation cap: keep the 10 largest docs per source
+    (operators/corpus.cap_per_domain) — the anti-overrepresentation gate in
+    web-corpus curation."""
+    from rust_cdc_validator_spark.operators.corpus import cap_per_domain
+
+    docs = _t(spark, sf_dir, "documents")
+    return cap_per_domain(docs, "source", k=10, order_col="n_chars").select(
+        "doc_id", "source", "n_chars", "domain_rank"
+    )
+
+
+DOMAIN_CAPPED_SQL = """
+SELECT doc_id, source, n_chars, domain_rank FROM (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id ASC) AS INTEGER) AS domain_rank
+  FROM documents
+) WHERE domain_rank <= 10
+"""
+
+
+def events_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via bucketed range join (operators/rangejoin.py): for
+    each purchase, count same-user events within ±120 s. The naive
+    BETWEEN-join is a nested-loop plan; bucketing turns it into an ordinary
+    equi-join on (user, time-bucket) plus an exact filter."""
+    from rust_cdc_validator_spark.operators.rangejoin import range_join
+
+    delta_us = 120_000_000
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    points = ev.select(
+        "user_id",
+        F.col("event_id").alias("nearby_event_id"),
+        F.col("event_type").alias("nearby_type"),
+        F.col("ts_us").alias("ev_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        (F.col("ts_us") - delta_us).alias("lo"),
+        (F.col("ts_us") + delta_us).alias("hi"),
+    )
+    joined = range_join(
+        points, purchases, "ev_ts", "lo", "hi",
+        bucket_width=delta_us, equality_keys=["user_id"],
+    )
+    return (
+        joined.filter(F.col("nearby_event_id") != F.col("purchase_event_id"))
+        .groupBy("purchase_event_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nearby"),
+            F.sum(
+                F.when(F.col("nearby_type") == "click", 1).otherwise(0)
+            ).alias("n_nearby_clicks"),
+        )
+    )
+
+
+EVENTS_PURCHASE_WINDOW_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+)
+SELECT p.event_id AS purchase_event_id, p.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_nearby,
+       CAST(SUM(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nearby_clicks
+FROM ev p JOIN ev e ON p.user_id = e.user_id
+  AND e.ts_us BETWEEN p.ts_us - 120000000 AND p.ts_us + 120000000
+  AND e.event_id <> p.event_id
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Hash-sketch operators (xxhash64-based — no SQL oracle; driver rows-only)
 # --------------------------------------------------------------------------
@@ -1881,6 +1993,9 @@ QUERIES: dict[str, QueryFn] = {
     "doc_repetition_stats": doc_repetition_stats,
     "lang_distinctive_terms": lang_distinctive_terms,
     "events_pii_scrub": events_pii_scrub,
+    "packed_sequences": packed_sequences,
+    "domain_capped_docs": domain_capped_docs,
+    "events_purchase_window": events_purchase_window,
 }
 
 ORACLES: dict[str, str] = {
@@ -1937,6 +2052,9 @@ ORACLES: dict[str, str] = {
     "doc_repetition_stats": DOC_REPETITION_STATS_SQL,
     "lang_distinctive_terms": LANG_DISTINCTIVE_TERMS_SQL,
     "events_pii_scrub": EVENTS_PII_SCRUB_SQL,
+    "packed_sequences": PACKED_SEQUENCES_SQL,
+    "domain_capped_docs": DOMAIN_CAPPED_SQL,
+    "events_purchase_window": EVENTS_PURCHASE_WINDOW_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs: hash/quantizer-based, not SQL-expressible →
     # rows-only by design.

@@ -62,3 +62,61 @@ def test_prepare_training_corpus_dedups_normalized(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"] for r in prepare_training_corpus(docs, min_chars=50).collect()}
     assert out == {1}  # doc2 deduped into doc1, doc3 gated out
+
+
+def test_pack_sequences_budget_and_coverage(spark):
+    from rust_cdc_validator_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 300) for i in range(200)], "doc_id long, n_tokens int"
+    )
+    packs = pack_sequences(docs, budget=1000, shards=4).collect()
+    # every doc assigned exactly once
+    assert sorted(r.doc_id for r in packs) == list(range(200))
+    by_doc = {r.doc_id: r for r in packs}
+    # within a shard, pack ids follow cumulative offsets: offset < budget,
+    # and a doc's pack is floor(start/budget) — verify against a local replay
+    import hashlib
+    from collections import defaultdict
+
+    shards = defaultdict(list)
+    for i in range(200):
+        sh = int(hashlib.md5(str(i).encode()).hexdigest()[0], 16) % 4
+        shards[sh].append(i)
+    for sh, ids in shards.items():
+        start = 0
+        for i in sorted(ids):
+            r = by_doc[i]
+            assert r.shard == sh
+            assert r.pack_id == start // 1000
+            assert r.pack_offset == start % 1000
+            start += 100 + (i * 37) % 300
+    # packs fill to at least the budget minus one max-doc (greedy property)
+    from collections import Counter
+
+    tokens_per_pack = Counter()
+    maxpack = {}
+    for r in packs:
+        tokens_per_pack[(r.shard, r.pack_id)] += r.n_tokens
+        maxpack[r.shard] = max(maxpack.get(r.shard, -1), r.pack_id)
+    for (sh, p), tot in tokens_per_pack.items():
+        if p < maxpack[sh]:  # every non-final pack reaches its budget
+            assert tot + 399 >= 1000
+
+
+def test_cap_per_domain_keeps_top_k_deterministically(spark):
+    from rust_cdc_validator_spark.operators.corpus import cap_per_domain
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i % 3}", 1000 - (i % 5)) for i in range(60)],
+        "doc_id long, source string, n_chars int",
+    )
+    got = cap_per_domain(docs, "source", k=4, order_col="n_chars").collect()
+    assert len(got) == 12
+    for r in got:
+        assert r.domain_rank <= 4
+    # deterministic: biggest n_chars first, doc_id breaks ties
+    for dom in ("d0", "d1", "d2"):
+        rows = sorted((r for r in got if r.source == dom), key=lambda r: r.domain_rank)
+        keys = [(-r.n_chars, r.doc_id) for r in rows]
+        assert keys == sorted(keys)
