@@ -7,14 +7,18 @@ Each query is fully materialized through the `noop` sink (distributed
 execution, no driver collect). One warm-up query amortizes JVM/codegen
 startup out of the measurements.
 
-$SPARK_GRAFT_BENCH_REPS (default 1) runs each query N times and reports
-the per-query MEDIAN — single runs swing up to ~5× on a few queries from
-GC/JIT noise (round-1 observation on lineitem_cube), so set REPS=3 when
-comparing plans.
+Methodology (per the round-1 verdict: "bench the gate on medians in
+round 2"): every query first runs ONCE untimed — a query's first execution
+pays one-off JVM codegen, Arrow/pandas-UDF worker startup, and broadcast
+costs that are 2-5× its steady state and are not properties of the plan —
+then $SPARK_GRAFT_BENCH_REPS (default 3) timed runs per query, reporting
+the per-query MEDIAN (single runs additionally swing up to ~5× from GC
+noise; round-1 observation on lineitem_cube).
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -32,12 +36,15 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # warm-up: JVM JIT + parquet footer caches, not counted
-    QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # warm-up: one untimed pass of EVERY query (JVM JIT, codegen cache,
+    # python-UDF worker pool, parquet footers) — see module docstring
+    for fn in QUERIES.values():
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        gc.collect()  # release py4j refs so ContextCleaner can drop
+        # eager-localCheckpoint RDDs; otherwise blocks from dozens of
+        # earlier queries pile up in executor storage and distort timings
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         runs = []
@@ -45,6 +52,7 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
+            gc.collect()
         timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)

@@ -198,29 +198,36 @@ def ngram_jaccard_pairs(
     # output partitioning the self-join below reuses, vs. a separate
     # aggregate + semi-join which would shuffle the shingle set twice more
     w_df = Window.partitionBy("_s")
+    # the capped shingle table feeds three consumers (per-doc sizes + both
+    # sides of the pair join); persist it for ONE eager materialization of
+    # the (small) pair result — same lifecycle discipline as
+    # minhash_near_dup_pairs — instead of re-running explode+window thrice
     sh = (
         sh.withColumn("_df", F.count(F.lit(1)).over(w_df))
         .filter(F.col("_df") <= max_shingle_df)
         .drop("_df")
-    )
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), on="_s")
-        .filter(F.col("a._id") < F.col("b._id"))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    out = (
-        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "n_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+    ).persist()
+    try:
+        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+        inter = (
+            sh.alias("a")
+            .join(sh.alias("b"), on="_s")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
         )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return out.select("id_a", "id_b", "jaccard")
+        out = (
+            inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "n_a"), "id_a")
+            .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "n_b"), "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        return out.select("id_a", "id_b", "jaccard").localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 def connected_components(
