@@ -44,6 +44,45 @@ def deterministic_sample(
     return df.filter(md5_bucket(F.col(id_col), rate_buckets) == keep_bucket)
 
 
+def md5_bucket_fine(col: Column, denom: int = 4096) -> Column:
+    """Deterministic bucket in [0, denom) from the first three hex digits of
+    md5 (denom must divide 4096). Finer-grained sibling of ``md5_bucket``
+    for per-mille sampling rates; same engine-portability contract (the SQL
+    oracle rebuilds the value with three strpos lookups)."""
+    assert 4096 % denom == 0, "denom must divide 4096"
+    h = F.md5(col.cast("string"))
+    v = F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
+    return v % denom
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    denom: int = 4096,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing step that
+    up/down-weights languages or sources to a target distribution.
+
+    Each stratum value gets its own keep-rate in [0, 1]; rows of strata not
+    listed are dropped. Sampling is systematic on md5(id) (stable across
+    runs, engines, partitionings — unlike RNG `sampleBy`), so the same doc
+    is kept or dropped identically in every pipeline stage that re-applies
+    the sample. Pure map-side filter: no shuffle, no driver state.
+    """
+    bucket = md5_bucket_fine(F.col(id_col), denom)
+    thresh = None
+    for value, rate in sorted(rates.items()):
+        cut = int(rate * denom)
+        case = F.when(F.col(strata_col) == value, F.lit(cut))
+        thresh = case if thresh is None else thresh.when(
+            F.col(strata_col) == value, F.lit(cut)
+        )
+    thresh = (thresh.otherwise(F.lit(0)) if thresh is not None else F.lit(0))
+    return df.filter(bucket < thresh)
+
+
 def contamination_check(
     train: DataFrame,
     benchmark: DataFrame,

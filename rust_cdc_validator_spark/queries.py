@@ -1084,6 +1084,32 @@ SELECT doc_id, source, n_chars, domain_rank FROM (
 """
 
 
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: deterministic per-language sampling rates
+    (operators/corpus.stratified_sample) — e.g. keep all German, half of
+    English, a twentieth of Chinese. Map-side filter, no shuffle."""
+    from rust_cdc_validator_spark.operators.corpus import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.1, "zh": 0.05}
+    return stratified_sample(docs, "lang", rates).select("doc_id", "lang", "source")
+
+
+STRATIFIED_SAMPLE_SQL = """
+WITH b AS (
+  SELECT doc_id, lang, source,
+         ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, source FROM b
+WHERE bucket < CASE lang WHEN 'de' THEN 4096 WHEN 'en' THEN 2048
+                         WHEN 'fr' THEN 1024 WHEN 'es' THEN 409
+                         WHEN 'zh' THEN 204 ELSE 0 END
+"""
+
+
 def events_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join via bucketed range join (operators/rangejoin.py): for
     each purchase, count same-user events within ±120 s. The naive
@@ -1996,6 +2022,7 @@ QUERIES: dict[str, QueryFn] = {
     "packed_sequences": packed_sequences,
     "domain_capped_docs": domain_capped_docs,
     "events_purchase_window": events_purchase_window,
+    "stratified_sample_docs": stratified_sample_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2055,6 +2082,7 @@ ORACLES: dict[str, str] = {
     "packed_sequences": PACKED_SEQUENCES_SQL,
     "domain_capped_docs": DOMAIN_CAPPED_SQL,
     "events_purchase_window": EVENTS_PURCHASE_WINDOW_SQL,
+    "stratified_sample_docs": STRATIFIED_SAMPLE_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs: hash/quantizer-based, not SQL-expressible →
     # rows-only by design.

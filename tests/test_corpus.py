@@ -120,3 +120,26 @@ def test_cap_per_domain_keeps_top_k_deterministically(spark):
         rows = sorted((r for r in got if r.source == dom), key=lambda r: r.domain_rank)
         keys = [(-r.n_chars, r.doc_id) for r in rows]
         assert keys == sorted(keys)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from rust_cdc_validator_spark.operators.corpus import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, ["en", "de", "zh"][i % 3]) for i in range(3000)],
+        "doc_id long, lang string",
+    )
+    rates = {"en": 1.0, "de": 0.5, "zh": 0.0}
+    got = stratified_sample(docs, "lang", rates)
+    counts = {r["lang"]: r["count"] for r in got.groupBy("lang").count().collect()}
+    assert counts.get("en") == 1000            # rate 1.0 keeps everything
+    assert "zh" not in counts                  # rate 0.0 drops everything
+    assert 350 <= counts.get("de", 0) <= 650   # ~half, hash-distributed
+    # deterministic and partitioning-invariant
+    again = stratified_sample(docs.repartition(13), "lang", rates)
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    # unlisted strata are dropped
+    extra = spark.createDataFrame([(99999, "xx")], "doc_id long, lang string")
+    assert stratified_sample(extra, "lang", rates).count() == 0
