@@ -1,0 +1,127 @@
+"""Keyword retrieval: BM25 top-k over an implicit inverted index.
+
+The reference has no text-retrieval surface; this is part of the
+beyond-reference training-pipeline layer (COVERAGE.md "Beyond-reference"),
+complementing the embedding-based similarity operators
+(operators/similarity.py) with the sparse/lexical half of a data-curation
+stack (e.g. mining docs related to a benchmark prompt before
+decontamination, or building retrieval-labelled training pairs).
+
+Scale design (the part that matters at 100 TB):
+
+* There is NO materialized index. The "posting list" for the query's terms
+  is produced map-side by filtering each document's token array against the
+  (tiny, broadcast) query-term set BEFORE anything shuffles — so shuffle
+  volume is proportional to *matching* (doc, term) pairs, not corpus size.
+* Document length (needed by BM25's length normalization) is computed in
+  the same map-side pass (`size(split(...))`), never via a corpus-wide
+  token groupBy.
+* Corpus stats (N, avgdl) are one all-map-side-partial aggregate producing
+  a single row, attached with a broadcast cross join.
+* Per-term document frequencies come from the already-tiny match relation.
+* Final top-k is `orderBy(...).limit(k)` — TakeOrderedAndProject, never a
+  global window.
+
+Engine portability: with ``log_idf=False`` the scorer uses the monotone
+non-log idf ``(N - df + 0.5) / (df + 0.5)``; every op is then IEEE
+add/mul/div on exactly-representable inputs, so an independent SQL engine
+reproduces the scores bit-for-bit (same trick as lang_distinctive_terms —
+``ln`` may differ in the last ulp across libm implementations). The default
+``log_idf=True`` is the classic BM25+ formula for production use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def corpus_stats(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[int, float]:
+    """(n_docs, avg token length) — the two corpus-level constants BM25
+    needs. One column-pruned pass; a production deployment computes this
+    once per corpus snapshot and passes it to ``bm25_topk(stats=...)`` so
+    per-query cost is a single scan."""
+    row = (
+        docs.select(F.size(F.split(F.col(text_col), " ")).alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a"))
+        .collect()[0]
+    )
+    return row["n"], row["a"]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    log_idf: bool = True,
+    stats: tuple[int, float] | None = None,
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25.
+
+    Returns (id_col, bm25 double, n_terms long) ordered by score desc with
+    the id as deterministic tiebreaker. With ``stats`` (precomputed
+    ``corpus_stats``) the whole query is ONE corpus scan; without it, two
+    (Spark cannot fuse the global-average branch with the per-doc branch
+    short of a single-partition window, and exchange reuse does not apply —
+    column pruning makes the two subtrees non-identical).
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk requires at least one query term")
+    terms = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
+
+    arr = docs.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    ).select(
+        id_col,
+        F.size("_toks").alias("dl"),
+        # map-side: keep only query terms; everything else never leaves the
+        # scan stage
+        F.filter("_toks", lambda t: F.array_contains(terms, t)).alias("_hits"),
+    )
+
+    matches = (
+        arr.filter(F.size("_hits") > 0)
+        .select(id_col, "dl", F.explode("_hits").alias("tok"))
+        .groupBy(id_col, "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+    # per-term document frequency as a count window over the match relation
+    # (partitioned by token, no ordering — a full-partition count). This
+    # reuses the matches shuffle output instead of re-scanning the corpus:
+    # a groupBy-join formulation plans a second scan+explode because column
+    # pruning makes the two aggregate subtrees non-identical, defeating
+    # ReuseExchange.
+    with_df = matches.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    )
+
+    n_docs, avgdl = stats if stats is not None else corpus_stats(docs, text_col)
+
+    idf_raw = (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    idf = F.log(idf_raw + F.lit(1.0)) if log_idf else idf_raw
+    term_score = idf * (
+        F.col("tf") * F.lit(k1 + 1.0)
+    ) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+    )
+
+    scored = (
+        with_df.withColumn("_s", term_score)
+        .groupBy(id_col)
+        .agg(
+            F.sum("_s").alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)

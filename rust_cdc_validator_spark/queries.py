@@ -1110,6 +1110,47 @@ WHERE bucket < CASE lang WHEN 'de' THEN 4096 WHEN 'en' THEN 2048
 """
 
 
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: BM25 top-25 for a 3-term query
+    (operators/retrieval.bm25_topk). The catalog variant uses the monotone
+    non-log idf so DuckDB replays the scores bit-exactly (ln differs in the
+    last ulp across libm implementations; see retrieval.py docstring).
+    Shuffle volume is matching postings only — query terms are filtered
+    from each doc's token array map-side, before any exchange."""
+    from rust_cdc_validator_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, ["spark", "join", "filter"], k=25, log_idf=False
+    )
+
+
+BM25_SEARCH_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(len(arr)) AS avgdl FROM d
+), m AS (
+  SELECT doc_id, len(arr) AS dl, unnest(arr) AS tok FROM d
+), tf AS (
+  SELECT doc_id, dl, tok, COUNT(*) AS tf FROM m
+  WHERE tok IN ('spark', 'join', 'filter')
+  GROUP BY doc_id, dl, tok
+), dfq AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), scored AS (
+  SELECT tf.doc_id,
+         ((n_docs - df + 0.5) / (df + 0.5))
+         * (tf * (1.2 + 1.0))
+         / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS s
+  FROM tf JOIN dfq USING (tok) CROSS JOIN stats
+)
+SELECT doc_id, SUM(s) AS bm25, COUNT(*) AS n_terms
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 25
+"""
+
+
 def events_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join via bucketed range join (operators/rangejoin.py): for
     each purchase, count same-user events within ±120 s. The naive
@@ -2023,6 +2064,7 @@ QUERIES: dict[str, QueryFn] = {
     "domain_capped_docs": domain_capped_docs,
     "events_purchase_window": events_purchase_window,
     "stratified_sample_docs": stratified_sample_docs,
+    "bm25_search_docs": bm25_search_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2083,6 +2125,7 @@ ORACLES: dict[str, str] = {
     "domain_capped_docs": DOMAIN_CAPPED_SQL,
     "events_purchase_window": EVENTS_PURCHASE_WINDOW_SQL,
     "stratified_sample_docs": STRATIFIED_SAMPLE_SQL,
+    "bm25_search_docs": BM25_SEARCH_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs: hash/quantizer-based, not SQL-expressible →
     # rows-only by design.

@@ -1,0 +1,59 @@
+"""BM25 retrieval operator (operators/retrieval.py)."""
+
+import pytest
+
+from rust_cdc_validator_spark.operators.retrieval import bm25_topk
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark join filter spark spark"),     # all 3 terms, tf-heavy
+            (2, "spark join other words here now"),   # 2 terms
+            (3, "filter"),                            # 1 term, very short doc
+            (4, "nothing relevant at all whatsoever"),
+            (5, "spark " * 50 + "end"),               # long doc: length-normalized
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_bm25_ranks_multi_term_matches_first(spark):
+    got = bm25_topk(_corpus(spark), ["spark", "join", "filter"], k=10).collect()
+    ids = [r.doc_id for r in got]
+    assert 4 not in ids                      # no query term -> no row
+    assert ids[0] == 1                       # hits all three terms, short doc
+    by_id = {r.doc_id: r for r in got}
+    assert by_id[1].n_terms == 3 and by_id[2].n_terms == 2
+    assert all(r.bm25 > 0 for r in got)
+
+
+def test_bm25_length_normalization_penalizes_padding(spark):
+    # doc 5 has 50 'spark' hits but is mostly padding; with b=0.75 its
+    # per-occurrence credit saturates (tf/(tf+k1*norm) -> 1), so it cannot
+    # beat a doc matching MORE DISTINCT terms
+    got = bm25_topk(_corpus(spark), ["spark", "join", "filter"], k=10).collect()
+    by_id = {r.doc_id: r.bm25 for r in got}
+    assert by_id[1] > by_id[5]
+
+
+def test_bm25_k_and_determinism(spark):
+    docs = _corpus(spark)
+    top2 = bm25_topk(docs, ["spark", "join", "filter"], k=2).collect()
+    assert len(top2) == 2
+    again = bm25_topk(docs.repartition(7), ["spark", "join", "filter"], k=2).collect()
+    assert [(r.doc_id, r.bm25) for r in top2] == [(r.doc_id, r.bm25) for r in again]
+
+
+def test_bm25_empty_query_raises(spark):
+    with pytest.raises(ValueError):
+        bm25_topk(_corpus(spark), [])
+
+
+def test_bm25_log_idf_variant_monotone(spark):
+    # log and non-log idf must agree on the ranking for this corpus (the
+    # non-log form is a monotone transform of df for fixed N)
+    docs = _corpus(spark)
+    a = [r.doc_id for r in bm25_topk(docs, ["spark", "join"], k=10, log_idf=True).collect()]
+    b = [r.doc_id for r in bm25_topk(docs, ["spark", "join"], k=10, log_idf=False).collect()]
+    assert a == b
