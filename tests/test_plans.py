@@ -73,3 +73,19 @@ def test_projection_prunes_unread_columns(spark, sf_dir):
         .select("o_orderkey", "o_custkey")
     )
     assert scan_columns(df) == [["o_orderkey", "o_custkey"]]
+
+
+def test_bm25_single_scan_and_takeordered(spark, sf_dir):
+    """BM25's ranked path must read the corpus ONCE (stats are a separate
+    precomputable pass) and finish with TakeOrderedAndProject, never a
+    global-window sort over the score relation."""
+    from rust_cdc_validator_spark.plans.inspect import explain_str
+    from rust_cdc_validator_spark.queries import bm25_search_docs
+
+    import re
+
+    plan = explain_str(bm25_search_docs(spark, sf_dir))
+    # formatted explain lists each scan once in the tree and once in the
+    # node-detail section — count unique node ids, not substring hits
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "TakeOrderedAndProject" in plan
