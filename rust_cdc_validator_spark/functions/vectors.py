@@ -44,6 +44,23 @@ def l2_distance(a: Column, b: Column) -> Column:
     )
 
 
+def quantize_unit_int8(a: Column) -> Column:
+    """array<double> UNIT vector → array<tinyint> at fixed scale 127
+    (components of a unit vector lie in [-1, 1], so no per-row scale is
+    needed). 8× narrower than float64 on disk and through shuffles;
+    per-component error ≤ 1/254. Pair with ``dequantize_unit_int8``;
+    intended for candidate retrieval followed by an exact re-rank, not for
+    final similarity scores."""
+    return F.transform(
+        a,
+        lambda x: F.round(x.cast("double") * F.lit(127.0)).cast("tinyint"),
+    )
+
+
+def dequantize_unit_int8(q: Column) -> Column:
+    return F.transform(q, lambda x: x.cast("double") / F.lit(127.0))
+
+
 def normalize(a: Column) -> Column:
     """Unit-normalize; zero vectors pass through unchanged."""
     n = norm(a)

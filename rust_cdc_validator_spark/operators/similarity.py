@@ -139,9 +139,21 @@ def _hyperplanes(dim: int, seed: int, num_tables: int, num_planes: int) -> np.nd
 # ~1e-7 rounding on unit vectors is below any meaningful similarity
 # threshold, but it CAN reorder neighbors whose similarities differ by
 # < 1e-7 (near-identical vectors) — hence float64 is the default and
-# float32 the at-scale opt-in.
+# float32 the at-scale opt-in. ``'int8'`` goes further: vectors are unit
+# norm by construction here, so a FIXED scale of 127 quantizes each
+# component to one byte (8× smaller than float64) with per-component error
+# ≤ 1/254 and typical cosine error ~1e-2/√d·d ≈ a few 1e-3 at d=64 —
+# fine for candidate retrieval where an exact re-rank follows, wrong for
+# final scores. Scoring dequantizes (q/127) and proceeds in float64.
+_INT8_SCALE = 127.0
+
+
 def _bucket_schema(dtype: str) -> T.StructType:
-    vec_t = T.FloatType() if dtype == "float32" else T.DoubleType()
+    vec_t = (
+        T.ByteType()
+        if dtype == "int8"
+        else T.FloatType() if dtype == "float32" else T.DoubleType()
+    )
     return T.StructType(
         [
             T.StructField("_id", T.LongType(), False),
@@ -161,6 +173,13 @@ def _bucketed(
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(planes)
     np_dtype = np.float32 if payload_dtype == "float32" else np.float64
+
+    def pack(unit_rows: np.ndarray) -> np.ndarray:
+        if payload_dtype == "int8":
+            return np.clip(
+                np.rint(unit_rows * _INT8_SCALE), -127, 127
+            ).astype(np.int8)
+        return unit_rows.astype(np_dtype)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pl = bc.value  # (T, P, D)
@@ -182,7 +201,7 @@ def _bucketed(
             yield pd.DataFrame(
                 {
                     "_id": out_ids,
-                    "_v": list(np.tile(v.astype(np_dtype), (n_tables, 1))),
+                    "_v": list(np.tile(pack(v), (n_tables, 1))),
                     "tbl": out_tbl,
                     "bucket": buckets.ravel(),
                 }
@@ -200,7 +219,9 @@ def _dot_pdf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(np.einsum("rd,rd->r", am, bm))
 
 
-def _make_group_scorer(k: int, include_self: bool, q_block: int = 1024):
+def _make_group_scorer(
+    k: int, include_self: bool, q_block: int = 1024, dequant_scale: float | None = None
+):
     """Grouped candidate scorer shared by LSH buckets and IVF cells: rows
     tagged ``_role`` ('q'/'c') with ``_id`` + unit vector ``_v``; emits the
     group-local top-k per query via blocked matmuls.
@@ -223,11 +244,15 @@ def _make_group_scorer(k: int, include_self: bool, q_block: int = 1024):
         if qs.empty or cs.empty:
             return empty
         cm = np.stack(cs["_v"].to_numpy()).astype(np.float64)
+        if dequant_scale:
+            cm /= dequant_scale
         ci = cs["_id"].to_numpy()
         out = []
         for start in range(0, len(qs), q_block):
             qsb = qs.iloc[start : start + q_block]
             qm = np.stack(qsb["_v"].to_numpy()).astype(np.float64)
+            if dequant_scale:
+                qm /= dequant_scale
             qi = qsb["_id"].to_numpy()
             sims = qm @ cm.T
             if not include_self:
@@ -266,8 +291,9 @@ def lsh_bucket_topk(
     """Approximate cosine top-k via random-hyperplane LSH: bucket both sides
     per table, equi-join on (tbl, bucket), exact-score candidates (vectorized
     pandas UDF), rank. Recall grows with num_tables at one narrow projection
-    each. ``payload_dtype='float32'`` halves the dominant shuffle payload —
-    see the _bucket_schema note for the precision trade."""
+    each. ``payload_dtype='float32'`` halves the dominant shuffle payload,
+    ``'int8'`` shrinks it 8× (fixed-scale byte quantization of the unit
+    vectors) — see the _bucket_schema note for the precision trades."""
     planes = _hyperplanes(dim, seed, num_tables, num_planes)
     cb = _bucketed(corpus, id_col, vec_col, planes, payload_dtype).withColumn(
         "_role", F.lit("c")
@@ -283,7 +309,12 @@ def lsh_bucket_topk(
         cb.unionByName(qb)
         .groupBy("tbl", "bucket")
         .applyInPandas(
-            _make_group_scorer(k, include_self), _TOPK_SCHEMA
+            _make_group_scorer(
+                k,
+                include_self,
+                dequant_scale=_INT8_SCALE if payload_dtype == "int8" else None,
+            ),
+            _TOPK_SCHEMA,
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )

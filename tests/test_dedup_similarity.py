@@ -167,3 +167,38 @@ def test_lsh_float32_payload_optin(spark):
     ).collect()
     same_cluster = sum(1 for r in out if r["neighbor_id"] % 10 == r["query_id"] % 10)
     assert same_cluster / len(out) >= 0.9
+
+
+def test_lsh_int8_payload_optin(spark):
+    """payload_dtype='int8' (8x shuffle shrink: fixed-scale byte
+    quantization of unit vectors) still retrieves same-cluster neighbors;
+    only orderings finer than the ~1e-3 quantization noise may differ."""
+    v = _vectors(spark)
+    out = lsh_bucket_topk(
+        v, v, dim=4, k=1, num_planes=4, num_tables=8, payload_dtype="int8"
+    ).collect()
+    same_cluster = sum(1 for r in out if r["neighbor_id"] % 10 == r["query_id"] % 10)
+    assert same_cluster / len(out) >= 0.9
+    # scores are dequantized back to ~unit dot products, not raw int dots
+    assert all(-1.01 <= r["cos_sim"] <= 1.01 for r in out)
+
+
+def test_int8_quantize_round_trip_error_bound(spark):
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.functions.vectors import (
+        dequantize_unit_int8,
+        normalize,
+        quantize_unit_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.6, -0.8, 0.0, 0.001]), (2, [1.0, 0.0, 0.0, 0.0])],
+        "id long, v array<double>",
+    ).withColumn("u", normalize(F.col("v")))
+    got = df.select(
+        "id", "u", dequantize_unit_int8(quantize_unit_int8(F.col("u"))).alias("rt")
+    ).collect()
+    for r in got:
+        for orig, back in zip(r["u"], r["rt"]):
+            assert abs(orig - back) <= 0.5 / 127.0 + 1e-12
