@@ -93,23 +93,37 @@ def contamination_check(
     """Benchmark decontamination: which training docs share at least one
     ``shingle_n``-gram with any benchmark doc, and how many.
 
-    Exact (no sketches): explode distinct shingles on both sides, equi-join.
-    The benchmark side is typically small → Catalyst broadcasts it; the
-    train side streams. Returns (doc_id, n_contaminated_shingles,
-    n_benchmark_docs_hit) for flagged docs only.
+    Exact counting over HASHED shingles: each side's distinct shingles are
+    reduced to ``xxhash64`` longs map-side, so the join key and the
+    ``count_distinct`` input are fixed 8-byte values — never the ~50-byte
+    8-gram strings themselves (round-2's widest shuffle, VERDICT r2 #1; the
+    same narrowing `ngram_jaccard_pairs` uses, operators/dedup.py). Distinct
+    counts over the hash equal distinct counts over the strings up to a
+    2⁻⁶⁴ collision — negligible against exact-count semantics, so the SQL
+    oracle can keep counting the raw shingle strings. The benchmark side is
+    typically small → Catalyst broadcasts it; the train side streams.
+    Returns (doc_id, n_contaminated_shingles, n_benchmark_docs_hit) for
+    flagged docs only.
     """
-    t_sh = ensure_parallelism(train).select(
-        F.col(id_col).alias("train_id"),
-        F.explode(
-            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
-        ).alias("_s"),
-    )
-    b_sh = benchmark.select(
-        F.col(id_col).alias("bench_id"),
-        F.explode(
-            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
-        ).alias("_s"),
-    )
+
+    def hashed_shingles(df: DataFrame, out_id: str) -> DataFrame:
+        # hash inside the array, THEN distinct: array_distinct compares
+        # 8-byte longs instead of full strings, and only longs ever leave
+        # the project
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        word_shingles(F.col(text_col), shingle_n),
+                        lambda s: F.xxhash64(s),
+                    )
+                )
+            ).alias("_s"),
+        )
+
+    t_sh = hashed_shingles(ensure_parallelism(train), "train_id")
+    b_sh = hashed_shingles(benchmark, "bench_id")
     hits = t_sh.join(b_sh, on="_s")
     return hits.groupBy(F.col("train_id").alias(id_col)).agg(
         F.count_distinct("_s").alias("n_contaminated_shingles"),
