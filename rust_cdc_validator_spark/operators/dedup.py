@@ -366,13 +366,26 @@ def simhash_dedup_candidates(
     id_col: str,
     max_hamming: int = 3,
     shingle_n: int = 3,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """SimHash near-dup candidates within a Hamming radius.
 
     Block on 16-bit signature quadrants (pigeonhole: ≤3 differing bits ⇒ at
     least one of 4 quadrants identical), join within blocks, verify exact
     Hamming distance. Sub-quadratic like LSH banding.
+
+    Quadrant blocks get the same hot-bucket population cap as LSH band
+    buckets (``_band_candidates``, VERDICT r2 #2): all near-empty or
+    boilerplate docs hash to the same signature, so one (q, key) block can
+    go quadratic in the self-join — a 10k-member block is 10⁸ join rows.
+    Blocks above ``max_bucket_size`` are DROPPED before the join; docs in a
+    dropped block still meet through any of their other 3 quadrants, and a
+    group identical enough to overflow all 4 quadrants is boilerplate that
+    belongs in exact_dedup, not pairwise Hamming comparison. The cap is a
+    count window over the same (q, key) partitioning the join shuffles on.
     """
+    from pyspark.sql import Window
+
     sig = simhash_signatures_fast(df, id_col, text_col, shingle_n)
     quads = sig.select(
         "_id",
@@ -391,6 +404,12 @@ def simhash_dedup_candidates(
             )
         ).alias("_q"),
     ).select("_id", "_sim", F.col("_q.q").alias("q"), F.col("_q.key").alias("key"))
+    w_pop = Window.partitionBy("q", "key")
+    quads = (
+        quads.withColumn("_pop", F.count(F.lit(1)).over(w_pop))
+        .filter(F.col("_pop") <= max_bucket_size)
+        .drop("_pop")
+    )
     pairs = (
         quads.alias("a")
         .join(quads.alias("b"), on=["q", "key"])

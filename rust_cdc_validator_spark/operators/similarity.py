@@ -220,7 +220,11 @@ def _dot_pdf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def _make_group_scorer(
-    k: int, include_self: bool, q_block: int = 1024, dequant_scale: float | None = None
+    k: int,
+    include_self: bool,
+    q_block: int = 1024,
+    dequant_scale: float | None = None,
+    max_bucket_candidates: int = 100_000,
 ):
     """Grouped candidate scorer shared by LSH buckets and IVF cells: rows
     tagged ``_role`` ('q'/'c') with ``_id`` + unit vector ``_v``; emits the
@@ -230,6 +234,18 @@ def _make_group_scorer(
     matrix is at most q_block × |candidates| — a degenerate 10k × 10k
     bucket would otherwise allocate an 800 MB sims matrix in one task.
     Blocking bounds memory at a few MB per block with identical results.
+
+    ``max_bucket_candidates`` bounds the COMPUTE of a degenerate bucket
+    (VERDICT r2 #3): q_block caps memory, but one bucket holding the whole
+    corpus would still do O(|q|·|corpus|) flops in a single task. Buckets
+    whose candidate population exceeds the cap are deterministically
+    subsampled (keep the ``max_bucket_candidates`` ids with the smallest
+    splitmix-scrambled hash — stable across partitionings and runs, unlike
+    head-of-group order). A bucket that degenerate means the hash family
+    isn't discriminating there (boilerplate / zero vectors); for LSH the
+    other tables still recover the neighbors, for IVF the cell is
+    low-signal by construction. Per-task flops are then ≤
+    |q| · max_bucket_candidates · d.
     """
 
     empty = pd.DataFrame(
@@ -243,6 +259,18 @@ def _make_group_scorer(
         cs = pdf[pdf["_role"] == "c"]
         if qs.empty or cs.empty:
             return empty
+        if len(cs) > max_bucket_candidates:
+            # splitmix64-style scramble of the id → order is deterministic
+            # and uncorrelated with id assignment order
+            ids = cs["_id"].to_numpy().astype(np.uint64)
+            z = (ids + np.uint64(0x9E3779B97F4A7C15))
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+            keep = np.argpartition(z, max_bucket_candidates - 1)[
+                :max_bucket_candidates
+            ]
+            cs = cs.iloc[np.sort(keep)]
         cm = np.stack(cs["_v"].to_numpy()).astype(np.float64)
         if dequant_scale:
             cm /= dequant_scale
@@ -287,13 +315,16 @@ def lsh_bucket_topk(
     seed: int = 42,
     include_self: bool = False,
     payload_dtype: str = "float64",
+    max_bucket_candidates: int = 100_000,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH: bucket both sides
     per table, equi-join on (tbl, bucket), exact-score candidates (vectorized
     pandas UDF), rank. Recall grows with num_tables at one narrow projection
     each. ``payload_dtype='float32'`` halves the dominant shuffle payload,
     ``'int8'`` shrinks it 8× (fixed-scale byte quantization of the unit
-    vectors) — see the _bucket_schema note for the precision trades."""
+    vectors) — see the _bucket_schema note for the precision trades.
+    ``max_bucket_candidates`` bounds a degenerate bucket's per-task compute
+    (see ``_make_group_scorer``)."""
     planes = _hyperplanes(dim, seed, num_tables, num_planes)
     cb = _bucketed(corpus, id_col, vec_col, planes, payload_dtype).withColumn(
         "_role", F.lit("c")
@@ -313,6 +344,7 @@ def lsh_bucket_topk(
                 k,
                 include_self,
                 dequant_scale=_INT8_SCALE if payload_dtype == "int8" else None,
+                max_bucket_candidates=max_bucket_candidates,
             ),
             _TOPK_SCHEMA,
         )
@@ -375,6 +407,7 @@ def ivf_topk(
     seed: int = 42,
     include_self: bool = False,
     payload_dtype: str = "float64",
+    max_bucket_candidates: int = 100_000,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors are assigned to their nearest coarse
     centroid (one cell each); queries probe their ``n_probe`` nearest cells;
@@ -441,7 +474,12 @@ def ivf_topk(
     scored = (
         cb.unionByName(qb)
         .groupBy("cell")
-        .applyInPandas(_make_group_scorer(k, include_self), _TOPK_SCHEMA)
+        .applyInPandas(
+            _make_group_scorer(
+                k, include_self, max_bucket_candidates=max_bucket_candidates
+            ),
+            _TOPK_SCHEMA,
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -38,12 +38,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read it as raw int64 nanos (`ts_ns`). Downstream time
+    """Normalize `events.ts` to int64 epoch-nanos (`ts_ns`) whatever the
+    parquet encoding: TIMESTAMP(NANOS) (earlier testdata generations —
+    Spark's vectorized reader rejects it, so `nanosAsLong` surfaces it as
+    raw int64 nanos) or TIMESTAMP(MICROS) (current generation — read as
+    TIMESTAMP_NTZ, reinterpreted as a UTC instant via the UTC session
+    timezone, ×1000 to nanos; DuckDB's `epoch_ns(ts)` oracle side agrees
+    because it also treats naive timestamps as UTC). Downstream time
     bucketing stays in integer nanos — timezone-free and engine-portable."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts_ns", F.col("ts").cast("long")).drop("ts")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ts_ns = F.col("ts")
+    else:
+        ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    return ev.withColumn("ts_ns", ts_ns.cast("long")).drop("ts")
 
 
 def _dsum(col, scale: str = "decimal(18,2)"):
@@ -913,6 +922,7 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(
         _t(spark, sf_dir, "orders"),
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        approx=False,  # oracle compares exact distinct counts
     )
 
 

@@ -122,6 +122,67 @@ def test_cap_per_domain_keeps_top_k_deterministically(spark):
         assert keys == sorted(keys)
 
 
+def test_cap_per_domain_two_stage_matches_single_window(spark):
+    """The salted two-stage top-k must be bit-identical to the naive
+    single-window form (that is what keeps the domain_capped_docs oracle
+    hash-green), including under ties and across salt counts."""
+    from pyspark.sql import Window
+
+    from rust_cdc_validator_spark.operators.corpus import cap_per_domain
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i % 4}", 500 - (i % 7)) for i in range(500)],
+        "doc_id long, source string, n_chars int",
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    naive = (
+        docs.withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= 6)
+    )
+    key = lambda r: (r.source, r.domain_rank)
+    for n_salts in (1, 4, 32):
+        got = cap_per_domain(
+            docs, "source", k=6, order_col="n_chars", n_salts=n_salts
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, naive.collect()))
+
+
+def test_cap_per_domain_hot_domain_bounded(spark):
+    """A single pathologically hot domain must not be sorted in one task:
+    stage 1 splits it across salts (each local sort sees ~1/n_salts of the
+    domain) and only n_salts·k survivors reach the exact stage-2 window.
+    Verified behaviorally (exact top-k result on a 100k-row single-domain
+    table) and structurally (two row_number windows with different
+    partition keys in the plan)."""
+    from rust_cdc_validator_spark.operators.corpus import cap_per_domain
+
+    docs = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("hot.example.com").alias("source"),
+        (F.col("id") % 997).cast("int").alias("n_chars"),
+    )
+    out = cap_per_domain(docs, "source", k=5, order_col="n_chars", n_salts=32)
+    rows = sorted(out.collect(), key=lambda r: r.domain_rank)
+    assert [r.n_chars for r in rows] == [996] * 5  # true global top-5
+    assert [r.domain_rank for r in rows] == [1, 2, 3, 4, 5]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("row_number") >= 2  # two-stage, not one global window
+
+
+def test_profile_table_auto_approx_threshold(spark):
+    from rust_cdc_validator_spark.operators.corpus import profile_table
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    exact = {r.column_name: r.n_distinct
+             for r in profile_table(df, approx_threshold=10_000).collect()}
+    assert exact["k"] == 1000  # under threshold → exact path
+    approx = {r.column_name: r.n_distinct
+              for r in profile_table(df, approx_threshold=100).collect()}
+    assert abs(approx["k"] - 1000) <= 100  # over threshold → HLL sketch
+
+
 def test_stratified_sample_rates_and_determinism(spark):
     from rust_cdc_validator_spark.operators.corpus import stratified_sample
 

@@ -129,6 +129,52 @@ def test_hot_bucket_cap_prevents_quadratic_join(spark):
     assert not any(a < 20_000 and b < 20_000 for a, b in pairs)  # hot bucket dropped
 
 
+def test_simhash_hot_quadrant_cap(spark):
+    """A planted degenerate quadrant block (10k identical docs → one
+    signature → all 4 quadrant blocks overflow) must be dropped by the
+    population cap, not exploded into ~4·10⁸ join rows (VERDICT r2 #2).
+    Real near-dups outside the hot block still surface."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(i, "boilerplate header repeated verbatim in every document") for i in range(10_000)]
+    rows += [(20_001, base), (20_002, base)]  # hamming 0: always a candidate
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_dedup_candidates(
+            df, "text", "doc_id", max_hamming=3, max_bucket_size=100
+        ).collect()
+    }
+    assert (20_001, 20_002) in pairs  # real near-dup still found
+    assert not any(a < 20_000 and b < 20_000 for a, b in pairs)  # hot block dropped
+
+
+def test_group_scorer_caps_degenerate_bucket(spark):
+    """All-identical corpus vectors land in ONE bucket of every LSH table;
+    max_bucket_candidates must bound the per-task matmul by deterministic
+    subsampling instead of scoring |q|·|corpus| pairs (VERDICT r2 #3).
+    Queries still get full top-k (the survivors are equivalent), and two
+    runs subsample identically."""
+    n = 5_000
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(n)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(100_001, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out1 = lsh_bucket_topk(
+        corpus, queries, dim=4, k=5, num_planes=4, num_tables=2,
+        include_self=True, max_bucket_candidates=50,
+    ).collect()
+    assert len(out1) == 5
+    assert all(abs(r["cos_sim"] - 1.0) < 1e-9 for r in out1)
+    out2 = lsh_bucket_topk(
+        corpus, queries, dim=4, k=5, num_planes=4, num_tables=2,
+        include_self=True, max_bucket_candidates=50,
+    ).collect()
+    assert sorted(r["neighbor_id"] for r in out1) == sorted(
+        r["neighbor_id"] for r in out2
+    )
+
+
 def test_ngram_hot_shingle_cap(spark):
     """Shingles above the document-frequency cap are excluded from both the
     intersection and the sizes, so capped Jaccard stays a true Jaccard over

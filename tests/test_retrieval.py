@@ -50,6 +50,29 @@ def test_bm25_empty_query_raises(spark):
         bm25_topk(_corpus(spark), [])
 
 
+def test_bm25_autostats_guard_raises_above_threshold(spark):
+    """Auto-computed corpus stats above the size threshold must raise
+    (precompute-and-pass is the at-scale contract) while passing stats
+    explicitly still works at any size (VERDICT r2 #8)."""
+    docs = _corpus(spark)
+    with pytest.raises(ValueError, match="corpus_stats"):
+        bm25_topk(docs, ["spark"], k=2, max_autostats_docs=2)
+    from rust_cdc_validator_spark.operators.retrieval import corpus_stats
+
+    stats = corpus_stats(docs)
+    got = bm25_topk(docs, ["spark"], k=2, stats=stats, max_autostats_docs=2).collect()
+    assert len(got) == 2
+
+
+def test_bm25_with_stats_matches_autostats(spark):
+    docs = _corpus(spark)
+    from rust_cdc_validator_spark.operators.retrieval import corpus_stats
+
+    auto = bm25_topk(docs, ["spark", "join"], k=10).collect()
+    pre = bm25_topk(docs, ["spark", "join"], k=10, stats=corpus_stats(docs)).collect()
+    assert [(r.doc_id, r.bm25) for r in auto] == [(r.doc_id, r.bm25) for r in pre]
+
+
 def test_bm25_log_idf_variant_monotone(spark):
     # log and non-log idf must agree on the ranking for this corpus (the
     # non-log form is a monotone transform of df for fixed N)

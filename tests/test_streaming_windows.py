@@ -136,19 +136,42 @@ def test_sessionize_stateful_closes_on_gap_across_batches(spark, tmp_path):
             pa.table({"user_id": [u for u, _ in rows],
                       "ts_us": [t for _, t in rows]}), str(src / name))
 
-    # gap_us=1000. Batch 1: user 1 at 0,60 (one open session); user 2 at 0.
-    w("a.parquet", [(1, 0), (1, 60), (2, 0)])
-    # Batch 2: user 1 at 5000 (gap > 1000 → closes [0,60] n=2);
-    # user 2 at 500 (within gap → still open, nothing emitted).
-    w("b.parquet", [(1, 5000), (2, 500)])
+    # Two SEPARATE availableNow drains against one checkpoint: file-source
+    # discovery order under maxFilesPerTrigger is not contractual (the
+    # round-2 flake: when b.parquet happened to be listed first, user 1's
+    # events arrived out of order and no session ever closed). Writing the
+    # second file only after the first drain finishes pins batch order
+    # deterministically; the checkpoint carries both the processed-file log
+    # and the open-session state across the restart.
+    ckpt = str(tmp_path / "sess_ckpt")
+    out = str(tmp_path / "sess_out")
+    out_schema = T.StructType(
+        [T.StructField("user_id", T.LongType()),
+         T.StructField("session_start_us", T.LongType()),
+         T.StructField("session_end_us", T.LongType()),
+         T.StructField("n_events", T.LongType())]
+    )
+
+    def drain():
+        q = (sessionize_stateful(stream, gap_us=1000).writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    def emitted():
+        return [tuple(r) for r in spark.read.schema(out_schema).parquet(out)
+                .select("user_id", "session_start_us", "session_end_us",
+                        "n_events").collect()]
 
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1").parquet(str(src)))
-    q = (sessionize_stateful(stream, gap_us=1000).writeStream
-         .format("memory").queryName("sess_out")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
-    rows = [tuple(r) for r in spark.sql(
-        "SELECT user_id, session_start_us, session_end_us, n_events "
-        "FROM sess_out").collect()]
-    assert rows == [(1, 0, 60, 2)]
+    # Batch 1: user 1 at 0,60 (one open session); user 2 at 0.
+    w("a.parquet", [(1, 0), (1, 60), (2, 0)])
+    drain()
+    assert emitted() == []  # all sessions still open
+    # Batch 2: user 1 at 5000 (gap > 1000 → closes [0,60] n=2);
+    # user 2 at 500 (within gap → still open, nothing emitted).
+    w("b.parquet", [(1, 5000), (2, 500)])
+    drain()
+    assert emitted() == [(1, 0, 60, 2)]
