@@ -97,44 +97,64 @@ def append_dataframe(df: DataFrame, target: JdbcTarget) -> None:
     )
 
 
+def _ident(name: str, quote: bool) -> str:
+    """Render an (optionally schema-qualified) identifier. ``quote=True``
+    double-quotes each dot-separated part with embedded quotes doubled —
+    standard SQL, accepted by Postgres/Derby/DuckDB — for mixed-case or
+    reserved-word identifiers. The default stays unquoted like the
+    reference, which interpolates names raw
+    (postgres_operator_impl.rs:241,381: ``{schema_name}.{table_name}``)."""
+    if not quote:
+        return name
+    return ".".join('"' + p.replace('"', '""') + '"' for p in name.split("."))
+
+
 def upsert_sql(
     table: str,
     columns: list[str],
     primary_key: list[str],
     staging_table: str,
+    quote: bool = False,
 ) -> str:
     """Server-side set-based upsert: staging → target in ONE statement,
     replacing the reference's per-row ON CONFLICT loop
     (postgres_operator_impl.rs:357-400)."""
-    cols = ", ".join(columns)
+    q = lambda n: _ident(n, quote)
+    cols = ", ".join(q(c) for c in columns)
     updates = ", ".join(
-        f"{c} = EXCLUDED.{c}" for c in columns if c not in set(primary_key)
+        f"{q(c)} = EXCLUDED.{q(c)}" for c in columns if c not in set(primary_key)
     )
-    conflict = ", ".join(primary_key)
+    conflict = ", ".join(q(c) for c in primary_key)
     return (
-        f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging_table} "
+        f"INSERT INTO {q(table)} ({cols}) SELECT {cols} FROM {q(staging_table)} "
         f"ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
     )
 
 
-def delete_sql(table: str, primary_key: list[str], staging_table: str) -> str:
+def delete_sql(
+    table: str, primary_key: list[str], staging_table: str, quote: bool = False
+) -> str:
     """Set-based delete by PK tuple (replaces per-row DELETE,
     table_query.rs:37-47)."""
-    pk = ", ".join(primary_key)
+    q = lambda n: _ident(n, quote)
+    pk = ", ".join(q(c) for c in primary_key)
     return (
-        f"DELETE FROM {table} WHERE ({pk}) IN "
-        f"(SELECT {pk} FROM {staging_table})"
+        f"DELETE FROM {q(table)} WHERE ({pk}) IN "
+        f"(SELECT {pk} FROM {q(staging_table)})"
     )
 
 
-def delete_sql_exists(table: str, primary_key: list[str], staging_table: str) -> str:
+def delete_sql_exists(
+    table: str, primary_key: list[str], staging_table: str, quote: bool = False
+) -> str:
     """Portable delete by PK via correlated EXISTS — row-value ``IN``
     (``delete_sql``) is Postgres-friendly but not universal (Derby rejects
     multi-column IN subqueries)."""
-    cond = " AND ".join(f"s.{c} = t.{c}" for c in primary_key)
+    q = lambda n: _ident(n, quote)
+    cond = " AND ".join(f"s.{q(c)} = t.{q(c)}" for c in primary_key)
     return (
-        f"DELETE FROM {table} t WHERE EXISTS "
-        f"(SELECT 1 FROM {staging_table} s WHERE {cond})"
+        f"DELETE FROM {q(table)} t WHERE EXISTS "
+        f"(SELECT 1 FROM {q(staging_table)} s WHERE {cond})"
     )
 
 
@@ -143,16 +163,18 @@ def merge_sql(
     columns: list[str],
     primary_key: list[str],
     staging_table: str,
+    quote: bool = False,
 ) -> str:
     """ANSI ``MERGE INTO`` upsert for targets without ON CONFLICT."""
-    on = " AND ".join(f"t.{c} = s.{c}" for c in primary_key)
+    q = lambda n: _ident(n, quote)
+    on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in primary_key)
     updates = ", ".join(
-        f"t.{c} = s.{c}" for c in columns if c not in set(primary_key)
+        f"t.{q(c)} = s.{q(c)}" for c in columns if c not in set(primary_key)
     )
-    cols = ", ".join(columns)
-    vals = ", ".join(f"s.{c}" for c in columns)
+    cols = ", ".join(q(c) for c in columns)
+    vals = ", ".join(f"s.{q(c)}" for c in columns)
     return (
-        f"MERGE INTO {table} t USING {staging_table} s ON ({on}) "
+        f"MERGE INTO {q(table)} t USING {q(staging_table)} s ON ({on}) "
         f"WHEN MATCHED THEN UPDATE SET {updates} "
         f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
     )
