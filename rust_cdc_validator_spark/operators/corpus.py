@@ -27,12 +27,19 @@ def normalize_text(col: Column) -> Column:
 
 def md5_bucket(col: Column, buckets: int = 16) -> Column:
     """Deterministic, engine-portable bucket in [0, buckets): value of the
-    first hex digit of md5(string form). ``buckets`` must divide 16 — the
-    single-hex-digit form keeps the SQL oracle expressible in engines
-    without a base-conversion function (strpos over '0123456789abcdef')."""
-    assert 16 % buckets == 0, "buckets must divide 16"
-    digit = F.conv(F.substring(F.md5(col.cast("string")), 1, 1), 16, 10).cast("int")
-    return digit % buckets
+    first k hex digits of md5(string form), mod buckets, with k the smallest
+    digit count whose range 16^k is divisible by ``buckets`` (so the mod is
+    unbiased). For ``buckets`` dividing 16 this is the single-hex-digit form
+    the SQL oracles rebuild with one strpos lookup; larger power-of-two
+    counts (pack_sequences' derived shard default) take more digits. Any
+    ``buckets`` with an odd factor > 1 cannot divide a power of 16 and is
+    rejected."""
+    k = 1
+    while (16**k) % buckets != 0:
+        k += 1
+        assert k <= 8, "buckets must be a power of 2 (or divide 16)"
+    digit = F.conv(F.substring(F.md5(col.cast("string")), 1, k), 16, 10).cast("bigint")
+    return (digit % buckets).cast("int")
 
 
 def deterministic_sample(
@@ -188,7 +195,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     token_col: str = "n_tokens",
     budget: int = 2048,
-    shards: int = 16,
+    shards: int | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training sequences ("packing").
 
@@ -202,13 +209,21 @@ def pack_sequences(
 
     Scale shape: one hash shuffle into shards, one per-shard sort for the
     running-sum window — the same cost class as a groupBy. No driver state;
-    shard count just needs to exceed cluster parallelism. Rows with
+    shard count just needs to exceed cluster parallelism, so the default
+    (``shards=None``) derives it as ``4 × defaultParallelism`` (floor 16):
+    on a 1000-executor cluster that is thousands of shards, keeping each
+    per-shard window sort to a small, single-task-safe slice instead of
+    |corpus|/16 rows. Pass an explicit ``shards`` to pin the layout (the
+    oracle fixture pins 16 for determinism). Rows with
     ``token_col > budget`` form (over-full) packs of their own rather than
     being dropped — the caller decides whether to split or discard them.
 
     Returns one row per document: (id, shard, pack_id, token offset within
     the pack) — the shard/pack assignment a writer would group by.
     """
+    if shards is None:
+        target = max(16, 4 * docs.sparkSession.sparkContext.defaultParallelism)
+        shards = 1 << (target - 1).bit_length()  # next power of 2 (md5_bucket)
     shard = md5_bucket(F.col(id_col), shards).alias("shard")
     w = Window.partitionBy("shard").orderBy(id_col)
     with_off = (
@@ -286,18 +301,23 @@ def prepare_training_corpus(
 ) -> DataFrame:
     """The composed pipeline: quality gate → normalized exact dedup
     (keep lowest id per normalized text) → per-doc stats. One declarative
-    plan: Catalyst fuses the filter into the scan and the dedup is a single
-    hash shuffle on the normalized-text hash."""
+    plan: Catalyst fuses the filter into the scan and the dedup groups and
+    joins on ``xxhash64(_norm)`` — an 8-byte key — so the full normalized
+    text never enters an exchange (same shape as ``exact_dedup``,
+    operators/dedup.py, and ``contamination_check`` above). A 64-bit hash
+    collision (2^-64 per pair) would drop a non-duplicate doc; at exact-count
+    semantics this is below measurement noise, the same trade argued in
+    ``contamination_check``'s docstring."""
     toks = F.split(F.col(text_col), " ")
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
 
     gated = docs.filter(
         (F.length(text_col) >= min_chars) & (n_sw >= min_stopwords)
-    ).withColumn("_norm", normalize_text(F.col(text_col)))
+    ).withColumn("_h", F.xxhash64(normalize_text(F.col(text_col))))
 
-    w_min = gated.groupBy("_norm").agg(F.min(id_col).alias("_keeper"))
-    deduped = gated.join(w_min, on="_norm").filter(F.col(id_col) == F.col("_keeper"))
+    w_min = gated.groupBy("_h").agg(F.min(id_col).alias("_keeper"))
+    deduped = gated.join(w_min, on="_h").filter(F.col(id_col) == F.col("_keeper"))
 
     return deduped.select(
         id_col,

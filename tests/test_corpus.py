@@ -64,6 +64,41 @@ def test_prepare_training_corpus_dedups_normalized(spark):
     assert out == {1}  # doc2 deduped into doc1, doc3 gated out
 
 
+def test_prepare_training_corpus_no_fulltext_shuffle(spark):
+    """The dedup must group/join on xxhash64(_norm) — 8 bytes — not on the
+    normalized text itself. Assert the executed plan carries no `_norm`
+    column through any Exchange (the column no longer exists at all) and
+    that the hash key is present."""
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 4) for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(docs, min_chars=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_norm" not in plan
+    assert "xxhash64" in plan.lower()
+    assert {r["doc_id"] for r in out.collect()} == {0}  # still dedupes
+
+
+def test_pack_sequences_default_shards_scale_with_parallelism(spark):
+    from rust_cdc_validator_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens int")
+    par = spark.sparkContext.defaultParallelism
+    # derived default: 4× parallelism, floor 16 — always exceeds parallelism
+    shards = {r.shard for r in pack_sequences(docs).collect()}
+    target = max(16, 4 * par)
+    derived = 1 << (target - 1).bit_length()
+    assert derived > par
+    assert all(0 <= s < derived for s in shards)
+    # a wide corpus actually spreads across more shards than the old fixed 16
+    wide = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.lit(10).alias("n_tokens")
+    )
+    n_used = pack_sequences(wide).select("shard").distinct().count()
+    assert n_used > 16 or derived == 16
+
+
 def test_pack_sequences_budget_and_coverage(spark):
     from rust_cdc_validator_spark.operators.corpus import pack_sequences
 
