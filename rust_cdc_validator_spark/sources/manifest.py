@@ -60,26 +60,119 @@ def date_path(day: datetime) -> str:
     return f"{day.year:04d}/{day.month:02d}/{day.day:02d}/"
 
 
-def _hadoop_list(spark, root: str) -> list[tuple[str, float]]:
-    """Recursively list (path, mtime_epoch_s) under ``root`` via Hadoop FS.
+_DATA_SUFFIXES = (".parquet", ".csv", ".csv.gz")
 
-    Works for file://, hdfs://, s3a:// alike. Returns [] for missing roots.
-    """
+
+def _fs(spark, root: str):
     jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc
-    conf = jsc.hadoopConfiguration()
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path(root)
-    fs = hpath.getFileSystem(conf)
-    if not fs.exists(hpath):
-        return []
+    return jvm, hpath, hpath.getFileSystem(conf)
+
+
+def _list_files_recursive(fs, hpath) -> list[tuple[str, float]]:
     out: list[tuple[str, float]] = []
     it = fs.listFiles(hpath, True)  # recursive
     while it.hasNext():
         st = it.next()
         p = st.getPath().toString()
         # DMS emits parquet or (by default) csv; ignore markers/manifests
-        if p.endswith((".parquet", ".csv", ".csv.gz")):
+        if p.endswith(_DATA_SUFFIXES):
             out.append((p, st.getModificationTime() / 1000.0))
+    return out
+
+
+def _hadoop_list(spark, root: str) -> list[tuple[str, float]]:
+    """Recursively list (path, mtime_epoch_s) under ``root`` via Hadoop FS.
+
+    Works for file://, hdfs://, s3a:// alike. Returns [] for missing roots.
+    """
+    jvm, hpath, fs = _fs(spark, root)
+    if not fs.exists(hpath):
+        return []
+    return _list_files_recursive(fs, hpath)
+
+
+def _hadoop_list_date_narrowed(
+    spark,
+    root: str,
+    start_date: datetime,
+    stop_date: datetime | None,
+) -> list[tuple[str, float]]:
+    """Date-prefix-narrowed listing: LOAD* files at the table root plus only
+    the ``{YYYY}/{MM}/{DD}/`` folders whose path date falls in
+    [start_date.date(), stop_date.date()].
+
+    This mirrors the reference's ``start_after={table}/{YYYY/MM/DD}/`` S3
+    range scan (s3_operator.rs:220-226): keys lexicographically before the
+    start date folder are never returned by the listing at all (the date
+    layout makes key order = date order; ``LOAD`` sorts after digits, so
+    LOAD files survive the range scan). At years-of-CDC file counts, this
+    keeps listing cost proportional to the requested window instead of the
+    table's full history.
+
+    Stop-side pruning (folders strictly after stop_date's day) goes one
+    step beyond the reference's start-only ``start_after`` — justified
+    because DMS writes CDC files into the *current* day's folder, so a
+    folder's path date lower-bounds its files' modification times; the
+    per-file ``mtime < stop_date`` filter downstream would drop them anyway.
+
+    Non-date entries under the root (no 4-digit-year folder) fall back to a
+    recursive listing of that subtree, preserving behavior for layouts
+    without date folders.
+    """
+    jvm, root_path, fs = _fs(spark, root)
+    if not fs.exists(root_path):
+        return []
+    lo = (start_date.year, start_date.month, start_date.day)
+    hi = (
+        (stop_date.year, stop_date.month, stop_date.day)
+        if stop_date is not None
+        else (9999, 12, 31)
+    )
+    out: list[tuple[str, float]] = []
+
+    def _num(name: str, width: int) -> int | None:
+        return int(name) if len(name) == width and name.isdigit() else None
+
+    for st_y in fs.listStatus(root_path):
+        name_y = st_y.getPath().getName()
+        if st_y.isFile():
+            if name_y.endswith(_DATA_SUFFIXES):
+                out.append(
+                    (st_y.getPath().toString(), st_y.getModificationTime() / 1000.0)
+                )
+            continue
+        y = _num(name_y, 4)
+        if y is None:  # non-date dir: recursive fallback
+            out.extend(_list_files_recursive(fs, st_y.getPath()))
+            continue
+        if not (lo[0] <= y <= hi[0]):
+            continue
+        for st_m in fs.listStatus(st_y.getPath()):
+            if st_m.isFile():
+                p = st_m.getPath().toString()
+                if p.endswith(_DATA_SUFFIXES):
+                    out.append((p, st_m.getModificationTime() / 1000.0))
+                continue
+            m = _num(st_m.getPath().getName(), 2)
+            if m is None:  # non-date dir inside a year dir: lossless fallback
+                out.extend(_list_files_recursive(fs, st_m.getPath()))
+                continue
+            if not (lo[:2] <= (y, m) <= hi[:2]):
+                continue
+            for st_d in fs.listStatus(st_m.getPath()):
+                if st_d.isFile():
+                    p = st_d.getPath().toString()
+                    if p.endswith(_DATA_SUFFIXES):
+                        out.append((p, st_d.getModificationTime() / 1000.0))
+                    continue
+                d = _num(st_d.getPath().getName(), 2)
+                if d is None:
+                    out.extend(_list_files_recursive(fs, st_d.getPath()))
+                    continue
+                if lo <= (y, m, d) <= hi:
+                    out.extend(_list_files_recursive(fs, st_d.getPath()))
     return out
 
 
@@ -112,7 +205,15 @@ def discover_files(
     else:
         if mode is FileMode.DATE_AWARE and start_date is None:
             raise ValueError("DATE_AWARE mode requires start_date")
-        entries = _hadoop_list(spark, table_root)
+        if mode is FileMode.DATE_AWARE:
+            # Range-scan the listing itself (reference: start_after range
+            # scan, s3_operator.rs:220-226) — only date folders within
+            # [start_date, stop_date] are enumerated.
+            entries = _hadoop_list_date_narrowed(
+                spark, table_root, start_date, stop_date
+            )
+        else:
+            entries = _hadoop_list(spark, table_root)
 
     def _aware(dt: datetime) -> datetime:
         return dt if dt.tzinfo else dt.replace(tzinfo=timezone.utc)

@@ -92,6 +92,76 @@ def test_date_pruning_excludes_out_of_window_cdc(spark, tmp_path):
     assert rows[0]["v"] == 1
 
 
+def test_date_narrowed_listing_never_lists_out_of_range_folders(spark, tmp_path):
+    """The DATE_AWARE listing itself is range-scanned by date folder
+    (reference: start_after, s3_operator.rs:220-226) — a file in a folder
+    before start_date is never LISTED, even when its filesystem mtime is
+    inside the window (fresh mtime, as a backfill copy would have). The old
+    recursive-list-then-filter approach would have kept this file; the
+    reference's range scan never sees its key."""
+    cols = ["Op", "_dms_ingestion_timestamp", "id", "v"]
+    root = str(tmp_path / "db/public/t")
+    write_cdc_file(f"{root}/LOAD00000001.parquet",
+                   [{"Op": "I", "_dms_ingestion_timestamp": "t", "id": 1, "v": 1}], cols)
+    # folder date 2020 (before start) but mtime = now (inside the window)
+    write_cdc_file(f"{root}/2020/01/01/stale.parquet",
+                   [{"Op": "U", "_dms_ingestion_timestamp": "t", "id": 1, "v": 99}], cols)
+    in_range = f"{root}/2024/06/01/ok.parquet"
+    write_cdc_file(in_range,
+                   [{"Op": "U", "_dms_ingestion_timestamp": "t", "id": 1, "v": 2}], cols)
+    entries = discover_files(spark, root, FileMode.DATE_AWARE,
+                             start_date=datetime(2024, 1, 1, tzinfo=timezone.utc))
+    paths = [e.path for e in entries]
+    assert not any("stale" in p for p in paths)
+    assert any(p.endswith("ok.parquet") for p in paths)
+    assert entries[0].is_load
+
+
+def test_date_narrowed_listing_stop_side_and_boundaries(spark, tmp_path):
+    """Start/stop day folders are inclusive at the listing level (the mtime
+    filter still applies afterwards); folders strictly outside are pruned."""
+    cols = ["Op", "_dms_ingestion_timestamp", "id", "v"]
+    root = str(tmp_path / "db/public/t")
+    write_cdc_file(f"{root}/LOAD00000001.parquet",
+                   [{"Op": "I", "_dms_ingestion_timestamp": "t", "id": 1, "v": 1}], cols)
+    for frag, name in [("2024/03/15", "start_day"), ("2024/04/10", "mid"),
+                       ("2024/05/20", "stop_day"), ("2024/05/21", "after"),
+                       ("2025/01/01", "next_year")]:
+        write_cdc_file(f"{root}/{frag}/{name}.parquet",
+                       [{"Op": "U", "_dms_ingestion_timestamp": "t", "id": 1, "v": 2}], cols)
+    entries = discover_files(
+        spark, root, FileMode.DATE_AWARE,
+        start_date=datetime(2024, 3, 15, tzinfo=timezone.utc),
+        stop_date=datetime(2999, 1, 1, tzinfo=timezone.utc),
+    )
+    names = {e.path.rsplit("/", 1)[-1] for e in entries}
+    # mtimes are "now" (< far-future stop), so survivors = listing decision alone
+    assert names == {"LOAD00000001.parquet", "start_day.parquet", "mid.parquet",
+                     "stop_day.parquet", "after.parquet", "next_year.parquet"}
+    entries = discover_files(
+        spark, root, FileMode.DATE_AWARE,
+        start_date=datetime(2024, 3, 15, tzinfo=timezone.utc),
+        stop_date=datetime(2024, 5, 20, tzinfo=timezone.utc),
+    )
+    names = {e.path.rsplit("/", 1)[-1] for e in entries}
+    # stop-day folder is listed (inclusive) but its file is dropped by the
+    # mtime filter (mtime=now >= stop); after/next_year pruned at listing
+    assert names == {"LOAD00000001.parquet"}
+
+
+def test_date_narrowed_listing_non_date_dirs_fall_back(spark, tmp_path):
+    """Layouts without date folders keep full-recursive semantics."""
+    cols = ["Op", "_dms_ingestion_timestamp", "id", "v"]
+    root = str(tmp_path / "db/public/t")
+    write_cdc_file(f"{root}/LOAD00000001.parquet",
+                   [{"Op": "I", "_dms_ingestion_timestamp": "t", "id": 1, "v": 1}], cols)
+    write_cdc_file(f"{root}/batch-7/part-0.parquet",
+                   [{"Op": "U", "_dms_ingestion_timestamp": "t", "id": 1, "v": 3}], cols)
+    entries = discover_files(spark, root, FileMode.DATE_AWARE,
+                             start_date=datetime(2024, 1, 1, tzinfo=timezone.utc))
+    assert any(e.path.endswith("part-0.parquet") for e in entries)
+
+
 def test_absolute_path_mode(spark, tmp_path):
     cols = ["Op", "_dms_ingestion_timestamp", "id", "v"]
     root = str(tmp_path / "db/public/t")
