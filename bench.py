@@ -7,13 +7,25 @@ Each query is fully materialized through the `noop` sink (distributed
 execution, no driver collect). One warm-up query amortizes JVM/codegen
 startup out of the measurements.
 
-Methodology (per the round-1 verdict: "bench the gate on medians in
-round 2"): every query first runs ONCE untimed — a query's first execution
-pays one-off JVM codegen, Arrow/pandas-UDF worker startup, and broadcast
-costs that are 2-5× its steady state and are not properties of the plan —
-then $SPARK_GRAFT_BENCH_REPS (default 3) timed runs per query, reporting
-the per-query MEDIAN (single runs additionally swing up to ~5× from GC
-noise; round-1 observation on lineitem_cube).
+Methodology:
+* Warm-up (round-1 verdict): every query first runs ONCE untimed — a
+  query's first execution pays one-off JVM codegen, Arrow/pandas-UDF worker
+  startup, and broadcast costs that are 2-5x its steady state and are not
+  properties of the plan.
+* Interleaved repetitions (round-4 verdict: "make bench regressions
+  attributable"): the timed reps run A,B,C,...,A,B,C,... — every query is
+  measured once per ROUND, with rounds spread across the session — rather
+  than A,A,A,B,B,B. Back-to-back reps share whatever transient state the
+  session is in (GC pressure, page cache, JIT recompilation), so a bad
+  moment used to poison all of one query's reps while leaving its
+  neighbors pristine; 36/64 queries swung >1.2x between r3 and r4 in code
+  nobody touched. Interleaving converts session drift from a per-query
+  bias into per-query dispersion, which the output now reports.
+* Per-query MEDIAN is the headline (single runs swing up to ~5x from GC
+  noise; round-1 observation on lineitem_cube). The `dispersion` key
+  carries min/median/max/IQR plus every raw run so a regression can be
+  judged against the query's own noise floor: a delta inside the IQR is
+  noise, not a regression.
 """
 
 from __future__ import annotations
@@ -31,6 +43,13 @@ from rust_cdc_validator_spark.queries import QUERIES  # noqa: E402
 from rust_cdc_validator_spark.session import get_spark  # noqa: E402
 
 
+def _iqr(runs: list[float]) -> float:
+    if len(runs) < 2:
+        return 0.0
+    q = statistics.quantiles(runs, n=4, method="inclusive")
+    return q[2] - q[0]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -45,15 +64,25 @@ def main() -> None:
         # earlier queries pile up in executor storage and distort timings
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
-        runs = []
-        for _ in range(reps):
+    runs: dict[str, list[float]] = {name: [] for name in QUERIES}
+    for _ in range(reps):  # interleaved: each round times every query once
+        for name, fn in QUERIES.items():
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
+            runs[name].append(time.time() - t0)
             gc.collect()
-        timings[name] = round(statistics.median(runs), 3)
+
+    timings = {name: round(statistics.median(r), 3) for name, r in runs.items()}
+    dispersion = {
+        name: {
+            "min": round(min(r), 3),
+            "median": timings[name],
+            "max": round(max(r), 3),
+            "iqr": round(_iqr(r), 3),
+            "runs": [round(x, 3) for x in r],
+        }
+        for name, r in runs.items()
+    }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -63,6 +92,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "dispersion": dispersion,
+                "reps": reps,
+                "interleaved": True,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
