@@ -160,7 +160,12 @@ def profile_table(
     for exact counts. Above the threshold the sketch is the default;
     callers who truly need exact cardinalities at scale opt in with
     ``approx=False``. Oracle queries pin ``approx=False`` so value checks
-    stay exact regardless of threshold."""
+    stay exact regardless of threshold.
+
+    BEHAVIOR CHANGE (round 4): the default was previously exact for every
+    table size; tables above ``approx_threshold`` rows now return
+    approximate ``n_distinct`` (±5% rsd) unless ``approx=False`` is passed
+    explicitly."""
     cols = columns or df.columns
     if approx is None:
         approx = df.limit(approx_threshold + 1).count() > approx_threshold

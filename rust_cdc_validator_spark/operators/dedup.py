@@ -360,6 +360,52 @@ def dedup_clusters(
     )
 
 
+def _simhash_quadrants(sig: DataFrame) -> DataFrame:
+    """Explode 64-bit SimHash signatures into their four 16-bit quadrant
+    blocking keys: one row per (doc, quadrant index q, quadrant value key)."""
+    return sig.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftrightunsigned(F.col("_sim"), 16 * q)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("_q"),
+    ).select("_id", "_sim", F.col("_q.q").alias("q"), F.col("_q.key").alias("key"))
+
+
+def simhash_dropped_block_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Observability for ``simhash_dedup_candidates``'s hot-block cap: one
+    row per over-capacity (q, key) quadrant block with its population.
+    Empty result = the cap dropped nothing and recall is exact. Non-empty =
+    docs in those blocks can only match through their other three quadrants
+    (see the recall-tradeoff note on ``simhash_dedup_candidates``); compare
+    populations against ``max_bucket_size`` to decide whether to raise it.
+    Same single aggregation shape as the cap itself — safe to run at scale.
+    """
+    sig = simhash_signatures_fast(df, id_col, text_col, shingle_n)
+    return (
+        _simhash_quadrants(sig)
+        .groupBy("q", "key")
+        .agg(F.count(F.lit(1)).alias("population"))
+        .filter(F.col("population") > max_bucket_size)
+    )
+
+
 def simhash_dedup_candidates(
     df: DataFrame,
     text_col: str,
@@ -378,32 +424,24 @@ def simhash_dedup_candidates(
     buckets (``_band_candidates``, VERDICT r2 #2): all near-empty or
     boilerplate docs hash to the same signature, so one (q, key) block can
     go quadratic in the self-join — a 10k-member block is 10⁸ join rows.
-    Blocks above ``max_bucket_size`` are DROPPED before the join; docs in a
-    dropped block still meet through any of their other 3 quadrants, and a
-    group identical enough to overflow all 4 quadrants is boilerplate that
-    belongs in exact_dedup, not pairwise Hamming comparison. The cap is a
-    count window over the same (q, key) partitioning the join shuffles on.
+    Blocks above ``max_bucket_size`` are DROPPED before the join.
+
+    Recall tradeoff (stated honestly): pigeonhole guarantees a pair within
+    ``max_hamming<=3`` shares AT LEAST ONE quadrant — not more. If that one
+    shared quadrant's block is over capacity, the pair is LOST; it meets
+    through another quadrant only if that quadrant also happens to match.
+    The cap therefore trades bounded recall loss on pathological blocks for
+    a bounded join: a group identical enough to overflow a block is
+    near-boilerplate that belongs in exact_dedup, not pairwise Hamming
+    comparison. Use ``simhash_dropped_block_stats`` (below) to measure how
+    many docs sat in dropped blocks and decide whether to raise the cap.
+    The cap is a count window over the same (q, key) partitioning the join
+    shuffles on.
     """
     from pyspark.sql import Window
 
     sig = simhash_signatures_fast(df, id_col, text_col, shingle_n)
-    quads = sig.select(
-        "_id",
-        "_sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(q).alias("q"),
-                        F.shiftrightunsigned(F.col("_sim"), 16 * q)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
-                    for q in range(4)
-                ]
-            )
-        ).alias("_q"),
-    ).select("_id", "_sim", F.col("_q.q").alias("q"), F.col("_q.key").alias("key"))
+    quads = _simhash_quadrants(sig)
     w_pop = Window.partitionBy("q", "key")
     quads = (
         quads.withColumn("_pop", F.count(F.lit(1)).over(w_pop))

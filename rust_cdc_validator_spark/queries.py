@@ -51,6 +51,16 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if dict(ev.dtypes)["ts"] == "bigint":
         ts_ns = F.col("ts")
     else:
+        # The NTZ→timestamp cast interprets the naive value in the SESSION
+        # timezone; only UTC makes it agree with DuckDB's epoch_ns. get_spark
+        # pins it, but a foreign session would silently shift every ts_ns —
+        # fail loudly instead (ADVICE r4).
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise ValueError(
+                f"events micros path requires spark.sql.session.timeZone=UTC "
+                f"(got {tz!r}); naive parquet timestamps would be shifted"
+            )
         ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
     return ev.withColumn("ts_ns", ts_ns.cast("long")).drop("ts")
 

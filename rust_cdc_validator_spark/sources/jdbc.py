@@ -103,7 +103,12 @@ def _ident(name: str, quote: bool) -> str:
     standard SQL, accepted by Postgres/Derby/DuckDB — for mixed-case or
     reserved-word identifiers. The default stays unquoted like the
     reference, which interpolates names raw
-    (postgres_operator_impl.rs:241,381: ``{schema_name}.{table_name}``)."""
+    (postgres_operator_impl.rs:241,381: ``{schema_name}.{table_name}``).
+
+    Dots are ALWAYS treated as schema qualification: a name containing a
+    literal dot as part of one identifier (a table literally named
+    ``"a.b"``) is not representable here — pre-quote it yourself and pass
+    ``quote=False`` if you truly have one."""
     if not quote:
         return name
     return ".".join('"' + p.replace('"', '""') + '"' for p in name.split("."))
@@ -118,16 +123,19 @@ def upsert_sql(
 ) -> str:
     """Server-side set-based upsert: staging → target in ONE statement,
     replacing the reference's per-row ON CONFLICT loop
-    (postgres_operator_impl.rs:357-400)."""
+    (postgres_operator_impl.rs:357-400). When every column is part of the
+    PK there is nothing to update on conflict — the statement degrades to
+    ``DO NOTHING`` (an all-PK row carries no non-key state to refresh)."""
     q = lambda n: _ident(n, quote)
     cols = ", ".join(q(c) for c in columns)
     updates = ", ".join(
         f"{q(c)} = EXCLUDED.{q(c)}" for c in columns if c not in set(primary_key)
     )
     conflict = ", ".join(q(c) for c in primary_key)
+    action = f"DO UPDATE SET {updates}" if updates else "DO NOTHING"
     return (
         f"INSERT INTO {q(table)} ({cols}) SELECT {cols} FROM {q(staging_table)} "
-        f"ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
+        f"ON CONFLICT ({conflict}) {action}"
     )
 
 
@@ -165,7 +173,9 @@ def merge_sql(
     staging_table: str,
     quote: bool = False,
 ) -> str:
-    """ANSI ``MERGE INTO`` upsert for targets without ON CONFLICT."""
+    """ANSI ``MERGE INTO`` upsert for targets without ON CONFLICT. With an
+    all-PK column list the WHEN MATCHED clause is omitted entirely (empty
+    SET lists are invalid SQL; matched rows have no non-key state)."""
     q = lambda n: _ident(n, quote)
     on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in primary_key)
     updates = ", ".join(
@@ -173,9 +183,10 @@ def merge_sql(
     )
     cols = ", ".join(q(c) for c in columns)
     vals = ", ".join(f"s.{q(c)}" for c in columns)
+    matched = f"WHEN MATCHED THEN UPDATE SET {updates} " if updates else ""
     return (
         f"MERGE INTO {q(table)} t USING {q(staging_table)} s ON ({on}) "
-        f"WHEN MATCHED THEN UPDATE SET {updates} "
+        f"{matched}"
         f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
     )
 

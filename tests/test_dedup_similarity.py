@@ -146,6 +146,21 @@ def test_simhash_hot_quadrant_cap(spark):
     }
     assert (20_001, 20_002) in pairs  # real near-dup still found
     assert not any(a < 20_000 and b < 20_000 for a, b in pairs)  # hot block dropped
+    # observability: the dropped blocks are reportable, with populations
+    from rust_cdc_validator_spark.operators.dedup import simhash_dropped_block_stats
+
+    dropped = simhash_dropped_block_stats(
+        df, "text", "doc_id", max_bucket_size=100
+    ).collect()
+    assert len(dropped) == 4  # one overflowing block per quadrant
+    assert all(r["population"] == 10_000 for r in dropped)
+    # and a healthy corpus reports none
+    healthy = spark.createDataFrame(
+        [(20_001, base), (20_002, base)], "doc_id long, text string"
+    )
+    assert simhash_dropped_block_stats(
+        healthy, "text", "doc_id", max_bucket_size=100
+    ).count() == 0
 
 
 def test_group_scorer_caps_degenerate_bucket(spark):

@@ -144,14 +144,21 @@ def test_exists_delete_and_merge_golden_quoted():
     )
 
 
-def test_upsert_sql_pk_only_table_has_no_update_arm_issue(con):
-    """A PK-only table (every column in the PK) renders an ON CONFLICT arm
-    with an empty SET list — degrade to DO NOTHING semantics by asserting
-    the builder output; executing it would be a syntax error on Postgres.
-    This documents the boundary: callers of merge_net_effect always carry
-    at least one payload column (net_effect keeps full rows)."""
+def test_upsert_sql_pk_only_table_degrades_to_do_nothing(con):
+    """A PK-only table (every column in the PK) has no non-key state to
+    refresh on conflict — the builder emits ``DO NOTHING`` instead of an
+    empty (syntactically invalid) SET list, and the statement executes."""
     sql = upsert_sql("t", ["id"], ["id"], "stg")
-    assert sql.endswith("DO UPDATE SET ")  # documented degenerate rendering
+    assert sql.endswith("ON CONFLICT (id) DO NOTHING")
+    con.execute("CREATE TABLE t (id INT PRIMARY KEY)")
+    con.execute("INSERT INTO t VALUES (1), (2)")
+    con.execute("CREATE TABLE stg (id INT)")
+    con.execute("INSERT INTO stg VALUES (2), (3)")
+    con.execute(sql)
+    assert [r[0] for r in con.execute("SELECT id FROM t ORDER BY id").fetchall()] == [1, 2, 3]
+    # the ANSI MERGE form drops its WHEN MATCHED arm for the same reason
+    m = merge_sql("t", ["id"], ["id"], "stg")
+    assert "WHEN MATCHED" not in m and "WHEN NOT MATCHED THEN INSERT" in m
 
 
 def test_schema_qualified_quoting():

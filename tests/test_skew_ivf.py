@@ -51,6 +51,61 @@ def test_salted_agg_equals_plain_agg(spark):
     assert plain == salted
 
 
+def test_ivf_quantizer_no_extra_job_with_known_rows(spark):
+    """VERDICT r4 #7: `corpus.count()` is metadata-cheap only on raw parquet
+    scans — on a derived (filtered) corpus it was a full extra
+    materialization job. With `corpus_rows` supplied the quantizer must run
+    ZERO sizing jobs (strictly fewer Spark jobs than the probe path), and
+    without it the sizing job is a LIMIT-bounded probe, not a full count.
+    Job counts via statusTracker job groups."""
+    import math
+
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.similarity import _fit_coarse_quantizer
+
+    rows = [
+        (i, [math.cos(i * 0.1), math.sin(i * 0.1), 0.05, 0.1]) for i in range(400)
+    ]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    derived = base.filter(F.col("vec_id") % 2 == 0)  # NOT a raw parquet scan
+
+    sc = spark.sparkContext
+
+    def jobs_for(group: str, fn) -> int:
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    n_known = jobs_for(
+        "ivf-known-rows",
+        lambda: _fit_coarse_quantizer(
+            derived, "embedding", n_cells=4, sample_size=50, seed=7, corpus_rows=200
+        ),
+    )
+    n_probe = jobs_for(
+        "ivf-probe",
+        lambda: _fit_coarse_quantizer(
+            derived, "embedding", n_cells=4, sample_size=50, seed=7
+        ),
+    )
+    assert n_known < n_probe  # corpus_rows skips the sizing job entirely
+    # both paths produce valid unit-norm centroids, and same-seed known-rows
+    # runs are deterministic
+    c1 = _fit_coarse_quantizer(
+        derived, "embedding", n_cells=4, sample_size=50, seed=7, corpus_rows=200
+    )
+    c2 = _fit_coarse_quantizer(
+        derived, "embedding", n_cells=4, sample_size=50, seed=7, corpus_rows=200
+    )
+    assert c1.shape == (4, 4)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    assert np.allclose(c1, c2)
+
+
 def test_ivf_recall_against_brute_force(spark):
     import math
     rows = []
