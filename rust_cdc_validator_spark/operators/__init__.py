@@ -4,3 +4,7 @@ from rust_cdc_validator_spark.operators.replay import (  # noqa: F401
     with_sequence,
 )
 from rust_cdc_validator_spark.operators.diff import diff_tables, DiffReport  # noqa: F401
+from rust_cdc_validator_spark.operators.state import (  # noqa: F401
+    merge_into_state,
+    save_state_bucketed,
+)

@@ -1,0 +1,100 @@
+"""Bucketed snapshot state + co-located incremental merge (SCALE.md
+deferred item, landed r5). Two contracts:
+
+* CORRECTNESS: merging CDC batches one at a time into bucketed state gives
+  bit-identical final state to replaying the whole LOAD+CDC log at once.
+* SCALE SHAPE: the merge plan has NO Exchange above the bucketed state
+  scan — only the delta shuffles. With the state being the 100 TB side,
+  that asymmetry is the entire point.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_cdc_validator_spark.operators.replay import net_effect
+from rust_cdc_validator_spark.operators.state import (
+    last_change_per_key,
+    merge_into_state,
+    save_state_bucketed,
+)
+
+
+@pytest.fixture()
+def state_table(spark):
+    name = f"state_{uuid.uuid4().hex[:10]}"
+    yield name
+    for t in (name, f"{name}_v2"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, val string, Op string, _seq long"
+    )
+
+
+def test_incremental_merge_equals_full_replay(spark, state_table):
+    load = [(i, f"v{i}", None, i) for i in range(50)]
+    batch1 = [
+        (1, "updated-1", "U", 100),
+        (2, None, "D", 101),
+        (60, "new-60", "I", 102),
+        (3, "mid-3", "U", 103),
+        (3, "final-3", "U", 104),  # two changes to one key in one batch
+    ]
+    batch2 = [
+        (60, None, "D", 200),      # delete a key inserted by batch1
+        (2, "back-2", "I", 201),   # re-insert a deleted key
+        (4, "updated-4", "U", 202),
+    ]
+
+    # incremental: LOAD → state, then merge each batch
+    state0 = net_effect(_log(spark, load), ["id"])
+    save_state_bucketed(state0, state_table, ["id"], n_buckets=4)
+    s1 = merge_into_state(spark, state_table, _log(spark, batch1), ["id"])
+    save_state_bucketed(s1, f"{state_table}_v2", ["id"], n_buckets=4)
+    s2 = merge_into_state(spark, f"{state_table}_v2", _log(spark, batch2), ["id"])
+
+    # reference: replay the whole log in one shot
+    full = net_effect(_log(spark, load + batch1 + batch2), ["id"])
+
+    got = sorted(map(tuple, s2.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want
+    assert s2.columns == full.columns
+
+
+def test_merge_plan_never_shuffles_the_state_side(spark, state_table):
+    state0 = net_effect(
+        _log(spark, [(i, f"v{i}", None, i) for i in range(100)]), ["id"]
+    )
+    save_state_bucketed(state0, state_table, ["id"], n_buckets=4)
+    delta = _log(spark, [(1, "x", "U", 10), (200, "y", "I", 11)])
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the SMJ path (a broadcast of the delta would ALSO leave the
+        # state unshuffled, but gives a plan this assertion can't read)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        merged = merge_into_state(spark, state_table, delta, ["id"])
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    assert "SortMergeJoin" in plan
+    # exactly ONE hash exchange — the delta's (repartitioned to the bucket
+    # count). The bucketed scan satisfies the join's distribution
+    # requirement straight from the file layout.
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount: 4 out of 4" in plan
+
+
+def test_last_change_per_key_keeps_deletes(spark):
+    log = _log(spark, [(1, "a", "I", 0), (1, None, "D", 1), (2, "b", "I", 2)])
+    got = {r["id"]: r["_op"] for r in last_change_per_key(log, ["id"]).collect()}
+    assert got == {1: "D", 2: "I"}
