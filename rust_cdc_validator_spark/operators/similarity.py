@@ -415,6 +415,56 @@ def _fit_coarse_quantizer(
     return cents / norms
 
 
+def _assign_schema(payload_dtype: str) -> T.StructType:
+    vec_t = T.FloatType() if payload_dtype == "float32" else T.DoubleType()
+    return T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("_v", T.ArrayType(vec_t), False),
+            T.StructField("cell", T.IntegerType(), False),
+        ]
+    )
+
+
+def _assign_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bc,
+    n_top: int,
+    np_dtype,
+    schema: T.StructType,
+) -> DataFrame:
+    """Map-side nearest-centroid assignment: each vector is unit-normalized
+    and emitted once per its ``n_top`` nearest coarse cells (1 for corpus
+    rows, n_probe for query rows). One broadcast matmul per Arrow batch."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["_id"].to_numpy()
+            v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(v, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            v = v / n
+            sims = v @ c.T
+            top = np.argsort(-sims, axis=1)[:, :n_top]
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(ids, n_top),
+                    "_v": list(np.repeat(v.astype(np_dtype), n_top, axis=0)),
+                    "cell": top.ravel().astype(np.int32),
+                }
+            )
+
+    prep = ensure_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    )
+    return prep.mapInPandas(gen, schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -452,52 +502,130 @@ def ivf_topk(
         corpus, vec_col, n_cells, sample_size, seed, corpus_rows=corpus_rows
     )
     bc = spark.sparkContext.broadcast(cents)
-
-    def assign(n_top: int):
-        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            c = bc.value
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                ids = pdf["_id"].to_numpy()
-                v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-                n = np.linalg.norm(v, axis=1, keepdims=True)
-                n[n == 0] = 1.0
-                v = v / n
-                sims = v @ c.T
-                top = np.argsort(-sims, axis=1)[:, :n_top]
-                yield pd.DataFrame(
-                    {
-                        "_id": np.repeat(ids, n_top),
-                        "_v": list(np.repeat(v.astype(np_dtype), n_top, axis=0)),
-                        "cell": top.ravel().astype(np.int32),
-                    }
-                )
-
-        return gen
-
     np_dtype = np.float32 if payload_dtype == "float32" else np.float64
-    vec_t = T.FloatType() if payload_dtype == "float32" else T.DoubleType()
-    schema = T.StructType(
-        [
-            T.StructField("_id", T.LongType(), False),
-            T.StructField("_v", T.ArrayType(vec_t), False),
-            T.StructField("cell", T.IntegerType(), False),
-        ]
+    schema = _assign_schema(payload_dtype)
+    cb = _assign_cells(corpus, id_col, vec_col, bc, 1, np_dtype, schema).withColumn(
+        "_role", F.lit("c")
     )
-    prep_c = ensure_parallelism(
-        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    )
-    prep_q = ensure_parallelism(
-        queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    )
-    cb = prep_c.mapInPandas(assign(1), schema).withColumn("_role", F.lit("c"))
-    qb = prep_q.mapInPandas(assign(n_probe), schema).withColumn("_role", F.lit("q"))
+    qb = _assign_cells(
+        queries, id_col, vec_col, bc, n_probe, np_dtype, schema
+    ).withColumn("_role", F.lit("q"))
 
     # Score per cell with a grouped matmul: vectors shuffle once per cell
     # membership (not once per candidate PAIR — that blows up as
     # |cell|² rows of doubled 64-dim payloads). A query probing n_probe
     # cells may meet the same neighbor twice — dedup on ids only.
+    scored = (
+        cb.unionByName(qb)
+        .groupBy("cell")
+        .applyInPandas(
+            _make_group_scorer(
+                k, include_self, max_bucket_candidates=max_bucket_candidates
+            ),
+            _TOPK_SCHEMA,
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample_size: int = 10_000,
+    seed: int = 42,
+    payload_dtype: str = "float64",
+    corpus_rows: int | None = None,
+) -> None:
+    """Materialize the IVF index: the classic at-scale layout SCALE.md
+    defers to ("persist cell assignment as a bucketed table and reuse
+    across query batches").
+
+    Layout under ``path``:
+    * ``vectors/`` — (_id, _v unit-normalized) parquet, PARTITIONED BY
+      ``cell``: each coarse cell is its own directory, so a query batch
+      that probes ``n_probe`` of ``n_cells`` cells reads ~n_probe/n_cells
+      of the corpus via partition pruning — the scan never touches
+      unprobed cells (plan-asserted in tests).
+    * ``centroids/`` — (cell, centroid array<double>) parquet, n_cells
+      rows; loaded to the driver at query time (tiny).
+
+    ``ivf_topk`` re-assigns every corpus vector on every call — right for
+    one-shot jobs, wasteful for standing retrieval; build once, probe
+    many. Same quantizer, same seeds ⇒ ``ivf_topk_from_index`` returns
+    exactly what ``ivf_topk`` would (equivalence-tested).
+    """
+    spark = corpus.sparkSession
+    cents = _fit_coarse_quantizer(
+        corpus, vec_col, n_cells, sample_size, seed, corpus_rows=corpus_rows
+    )
+    bc = spark.sparkContext.broadcast(cents)
+    np_dtype = np.float32 if payload_dtype == "float32" else np.float64
+    assigned = _assign_cells(
+        corpus, id_col, vec_col, bc, 1, np_dtype, _assign_schema(payload_dtype)
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 3,
+    include_self: bool = False,
+    max_bucket_candidates: int = 100_000,
+) -> DataFrame:
+    """ANN top-k against a persisted IVF index (``build_ivf_index``).
+
+    Probe path: centroids load driver-side (n_cells rows); queries assign
+    to their ``n_probe`` nearest cells map-side; the PROBED cell ids (a
+    bounded driver list, ≤ n_cells ints) prune the vectors scan to only
+    those partitions. Scoring and ranking are identical to ``ivf_topk`` —
+    grouped per-cell matmuls, exact cosine, window top-k — so results
+    match the non-indexed operator exactly for the same build parameters.
+    """
+    cent_pdf = (
+        spark.read.parquet(f"{index_path}/centroids").orderBy("cell").toPandas()
+    )
+    cents = np.stack(cent_pdf["centroid"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast(cents)
+
+    vectors = spark.read.parquet(f"{index_path}/vectors")
+    payload_dtype = (
+        "float32"
+        if dict(vectors.dtypes).get("_v") == "array<float>"
+        else "float64"
+    )
+    np_dtype = np.float32 if payload_dtype == "float32" else np.float64
+    qb = _assign_cells(
+        queries, id_col, vec_col, bc, n_probe, np_dtype, _assign_schema(payload_dtype)
+    ).withColumn("_role", F.lit("q"))
+
+    # bounded collect: at most n_cells ints — this is what prunes the scan.
+    # The query-side assignment runs twice (here and in the union below);
+    # that side is the small one by construction — the corpus-sized work is
+    # exactly what the index amortizes away.
+    probed = sorted(r["cell"] for r in qb.select("cell").distinct().collect())
+    cb = (
+        vectors.filter(F.col("cell").isin(probed))
+        .withColumn("cell", F.col("cell").cast("int"))
+        .select("_id", "_v", "cell")
+        .withColumn("_role", F.lit("c"))
+    )
+
     scored = (
         cb.unionByName(qb)
         .groupBy("cell")

@@ -106,6 +106,54 @@ def test_ivf_quantizer_no_extra_job_with_known_rows(spark):
     assert np.allclose(c1, c2)
 
 
+def test_ivf_index_matches_inline_and_prunes_partitions(spark, tmp_path):
+    """The persisted IVF index (build once, probe many) must return exactly
+    what inline ivf_topk returns for the same build parameters, and the
+    vectors scan must be PARTITION-PRUNED to the probed cells — the plan's
+    partition filter is the `cell IN (...)` list, so unprobed cell
+    directories are never read."""
+    import math
+
+    from rust_cdc_validator_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+    )
+
+    rows = []
+    for i in range(300):
+        angle = (i % 15) * math.pi / 30
+        jitter = (i // 15) * 5e-4
+        rows.append((i, [math.cos(angle + jitter), math.sin(angle + jitter), 0.05, 0.1]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = corpus.filter(F.col("vec_id") < 30)
+
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(corpus, idx, n_cells=8, seed=42)
+    from_index = ivf_topk_from_index(spark, idx, qs, k=2, n_probe=2)
+    inline = ivf_topk(corpus, qs, k=2, n_probe=2, n_cells=8, seed=42)
+
+    key = lambda r: (r["query_id"], r["rank"])
+    got = sorted(
+        ((r["query_id"], r["rank"], r["neighbor_id"], round(r["cos_sim"], 9))
+         for r in from_index.collect())
+    )
+    want = sorted(
+        ((r["query_id"], r["rank"], r["neighbor_id"], round(r["cos_sim"], 9))
+         for r in inline.collect())
+    )
+    assert got == want
+
+    # pruning: a single query probing 2 of 8 cells reads only those
+    one_q = corpus.filter(F.col("vec_id") == 0)
+    res = ivf_topk_from_index(spark, idx, one_q, k=1, n_probe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    pf = scan.split("PartitionFilters:")[1].split("]")[0]
+    assert "cell" in pf and " IN " in pf  # cell IN (probed...) prunes the scan
+    assert res.count() == 1
+
+
 def test_ivf_recall_against_brute_force(spark):
     import math
     rows = []
