@@ -67,10 +67,16 @@ class DiffReport:
         return self.counts_match and not self.mismatched_chunks
 
 
-def _chunk_spec(
+def compute_chunk_spec(
     df: DataFrame, primary_key: list[str], chunk_size: int
 ) -> tuple[float, float, int]:
     """(min_key, span, n_chunks) for arithmetic PK-range chunking.
+
+    Public so standing validation pipelines can compute it ONCE per table
+    snapshot and pass it to every subsequent ``diff_tables(...,
+    chunk_spec=spec)`` run — reusing the spec skips this source pass
+    entirely (SCALE.md known-delta #2), and a shared spec is also what
+    keeps chunk ids comparable across runs in monitoring dashboards.
 
     ONE min/max/count aggregate over the source — O(1) driver state and an
     O(1) Catalyst expression regardless of n_chunks. (Round 1 used
@@ -156,6 +162,7 @@ def diff_tables(
     start_position: int = 0,
     table: str = "table",
     drill_down: bool = True,
+    chunk_spec: tuple[float, float, int] | None = None,
 ) -> DiffReport:
     """Compare two tables; defaults match the reference CLI
     (chunk_size=1000, start_position=0, main.rs:75-83).
@@ -165,16 +172,26 @@ def diff_tables(
 
     No-PK tables fall back to full-row-hash comparison: the row digest over
     all columns becomes the join key (SURVEY.md §7 hard-part 2).
+
+    Scan economy (r5): a defect-free PK diff costs exactly TWO full scans —
+    one per table, the chunk aggregations. Row counts come from the chunk
+    relation (sum of per-chunk counts — same scan), not separate
+    ``count()`` jobs, and the tiny chunk relations (n_chunks rows) are
+    persisted so the mismatch collect and chunks_compared count don't
+    recompute the scans. ``chunk_spec`` (from ``compute_chunk_spec``)
+    removes the remaining spec pass for standing pipelines that validate
+    the same table repeatedly; the spec's [min, span] need not be exact —
+    out-of-range keys clamp into the edge chunks — so a spec computed at
+    snapshot T remains CORRECT for T+1, only chunk granularity drifts.
     """
     common = [c for c in source.columns if c in set(target.columns)]
     source = source.select(*common)
     target = target.select(*common)
     value_cols = common if not primary_key else common
 
-    src_count = source.count()
-    tgt_count = target.count()
-
     if not primary_key:
+        src_count = source.count()
+        tgt_count = target.count()
         only_src = source.exceptAll(target)
         only_tgt = target.exceptAll(source)
         n_src, n_tgt = only_src.count(), only_tgt.count()
@@ -191,14 +208,18 @@ def diff_tables(
         )
 
     # chunk spec computed once from the source side and shared (same min/span
-    # literals on both sides), so both tables bucket identically
-    spec = _chunk_spec(source, primary_key, chunk_size)
-    s_chunks = _chunked(source, primary_key, chunk_size, value_cols, spec).filter(
-        F.col("_chunk") >= start_position
-    )
-    t_chunks = _chunked(target, primary_key, chunk_size, value_cols, spec).filter(
-        F.col("_chunk") >= start_position
-    )
+    # literals on both sides), so both tables bucket identically; callers
+    # with a precomputed spec skip this pass
+    spec = chunk_spec or compute_chunk_spec(source, primary_key, chunk_size)
+    # persist the (n_chunks-row) chunk relations: counts, the mismatch
+    # collect, and chunks_compared all read them — without the persist each
+    # action would recompute the full table scans
+    s_all = _chunked(source, primary_key, chunk_size, value_cols, spec).persist()
+    t_all = _chunked(target, primary_key, chunk_size, value_cols, spec).persist()
+    src_count = s_all.agg(F.sum("_rows")).first()[0] or 0
+    tgt_count = t_all.agg(F.sum("_rows")).first()[0] or 0
+    s_chunks = s_all.filter(F.col("_chunk") >= start_position)
+    t_chunks = t_all.filter(F.col("_chunk") >= start_position)
     joined = s_chunks.alias("s").join(
         t_chunks.alias("t"), on="_chunk", how="full_outer"
     )
@@ -214,6 +235,8 @@ def diff_tables(
     )
     bad_chunks = [r["_chunk"] for r in mismatched.collect()]
     chunks_compared = joined.count()
+    s_all.unpersist()
+    t_all.unpersist()
 
     only_src = only_tgt = None
     if drill_down and bad_chunks:
@@ -232,5 +255,10 @@ def diff_tables(
         mismatched_chunks=bad_chunks,
         rows_only_in_source=only_src,
         rows_only_in_target=only_tgt,
-        details={"chunk_size": chunk_size, "start_position": start_position},
+        details={
+            "chunk_size": chunk_size,
+            "start_position": start_position,
+            # hand this back into diff_tables(chunk_spec=...) next run
+            "chunk_spec": spec,
+        },
     )

@@ -2,7 +2,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from rust_cdc_validator_spark.operators.diff import diff_tables
+from rust_cdc_validator_spark.operators.diff import compute_chunk_spec, diff_tables
 
 
 def _base(spark, n=3500):
@@ -49,6 +49,46 @@ def test_start_position_skips_early_defect(spark):
     )
     rep = diff_tables(a, b, ["pk"], chunk_size=1000, start_position=1, drill_down=False)
     assert rep.mismatched_chunks == []  # defect in chunk 0, skipped
+
+
+def test_chunk_spec_reuse_and_drift_tolerance(spark):
+    """A precomputed chunk spec (standing-pipeline path, SCALE.md
+    known-delta #2) skips the spec pass and reproduces the same verdicts;
+    a spec computed at snapshot T stays CORRECT at T+1 when the keyspace
+    has grown — new out-of-range keys clamp into the last chunk, so a
+    defect there still surfaces."""
+    a = _base(spark)
+    spec = compute_chunk_spec(a, ["pk"], chunk_size=1000)
+    assert spec == diff_tables(a, a, ["pk"], chunk_size=1000).details["chunk_spec"]
+    b = _base(spark).withColumn(
+        "v", F.when(F.col("pk") == 1500, F.lit(-1)).otherwise(F.col("v"))
+    )
+    rep = diff_tables(a, b, ["pk"], chunk_size=1000, chunk_spec=spec)
+    assert rep.mismatched_chunks == [1]
+    assert rep.details["chunk_spec"] == spec
+
+    # snapshot grew past the spec's max: defect in the clamped region
+    a2 = _base(spark, 5000)
+    b2 = a2.withColumn(
+        "v", F.when(F.col("pk") == 4700, F.lit(-1)).otherwise(F.col("v"))
+    )
+    rep2 = diff_tables(a2, b2, ["pk"], chunk_size=1000, chunk_spec=spec)
+    assert rep2.source_count == rep2.target_count == 5000
+    assert rep2.mismatched_chunks == [spec[2] - 1]  # clamped into last chunk
+    assert {r["pk"] for r in rep2.rows_only_in_source.collect()} == {4700}
+
+
+def test_counts_derived_from_chunk_scan(spark):
+    """Row counts come from the chunk relation, not separate count() jobs —
+    a PK diff is two full scans total. Counts must still be exact."""
+    a, b = _base(spark, 2345), _base(spark, 2345).filter("pk <> 7")
+    rep = diff_tables(a, b, ["pk"], chunk_size=1000, drill_down=False)
+    assert rep.source_count == 2345
+    assert rep.target_count == 2344
+    # empty side: counts are 0, not None
+    empty = _base(spark).filter("pk < 0")
+    rep0 = diff_tables(empty, empty, ["pk"], chunk_size=1000, drill_down=False)
+    assert rep0.source_count == rep0.target_count == 0
 
 
 def test_no_pk_full_row_hash(spark):
