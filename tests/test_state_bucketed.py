@@ -94,6 +94,50 @@ def test_merge_plan_never_shuffles_the_state_side(spark, state_table):
     assert "SelectedBucketsCount: 4 out of 4" in plan
 
 
+def test_incremental_merge_property_random_logs(spark):
+    """Property: for ANY change log split at ANY point into (history →
+    bucketed state) + (tail batch), merge(state, tail) == replay(whole log).
+    Hypothesis drives the log shape; the split point exercises empty-state,
+    empty-batch, delete-then-reinsert and repeated-key orderings."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ops = st.sampled_from(["I", "U", "D"])
+    keys = st.integers(min_value=0, max_value=5)
+    vals = st.integers(min_value=-99, max_value=99)
+    logs = st.lists(st.tuples(keys, ops, vals), min_size=1, max_size=30)
+
+    def to_df(log, offset=0):
+        rows = [
+            (k, str(v), op, offset + i) for i, (k, op, v) in enumerate(log)
+        ]
+        schema = "id long, val string, Op string, _seq long"
+        return (
+            spark.createDataFrame(rows, schema)
+            if rows
+            else spark.createDataFrame([], schema)
+        )
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(logs, st.data())
+    def run(log, data):
+        cut = data.draw(st.integers(min_value=0, max_value=len(log)))
+        name = f"prop_state_{uuid.uuid4().hex[:10]}"
+        try:
+            save_state_bucketed(
+                net_effect(to_df(log[:cut]), ["id"]), name, ["id"], n_buckets=4
+            )
+            merged = merge_into_state(spark, name, to_df(log[cut:], offset=cut), ["id"])
+            got = sorted(map(tuple, merged.collect()))
+            want = sorted(map(tuple, net_effect(to_df(log), ["id"]).collect()))
+            assert got == want
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    run()
+
+
 def test_last_change_per_key_keeps_deletes(spark):
     log = _log(spark, [(1, "a", "I", 0), (1, None, "D", 1), (2, "b", "I", 2)])
     got = {r["id"]: r["_op"] for r in last_change_per_key(log, ["id"]).collect()}
