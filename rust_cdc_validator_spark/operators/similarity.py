@@ -219,6 +219,128 @@ def _dot_pdf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(np.einsum("rd,rd->r", am, bm))
 
 
+def _bucketed_narrow(
+    df: DataFrame, id_col: str, vec_col: str, planes: np.ndarray
+) -> DataFrame:
+    """(_id, tbl, bucket) WITHOUT the vector payload — ~20 bytes per
+    membership row instead of 8·dim+. The narrow sibling of ``_bucketed``
+    for the pair-generation strategy, where vectors join in only after
+    pairs are deduped across tables."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("tbl", T.IntegerType(), False),
+            T.StructField("bucket", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc.value  # (T, P, D)
+        n_tables, n_planes, _ = pl.shape
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(v, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            v = v / n
+            proj = np.einsum("rd,tpd->trp", v, pl)
+            buckets = ((proj > 0) @ weights).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "_id": np.tile(ids, n_tables),
+                    "tbl": np.repeat(np.arange(n_tables, dtype=np.int32), len(ids)),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(gen, schema)
+
+
+def _unit_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(_id, _v) with ``_v`` unit-normalized float64 — the verify-side
+    vector relation the deduped pairs join against."""
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("_v", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(v, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            yield pd.DataFrame({"_id": pdf[id_col].to_numpy(), "_v": list(v / n)})
+
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(gen, schema)
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    num_planes: int = 10,
+    num_tables: int = 6,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Embedding near-dup pairs via NARROW candidate generation — the
+    "further step" SCALE.md's honest list names for ``num_tables ≫ 4``.
+
+    ``lsh_bucket_topk`` ships each vector once per (table, bucket)
+    membership — num_tables × 8·dim bytes through the shuffle per vector.
+    Here the memberships are (id, tbl, bucket) rows (~20 B); the per-bucket
+    self-join emits id pairs; ``distinct`` collapses the multi-table
+    collisions BEFORE any vector moves; only then do unit vectors join in
+    (once per side of each unique pair) for the exact cosine verify. Total
+    vector traffic ∝ unique candidate pairs — cheaper than the wide path
+    whenever pairs-per-vector < num_tables·dim/5ish, i.e. exactly the
+    sparse-duplicate regime near-dup detection lives in.
+
+    Hot buckets (all-identical boilerplate vectors) are population-capped
+    like every other bucketed join in the repo — count window over the
+    join's own (tbl, bucket) partitioning, blocks above ``max_bucket_size``
+    dropped.
+
+    Returns (id_a, id_b, cos_sim), id_a < id_b, cos_sim ≥ threshold.
+    """
+    planes = _hyperplanes(dim, seed, num_tables, num_planes)
+    memb = _bucketed_narrow(df, id_col, vec_col, planes)
+    w_pop = Window.partitionBy("tbl", "bucket")
+    memb = (
+        memb.withColumn("_pop", F.count(F.lit(1)).over(w_pop))
+        .filter(F.col("_pop") <= max_bucket_size)
+        .drop("_pop")
+    )
+    pairs = (
+        memb.alias("a")
+        .join(memb.alias("b"), on=["tbl", "bucket"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()  # ← multi-table collisions collapse on 16-byte rows
+    )
+    vec = _unit_vectors(df, id_col, vec_col)
+    va = vec.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = vec.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        pairs.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .withColumn("cos_sim", _dot_pdf(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def _make_group_scorer(
     k: int,
     include_self: bool,

@@ -163,6 +163,54 @@ def test_simhash_hot_quadrant_cap(spark):
     ).count() == 0
 
 
+def test_lsh_near_dup_pairs_narrow_matches_wide_path(spark):
+    """The narrow pair-generation strategy (memberships without vector
+    payload, dedup before vectors move) must find the same near-dup pairs
+    as the wide embedding_near_dup path at the same planes/seed/threshold
+    on clustered vectors."""
+    from rust_cdc_validator_spark.operators.similarity import (
+        embedding_near_dup,
+        lsh_near_dup_pairs,
+    )
+
+    v = _vectors(spark)  # 10 clusters of 5 near-identical 4-d vectors
+    wide = {
+        (r["id_a"], r["id_b"]): round(r["cos_sim"], 9)
+        for r in embedding_near_dup(
+            v, threshold=0.999, dim=4, num_planes=6, num_tables=8
+        ).collect()
+    }
+    narrow = {
+        (r["id_a"], r["id_b"]): round(r["cos_sim"], 9)
+        for r in lsh_near_dup_pairs(
+            v, threshold=0.999, dim=4, num_planes=6, num_tables=8
+        ).collect()
+    }
+    assert narrow == wide
+    assert narrow  # the clusters actually produce pairs
+    for (a, b), sim in narrow.items():
+        assert a < b and sim >= 0.999
+
+
+def test_lsh_near_dup_pairs_hot_bucket_capped(spark):
+    """A degenerate all-identical block must be dropped by the population
+    cap before the pair join, not exploded quadratically."""
+    from rust_cdc_validator_spark.operators.similarity import lsh_near_dup_pairs
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(3000)]
+    rows += [(9001, [0.0, 1.0, 0.05, 0.0]), (9002, [0.0, 1.0, 0.0501, 0.0])]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_dup_pairs(
+            v, threshold=0.99, dim=4, num_planes=6, num_tables=4,
+            max_bucket_size=100,
+        ).collect()
+    }
+    assert (9001, 9002) in got          # real pair outside the hot block
+    assert not any(a < 9000 and b < 9000 for a, b in got)  # block dropped
+
+
 def test_group_scorer_caps_degenerate_bucket(spark):
     """All-identical corpus vectors land in ONE bucket of every LSH table;
     max_bucket_candidates must bound the per-task matmul by deterministic
