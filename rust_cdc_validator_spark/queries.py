@@ -1815,6 +1815,23 @@ def embedding_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r"))
 
 
+def embedding_near_dup_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same near-dup contract as embedding_near_dup_docs through the
+    NARROW pair-generation strategy (operators/similarity.py:
+    lsh_near_dup_pairs): memberships without vector payload, pair dedup
+    across tables, vectors join once per unique pair for the exact verify.
+    Identical planes/seed/threshold ⇒ identical pairs to the wide path
+    (equivalence-tested); registered separately so the driver exercises
+    the at-scale candidate strategy too. Rows-only (LSH, no SQL oracle)."""
+    from rust_cdc_validator_spark.operators.similarity import lsh_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.45,
+        dim=64, num_planes=6, num_tables=8,
+    ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r"))
+
+
 def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click event picks up the most recent same-user
     purchase at-or-before it (backward inclusive). Spark has no ASOF JOIN;
@@ -2076,6 +2093,7 @@ QUERIES: dict[str, QueryFn] = {
     "orders_above_cust_avg": orders_above_cust_avg,
     "doc_fingerprints": doc_fingerprints,
     "embedding_near_dup_docs": embedding_near_dup_docs,
+    "embedding_near_dup_narrow": embedding_near_dup_narrow,
     "events_asof_purchase": events_asof_purchase,
     "doc_repetition_stats": doc_repetition_stats,
     "lang_distinctive_terms": lang_distinctive_terms,

@@ -35,6 +35,7 @@ SKETCH_QUERIES = [
     "ann_ivf_top1",
     "dedup_clusters_docs",
     "embedding_near_dup_docs",
+    "embedding_near_dup_narrow",
 ]
 
 
