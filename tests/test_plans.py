@@ -89,3 +89,19 @@ def test_bm25_single_scan_and_takeordered(spark, sf_dir):
     # node-detail section — count unique node ids, not substring hits
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_base_conf_block():
+    """The shipped config block: AQE family on, UTC, Arrow, 128MB splits;
+    RocksDB streaming state is an opt-in static conf."""
+    from rust_cdc_validator_spark.session import _ROCKSDB_PROVIDER, base_conf
+
+    conf = base_conf(64)
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    assert conf["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    assert conf["spark.sql.session.timeZone"] == "UTC"
+    assert conf["spark.sql.files.maxPartitionBytes"] == "134217728"
+    assert conf["spark.sql.shuffle.partitions"] == "64"
+    assert "spark.sql.streaming.stateStore.providerClass" not in conf
+    rocks = base_conf(64, rocksdb_state=True)
+    assert rocks["spark.sql.streaming.stateStore.providerClass"] == _ROCKSDB_PROVIDER
