@@ -136,6 +136,73 @@ class CdcValidator:
             )
         return reports
 
+    def advance_state(
+        self,
+        payload: CdcPayload,
+        table: str,
+        state_table: str,
+        new_state_table: str,
+        n_buckets: int | None = None,
+    ) -> DataFrame:
+        """Incremental snapshot advance: apply ONLY the CDC files in the
+        payload's [start_date, stop_date) window to an existing PK-bucketed
+        state table (``operators/state.py``), writing the result as
+        ``new_state_table``. Returns the new state DataFrame.
+
+        The standing-pipeline sibling of ``snapshot``: a full snapshot
+        replays LOAD + all history every run (the reference's only mode,
+        cdc_operator.rs:57-231); here the 100 TB state never re-replays —
+        one delta-sized shuffle merges the window's changes in. LOAD files
+        are EXCLUDED from the delta: they are already part of the state
+        lineage, and re-applying them would resurrect rows deleted since
+        (the window must cover exactly the not-yet-applied files — advance
+        it monotonically run to run).
+
+        Seed the chain with a bucketed full snapshot:
+        ``save_state_bucketed(snapshot(p0)[t], state_v0, pk)``.
+        """
+        from rust_cdc_validator_spark.operators.replay import with_sequence
+        from rust_cdc_validator_spark.operators.state import (
+            merge_into_state,
+            _bucket_count,
+            save_state_bucketed,
+        )
+        from rust_cdc_validator_spark.sources.manifest import build_manifest, discover_files
+
+        entries = [
+            e
+            for e in discover_files(
+                self.spark,
+                self.table_root(payload, table),
+                mode=payload.mode,
+                start_date=payload.start_date,
+                stop_date=payload.stop_date,
+                absolute_path=payload.absolute_path,
+            )
+            if not e.is_load
+        ]
+        pk = self.catalog.get_primary_key(payload.schema, table)
+        if not pk:
+            raise ValueError("advance_state requires a primary key (bucketed state)")
+        if not entries:  # empty window: state unchanged, just version forward
+            state = self.spark.table(state_table)
+            save_state_bucketed(
+                state, new_state_table, pk,
+                n_buckets=n_buckets or _bucket_count(self.spark, state_table),
+            )
+            return self.spark.table(new_state_table)
+        changes = self.spark.read.option("mergeSchema", "true").parquet(
+            *[e.path for e in entries]
+        )
+        seqd = with_sequence(changes, build_manifest(self.spark, entries))
+        # the merge reads Op for its delete arm and drops the envelope itself
+        merged = merge_into_state(self.spark, state_table, seqd, pk)
+        save_state_bucketed(
+            merged, new_state_table, pk,
+            n_buckets=n_buckets or _bucket_count(self.spark, state_table),
+        )
+        return self.spark.table(new_state_table)
+
     def run(
         self,
         payload: CdcPayload,

@@ -1,0 +1,105 @@
+"""CdcValidator.advance_state: windowed incremental merge into bucketed
+state equals a full snapshot replay of the same history."""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pytest
+
+from rust_cdc_validator_spark.api import CdcPayload, CdcValidator
+from rust_cdc_validator_spark.operators.state import save_state_bucketed
+from rust_cdc_validator_spark.sources.catalog import StaticCatalog
+from tests.cdc_fixtures import write_cdc_file
+
+
+def _set_mtime(path: str, y: int, mo: int, d: int, h: int = 0) -> None:
+    t = time.mktime((y, mo, d, h, 0, 0, 0, 0, -1))
+    os.utime(path, (t, t))
+
+
+@pytest.fixture()
+def tables(spark):
+    names = [f"inc_state_{uuid.uuid4().hex[:8]}_v{i}" for i in range(3)]
+    yield names
+    for t in names:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_advance_state_equals_full_snapshot(spark, tmp_path, tables):
+    cols = ["Op", "_dms_ingestion_timestamp", "id", "val"]
+    root = str(tmp_path)
+    tdir = f"{root}/db/public/items"
+    load = [
+        {"Op": "I", "_dms_ingestion_timestamp": "t0", "id": i, "val": f"v{i}"}
+        for i in range(1, 6)
+    ]
+    day1 = [
+        {"Op": "U", "_dms_ingestion_timestamp": "t1", "id": 2, "val": "day1-2"},
+        {"Op": "D", "_dms_ingestion_timestamp": "t1", "id": 4, "val": "x"},
+    ]
+    day2 = [
+        {"Op": "I", "_dms_ingestion_timestamp": "t2", "id": 9, "val": "day2-9"},
+        {"Op": "U", "_dms_ingestion_timestamp": "t2", "id": 2, "val": "day2-2"},
+        {"Op": "D", "_dms_ingestion_timestamp": "t2", "id": 5, "val": "x"},
+    ]
+    p_load = f"{tdir}/LOAD00000001.parquet"
+    p_day1 = f"{tdir}/2024/01/02/a.parquet"
+    p_day2 = f"{tdir}/2024/01/03/b.parquet"
+    write_cdc_file(p_load, load, cols)
+    write_cdc_file(p_day1, day1, cols)
+    write_cdc_file(p_day2, day2, cols)
+    _set_mtime(p_day1, 2024, 1, 2, 6)
+    _set_mtime(p_day2, 2024, 1, 3, 6)
+
+    from datetime import datetime
+
+    catalog = StaticCatalog(
+        {"public": {"items": ({"id": "integer", "val": "text"}, ["id"])}}
+    )
+    v = CdcValidator(spark, catalog)
+
+    def payload(start, stop=None):
+        return CdcPayload(
+            bucket_root=root, database="db", schema="public",
+            included_tables=["items"], start_date=start, stop_date=stop,
+        )
+
+    # seed: snapshot through day1, saved bucketed
+    snap0 = v.snapshot(payload(datetime(2024, 1, 1), datetime(2024, 1, 2, 12)))
+    save_state_bucketed(snap0["items"], tables[0], ["id"], n_buckets=4)
+
+    # advance over the day2 window only
+    new_state = v.advance_state(
+        payload(datetime(2024, 1, 2, 12), datetime(2024, 1, 4)),
+        "items", tables[0], tables[1],
+    )
+    got = sorted((r["id"], r["val"]) for r in new_state.collect())
+
+    # reference: one-shot snapshot of the whole history
+    full = v.snapshot(payload(datetime(2024, 1, 1), datetime(2024, 1, 4)))
+    want = sorted((r["id"], r["val"]) for r in full["items"].collect())
+    assert got == want
+    assert got == [(1, "v1"), (2, "day2-2"), (3, "v3"), (9, "day2-9")]
+
+    # empty window: state versions forward unchanged
+    same = v.advance_state(
+        payload(datetime(2025, 1, 1), datetime(2025, 1, 2)),
+        "items", tables[1], tables[2],
+    )
+    assert sorted((r["id"], r["val"]) for r in same.collect()) == got
+
+
+def test_advance_state_requires_pk(spark, tmp_path, tables):
+    from datetime import datetime
+
+    catalog = StaticCatalog({"public": {"logs": ({"id": "integer"}, [])}})
+    v = CdcValidator(spark, catalog)
+    p = CdcPayload(
+        bucket_root=str(tmp_path), database="db", schema="public",
+        included_tables=["logs"], start_date=datetime(2024, 1, 1),
+    )
+    with pytest.raises(ValueError, match="primary key"):
+        v.advance_state(p, "logs", tables[0], tables[1])
