@@ -118,9 +118,15 @@ class CdcValidator:
         payload: CdcPayload,
         source_frames: dict[str, DataFrame],
         target_frames: dict[str, DataFrame],
+        chunk_specs: dict[str, tuple[float, float, int]] | None = None,
     ) -> dict[str, DiffReport]:
         """Native diff replacing the rust-pgdatadiff delegation
-        (cdc_operator.rs:254-288)."""
+        (cdc_operator.rs:254-288).
+
+        ``chunk_specs``: per-table chunk specs from a previous run's
+        ``report.details["chunk_spec"]`` — standing pipelines that validate
+        the same tables repeatedly pass them back to skip each table's
+        spec pass (see ``operators/diff.py:compute_chunk_spec``)."""
         reports: dict[str, DiffReport] = {}
         for t in self._tables(payload):
             if t not in source_frames or t not in target_frames:
@@ -133,6 +139,7 @@ class CdcValidator:
                 chunk_size=payload.chunk_size,
                 start_position=payload.start_position,
                 table=t,
+                chunk_spec=(chunk_specs or {}).get(t),
             )
         return reports
 

@@ -85,3 +85,25 @@ def test_run_only_datadiff_requires_targets_and_diffs(spark, tmp_path):
             source_frames=snaps,
             target_frames={"nonexistent": snaps["alpha"]},
         )
+
+
+def test_validate_reuses_chunk_specs(spark):
+    """Specs from run N's reports feed run N+1 and reproduce identical
+    verdicts (the standing-pipeline path)."""
+    from rust_cdc_validator_spark.api import CdcPayload, CdcValidator
+    from rust_cdc_validator_spark.sources.catalog import StaticCatalog
+    from datetime import datetime
+
+    catalog = StaticCatalog(
+        {"public": {"t1": ({"id": "integer", "v": "integer"}, ["id"])}}
+    )
+    v = CdcValidator(spark, catalog)
+    p = CdcPayload(bucket_root="/nonexistent", database="db", schema="public",
+                   included_tables=["t1"], start_date=datetime(2024, 1, 1))
+    a = spark.range(2500).selectExpr("id", "id % 7 as v")
+    b = a.selectExpr("id", "case when id = 1500 then -1 else v end as v")
+    first = v.validate(p, {"t1": a}, {"t1": b})
+    specs = {t: r.details["chunk_spec"] for t, r in first.items()}
+    second = v.validate(p, {"t1": a}, {"t1": b}, chunk_specs=specs)
+    assert second["t1"].mismatched_chunks == first["t1"].mismatched_chunks == [1]
+    assert second["t1"].details["chunk_spec"] == specs["t1"]
