@@ -313,18 +313,64 @@ def prepare_training_corpus(
     collision (2^-64 per pair) would drop a non-duplicate doc; at exact-count
     semantics this is below measurement noise, the same trade argued in
     ``contamination_check``'s docstring."""
+    gated, toks, n_sw = _quality_gate(docs, text_col, min_chars, min_stopwords)
+    gated = gated.withColumn("_h", F.xxhash64(normalize_text(F.col(text_col))))
+    w_min = gated.groupBy("_h").agg(F.min(id_col).alias("_keeper"))
+    deduped = gated.join(w_min, on="_h").filter(F.col(id_col) == F.col("_keeper"))
+    return deduped.select(
+        id_col,
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        n_sw.alias("n_stopwords"),
+    )
+
+
+def _quality_gate(docs: DataFrame, text_col: str, min_chars: int, min_stopwords: int):
+    """(gated_df, token_array_expr, stopword_count_expr) — the shared
+    front gate of the composed corpus pipelines."""
     toks = F.split(F.col(text_col), " ")
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    gated = docs.filter((F.length(text_col) >= min_chars) & (n_sw >= min_stopwords))
+    return gated, toks, n_sw
 
-    gated = docs.filter(
-        (F.length(text_col) >= min_chars) & (n_sw >= min_stopwords)
-    ).withColumn("_h", F.xxhash64(normalize_text(F.col(text_col))))
 
+def prepare_training_corpus_neardup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 100,
+    min_stopwords: int = 1,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """The composed pipeline with NEAR-dup removal: quality gate → exact
+    dedup on ``xxhash64(normalized text)`` → MinHash+LSH near-dup clusters
+    (``operators/dedup.py:dedup_clusters``) keeping each cluster's min-id
+    root → per-doc stats. The full training-data prep a 100 TB pipeline
+    actually runs — exact dedup first shrinks the MinHash candidate set to
+    unique texts, so the banded join never sees verbatim copies.
+
+    Scale shape: the exact stage is one 8-byte-hash shuffle; the near-dup
+    stage is map-side signatures + capped band joins + probe-and-keep
+    components (see dedup.py); the final keeper filter is a semi-join on
+    8-byte ids (the roots set is corpus-sized — most docs are their own
+    root — so it is NOT broadcast). Rows-only oracle (MinHash),
+    golden-pinned.
+    """
+    from rust_cdc_validator_spark.operators.dedup import dedup_clusters
+
+    gated, toks, n_sw = _quality_gate(docs, text_col, min_chars, min_stopwords)
+    gated = gated.withColumn("_h", F.xxhash64(normalize_text(F.col(text_col))))
     w_min = gated.groupBy("_h").agg(F.min(id_col).alias("_keeper"))
-    deduped = gated.join(w_min, on="_h").filter(F.col(id_col) == F.col("_keeper"))
+    exact = gated.join(w_min, on="_h").filter(F.col(id_col) == F.col("_keeper"))
 
-    return deduped.select(
+    clusters = dedup_clusters(
+        exact, text_col, id_col, min_est_jaccard=min_est_jaccard
+    )
+    roots = clusters.filter(F.col(id_col) == F.col("keeper_id")).select(id_col)
+    kept = exact.join(roots, on=id_col, how="left_semi")
+
+    return kept.select(
         id_col,
         F.length(text_col).alias("n_chars"),
         F.size(toks).alias("n_tokens"),

@@ -1815,6 +1815,20 @@ def embedding_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r"))
 
 
+def training_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full composed prep a training pipeline runs: quality gate →
+    exact dedup (hashed) → MinHash near-dup cluster removal (keep min-id
+    root) → per-doc stats (operators/corpus.py:
+    prepare_training_corpus_neardup). Rows-only (MinHash sketch — no SQL
+    oracle), golden-pinned at sf0.001."""
+    from rust_cdc_validator_spark.operators.corpus import (
+        prepare_training_corpus_neardup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return prepare_training_corpus_neardup(docs, min_chars=100, min_stopwords=1)
+
+
 def embedding_near_dup_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same near-dup contract as embedding_near_dup_docs through the
     NARROW pair-generation strategy (operators/similarity.py:
@@ -2094,6 +2108,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprints": doc_fingerprints,
     "embedding_near_dup_docs": embedding_near_dup_docs,
     "embedding_near_dup_narrow": embedding_near_dup_narrow,
+    "training_corpus_neardup": training_corpus_neardup,
     "events_asof_purchase": events_asof_purchase,
     "doc_repetition_stats": doc_repetition_stats,
     "lang_distinctive_terms": lang_distinctive_terms,

@@ -80,6 +80,30 @@ def test_prepare_training_corpus_no_fulltext_shuffle(spark):
     assert {r["doc_id"] for r in out.collect()} == {0}  # still dedupes
 
 
+def test_prepare_training_corpus_neardup_drops_clusters(spark):
+    """Near-dup removal on top of the exact pipeline: verbatim copies go in
+    the exact stage, high-Jaccard variants go in the cluster stage, the
+    min-id root of each cluster survives."""
+    from rust_cdc_validator_spark.operators.corpus import (
+        prepare_training_corpus_neardup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river " * 4
+    variant = base.replace("lazy", "sleepy")  # high-Jaccard near-dup of base
+    rows = [
+        (1, base.strip()),
+        (2, base.strip().upper() + "..."),   # exact dup after normalization
+        (3, variant.strip()),                 # near dup → clustered with 1
+        (4, "completely different content about spark shuffles and parquet "
+            "files with the required length padding words and more words "
+            "to pass the gate easily " * 2),
+        (5, "short"),                         # gated out
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"] for r in prepare_training_corpus_neardup(docs).collect()}
+    assert out == {1, 4}  # 2 exact-deduped, 3 near-dup-clustered, 5 gated
+
+
 def test_pack_sequences_default_shards_scale_with_parallelism(spark):
     from rust_cdc_validator_spark.operators.corpus import pack_sequences
 

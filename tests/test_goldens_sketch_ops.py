@@ -36,6 +36,7 @@ SKETCH_QUERIES = [
     "dedup_clusters_docs",
     "embedding_near_dup_docs",
     "embedding_near_dup_narrow",
+    "training_corpus_neardup",
 ]
 
 
