@@ -171,9 +171,11 @@ class CdcValidator:
         from rust_cdc_validator_spark.operators.replay import with_sequence
         from rust_cdc_validator_spark.operators.state import (
             merge_into_state,
+            merge_into_state_touched,
             _bucket_count,
             save_state_bucketed,
         )
+        from rust_cdc_validator_spark.sources.catalog import check_schema_containment
         from rust_cdc_validator_spark.sources.manifest import build_manifest, discover_files
 
         entries = [
@@ -201,14 +203,27 @@ class CdcValidator:
         changes = self.spark.read.option("mergeSchema", "true").parquet(
             *[e.path for e in entries]
         )
+        # same drift gate as snapshot_table: a column added to the CDC
+        # stream mid-window raises the catalog-aware error instead of being
+        # silently dropped by the merge's state-schema projection; a delta
+        # MISSING state columns surfaces as an unresolved column in the
+        # merge, which is correct (the state schema is the contract)
+        columns = self.catalog.get_table_columns(payload.schema, table)
+        check_schema_containment(changes.columns, list(columns))
         seqd = with_sequence(changes, build_manifest(self.spark, entries))
-        # the merge reads Op for its delete arm and drops the envelope itself
-        merged = merge_into_state(self.spark, state_table, seqd, pk)
-        save_state_bucketed(
-            merged, new_state_table, pk,
-            n_buckets=n_buckets or _bucket_count(self.spark, state_table),
+        current_buckets = _bucket_count(self.spark, state_table)
+        if n_buckets is not None and n_buckets != current_buckets:
+            # re-bucketing: touched-file reuse is impossible (every bucket's
+            # membership changes), so fall back to the full rewrite
+            merged = merge_into_state(self.spark, state_table, seqd, pk)
+            save_state_bucketed(merged, new_state_table, pk, n_buckets=n_buckets)
+            return self.spark.table(new_state_table)
+        # the merge reads Op for its delete arm and drops the envelope
+        # itself; only the delta's buckets are rewritten — untouched
+        # buckets' files carry over byte-identical (operators/state.py)
+        return merge_into_state_touched(
+            self.spark, state_table, seqd, pk, new_state_table
         )
-        return self.spark.table(new_state_table)
 
     def run(
         self,

@@ -22,6 +22,11 @@ changes. The bucketed layout fixes the asymmetry:
   next snapshot version (write-ahead, never in place — Spark cannot
   overwrite a table it is reading, and versioned snapshots are what a
   production state store wants anyway).
+* ``merge_into_state_touched`` closes the write side of the asymmetry:
+  only the buckets the delta touches are rewritten into the new version;
+  untouched buckets' files are copied byte-for-byte (their ``_NNNNN``
+  bucket suffix keeps them scannable). Bytes written per merge ∝ delta
+  buckets, not state size.
 
 The reference has no incremental mode (it replays LOAD+CDC from scratch
 each run, cdc_operator.rs:57-231); this is the Spark-first extension of
@@ -31,11 +36,19 @@ C2/C3 for standing pipelines, the batch-side sibling of
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import posixpath
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .replay import ENVELOPE_COLS, OP_COL
+
+# Spark names bucketed files `part-<task>-<uuid>_<bucket:05d>.c000.<codec>...`
+# (BucketingUtils.bucketIdToString); the suffix is how the bucketed scan
+# reassembles buckets, so copied files keep their bucket identity for free.
+_BUCKET_FILE_RE = re.compile(r"_(\d{5})\.")
 
 
 def save_state_bucketed(
@@ -125,9 +138,15 @@ def merge_into_state(
     n_buckets = _bucket_count(spark, state_table)
     changes = changes.repartition(n_buckets, *primary_key)
     delta = last_change_per_key(changes, primary_key, op_col, seq_col)
+    return _merge_frames(state, delta, primary_key)
 
+
+def _merge_frames(state: DataFrame, delta: DataFrame, primary_key: list[str]) -> DataFrame:
+    """Full-outer merge of a last-change-per-key delta (data cols + ``_op``)
+    into a state frame; deletes drop out, updates/inserts win, untouched
+    rows pass through."""
     data_cols = [c for c in state.columns]
-    changed = F.col(f"c.{'_op'}").isNotNull()  # key present in the delta
+    changed = F.col("c._op").isNotNull()  # key present in the delta
     picked = [
         F.when(changed, F.col(f"c.{c}")).otherwise(F.col(f"s.{c}")).alias(c)
         if c not in primary_key
@@ -139,10 +158,121 @@ def merge_into_state(
     for k in primary_key:  # explicit condition keeps both sides' PK columns
         eq = F.col(f"s.{k}") == F.col(f"c.{k}")
         cond = eq if cond is None else (cond & eq)
-    merged = (
+    return (
         state.alias("s")
         .join(delta.alias("c"), on=cond, how="full_outer")
         .filter(~(changed & (F.col("c._op") == F.lit("D"))))
         .select(*picked)
     )
-    return merged
+
+
+def bucket_id(primary_key: list[str], n_buckets: int) -> Column:
+    """The bucket id ``bucketBy(n_buckets, *primary_key)`` assigns a row:
+    ``pmod(murmur3_hash(pk...), n)`` — Spark's HashPartitioning
+    partitionIdExpression, which is what the bucketed write evaluates.
+    Pinned against the physical file layout in
+    ``tests/test_state_bucketed.py::test_bucket_id_matches_file_layout``.
+    """
+    return F.pmod(F.hash(*[F.col(k) for k in primary_key]), F.lit(n_buckets))
+
+
+def _table_location(spark: SparkSession, table: str) -> str:
+    for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if row["col_name"].strip() == "Location":
+            return row["data_type"].strip()
+    raise ValueError(f"table {table!r} has no location")
+
+
+def _bucket_files(spark: SparkSession, location: str) -> dict[int, list[str]]:
+    """Data files of a bucketed table grouped by bucket id (from the
+    ``_NNNNN`` file-name suffix)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(location)
+    fs = root.getFileSystem(conf)
+    out: dict[int, list[str]] = {}
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        m = _BUCKET_FILE_RE.search(name)
+        if status.isFile() and m:
+            out.setdefault(int(m.group(1)), []).append(name)
+    return out
+
+
+def merge_into_state_touched(
+    spark: SparkSession,
+    state_table: str,
+    changes: DataFrame,
+    primary_key: list[str],
+    new_state_table: str,
+    op_col: str = OP_COL,
+    seq_col: str = "_seq",
+    path: str | None = None,
+) -> DataFrame:
+    """Apply a sequenced CDC delta to bucketed state, writing ONLY the
+    buckets the delta touches; untouched buckets' files are copied
+    byte-for-byte from the old version. Returns the new state DataFrame
+    (``spark.table(new_state_table)``).
+
+    ``merge_into_state`` got the SHUFFLE delta-sized (only the delta moves
+    through an Exchange); this gets the WRITE delta-sized too (VERDICT r5
+    "Next round" #1): bytes written per version ∝ touched buckets, not
+    total state. The batch sibling of the streaming path's
+    dynamic-partition overwrite (``streaming/incremental.py:94-126``).
+
+    Mechanics:
+    * the delta's bucket ids come from :func:`bucket_id` — the same
+      ``pmod(hash(pk), n)`` the bucketed write uses, so "touched" is exact;
+      collecting them is bounded by ``n_buckets`` ints.
+    * the state side is row-filtered to touched buckets but still read
+      through the bucketed scan — outputPartitioning survives a Filter, so
+      the merge join stays Exchange-free on the state side (same plan
+      assertion as ``merge_into_state``). The filter prunes rows, not
+      files; at object-store scale the win this function adds is on the
+      write path (the read was already shuffle-free).
+    * untouched buckets: the old version's files keep their
+      ``_NNNNN`` bucket suffix when copied, so the new table's bucketed
+      scan picks them up unchanged (Spark groups multiple files per bucket
+      id). A touched bucket whose rows were ALL deleted simply writes no
+      file — correct, and no stale-dir cleanup is needed because every
+      version is a fresh directory.
+    """
+    n_buckets = _bucket_count(spark, state_table)
+    changes = changes.repartition(n_buckets, *primary_key)
+    delta = last_change_per_key(changes, primary_key, op_col, seq_col).persist()
+    try:
+        touched = sorted(
+            r[0]
+            for r in delta.select(
+                bucket_id(primary_key, n_buckets).alias("_b")
+            ).distinct().collect()
+        )
+        state = spark.table(state_table)
+        state_touched = state.filter(bucket_id(primary_key, n_buckets).isin(touched))
+        merged = _merge_frames(state_touched, delta, primary_key)
+        save_state_bucketed(merged, new_state_table, primary_key,
+                            n_buckets=n_buckets, path=path)
+    finally:
+        delta.unpersist()
+
+    # link untouched buckets' files from the old version into the new one
+    old_loc = _table_location(spark, state_table)
+    new_loc = _table_location(spark, new_state_table)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    file_util = jvm.org.apache.hadoop.fs.FileUtil
+    src_fs = hpath(old_loc).getFileSystem(conf)
+    dst_fs = hpath(new_loc).getFileSystem(conf)
+    touched_set = set(touched)
+    for b, names in _bucket_files(spark, old_loc).items():
+        if b in touched_set:
+            continue
+        for name in names:
+            file_util.copy(
+                src_fs, hpath(posixpath.join(old_loc, name)),
+                dst_fs, hpath(posixpath.join(new_loc, name)),
+                False, conf,
+            )
+    spark.catalog.refreshTable(new_state_table)
+    return spark.table(new_state_table)

@@ -142,3 +142,116 @@ def test_last_change_per_key_keeps_deletes(spark):
     log = _log(spark, [(1, "a", "I", 0), (1, None, "D", 1), (2, "b", "I", 2)])
     got = {r["id"]: r["_op"] for r in last_change_per_key(log, ["id"]).collect()}
     assert got == {1: "D", 2: "I"}
+
+
+# ---- touched-bucket-only writes (VERDICT r5 next-round #1) ----------------
+
+from rust_cdc_validator_spark.operators.state import (  # noqa: E402
+    _bucket_files,
+    _table_location,
+    bucket_id,
+    merge_into_state_touched,
+)
+
+
+def _local(loc: str) -> str:
+    return loc[len("file:"):] if loc.startswith("file:") else loc
+
+
+def _file_bytes(loc: str, name: str) -> bytes:
+    import os
+
+    with open(os.path.join(_local(loc), name), "rb") as f:
+        return f.read()
+
+
+def test_bucket_id_matches_file_layout(spark, state_table):
+    """Empirical pin: bucket_id() == the bucket each file's rows actually
+    landed in under bucketBy — the formula the touched-file reuse relies on."""
+    df = spark.range(0, 500).select("id", F.col("id").cast("string").alias("val"))
+    save_state_bucketed(df, state_table, ["id"], n_buckets=8)
+    loc = _table_location(spark, state_table)
+    files = _bucket_files(spark, loc)
+    assert files and set(files) <= set(range(8))
+    for b, names in files.items():
+        for name in names:
+            got = (
+                spark.read.parquet(f"{loc}/{name}")
+                .select(bucket_id(["id"], 8).alias("b"))
+                .distinct()
+                .collect()
+            )
+            assert [r["b"] for r in got] == [b]
+
+
+def test_bucket_id_matches_file_layout_multicol(spark, state_table):
+    df = spark.range(0, 200).select(
+        "id", (F.col("id") % 7).alias("part"), F.lit("x").alias("val")
+    )
+    save_state_bucketed(df, state_table, ["id", "part"], n_buckets=4)
+    loc = _table_location(spark, state_table)
+    for b, names in _bucket_files(spark, loc).items():
+        for name in names:
+            got = (
+                spark.read.parquet(f"{loc}/{name}")
+                .select(bucket_id(["id", "part"], 4).alias("b"))
+                .distinct()
+                .collect()
+            )
+            assert [r["b"] for r in got] == [b]
+
+
+def test_touched_merge_reuses_untouched_files_byte_identical(spark, state_table):
+    """The batch sibling of test_streaming's untouched-bucket byte-identity:
+    buckets the delta doesn't touch carry the OLD version's files verbatim;
+    touched buckets are freshly written."""
+    state0 = net_effect(
+        _log(spark, [(i, f"v{i}", None, i) for i in range(200)]), ["id"]
+    )
+    save_state_bucketed(state0, state_table, ["id"], n_buckets=8)
+    delta_rows = [(1, "x", "U", 500), (2, None, "D", 501), (300, "n", "I", 502)]
+    touched = {
+        r[0]
+        for r in spark.createDataFrame([(1,), (2,), (300,)], "id long")
+        .select(bucket_id(["id"], 8).alias("b"))
+        .distinct()
+        .collect()
+    }
+
+    new = f"{state_table}_v2"
+    got = merge_into_state_touched(
+        spark, state_table, _log(spark, delta_rows), ["id"], new
+    )
+    want = merge_into_state(spark, state_table, _log(spark, delta_rows), ["id"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    old_loc = _table_location(spark, state_table)
+    new_loc = _table_location(spark, new)
+    old_files = _bucket_files(spark, old_loc)
+    new_files = _bucket_files(spark, new_loc)
+    untouched = set(old_files) - touched
+    assert untouched, "fixture must exercise the copy path"
+    for b in untouched:
+        assert sorted(new_files[b]) == sorted(old_files[b])
+        for name in old_files[b]:
+            assert _file_bytes(new_loc, name) == _file_bytes(old_loc, name)
+    for b in touched & set(new_files):
+        assert not set(new_files[b]) & set(old_files.get(b, []))
+
+
+def test_touched_merge_fully_deleted_bucket_writes_no_file(spark, state_table):
+    state0 = net_effect(
+        _log(spark, [(i, f"v{i}", None, i) for i in range(100)]), ["id"]
+    )
+    save_state_bucketed(state0, state_table, ["id"], n_buckets=4)
+    keys = [
+        r["id"]
+        for r in spark.table(state_table).filter(bucket_id(["id"], 4) == 0).collect()
+    ]
+    assert keys
+    delta = _log(spark, [(k, None, "D", 1000 + i) for i, k in enumerate(keys)])
+    new = f"{state_table}_v2"
+    got = merge_into_state_touched(spark, state_table, delta, ["id"], new)
+    assert 0 not in _bucket_files(spark, _table_location(spark, new))
+    assert got.count() == 100 - len(keys)
+    assert got.filter(F.col("id").isin(keys)).count() == 0
