@@ -37,7 +37,8 @@ def md5_bucket(col: Column, buckets: int = 16) -> Column:
     k = 1
     while (16**k) % buckets != 0:
         k += 1
-        assert k <= 8, "buckets must be a power of 2 (or divide 16)"
+        if k > 8:  # not assert: python -O would strip it and loop forever
+            raise ValueError("buckets must be a power of 2 (or divide 16)")
     digit = F.conv(F.substring(F.md5(col.cast("string")), 1, k), 16, 10).cast("bigint")
     return (digit % buckets).cast("int")
 
@@ -56,7 +57,8 @@ def md5_bucket_fine(col: Column, denom: int = 4096) -> Column:
     md5 (denom must divide 4096). Finer-grained sibling of ``md5_bucket``
     for per-mille sampling rates; same engine-portability contract (the SQL
     oracle rebuilds the value with three strpos lookups)."""
-    assert 4096 % denom == 0, "denom must divide 4096"
+    if 4096 % denom != 0:  # not assert: -O would skip it → biased buckets
+        raise ValueError("denom must divide 4096")
     h = F.md5(col.cast("string"))
     v = F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
     return v % denom

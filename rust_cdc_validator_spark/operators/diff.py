@@ -216,27 +216,31 @@ def diff_tables(
     # action would recompute the full table scans
     s_all = _chunked(source, primary_key, chunk_size, value_cols, spec).persist()
     t_all = _chunked(target, primary_key, chunk_size, value_cols, spec).persist()
-    src_count = s_all.agg(F.sum("_rows")).first()[0] or 0
-    tgt_count = t_all.agg(F.sum("_rows")).first()[0] or 0
-    s_chunks = s_all.filter(F.col("_chunk") >= start_position)
-    t_chunks = t_all.filter(F.col("_chunk") >= start_position)
-    joined = s_chunks.alias("s").join(
-        t_chunks.alias("t"), on="_chunk", how="full_outer"
-    )
-    mismatched = (
-        joined.filter(
-            ~(
-                F.col("s._digest").eqNullSafe(F.col("t._digest"))
-                & F.col("s._rows").eqNullSafe(F.col("t._rows"))
-            )
+    try:  # always unpersist — a bad chunk_spec or task failure mid-action
+        # must not leak the cached relations for the session lifetime
+        # (standing validators reuse one session across many runs)
+        src_count = s_all.agg(F.sum("_rows")).first()[0] or 0
+        tgt_count = t_all.agg(F.sum("_rows")).first()[0] or 0
+        s_chunks = s_all.filter(F.col("_chunk") >= start_position)
+        t_chunks = t_all.filter(F.col("_chunk") >= start_position)
+        joined = s_chunks.alias("s").join(
+            t_chunks.alias("t"), on="_chunk", how="full_outer"
         )
-        .select("_chunk")
-        .orderBy("_chunk")
-    )
-    bad_chunks = [r["_chunk"] for r in mismatched.collect()]
-    chunks_compared = joined.count()
-    s_all.unpersist()
-    t_all.unpersist()
+        mismatched = (
+            joined.filter(
+                ~(
+                    F.col("s._digest").eqNullSafe(F.col("t._digest"))
+                    & F.col("s._rows").eqNullSafe(F.col("t._rows"))
+                )
+            )
+            .select("_chunk")
+            .orderBy("_chunk")
+        )
+        bad_chunks = [r["_chunk"] for r in mismatched.collect()]
+        chunks_compared = joined.count()
+    finally:
+        s_all.unpersist()
+        t_all.unpersist()
 
     only_src = only_tgt = None
     if drill_down and bad_chunks:

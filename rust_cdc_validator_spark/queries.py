@@ -1834,9 +1834,14 @@ def embedding_near_dup_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     NARROW pair-generation strategy (operators/similarity.py:
     lsh_near_dup_pairs): memberships without vector payload, pair dedup
     across tables, vectors join once per unique pair for the exact verify.
-    Identical planes/seed/threshold ⇒ identical pairs to the wide path
-    (equivalence-tested); registered separately so the driver exercises
-    the at-scale candidate strategy too. Rows-only (LSH, no SQL oracle)."""
+    In the sparse-duplicate regime — every query has <50 above-threshold
+    neighbors (the wide path's top-k truncation) and no LSH bucket hits
+    either path's population cap — identical planes/seed/threshold give
+    identical pairs to the wide path (equivalence-tested on exactly that
+    regime); beyond those caps the two paths diverge by design (the wide
+    path truncates per-query, this one caps per-bucket). Registered
+    separately so the driver exercises the at-scale candidate strategy
+    too. Rows-only (LSH, no SQL oracle)."""
     from rust_cdc_validator_spark.operators.similarity import lsh_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")

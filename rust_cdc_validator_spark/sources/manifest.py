@@ -188,8 +188,14 @@ def discover_files(
 
     Semantics mirror the reference exactly:
     * DATE_AWARE: LOAD files always included; CDC files kept when
-      ``mtime > start_date`` and (if given) ``mtime < stop_date``
-      (s3_operator.rs:247-260). ``start_date`` is required in this mode
+      ``mtime >= start_date`` and (if given) ``mtime < stop_date`` — a
+      true half-open window [start, stop). The reference filters with a
+      strict ``last_modified > start_date`` (s3_operator.rs:247-260); we
+      deliberately include the start boundary so chained incremental
+      windows (stop of run N == start of run N+1, see
+      ``CdcValidator.advance_state``) partition the timeline: a file whose
+      mtime lands exactly on the shared boundary goes to run N+1, never to
+      neither. ``start_date`` is required in this mode
       (cdc_operator.rs:116-118 panics without it — we raise ValueError).
     * FULL_LOAD_ONLY: only ``{table_root}/LOAD*`` files (s3_operator.rs:277-315).
     * ABSOLUTE_PATH: wrap the single given key verbatim (s3_operator.rs:184-195).
@@ -225,7 +231,7 @@ def discover_files(
             continue
         if mode is FileMode.DATE_AWARE and not load:
             ts = datetime.fromtimestamp(mtime, tz=timezone.utc)
-            if start_date is not None and ts <= _aware(start_date):
+            if start_date is not None and ts < _aware(start_date):
                 continue
             if stop_date is not None and ts >= _aware(stop_date):
                 continue

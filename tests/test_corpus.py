@@ -263,3 +263,17 @@ def test_stratified_sample_rates_and_determinism(spark):
     # unlisted strata are dropped
     extra = spark.createDataFrame([(99999, "xx")], "doc_id long, lang string")
     assert stratified_sample(extra, "lang", rates).count() == 0
+
+
+def test_md5_bucket_rejects_non_power_of_two():
+    """Explicit ValueError (not assert — stripped under python -O, where the
+    digit-count loop would never terminate for an odd-factor count)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.corpus import md5_bucket, md5_bucket_fine
+
+    with pytest.raises(ValueError, match="power of 2"):
+        md5_bucket(F.col("x"), buckets=10)
+    with pytest.raises(ValueError, match="divide 4096"):
+        md5_bucket_fine(F.col("x"), denom=5)

@@ -184,3 +184,38 @@ def test_net_effect_shuffled_input_order_independent(spark):
     b = net_effect(df.orderBy("val"), ["id"], drop_envelope=False)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     assert a.filter("id in (1,3)").count() == 0
+
+
+def test_window_boundary_mtime_belongs_to_exactly_one_window(spark, tmp_path):
+    """Half-open [start, stop): a CDC file whose mtime lands EXACTLY on the
+    shared boundary of two chained windows (stop of run N == start of run
+    N+1, the advance_state contract) is picked up by run N+1 and ONLY run
+    N+1. Under the old open-open filter (drop ts <= start AND ts >= stop)
+    it fell into neither window — silent loss in an incremental chain.
+    Deliberate divergence from the reference's strict
+    ``last_modified > start_date`` (s3_operator.rs:247-260)."""
+    import os
+
+    cols = ["Op", "_dms_ingestion_timestamp", "id", "v"]
+    root = str(tmp_path / "db/public/t")
+    write_cdc_file(f"{root}/LOAD00000001.parquet",
+                   [{"Op": "I", "_dms_ingestion_timestamp": "t", "id": 1, "v": 1}], cols)
+    p = f"{root}/2024/03/02/boundary.parquet"
+    write_cdc_file(p, [{"Op": "U", "_dms_ingestion_timestamp": "t", "id": 1, "v": 2}], cols)
+    boundary = datetime(2024, 3, 2, 12, 0, 0, tzinfo=timezone.utc)
+    os.utime(p, (boundary.timestamp(), boundary.timestamp()))
+
+    run_n = discover_files(
+        spark, root, FileMode.DATE_AWARE,
+        start_date=datetime(2024, 3, 1, tzinfo=timezone.utc),
+        stop_date=boundary,
+    )
+    run_n1 = discover_files(
+        spark, root, FileMode.DATE_AWARE,
+        start_date=boundary,
+        stop_date=datetime(2024, 3, 4, tzinfo=timezone.utc),
+    )
+    cdc_n = [e.path for e in run_n if not e.is_load]
+    cdc_n1 = [e.path for e in run_n1 if not e.is_load]
+    assert cdc_n == []
+    assert [p.rsplit("/", 1)[-1] for p in cdc_n1] == ["boundary.parquet"]
