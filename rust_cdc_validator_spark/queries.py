@@ -1373,7 +1373,13 @@ FROM customer
 def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentile aggregates per return flag — median,
     p90, p99 (both engines use linear interpolation; values match
-    bit-for-bit)."""
+    bit-for-bit). Exact-by-contract for the oracle; exact percentile is a
+    sort-buffer aggregate (each group's values materialized in executor
+    memory), so the production surface for this shape is
+    ``operators.corpus.percentile_profile``, which auto-switches to the
+    constant-memory ``approx_percentile`` sketch above a bounded-probe
+    row threshold (this query ≡ ``percentile_profile(li, approx=False)``,
+    pinned equivalent in ``tests/test_corpus.py``)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.median("l_quantity").alias("med_qty"),

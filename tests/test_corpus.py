@@ -277,3 +277,62 @@ def test_md5_bucket_rejects_non_power_of_two():
         md5_bucket(F.col("x"), buckets=10)
     with pytest.raises(ValueError, match="divide 4096"):
         md5_bucket_fine(F.col("x"), denom=5)
+
+
+def test_percentile_profile_exact_and_auto_sketch(spark):
+    """percentile_profile: exact path matches F.percentile bit-for-bit;
+    the auto path flips to approx_percentile above the probe threshold
+    (plan-asserted — the sketch aggregate appears in the analyzed plan);
+    sketch values are rank-bounded close on a known distribution."""
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.corpus import percentile_profile
+
+    df = spark.range(0, 1001).select(
+        (F.col("id") % 2).alias("g"), F.col("id").cast("double").alias("v")
+    )
+
+    exact = percentile_profile(df, ["v"], ["g"], approx=False)
+    want = df.groupBy("g").agg(
+        F.percentile("v", 0.5).alias("v_p50"),
+        F.percentile("v", 0.9).alias("v_p90"),
+        F.percentile("v", 0.99).alias("v_p99"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, want.collect()))
+
+    # auto: 1001 rows > threshold 100 → sketch path chosen
+    auto = percentile_profile(df, ["v"], ["g"], approx_threshold=100)
+    plan = auto._jdf.queryExecution().analyzed().toString()
+    assert "percentile_approx" in plan and "percentile(" not in plan
+    for r in auto.collect():
+        # ids 0..1000 split by parity: p50 of each 500-ish-value group ≈ 500
+        assert abs(r["v_p50"] - 500) <= 20
+        assert r["n_rows"] in (500, 501)
+
+    # auto: under the threshold → exact (no sketch in the plan)
+    small = percentile_profile(df.limit(50), ["v"], approx_threshold=100)
+    assert "percentile_approx" not in small._jdf.queryExecution().analyzed().toString()
+    assert small.columns == ["v_p50", "v_p90", "v_p99", "n_rows"]
+
+
+def test_percentile_profile_matches_quantity_percentiles_catalog(spark):
+    """The catalog's oracle-pinned exact query is percentile_profile's
+    approx=False arm over the same columns (VERDICT r5 #2: catalog stays
+    exact, operator surface is scale-safe)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark import queries as Q
+    from rust_cdc_validator_spark.operators.corpus import percentile_profile
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    catalog = Q.quantity_percentiles(spark, sf_dir)
+    med = percentile_profile(
+        li, ["l_quantity"], ["l_returnflag"], probs=(0.5,), approx=False
+    ).withColumnRenamed("l_quantity_p50", "med_qty")
+    got = {r["l_returnflag"]: r["med_qty"] for r in med.collect()}
+    want = {r["l_returnflag"]: r["med_qty"] for r in catalog.collect()}
+    assert got == want
