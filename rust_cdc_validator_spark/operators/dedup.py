@@ -382,6 +382,38 @@ def _simhash_quadrants(sig: DataFrame) -> DataFrame:
     ).select("_id", "_sim", F.col("_q.q").alias("q"), F.col("_q.key").alias("key"))
 
 
+def minhash_dropped_band_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Observability for ``_band_candidates``'s hot-bucket cap: one row per
+    over-capacity (band_id, bucket) with its population. Empty = the cap
+    dropped nothing. Non-empty = docs in those buckets can only meet
+    through their other (num_bands − 1) bands; populations far above the
+    cap mean a boilerplate cluster that belongs in exact_dedup. Same
+    signature + band explode as the candidate path (identical buckets),
+    one aggregation, no self-join — safe at scale.
+    """
+    rows_per_band = num_hashes // num_bands
+    sig = minhash_signatures_fast(df, id_col, text_col, shingle_n, num_hashes)
+    return (
+        sig.select(
+            F.explode(
+                lsh_bands(F.col("_sig"), num_bands, rows_per_band)
+            ).alias("_b")
+        )
+        .select(F.col("_b.band_id").alias("band_id"), F.col("_b.bucket").alias("bucket"))
+        .groupBy("band_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("population"))
+        .filter(F.col("population") > max_bucket_size)
+    )
+
+
 def simhash_dropped_block_stats(
     df: DataFrame,
     text_col: str,

@@ -1857,6 +1857,39 @@ def embedding_near_dup_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r"))
 
 
+def lsh_bucket_overflow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket observability for the vector-LSH caps
+    (operators/similarity.py:lsh_dropped_bucket_stats, VERDICT r5 #8):
+    which (table, bucket) populations exceed the cap — i.e. exactly the
+    buckets lsh_near_dup_pairs would drop and lsh_bucket_topk would
+    truncate at this cap, the recall loss made visible. Rows-only
+    (hyperplane hashing, no SQL oracle); golden-pinned."""
+    from rust_cdc_validator_spark.operators.similarity import (
+        lsh_dropped_bucket_stats,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_dropped_bucket_stats(
+        emb, dim=64, num_planes=6, num_tables=4, max_bucket_size=10
+    ).orderBy("tbl", "bucket")
+
+
+def minhash_band_overflow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket observability for the MinHash band cap
+    (operators/dedup.py:minhash_dropped_band_stats): the (band, bucket)
+    blocks whose population exceeds the cap — the buckets the candidate
+    join drops, typically boilerplate clusters that belong in exact dedup.
+    Rows-only (xxhash64 minhash, no SQL oracle); golden-pinned."""
+    from rust_cdc_validator_spark.operators.dedup import (
+        minhash_dropped_band_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dropped_band_stats(
+        docs, "text", "doc_id", num_hashes=64, num_bands=16, max_bucket_size=3
+    ).orderBy("band_id", "bucket")
+
+
 def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click event picks up the most recent same-user
     purchase at-or-before it (backward inclusive). Spark has no ASOF JOIN;
@@ -2120,6 +2153,8 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_near_dup_docs": embedding_near_dup_docs,
     "embedding_near_dup_narrow": embedding_near_dup_narrow,
     "training_corpus_neardup": training_corpus_neardup,
+    "lsh_bucket_overflow_stats": lsh_bucket_overflow_stats,
+    "minhash_band_overflow_stats": minhash_band_overflow_stats,
     "events_asof_purchase": events_asof_purchase,
     "doc_repetition_stats": doc_repetition_stats,
     "lang_distinctive_terms": lang_distinctive_terms,
@@ -2191,6 +2226,8 @@ ORACLES: dict[str, str] = {
     "stratified_sample_docs": STRATIFIED_SAMPLE_SQL,
     "bm25_search_docs": BM25_SEARCH_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
-    # embedding_near_dup_docs: hash/quantizer-based, not SQL-expressible →
-    # rows-only by design.
+    # embedding_near_dup_docs / lsh_bucket_overflow_stats /
+    # minhash_band_overflow_stats: hash/quantizer-based, not
+    # SQL-expressible → rows-only by design (golden-pinned in
+    # tests/goldens/).
 }

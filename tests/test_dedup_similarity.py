@@ -311,3 +311,56 @@ def test_int8_quantize_round_trip_error_bound(spark):
     for r in got:
         for orig, back in zip(r["u"], r["rt"]):
             assert abs(orig - back) <= 0.5 / 127.0 + 1e-12
+
+
+def test_lsh_dropped_bucket_stats_planted_hot_bucket(spark):
+    """The stats operator reports exactly the buckets the caps would drop:
+    a 3000-member identical block shows up over-capacity in EVERY table
+    (identical vectors share every table's bucket); with the cap raised
+    above the block, the report is empty."""
+    from rust_cdc_validator_spark.operators.similarity import (
+        lsh_dropped_bucket_stats,
+    )
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(3000)]
+    rows += [(9001, [0.0, 1.0, 0.05, 0.0]), (9002, [0.0, 1.0, 0.0501, 0.0])]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    stats = lsh_dropped_bucket_stats(
+        v, dim=4, num_planes=6, num_tables=4, max_bucket_size=100
+    ).collect()
+    assert {r["tbl"] for r in stats} == {0, 1, 2, 3}
+    assert all(r["population"] >= 3000 for r in stats)
+
+    assert (
+        lsh_dropped_bucket_stats(
+            v, dim=4, num_planes=6, num_tables=4, max_bucket_size=5000
+        ).count()
+        == 0
+    )
+
+
+def test_minhash_dropped_band_stats_planted_hot_bucket(spark):
+    """Same contract for the MinHash band cap: identical docs overflow a
+    band bucket and the stats name it; diverse docs alone report nothing."""
+    from rust_cdc_validator_spark.operators.dedup import (
+        minhash_dropped_band_stats,
+    )
+
+    boiler = [(i, "lorem ipsum boilerplate footer text repeated") for i in range(50)]
+    diverse = [(1000 + i, f"document number {i} with its own distinct words {i*7}")
+               for i in range(10)]
+    docs = spark.createDataFrame(boiler + diverse, "doc_id long, text string")
+
+    stats = minhash_dropped_band_stats(
+        docs, "text", "doc_id", num_hashes=16, num_bands=4, max_bucket_size=20
+    ).collect()
+    assert stats and all(r["population"] >= 50 for r in stats)
+
+    clean = spark.createDataFrame(diverse, "doc_id long, text string")
+    assert (
+        minhash_dropped_band_stats(
+            clean, "text", "doc_id", num_hashes=16, num_bands=4, max_bucket_size=20
+        ).count()
+        == 0
+    )

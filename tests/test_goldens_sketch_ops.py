@@ -37,6 +37,8 @@ SKETCH_QUERIES = [
     "embedding_near_dup_docs",
     "embedding_near_dup_narrow",
     "training_corpus_neardup",
+    "lsh_bucket_overflow_stats",
+    "minhash_band_overflow_stats",
 ]
 
 

@@ -169,3 +169,94 @@ def test_ivf_recall_against_brute_force(spark):
     }
     hits = sum(1 for q, n in exact.items() if approx.get(q) == n)
     assert hits / len(exact) >= 0.9
+
+
+def test_ivf_append_equals_build_given_same_centroids(spark, tmp_path):
+    """Incremental index maintenance (r6): appending B to an index built on
+    A gives exactly the index a fresh build over A∪B would produce GIVEN
+    the same centroids — every row sits in its nearest stored cell — and
+    probe-all retrieval over the appended index is exact (matches brute
+    force over A∪B)."""
+    import math
+
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.similarity import (
+        append_to_ivf_index,
+        brute_force_topk,
+        build_ivf_index,
+        ivf_topk_from_index,
+    )
+
+    def ring(ids):
+        rows = []
+        for i in ids:
+            angle = (i % 15) * math.pi / 30
+            jitter = (i // 15) * 5e-4
+            rows.append(
+                (i, [math.cos(angle + jitter), math.sin(angle + jitter), 0.05, 0.1])
+            )
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    a = ring(range(200))
+    b = ring(range(200, 300))
+    idx = str(tmp_path / "ivf_idx")
+    build_ivf_index(a, idx, n_cells=4, seed=7)
+    append_to_ivf_index(b, idx)
+
+    # every stored row (old and appended) sits in its nearest stored cell
+    cents = np.stack(
+        spark.read.parquet(f"{idx}/centroids").orderBy("cell").toPandas()["centroid"].to_numpy()
+    )
+    stored = spark.read.parquet(f"{idx}/vectors").collect()
+    assert sorted(r["_id"] for r in stored) == list(range(300))
+    for r in stored:
+        v = np.asarray(r["_v"], dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        assert int(np.argmax(cents @ v)) == r["cell"], r["_id"]
+
+    # probe-ALL over the appended index == exact brute force over A ∪ B
+    union = a.unionByName(b)
+    qs = union.filter(F.col("vec_id") % 37 == 0)
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["cos_sim"], 6))
+        for r in ivf_topk_from_index(spark, idx, qs, k=3, n_probe=4).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["cos_sim"], 6))
+        for r in brute_force_topk(union, qs, k=3).collect()
+    )
+    assert got == want
+
+
+def test_ivf_cell_stats_and_refit_trigger(spark, tmp_path):
+    """Appends that pile into one cell flip the refit signal; balanced
+    indexes don't."""
+    import math
+
+    from rust_cdc_validator_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_cell_stats,
+        ivf_refit_needed,
+    )
+
+    rows = []
+    for i in range(120):
+        angle = (i % 12) * math.pi / 6  # full circle: balanced cells
+        rows.append((i, [math.cos(angle), math.sin(angle), 0.0, 0.0]))
+    a = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ivf_skew")
+    build_ivf_index(a, idx, n_cells=4, seed=3)
+    assert not ivf_refit_needed(spark, idx, max_imbalance=4.0)
+
+    # 400 near-identical vectors -> one cell
+    hot = spark.createDataFrame(
+        [(1000 + i, [1.0, 1e-4 * (i % 7), 0.0, 0.0]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    append_to_ivf_index(hot, idx)
+    stats = {r["cell"]: r["n_vectors"] for r in ivf_cell_stats(spark, idx).collect()}
+    assert sum(stats.values()) == 520
+    assert max(stats.values()) >= 400
+    assert ivf_refit_needed(spark, idx, max_imbalance=3.0)
