@@ -126,21 +126,40 @@ class CdcValidator:
         ``chunk_specs``: per-table chunk specs from a previous run's
         ``report.details["chunk_spec"]`` — standing pipelines that validate
         the same tables repeatedly pass them back to skip each table's
-        spec pass (see ``operators/diff.py:compute_chunk_spec``)."""
+        spec pass (see ``operators/diff.py:compute_chunk_spec``).
+
+        Tables diff CONCURRENTLY via the same driver-side thread-pool
+        fan-out as ``snapshot`` (reference: NUM_OF_BUFFERS=80 concurrent
+        table pipelines, cdc_operator.rs:237-248) — each table's diff is a
+        handful of driver-blocking Spark actions, so N tables submitted
+        from N threads let the scheduler interleave their stages instead
+        of serializing N action latencies. Catalog lookups stay on the
+        calling thread (JDBC catalogs aren't assumed thread-safe)."""
+        tables = [
+            t
+            for t in self._tables(payload)
+            if t in source_frames and t in target_frames
+        ]
+        pks = {t: self.catalog.get_primary_key(payload.schema, t) for t in tables}
         reports: dict[str, DiffReport] = {}
-        for t in self._tables(payload):
-            if t not in source_frames or t not in target_frames:
-                continue
-            pk = self.catalog.get_primary_key(payload.schema, t)
-            reports[t] = diff_tables(
-                source_frames[t],
-                target_frames[t],
-                primary_key=pk,
-                chunk_size=payload.chunk_size,
-                start_position=payload.start_position,
-                table=t,
-                chunk_spec=(chunk_specs or {}).get(t),
-            )
+        with ThreadPoolExecutor(
+            max_workers=max(1, min(payload.max_parallel_tables, 32))
+        ) as ex:
+            futures = {
+                t: ex.submit(
+                    diff_tables,
+                    source_frames[t],
+                    target_frames[t],
+                    primary_key=pks[t],
+                    chunk_size=payload.chunk_size,
+                    start_position=payload.start_position,
+                    table=t,
+                    chunk_spec=(chunk_specs or {}).get(t),
+                )
+                for t in tables
+            }
+            for t, fut in futures.items():
+                reports[t] = fut.result()
         return reports
 
     def advance_state(

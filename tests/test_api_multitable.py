@@ -107,3 +107,29 @@ def test_validate_reuses_chunk_specs(spark):
     second = v.validate(p, {"t1": a}, {"t1": b}, chunk_specs=specs)
     assert second["t1"].mismatched_chunks == first["t1"].mismatched_chunks == [1]
     assert second["t1"].details["chunk_spec"] == specs["t1"]
+
+
+def test_validate_diffs_tables_concurrently(spark, tmp_path, monkeypatch):
+    """Both tables' diffs must be in flight at once (reference: 80-wide
+    table pipeline, cdc_operator.rs:237-248): each patched diff blocks on a
+    2-party barrier — sequential submission would deadlock the first call
+    and trip the barrier timeout."""
+    import threading
+
+    import rust_cdc_validator_spark.api as api_mod
+
+    root, catalog = _bucket(tmp_path)
+    v = CdcValidator(spark, catalog)
+    snaps = v.snapshot(_payload(root))
+
+    barrier = threading.Barrier(2, timeout=30)
+    real_diff = api_mod.diff_tables
+
+    def synced_diff(*args, **kwargs):
+        barrier.wait()  # raises BrokenBarrierError if calls are sequential
+        return real_diff(*args, **kwargs)
+
+    monkeypatch.setattr(api_mod, "diff_tables", synced_diff)
+    reports = v.validate(_payload(root), snaps, snaps)
+    assert set(reports) == {"alpha", "beta"}
+    assert all(r.is_match for r in reports.values())
