@@ -208,6 +208,8 @@ def merge_into_state_touched(
     op_col: str = OP_COL,
     seq_col: str = "_seq",
     path: str | None = None,
+    read_strategy: str = "auto",
+    prune_threshold: float = 0.25,
 ) -> DataFrame:
     """Apply a sequenced CDC delta to bucketed state, writing ONLY the
     buckets the delta touches; untouched buckets' files are copied
@@ -224,12 +226,24 @@ def merge_into_state_touched(
     * the delta's bucket ids come from :func:`bucket_id` — the same
       ``pmod(hash(pk), n)`` the bucketed write uses, so "touched" is exact;
       collecting them is bounded by ``n_buckets`` ints.
-    * the state side is row-filtered to touched buckets but still read
-      through the bucketed scan — outputPartitioning survives a Filter, so
-      the merge join stays Exchange-free on the state side (same plan
-      assertion as ``merge_into_state``). The filter prunes rows, not
-      files; at object-store scale the win this function adds is on the
-      write path (the read was already shuffle-free).
+    * the state READ has two strategies, because file pruning and
+      exchange-freedom are mutually exclusive on a bucketed table Spark
+      can't bucket-prune by a hash predicate:
+      - ``"bucketed-scan"``: the full bucketed scan, row-filtered to
+        touched buckets — outputPartitioning survives a Filter, so the
+        merge join stays Exchange-free on the state side (same plan
+        assertion as ``merge_into_state``), but every state file is read.
+      - ``"pruned-files"``: ONLY the touched buckets' files are read (the
+        same file→bucket map the copy step uses); a plain parquet read
+        has no known partitioning, so the join re-shuffles the touched
+        fraction. Reads AND shuffles (k/N)·|state| instead of reading all
+        of it — the win whenever the touched fraction is small, which is
+        the standing-pipeline steady state.
+      - ``"auto"`` (default) picks pruned-files when
+        ``len(touched) <= prune_threshold · n_buckets`` (default ¼ —
+        below that, shuffling k/N of the state costs less than scanning
+        the other (N−k)/N), else the exchange-free full scan. Both
+        strategies are result-identical (equivalence-tested).
     * untouched buckets: the old version's files keep their
       ``_NNNNN`` bucket suffix when copied, so the new table's bucketed
       scan picks them up unchanged (Spark groups multiple files per bucket
@@ -238,6 +252,7 @@ def merge_into_state_touched(
       version is a fresh directory.
     """
     n_buckets = _bucket_count(spark, state_table)
+    old_loc = _table_location(spark, state_table)
     changes = changes.repartition(n_buckets, *primary_key)
     delta = last_change_per_key(changes, primary_key, op_col, seq_col).persist()
     try:
@@ -247,8 +262,29 @@ def merge_into_state_touched(
                 bucket_id(primary_key, n_buckets).alias("_b")
             ).distinct().collect()
         )
-        state = spark.table(state_table)
-        state_touched = state.filter(bucket_id(primary_key, n_buckets).isin(touched))
+        strategy = read_strategy
+        if strategy == "auto":
+            strategy = (
+                "pruned-files"
+                if len(touched) <= prune_threshold * n_buckets
+                else "bucketed-scan"
+            )
+        if strategy == "pruned-files":
+            files = _bucket_files(spark, old_loc)
+            paths = [
+                posixpath.join(old_loc, name)
+                for b in touched
+                for name in files.get(b, [])
+            ]
+            state_touched = (
+                spark.read.schema(spark.table(state_table).schema).parquet(*paths)
+                if paths
+                else spark.table(state_table).limit(0)
+            )
+        else:
+            state_touched = spark.table(state_table).filter(
+                bucket_id(primary_key, n_buckets).isin(touched)
+            )
         merged = _merge_frames(state_touched, delta, primary_key)
         save_state_bucketed(merged, new_state_table, primary_key,
                             n_buckets=n_buckets, path=path)

@@ -27,7 +27,7 @@ from rust_cdc_validator_spark.operators.state import (
 def state_table(spark):
     name = f"state_{uuid.uuid4().hex[:10]}"
     yield name
-    for t in (name, f"{name}_v2"):
+    for t in (name, f"{name}_v2", f"{name}_v3"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -255,3 +255,24 @@ def test_touched_merge_fully_deleted_bucket_writes_no_file(spark, state_table):
     assert 0 not in _bucket_files(spark, _table_location(spark, new))
     assert got.count() == 100 - len(keys)
     assert got.filter(F.col("id").isin(keys)).count() == 0
+
+
+def test_touched_merge_read_strategies_equivalent(spark, state_table):
+    """pruned-files (reads only touched buckets' files, re-shuffles the
+    touched fraction) and bucketed-scan (full exchange-free scan) produce
+    identical state; auto picks pruned-files under the threshold."""
+    state0 = net_effect(
+        _log(spark, [(i, f"v{i}", None, i) for i in range(200)]), ["id"]
+    )
+    save_state_bucketed(state0, state_table, ["id"], n_buckets=8)
+    delta_rows = [(1, "x", "U", 500), (2, None, "D", 501), (300, "n", "I", 502)]
+
+    pruned = merge_into_state_touched(
+        spark, state_table, _log(spark, delta_rows), ["id"],
+        f"{state_table}_v2", read_strategy="pruned-files",
+    )
+    scan = merge_into_state_touched(
+        spark, state_table, _log(spark, delta_rows), ["id"],
+        f"{state_table}_v3", read_strategy="bucketed-scan",
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, scan.collect()))
