@@ -85,20 +85,31 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "all_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "dispersion": dispersion,
-                "reps": reps,
-                "interleaved": True,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "all_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "dispersion": dispersion,
+            "reps": reps,
+            "interleaved": True,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    print(line)
+    # companion file: the driver's stdout capture is tail-bounded and
+    # truncated BENCH_r05's medians away (r5 verdict) — the full line always
+    # lands on disk too, so no capture window can lose it
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
+    )
+    try:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    except OSError as e:
+        print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
     spark.stop()
 
 
