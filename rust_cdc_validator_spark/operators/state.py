@@ -24,7 +24,8 @@ changes. The bucketed layout fixes the asymmetry:
   production state store wants anyway).
 * ``merge_into_state_touched`` closes the write side of the asymmetry:
   only the buckets the delta touches are rewritten into the new version;
-  untouched buckets' files are copied byte-for-byte (their ``_NNNNN``
+  untouched buckets' files carry over byte-identical — hard-linked on
+  local stores (zero bytes moved), copied elsewhere (their ``_NNNNN``
   bucket suffix keeps them scannable). Bytes written per merge ∝ delta
   buckets, not state size.
 
@@ -212,8 +213,9 @@ def merge_into_state_touched(
     prune_threshold: float = 0.25,
 ) -> DataFrame:
     """Apply a sequenced CDC delta to bucketed state, writing ONLY the
-    buckets the delta touches; untouched buckets' files are copied
-    byte-for-byte from the old version. Returns the new state DataFrame
+    buckets the delta touches; untouched buckets' files carry over
+    byte-identical from the old version (hard links locally, copy
+    otherwise — see ``_carry_files``). Returns the new state DataFrame
     (``spark.table(new_state_table)``).
 
     ``merge_into_state`` got the SHUFFLE delta-sized (only the delta moves
@@ -291,24 +293,67 @@ def merge_into_state_touched(
     finally:
         delta.unpersist()
 
-    # link untouched buckets' files from the old version into the new one
-    old_loc = _table_location(spark, state_table)
+    # carry untouched buckets' files from the old version into the new one
     new_loc = _table_location(spark, new_state_table)
+    touched_set = set(touched)
+    carry = [
+        name
+        for b, names in _bucket_files(spark, old_loc).items()
+        if b not in touched_set
+        for name in names
+    ]
+    _carry_files(spark, old_loc, new_loc, carry)
+    spark.catalog.refreshTable(new_state_table)
+    return spark.table(new_state_table)
+
+
+def _local_path(loc: str) -> str | None:
+    """Filesystem path for a ``file:`` URI (or bare path); None otherwise."""
+    if loc.startswith("file:"):
+        return loc[len("file:"):]
+    if "://" not in loc and not loc.startswith(("hdfs:", "s3a:", "s3:", "gs:", "abfs")):
+        return loc
+    return None
+
+
+def _carry_files(
+    spark: SparkSession, old_loc: str, new_loc: str, names: list[str]
+) -> None:
+    """Bring old-version files into the new version's directory WITHOUT
+    duplicating data where the store allows it.
+
+    * local / ``file:`` stores: hard links — O(1) metadata per file, zero
+      bytes moved; a version chain of N merges stores each untouched
+      bucket's bytes once (parquet files are immutable once written, so
+      shared inodes are safe; deleting an old version never corrupts the
+      new one).
+    * other stores: ``FileUtil.copy``. On S3A this is the portable
+      fallback; production deployments should prefer the store's
+      SERVER-SIDE copy (S3 CopyObject — no bytes through the cluster) or,
+      at large version counts, a manifest layer that lists files per
+      version instead of materializing directories — the design point
+      table formats (Iceberg/Delta) exist for. The operator keeps the
+      directory-per-version layout because it is what plain
+      ``saveAsTable`` bucketed reads understand.
+    """
+    import os
+
+    old_local, new_local = _local_path(old_loc), _local_path(new_loc)
+    if old_local is not None and new_local is not None:
+        for name in names:
+            dst = os.path.join(new_local, name)
+            if not os.path.exists(dst):
+                os.link(os.path.join(old_local, name), dst)
+        return
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path
     file_util = jvm.org.apache.hadoop.fs.FileUtil
     src_fs = hpath(old_loc).getFileSystem(conf)
     dst_fs = hpath(new_loc).getFileSystem(conf)
-    touched_set = set(touched)
-    for b, names in _bucket_files(spark, old_loc).items():
-        if b in touched_set:
-            continue
-        for name in names:
-            file_util.copy(
-                src_fs, hpath(posixpath.join(old_loc, name)),
-                dst_fs, hpath(posixpath.join(new_loc, name)),
-                False, conf,
-            )
-    spark.catalog.refreshTable(new_state_table)
-    return spark.table(new_state_table)
+    for name in names:
+        file_util.copy(
+            src_fs, hpath(posixpath.join(old_loc, name)),
+            dst_fs, hpath(posixpath.join(new_loc, name)),
+            False, conf,
+        )

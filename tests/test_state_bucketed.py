@@ -230,11 +230,18 @@ def test_touched_merge_reuses_untouched_files_byte_identical(spark, state_table)
     old_files = _bucket_files(spark, old_loc)
     new_files = _bucket_files(spark, new_loc)
     untouched = set(old_files) - touched
-    assert untouched, "fixture must exercise the copy path"
+    assert untouched, "fixture must exercise the carry-over path"
+    import os
+
     for b in untouched:
         assert sorted(new_files[b]) == sorted(old_files[b])
         for name in old_files[b]:
             assert _file_bytes(new_loc, name) == _file_bytes(old_loc, name)
+            # local store: carried files are hard LINKS — zero bytes
+            # duplicated per version, not just byte-equal copies
+            old_ino = os.stat(os.path.join(_local(old_loc), name)).st_ino
+            new_ino = os.stat(os.path.join(_local(new_loc), name)).st_ino
+            assert old_ino == new_ino
     for b in touched & set(new_files):
         assert not set(new_files[b]) & set(old_files.get(b, []))
 
