@@ -283,3 +283,25 @@ def test_touched_merge_read_strategies_equivalent(spark, state_table):
         f"{state_table}_v3", read_strategy="bucketed-scan",
     )
     assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, scan.collect()))
+
+
+def test_dropping_old_version_leaves_linked_version_readable(spark, state_table):
+    """Version isolation under hard-linked carry-over: dropping version N
+    (managed-table drop deletes its directory) must leave version N+1 fully
+    readable — links keep the shared bytes alive until the LAST version
+    referencing them is dropped. This is what makes link-based versioning
+    safe to GC from the tail."""
+    state0 = net_effect(
+        _log(spark, [(i, f"v{i}", None, i) for i in range(200)]), ["id"]
+    )
+    save_state_bucketed(state0, state_table, ["id"], n_buckets=8)
+    new = f"{state_table}_v2"
+    got = merge_into_state_touched(
+        spark, state_table, _log(spark, [(1, "x", "U", 500)]), ["id"], new
+    )
+    want = sorted(map(tuple, got.collect()))
+
+    spark.sql(f"DROP TABLE {state_table}")  # deletes v1's directory
+    after = sorted(map(tuple, spark.table(new).collect()))
+    assert after == want
+    assert len(after) == 200
