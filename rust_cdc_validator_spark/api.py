@@ -186,6 +186,13 @@ class CdcValidator:
 
         Seed the chain with a bucketed full snapshot:
         ``save_state_bucketed(snapshot(p0)[t], state_v0, pk)``.
+
+        The applied window is stamped on the new table
+        (TBLPROPERTIES ``cdc.window.start`` / ``cdc.window.stop``) so the
+        chain is self-describing: read it back with ``state_window`` and
+        start the next run at the stored stop (the manifest window is
+        half-open, so a file whose mtime equals the shared boundary lands
+        in exactly the later run).
         """
         from rust_cdc_validator_spark.operators.replay import with_sequence
         from rust_cdc_validator_spark.operators.state import (
@@ -218,6 +225,7 @@ class CdcValidator:
                 state, new_state_table, pk,
                 n_buckets=n_buckets or _bucket_count(self.spark, state_table),
             )
+            self._stamp_state_window(new_state_table, payload)
             return self.spark.table(new_state_table)
         changes = self.spark.read.option("mergeSchema", "true").parquet(
             *[e.path for e in entries]
@@ -236,13 +244,82 @@ class CdcValidator:
             # membership changes), so fall back to the full rewrite
             merged = merge_into_state(self.spark, state_table, seqd, pk)
             save_state_bucketed(merged, new_state_table, pk, n_buckets=n_buckets)
+            self._stamp_state_window(new_state_table, payload)
             return self.spark.table(new_state_table)
         # the merge reads Op for its delete arm and drops the envelope
         # itself; only the delta's buckets are rewritten — untouched
         # buckets' files carry over byte-identical (operators/state.py)
-        return merge_into_state_touched(
+        new_state = merge_into_state_touched(
             self.spark, state_table, seqd, pk, new_state_table
         )
+        self._stamp_state_window(new_state_table, payload)
+        return new_state
+
+    def _stamp_state_window(self, table_name: str, payload: CdcPayload) -> None:
+        def _utc(dt: datetime) -> datetime:
+            # naive bounds are UTC by the same convention the manifest
+            # filter applies (manifest.py:_aware) — stamp them as such so
+            # the round-trip through state_window is unambiguous
+            return dt if dt.tzinfo else dt.replace(tzinfo=timezone.utc)
+
+        props = {}
+        if payload.start_date:
+            props["cdc.window.start"] = _utc(payload.start_date).isoformat()
+        if payload.stop_date:
+            props["cdc.window.stop"] = _utc(payload.stop_date).isoformat()
+        if props:
+            kv = ", ".join(
+                f"'{k}'='{v.replace(chr(39), chr(39) * 2)}'"
+                for k, v in props.items()
+            )
+            self.spark.sql(f"ALTER TABLE {table_name} SET TBLPROPERTIES ({kv})")
+
+    def state_window(self, table_name: str) -> dict[str, datetime]:
+        """The window stamped on a state version by ``advance_state``:
+        ``{"start": ..., "stop": ...}`` (keys present if stamped). A
+        standing pipeline reads this to derive the next run's start —
+        ``state_window(current)["stop"]`` — instead of tracking it
+        out-of-band."""
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
+        props = {r["key"]: r["value"] for r in rows}
+        out: dict[str, datetime] = {}
+        for name, key in (("start", "cdc.window.start"), ("stop", "cdc.window.stop")):
+            if key in props:
+                out[name] = datetime.fromisoformat(props[key])
+        return out
+
+    def advance_states(
+        self,
+        payload: CdcPayload,
+        state_tables: dict[str, str],
+        new_state_tables: dict[str, str],
+        n_buckets: int | None = None,
+    ) -> dict[str, DataFrame]:
+        """Advance EVERY catalog table's bucketed state over the payload
+        window, fanned out on the same bounded thread pool as ``snapshot``
+        / ``validate`` (reference: NUM_OF_BUFFERS-wide table pipelines,
+        cdc_operator.rs:237-248). ``state_tables`` / ``new_state_tables``
+        map table name → current / next state-table name; tables missing
+        from either map are skipped."""
+        tables = [
+            t
+            for t in self._tables(payload)
+            if t in state_tables and t in new_state_tables
+        ]
+        results: dict[str, DataFrame] = {}
+        with ThreadPoolExecutor(
+            max_workers=max(1, min(payload.max_parallel_tables, 32))
+        ) as ex:
+            futures = {
+                t: ex.submit(
+                    self.advance_state, payload, t,
+                    state_tables[t], new_state_tables[t], n_buckets,
+                )
+                for t in tables
+            }
+            for t, fut in futures.items():
+                results[t] = fut.result()
+        return results
 
     def run(
         self,

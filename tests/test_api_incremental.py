@@ -103,3 +103,109 @@ def test_advance_state_requires_pk(spark, tmp_path, tables):
     )
     with pytest.raises(ValueError, match="primary key"):
         v.advance_state(p, "logs", tables[0], tables[1])
+
+
+def test_advance_state_stamps_window_and_chains_from_it(spark, tmp_path, tables):
+    """The applied window lands in TBLPROPERTIES; the next run derives its
+    start from state_window()['stop'] instead of out-of-band bookkeeping."""
+    from datetime import datetime, timezone
+
+    cols = ["Op", "_dms_ingestion_timestamp", "id", "val"]
+    root = str(tmp_path)
+    tdir = f"{root}/db/public/items"
+    write_cdc_file(f"{tdir}/LOAD00000001.parquet",
+                   [{"Op": "I", "_dms_ingestion_timestamp": "t0", "id": 1, "val": "a"}],
+                   cols)
+    p1 = f"{tdir}/2024/02/01/a.parquet"
+    write_cdc_file(p1, [{"Op": "U", "_dms_ingestion_timestamp": "t1",
+                         "id": 1, "val": "b"}], cols)
+    _set_mtime(p1, 2024, 2, 1, 6)
+    p2 = f"{tdir}/2024/02/02/b.parquet"
+    write_cdc_file(p2, [{"Op": "U", "_dms_ingestion_timestamp": "t2",
+                         "id": 1, "val": "c"}], cols)
+    _set_mtime(p2, 2024, 2, 2, 6)
+
+    catalog = StaticCatalog(
+        {"public": {"items": ({"id": "integer", "val": "text"}, ["id"])}}
+    )
+    v = CdcValidator(spark, catalog)
+
+    def payload(start, stop):
+        return CdcPayload(bucket_root=root, database="db", schema="public",
+                          included_tables=["items"], start_date=start,
+                          stop_date=stop)
+
+    seed = v.snapshot(payload(datetime(2024, 1, 1), datetime(2024, 2, 1, 12)))
+    save_state_bucketed(seed["items"], tables[0], ["id"], n_buckets=4)
+
+    stop1 = datetime(2024, 2, 2, tzinfo=timezone.utc)
+    v.advance_state(payload(datetime(2024, 2, 1, 12), stop1),
+                    "items", tables[0], tables[1])
+    win = v.state_window(tables[1])
+    assert win["stop"] == stop1
+    assert win["start"] == datetime(2024, 2, 1, 12, tzinfo=timezone.utc)
+
+    # chain: next window starts at the STORED stop
+    nxt = v.advance_state(
+        payload(win["stop"], datetime(2024, 2, 3, tzinfo=timezone.utc)),
+        "items", tables[1], tables[2],
+    )
+    assert [(r["id"], r["val"]) for r in nxt.collect()] == [(1, "c")]
+    assert v.state_window(tables[2])["start"] == stop1
+
+
+def test_advance_states_fans_out_all_tables(spark, tmp_path):
+    """Multi-table incremental advance through the bounded pool: every
+    catalog table's state moves forward and equals its full snapshot."""
+    from datetime import datetime
+
+    cols_a = ["Op", "_dms_ingestion_timestamp", "id", "v"]
+    cols_b = ["Op", "_dms_ingestion_timestamp", "k", "name"]
+    root = str(tmp_path)
+    write_cdc_file(f"{root}/db/public/alpha/LOAD00000001.parquet",
+                   [{"Op": "I", "_dms_ingestion_timestamp": "t", "id": i, "v": i}
+                    for i in range(5)], cols_a)
+    pa_ = f"{root}/db/public/alpha/2024/01/02/a.parquet"
+    write_cdc_file(pa_, [{"Op": "D", "_dms_ingestion_timestamp": "t",
+                          "id": 0, "v": 0}], cols_a)
+    _set_mtime(pa_, 2024, 1, 2, 6)
+    write_cdc_file(f"{root}/db/public/beta/LOAD00000001.parquet",
+                   [{"Op": "I", "_dms_ingestion_timestamp": "t", "k": 10, "name": "x"}],
+                   cols_b)
+    pb = f"{root}/db/public/beta/2024/01/02/b.parquet"
+    write_cdc_file(pb, [{"Op": "U", "_dms_ingestion_timestamp": "t",
+                         "k": 10, "name": "y"}], cols_b)
+    _set_mtime(pb, 2024, 1, 2, 6)
+
+    catalog = StaticCatalog({"public": {
+        "alpha": ({"id": "bigint", "v": "bigint"}, ["id"]),
+        "beta": ({"k": "bigint", "name": "text"}, ["k"]),
+    }})
+    v = CdcValidator(spark, catalog)
+
+    def payload(start, stop):
+        return CdcPayload(bucket_root=root, database="db", schema="public",
+                          start_date=start, stop_date=stop)
+
+    names = {t: [f"adv_{t}_{uuid.uuid4().hex[:8]}_v{i}" for i in range(2)]
+             for t in ("alpha", "beta")}
+    try:
+        seed = v.snapshot(payload(datetime(2024, 1, 1), datetime(2024, 1, 2)))
+        pks = {"alpha": ["id"], "beta": ["k"]}
+        for t, snap in seed.items():
+            save_state_bucketed(snap, names[t][0], pks[t], n_buckets=4)
+
+        out = v.advance_states(
+            payload(datetime(2024, 1, 2), datetime(2024, 1, 3)),
+            {t: n[0] for t, n in names.items()},
+            {t: n[1] for t, n in names.items()},
+        )
+        full = v.snapshot(payload(datetime(2024, 1, 1), datetime(2024, 1, 3)))
+        for t in ("alpha", "beta"):
+            got = sorted(map(tuple, out[t].collect()))
+            want = sorted(map(tuple, full[t].collect()))
+            assert got == want, t
+    finally:
+        for n in names.values():
+            for x in n:
+                spark.sql(f"DROP TABLE IF EXISTS {x}")
