@@ -57,6 +57,20 @@ def minhash_lsh_candidates(
     return _band_candidates(sig, num_bands, rows_per_band, max_bucket_size)
 
 
+def _band_memberships(
+    sig: DataFrame, num_bands: int, rows_per_band: int
+) -> DataFrame:
+    """(_id, band_id, bucket) membership rows from a signature relation —
+    the 20-byte unit both the self-join candidate path and the persisted
+    index share."""
+    return sig.select(
+        "_id",
+        F.explode(lsh_bands(F.col("_sig"), num_bands, rows_per_band)).alias("_b"),
+    ).select(
+        "_id", F.col("_b.band_id").alias("band_id"), F.col("_b.bucket").alias("bucket")
+    )
+
+
 def _band_candidates(
     sig: DataFrame,
     num_bands: int,
@@ -77,9 +91,7 @@ def _band_candidates(
     """
     from pyspark.sql import Window
 
-    buckets = sig.select(
-        "_id", F.explode(lsh_bands(F.col("_sig"), num_bands, rows_per_band)).alias("_b")
-    ).select("_id", F.col("_b.band_id").alias("band_id"), F.col("_b.bucket").alias("bucket"))
+    buckets = _band_memberships(sig, num_bands, rows_per_band)
     w_pop = Window.partitionBy("band_id", "bucket")
     buckets = (
         buckets.withColumn("_pop", F.count(F.lit(1)).over(w_pop))
@@ -94,6 +106,187 @@ def _band_candidates(
         .distinct()
     )
     return pairs
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 7,
+) -> None:
+    """Materialize a persisted MinHash index — the standing-dedup sibling
+    of ``build_ivf_index``: a daily batch dedups against a 100 TB corpus
+    WITHOUT recomputing corpus signatures or shuffling the corpus.
+
+    Layout under ``path``:
+    * ``signatures/`` — (_id, _sig array<long>) parquet: num_hashes × 8 B
+      per doc, the self-contained verify payload (Jaccard is estimated
+      from signature agreement — no text is stored or re-read at probe
+      time).
+    * ``memberships/`` — (_id, band_id, bucket) parquet: the 20-byte rows
+      probes join against.
+    * ``params/`` — one row pinning (num_hashes, num_bands, shingle_n,
+      seed); probes and appends MUST use the same formulation, so they
+      read it instead of trusting call-site defaults.
+    """
+    spark = docs.sparkSession
+    if num_hashes % num_bands:
+        raise ValueError("num_bands must divide num_hashes")
+    sig = minhash_signatures_fast(docs, id_col, text_col, shingle_n, num_hashes, seed)
+    sig.write.mode("overwrite").parquet(f"{path}/signatures")
+    _band_memberships(
+        spark.read.parquet(f"{path}/signatures"), num_bands, num_hashes // num_bands
+    ).write.mode("overwrite").parquet(f"{path}/memberships")
+    spark.createDataFrame(
+        [(num_hashes, num_bands, shingle_n, seed)],
+        "num_hashes int, num_bands int, shingle_n int, seed int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def _minhash_index_params(spark, path: str) -> tuple[int, int, int, int]:
+    r = spark.read.parquet(f"{path}/params").first()
+    return r["num_hashes"], r["num_bands"], r["shingle_n"], r["seed"]
+
+
+def append_to_minhash_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append a batch to a persisted MinHash index without touching the
+    existing entries: signatures are computed for the NEW docs only (under
+    the index's pinned params) and appended — cost ∝ |batch|."""
+    spark = new_docs.sparkSession
+    num_hashes, num_bands, shingle_n, seed = _minhash_index_params(spark, path)
+    sig = minhash_signatures_fast(
+        new_docs, id_col, text_col, shingle_n, num_hashes, seed
+    ).persist()
+    try:
+        sig.write.mode("append").parquet(f"{path}/signatures")
+        _band_memberships(sig, num_bands, num_hashes // num_bands).write.mode(
+            "append"
+        ).parquet(f"{path}/memberships")
+    finally:
+        sig.unpersist()
+
+
+def near_dup_against_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_bucket_size: int = 1000,
+    max_batch_memberships: int = 5_000_000,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and a persisted MinHash index:
+    (id_new, id_old, est_jaccard ≥ threshold).
+
+    Scale shape — the index side never shuffles:
+    * the batch's signatures/memberships are computed map-side; the
+      batch's distinct (band, bucket) keys and memberships are BROADCAST
+      (bounded: raises above ``max_batch_memberships`` membership rows —
+      the batch is the small side by contract, like
+      ``brute_force_topk``'s query set).
+    * index memberships are scanned once (20-byte columns) and filtered
+      map-side by the broadcast bucket set; only the MATCHING memberships
+      (∝ probed buckets' populations) enter the population-cap window and
+      the pair join — the corpus-sized relation crosses no exchange.
+    * candidate pairs dedup on 16-byte ids, then ONE join pulls the old
+      side's stored signatures and ONE the new side's; est_jaccard =
+      fraction of agreeing signature positions (the standard MinHash
+      estimator — unbiased, so no text re-read at probe time).
+    * hot buckets: capped at ``max_bucket_size`` MATCHING index members
+      per (band, bucket) — same drop-don't-explode policy as
+      ``_band_candidates``; ``minhash_dropped_band_stats`` over the
+      corpus observes what the cap costs.
+
+    Batch-internal duplicates are out of scope here — run
+    ``minhash_near_dup_pairs`` on the batch itself (same formulation if
+    you pass the index params).
+    """
+    from pyspark.sql import Window
+
+    spark = new_docs.sparkSession
+    num_hashes, num_bands, shingle_n, seed = _minhash_index_params(spark, path)
+    new_sig = minhash_signatures_fast(
+        new_docs, id_col, text_col, shingle_n, num_hashes, seed
+    ).persist()
+    new_memb = None
+    try:
+        new_memb = _band_memberships(new_sig, num_bands, num_hashes // num_bands)
+        probe_rows = new_memb.limit(max_batch_memberships + 1).count()
+        if probe_rows > max_batch_memberships:
+            raise ValueError(
+                f"batch has > {max_batch_memberships} membership rows — too "
+                "large to broadcast; raise max_batch_memberships, split the "
+                "batch, or rebuild the index over the union instead"
+            )
+        new_memb = new_memb.persist()
+
+        idx_memb = spark.read.parquet(f"{path}/memberships")
+        matching = idx_memb.join(
+            F.broadcast(new_memb.select("band_id", "bucket").distinct()),
+            on=["band_id", "bucket"],
+        )
+        w_pop = Window.partitionBy("band_id", "bucket")
+        matching = (
+            matching.withColumn("_pop", F.count(F.lit(1)).over(w_pop))
+            .filter(F.col("_pop") <= max_bucket_size)
+            .drop("_pop")
+        )
+        pairs = (
+            matching.withColumnRenamed("_id", "id_old")
+            .join(
+                F.broadcast(new_memb.withColumnRenamed("_id", "id_new")),
+                on=["band_id", "bucket"],
+            )
+            .filter(F.col("id_new") != F.col("id_old"))
+            .select("id_new", "id_old")
+            .distinct()
+        )
+        old_sig = spark.read.parquet(f"{path}/signatures")
+        est = (
+            pairs.join(
+                old_sig.select(
+                    F.col("_id").alias("id_old"), F.col("_sig").alias("_sig_old")
+                ),
+                on="id_old",
+            )
+            .join(
+                F.broadcast(
+                    new_sig.select(
+                        F.col("_id").alias("id_new"), F.col("_sig").alias("_sig_new")
+                    )
+                ),
+                on="id_new",
+            )
+            .withColumn(
+                "est_jaccard",
+                F.aggregate(
+                    F.zip_with(
+                        "_sig_old", "_sig_new",
+                        lambda a, b: (a == b).cast("int"),
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / F.lit(num_hashes),
+            )
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("id_new", "id_old", "est_jaccard")
+        )
+        # materialize before releasing the persisted inputs
+        return est.localCheckpoint(eager=True)
+    finally:
+        new_sig.unpersist()
+        if new_memb is not None:
+            new_memb.unpersist()
 
 
 def minhash_near_dup_pairs(

@@ -1890,6 +1890,30 @@ def minhash_band_overflow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("band_id", "bucket")
 
 
+def minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing-dedup path (operators/dedup.py:build_minhash_index /
+    near_dup_against_index, r6): index the even-doc_id half of the corpus,
+    probe the odd half against it — a daily batch deduping against a
+    persisted corpus index without recomputing corpus signatures. Output:
+    (id_new, id_old, est_jaccard) above threshold. Rows-only (xxhash64
+    minhash, no SQL oracle); golden-pinned."""
+    import tempfile
+
+    from rust_cdc_validator_spark.operators.dedup import (
+        build_minhash_index,
+        near_dup_against_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="mh_index_probe_")
+    build_minhash_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    return near_dup_against_index(
+        docs.filter(F.col("doc_id") % 2 == 1), idx, threshold=0.5
+    ).select(
+        "id_new", "id_old", F.round("est_jaccard", 4).alias("est_jaccard_r")
+    )
+
+
 def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click event picks up the most recent same-user
     purchase at-or-before it (backward inclusive). Spark has no ASOF JOIN;
@@ -2155,6 +2179,7 @@ QUERIES: dict[str, QueryFn] = {
     "training_corpus_neardup": training_corpus_neardup,
     "lsh_bucket_overflow_stats": lsh_bucket_overflow_stats,
     "minhash_band_overflow_stats": minhash_band_overflow_stats,
+    "minhash_index_probe": minhash_index_probe,
     "events_asof_purchase": events_asof_purchase,
     "doc_repetition_stats": doc_repetition_stats,
     "lang_distinctive_terms": lang_distinctive_terms,
@@ -2227,7 +2252,7 @@ ORACLES: dict[str, str] = {
     "bm25_search_docs": BM25_SEARCH_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
-    # minhash_band_overflow_stats: hash/quantizer-based, not
+    # minhash_band_overflow_stats / minhash_index_probe: hash/quantizer-based, not
     # SQL-expressible → rows-only by design (golden-pinned in
     # tests/goldens/).
 }

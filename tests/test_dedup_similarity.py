@@ -364,3 +364,112 @@ def test_minhash_dropped_band_stats_planted_hot_bucket(spark):
         ).count()
         == 0
     )
+
+
+# ---- persisted MinHash index (standing dedup, r6) -------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_index_probe_matches_one_shot_candidates(spark, tmp_path):
+    """Sparse regime: probing batch B against an index of A yields exactly
+    the cross-set candidate pairs the one-shot self-join over A∪B finds
+    (same formulation ⇒ same buckets)."""
+    from rust_cdc_validator_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_candidates,
+        near_dup_against_index,
+    )
+
+    a_rows = [(i, f"unique document number {i} about topic {i % 7} " * 3)
+              for i in range(40)]
+    a_rows += [(100, "the quick brown fox jumps over the lazy dog again and again"),
+               (101, "completely different text on another subject entirely here")]
+    b_rows = [(1100, "the quick brown fox jumps over the lazy dog again and again"),
+              (1101, "completely different text on another subject entirely here"),
+              (1102, "novel text that matches nothing in the index at all okay")]
+    idx = str(tmp_path / "mh_idx")
+    build_minhash_index(_docs(spark, a_rows), idx)
+
+    probe = near_dup_against_index(_docs(spark, b_rows), idx, threshold=0.0)
+    got = {(r["id_old"], r["id_new"]) for r in probe.collect()}
+
+    union = _docs(spark, a_rows + b_rows)
+    one_shot = minhash_lsh_candidates(union, "text", "doc_id")
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in one_shot.collect()
+        if r["id_a"] < 1000 <= r["id_b"]
+    }
+    assert got == want
+    assert (100, 1100) in got and (101, 1101) in got
+
+
+def test_minhash_index_append_equals_build(spark, tmp_path):
+    """build(A) + append(B) produces the same index contents as
+    build(A ∪ B) — signatures and memberships, row for row."""
+    from rust_cdc_validator_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+    )
+
+    a = [(i, f"document alpha {i} with words {i * 3}") for i in range(30)]
+    b = [(500 + i, f"document beta {i} other words {i * 5}") for i in range(20)]
+    idx1 = str(tmp_path / "incr")
+    idx2 = str(tmp_path / "oneshot")
+    build_minhash_index(_docs(spark, a), idx1)
+    append_to_minhash_index(_docs(spark, b), idx1)
+    build_minhash_index(_docs(spark, a + b), idx2)
+
+    for part in ("signatures", "memberships"):
+        got = sorted(map(tuple, spark.read.parquet(f"{idx1}/{part}").collect()))
+        want = sorted(map(tuple, spark.read.parquet(f"{idx2}/{part}").collect()))
+        assert got == want, part
+
+
+def test_minhash_index_est_jaccard_and_threshold(spark, tmp_path):
+    from rust_cdc_validator_spark.operators.dedup import (
+        build_minhash_index,
+        near_dup_against_index,
+    )
+
+    idx = str(tmp_path / "mh_est")
+    build_minhash_index(
+        _docs(spark, [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+                      (2, "totally unrelated content about something else")]),
+        idx,
+    )
+    probe = near_dup_against_index(
+        _docs(spark, [(900, "alpha beta gamma delta epsilon zeta eta theta")]),
+        idx, threshold=0.8,
+    ).collect()
+    assert [(r["id_new"], r["id_old"], r["est_jaccard"]) for r in probe] == [
+        (900, 1, 1.0)
+    ]
+
+
+def test_minhash_index_hot_bucket_cap_and_batch_guard(spark, tmp_path):
+    import pytest
+
+    from rust_cdc_validator_spark.operators.dedup import (
+        build_minhash_index,
+        near_dup_against_index,
+    )
+
+    idx = str(tmp_path / "mh_hot")
+    boiler = "same boilerplate footer text repeated everywhere verbatim"
+    build_minhash_index(
+        _docs(spark, [(i, boiler) for i in range(60)]), idx
+    )
+    # every (band, bucket) the probe hits holds 60 identical members > cap
+    got = near_dup_against_index(
+        _docs(spark, [(999, boiler)]), idx, threshold=0.0, max_bucket_size=50
+    )
+    assert got.count() == 0
+
+    with pytest.raises(ValueError, match="membership rows"):
+        near_dup_against_index(
+            _docs(spark, [(999, boiler)]), idx, max_batch_memberships=10
+        )

@@ -39,6 +39,7 @@ SKETCH_QUERIES = [
     "training_corpus_neardup",
     "lsh_bucket_overflow_stats",
     "minhash_band_overflow_stats",
+    "minhash_index_probe",
 ]
 
 
