@@ -73,6 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--only-snapshot", action="store_true")
     p.add_argument("--only-datadiff", action="store_true")
     p.add_argument("--source-root", help="parquet dir of source tables for validate")
+    p.add_argument(
+        "--advance-state", nargs=2, metavar=("STATE_TABLE", "NEW_STATE_TABLE"),
+        help="incremental mode (extension): apply only the window's CDC "
+             "files to the bucketed STATE_TABLE, writing NEW_STATE_TABLE "
+             "(one table — use --included-tables with exactly one name); "
+             "the applied window is stamped on the new table",
+    )
     return p
 
 
@@ -118,7 +125,12 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
     if args.interactive:
         _prompt_missing(args)
-    missing = [k for k in _REQUIRED if not getattr(args, k)]
+    required = [
+        k for k in _REQUIRED
+        # advance-state writes a TABLE version, not parquet under --output
+        if not (args.advance_state and k == "output")
+    ]
+    missing = [k for k in required if not getattr(args, k)]
     if missing:
         parser.error(
             "missing required arguments: "
@@ -142,6 +154,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     spark = get_spark("cdc-validator-cli")
     validator = CdcValidator(spark, _load_catalog(args.catalog_json))
+
+    if args.advance_state:
+        if len(args.included_tables) != 1:
+            parser.error("--advance-state requires exactly one --included-tables name")
+        state_table, new_state_table = args.advance_state
+        table = args.included_tables[0]
+        df = validator.advance_state(payload, table, state_table, new_state_table)
+        win = validator.state_window(new_state_table)
+        print(
+            f"advance {table}: {df.count()} rows -> {new_state_table} "
+            f"window={win.get('start')}..{win.get('stop')}"
+        )
+        return 0
 
     snapshots = {}
     if not payload.only_datadiff:

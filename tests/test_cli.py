@@ -101,3 +101,48 @@ def test_missing_required_args_error_names_interactive(capsys):
         main(["--database", "db"])
     assert exc.value.code == 2
     assert "--interactive" in capsys.readouterr().err
+
+
+def test_cli_advance_state(spark, bucket):
+    """--advance-state moves a seeded bucketed state forward over the
+    window (empty future window here: version forward, stamped) and
+    requires exactly one included table."""
+    import uuid
+
+    from rust_cdc_validator_spark.api import CdcPayload, CdcValidator
+    from rust_cdc_validator_spark.operators.state import save_state_bucketed
+    from rust_cdc_validator_spark.sources.catalog import StaticCatalog
+
+    root, cat, out, expected = bucket
+    catalog = StaticCatalog({"public": {"customers": (
+        {"id": "bigint", "name": "text", "score": "double precision",
+         "active": "boolean"}, ["id"])}})
+    v = CdcValidator(spark, catalog)
+    snap = v.snapshot(CdcPayload(
+        bucket_root=root, database="db", schema="public",
+        start_date="2024-01-01T00:00:00Z",
+    ))["customers"]
+    v0 = f"cli_state_{uuid.uuid4().hex[:8]}"
+    v1 = f"{v0}_v1"
+    try:
+        save_state_bucketed(snap, v0, ["id"], n_buckets=4)
+        rc = main([
+            "--bucket-root", root, "--database", "db", "--schema", "public",
+            "--catalog-json", cat, "--start-date", "2099-01-01",
+            "--stop-date", "2099-01-02", "--included-tables", "customers",
+            "--advance-state", v0, v1,
+        ])
+        assert rc == 0
+        got = sorted(map(tuple, spark.table(v1).collect()))
+        assert got == sorted(map(tuple, snap.collect()))
+        assert v.state_window(v1)["start"].year == 2099
+
+        with pytest.raises(SystemExit):
+            main([
+                "--bucket-root", root, "--database", "db", "--schema", "public",
+                "--catalog-json", cat, "--start-date", "2099-01-01",
+                "--advance-state", v0, v1,  # no --included-tables
+            ])
+    finally:
+        for t in (v0, v1):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
