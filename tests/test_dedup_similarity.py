@@ -369,7 +369,7 @@ def test_minhash_dropped_band_stats_planted_hot_bucket(spark):
 # ---- persisted MinHash index (standing dedup, r6) -------------------------
 
 
-def _docs(spark, rows):
+def _mk_docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
@@ -391,12 +391,12 @@ def test_minhash_index_probe_matches_one_shot_candidates(spark, tmp_path):
               (1101, "completely different text on another subject entirely here"),
               (1102, "novel text that matches nothing in the index at all okay")]
     idx = str(tmp_path / "mh_idx")
-    build_minhash_index(_docs(spark, a_rows), idx)
+    build_minhash_index(_mk_docs(spark, a_rows), idx)
 
-    probe = near_dup_against_index(_docs(spark, b_rows), idx, threshold=0.0)
+    probe = near_dup_against_index(_mk_docs(spark, b_rows), idx, threshold=0.0)
     got = {(r["id_old"], r["id_new"]) for r in probe.collect()}
 
-    union = _docs(spark, a_rows + b_rows)
+    union = _mk_docs(spark, a_rows + b_rows)
     one_shot = minhash_lsh_candidates(union, "text", "doc_id")
     want = {
         (r["id_a"], r["id_b"])
@@ -419,9 +419,9 @@ def test_minhash_index_append_equals_build(spark, tmp_path):
     b = [(500 + i, f"document beta {i} other words {i * 5}") for i in range(20)]
     idx1 = str(tmp_path / "incr")
     idx2 = str(tmp_path / "oneshot")
-    build_minhash_index(_docs(spark, a), idx1)
-    append_to_minhash_index(_docs(spark, b), idx1)
-    build_minhash_index(_docs(spark, a + b), idx2)
+    build_minhash_index(_mk_docs(spark, a), idx1)
+    append_to_minhash_index(_mk_docs(spark, b), idx1)
+    build_minhash_index(_mk_docs(spark, a + b), idx2)
 
     for part in ("signatures", "memberships"):
         got = sorted(map(tuple, spark.read.parquet(f"{idx1}/{part}").collect()))
@@ -437,12 +437,12 @@ def test_minhash_index_est_jaccard_and_threshold(spark, tmp_path):
 
     idx = str(tmp_path / "mh_est")
     build_minhash_index(
-        _docs(spark, [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+        _mk_docs(spark, [(1, "alpha beta gamma delta epsilon zeta eta theta"),
                       (2, "totally unrelated content about something else")]),
         idx,
     )
     probe = near_dup_against_index(
-        _docs(spark, [(900, "alpha beta gamma delta epsilon zeta eta theta")]),
+        _mk_docs(spark, [(900, "alpha beta gamma delta epsilon zeta eta theta")]),
         idx, threshold=0.8,
     ).collect()
     assert [(r["id_new"], r["id_old"], r["est_jaccard"]) for r in probe] == [
@@ -461,15 +461,15 @@ def test_minhash_index_hot_bucket_cap_and_batch_guard(spark, tmp_path):
     idx = str(tmp_path / "mh_hot")
     boiler = "same boilerplate footer text repeated everywhere verbatim"
     build_minhash_index(
-        _docs(spark, [(i, boiler) for i in range(60)]), idx
+        _mk_docs(spark, [(i, boiler) for i in range(60)]), idx
     )
     # every (band, bucket) the probe hits holds 60 identical members > cap
     got = near_dup_against_index(
-        _docs(spark, [(999, boiler)]), idx, threshold=0.0, max_bucket_size=50
+        _mk_docs(spark, [(999, boiler)]), idx, threshold=0.0, max_bucket_size=50
     )
     assert got.count() == 0
 
     with pytest.raises(ValueError, match="membership rows"):
         near_dup_against_index(
-            _docs(spark, [(999, boiler)]), idx, max_batch_memberships=10
+            _mk_docs(spark, [(999, boiler)]), idx, max_batch_memberships=10
         )
