@@ -341,6 +341,143 @@ def lsh_near_dup_pairs(
     )
 
 
+def build_lsh_index(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 10,
+    num_tables: int = 6,
+    seed: int = 42,
+) -> None:
+    """Persisted hyperplane-LSH index — the vector sibling of
+    ``dedup.build_minhash_index``: daily embedding batches near-dup-check
+    against a 100 TB corpus without recomputing corpus memberships or
+    shuffling the corpus.
+
+    Layout under ``path``:
+    * ``memberships/`` — (_id, tbl, bucket) narrow rows (~20 B), the
+      probe's join target.
+    * ``vectors/`` — (_id, _v unit-normalized) for the exact cosine
+      verify.
+    * ``params/`` — (dim, num_planes, num_tables, seed); the hyperplanes
+      REGENERATE deterministically from these (``_hyperplanes`` is
+      seeded), so the planes themselves need no storage and appends can
+      never drift from the build's formulation.
+    """
+    spark = vectors.sparkSession
+    planes = _hyperplanes(dim, seed, num_tables, num_planes)
+    _bucketed_narrow(vectors, id_col, vec_col, planes).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/memberships")
+    _unit_vectors(vectors, id_col, vec_col).write.mode("overwrite").parquet(
+        f"{path}/vectors"
+    )
+    spark.createDataFrame(
+        [(dim, num_planes, num_tables, seed)],
+        "dim int, num_planes int, num_tables int, seed int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def _lsh_index_params(spark, path: str) -> tuple[int, int, int, int]:
+    r = spark.read.parquet(f"{path}/params").first()
+    return r["dim"], r["num_planes"], r["num_tables"], r["seed"]
+
+
+def append_to_lsh_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a batch to a persisted LSH index: memberships and unit
+    vectors computed for the NEW rows only under the index's pinned
+    params — cost ∝ |batch|, existing entries untouched."""
+    spark = new_vectors.sparkSession
+    dim, num_planes, num_tables, seed = _lsh_index_params(spark, path)
+    planes = _hyperplanes(dim, seed, num_tables, num_planes)
+    _bucketed_narrow(new_vectors, id_col, vec_col, planes).write.mode(
+        "append"
+    ).parquet(f"{path}/memberships")
+    _unit_vectors(new_vectors, id_col, vec_col).write.mode("append").parquet(
+        f"{path}/vectors"
+    )
+
+
+def near_dup_against_lsh_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_bucket_size: int = 1000,
+    max_batch_memberships: int = 5_000_000,
+) -> DataFrame:
+    """Near-dup pairs between a NEW embedding batch and a persisted LSH
+    index: (id_new, id_old, cos_sim ≥ threshold), exact-cosine verified.
+
+    Same scale shape as ``dedup.near_dup_against_index``: the batch's
+    memberships are BROADCAST (bounded — raises above
+    ``max_batch_memberships`` rows), the index memberships relation is
+    scanned once and filtered map-side (the corpus never crosses an
+    exchange), matching buckets are population-capped, candidate pairs
+    dedup on 16-byte ids BEFORE any vector payload moves, and one join
+    per side pulls unit vectors for the exact verify
+    (``lsh_dropped_bucket_stats`` over the corpus observes the cap cost).
+    """
+    spark = new_vectors.sparkSession
+    dim, num_planes, num_tables, seed = _lsh_index_params(spark, path)
+    planes = _hyperplanes(dim, seed, num_tables, num_planes)
+    new_memb = _bucketed_narrow(new_vectors, id_col, vec_col, planes)
+    probe_rows = new_memb.limit(max_batch_memberships + 1).count()
+    if probe_rows > max_batch_memberships:
+        raise ValueError(
+            f"batch has > {max_batch_memberships} membership rows — too "
+            "large to broadcast; split the batch or rebuild the index over "
+            "the union instead"
+        )
+    new_memb = new_memb.persist()
+    try:
+        idx_memb = spark.read.parquet(f"{path}/memberships")
+        matching = idx_memb.join(
+            F.broadcast(new_memb.select("tbl", "bucket").distinct()),
+            on=["tbl", "bucket"],
+        )
+        w_pop = Window.partitionBy("tbl", "bucket")
+        matching = (
+            matching.withColumn("_pop", F.count(F.lit(1)).over(w_pop))
+            .filter(F.col("_pop") <= max_bucket_size)
+            .drop("_pop")
+        )
+        pairs = (
+            matching.withColumnRenamed("_id", "id_old")
+            .join(
+                F.broadcast(new_memb.withColumnRenamed("_id", "id_new")),
+                on=["tbl", "bucket"],
+            )
+            .filter(F.col("id_new") != F.col("id_old"))
+            .select("id_new", "id_old")
+            .distinct()
+        )
+        old_vec = spark.read.parquet(f"{path}/vectors").select(
+            F.col("_id").alias("id_old"), F.col("_v").alias("_v_old")
+        )
+        new_vec = _unit_vectors(new_vectors, id_col, vec_col).select(
+            F.col("_id").alias("id_new"), F.col("_v").alias("_v_new")
+        )
+        out = (
+            pairs.join(old_vec, on="id_old")
+            .join(F.broadcast(new_vec), on="id_new")
+            .withColumn("cos_sim", _dot_pdf(F.col("_v_old"), F.col("_v_new")))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_new", "id_old", "cos_sim")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        new_memb.unpersist()
+
+
 def lsh_dropped_bucket_stats(
     df: DataFrame,
     id_col: str = "vec_id",

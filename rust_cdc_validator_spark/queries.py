@@ -1908,7 +1908,43 @@ def minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing vector near-dup (operators/similarity.py:build_lsh_index /
+    near_dup_against_lsh_index, r6): probe the odd-vec_id half of the
+    embeddings against a persisted LSH index of the even half — exact
+    cosine verified, corpus memberships never recomputed or shuffled.
+    Build memoized per process (build-once/probe-many contract, like
+    minhash_index_probe). Rows-only (LSH, no SQL oracle); golden-pinned."""
+    from rust_cdc_validator_spark.operators.similarity import (
+        near_dup_against_lsh_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _lsh_index_for(spark, sf_dir)
+    return near_dup_against_lsh_index(
+        emb.filter(F.col("vec_id") % 2 == 1), idx, threshold=0.45
+    ).select("id_new", "id_old", F.round("cos_sim", 6).alias("cos_sim_r"))
+
+
 _MINHASH_INDEX_CACHE: dict[str, str] = {}
+_LSH_INDEX_CACHE: dict[str, str] = {}
+
+
+def _lsh_index_for(spark: SparkSession, sf_dir: str) -> str:
+    idx = _LSH_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        import tempfile
+
+        from rust_cdc_validator_spark.operators.similarity import build_lsh_index
+
+        idx = tempfile.mkdtemp(prefix="lsh_index_probe_")
+        emb = _t(spark, sf_dir, "embeddings")
+        build_lsh_index(
+            emb.filter(F.col("vec_id") % 2 == 0), idx,
+            dim=64, num_planes=6, num_tables=8,
+        )
+        _LSH_INDEX_CACHE[sf_dir] = idx
+    return idx
 
 
 def _minhash_index_for(spark: SparkSession, sf_dir: str) -> str:
@@ -2196,6 +2232,7 @@ QUERIES: dict[str, QueryFn] = {
     "lsh_bucket_overflow_stats": lsh_bucket_overflow_stats,
     "minhash_band_overflow_stats": minhash_band_overflow_stats,
     "minhash_index_probe": minhash_index_probe,
+    "lsh_index_probe": lsh_index_probe,
     "events_asof_purchase": events_asof_purchase,
     "doc_repetition_stats": doc_repetition_stats,
     "lang_distinctive_terms": lang_distinctive_terms,
@@ -2268,7 +2305,8 @@ ORACLES: dict[str, str] = {
     "bm25_search_docs": BM25_SEARCH_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
-    # minhash_band_overflow_stats / minhash_index_probe: hash/quantizer-based, not
+    # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe:
+    # hash/quantizer-based, not
     # SQL-expressible → rows-only by design (golden-pinned in
     # tests/goldens/).
 }

@@ -473,3 +473,89 @@ def test_minhash_index_hot_bucket_cap_and_batch_guard(spark, tmp_path):
         near_dup_against_index(
             _mk_docs(spark, [(999, boiler)]), idx, max_batch_memberships=10
         )
+
+
+# ---- persisted LSH index (standing vector near-dup, r6) -------------------
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_index_probe_matches_narrow_pairs(spark, tmp_path):
+    """Sparse regime: probing batch B against an index of A yields exactly
+    the cross-set pairs lsh_near_dup_pairs finds on A∪B under the same
+    params (same seeded planes ⇒ same buckets)."""
+    from rust_cdc_validator_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_near_dup_pairs,
+        near_dup_against_lsh_index,
+    )
+
+    a_rows = [(i, [float(i % 7 + 1), float(i % 5), 1.0, 0.5]) for i in range(30)]
+    a_rows += [(100, [0.0, 1.0, 0.05, 0.0])]
+    b_rows = [(1100, [0.0, 1.0, 0.0501, 0.0]), (1101, [9.0, -3.0, 2.0, -7.0])]
+    kw = dict(dim=4, num_planes=6, num_tables=4)
+    idx = str(tmp_path / "lsh_idx")
+    build_lsh_index(_vecs(spark, a_rows), idx, **kw)
+
+    probe = near_dup_against_lsh_index(_vecs(spark, b_rows), idx, threshold=0.9)
+    got = {(r["id_old"], r["id_new"], round(r["cos_sim"], 6)) for r in probe.collect()}
+
+    union = _vecs(spark, a_rows + b_rows)
+    want = {
+        (r["id_a"], r["id_b"], round(r["cos_sim"], 6))
+        for r in lsh_near_dup_pairs(union, threshold=0.9, **kw).collect()
+        if r["id_a"] < 1000 <= r["id_b"]
+    }
+    assert got == want
+    assert any(o == 100 and n == 1100 for o, n, _ in got)
+
+
+def test_lsh_index_append_equals_build(spark, tmp_path):
+    from rust_cdc_validator_spark.operators.similarity import (
+        append_to_lsh_index,
+        build_lsh_index,
+    )
+
+    a = [(i, [float(i), 1.0, 0.0, 0.5]) for i in range(20)]
+    b = [(500 + i, [0.5, float(i), 1.0, 0.0]) for i in range(15)]
+    idx1, idx2 = str(tmp_path / "incr"), str(tmp_path / "oneshot")
+    kw = dict(dim=4, num_planes=5, num_tables=3)
+    build_lsh_index(_vecs(spark, a), idx1, **kw)
+    append_to_lsh_index(_vecs(spark, b), idx1)
+    build_lsh_index(_vecs(spark, a + b), idx2, **kw)
+    for part in ("memberships",):
+        got = sorted(map(tuple, spark.read.parquet(f"{idx1}/{part}").collect()))
+        want = sorted(map(tuple, spark.read.parquet(f"{idx2}/{part}").collect()))
+        assert got == want, part
+    g = {r["_id"]: [round(x, 6) for x in r["_v"]]
+         for r in spark.read.parquet(f"{idx1}/vectors").collect()}
+    w = {r["_id"]: [round(x, 6) for x in r["_v"]]
+         for r in spark.read.parquet(f"{idx2}/vectors").collect()}
+    assert g == w
+
+
+def test_lsh_index_hot_bucket_cap_and_batch_guard(spark, tmp_path):
+    import pytest
+
+    from rust_cdc_validator_spark.operators.similarity import (
+        build_lsh_index,
+        near_dup_against_lsh_index,
+    )
+
+    idx = str(tmp_path / "lsh_hot")
+    same = [1.0, 0.0, 0.0, 0.0]
+    build_lsh_index(
+        _vecs(spark, [(i, same) for i in range(60)]), idx,
+        dim=4, num_planes=6, num_tables=4,
+    )
+    got = near_dup_against_lsh_index(
+        _vecs(spark, [(999, same)]), idx, threshold=0.0, max_bucket_size=50
+    )
+    assert got.count() == 0
+
+    with pytest.raises(ValueError, match="membership rows"):
+        near_dup_against_lsh_index(
+            _vecs(spark, [(999, same)]), idx, max_batch_memberships=2
+        )

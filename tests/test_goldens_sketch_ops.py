@@ -40,6 +40,7 @@ SKETCH_QUERIES = [
     "lsh_bucket_overflow_stats",
     "minhash_band_overflow_stats",
     "minhash_index_probe",
+    "lsh_index_probe",
 ]
 
 
