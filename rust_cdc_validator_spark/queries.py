@@ -2167,6 +2167,58 @@ FROM events
 """
 
 
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing for a training-data pipeline: measure each
+    source's actual share of the corpus in TOKENS (the unit an LLM token
+    budget is written in, not documents) and emit the resampling weight
+    ``w_s = target_share / token_share`` that a sampler would apply to hit
+    a uniform target mixture. Scale shape: one map-side-combined groupBy on
+    `source` (output is sources-sized, i.e. tiny), then a broadcast of the
+    one-row corpus total — no second pass over the documents. Shares and
+    weights are single IEEE divisions of exact integers, so the values
+    hash-match DuckDB bit-exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    token_share = F.col("n_tokens").cast("double") / F.col("total_tokens").cast(
+        "double"
+    )
+    target_share = F.lit(1.0) / F.col("n_sources").cast("double")
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        token_share.alias("token_share"),
+        target_share.alias("target_share"),
+        (target_share / token_share).alias("weight"),
+    )
+
+
+SOURCE_MIXTURE_SQL = """
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         COUNT(*) AS n_sources
+  FROM per_source
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
+       1.0 / CAST(n_sources AS DOUBLE) AS target_share,
+       (1.0 / CAST(n_sources AS DOUBLE))
+         / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS weight
+FROM per_source CROSS JOIN tot
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2242,6 +2294,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_purchase_window": events_purchase_window,
     "stratified_sample_docs": stratified_sample_docs,
     "bm25_search_docs": bm25_search_docs,
+    "source_mixture_weights": source_mixture_weights,
 }
 
 ORACLES: dict[str, str] = {
@@ -2303,6 +2356,7 @@ ORACLES: dict[str, str] = {
     "events_purchase_window": EVENTS_PURCHASE_WINDOW_SQL,
     "stratified_sample_docs": STRATIFIED_SAMPLE_SQL,
     "bm25_search_docs": BM25_SEARCH_SQL,
+    "source_mixture_weights": SOURCE_MIXTURE_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe:
