@@ -686,3 +686,100 @@ def simhash_dedup_candidates(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def exact_substring_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 16,
+) -> DataFrame:
+    """Exact-substring (duplicated span) dedup signals, the ExactSubstr
+    family from "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al. 2022), re-expressed for Spark: instead of a corpus-wide
+    suffix array (inherently single-machine), hash every ``window``-token
+    rolling window to 8 bytes MAP-SIDE and find corpus-wide repeated
+    windows with ONE shuffle on the hash. A span duplicated anywhere in the
+    corpus (across docs or within one) longer than ``window`` tokens is
+    covered by at least one repeated window, so per-doc coverage of
+    repeated windows bounds the duplicated-text fraction ExactSubstr would
+    remove.
+
+    Scale shape:
+      * window hashing is a per-row array expression — the text itself
+        never shuffles, only (id, pos, hash8) triples;
+      * repeat detection is a count window over the hash partitioning
+        (one exchange, map-side partials not needed: each hash group is
+        tiny);
+      * per-doc coverage uses the closed-form union length of fixed-width
+        intervals, sum(min(window, pos_i - pos_{i-1})), over the doc's
+        sorted duplicate positions — no island bookkeeping, all JVM array
+        ops bounded by the doc's own length.
+
+    Returns one row per input doc: n_tokens, n_windows, n_dup_windows,
+    dup_covered_tokens (exact union of duplicated windows), dup_frac.
+    """
+    from pyspark.sql import Window
+
+    w = int(window)
+    if w < 2:
+        raise ValueError("window must be >= 2 tokens")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (w - 1))
+    wins = F.when(
+        n >= w,
+        F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, w)))),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+    base = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.greatest(F.lit(0), n - (w - 1)).cast("long").alias("n_windows"),
+        wins.alias("_wins"),
+    )
+    exploded = base.select(
+        id_col, F.posexplode("_wins").alias("_pos0", "_h")
+    ).select(id_col, (F.col("_pos0") + 1).alias("_pos"), "_h")
+
+    w_h = Window.partitionBy("_h")
+    dup = exploded.withColumn("_cnt", F.count(F.lit(1)).over(w_h)).filter(
+        F.col("_cnt") >= 2
+    )
+
+    acc0 = F.struct(
+        F.lit(-(1 << 30)).alias("prev"), F.lit(0).alias("tot")
+    )
+    per_doc = dup.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_windows"),
+        F.sort_array(F.collect_list("_pos")).alias("_ps"),
+    )
+    covered = F.aggregate(
+        F.col("_ps"),
+        acc0,
+        lambda acc, p: F.struct(
+            p.alias("prev"),
+            (acc["tot"] + F.least(F.lit(w), p - acc["prev"])).alias("tot"),
+        ),
+        lambda acc: acc["tot"],
+    )
+    per_doc = per_doc.select(
+        id_col,
+        "n_dup_windows",
+        covered.cast("long").alias("dup_covered_tokens"),
+    )
+    return (
+        base.drop("_wins")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("dup_covered_tokens", F.lit(0)).alias("dup_covered_tokens"),
+            (
+                F.coalesce("dup_covered_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_frac"),
+        )
+    )

@@ -21,6 +21,7 @@ from rust_cdc_validator_spark.functions.vectors import cosine
 from rust_cdc_validator_spark.operators.dedup import (
     dedup_clusters,
     exact_dedup,
+    exact_substring_stats,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash_dedup_candidates,
@@ -2219,6 +2220,54 @@ FROM per_source CROSS JOIN tot
 """
 
 
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signals (ExactSubstr family, Lee et al. 2022):
+    per-doc fraction of tokens covered by a 16-token window that repeats
+    ANYWHERE in the corpus. The operator hashes windows map-side (text
+    never shuffles; only 8-byte hashes + positions move) and computes exact
+    duplicated-span coverage with a closed-form fixed-width interval union.
+    The oracle replicates the semantics on the window TEXT — equivalent
+    unless two distinct 16-token windows collide in xxhash64 (~2^-64 per
+    pair; verified collision-free on the test corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_substring_stats(docs, "text", "doc_id", window=16)
+
+
+DUP_SPAN_STATS_SQL = """
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(GREATEST(0, len(t) - 15) AS BIGINT) AS n_windows
+  FROM tk
+), pos AS (
+  SELECT doc_id, t, CAST(unnest(range(1, len(t) - 14)) AS INTEGER) AS pos
+  FROM tk WHERE len(t) >= 16
+), win AS (
+  SELECT doc_id, pos, array_to_string(t[pos:pos+15], ' ') AS wtext FROM pos
+), dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY wtext) AS cnt FROM win
+  ) WHERE cnt >= 2
+), lagged AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM dup
+), cov AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows,
+         CAST(SUM(LEAST(16, pos - COALESCE(prev, pos - 16))) AS BIGINT)
+           AS dup_covered_tokens
+  FROM lagged GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_windows,
+       CAST(COALESCE(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(COALESCE(c.dup_covered_tokens, 0) AS BIGINT) AS dup_covered_tokens,
+       CAST(COALESCE(c.dup_covered_tokens, 0) AS DOUBLE)
+         / CAST(b.n_tokens AS DOUBLE) AS dup_frac
+FROM base b LEFT JOIN cov c USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2295,6 +2344,7 @@ QUERIES: dict[str, QueryFn] = {
     "stratified_sample_docs": stratified_sample_docs,
     "bm25_search_docs": bm25_search_docs,
     "source_mixture_weights": source_mixture_weights,
+    "dup_span_stats": dup_span_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -2357,6 +2407,7 @@ ORACLES: dict[str, str] = {
     "stratified_sample_docs": STRATIFIED_SAMPLE_SQL,
     "bm25_search_docs": BM25_SEARCH_SQL,
     "source_mixture_weights": SOURCE_MIXTURE_SQL,
+    "dup_span_stats": DUP_SPAN_STATS_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe:

@@ -559,3 +559,37 @@ def test_lsh_index_hot_bucket_cap_and_batch_guard(spark, tmp_path):
         near_dup_against_lsh_index(
             _vecs(spark, [(999, same)]), idx, max_batch_memberships=2
         )
+
+
+def test_exact_substring_stats_planted_spans(spark):
+    """Cross-doc shared span, within-doc repeat, short doc, clean doc —
+    coverage checked against hand-computed fixed-width interval unions."""
+    from rust_cdc_validator_spark.operators.dedup import exact_substring_stats
+
+    rows = [
+        # A and B share the aligned 6-token span c1..c6 -> 3 dup windows
+        # each (positions 1-3 in A, 3-5 in B), union coverage 6 tokens
+        (1, "c1 c2 c3 c4 c5 c6 u1 u2"),
+        (2, "v1 v2 c1 c2 c3 c4 c5 c6"),
+        # internal repeat: window 'x y z w' at positions 1 and 5 ->
+        # 2 dup windows, disjoint intervals -> coverage 8 (whole doc)
+        (3, "x y z w x y z w"),
+        (4, "a b c"),  # shorter than the window -> no windows at all
+        (5, "e1 e2 e3 e4 e5 e6 e7 e8"),  # unique -> clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_windows"],
+            r["n_dup_windows"],
+            r["dup_covered_tokens"],
+            r["dup_frac"],
+        )
+        for r in exact_substring_stats(df, "text", "doc_id", window=4).collect()
+    }
+    assert got[1] == (8, 5, 3, 6, 0.75)
+    assert got[2] == (8, 5, 3, 6, 0.75)
+    assert got[3] == (8, 5, 2, 8, 1.0)
+    assert got[4] == (3, 0, 0, 0, 0.0)
+    assert got[5] == (8, 5, 0, 0, 0.0)
