@@ -783,3 +783,70 @@ def exact_substring_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def exact_substring_scrub(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 16,
+) -> DataFrame:
+    """The removal half of ExactSubstr dedup: rewrite each doc's text with
+    every corpus-wide duplicated ``window``-token span cut out (the
+    transformation `exact_substring_stats` measures). A token survives iff
+    no duplicated window covers it.
+
+    Scale shape: duplicate positions are found exactly as in
+    `exact_substring_stats` (text never shuffles for detection — only
+    8-byte hashes + positions). The rewrite then joins the narrow
+    positions relation back to the corpus on the id; that one corpus-sized
+    shuffle is inherent to producing the cleaned corpus (the output IS a
+    corpus rewrite) and the join strategy is left to AQE — with few dirty
+    docs the positions side broadcasts. Per-token keep checks are JVM
+    array lambdas, O(doc_len * dup_windows_in_doc) per row.
+    """
+    from pyspark.sql import Window
+
+    w = int(window)
+    if w < 2:
+        raise ValueError("window must be >= 2 tokens")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (w - 1))
+    wins = F.when(
+        n >= w,
+        F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, w)))),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+    exploded = df.select(id_col, wins.alias("_wins")).select(
+        id_col, F.posexplode("_wins").alias("_pos0", "_h")
+    )
+    dup = (
+        exploded.withColumn("_cnt", F.count(F.lit(1)).over(Window.partitionBy("_h")))
+        .filter(F.col("_cnt") >= 2)
+        .select(id_col, (F.col("_pos0") + 1).alias("_pos"))
+    )
+    per_doc = dup.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("_pos")).alias("_ps")
+    )
+
+    joined = df.join(per_doc, id_col, "left").withColumn(
+        "_ps", F.coalesce("_ps", F.array().cast("array<int>"))
+    )
+    # token at 1-based position p survives iff no duplicated window starts
+    # in [p - (w-1), p]; ps is sorted but exists() is simplest and the doc's
+    # own dup count bounds the scan
+    kept = F.filter(
+        F.split(F.col(text_col), " "),
+        lambda tok, i0: ~F.exists(
+            F.col("_ps"),
+            lambda q: (q >= i0 + 1 - (w - 1)) & (q <= i0 + 1),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias("scrubbed"),
+        (F.size(F.split(F.col(text_col), " ")) - F.size(kept))
+        .cast("long")
+        .alias("n_removed_tokens"),
+    )

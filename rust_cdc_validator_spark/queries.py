@@ -21,6 +21,7 @@ from rust_cdc_validator_spark.functions.vectors import cosine
 from rust_cdc_validator_spark.operators.dedup import (
     dedup_clusters,
     exact_dedup,
+    exact_substring_scrub,
     exact_substring_stats,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
@@ -2268,6 +2269,45 @@ FROM base b LEFT JOIN cov c USING (doc_id)
 """
 
 
+def dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr rewrite pass: each doc with every corpus-wide
+    duplicated 16-token span removed, plus how many tokens were cut. The
+    oracle recomputes coverage on window TEXT with a non-equi range join
+    (token p is cut iff a duplicated window starts in [p-15, p])."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_substring_scrub(docs, "text", "doc_id", window=16)
+
+
+DUP_SPAN_SCRUB_SQL = """
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pos AS (
+  SELECT doc_id, t, CAST(unnest(range(1, len(t) - 14)) AS INTEGER) AS pos
+  FROM tk WHERE len(t) >= 16
+), win AS (
+  SELECT doc_id, pos, array_to_string(t[pos:pos+15], ' ') AS wtext FROM pos
+), dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY wtext) AS cnt FROM win
+  ) WHERE cnt >= 2
+), tokv AS (
+  SELECT doc_id, CAST(unnest(range(1, len(t) + 1)) AS INTEGER) AS p,
+         unnest(t) AS tok
+  FROM tk
+), kept AS (
+  SELECT v.doc_id, v.p, v.tok
+  FROM tokv v LEFT JOIN dup u
+    ON v.doc_id = u.doc_id AND u.pos BETWEEN v.p - 15 AND v.p
+  WHERE u.pos IS NULL
+)
+SELECT tk.doc_id,
+       COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS scrubbed,
+       CAST(len(ANY_VALUE(tk.t)) - COUNT(k.p) AS BIGINT) AS n_removed_tokens
+FROM tk LEFT JOIN kept k USING (doc_id)
+GROUP BY tk.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2345,6 +2385,7 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_search_docs": bm25_search_docs,
     "source_mixture_weights": source_mixture_weights,
     "dup_span_stats": dup_span_stats,
+    "dup_span_scrub": dup_span_scrub,
 }
 
 ORACLES: dict[str, str] = {
@@ -2408,6 +2449,7 @@ ORACLES: dict[str, str] = {
     "bm25_search_docs": BM25_SEARCH_SQL,
     "source_mixture_weights": SOURCE_MIXTURE_SQL,
     "dup_span_stats": DUP_SPAN_STATS_SQL,
+    "dup_span_scrub": DUP_SPAN_SCRUB_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe:

@@ -593,3 +593,36 @@ def test_exact_substring_stats_planted_spans(spark):
     assert got[3] == (8, 5, 2, 8, 1.0)
     assert got[4] == (3, 0, 0, 0, 0.0)
     assert got[5] == (8, 5, 0, 0, 0.0)
+
+
+def test_exact_substring_scrub_consistent_with_stats(spark):
+    """Scrub removes exactly the tokens stats counts as covered, and clean
+    docs round-trip untouched."""
+    from rust_cdc_validator_spark.operators.dedup import (
+        exact_substring_scrub,
+        exact_substring_stats,
+    )
+
+    rows = [
+        (1, "c1 c2 c3 c4 c5 c6 u1 u2"),
+        (2, "v1 v2 c1 c2 c3 c4 c5 c6"),
+        (3, "x y z w x y z w"),
+        (4, "a b c"),
+        (5, "e1 e2 e3 e4 e5 e6 e7 e8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scrub = {
+        r["doc_id"]: (r["scrubbed"], r["n_removed_tokens"])
+        for r in exact_substring_scrub(df, "text", "doc_id", window=4).collect()
+    }
+    stats = {
+        r["doc_id"]: r["dup_covered_tokens"]
+        for r in exact_substring_stats(df, "text", "doc_id", window=4).collect()
+    }
+    assert scrub[1] == ("u1 u2", 6)
+    assert scrub[2] == ("v1 v2", 6)
+    assert scrub[3] == ("", 8)
+    assert scrub[4] == ("a b c", 0)
+    assert scrub[5] == ("e1 e2 e3 e4 e5 e6 e7 e8", 0)
+    for k in stats:  # removed == covered, doc by doc
+        assert scrub[k][1] == stats[k]
