@@ -175,3 +175,62 @@ def test_sessionize_stateful_closes_on_gap_across_batches(spark, tmp_path):
     w("b.parquet", [(1, 5000), (2, 500)])
     drain()
     assert emitted() == [(1, 0, 60, 2)]
+
+
+def test_maintain_minhash_index_across_batches(spark, tmp_path):
+    """Streaming index maintenance: batch 2's near-dup of a batch-1 doc is
+    found (so appends really feed later probes), batch 1 probes an
+    EMPTY index without error, and the final index equals a one-shot
+    build over everything ingested."""
+    from rust_cdc_validator_spark.operators.dedup import build_minhash_index
+    from rust_cdc_validator_spark.streaming.index import maintain_minhash_index
+
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    b1 = [(1, base), (2, "completely different text on another subject here")]
+    b2 = [(11, base), (12, "novel text that matches nothing in the index ok")]
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    idx = str(tmp_path / "mh_idx")
+    pairs = str(tmp_path / "pairs")
+    ck = str(tmp_path / "ck")
+    # seed an empty index so batch 1 has something to probe
+    build_minhash_index(
+        spark.createDataFrame([], "doc_id long, text string"), idx
+    )
+
+    def w(name, rows):
+        pq_.write_table(
+            pa_.table({"doc_id": [r[0] for r in rows],
+                       "text": [r[1] for r in rows]}), str(src / name))
+
+    w("b1.parquet", b1)
+    w("b2.parquet", b2)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        maintain_minhash_index(stream, idx, pairs, ck, threshold=0.5)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {(r["id_old"], r["id_new"])
+           for r in spark.read.parquet(pairs).collect()}
+    assert (1, 11) in got            # cross-batch dup found
+    assert all(o != n for o, n in got)
+
+    oneshot = str(tmp_path / "oneshot")
+    build_minhash_index(
+        spark.createDataFrame(b1 + b2, "doc_id long, text string"), oneshot
+    )
+    for part in ("signatures", "memberships"):
+        a = sorted(map(tuple, spark.read.parquet(f"{idx}/{part}").collect()))
+        b = sorted(map(tuple, spark.read.parquet(f"{oneshot}/{part}").collect()))
+        assert a == b, part
