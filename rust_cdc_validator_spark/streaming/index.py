@@ -67,3 +67,39 @@ def maintain_minhash_index(
         doc_stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def maintain_lsh_index(
+    vec_stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+):
+    """The embedding sibling of :func:`maintain_minhash_index`: per
+    micro-batch, probe the persisted hyperplane-LSH index
+    (``operators/similarity.py:build_lsh_index``) for near-dups of the
+    batch's vectors, log the verified pairs, then append the batch's
+    memberships + unit vectors. Same probe-before-append semantics and
+    the same ∝|batch| cost shape."""
+    from rust_cdc_validator_spark.operators.similarity import (
+        append_to_lsh_index,
+        near_dup_against_lsh_index,
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        pairs = near_dup_against_lsh_index(
+            batch, index_path, id_col=id_col, vec_col=vec_col,
+            threshold=threshold,
+        )
+        pairs.write.mode("append").parquet(pairs_path)
+        append_to_lsh_index(batch, index_path, id_col=id_col, vec_col=vec_col)
+
+    return (
+        vec_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )

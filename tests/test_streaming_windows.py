@@ -234,3 +234,66 @@ def test_maintain_minhash_index_across_batches(spark, tmp_path):
         a = sorted(map(tuple, spark.read.parquet(f"{idx}/{part}").collect()))
         b = sorted(map(tuple, spark.read.parquet(f"{oneshot}/{part}").collect()))
         assert a == b, part
+
+
+def test_maintain_lsh_index_across_batches(spark, tmp_path):
+    """Embedding sibling: batch 2's near-identical vector to a batch-1
+    vector is found via the persisted index, and the final index equals a
+    one-shot build over everything ingested."""
+    from rust_cdc_validator_spark.operators.similarity import build_lsh_index
+    from rust_cdc_validator_spark.streaming.index import maintain_lsh_index
+
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    kw = dict(dim=4, num_planes=6, num_tables=4)
+    b1 = [(1, [0.0, 1.0, 0.05, 0.0]), (2, [5.0, -1.0, 3.0, 2.0])]
+    b2 = [(11, [0.0, 1.0, 0.0501, 0.0]), (12, [-9.0, 4.0, -2.0, 7.0])]
+
+    src = tmp_path / "vecs_in"
+    src.mkdir()
+    idx = str(tmp_path / "lsh_idx")
+    pairs = str(tmp_path / "pairs")
+    ck = str(tmp_path / "ck")
+    build_lsh_index(
+        spark.createDataFrame([], "vec_id long, embedding array<float>"),
+        idx, **kw,
+    )
+
+    def w(name, rows):
+        pq_.write_table(
+            pa_.table({"vec_id": pa_.array([r[0] for r in rows], pa_.int64()),
+                       "embedding": pa_.array([r[1] for r in rows],
+                                              pa_.list_(pa_.float32()))}),
+            str(src / name))
+
+    w("b1.parquet", b1)
+    w("b2.parquet", b2)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        maintain_lsh_index(stream, idx, pairs, ck, threshold=0.9)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {(r["id_old"], r["id_new"]) for r in spark.read.parquet(pairs).collect()}
+    assert (1, 11) in got
+
+    oneshot = str(tmp_path / "oneshot")
+    build_lsh_index(
+        spark.createDataFrame(
+            b1 + b2, "vec_id long, embedding array<float>"
+        ),
+        oneshot, **kw,
+    )
+    for part in ("memberships", "vectors"):
+        a = sorted(map(lambda r: (r[0], str(r[1:])),
+                       spark.read.parquet(f"{idx}/{part}").collect()))
+        b = sorted(map(lambda r: (r[0], str(r[1:])),
+                       spark.read.parquet(f"{oneshot}/{part}").collect()))
+        assert a == b, part
