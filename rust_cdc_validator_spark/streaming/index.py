@@ -103,3 +103,48 @@ def maintain_lsh_index(
         vec_stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def maintain_ivf_index(
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refit_flag_path: str | None = None,
+    max_imbalance: float = 4.0,
+):
+    """Keep a persisted IVF index (``operators/similarity.py:
+    build_ivf_index``) fresh from an embedding stream: each micro-batch is
+    assigned map-side against the STORED centroids and appended into its
+    cells' partitions — no shuffle, no scan of existing vectors, cost
+    ∝ |batch|. Unlike the near-dup maintainers there is nothing to probe;
+    retrieval freshness IS the product.
+
+    After each append the cell-balance cue is checked
+    (``ivf_refit_needed`` — bounded, n_cells rows); when drift crosses
+    ``max_imbalance`` a one-row marker is written under
+    ``refit_flag_path`` (if given) so an external scheduler can rebuild
+    with a fresh quantizer fit — the refit itself is a batch job, not a
+    per-micro-batch cost.
+    """
+    from rust_cdc_validator_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_refit_needed,
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        append_to_ivf_index(batch, index_path, id_col=id_col, vec_col=vec_col)
+        if refit_flag_path is not None and ivf_refit_needed(
+            batch.sparkSession, index_path, max_imbalance=max_imbalance
+        ):
+            batch.sparkSession.createDataFrame(
+                [(int(batch_id),)], "flagged_at_batch long"
+            ).write.mode("append").parquet(refit_flag_path)
+
+    return (
+        vec_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )

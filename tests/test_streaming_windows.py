@@ -297,3 +297,75 @@ def test_maintain_lsh_index_across_batches(spark, tmp_path):
         b = sorted(map(lambda r: (r[0], str(r[1:])),
                        spark.read.parquet(f"{oneshot}/{part}").collect()))
         assert a == b, part
+
+
+def test_maintain_ivf_index_appends_and_flags_refit(spark, tmp_path):
+    """IVF maintenance: streamed batches land in their nearest stored
+    cell, the index ends identical to append()ing the same batches, and a
+    pathologically-skewed stream raises the refit flag."""
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.similarity import build_ivf_index
+    from rust_cdc_validator_spark.streaming.index import maintain_ivf_index
+
+    import math
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    def ring(ids):
+        rows = []
+        for i in ids:
+            a = (i % 15) * 2 * math.pi / 15
+            rows.append((i, [math.cos(a), math.sin(a), 0.05, 0.1]))
+        return rows
+
+    seed_rows = ring(range(100))
+    idx = str(tmp_path / "ivf_idx")
+    build_ivf_index(
+        spark.createDataFrame(seed_rows, "vec_id long, embedding array<float>"),
+        idx, n_cells=4, seed=7,
+    )
+
+    src = tmp_path / "vecs_in"
+    src.mkdir()
+    # two batches; second is a hot-spot burst at one point on the ring ->
+    # lands in one cell and trips the imbalance cue
+    b1 = ring(range(100, 140))
+    b2 = [(1000 + i, [1.0, 0.0, 0.05, 0.1]) for i in range(400)]
+    for name, rows in (("b1.parquet", b1), ("b2.parquet", b2)):
+        pq_.write_table(
+            pa_.table({"vec_id": pa_.array([r[0] for r in rows], pa_.int64()),
+                       "embedding": pa_.array([r[1] for r in rows],
+                                              pa_.list_(pa_.float32()))}),
+            str(src / name))
+
+    flag = str(tmp_path / "refit_flag")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        maintain_ivf_index(stream, idx, str(tmp_path / "ck"),
+                           refit_flag_path=flag, max_imbalance=2.0)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    stored = spark.read.parquet(f"{idx}/vectors").collect()
+    assert sorted(r["_id"] for r in stored) == sorted(
+        [r[0] for r in seed_rows + b1 + b2]
+    )
+    cents = np.stack(
+        spark.read.parquet(f"{idx}/centroids").orderBy("cell")
+        .toPandas()["centroid"].to_numpy()
+    )
+    for r in stored[:50]:
+        v = np.asarray(r["_v"], dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        assert int(np.argmax(cents @ v)) == r["cell"]
+
+    import os
+    assert os.path.isdir(flag)  # skewed burst tripped the refit cue
+    assert spark.read.parquet(flag).count() >= 1
