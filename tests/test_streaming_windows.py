@@ -207,19 +207,23 @@ def test_maintain_minhash_index_across_batches(spark, tmp_path):
             pa_.table({"doc_id": [r[0] for r in rows],
                        "text": [r[1] for r in rows]}), str(src / name))
 
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+
+    # two separate availableNow drains against one checkpoint: file-source
+    # discovery order is not contractual (see the sessionize test), so the
+    # second batch is written only after the first drain finishes
+    def drain():
+        q = (
+            maintain_minhash_index(stream, idx, pairs, ck, threshold=0.5)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
     w("b1.parquet", b1)
+    drain()
     w("b2.parquet", b2)
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(str(src))
-    )
-    q = (
-        maintain_minhash_index(stream, idx, pairs, ck, threshold=0.5)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    drain()
 
     got = {(r["id_old"], r["id_new"])
            for r in spark.read.parquet(pairs).collect()}
@@ -267,19 +271,23 @@ def test_maintain_lsh_index_across_batches(spark, tmp_path):
                                               pa_.list_(pa_.float32()))}),
             str(src / name))
 
-    w("b1.parquet", b1)
-    w("b2.parquet", b2)
     stream = (
         spark.readStream.schema("vec_id long, embedding array<float>")
-        .option("maxFilesPerTrigger", "1")
         .parquet(str(src))
     )
-    q = (
-        maintain_lsh_index(stream, idx, pairs, ck, threshold=0.9)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+
+    def drain():
+        q = (
+            maintain_lsh_index(stream, idx, pairs, ck, threshold=0.9)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    w("b1.parquet", b1)
+    drain()
+    w("b2.parquet", b2)
+    drain()
 
     got = {(r["id_old"], r["id_new"]) for r in spark.read.parquet(pairs).collect()}
     assert (1, 11) in got
