@@ -1859,6 +1859,28 @@ def embedding_near_dup_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r"))
 
 
+def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) keep/drop decisions over the embeddings
+    table: k-means cells (the IVF coarse quantizer reused), then a greedy
+    ascending-id within-cell scan dropping rows whose cosine to an
+    already-kept lower id exceeds the threshold. The testdata embeddings
+    are near-uniform (max pairwise cosine ≈ 0.48 at sf0.001), so like
+    embedding_near_dup_docs the threshold sits where the data has mass;
+    real corpora run ≥ 0.95. Rows-only (KMeans sketch, no SQL oracle);
+    golden-pinned."""
+    from rust_cdc_validator_spark.operators.semdedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dec = semantic_dedup(emb, n_cells=8, threshold=0.42, seed=42)
+    return dec.select(
+        "vec_id",
+        "cell",
+        "keep",
+        "dup_of",
+        F.round("max_sim", 6).alias("max_sim_r"),
+    ).orderBy("vec_id")
+
+
 def lsh_bucket_overflow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-bucket observability for the vector-LSH caps
     (operators/similarity.py:lsh_dropped_bucket_stats, VERDICT r5 #8):
@@ -2369,6 +2391,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprints": doc_fingerprints,
     "embedding_near_dup_docs": embedding_near_dup_docs,
     "embedding_near_dup_narrow": embedding_near_dup_narrow,
+    "semantic_dedup_docs": semantic_dedup_docs,
     "training_corpus_neardup": training_corpus_neardup,
     "lsh_bucket_overflow_stats": lsh_bucket_overflow_stats,
     "minhash_band_overflow_stats": minhash_band_overflow_stats,

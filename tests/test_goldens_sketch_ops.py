@@ -36,6 +36,7 @@ SKETCH_QUERIES = [
     "dedup_clusters_docs",
     "embedding_near_dup_docs",
     "embedding_near_dup_narrow",
+    "semantic_dedup_docs",
     "training_corpus_neardup",
     "lsh_bucket_overflow_stats",
     "minhash_band_overflow_stats",
