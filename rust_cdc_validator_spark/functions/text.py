@@ -134,3 +134,100 @@ def lang_id(text: Column) -> Column:
     )
     best = F.array_max(scored)
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# ------------------------------------------- Gopher quality rules (public)
+
+# Published heuristic filter set from the Gopher paper (Rae et al. 2021,
+# "Scaling Language Models: Methods, Analysis & Insights from Training
+# Gopher", arXiv:2112.11446, Appendix A1.1), the de-facto baseline rule
+# set for web-corpus cleaning (reused by MassiveText/RefinedWeb/Dolma).
+# Every signal below is a pure JVM array/string expression — map-side,
+# zero shuffle, whole-stage codegen.
+
+#: ≥2 distinct of these must appear as tokens (Gopher's "stop word" rule).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+#: rule thresholds (signal, low, high) — Gopher A1.1 defaults.
+GOPHER_RULES: dict[str, tuple[float | int | None, float | int | None]] = {
+    "word_count": (50, 100_000),
+    "mean_word_length": (3.0, 10.0),
+    "symbol_word_ratio": (None, 0.1),
+    "bullet_line_frac": (None, 0.9),
+    "ellipsis_line_frac": (None, 0.3),
+    "alpha_word_frac": (0.8, None),
+    "distinct_stopwords": (2, None),
+    "dup_line_frac": (None, 0.3),
+    "dup_para_frac": (None, 0.3),
+}
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))
+    ) / F.lit(len(needle))
+
+
+def gopher_signals(text: Column) -> Column:
+    """Struct of the nine Gopher A1.1 quality signals for one document.
+
+    Line/paragraph structure comes from '\\n' / '\\n\\n' splits; duplicate
+    fractions are by count (1 - distinct/total). Fractions are rounded to
+    6 places so the struct is bit-stable across engines (the DuckDB oracle
+    reproduces every field)."""
+    words = F.split(text, r"\s+")
+    words = F.filter(words, lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    lines = F.split(text, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    paras = F.split(text, "\n\n")
+    n_paras = F.greatest(F.size(paras), F.lit(1)).cast("double")
+    mean_wl = (
+        F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / safe_words
+    )
+    symbols = _occurrences(text, "#") + _occurrences(text, "...")
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    ).cast("double")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    ).cast("double")
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("double")
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    distinct_sw = F.size(F.array_intersect(F.transform(words, F.lower), sw))
+    dup_line = F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines
+    dup_para = F.lit(1.0) - F.size(F.array_distinct(paras)).cast("double") / n_paras
+    r6 = lambda c: F.round(c, 6)
+    return F.struct(
+        n_words.cast("long").alias("word_count"),
+        r6(mean_wl).alias("mean_word_length"),
+        r6(symbols / safe_words).alias("symbol_word_ratio"),
+        r6(bullet_lines / n_lines).alias("bullet_line_frac"),
+        r6(ellipsis_lines / n_lines).alias("ellipsis_line_frac"),
+        r6(alpha_words / safe_words).alias("alpha_word_frac"),
+        distinct_sw.cast("int").alias("distinct_stopwords"),
+        r6(dup_line).alias("dup_line_frac"),
+        r6(dup_para).alias("dup_para_frac"),
+    )
+
+
+def gopher_keep(signals: Column, rules: dict | None = None) -> Column:
+    """True iff every rule bound holds for the signal struct. ``rules``
+    overrides individual GOPHER_RULES entries (same (low, high) shape) —
+    corpora with different token statistics tune bounds without forking
+    the signal computation."""
+    merged = {**GOPHER_RULES, **(rules or {})}
+    conds = []
+    for name, (lo, hi) in merged.items():
+        col = signals[name]
+        if lo is not None:
+            conds.append(col >= F.lit(lo))
+        if hi is not None:
+            conds.append(col <= F.lit(hi))
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out

@@ -1859,6 +1859,84 @@ def embedding_near_dup_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r"))
 
 
+def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021, arXiv:2112.11446
+    A1.1) over documents: the nine published signals plus the composed
+    keep flag. Pure map-side JVM expressions — the whole query is one scan
+    with zero shuffle (ordering aside). The synthetic docs are single-line,
+    so the line-structure signals are exercised degenerately here and
+    non-degenerately in tests/test_text_multimodal.py's planted multi-line
+    fixtures. The synthetic vocabulary carries only one GOPHER_STOPWORDS
+    token ("the") and docs run 10-99 words, so the keep flag here relaxes
+    exactly two bounds (distinct_stopwords >= 1, word_count >= 40) to give
+    the flag variance on this corpus; all other bounds are the published
+    defaults."""
+    from rust_cdc_validator_spark.functions.text import gopher_keep, gopher_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = docs.select("doc_id", gopher_signals(F.col("text")).alias("s"))
+    return sig.select(
+        "doc_id",
+        F.col("s.word_count").alias("word_count"),
+        F.col("s.mean_word_length").alias("mean_word_length"),
+        F.col("s.symbol_word_ratio").alias("symbol_word_ratio"),
+        F.col("s.bullet_line_frac").alias("bullet_line_frac"),
+        F.col("s.ellipsis_line_frac").alias("ellipsis_line_frac"),
+        F.col("s.alpha_word_frac").alias("alpha_word_frac"),
+        F.col("s.distinct_stopwords").alias("distinct_stopwords"),
+        F.col("s.dup_line_frac").alias("dup_line_frac"),
+        F.col("s.dup_para_frac").alias("dup_para_frac"),
+        gopher_keep(
+            F.col("s"),
+            rules={"distinct_stopwords": (1, None), "word_count": (40, 100_000)},
+        ).alias("keep"),
+    )
+
+
+GOPHER_QUALITY_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words,
+         string_split(text, chr(10)) AS lines,
+         string_split(text, chr(10) || chr(10)) AS paras
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS word_count,
+    ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+          / CAST(GREATEST(len(words), 1) AS DOUBLE), 6) AS mean_word_length,
+    ROUND(((length(text) - length(replace(text, '#', ''))) / 1.0
+           + (length(text) - length(replace(text, '...', ''))) / 3.0)
+          / CAST(GREATEST(len(words), 1) AS DOUBLE), 6) AS symbol_word_ratio,
+    ROUND(CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+          / CAST(GREATEST(len(lines), 1) AS DOUBLE), 6) AS bullet_line_frac,
+    ROUND(CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
+          / CAST(GREATEST(len(lines), 1) AS DOUBLE), 6) AS ellipsis_line_frac,
+    ROUND(CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+          / CAST(GREATEST(len(words), 1) AS DOUBLE), 6) AS alpha_word_frac,
+    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                         s -> list_contains(list_transform(words, w -> lower(w)), s)))
+         AS INTEGER) AS distinct_stopwords,
+    ROUND(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+          / CAST(GREATEST(len(lines), 1) AS DOUBLE), 6) AS dup_line_frac,
+    ROUND(1.0 - CAST(len(list_distinct(paras)) AS DOUBLE)
+          / CAST(GREATEST(len(paras), 1) AS DOUBLE), 6) AS dup_para_frac
+  FROM base
+)
+SELECT *,
+  (word_count >= 40 AND word_count <= 100000
+   AND mean_word_length >= 3.0 AND mean_word_length <= 10.0
+   AND symbol_word_ratio <= 0.1
+   AND bullet_line_frac <= 0.9
+   AND ellipsis_line_frac <= 0.3
+   AND alpha_word_frac >= 0.8
+   AND distinct_stopwords >= 1
+   AND dup_line_frac <= 0.3
+   AND dup_para_frac <= 0.3) AS keep
+FROM sig
+"""
+
+
 def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540) keep/drop decisions over the embeddings
     table: k-means cells (the IVF coarse quantizer reused), then a greedy
@@ -2409,6 +2487,7 @@ QUERIES: dict[str, QueryFn] = {
     "source_mixture_weights": source_mixture_weights,
     "dup_span_stats": dup_span_stats,
     "dup_span_scrub": dup_span_scrub,
+    "gopher_quality_docs": gopher_quality_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2473,6 +2552,7 @@ ORACLES: dict[str, str] = {
     "source_mixture_weights": SOURCE_MIXTURE_SQL,
     "dup_span_stats": DUP_SPAN_STATS_SQL,
     "dup_span_scrub": DUP_SPAN_SCRUB_SQL,
+    "gopher_quality_docs": GOPHER_QUALITY_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe:

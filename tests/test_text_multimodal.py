@@ -98,3 +98,66 @@ def test_frame_sample_plan(spark):
     frames = frame_sample_plan(_media(spark), every_ms=1000).collect()
     # video id=2, 3500ms → frames at 0,1000,2000,3000
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+# ------------------------------------------- Gopher quality rules
+
+def _gopher(spark, texts):
+    from rust_cdc_validator_spark.functions.text import gopher_keep, gopher_signals
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    return (
+        df.select(
+            "doc_id",
+            gopher_signals(F.col("text")).alias("s"),
+            gopher_keep(gopher_signals(F.col("text"))).alias("keep"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+
+
+def test_gopher_signals_multiline_structure(spark):
+    good = ("the quick brown fox and the lazy dog have to be friends with "
+            "each other of course that was always true in every story told "
+            "about them and it kept being true whenever anyone of the village "
+            "asked them about it again and again every single time someone "
+            "did ask")
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    dup_lines = "\n".join(["same line here"] * 9 + ["unique line"])
+    ellipsised = "\n".join(f"thought number {i}..." for i in range(10))
+    symbols = " ".join(["#tag"] * 30)
+    rows = _gopher(spark, [good, bullets, dup_lines, ellipsised, symbols])
+
+    g = rows[0]
+    assert g["keep"] and g["s"]["word_count"] >= 50
+    assert g["s"]["distinct_stopwords"] >= 2
+    assert g["s"]["alpha_word_frac"] == 1.0
+
+    b = rows[1]["s"]
+    assert b["bullet_line_frac"] == 1.0 and not rows[1]["keep"]
+
+    d = rows[2]["s"]
+    assert abs(d["dup_line_frac"] - 0.8) < 1e-9 and not rows[2]["keep"]
+
+    e = rows[3]["s"]
+    assert e["ellipsis_line_frac"] == 1.0 and not rows[3]["keep"]
+
+    s = rows[4]["s"]
+    assert s["symbol_word_ratio"] == 1.0 and not rows[4]["keep"]
+
+
+def test_gopher_word_bounds_and_word_length(spark):
+    short = "too few words here"
+    longwords = " ".join(["pneumonoultramicroscopic"] * 60)
+    rows = _gopher(spark, [short, longwords])
+    assert rows[0]["s"]["word_count"] == 4 and not rows[0]["keep"]
+    assert rows[1]["s"]["mean_word_length"] > 10.0 and not rows[1]["keep"]
+
+
+def test_gopher_dup_paragraph_frac(spark):
+    paras = "\n\n".join(["a paragraph of text"] * 4 + ["another one"])
+    (row,) = _gopher(spark, [paras])
+    assert abs(row["s"]["dup_para_frac"] - 0.6) < 1e-9
+    assert row["s"]["dup_line_frac"] > 0.0  # lines view sees the dups too
