@@ -436,3 +436,81 @@ def prepare_training_corpus_neardup(
         F.size(toks).alias("n_tokens"),
         n_sw.alias("n_stopwords"),
     )
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every RAW document by how target-like its
+    hashed unigram distribution is. Returns (id_col, n_tokens, log_weight)
+    where log_weight = Σ_tokens ln(p_target(bucket)/p_raw(bucket)) under
+    Laplace-smoothed bag-of-hashed-unigram models — resample raw docs
+    proportional to exp(log_weight) to tilt a corpus toward the target.
+
+    Engine-portable hashing: tokens bucket via ``md5_bucket_fine`` (first 3
+    md5 hex digits), so a SQL oracle can rebuild every bucket with three
+    strpos lookups — same contract as ``stratified_sample``.
+
+    Scale shape (no shuffle ever carries text):
+    * two feature-count aggs (one per side) — exploded tokens collapse
+      MAP-SIDE into ≤ ``buckets`` partial rows before a tiny shuffle;
+    * the log-ratio relation is ≤ ``buckets`` rows → broadcast join;
+    * per-doc scoring groups the exploded (id, logratio) rows — all of one
+      doc's tokens sit in the producing partition, so partial aggregation
+      collapses each doc to ONE narrow row pre-shuffle (shuffle ∝ docs,
+      not tokens);
+    * ``raw`` is scanned twice (model fit + scoring), the DSIR shape —
+      persist upstream if the raw relation is expensive to recompute.
+    """
+    from pyspark.sql.functions import broadcast
+
+    def toks(df: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col).alias("_id")] if keep_id else []
+        t = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != F.lit(""))
+        return df.select(*cols, F.explode(t).alias("_tok")).withColumn(
+            "_b", md5_bucket_fine(F.col("_tok"), buckets)
+        )
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return toks(df, keep_id=False).groupBy("_b").agg(F.count(F.lit(1)).alias(name))
+
+    ct = counts(target, "_ct")
+    cr = counts(raw, "_cr")
+    # persisted: ≤ buckets narrow rows (bytes, not data-scale), and it pins
+    # the two token-count scans to run ONCE — the totals action below and
+    # the ratio join both read this cache instead of re-exploding the corpora
+    joined = (
+        ct.join(cr, "_b", "full_outer")
+        .select(
+            "_b",
+            F.coalesce("_ct", F.lit(0)).alias("_ct"),
+            F.coalesce("_cr", F.lit(0)).alias("_cr"),
+        )
+        .persist()
+    )
+    tot = joined.agg(F.sum("_ct").alias("nt"), F.sum("_cr").alias("nr")).collect()[0]
+    nt, nr = float(tot["nt"] or 0), float(tot["nr"] or 0)
+    s, b = float(smoothing), float(buckets)
+    ratio = joined.select(
+        "_b",
+        (
+            F.log((F.col("_ct") + s) / F.lit(nt + s * b))
+            - F.log((F.col("_cr") + s) / F.lit(nr + s * b))
+        ).alias("_lr"),
+    )
+    return (
+        toks(raw, keep_id=True)
+        .join(broadcast(ratio), "_b")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_lr").alias("log_weight"),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "log_weight")
+    )

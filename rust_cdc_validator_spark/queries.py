@@ -1859,6 +1859,58 @@ def embedding_near_dup_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r"))
 
 
+def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (arXiv:2302.03169) scoring the training pool
+    (source <> 'src0') against the src0 docs as the target distribution —
+    the same benchmark-vs-pool split contamination_docs uses. Hashed
+    unigram models with 256 md5 buckets so the oracle rebuilds each bucket
+    with strpos arithmetic; weights rounded to 6 (both engines sum ~50-100
+    similar-magnitude doubles — identical to >10 significant digits)."""
+    from rust_cdc_validator_spark.operators.corpus import importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    w = importance_weights(raw, target, buckets=256)
+    return w.select(
+        "doc_id", "n_tokens", F.round("log_weight", 6).alias("log_weight_r")
+    )
+
+
+DSIR_IMPORTANCE_SQL = """
+WITH tok AS (
+  SELECT doc_id, source, lower(unnest(string_split_regex(text, '\\s+'))) AS tok
+  FROM documents
+), tb AS (
+  SELECT doc_id, source,
+         ((strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substring(md5(tok), 3, 1)) - 1)) % 256 AS b
+  FROM tok WHERE tok <> ''
+), ct AS (
+  SELECT b, COUNT(*) AS c FROM tb WHERE source = 'src0' GROUP BY b
+), cr AS (
+  SELECT b, COUNT(*) AS c FROM tb WHERE source <> 'src0' GROUP BY b
+), grid AS (
+  SELECT COALESCE(ct.b, cr.b) AS b,
+         COALESCE(ct.c, 0) AS tc, COALESCE(cr.c, 0) AS rc
+  FROM ct FULL OUTER JOIN cr ON ct.b = cr.b
+), tot AS (
+  SELECT SUM(tc) AS nt, SUM(rc) AS nr FROM grid
+), ratio AS (
+  SELECT b,
+         ln((tc + 0.5) / (nt + 0.5 * 256)) - ln((rc + 0.5) / (nr + 0.5 * 256)) AS lr
+  FROM grid, tot
+)
+SELECT tb.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(ratio.lr), 6) AS log_weight_r
+FROM tb JOIN ratio ON tb.b = ratio.b
+WHERE tb.source <> 'src0'
+GROUP BY tb.doc_id
+"""
+
+
 def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-based quality filter (Rae et al. 2021, arXiv:2112.11446
     A1.1) over documents: the nine published signals plus the composed
@@ -2488,6 +2540,7 @@ QUERIES: dict[str, QueryFn] = {
     "dup_span_stats": dup_span_stats,
     "dup_span_scrub": dup_span_scrub,
     "gopher_quality_docs": gopher_quality_docs,
+    "dsir_importance_docs": dsir_importance_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2553,6 +2606,7 @@ ORACLES: dict[str, str] = {
     "dup_span_stats": DUP_SPAN_STATS_SQL,
     "dup_span_scrub": DUP_SPAN_SCRUB_SQL,
     "gopher_quality_docs": GOPHER_QUALITY_SQL,
+    "dsir_importance_docs": DSIR_IMPORTANCE_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe:

@@ -355,3 +355,101 @@ def test_source_mixture_weights_rebalance_to_uniform(spark):
         # resampled share = actual share * weight = target share
         assert abs(r["token_share"] * r["weight"] - r["target_share"]) < 1e-12
     assert abs(sum(r["token_share"] * r["weight"] for r in rows) - 1.0) < 1e-9
+
+
+# ------------------------------------------- DSIR importance weights
+
+def _dsir_frames(spark):
+    from pyspark.sql import functions as F
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma alpha") for i in range(3)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (0, "alpha beta alpha gamma"),       # target-like
+            (1, "zeta eta theta iota kappa"),    # off-target
+            (2, "alpha zeta beta eta"),          # mixed
+        ],
+        "doc_id long, text string",
+    )
+    return raw, target
+
+
+def _dsir_reference(raw_texts, target_texts, buckets, smoothing=0.5):
+    import hashlib
+    from collections import Counter
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:3], 16) % buckets
+
+    def count(texts):
+        c = Counter()
+        for t in texts:
+            for w in t.lower().split():
+                c[bucket(w)] += 1
+        return c
+
+    ct, cr = count(target_texts), count(raw_texts)
+    nt, nr = sum(ct.values()), sum(cr.values())
+    import math
+
+    out = {}
+    for i, t in enumerate(raw_texts):
+        s = 0.0
+        for w in t.lower().split():
+            b = bucket(w)
+            s += math.log((ct[b] + smoothing) / (nt + smoothing * buckets))
+            s -= math.log((cr[b] + smoothing) / (nr + smoothing * buckets))
+        out[i] = s
+    return out
+
+
+def test_importance_weights_match_reference_model(spark):
+    from rust_cdc_validator_spark.operators.corpus import importance_weights
+
+    raw, target = _dsir_frames(spark)
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in importance_weights(raw, target, buckets=64).collect()
+    }
+    want = _dsir_reference(
+        ["alpha beta alpha gamma", "zeta eta theta iota kappa", "alpha zeta beta eta"],
+        ["alpha beta gamma alpha"] * 3,
+        buckets=64,
+    )
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_importance_weights_rank_target_like_docs_higher(spark):
+    from rust_cdc_validator_spark.operators.corpus import importance_weights
+
+    raw, target = _dsir_frames(spark)
+    w = {r["doc_id"]: r["log_weight"] for r in importance_weights(raw, target, buckets=64).collect()}
+    assert w[0] > w[2] > w[1]
+
+
+def test_importance_weights_partitioning_invariant(spark):
+    from rust_cdc_validator_spark.operators.corpus import importance_weights
+
+    raw, target = _dsir_frames(spark)
+    a = sorted(map(tuple, importance_weights(raw, target, buckets=64).collect()))
+    b = sorted(
+        map(
+            tuple,
+            importance_weights(raw.repartition(5), target.repartition(3), buckets=64).collect(),
+        )
+    )
+    assert [(i, n) for i, n, _ in a] == [(i, n) for i, n, _ in b]
+    assert all(abs(x[2] - y[2]) < 1e-9 for x, y in zip(a, b))
+
+
+def test_importance_weights_ratio_join_is_broadcast(spark):
+    from rust_cdc_validator_spark.operators.corpus import importance_weights
+
+    raw, target = _dsir_frames(spark)
+    plan = importance_weights(raw, target, buckets=64)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
