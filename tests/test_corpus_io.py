@@ -1,0 +1,105 @@
+"""Corpus IO (sources/corpus_io.py): JSONL quarantine reads + sharded
+manifest writes."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rust_cdc_validator_spark.sources.corpus_io import (
+    read_jsonl_corpus,
+    read_manifest,
+    write_corpus_shards,
+)
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def _write_jsonl(tmp_path, lines):
+    p = tmp_path / "corpus.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_jsonl_read_splits_good_and_quarantined(spark, tmp_path):
+    path = _write_jsonl(
+        tmp_path,
+        [
+            json.dumps({"doc_id": 1, "text": "hello"}),
+            "{this is not json",
+            json.dumps({"doc_id": 2, "text": "world"}),
+            '{"doc_id": "not_a_number", "text": "partial"}',
+        ],
+    )
+    good, bad = read_jsonl_corpus(spark, path, _SCHEMA)
+    rows = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert rows == {1: "hello", 2: "world"}
+    assert good.columns == ["doc_id", "text"]
+    bad_lines = [r[0] for r in bad.collect()]
+    assert "{this is not json" in bad_lines
+    assert any("not_a_number" in b for b in bad_lines)
+    assert len(bad_lines) == 2
+
+
+def test_jsonl_read_rejects_reserved_column(spark, tmp_path):
+    schema = T.StructType([T.StructField("_corrupt_record", T.StringType())])
+    with pytest.raises(ValueError):
+        read_jsonl_corpus(spark, str(tmp_path), schema)
+
+
+def test_shard_write_roundtrip_and_manifest(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text for doc "), F.col("id")).alias("text"),
+    )
+    out = str(tmp_path / "shards")
+    manifest = write_corpus_shards(df, out, fmt="parquet", target_shard_mb=256)
+    assert manifest["row_count"] == 1000
+    assert manifest["num_shards"] == len(manifest["shards"]) >= 1
+    assert all(s["bytes"] > 0 for s in manifest["shards"])
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert set(back.columns) == {"doc_id", "text"}
+    assert read_manifest(spark, out) == manifest
+    # schema is recorded as real JSON, not a string blob
+    names = [f["name"] for f in manifest["schema"]["fields"]]
+    assert names == ["doc_id", "text"]
+
+
+def test_shard_sizing_scales_with_target(spark, tmp_path):
+    # ~200-byte rows x 5000 rows ≈ 1 MB serialized; 1 MB target → 1 shard,
+    # tiny target → many shards
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"), F.lpad(F.lit("x"), 200, "y").alias("text")
+    )
+    big = write_corpus_shards(df, str(tmp_path / "big"), fmt="json", target_shard_mb=64)
+    assert big["num_shards"] == 1
+    # force the estimate over one shard: 5000 rows x ~210B ≈ 1MB > 256KB…
+    # target_shard_mb is int-MB, so shrink via a monkeypatched target by
+    # writing enough rows instead
+    df2 = spark.range(40_000).select(
+        F.col("id").alias("doc_id"), F.lpad(F.lit("x"), 400, "y").alias("text")
+    )
+    small = write_corpus_shards(df2, str(tmp_path / "small"), fmt="json", target_shard_mb=1)
+    assert small["num_shards"] > 1
+    listed = [f for f in os.listdir(tmp_path / "small") if f.startswith("part-")]
+    assert len(listed) == small["num_shards"]
+
+
+def test_jsonl_write_then_read_back_through_reader(spark, tmp_path):
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("round trip").alias("text")
+    )
+    out = str(tmp_path / "jsonl")
+    write_corpus_shards(df, out, fmt="json", target_shard_mb=1)
+    good, bad = read_jsonl_corpus(spark, out, _SCHEMA)
+    assert good.count() == 50 and bad.count() == 0
