@@ -1859,6 +1859,22 @@ def embedding_near_dup_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r"))
 
 
+def bpe_vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (arXiv:1508.07909) on documents: the
+    ordered merge table from 16 rounds. Iterative (one vocabulary-sized
+    pair-count aggregation per round — the corpus is scanned once) — no
+    SQL oracle; rows-only with a seeded golden. Deterministic tie-break
+    (count desc, pair asc) makes the table partitioning-invariant."""
+    from rust_cdc_validator_spark.operators.bpe import train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=16)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    ).orderBy("rank")
+
+
 def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (arXiv:2302.03169) scoring the training pool
     (source <> 'src0') against the src0 docs as the target distribution —
@@ -2541,6 +2557,7 @@ QUERIES: dict[str, QueryFn] = {
     "dup_span_scrub": dup_span_scrub,
     "gopher_quality_docs": gopher_quality_docs,
     "dsir_importance_docs": dsir_importance_docs,
+    "bpe_vocab_docs": bpe_vocab_docs,
 }
 
 ORACLES: dict[str, str] = {

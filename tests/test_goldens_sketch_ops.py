@@ -37,6 +37,7 @@ SKETCH_QUERIES = [
     "embedding_near_dup_docs",
     "embedding_near_dup_narrow",
     "semantic_dedup_docs",
+    "bpe_vocab_docs",
     "training_corpus_neardup",
     "lsh_bucket_overflow_stats",
     "minhash_band_overflow_stats",
