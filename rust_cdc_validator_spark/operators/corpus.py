@@ -514,3 +514,95 @@ def importance_weights(
         )
         .select(F.col("_id").alias(id_col), "n_tokens", "log_weight")
     )
+
+
+def clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 3,
+    require_terminal_punct: bool = False,
+    dedup: bool = True,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, arXiv:1910.10683
+    §2.2) as one map-side expression: per document, drop duplicate lines
+    (keeping the FIRST occurrence — order preserved), lines under
+    ``min_words`` words, and (opt-in) lines not ending in terminal
+    punctuation. Appends ``text_clean``, ``n_lines``, ``n_lines_kept``.
+
+    Zero shuffle and no UDF: the whole pass is array expressions over each
+    row's own line split, so cleaning 100 TB costs exactly one scan.
+    Cross-document line dedup is a different operator class (it needs a
+    corpus-wide shuffle — see exact_substring_stats for the span-level
+    equivalent); this is the per-document pass C4 runs.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    idx = F.sequence(F.lit(1), F.size(lines))
+    # first-occurrence filter via position: element i survives iff the
+    # first index holding its value IS i (array_position = first match)
+    first = F.filter(
+        idx, lambda i: F.array_position(lines, F.element_at(lines, i)) == i
+    )
+    kept_idx = first if dedup else idx
+    words_ok = lambda l: (
+        F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != F.lit("")))
+        >= F.lit(min_words)
+    )
+    keep_line = lambda i: words_ok(F.element_at(lines, i))
+    if require_terminal_punct:
+        punct = lambda i: F.element_at(lines, i).rlike(r'[.!?"]\s*$')
+        keep_pred = lambda i: keep_line(i) & punct(i)
+    else:
+        keep_pred = keep_line
+    final_idx = F.filter(kept_idx, keep_pred)
+    cleaned = F.array_join(
+        F.transform(final_idx, lambda i: F.element_at(lines, i)), "\n"
+    )
+    return (
+        df.withColumn("n_lines", F.size(lines).cast("int"))
+        .withColumn("n_lines_kept", F.size(final_idx).cast("int"))
+        .withColumn("text_clean", cleaned)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into ≤ ``max_tokens``-token chunks with ``overlap``
+    tokens of context carry-over — the context-window chunking every
+    embedding/retrieval pipeline runs before encoding. One row per chunk:
+    (id_col, chunk_idx, chunk_tokens, chunk_text).
+
+    Chunk starts are 1, 1+step, 1+2·step, … (step = max_tokens - overlap),
+    emitted while start ≤ max(1, n_tokens - overlap) — so no chunk is a
+    suffix-subset of its predecessor and every token appears in ≥ 1 chunk.
+
+    Map-side only (split + sequence + posexplode): the output shuffle-free
+    fan-out is ~(1 + overlap/max_tokens)× the input bytes; no state, no
+    joins, safe at any scale.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.size("_toks") - F.lit(overlap)),
+        F.lit(step),
+    )
+    chunks = base.select(
+        id_col,
+        F.col("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start"), max_tokens)
+    return chunks.select(
+        id_col,
+        "chunk_idx",
+        F.size(piece).cast("int").alias("chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

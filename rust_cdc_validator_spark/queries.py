@@ -1859,6 +1859,72 @@ def embedding_near_dup_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r"))
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/corpus.py:chunk_documents):
+    ≤32-token chunks, 8 tokens of overlap — the pre-encoding split every
+    embedding/retrieval pipeline runs. Map-side fan-out, zero shuffle."""
+    from rust_cdc_validator_spark.operators.corpus import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=32, overlap=8)
+
+
+DOC_CHUNKS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS tk
+  FROM documents
+), s AS (
+  SELECT doc_id, tk,
+         unnest(range(1, GREATEST(1, len(tk) - 8) + 1, 24)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) / 24 AS INT) AS chunk_idx,
+       CAST(len(list_slice(tk, start, start + 31)) AS INT) AS chunk_tokens,
+       array_to_string(list_slice(tk, start, start + 31), ' ') AS chunk_text
+FROM s
+"""
+
+
+def docs_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line cleaning (operators/corpus.py:clean_lines). The
+    synthetic docs are single-line, so the dedup arm is degenerate here
+    (multi-line fixtures cover it in test_corpus.py) and the word-count
+    bound is set to 40 so the keep/drop decision varies across the
+    corpus's 10-99-word docs."""
+    from rust_cdc_validator_spark.operators.corpus import clean_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    return clean_lines(docs, min_words=40).select(
+        "doc_id", "n_lines", "n_lines_kept", "text_clean"
+    )
+
+
+DOCS_CLEAN_LINES_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents
+), idx AS (
+  SELECT doc_id, lines,
+         list_filter(range(1, len(lines) + 1),
+                     i -> list_position(lines, lines[i]) = i) AS first_idx
+  FROM base
+), kept AS (
+  SELECT doc_id, lines,
+         list_filter(first_idx,
+                     i -> len(list_filter(
+                            string_split_regex(trim(lines[i]), '\\s+'),
+                            w -> w <> '')) >= 40) AS keep_idx
+  FROM idx
+)
+SELECT doc_id,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(keep_idx) AS INT) AS n_lines_kept,
+       COALESCE(array_to_string(list_transform(keep_idx, i -> lines[i]), chr(10)), '') AS text_clean
+FROM kept
+"""
+
+
 def bpe_vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (arXiv:1508.07909) on documents: the
     ordered merge table from 16 rounds. Iterative (one vocabulary-sized
@@ -2558,6 +2624,8 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_quality_docs": gopher_quality_docs,
     "dsir_importance_docs": dsir_importance_docs,
     "bpe_vocab_docs": bpe_vocab_docs,
+    "doc_chunks": doc_chunks,
+    "docs_clean_lines": docs_clean_lines,
 }
 
 ORACLES: dict[str, str] = {
@@ -2624,6 +2692,8 @@ ORACLES: dict[str, str] = {
     "dup_span_scrub": DUP_SPAN_SCRUB_SQL,
     "gopher_quality_docs": GOPHER_QUALITY_SQL,
     "dsir_importance_docs": DSIR_IMPORTANCE_SQL,
+    "doc_chunks": DOC_CHUNKS_SQL,
+    "docs_clean_lines": DOCS_CLEAN_LINES_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe:

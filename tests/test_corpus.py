@@ -453,3 +453,107 @@ def test_importance_weights_ratio_join_is_broadcast(spark):
     raw, target = _dsir_frames(spark)
     plan = importance_weights(raw, target, buckets=64)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------- C4 line cleaning / chunking
+
+def _lines_df(spark, text):
+    return spark.createDataFrame([(0, text)], "doc_id long, text string")
+
+
+def test_clean_lines_dedup_keeps_first_occurrence_in_order(spark):
+    from rust_cdc_validator_spark.operators.corpus import clean_lines
+
+    text = "\n".join(
+        ["beta gamma delta", "alpha beta gamma", "beta gamma delta", "zeta eta theta"]
+    )
+    (row,) = clean_lines(_lines_df(spark, text), min_words=1).collect()
+    assert row["n_lines"] == 4 and row["n_lines_kept"] == 3
+    assert row["text_clean"].split("\n") == [
+        "beta gamma delta",
+        "alpha beta gamma",
+        "zeta eta theta",
+    ]
+
+
+def test_clean_lines_min_words_and_blank_lines(spark):
+    from rust_cdc_validator_spark.operators.corpus import clean_lines
+
+    text = "one two three\nshort\n\nfour five six seven"
+    (row,) = clean_lines(_lines_df(spark, text), min_words=3).collect()
+    assert row["text_clean"].split("\n") == ["one two three", "four five six seven"]
+    assert row["n_lines"] == 4 and row["n_lines_kept"] == 2
+
+
+def test_clean_lines_terminal_punct_opt_in(spark):
+    from rust_cdc_validator_spark.operators.corpus import clean_lines
+
+    text = 'ends with period.\nno punctuation here\nquoted end."\nasks a question?'
+    (row,) = clean_lines(
+        _lines_df(spark, text), min_words=1, require_terminal_punct=True
+    ).collect()
+    assert row["text_clean"].split("\n") == [
+        "ends with period.",
+        'quoted end."',
+        "asks a question?",
+    ]
+
+
+def test_clean_lines_no_dedup_flag(spark):
+    from rust_cdc_validator_spark.operators.corpus import clean_lines
+
+    text = "same line here\nsame line here"
+    (row,) = clean_lines(_lines_df(spark, text), min_words=1, dedup=False).collect()
+    assert row["n_lines_kept"] == 2
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from rust_cdc_validator_spark.operators.corpus import chunk_documents
+
+    words = [f"w{i}" for i in range(100)]
+    df = _lines_df(spark, " ".join(words))
+    rows = sorted(
+        chunk_documents(df, max_tokens=32, overlap=8).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # starts at 1, 25, 49, 73 (while start <= 100-8=92) → 4 chunks
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3]
+    chunks = [r["chunk_text"].split(" ") for r in rows]
+    assert all(len(c) == 32 for c in chunks[:3]) and len(chunks[3]) == 28
+    # consecutive chunks share exactly the 8-token overlap
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[-8:] == b[:8]
+    # every token covered, in order
+    seen = chunks[0] + [w for c in chunks[1:] for w in c[8:]]
+    assert seen == words
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from rust_cdc_validator_spark.operators.corpus import chunk_documents
+
+    df = _lines_df(spark, "just a few words")
+    rows = chunk_documents(df, max_tokens=32, overlap=8).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_tokens"] == 4 and rows[0]["chunk_idx"] == 0
+
+
+def test_chunk_documents_no_suffix_subset_chunks(spark):
+    from rust_cdc_validator_spark.operators.corpus import chunk_documents
+
+    # n=34, max=32, overlap=8 → starts while s <= 26: 1, 25 → second chunk
+    # (25..34) is 10 tokens, NOT a subset of the first (1..32)
+    df = _lines_df(spark, " ".join(f"t{i}" for i in range(34)))
+    rows = sorted(
+        chunk_documents(df, max_tokens=32, overlap=8).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["chunk_tokens"] for r in rows] == [32, 10]
+
+
+def test_chunk_documents_validates_overlap(spark):
+    import pytest
+    from rust_cdc_validator_spark.operators.corpus import chunk_documents
+
+    df = _lines_df(spark, "a b c")
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=8, overlap=8)
