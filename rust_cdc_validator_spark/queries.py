@@ -1479,6 +1479,47 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
 """
 
 
+_IVFPQ_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ivfpq_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) the IVF-PQ index
+    ``ann_ivfpq_top1`` probes — build-once/probe-many, same contract as
+    the MinHash/LSH index queries."""
+    idx = _IVFPQ_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        import tempfile
+
+        from rust_cdc_validator_spark.operators.pq import build_ivfpq_index
+
+        idx = tempfile.mkdtemp(prefix="ivfpq_index_") + "/idx"
+        emb = _t(spark, sf_dir, "embeddings")
+        build_ivfpq_index(emb, idx, n_cells=16, m=8, seed=42)
+        _IVFPQ_INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def ann_ivfpq_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/pq.py, Jégou et al. 2011): partition-pruned
+    8-byte-code probe + exact re-rank — the bytes-at-scale path of the ANN
+    family (codes are ~64× smaller than the float64 vectors the plain IVF
+    probe scans). Returned cosines are EXACT (re-ranked); candidate
+    selection is the approximate part. Rows-only (KMeans/PQ sketch, no SQL
+    oracle); golden-pinned."""
+    from rust_cdc_validator_spark.operators.pq import ivfpq_topk_from_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _ivfpq_index_for(spark, sf_dir)
+    top = ivfpq_topk_from_index(
+        spark, idx, emb, k=1, n_probe=4, refine_factor=8
+    )
+    return top.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("neighbor_id").alias("nn_id"),
+        F.round(F.col("cos_sim"), 6).alias("cos_sim_r"),
+    )
+
+
 def ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN (the other scale path besides LSH)."""
     from rust_cdc_validator_spark.operators.similarity import ivf_topk
@@ -2579,6 +2620,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_near_dup": simhash_near_dup,
     "ann_lsh_top1": ann_lsh_top1,
     "ann_ivf_top1": ann_ivf_top1,
+    "ann_ivfpq_top1": ann_ivfpq_top1,
     "customers_semi_anti": customers_semi_anti,
     "supplier_running_totals": supplier_running_totals,
     "quantity_percentiles": quantity_percentiles,

@@ -33,6 +33,7 @@ SKETCH_QUERIES = [
     "simhash_near_dup",
     "ann_lsh_top1",
     "ann_ivf_top1",
+    "ann_ivfpq_top1",
     "dedup_clusters_docs",
     "embedding_near_dup_docs",
     "embedding_near_dup_narrow",
