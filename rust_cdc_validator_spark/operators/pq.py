@@ -403,3 +403,70 @@ def ivfpq_topk_from_index(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def append_to_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append vectors to a persisted IVF-PQ index without refitting either
+    quantizer: coarse assignment against the stored centroids (full
+    vectors appended for the re-rank side, same as
+    ``similarity.append_to_ivf_index``) plus map-side PQ encoding against
+    the STORED codebooks into ``codes/``. Cost ∝ |new_vectors|; no scan of
+    the existing index.
+
+    Same drift contract as the plain IVF append: codes stay exactly what a
+    fresh build would produce GIVEN the same codebooks; what degrades as
+    the corpus drifts from the fitted sample is quantization ERROR (ADC
+    ranking noise — recoverable via ``refine_factor``) and cell balance
+    (observable via ``similarity.ivf_cell_stats`` / ``ivf_refit_needed``,
+    the cue to rebuild)."""
+    from rust_cdc_validator_spark.operators.similarity import append_to_ivf_index
+
+    spark = new_vectors.sparkSession
+    before = spark.read.parquet(f"{path}/vectors").select("_id")
+    new_ids = new_vectors.select(F.col(id_col).alias("_id"))
+    appended_filter = new_ids.join(before, "_id", "left_anti")
+
+    append_to_ivf_index(new_vectors, path, id_col=id_col, vec_col=vec_col)
+
+    books = _load_codebooks(spark, path)
+    bc = spark.sparkContext.broadcast(books)
+    # encode exactly the rows just appended: re-read their (normalized,
+    # assigned) form from the vectors layout so codes and vectors can never
+    # disagree on normalization or cell
+    fresh = (
+        spark.read.parquet(f"{path}/vectors")
+        .join(appended_filter, "_id", "left_semi")
+        .select("_id", "_v", F.col("cell").cast("int").alias("cell"))
+    )
+
+    code_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("_code", T.BinaryType(), False),
+            T.StructField("cell", T.IntegerType(), False),
+        ]
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bks = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            codes = _encode_batch(v, bks)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].to_numpy(),
+                    "_code": [c.tobytes() for c in codes],
+                    "cell": pdf["cell"].to_numpy().astype(np.int32),
+                }
+            )
+
+    fresh.mapInPandas(enc, code_schema).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/codes")

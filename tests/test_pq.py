@@ -145,3 +145,39 @@ def test_refine_factor_buys_recall(spark, tmp_path):
     r1, r16 = recall(1), recall(16)
     assert r16 >= r1
     assert r16 >= 0.9
+
+
+def test_append_matches_fresh_build_given_same_quantizers(spark, tmp_path):
+    from rust_cdc_validator_spark.operators.pq import append_to_ivfpq_index
+
+    df = _clustered(spark, n_clusters=4, per=10)
+    a = df.filter(F.col("vec_id") < 25)
+    b = df.filter(F.col("vec_id") >= 25)
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(a, path, n_cells=2, m=4)
+    append_to_ivfpq_index(b, path)
+
+    codes = spark.read.parquet(f"{path}/codes")
+    vecs = spark.read.parquet(f"{path}/vectors")
+    assert codes.count() == df.count() == vecs.count()
+
+    # appended rows' codes must equal what the stored codebooks produce
+    # from the stored (normalized) vectors — i.e. append ≡ encode-on-build
+    from rust_cdc_validator_spark.operators.pq import _encode_batch, _load_codebooks
+    import numpy as np
+
+    books = _load_codebooks(spark, path)
+    joined = (
+        vecs.select("_id", "_v")
+        .join(codes.select("_id", "_code"), "_id")
+        .collect()
+    )
+    for r in joined:
+        want = _encode_batch(
+            np.array([r["_v"]], dtype=np.float64), books
+        )[0].tobytes()
+        assert r["_code"] == want
+
+    # and the probe sees appended vectors as first-class neighbors
+    res = ivfpq_topk_from_index(spark, path, b, k=1, n_probe=2, refine_factor=8)
+    assert res.count() == b.count()
