@@ -344,21 +344,29 @@ def ivfpq_topk_from_index(
         dim = qv.shape[1]
         sub = qv.reshape(len(qs), m, dim // m)
         qi = qs["_id"].to_numpy()
-        # LUT per query: (m, 256) partial dot products, then m gathers
-        for j in range(len(qs)):
-            lut = np.einsum("sd,scd->sc", sub[j], bks)  # (m, 256)
-            scores = lut[np.arange(m)[:, None], code_mat.T].sum(axis=0)
+        # Blocked ADC: one einsum builds a block of LUTs, one fancy-index
+        # gathers all m code columns for the whole block — no per-query
+        # Python loop. Block size bounds the (qb, m, nc) gather temp.
+        q_block = max(1, int(4_000_000 / max(len(ci), 1)))
+        rows_m = np.arange(m)
+        for start in range(0, len(qs), q_block):
+            sb = sub[start : start + q_block]  # (qb, m, sub_dim)
+            qib = qi[start : start + q_block]
+            luts = np.einsum("qsd,scd->qsc", sb, bks)  # (qb, m, 256)
+            # (qb, nc): sum over subspaces of LUT[code] per candidate
+            scores = luts[:, rows_m[:, None], code_mat.T].sum(axis=1)
             if not include_self:
-                scores = np.where(ci == qi[j], -np.inf, scores)
-            kk = min(pool, len(scores))
-            idx = np.argpartition(-scores, kk - 1)[:kk]
-            sel = np.isfinite(scores[idx])
+                scores[qib[:, None] == ci[None, :]] = -np.inf
+            kk = min(pool, scores.shape[1])
+            idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            s = np.take_along_axis(scores, idx, axis=1).ravel()
+            sel = np.isfinite(s)
             out.append(
                 pd.DataFrame(
                     {
-                        "query_id": qi[j],
-                        "neighbor_id": ci[idx][sel],
-                        "adc_score": scores[idx][sel],
+                        "query_id": np.repeat(qib, kk)[sel],
+                        "neighbor_id": ci[idx.ravel()][sel],
+                        "adc_score": s[sel],
                     }
                 )
             )
