@@ -144,3 +144,48 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    weights: list[float] | None = None,
+    query_col: str | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
+    ranked lists: score(d) = Σ_i w_i / (k + rank_i(d)) over the lists d
+    appears in — the standard way to combine lexical (BM25) and vector
+    (ANN) retrieval without score calibration, since it consumes only the
+    RANKS. Returns (id_col, rrf_score, n_lists, rank) ordered by score
+    desc with the id as deterministic tiebreaker.
+
+    Scale: inputs are top-k lists — queries·k rows — so the union +
+    groupBy here is micro-scale no matter the corpus behind the lists;
+    the heavy lifting happened in the retrievers. For BATCHED fusion pass
+    ``query_col``: fusion groups on (query, id) and the final ranking
+    window partitions per query instead of running one global sort.
+    """
+    if not ranked:
+        raise ValueError("need at least one ranked list")
+    w = weights or [1.0] * len(ranked)
+    if len(w) != len(ranked):
+        raise ValueError("weights must match ranked lists")
+    keys = ([query_col] if query_col else []) + [id_col]
+    parts = [
+        df.select(
+            *[F.col(c) for c in keys],
+            (F.lit(float(wi)) / (F.lit(k) + F.col(rank_col))).alias("_c"),
+        )
+        for df, wi in zip(ranked, w)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(*keys).agg(
+        F.sum("_c").alias("rrf_score"), F.count(F.lit(1)).alias("n_lists")
+    )
+    base = Window.partitionBy(query_col) if query_col else Window
+    win = base.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return fused.withColumn("rank", F.row_number().over(win))

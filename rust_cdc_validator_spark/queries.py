@@ -1173,6 +1173,85 @@ ORDER BY bm25 DESC, doc_id LIMIT 25
 """
 
 
+def hybrid_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: RRF fusion (operators/retrieval.py:rrf_fuse,
+    Cormack et al. 2009) of the BM25 lexical top-25 (same query terms as
+    bm25_search_docs) with the cosine top-25 around the vec_id=0 embedding
+    (doc_id ≡ vec_id in the testdata). Rank-only fusion — no score
+    calibration — with ≤2 reciprocal terms per doc, so both engines sum
+    bit-identically (IEEE two-term addition is commutative-exact)."""
+    from rust_cdc_validator_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = bm25_topk(docs, ["spark", "join", "filter"], k=25, log_idf=False)
+    w_bm = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    bm_ranked = bm.withColumn("rank", F.row_number().over(w_bm))
+    kn = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=25, include_self=False
+    ).select(F.col("neighbor_id").alias("doc_id"), "cos_sim")
+    w_kn = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
+    kn_ranked = kn.withColumn("rank", F.row_number().over(w_kn))
+    return rrf_fuse([bm_ranked, kn_ranked], id_col="doc_id").select(
+        "doc_id", F.round("rrf_score", 6).alias("rrf_score_r"), "n_lists", "rank"
+    )
+
+
+HYBRID_SEARCH_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(len(arr)) AS avgdl FROM d
+), m AS (
+  SELECT doc_id, len(arr) AS dl, unnest(arr) AS tok FROM d
+), tf AS (
+  SELECT doc_id, dl, tok, COUNT(*) AS tf FROM m
+  WHERE tok IN ('spark', 'join', 'filter')
+  GROUP BY doc_id, dl, tok
+), dfq AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), bm_scored AS (
+  SELECT tf.doc_id,
+         ((n_docs - df + 0.5) / (df + 0.5))
+         * (tf * (1.2 + 1.0))
+         / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS s
+  FROM tf JOIN dfq USING (tok) CROSS JOIN stats
+), bm AS (
+  SELECT doc_id, SUM(s) AS bm25 FROM bm_scored GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id LIMIT 25
+), bm_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM bm
+), normed AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), kn AS (
+  SELECT b.vec_id AS doc_id,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (a.nrm * b.nrm) AS cos_sim
+  FROM normed a JOIN normed b ON b.vec_id <> 0
+  WHERE a.vec_id = 0
+  ORDER BY cos_sim DESC, doc_id LIMIT 25
+), kn_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank
+  FROM kn
+), contrib AS (
+  SELECT doc_id, 1.0 / (60 + rank) AS c FROM bm_ranked
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rank) AS c FROM kn_ranked
+), fused AS (
+  SELECT doc_id, SUM(c) AS rrf_score, COUNT(*) AS n_lists
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, ROUND(rrf_score, 6) AS rrf_score_r, n_lists,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+FROM fused
+"""
+
+
 def events_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join via bucketed range join (operators/rangejoin.py): for
     each purchase, count same-user events within ±120 s. The naive
@@ -2660,6 +2739,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_purchase_window": events_purchase_window,
     "stratified_sample_docs": stratified_sample_docs,
     "bm25_search_docs": bm25_search_docs,
+    "hybrid_search_docs": hybrid_search_docs,
     "source_mixture_weights": source_mixture_weights,
     "dup_span_stats": dup_span_stats,
     "dup_span_scrub": dup_span_scrub,
@@ -2729,6 +2809,7 @@ ORACLES: dict[str, str] = {
     "events_purchase_window": EVENTS_PURCHASE_WINDOW_SQL,
     "stratified_sample_docs": STRATIFIED_SAMPLE_SQL,
     "bm25_search_docs": BM25_SEARCH_SQL,
+    "hybrid_search_docs": HYBRID_SEARCH_SQL,
     "source_mixture_weights": SOURCE_MIXTURE_SQL,
     "dup_span_stats": DUP_SPAN_STATS_SQL,
     "dup_span_scrub": DUP_SPAN_SCRUB_SQL,

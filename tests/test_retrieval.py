@@ -80,3 +80,60 @@ def test_bm25_log_idf_variant_monotone(spark):
     a = [r.doc_id for r in bm25_topk(docs, ["spark", "join"], k=10, log_idf=True).collect()]
     b = [r.doc_id for r in bm25_topk(docs, ["spark", "join"], k=10, log_idf=False).collect()]
     assert a == b
+
+
+# ------------------------------------------- RRF fusion
+
+def _ranked(spark, rows, with_query=False):
+    schema = (
+        "query_id long, doc_id long, rank int" if with_query else "doc_id long, rank int"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_rrf_overlapping_doc_wins(spark):
+    from rust_cdc_validator_spark.operators.retrieval import rrf_fuse
+
+    a = _ranked(spark, [(1, 1), (2, 2), (3, 3)])
+    b = _ranked(spark, [(3, 1), (4, 2)])
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b], k=60).collect()}
+    # doc 3 appears in both lists → highest fused score
+    assert out[3]["rank"] == 1 and out[3]["n_lists"] == 2
+    assert abs(out[3]["rrf_score"] - (1 / 63 + 1 / 61)) < 1e-12
+    assert out[1]["n_lists"] == 1
+    # doc 1 (rank 1 in a) beats doc 4 (rank 2 in b)
+    assert out[1]["rank"] < out[4]["rank"]
+
+
+def test_rrf_weights_tilt_the_fusion(spark):
+    from rust_cdc_validator_spark.operators.retrieval import rrf_fuse
+
+    a = _ranked(spark, [(1, 1)])
+    b = _ranked(spark, [(2, 1)])
+    out = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse([a, b], weights=[1.0, 3.0]).collect()}
+    assert abs(out[2] / out[1] - 3.0) < 1e-12
+
+
+def test_rrf_batched_per_query_ranking(spark):
+    from rust_cdc_validator_spark.operators.retrieval import rrf_fuse
+
+    a = _ranked(spark, [(10, 1, 1), (10, 2, 2), (20, 5, 1)], with_query=True)
+    b = _ranked(spark, [(10, 2, 1), (20, 6, 1)], with_query=True)
+    rows = rrf_fuse([a, b], query_col="query_id").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r["rank"]
+    assert by_q[10][2] == 1  # in both lists for query 10
+    assert by_q[10][1] == 2
+    assert sorted(by_q[20].values()) == [1, 2]  # ranks restart per query
+
+
+def test_rrf_validates_inputs(spark):
+    import pytest
+    from rust_cdc_validator_spark.operators.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    a = _ranked(spark, [(1, 1)])
+    with pytest.raises(ValueError):
+        rrf_fuse([a], weights=[1.0, 2.0])
