@@ -212,6 +212,76 @@ def _bucketed(
     )
 
 
+def _bucketed_multiprobe(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: np.ndarray,
+    payload_dtype: str = "float64",
+    n_flip: int = 2,
+) -> DataFrame:
+    """Query-side multi-probe bucketing (Lv et al. 2007, "Multi-Probe LSH",
+    VLDB): besides its own bucket, each (vector, table) also probes the
+    buckets reached by flipping each of its ``n_flip`` WEAKEST sign bits —
+    the hyperplanes the vector sits closest to, i.e. the most likely single
+    bits to disagree with a true neighbor's signature. Emits
+    1 + n_flip rows per (vector, table) with the same schema as
+    ``_bucketed``; recall rises like adding tables but without re-hashing
+    or storing the corpus more than once — the corpus side stays single-
+    bucket, so index size and build cost are unchanged."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+    np_dtype = np.float32 if payload_dtype == "float32" else np.float64
+
+    def pack(unit_rows: np.ndarray) -> np.ndarray:
+        if payload_dtype == "int8":
+            return np.clip(
+                np.rint(unit_rows * _INT8_SCALE), -127, 127
+            ).astype(np.int8)
+        return unit_rows.astype(np_dtype)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc.value  # (T, P, D)
+        n_tables, n_planes, _ = pl.shape
+        k = min(n_flip, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(v, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            v = v / n
+            proj = np.einsum("rd,tpd->trp", v, pl)  # (T, rows, P)
+            base = ((proj > 0) @ weights).astype(np.int64)  # (T, rows)
+            # weakest bits first: smallest |projection| per (table, row)
+            order = np.argsort(np.abs(proj), axis=2)[:, :, :k]  # (T, rows, k)
+            flips = base[:, :, None] ^ weights[order]  # (T, rows, k)
+            all_buckets = np.concatenate(
+                [base[:, :, None], flips], axis=2
+            )  # (T, rows, 1+k)
+            per = 1 + k
+            out_rows = []
+            packed = pack(v)
+            for t in range(n_tables):
+                out_rows.append(
+                    pd.DataFrame(
+                        {
+                            "_id": np.repeat(ids, per),
+                            "_v": list(np.repeat(packed, per, axis=0)),
+                            "tbl": np.int32(t),
+                            "bucket": all_buckets[t].ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(out_rows, ignore_index=True)
+
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        gen, _bucket_schema(payload_dtype)
+    )
+
+
 @F.pandas_udf(T.DoubleType())
 def _dot_pdf(a: pd.Series, b: pd.Series) -> pd.Series:
     am = np.stack(a.to_numpy())
@@ -611,11 +681,15 @@ def lsh_bucket_topk(
     include_self: bool = False,
     payload_dtype: str = "float64",
     max_bucket_candidates: int = 100_000,
+    n_probe_flips: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH: bucket both sides
     per table, equi-join on (tbl, bucket), exact-score candidates (vectorized
     pandas UDF), rank. Recall grows with num_tables at one narrow projection
-    each. ``payload_dtype='float32'`` halves the dominant shuffle payload,
+    each — or, cheaper, with ``n_probe_flips`` > 0 (multi-probe LSH, Lv et
+    al. 2007): each QUERY additionally probes the buckets reached by
+    flipping its n weakest sign bits, buying table-like recall without
+    growing the corpus-side index or its shuffle at all. ``payload_dtype='float32'`` halves the dominant shuffle payload,
     ``'int8'`` shrinks it 8× (fixed-scale byte quantization of the unit
     vectors) — see the _bucket_schema note for the precision trades.
     ``max_bucket_candidates`` bounds a degenerate bucket's per-task compute
@@ -624,9 +698,14 @@ def lsh_bucket_topk(
     cb = _bucketed(corpus, id_col, vec_col, planes, payload_dtype).withColumn(
         "_role", F.lit("c")
     )
-    qb = _bucketed(queries, id_col, vec_col, planes, payload_dtype).withColumn(
-        "_role", F.lit("q")
+    q_bucketer = (
+        (lambda d: _bucketed_multiprobe(
+            d, id_col, vec_col, planes, payload_dtype, n_flip=n_probe_flips
+        ))
+        if n_probe_flips > 0
+        else (lambda d: _bucketed(d, id_col, vec_col, planes, payload_dtype))
     )
+    qb = q_bucketer(queries).withColumn("_role", F.lit("q"))
 
     # Score per (table, bucket) with a grouped matmul — same shape as the
     # IVF scorer: vectors shuffle once per bucket membership, never once per

@@ -626,3 +626,83 @@ def test_exact_substring_scrub_consistent_with_stats(spark):
     assert scrub[5] == ("e1 e2 e3 e4 e5 e6 e7 e8", 0)
     for k in stats:  # removed == covered, doc by doc
         assert scrub[k][1] == stats[k]
+
+
+# ------------------------------------------- multi-probe LSH
+
+def test_multiprobe_zero_flips_equals_plain_lsh(spark, sf_dir):
+    from rust_cdc_validator_spark.operators.similarity import lsh_bucket_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120)
+    plain = lsh_bucket_topk(emb, emb, dim=64, k=1, num_planes=6, num_tables=2)
+    probe0 = lsh_bucket_topk(
+        emb, emb, dim=64, k=1, num_planes=6, num_tables=2, n_probe_flips=0
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, probe0.collect()))
+
+
+def test_multiprobe_emits_base_and_flipped_buckets(spark):
+    import numpy as np
+    from pyspark.sql import types as T
+    from rust_cdc_validator_spark.operators.similarity import (
+        _bucketed,
+        _bucketed_multiprobe,
+        _hyperplanes,
+    )
+
+    rng = np.random.default_rng(4)
+    rows = [
+        (i, (v / np.linalg.norm(v)).astype(np.float32).tolist())
+        for i, v in enumerate(rng.normal(size=(20, 16)))
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    planes = _hyperplanes(16, seed=1, num_tables=2, num_planes=5)
+    base = {
+        (r["_id"], r["tbl"]): r["bucket"]
+        for r in _bucketed(df, "vec_id", "embedding", planes).collect()
+    }
+    multi = {}
+    for r in _bucketed_multiprobe(
+        df, "vec_id", "embedding", planes, n_flip=2
+    ).collect():
+        multi.setdefault((r["_id"], r["tbl"]), set()).add(r["bucket"])
+    for key, b in base.items():
+        probes = multi[key]
+        assert b in probes          # base bucket always probed
+        assert len(probes) == 3     # base + 2 single-bit flips
+        for p in probes - {b}:
+            x = p ^ b
+            assert x & (x - 1) == 0  # each extra probe is one bit away
+
+
+def test_multiprobe_recall_never_below_plain(spark, sf_dir):
+    from rust_cdc_validator_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucket_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    want = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(emb, emb, k=1).collect()
+    }
+
+    def recall(flips):
+        got = {
+            r["query_id"]: r["neighbor_id"]
+            for r in lsh_bucket_topk(
+                emb, emb, dim=64, k=1, num_planes=8, num_tables=2,
+                n_probe_flips=flips,
+            ).filter("rank = 1").collect()
+        }
+        return sum(1 for q in want if got.get(q) == want[q])
+
+    r0, r3 = recall(0), recall(3)
+    assert r3 >= r0
+    assert r3 > 0
