@@ -50,6 +50,29 @@ def read_jsonl_corpus(
     separate scans of the files (cheap: the quarantine scan prunes to one
     column). No caching, no hidden state.
     """
+    lines = spark.read.text(path)
+    return split_json_lines(lines, schema, corrupt_col)
+
+
+def split_json_lines(
+    lines: DataFrame,
+    schema: T.StructType,
+    corrupt_col: str = CORRUPT_COL,
+) -> tuple[DataFrame, DataFrame]:
+    """Split a text-lines DataFrame (column ``value`` — batch OR streaming)
+    into (good, quarantined) under ``schema``. The shared parse core of
+    ``read_jsonl_corpus`` and ``streaming.ingest.stream_jsonl_corpus``.
+
+    Parses through from_json (the same Jackson parser with the same
+    PERMISSIVE options the json source uses) rather than spark.read.json:
+    the json source refuses any query whose scan references only the
+    corrupt column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    — which is precisely what filters and counts over either split compile
+    to, and column pruning strips any decoy reference. The text route has
+    no such restriction, costs the same single pass, keeps both splits
+    lineage-pure (no caching requirement), and works identically on a
+    streaming relation. Blank lines are excluded to match the json reader,
+    which skips them."""
     if corrupt_col in schema.fieldNames():
         raise ValueError(f"schema must not already contain {corrupt_col!r}")
     # NOT schema.add(...): StructType.add mutates the receiver in place,
@@ -57,18 +80,7 @@ def read_jsonl_corpus(
     read_schema = T.StructType(
         list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
     )
-    # Both splits parse through TEXT scan + from_json (the same Jackson
-    # parser with the same PERMISSIVE options the json source uses) rather
-    # than spark.read.json: the json source refuses any query whose scan
-    # references only the corrupt column
-    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — which is
-    # precisely what filters and counts over either split compile to, and
-    # column pruning strips any decoy reference. The text route has no such
-    # restriction, costs the same single pass, and keeps both splits
-    # lineage-pure (no caching requirement). Blank lines are excluded to
-    # match the json reader, which skips them.
-    lines = spark.read.text(path).filter(F.trim(F.col("value")) != "")
-    parsed = lines.select(
+    parsed = lines.filter(F.trim(F.col("value")) != "").select(
         "value",
         F.from_json(
             F.col("value"),

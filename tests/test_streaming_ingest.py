@@ -1,0 +1,73 @@
+"""Streaming JSONL ingest (streaming/ingest.py): quarantine parity with
+the batch reader, resumable incremental drains."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+from rust_cdc_validator_spark.streaming.ingest import ingest_jsonl_stream
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def _drop(dirpath, name, lines):
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _run(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "dest")
+    quar = str(tmp_path / "quar")
+    ckpt = str(tmp_path / "ckpt")
+    ingest_jsonl_stream(spark, src, dest, quar, _SCHEMA, ckpt)
+    return src, dest, quar, ckpt
+
+
+def test_ingest_splits_and_resumes_incrementally(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _drop(
+        src,
+        "a.jsonl",
+        [
+            json.dumps({"doc_id": 1, "text": "one"}),
+            "{broken",
+            json.dumps({"doc_id": 2, "text": "two"}),
+        ],
+    )
+    src, dest, quar, ckpt = _run(spark, tmp_path)
+    good = spark.read.parquet(dest)
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    bad = spark.read.text(quar).collect()
+    assert [r["value"] for r in bad] == ["{broken"]
+
+    # second drop: only the NEW file is processed (checkpointed source)
+    _drop(
+        src,
+        "b.jsonl",
+        [json.dumps({"doc_id": 3, "text": "three"}), '{"doc_id": "x"}'],
+    )
+    ingest_jsonl_stream(spark, src, dest, quar, _SCHEMA, ckpt)
+    good2 = spark.read.parquet(dest)
+    assert {r["doc_id"] for r in good2.collect()} == {1, 2, 3}
+    assert good2.count() == 3  # file a NOT re-ingested
+    bad2 = sorted(r["value"] for r in spark.read.text(quar).collect())
+    assert bad2 == ['{"doc_id": "x"}', "{broken"]
+
+
+def test_ingest_good_schema_matches_contract(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _drop(src, "a.jsonl", [json.dumps({"doc_id": 7, "text": "t"})])
+    _, dest, _, _ = _run(spark, tmp_path)
+    got = spark.read.parquet(dest)
+    assert got.columns == ["doc_id", "text"]
+    assert dict(got.dtypes) == {"doc_id": "bigint", "text": "string"}
