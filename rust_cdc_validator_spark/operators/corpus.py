@@ -564,6 +564,121 @@ def clean_lines(
     )
 
 
+def _exploded_line_hashes(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """One row per line occurrence, carrying only ``(_id, _pos, _h)`` —
+    the 8-byte ``xxhash64`` of the line, never the line text. Everything
+    downstream of this projection shuffles ~24 bytes/line regardless of
+    line length."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).select("_id", "_pos", F.xxhash64("_line").alias("_h"))
+
+
+def scrub_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 2,
+    keep_first: bool = False,
+) -> DataFrame:
+    """CCNet-style cross-document line dedup (Wenzek et al. 2019,
+    arXiv:1911.00359 §3 "deduplication"): a line that appears in at least
+    ``min_doc_freq`` distinct documents is corpus boilerplate (headers,
+    nav bars, license banners) and is removed from every document —
+    or, with ``keep_first=True``, from every document except the globally
+    first occurrence (ordered by ``(id, position)``, the deterministic
+    stand-in for crawl order). Appends ``n_lines``, ``n_lines_kept``,
+    ``text_clean``; all other columns pass through.
+
+    This is the corpus-wide complement of :func:`clean_lines` (which is
+    per-document and shuffle-free). Scale shape: lines are hashed to
+    8 bytes map-side, so the doc-frequency count and the dropped-position
+    aggregation shuffle ~24 bytes per line occurrence — never line text.
+    The document text itself moves at most once, as the probe side of the
+    final reassembly join against the per-doc dropped-position lists
+    (AQE broadcasts that side when the boilerplate hit set is small,
+    the common case). ``keep_first`` adds one window over the same
+    hash partitioning as the count — no extra shuffle key.
+    """
+    if min_doc_freq < 2:
+        raise ValueError("min_doc_freq must be >= 2 (1 would drop every line)")
+    ex = _exploded_line_hashes(df, text_col, id_col)
+    boiler = (
+        ex.select("_h", "_id")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_doc_freq)
+        .select("_h")
+    )
+    hits = ex.join(boiler, "_h")
+    if keep_first:
+        w = Window.partitionBy("_h").orderBy("_id", "_pos")
+        hits = hits.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") > 1
+        )
+    dropped = (
+        hits.groupBy("_id")
+        .agg(F.collect_set("_pos").alias("_drop"))
+        .withColumnRenamed("_id", id_col)
+    )
+    out = df.join(dropped, id_col, "left")
+    lines = F.split(F.col(text_col), "\n")
+    drop = F.coalesce(F.col("_drop"), F.expr("array()").cast("array<int>"))
+    # sequence is 1-based; posexplode positions are 0-based
+    keep_idx = F.filter(
+        F.sequence(F.lit(1), F.size(lines)),
+        lambda i: ~F.array_contains(drop, (i - F.lit(1)).cast("int")),
+    )
+    return (
+        out.withColumn("n_lines", F.size(lines).cast("int"))
+        .withColumn("n_lines_kept", F.size(keep_idx).cast("int"))
+        .withColumn(
+            "text_clean",
+            F.array_join(
+                F.transform(keep_idx, lambda i: F.element_at(lines, i)), "\n"
+            ),
+        )
+        .drop("_drop")
+    )
+
+
+def boilerplate_line_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Doc-frequency histogram of corpus lines — the observability
+    companion to :func:`scrub_boilerplate_lines` (choose ``min_doc_freq``
+    from this before scrubbing 100 TB). One row per distinct
+    doc-frequency value: ``(doc_freq, n_distinct_lines, n_occurrences)``.
+
+    Same 24-bytes-per-line shuffle shape as the scrub; the histogram
+    re-aggregation is over at most ``max(doc_freq)`` rows."""
+    per_line = (
+        _exploded_line_hashes(df, text_col, id_col)
+        .groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_occ"),
+            F.count_distinct("_id").alias("doc_freq"),
+        )
+    )
+    return (
+        per_line.groupBy("doc_freq")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_lines"),
+            F.sum("_occ").alias("n_occurrences"),
+        )
+        .select(
+            F.col("doc_freq").cast("int").alias("doc_freq"),
+            F.col("n_distinct_lines").cast("long").alias("n_distinct_lines"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        )
+        .orderBy("doc_freq")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -2662,6 +2662,97 @@ GROUP BY tk.doc_id
 """
 
 
+def _docs_with_synthetic_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic docs are single-line word soup, so the cross-document
+    line operators would be degenerate on them raw. Re-line each doc as
+    4-word windows (map-side array expressions, mirrored exactly in the
+    oracle) — with the ~30-word vocabulary, ~5% of distinct 4-word lines
+    recur across documents, a realistic boilerplate rate."""
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(4))
+    lines = F.transform(
+        starts, lambda s: F.array_join(F.slice(toks, s, 4), " ")
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+
+
+def boilerplate_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document line dedup
+    (operators/corpus.py:scrub_boilerplate_lines): lines appearing in ≥2
+    distinct docs are corpus boilerplate, removed everywhere. The
+    corpus-wide complement of docs_clean_lines' per-document pass."""
+    from rust_cdc_validator_spark.operators.corpus import (
+        scrub_boilerplate_lines,
+    )
+
+    docs = _docs_with_synthetic_lines(spark, sf_dir)
+    return scrub_boilerplate_lines(docs, min_doc_freq=2).select(
+        "doc_id", "n_lines", "n_lines_kept", "text_clean"
+    )
+
+
+_LINES_CTE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS tk
+  FROM documents
+), s AS (
+  SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 4)) AS st FROM t
+), l AS (
+  SELECT doc_id, CAST((st - 1) / 4 AS INT) AS pos,
+         array_to_string(list_slice(tk, st, st + 3), ' ') AS line
+  FROM s
+)"""
+
+BOILERPLATE_SCRUB_SQL = (
+    _LINES_CTE
+    + """, f AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY line
+), k AS (
+  SELECT l.doc_id, l.pos, l.line FROM l JOIN f USING (line) WHERE f.df < 2
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS txt
+  FROM k GROUP BY doc_id
+), nl AS (
+  SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id
+)
+SELECT nl.doc_id, CAST(nl.n_lines AS INT) AS n_lines,
+       CAST(COALESCE(agg.n_kept, 0) AS INT) AS n_lines_kept,
+       COALESCE(agg.txt, '') AS text_clean
+FROM nl LEFT JOIN agg USING (doc_id)
+"""
+)
+
+
+def boilerplate_line_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-frequency histogram of corpus lines
+    (operators/corpus.py:boilerplate_line_stats) — the pre-flight
+    observability pass that picks min_doc_freq before scrubbing."""
+    from rust_cdc_validator_spark.operators.corpus import (
+        boilerplate_line_stats,
+    )
+
+    docs = _docs_with_synthetic_lines(spark, sf_dir)
+    return boilerplate_line_stats(docs)
+
+
+BOILERPLATE_HISTOGRAM_SQL = (
+    _LINES_CTE
+    + """, per AS (
+  SELECT line, COUNT(*) AS occ, COUNT(DISTINCT doc_id) AS df
+  FROM l GROUP BY line
+)
+SELECT CAST(df AS INT) AS doc_freq,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,
+       CAST(SUM(occ) AS BIGINT) AS n_occurrences
+FROM per GROUP BY df
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2748,6 +2839,8 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_vocab_docs": bpe_vocab_docs,
     "doc_chunks": doc_chunks,
     "docs_clean_lines": docs_clean_lines,
+    "boilerplate_scrubbed_docs": boilerplate_scrubbed_docs,
+    "boilerplate_line_histogram": boilerplate_line_histogram,
 }
 
 ORACLES: dict[str, str] = {
@@ -2817,6 +2910,8 @@ ORACLES: dict[str, str] = {
     "dsir_importance_docs": DSIR_IMPORTANCE_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
     "docs_clean_lines": DOCS_CLEAN_LINES_SQL,
+    "boilerplate_scrubbed_docs": BOILERPLATE_SCRUB_SQL,
+    "boilerplate_line_histogram": BOILERPLATE_HISTOGRAM_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe:

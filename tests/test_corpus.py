@@ -557,3 +557,91 @@ def test_chunk_documents_validates_overlap(spark):
     df = _lines_df(spark, "a b c")
     with pytest.raises(ValueError):
         chunk_documents(df, max_tokens=8, overlap=8)
+
+
+# ---------------------------------------------------------------------------
+# scrub_boilerplate_lines / boilerplate_line_stats (cross-document dedup)
+# ---------------------------------------------------------------------------
+
+
+def _boiler_docs(spark):
+    banner = "SITE NAV header banner"
+    rows = [
+        (1, banner + "\nunique content of doc one\nmore doc one text"),
+        (2, banner + "\ncompletely different body two"),
+        (3, "doc three has no banner at all\nsecond line of three"),
+        (4, banner + "\nshared tail line\nbody of document four"),
+        (5, "shared tail line\nbody of document five"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_scrub_boilerplate_removes_corpus_wide_lines(spark):
+    from rust_cdc_validator_spark.operators.corpus import scrub_boilerplate_lines
+
+    out = {
+        r["doc_id"]: r
+        for r in scrub_boilerplate_lines(_boiler_docs(spark), min_doc_freq=3).collect()
+    }
+    # banner appears in 3 docs -> dropped everywhere; "shared tail line"
+    # appears in only 2 docs -> kept at min_doc_freq=3
+    assert out[1]["text_clean"] == "unique content of doc one\nmore doc one text"
+    assert out[2]["text_clean"] == "completely different body two"
+    assert out[3]["text_clean"] == out[3]["text"]  # untouched doc passes through
+    assert out[4]["text_clean"] == "shared tail line\nbody of document four"
+    assert (out[1]["n_lines"], out[1]["n_lines_kept"]) == (3, 2)
+
+
+def test_scrub_boilerplate_min_doc_freq_2_and_keep_first(spark):
+    from rust_cdc_validator_spark.operators.corpus import scrub_boilerplate_lines
+
+    docs = _boiler_docs(spark)
+    out = {
+        r["doc_id"]: r for r in scrub_boilerplate_lines(docs, min_doc_freq=2).collect()
+    }
+    # at threshold 2 the shared tail also goes
+    assert out[4]["text_clean"] == "body of document four"
+    assert out[5]["text_clean"] == "body of document five"
+
+    first = {
+        r["doc_id"]: r
+        for r in scrub_boilerplate_lines(docs, min_doc_freq=2, keep_first=True).collect()
+    }
+    # globally-first occurrence (doc 1 pos 0 for banner, doc 4 pos 1 for tail)
+    assert first[1]["text_clean"].startswith("SITE NAV header banner\n")
+    assert first[2]["text_clean"] == "completely different body two"
+    assert first[4]["text_clean"] == "shared tail line\nbody of document four"
+    assert first[5]["text_clean"] == "body of document five"
+
+
+def test_scrub_boilerplate_partition_invariant_and_hash_keyed(spark):
+    from rust_cdc_validator_spark.operators.corpus import scrub_boilerplate_lines
+
+    docs = _boiler_docs(spark)
+    a = scrub_boilerplate_lines(docs, min_doc_freq=2)
+    b = scrub_boilerplate_lines(docs.repartition(7), min_doc_freq=2)
+    key = lambda rows: sorted((r["doc_id"], r["text_clean"]) for r in rows)
+    assert key(a.collect()) == key(b.collect())
+    # counting/aggregation is keyed on the 8-byte xxhash64, never line text
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan.lower()
+
+
+def test_scrub_boilerplate_rejects_min_doc_freq_1(spark):
+    import pytest
+    from rust_cdc_validator_spark.operators.corpus import scrub_boilerplate_lines
+
+    with pytest.raises(ValueError):
+        scrub_boilerplate_lines(_boiler_docs(spark), min_doc_freq=1)
+
+
+def test_boilerplate_line_stats_histogram(spark):
+    from rust_cdc_validator_spark.operators.corpus import boilerplate_line_stats
+
+    rows = {
+        r["doc_freq"]: r for r in boilerplate_line_stats(_boiler_docs(spark)).collect()
+    }
+    # banner: df=3 occ=3; shared tail: df=2 occ=2; 7 unique lines: df=1
+    assert rows[3]["n_distinct_lines"] == 1 and rows[3]["n_occurrences"] == 3
+    assert rows[2]["n_distinct_lines"] == 1 and rows[2]["n_occurrences"] == 2
+    assert rows[1]["n_distinct_lines"] == 7 and rows[1]["n_occurrences"] == 7
