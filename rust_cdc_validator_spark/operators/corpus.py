@@ -310,6 +310,56 @@ def pack_sequences(
     )
 
 
+def shuffle_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Deterministic seeded global shuffle — the reproducible
+    training-order assignment every LLM data pipeline needs per epoch.
+    Appends ``shard`` and ``shard_pos``: reading shards in shard order
+    (or interleaved) visits documents in a pseudorandom permutation that
+    is a pure function of ``(seed, id)`` — stable across runs, engines,
+    cluster sizes, and input partitionings, unlike ``orderBy(rand())``
+    (which reshuffles on every stage retry — silent corruption of a
+    training run's data order). A new ``seed`` per epoch gives a fresh
+    permutation without rewriting the corpus.
+
+    The sort key is ``md5(seed || ':' || id)`` (engine-portable, so the
+    assignment is oracle-checkable); the shard is the key's leading hex
+    digits mod ``num_shards`` — a prefix of the same key, so shard
+    assignment and within-shard order derive from one hash.
+
+    Scale shape: one hash shuffle on ``shard`` + a per-shard sort —
+    groupBy cost class. Like :func:`pack_sequences`, the default shard
+    count derives from 4× cluster parallelism (power of two, floor 16) so
+    each per-shard sort stays a small single-task slice at any corpus
+    size; pass ``num_shards`` to pin the layout.
+    """
+    if num_shards is None:
+        target = max(16, 4 * df.sparkSession.sparkContext.defaultParallelism)
+        num_shards = 1 << (target - 1).bit_length()
+    k = 1
+    while (16**k) % num_shards != 0:
+        k += 1
+        if k > 8:  # not assert: python -O would strip it and loop forever
+            raise ValueError("num_shards must be a power of 2 (or divide 16)")
+    key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    keyed = df.withColumn("_k", key)
+    shard = (
+        F.conv(F.substring("_k", 1, k), 16, 10).cast("bigint") % num_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("_k", id_col)
+    return (
+        keyed.withColumn("shard", shard)
+        .withColumn("shard_pos", F.row_number().over(w))
+        .drop("_k")
+    )
+
+
 def cap_per_domain(
     docs: DataFrame,
     domain_col: str = "source",

@@ -2753,6 +2753,36 @@ FROM per GROUP BY df
 )
 
 
+def training_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded epoch shuffle
+    (operators/corpus.py:shuffle_corpus): every doc gets a (shard,
+    shard_pos) training-order slot that is a pure function of (seed, id)
+    — reproducible across runs/engines/partitionings, reseeded per
+    epoch."""
+    from rust_cdc_validator_spark.operators.corpus import shuffle_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return shuffle_corpus(docs, seed=1, num_shards=16).select(
+        "doc_id", "shard", "shard_pos"
+    )
+
+
+TRAINING_ORDER_SQL = """
+WITH keyed AS (
+  SELECT doc_id, md5('1:' || CAST(doc_id AS VARCHAR)) AS k FROM documents
+), b AS (
+  SELECT doc_id, k,
+         CAST((strpos('0123456789abcdef', substring(k, 1, 1)) - 1) % 16
+              AS INT) AS shard
+  FROM keyed
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id)
+            AS INT) AS shard_pos
+FROM b
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2841,6 +2871,7 @@ QUERIES: dict[str, QueryFn] = {
     "docs_clean_lines": docs_clean_lines,
     "boilerplate_scrubbed_docs": boilerplate_scrubbed_docs,
     "boilerplate_line_histogram": boilerplate_line_histogram,
+    "training_order_docs": training_order_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2912,6 +2943,7 @@ ORACLES: dict[str, str] = {
     "docs_clean_lines": DOCS_CLEAN_LINES_SQL,
     "boilerplate_scrubbed_docs": BOILERPLATE_SCRUB_SQL,
     "boilerplate_line_histogram": BOILERPLATE_HISTOGRAM_SQL,
+    "training_order_docs": TRAINING_ORDER_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe:

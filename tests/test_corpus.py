@@ -645,3 +645,61 @@ def test_boilerplate_line_stats_histogram(spark):
     assert rows[3]["n_distinct_lines"] == 1 and rows[3]["n_occurrences"] == 3
     assert rows[2]["n_distinct_lines"] == 1 and rows[2]["n_occurrences"] == 2
     assert rows[1]["n_distinct_lines"] == 7 and rows[1]["n_occurrences"] == 7
+
+
+# ---------------------------------------------------------------------------
+# shuffle_corpus (deterministic seeded epoch shuffle)
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_corpus_deterministic_and_partition_invariant(spark):
+    from rust_cdc_validator_spark.operators.corpus import shuffle_corpus
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    order = lambda df: sorted(
+        (r["shard"], r["shard_pos"], r["doc_id"]) for r in df.collect()
+    )
+    a = order(shuffle_corpus(docs, seed=7, num_shards=8))
+    b = order(shuffle_corpus(docs.repartition(13), seed=7, num_shards=8))
+    assert a == b  # same permutation regardless of input partitioning
+
+
+def test_shuffle_corpus_valid_dense_positions_and_seed_sensitivity(spark):
+    from rust_cdc_validator_spark.operators.corpus import shuffle_corpus
+
+    docs = spark.range(100).select(F.col("id").alias("doc_id"))
+    rows = shuffle_corpus(docs, seed=0, num_shards=4).collect()
+    assert {r["shard"] for r in rows} == {0, 1, 2, 3}
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense 1..n
+
+    perm0 = [
+        r["doc_id"]
+        for r in sorted(rows, key=lambda r: (r["shard"], r["shard_pos"]))
+    ]
+    rows1 = shuffle_corpus(docs, seed=1, num_shards=4).collect()
+    perm1 = [
+        r["doc_id"]
+        for r in sorted(rows1, key=lambda r: (r["shard"], r["shard_pos"]))
+    ]
+    assert perm0 != perm1  # reseeding gives a fresh epoch order
+    assert sorted(perm0) == sorted(perm1) == list(range(100))  # permutations
+
+
+def test_shuffle_corpus_default_shards_scale_with_parallelism(spark):
+    from rust_cdc_validator_spark.operators.corpus import shuffle_corpus
+
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    out = shuffle_corpus(docs)  # derived default
+    shards_max = out.agg(F.max("shard")).collect()[0][0]
+    par = spark.sparkContext.defaultParallelism
+    expect = 1 << (max(16, 4 * par) - 1).bit_length()
+    assert shards_max < expect  # assignments stay inside the derived range
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        shuffle_corpus(docs, num_shards=12)  # odd factor: not md5-splittable
