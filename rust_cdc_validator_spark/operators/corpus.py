@@ -310,6 +310,61 @@ def pack_sequences(
     )
 
 
+def apply_mixture(
+    df: DataFrame,
+    weights: DataFrame | dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    denom: int = 4096,
+) -> DataFrame:
+    """Apply per-source resampling weights to a corpus — the sampler half
+    of mixture rebalancing (:func:`queries.source_mixture_weights` is the
+    measurement half). A document with weight ``w`` is emitted
+    ``floor(w) + 1{bucket < frac(w)·denom}`` times: ``w < 1`` downsamples
+    (kept or dropped deterministically), ``w > 1`` up-samples by
+    replication with a ``copy_id`` column (0-based) — the standard way
+    under-represented sources are repeated into a token budget. Expected
+    output tokens per source = ``w_s × tokens_s``.
+
+    The keep/replicate decision is systematic on ``md5('mix:' || id)``
+    (the ``mix:`` salt decorrelates it from every other sampler's bucket
+    draw on the same ids), so it is stable across runs, engines, and
+    partitionings, and re-running a failed stage cannot change the
+    sample — the property RNG-based ``sample``/``rand`` lacks.
+
+    ``weights`` is a (source, weight) DataFrame — typically the
+    measurement pass's output, broadcast-joined since it is sources-sized
+    — or a plain dict for hand-pinned mixtures. Scale shape: broadcast
+    join + map-side explode; no shuffle, no driver state. Output row
+    count fans out by ~``Σ w_s·n_s / Σ n_s``.
+    """
+    spark = df.sparkSession
+    if isinstance(weights, dict):
+        weights = spark.createDataFrame(
+            [(k, float(v)) for k, v in sorted(weights.items())],
+            f"{source_col} string, {weight_col} double",
+        )
+    wdf = weights.select(source_col, F.col(weight_col).alias("_w"))
+    bucket = md5_bucket_fine(
+        F.concat(F.lit("mix:"), F.col(id_col).cast("string")), denom
+    )
+    base = F.floor("_w").cast("int")
+    frac_cut = F.round((F.col("_w") - F.floor("_w")) * denom, 0).cast("int")
+    copies = base + F.when(bucket < frac_cut, 1).otherwise(0)
+    joined = df.join(F.broadcast(wdf), source_col)
+    return (
+        joined.withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .select(
+            *df.columns,
+            F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)).alias(
+                "copy_id"
+            ),
+        )
+    )
+
+
 def shuffle_corpus(
     df: DataFrame,
     id_col: str = "doc_id",

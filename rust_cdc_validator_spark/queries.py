@@ -2783,6 +2783,50 @@ FROM b
 """
 
 
+def mixture_applied_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampler half of mixture rebalancing
+    (operators/corpus.py:apply_mixture): uniform-target token weights from
+    the measurement pass are applied to the corpus — over-represented
+    sources downsample deterministically, under-represented ones replicate
+    with copy_id. Broadcast weights + map-side explode; no shuffle."""
+    from rust_cdc_validator_spark.operators.corpus import apply_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = source_mixture_weights(spark, sf_dir).select("source", "weight")
+    out = apply_mixture(docs, weights)
+    return out.select("doc_id", "source", F.col("copy_id").cast("int").alias("copy_id"))
+
+
+MIXTURE_APPLIED_SQL = """
+WITH per_source AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, COUNT(*) AS n_sources
+  FROM per_source
+), w AS (
+  SELECT source,
+         (1.0 / CAST(n_sources AS DOUBLE))
+         / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS wt
+  FROM per_source, tot
+), d AS (
+  SELECT doc_id, documents.source, wt,
+         ((strpos('0123456789abcdef', substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) AS bucket
+  FROM documents JOIN w USING (source)
+), c AS (
+  SELECT doc_id, source,
+         CAST(FLOOR(wt) AS INT)
+         + CASE WHEN bucket < CAST(ROUND((wt - FLOOR(wt)) * 4096, 0) AS INT)
+                THEN 1 ELSE 0 END AS copies
+  FROM d
+)
+SELECT doc_id, source, CAST(unnest(range(0, copies)) AS INT) AS copy_id
+FROM c WHERE copies > 0
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2872,6 +2916,7 @@ QUERIES: dict[str, QueryFn] = {
     "boilerplate_scrubbed_docs": boilerplate_scrubbed_docs,
     "boilerplate_line_histogram": boilerplate_line_histogram,
     "training_order_docs": training_order_docs,
+    "mixture_applied_docs": mixture_applied_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2944,6 +2989,7 @@ ORACLES: dict[str, str] = {
     "boilerplate_scrubbed_docs": BOILERPLATE_SCRUB_SQL,
     "boilerplate_line_histogram": BOILERPLATE_HISTOGRAM_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
+    "mixture_applied_docs": MIXTURE_APPLIED_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe:

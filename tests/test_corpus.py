@@ -703,3 +703,54 @@ def test_shuffle_corpus_default_shards_scale_with_parallelism(spark):
 
     with pytest.raises(ValueError):
         shuffle_corpus(docs, num_shards=12)  # odd factor: not md5-splittable
+
+
+# ---------------------------------------------------------------------------
+# apply_mixture (per-source resampling: downsample + replicate)
+# ---------------------------------------------------------------------------
+
+
+def _mix_docs(spark, n=400):
+    rows = [(i, "srcA" if i % 2 == 0 else "srcB") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_apply_mixture_downsamples_and_replicates(spark):
+    from rust_cdc_validator_spark.operators.corpus import apply_mixture
+
+    out = apply_mixture(_mix_docs(spark), {"srcA": 0.5, "srcB": 2.5}).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy_id"])
+    a_docs = [d for d in by_doc if d % 2 == 0]
+    b_docs = [d for d in by_doc if d % 2 == 1]
+    # srcA: kept docs appear exactly once, ~half survive
+    assert all(by_doc[d] == [0] for d in a_docs)
+    assert 0.35 < len(a_docs) / 200 < 0.65
+    # srcB: every doc appears 2 or 3 times, mean ~2.5
+    assert all(sorted(by_doc[d]) in ([0, 1], [0, 1, 2]) for d in b_docs)
+    assert len(b_docs) == 200  # w >= 1 never drops a doc
+    n_copies = sum(len(v) for d, v in by_doc.items() if d % 2 == 1)
+    assert 2.3 < n_copies / 200 < 2.7
+
+
+def test_apply_mixture_deterministic_and_weightframe_equivalent(spark):
+    from rust_cdc_validator_spark.operators.corpus import apply_mixture
+
+    docs = _mix_docs(spark, 100)
+    wdf = spark.createDataFrame(
+        [("srcA", 0.25), ("srcB", 1.75)], "source string, weight double"
+    )
+    key = lambda df: sorted((r["doc_id"], r["copy_id"]) for r in df.collect())
+    a = key(apply_mixture(docs, {"srcA": 0.25, "srcB": 1.75}))
+    b = key(apply_mixture(docs.repartition(9), wdf))
+    assert a == b  # dict == DataFrame weights; partition-invariant
+
+
+def test_apply_mixture_broadcasts_weights(spark):
+    from rust_cdc_validator_spark.operators.corpus import apply_mixture
+
+    out = apply_mixture(_mix_docs(spark, 50), {"srcA": 1.0, "srcB": 1.0})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" not in plan
