@@ -9,6 +9,9 @@ here is value-checkable against an independent SQL engine.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -138,6 +141,153 @@ def contamination_check(
         F.count_distinct("_s").alias("n_contaminated_shingles"),
         F.count_distinct("bench_id").alias("n_benchmark_docs_hit"),
     )
+
+
+@dataclass
+class BenchmarkBloom:
+    """A broadcastable Bloom filter over a benchmark's hashed shingles:
+    ``bits`` is the packed bit array (uint8, ``m/8`` bytes), ``k`` the
+    probe count, ``n`` the distinct shingles inserted. Built once per
+    benchmark snapshot, probed by any number of corpus scans."""
+
+    m: int
+    k: int
+    n: int
+    shingle_n: int
+    bits: object  # numpy uint8 array
+
+
+def _bloom_positions(h, k: int, m: int):
+    """(n, k) bit positions via double hashing: pos_i = (h1 + i·h2) mod m
+    with h2 forced nonzero. Pure numpy on uint64 (wrapping is the spec,
+    not UB) — the SAME function runs driver-side at build and inside the
+    probe UDF, so membership is bit-deterministic."""
+    import numpy as np
+
+    h = h.astype(np.uint64)
+    mixed = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    h1 = (h % np.uint64(m)).astype(np.int64)
+    h2 = (mixed % np.uint64(m - 1)).astype(np.int64) + 1
+    i = np.arange(k, dtype=np.int64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % m
+
+
+def _hashed_shingle_array(df: DataFrame, text_col: str, shingle_n: int):
+    """Per-row array of distinct xxhash64'd word shingles — the map-side
+    reduction both contamination paths share (8-byte longs, never the
+    ~50-byte shingle strings)."""
+    return F.array_distinct(
+        F.transform(
+            word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+        )
+    )
+
+
+def build_benchmark_bloom(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 8,
+    fpp: float = 1e-3,
+    max_distinct_shingles: int = 5_000_000,
+) -> BenchmarkBloom:
+    """Build a Bloom filter over the benchmark side of a decontamination
+    check. Benchmark suites are small by construction (10⁴-10⁷ shingles);
+    at ``fpp=1e-3`` the filter is ~1.8 bytes/shingle — megabytes — so it
+    broadcasts to every executor and :func:`contamination_check_bloom`
+    becomes a pure map-side corpus scan with ZERO shuffle, the 100 TB
+    scale path (the exact-join :func:`contamination_check` shuffles every
+    corpus shingle hash). Guarded: benchmarks above
+    ``max_distinct_shingles`` raise rather than silently building a
+    driver-sized monster — use the exact join there.
+
+    The distinct shingle HASHES (8 bytes each) are collected, not the
+    k× larger position set; positions are computed vectorized driver-side.
+    """
+    import math as _math
+
+    import numpy as np
+
+    hashes = (
+        benchmark.select(
+            F.explode(
+                _hashed_shingle_array(benchmark, text_col, shingle_n)
+            ).alias("_s")
+        )
+        .distinct()
+    )
+    vals = hashes.toPandas()["_s"].to_numpy(dtype=np.int64)
+    n = len(vals)
+    if n > max_distinct_shingles:
+        raise ValueError(
+            f"benchmark has {n} distinct shingles > {max_distinct_shingles}; "
+            "use the exact contamination_check join for benchmarks this size"
+        )
+    if n == 0:
+        return BenchmarkBloom(8, 1, 0, shingle_n, np.zeros(1, dtype=np.uint8))
+    m = max(64, int(-n * _math.log(fpp) / (_math.log(2) ** 2)))
+    m = ((m + 7) // 8) * 8  # byte-align
+    k = max(1, round(m / n * _math.log(2)))
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    pos = _bloom_positions(vals.view(np.uint64), k, m).ravel()
+    np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return BenchmarkBloom(m, k, n, shingle_n, bits)
+
+
+def contamination_check_bloom(
+    train: DataFrame,
+    bloom: BenchmarkBloom,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Probe a corpus against a broadcast :class:`BenchmarkBloom`:
+    returns ``(id_col, n_flagged_shingles)`` for docs whose distinct
+    shingles hit the filter at least ``min_hits`` times. One Arrow-batched
+    scan, no join, no shuffle — flags are a SUPERSET of the exact join's
+    (false-positive rate ``fpp`` per shingle, zero false negatives), which
+    is the correct direction for decontamination: over-flagging drops a
+    few extra docs, never leaks benchmark data. Route flagged docs through
+    the exact check if the drop set must be exact."""
+    from pyspark.sql.functions import pandas_udf
+
+    if bloom.n == 0:
+        schema = f"{id_col} long, n_flagged_shingles int"
+        return train.sparkSession.createDataFrame([], schema)
+    sc = train.sparkSession.sparkContext
+    b_bits = sc.broadcast(bloom.bits)
+    m, k = bloom.m, bloom.k
+
+    @pandas_udf("int")
+    def _hits(hash_arrays: pd.Series) -> pd.Series:
+        import numpy as np
+
+        bits = b_bits.value
+        lens = hash_arrays.map(len).to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(len(hash_arrays), dtype=np.int32))
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in hash_arrays]
+        ).view(np.uint64)
+        pos = _bloom_positions(flat, k, m)
+        member = (
+            (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        ).all(axis=1)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        counts = np.add.reduceat(
+            np.concatenate([member.astype(np.int64), [0]]),
+            np.minimum(starts, len(member)),
+        )
+        counts[lens == 0] = 0
+        return pd.Series(counts.astype(np.int32))
+
+    scans = ensure_parallelism(train).select(
+        F.col(id_col),
+        _hits(
+            _hashed_shingle_array(train, text_col, bloom.shingle_n)
+        ).alias("n_flagged_shingles"),
+    )
+    return scans.filter(F.col("n_flagged_shingles") >= min_hits)
 
 
 def profile_table(

@@ -2827,6 +2827,27 @@ FROM c WHERE copies > 0
 """
 
 
+def contamination_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination
+    (operators/corpus.py:contamination_check_bloom): same benchmark split
+    as contamination_docs, but the benchmark shingle set is a broadcast
+    Bloom filter and the probe is a zero-shuffle map-side scan — the
+    100 TB path. Bloom membership is not SQL-expressible → rows-only with
+    a golden. Flags are a deterministic SUPERSET of contamination_docs'
+    exact join (zero false negatives; at the pinned fpp=1e-6 the sf0.001
+    corpus shows exactly one benign extra flag, frozen by the golden)."""
+    from rust_cdc_validator_spark.operators.corpus import (
+        build_benchmark_bloom,
+        contamination_check_bloom,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    bloom = build_benchmark_bloom(bench, shingle_n=8, fpp=1e-6)
+    return contamination_check_bloom(train, bloom)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2917,6 +2938,7 @@ QUERIES: dict[str, QueryFn] = {
     "boilerplate_line_histogram": boilerplate_line_histogram,
     "training_order_docs": training_order_docs,
     "mixture_applied_docs": mixture_applied_docs,
+    "contamination_bloom_docs": contamination_bloom_docs,
 }
 
 ORACLES: dict[str, str] = {

@@ -754,3 +754,88 @@ def test_apply_mixture_broadcasts_weights(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (map-side scale path)
+# ---------------------------------------------------------------------------
+
+
+def _contam_fixture(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro words alpha beta gamma delta epsilon zeta eta theta tail"),
+            (2, "clean document with no overlapping benchmark content anywhere"),
+            (3, "more filler then alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    return train, bench
+
+
+def test_bloom_contamination_matches_exact_join(spark):
+    from rust_cdc_validator_spark.operators.corpus import (
+        build_benchmark_bloom,
+        contamination_check,
+        contamination_check_bloom,
+    )
+
+    train, bench = _contam_fixture(spark)
+    bloom = build_benchmark_bloom(bench, shingle_n=8, fpp=1e-6)
+    got = {
+        r["doc_id"]: r["n_flagged_shingles"]
+        for r in contamination_check_bloom(train, bloom).collect()
+    }
+    exact = {
+        r["doc_id"]: r["n_contaminated_shingles"]
+        for r in contamination_check(train, bench, shingle_n=8).collect()
+    }
+    # at fpp=1e-6 on a tiny corpus: no false positives -> identical output
+    assert got == exact and set(got) == {1, 3}
+
+
+def test_bloom_contamination_partition_invariant_and_zero_shuffle(spark):
+    from rust_cdc_validator_spark.operators.corpus import (
+        build_benchmark_bloom,
+        contamination_check_bloom,
+    )
+
+    train, bench = _contam_fixture(spark)
+    bloom = build_benchmark_bloom(bench, fpp=1e-6)
+    a = sorted(
+        (r["doc_id"], r["n_flagged_shingles"])
+        for r in contamination_check_bloom(train, bloom).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["n_flagged_shingles"])
+        for r in contamination_check_bloom(train.repartition(5), bloom).collect()
+    )
+    assert a == b
+    # the probe is one scan: no Exchange in the filtered plan
+    plan = (
+        contamination_check_bloom(train, bloom)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_bloom_empty_benchmark_and_size_guard(spark):
+    import pytest
+    from rust_cdc_validator_spark.operators.corpus import (
+        build_benchmark_bloom,
+        contamination_check_bloom,
+    )
+
+    train, bench = _contam_fixture(spark)
+    empty = bench.filter("doc_id < 0")
+    bloom = build_benchmark_bloom(empty)
+    assert bloom.n == 0
+    assert contamination_check_bloom(train, bloom).count() == 0
+    with pytest.raises(ValueError):
+        build_benchmark_bloom(bench, max_distinct_shingles=1)

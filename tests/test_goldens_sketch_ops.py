@@ -44,6 +44,7 @@ SKETCH_QUERIES = [
     "minhash_band_overflow_stats",
     "minhash_index_probe",
     "lsh_index_probe",
+    "contamination_bloom_docs",
 ]
 
 
