@@ -47,17 +47,27 @@ def asof_join(
     value_cols: list[str],
     tiebreak: str | None = None,
     tolerance: int | float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward-inclusive as-of join.
+    """Inclusive as-of join, backward or forward.
 
-    Returns `left` with `value_cols` from the most recent `right` row per
-    `on`-key having ``right[right_ts] <= left[left_ts]`` (null when none).
+    ``direction="backward"`` (default): `left` gains `value_cols` from the
+    most recent `right` row per `on`-key having
+    ``right[right_ts] <= left[left_ts]`` (null when none).
+    ``direction="forward"``: the EARLIEST right row with
+    ``right[right_ts] >= left[left_ts]`` — "next event after" semantics
+    (pandas ``merge_asof(direction='forward')``, DuckDB
+    ``ASOF JOIN ... ON l.ts <= r.ts``). Same single-shuffle plan: only
+    the per-key traversal order flips, so the running carry picks up the
+    nearest FOLLOWING payload instead.
 
     `tiebreak`: right column deciding ties at identical (key, ts) — the
     greatest value wins; defaults to the first of `value_cols`.
-    `tolerance`: max allowed `left_ts - right_ts` (same units as the ts
-    columns); older matches are nulled.
+    `tolerance`: max allowed gap between the timestamps (same units as
+    the ts columns); farther matches are nulled.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     tiebreak = tiebreak or value_cols[0]
 
     # 1. deterministic winner per (key, right_ts)
@@ -92,9 +102,10 @@ def asof_join(
     #    carries the newest right payload forward (struct-wrapping keeps
     #    legitimately-NULL right values intact — only whole left rows are
     #    skipped by ignorenulls) plus the matched ts for the tolerance check
+    ts_order = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc())
+        .orderBy(ts_order, F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     payload = F.when(
@@ -107,10 +118,11 @@ def asof_join(
     keep: list = [F.col(c) for c in on]
     keep += [F.col(_TS).alias(left_ts)]
     keep += [F.col(c) for c in left_cols if c not in on and c != left_ts]
-    in_tol = (
-        F.lit(True)
-        if tolerance is None
-        else (F.col(_TS) - F.col("_p")[_MTS] <= F.lit(tolerance))
-    )
+    if tolerance is None:
+        in_tol = F.lit(True)
+    elif direction == "backward":
+        in_tol = F.col(_TS) - F.col("_p")[_MTS] <= F.lit(tolerance)
+    else:
+        in_tol = F.col("_p")[_MTS] - F.col(_TS) <= F.lit(tolerance)
     keep += [F.when(in_tol, F.col("_p")[c]).alias(c) for c in value_cols]
     return out.select(*keep)

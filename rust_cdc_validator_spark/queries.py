@@ -2848,6 +2848,57 @@ def contamination_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check_bloom(train, bloom)
 
 
+def events_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/asof.py direction='forward'): each
+    click picks up the EARLIEST same-user error at-or-after it — the
+    "next failure after interaction" shape. Same union+one-keyed-window
+    plan as backward; only the per-key traversal order flips. DuckDB's
+    ASOF JOIN with the inequality reversed is the oracle."""
+    from rust_cdc_validator_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts_us",
+        F.col("value").alias("next_error_value"),
+        F.col("event_id").alias("error_event_id"),
+    )
+    return asof_join(
+        clicks,
+        errors,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        value_cols=["next_error_value", "error_event_id"],
+        tiebreak="error_event_id",
+        direction="forward",
+    )
+
+
+EVENTS_ASOF_NEXT_ERROR_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+), err AS (
+  SELECT user_id, ts_us, value, event_id FROM (
+    SELECT user_id, ts_us, value, event_id,
+           row_number() OVER (PARTITION BY user_id, ts_us
+                              ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'error'
+  ) WHERE rn = 1
+), clicks AS (
+  SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'
+)
+SELECT c.user_id, c.ts_us, c.event_id,
+       e.value AS next_error_value,
+       e.event_id AS error_event_id
+FROM clicks c ASOF LEFT JOIN err e
+  ON c.user_id = e.user_id AND c.ts_us <= e.ts_us
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2939,6 +2990,7 @@ QUERIES: dict[str, QueryFn] = {
     "training_order_docs": training_order_docs,
     "mixture_applied_docs": mixture_applied_docs,
     "contamination_bloom_docs": contamination_bloom_docs,
+    "events_asof_next_error": events_asof_next_error,
 }
 
 ORACLES: dict[str, str] = {
@@ -3012,6 +3064,7 @@ ORACLES: dict[str, str] = {
     "boilerplate_line_histogram": BOILERPLATE_HISTOGRAM_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "mixture_applied_docs": MIXTURE_APPLIED_SQL,
+    "events_asof_next_error": EVENTS_ASOF_NEXT_ERROR_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe:

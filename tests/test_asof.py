@@ -80,3 +80,76 @@ def test_plan_has_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
     # the whole join is a union + window: exactly one Window over the key
     assert plan.count("Window") >= 1
+
+
+# ---------------------------------------------------------------------------
+# direction="forward"
+# ---------------------------------------------------------------------------
+
+
+def _fwd_frames(spark):
+    left = spark.createDataFrame(
+        [(1, 5), (1, 12), (1, 30), (2, 3)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 50.0), (1, 10, 100.0), (1, 20, 200.0), (3, 1, 999.0)],
+        "k long, ts long, v double",
+    )
+    return left, right
+
+
+def test_asof_forward_picks_earliest_following(spark):
+    from rust_cdc_validator_spark.operators.asof import asof_join
+
+    left, right = _fwd_frames(spark)
+    out = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", ["v"], direction="forward"
+        ).collect()
+    }
+    assert out[(1, 5)] == 50.0   # inclusive: equal ts matches
+    assert out[(1, 12)] == 200.0  # next following at ts=20
+    assert out[(1, 30)] is None   # nothing after
+    assert out[(2, 3)] is None    # no key match
+
+
+def test_asof_forward_tolerance_and_tiebreak(spark):
+    from rust_cdc_validator_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 0), (1, 18)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 20, 1.0, 7), (1, 20, 2.0, 9)], "k long, ts long, v double, tb long"
+    )
+    out = {
+        r["ts"]: (r["v"], r["tb"])
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", ["v", "tb"],
+            tiebreak="tb", tolerance=5, direction="forward",
+        ).collect()
+    }
+    assert out[18] == (2.0, 9)        # within tolerance; greatest tiebreak wins
+    assert out[0] == (None, None)     # 20 - 0 > 5 -> nulled
+
+
+def test_asof_forward_equals_backward_on_reversed_axis(spark):
+    """forward(ts) == backward(-ts): the two directions are mirror images."""
+    from pyspark.sql import functions as F
+    from rust_cdc_validator_spark.operators.asof import asof_join
+
+    left, right = _fwd_frames(spark)
+    fwd = asof_join(left, right, ["k"], "ts", "ts", ["v"], direction="forward")
+    neg = lambda df: df.withColumn("ts", -F.col("ts"))
+    bwd = asof_join(neg(left), neg(right), ["k"], "ts", "ts", ["v"])
+    a = sorted((r["k"], r["ts"], r["v"]) for r in fwd.collect())
+    b = sorted((r["k"], -r["ts"], r["v"]) for r in bwd.collect())
+    assert a == b
+
+
+def test_asof_rejects_unknown_direction(spark):
+    import pytest
+    from rust_cdc_validator_spark.operators.asof import asof_join
+
+    left, right = _fwd_frames(spark)
+    with pytest.raises(ValueError):
+        asof_join(left, right, ["k"], "ts", "ts", ["v"], direction="nearest")
