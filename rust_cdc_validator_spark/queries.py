@@ -2899,6 +2899,48 @@ FROM clicks c ASOF LEFT JOIN err e
 """
 
 
+def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour activity features per user
+    (operators/timeseries.py:rolling_window_features): a RANGE frame over
+    epoch-micros — wall-clock window semantics, distinct from the ROWS
+    frames elsewhere in the catalog. Sums rounded to 6 (cross-engine
+    float accumulation order)."""
+    from rust_cdc_validator_spark.operators.timeseries import (
+        rolling_window_features,
+    )
+
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    out = rolling_window_features(
+        ev.select("event_id", "user_id", "ts_us", "value"),
+        keys=["user_id"],
+        ts_col="ts_us",
+        value_col="value",
+        lookback=3_600_000_000,  # 1 hour in micros
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "rolling_count",
+        F.round("rolling_sum", 6).alias("rolling_sum_r"),
+        F.round("rolling_avg", 6).alias("rolling_avg_r"),
+    )
+
+
+EVENTS_ROLLING_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+)
+SELECT event_id, user_id, ts_us,
+       COUNT(*) OVER w AS rolling_count,
+       ROUND(SUM(value) OVER w, 6) AS rolling_sum_r,
+       ROUND(AVG(value) OVER w, 6) AS rolling_avg_r
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2991,6 +3033,7 @@ QUERIES: dict[str, QueryFn] = {
     "mixture_applied_docs": mixture_applied_docs,
     "contamination_bloom_docs": contamination_bloom_docs,
     "events_asof_next_error": events_asof_next_error,
+    "events_rolling_features": events_rolling_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -3065,6 +3108,7 @@ ORACLES: dict[str, str] = {
     "training_order_docs": TRAINING_ORDER_SQL,
     "mixture_applied_docs": MIXTURE_APPLIED_SQL,
     "events_asof_next_error": EVENTS_ASOF_NEXT_ERROR_SQL,
+    "events_rolling_features": EVENTS_ROLLING_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe:
