@@ -7,7 +7,7 @@ bit-stable and engine-portable (matters for the DuckDB oracle checks).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -59,6 +59,42 @@ def quantize_unit_int8(a: Column) -> Column:
 
 def dequantize_unit_int8(q: Column) -> Column:
     return F.transform(q, lambda x: x.cast("double") / F.lit(127.0))
+
+
+def mean_vectors(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "centroid",
+) -> DataFrame:
+    """Per-group mean vector — class prototypes, cluster centroids, or
+    mean-pooling chunk embeddings back to document embeddings. Returns
+    one row per group: ``(group_col, n_vecs, out_col array<double>)``.
+
+    Scale shape: ``posexplode`` feeds a ``groupBy(group, dim)`` whose
+    partial aggregation collapses MAP-SIDE — the shuffle carries at most
+    ``groups × dim`` partial-sum rows per input partition, never the
+    ``N × dim`` exploded relation; the final regroup to arrays moves only
+    ``groups × dim`` rows. Pure JVM (no UDF). Ragged vectors average per
+    dimension over the rows that have it.
+    """
+    ex = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("_pos", "_v"),
+    )
+    per_dim = ex.groupBy(group_col, "_pos").agg(
+        F.sum(F.col("_v").cast("double")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    mean_struct = F.struct(
+        F.col("_pos"), (F.col("_s") / F.col("_n")).alias("_m")
+    )
+    return per_dim.groupBy(group_col).agg(
+        F.max("_n").cast("long").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(mean_struct)), lambda s: s["_m"]
+        ).alias(out_col),
+    )
 
 
 def normalize(a: Column) -> Column:

@@ -2941,6 +2941,38 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
 """
 
 
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (functions/vectors.py:mean_vectors):
+    distributed mean-pooling whose shuffle carries labels×dim partial sums
+    per partition, never N×dim exploded rows. Exploded + rounded to 5 for
+    the oracle (cross-engine float accumulation order)."""
+    from rust_cdc_validator_spark.functions.vectors import mean_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = mean_vectors(emb, "label", "embedding")
+    return cents.select(
+        "label", "n_vecs", F.posexplode("centroid").alias("pos", "_v")
+    ).select("label", "n_vecs", "pos", F.round("_v", 5).alias("centroid_r"))
+
+
+LABEL_CENTROIDS_SQL = """
+WITH s AS (
+  SELECT label, embedding,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings
+), e AS (
+  SELECT label, CAST(pos - 1 AS INT) AS pos,
+         CAST(embedding[pos] AS DOUBLE) AS v
+  FROM s
+), n AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label
+)
+SELECT e.label, n.n_vecs, e.pos, ROUND(AVG(e.v), 5) AS centroid_r
+FROM e JOIN n ON e.label = n.label
+GROUP BY e.label, n.n_vecs, e.pos
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3034,6 +3066,7 @@ QUERIES: dict[str, QueryFn] = {
     "contamination_bloom_docs": contamination_bloom_docs,
     "events_asof_next_error": events_asof_next_error,
     "events_rolling_features": events_rolling_features,
+    "label_centroids": label_centroids,
 }
 
 ORACLES: dict[str, str] = {
@@ -3109,6 +3142,7 @@ ORACLES: dict[str, str] = {
     "mixture_applied_docs": MIXTURE_APPLIED_SQL,
     "events_asof_next_error": EVENTS_ASOF_NEXT_ERROR_SQL,
     "events_rolling_features": EVENTS_ROLLING_SQL,
+    "label_centroids": LABEL_CENTROIDS_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe:

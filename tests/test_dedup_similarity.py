@@ -706,3 +706,39 @@ def test_multiprobe_recall_never_below_plain(spark, sf_dir):
     r0, r3 = recall(0), recall(3)
     assert r3 >= r0
     assert r3 > 0
+
+
+# ---------------------------------------------------------------------------
+# mean_vectors (per-group centroids)
+# ---------------------------------------------------------------------------
+
+
+def test_mean_vectors_exact_and_ragged(spark):
+    from rust_cdc_validator_spark.functions.vectors import mean_vectors
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0]),
+            (1, [3.0, 4.0, 5.0]),
+            (2, [10.0, 20.0]),
+            (2, [30.0, 40.0, 90.0]),  # ragged: dim 2 averaged over 1 row
+        ],
+        "label int, embedding array<float>",
+    )
+    out = {r["label"]: r for r in mean_vectors(df, "label").collect()}
+    assert out[1]["centroid"] == [2.0, 3.0, 4.0] and out[1]["n_vecs"] == 2
+    assert out[2]["centroid"] == [20.0, 30.0, 90.0]
+
+
+def test_mean_vectors_partial_aggregates_map_side(spark):
+    from rust_cdc_validator_spark.functions.vectors import mean_vectors
+
+    df = spark.createDataFrame(
+        [(i % 3, [float(i), float(i + 1)]) for i in range(30)],
+        "label int, embedding array<float>",
+    )
+    out = mean_vectors(df, "label")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # JVM-only (no Python stage) and the per-dim aggregate partials map-side
+    assert "Python" not in plan and "partial" in plan.lower()
+    assert out.count() == 3
