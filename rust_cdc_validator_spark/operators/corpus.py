@@ -565,6 +565,58 @@ def shuffle_corpus(
     )
 
 
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    thresholds: list[float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Curriculum assignment: bin documents into quality phases by fixed
+    score ``thresholds`` (phase = number of thresholds at or below the
+    score — map-side arithmetic), then give each doc a deterministic
+    seeded slot inside its phase via the same md5 machinery as
+    :func:`shuffle_corpus`. A trainer reads ``(phase, shard, shard_pos)``
+    lexicographically: phases in curriculum order, documents pseudo-
+    randomly shuffled within each phase, reproducibly re-shuffled per
+    ``seed``/epoch.
+
+    Deliberately NOT equal-count quantile bins: exact global ntile is a
+    single-task sort at 100 TB. Fixed thresholds keep the phase
+    assignment pure map-side; derive them from
+    :func:`percentile_profile`'s (sketched) quantiles when equal-mass
+    phases are wanted. The one shuffle is the ``(phase, shard)`` window —
+    shards scale with cluster parallelism exactly as in
+    :func:`shuffle_corpus`, so no phase concentrates into one task.
+    """
+    if not thresholds or sorted(thresholds) != list(thresholds):
+        raise ValueError("thresholds must be a non-empty ascending list")
+    if num_shards is None:
+        target = max(16, 4 * df.sparkSession.sparkContext.defaultParallelism)
+        num_shards = 1 << (target - 1).bit_length()
+    k = 1
+    while (16**k) % num_shards != 0:
+        k += 1
+        if k > 8:  # not assert: python -O would strip it and loop forever
+            raise ValueError("num_shards must be a power of 2 (or divide 16)")
+    phase = None
+    for t in thresholds:
+        term = (F.col(score_col) >= F.lit(float(t))).cast("int")
+        phase = term if phase is None else phase + term
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    keyed = df.withColumn("_k", key).withColumn("phase", phase)
+    shard = (
+        F.conv(F.substring("_k", 1, k), 16, 10).cast("bigint") % num_shards
+    ).cast("int")
+    w = Window.partitionBy("phase", "shard").orderBy("_k", id_col)
+    return (
+        keyed.withColumn("shard", shard)
+        .withColumn("shard_pos", F.row_number().over(w))
+        .drop("_k")
+    )
+
+
 def cap_per_domain(
     docs: DataFrame,
     domain_col: str = "source",

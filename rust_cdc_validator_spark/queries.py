@@ -2973,6 +2973,55 @@ GROUP BY e.label, n.n_vecs, e.pos
 """
 
 
+def curriculum_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment (operators/corpus.py:curriculum_order):
+    quality phases by fixed thresholds over the text_quality score
+    (map-side — no global ntile sort), seeded shuffle within each phase.
+    A trainer reads (phase, shard, shard_pos) lexicographically."""
+    from rust_cdc_validator_spark.operators.corpus import curriculum_order
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    length_term = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
+    sw_term = F.least(n_sw / F.size(toks) * 3, F.lit(1.0))
+    scored = docs.withColumn("quality", (length_term + sw_term) / 2)
+    out = curriculum_order(
+        scored, "quality", thresholds=[0.4, 0.6, 0.8], seed=2, num_shards=16
+    )
+    return out.select("doc_id", "phase", "shard", "shard_pos")
+
+
+CURRICULUM_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         (LEAST(LENGTH(text) / 500.0, 1.0) +
+          LEAST(3 * (LEN(list_filter(string_split(text, ' '),
+                                     t -> list_contains([{_SW_LIST}], t)))
+                     / CAST(LEN(string_split(text, ' ')) AS DOUBLE)), 1.0)
+         ) / 2 AS quality
+  FROM documents
+), keyed AS (
+  SELECT doc_id,
+         (CASE WHEN quality >= 0.4 THEN 1 ELSE 0 END
+        + CASE WHEN quality >= 0.6 THEN 1 ELSE 0 END
+        + CASE WHEN quality >= 0.8 THEN 1 ELSE 0 END) AS phase,
+         md5('2:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM scored
+), b AS (
+  SELECT doc_id, phase, k,
+         CAST((strpos('0123456789abcdef', substring(k, 1, 1)) - 1) % 16
+              AS INT) AS shard
+  FROM keyed
+)
+SELECT doc_id, phase, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY phase, shard ORDER BY k, doc_id)
+            AS INT) AS shard_pos
+FROM b
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3067,6 +3116,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_asof_next_error": events_asof_next_error,
     "events_rolling_features": events_rolling_features,
     "label_centroids": label_centroids,
+    "curriculum_docs": curriculum_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -3143,6 +3193,7 @@ ORACLES: dict[str, str] = {
     "events_asof_next_error": EVENTS_ASOF_NEXT_ERROR_SQL,
     "events_rolling_features": EVENTS_ROLLING_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
+    "curriculum_docs": CURRICULUM_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe:

@@ -839,3 +839,51 @@ def test_bloom_empty_benchmark_and_size_guard(spark):
     assert contamination_check_bloom(train, bloom).count() == 0
     with pytest.raises(ValueError):
         build_benchmark_bloom(bench, max_distinct_shingles=1)
+
+
+# ---------------------------------------------------------------------------
+# curriculum_order (threshold phases + sharded in-phase shuffle)
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_order_phases_and_dense_in_phase_positions(spark):
+    from rust_cdc_validator_spark.operators.corpus import curriculum_order
+
+    docs = spark.createDataFrame(
+        [(i, i / 100.0) for i in range(100)], "doc_id long, score double"
+    )
+    rows = curriculum_order(
+        docs, "score", thresholds=[0.25, 0.5, 0.75], num_shards=4
+    ).collect()
+    for r in rows:  # phase = count of thresholds <= score
+        expect = sum(r["score"] >= t for t in (0.25, 0.5, 0.75))
+        assert r["phase"] == expect
+    by = {}
+    for r in rows:
+        by.setdefault((r["phase"], r["shard"]), []).append(r["shard_pos"])
+    for poss in by.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_curriculum_order_partition_invariant_and_validated(spark):
+    import pytest
+    from rust_cdc_validator_spark.operators.corpus import curriculum_order
+
+    docs = spark.createDataFrame(
+        [(i, (i % 7) / 7.0) for i in range(60)], "doc_id long, score double"
+    )
+    key = lambda df: sorted(
+        (r["doc_id"], r["phase"], r["shard"], r["shard_pos"])
+        for r in df.collect()
+    )
+    a = key(curriculum_order(docs, "score", [0.5], seed=3, num_shards=8))
+    b = key(
+        curriculum_order(
+            docs.repartition(11), "score", [0.5], seed=3, num_shards=8
+        )
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        curriculum_order(docs, "score", [])
+    with pytest.raises(ValueError):
+        curriculum_order(docs, "score", [0.9, 0.1])  # not ascending
