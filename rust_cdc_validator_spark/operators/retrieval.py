@@ -32,6 +32,8 @@ reproduces the scores bit-for-bit (same trick as lang_distinctive_terms —
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -144,6 +146,80 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+    k: int = 10,
+    lam: float = 0.7,
+    max_candidates: int = 10_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    greedily pick ``k`` results per query maximizing
+    ``lam·relevance − (1−lam)·max_sim_to_already_selected`` — the standard
+    diversification pass after a retriever, so near-duplicate hits don't
+    crowd the result list. Input is a per-query CANDIDATE set
+    ``(query_col, id_col, score_col, vec_col)`` — a retriever's top-N —
+    and output is ``(query_col, id_col, mmr_rank, mmr_score)``.
+
+    Scale shape: MMR is inherently sequential per query, but it only ever
+    runs on top-N candidate sets (queries × N rows — micro-scale relative
+    to the corpus the retriever scanned), so each query's greedy loop is
+    one Arrow-batched group: ``applyInPandas`` over ``query_col``, one
+    unit-normalized matmul for the within-group similarity matrix, numpy
+    argmax per step. Deterministic: candidates are pre-sorted by
+    ``(score desc, id)``, groups over ``max_candidates`` keep only the
+    top ``max_candidates`` by that order (documented truncation — MMR
+    over more candidates than that belongs upstream in the retriever),
+    and score ties break on the smaller id.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    qt = candidates.schema[query_col].dataType.simpleString()
+    it = candidates.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{query_col} {qt}, {id_col} {it}, mmr_rank int, mmr_score double"
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [score_col, id_col], ascending=[False, True]
+        ).head(max_candidates)
+        v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(v, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        v = v / n
+        sim = v @ v.T
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        cand = np.arange(len(pdf))
+        chosen: list[int] = []
+        scores: list[float] = []
+        while len(cand) and len(chosen) < k:
+            if chosen:
+                penalty = sim[np.ix_(cand, chosen)].max(axis=1)
+                mmr = lam * rel[cand] - (1.0 - lam) * penalty
+            else:
+                mmr = lam * rel[cand]
+            # argmax with smaller-id tiebreak, order-stable
+            best = cand[np.lexsort((ids[cand], -mmr))[0]]
+            chosen.append(int(best))
+            scores.append(float(mmr[cand == best][0]))
+            cand = cand[cand != best]
+        return pd.DataFrame(
+            {
+                query_col: [pdf[query_col].iloc[0]] * len(chosen),
+                id_col: ids[chosen],
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+                "mmr_score": np.array(scores, dtype=np.float64),
+            }
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(_mmr, out_schema)
 
 
 def rrf_fuse(

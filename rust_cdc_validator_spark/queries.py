@@ -3022,6 +3022,43 @@ FROM b
 """
 
 
+def mmr_rerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (operators/retrieval.py:mmr_rerank): 8 query
+    vectors retrieve exact cosine top-40 candidates, then the greedy
+    λ=0.7 re-rank picks a diverse top-10 per query. Iterative greedy —
+    no SQL oracle; rows-only with a golden (deterministic: pre-sorted
+    candidates, id tiebreaks, fixed float64 matmul order)."""
+    from rust_cdc_validator_spark.operators.retrieval import mmr_rerank
+    from rust_cdc_validator_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cands = brute_force_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=40
+    )
+    with_vecs = cands.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), "embedding"
+        ),
+        "neighbor_id",
+    )
+    out = mmr_rerank(
+        with_vecs,
+        query_col="query_id",
+        id_col="neighbor_id",
+        score_col="cos_sim",
+        vec_col="embedding",
+        k=10,
+        lam=0.7,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "mmr_rank",
+        F.round("mmr_score", 5).alias("mmr_score_r"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3117,6 +3154,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_rolling_features": events_rolling_features,
     "label_centroids": label_centroids,
     "curriculum_docs": curriculum_docs,
+    "mmr_rerank_docs": mmr_rerank_docs,
 }
 
 ORACLES: dict[str, str] = {

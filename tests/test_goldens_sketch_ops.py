@@ -45,6 +45,7 @@ SKETCH_QUERIES = [
     "minhash_index_probe",
     "lsh_index_probe",
     "contamination_bloom_docs",
+    "mmr_rerank_docs",
 ]
 
 

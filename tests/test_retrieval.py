@@ -137,3 +137,62 @@ def test_rrf_validates_inputs(spark):
     a = _ranked(spark, [(1, 1)])
     with pytest.raises(ValueError):
         rrf_fuse([a], weights=[1.0, 2.0])
+
+
+# ---------------------------------------------------------------------------
+# mmr_rerank (diversification)
+# ---------------------------------------------------------------------------
+
+
+def _mmr_cands(spark):
+    # query 1: doc 10 and 11 are near-duplicates (parallel vectors), doc 12
+    # is orthogonal with slightly lower relevance
+    rows = [
+        (1, 10, 0.99, [1.0, 0.0]),
+        (1, 11, 0.98, [1.0, 0.01]),
+        (1, 12, 0.90, [0.0, 1.0]),
+    ]
+    return spark.createDataFrame(
+        rows, "query_id long, doc_id long, score double, embedding array<float>"
+    )
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from rust_cdc_validator_spark.operators.retrieval import mmr_rerank
+
+    out = sorted(
+        (r["mmr_rank"], r["doc_id"])
+        for r in mmr_rerank(_mmr_cands(spark), k=3, lam=0.5).collect()
+    )
+    # rank 1 = best relevance (10); rank 2 = diverse 12, NOT near-dup 11
+    assert out[0] == (1, 10) and out[1] == (2, 12) and out[2] == (3, 11)
+
+
+def test_mmr_lam_1_is_pure_relevance_order(spark):
+    from rust_cdc_validator_spark.operators.retrieval import mmr_rerank
+
+    out = sorted(
+        (r["mmr_rank"], r["doc_id"])
+        for r in mmr_rerank(_mmr_cands(spark), k=3, lam=1.0).collect()
+    )
+    assert [d for _, d in out] == [10, 11, 12]
+
+
+def test_mmr_partition_invariant_k_cap_and_validation(spark):
+    import pytest
+    from rust_cdc_validator_spark.operators.retrieval import mmr_rerank
+
+    cands = _mmr_cands(spark)
+    two_q = cands.union(
+        cands.sparkSession.createDataFrame(
+            [(2, 20, 0.5, [0.5, 0.5])],
+            "query_id long, doc_id long, score double, embedding array<float>",
+        )
+    )
+    key = lambda df: sorted(
+        (r["query_id"], r["mmr_rank"], r["doc_id"]) for r in df.collect()
+    )
+    assert key(mmr_rerank(two_q, k=2)) == key(mmr_rerank(two_q.repartition(7), k=2))
+    assert max(r["mmr_rank"] for r in mmr_rerank(two_q, k=2).collect()) <= 2
+    with pytest.raises(ValueError):
+        mmr_rerank(cands, lam=1.5)
