@@ -3059,6 +3059,68 @@ def mmr_rerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curriculum_equal_mass_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-mass curriculum: quartile thresholds come from
+    percentile_profile (exact here for the oracle; the sketch path is the
+    100 TB default) and feed curriculum_order — the composition the
+    curriculum_order docstring prescribes instead of a global ntile.
+    Only the three threshold doubles cross the driver."""
+    from rust_cdc_validator_spark.operators.corpus import (
+        curriculum_order,
+        percentile_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    length_term = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
+    sw_term = F.least(n_sw / F.size(toks) * 3, F.lit(1.0))
+    scored = docs.withColumn("quality", (length_term + sw_term) / 2)
+    prof = percentile_profile(
+        scored, ["quality"], probs=(0.25, 0.5, 0.75), approx=False
+    ).collect()[0]
+    thresholds = [prof["quality_p25"], prof["quality_p50"], prof["quality_p75"]]
+    out = curriculum_order(
+        scored, "quality", thresholds=thresholds, seed=4, num_shards=16
+    )
+    return out.select("doc_id", "phase", "shard", "shard_pos")
+
+
+CURRICULUM_EQUAL_MASS_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         (LEAST(LENGTH(text) / 500.0, 1.0) +
+          LEAST(3 * (LEN(list_filter(string_split(text, ' '),
+                                     t -> list_contains([{_SW_LIST}], t)))
+                     / CAST(LEN(string_split(text, ' ')) AS DOUBLE)), 1.0)
+         ) / 2 AS quality
+  FROM documents
+), th AS (
+  SELECT quantile_cont(quality, 0.25) AS t1,
+         quantile_cont(quality, 0.50) AS t2,
+         quantile_cont(quality, 0.75) AS t3
+  FROM scored
+), keyed AS (
+  SELECT doc_id,
+         (CASE WHEN quality >= t1 THEN 1 ELSE 0 END
+        + CASE WHEN quality >= t2 THEN 1 ELSE 0 END
+        + CASE WHEN quality >= t3 THEN 1 ELSE 0 END) AS phase,
+         md5('4:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM scored, th
+), b AS (
+  SELECT doc_id, phase, k,
+         CAST((strpos('0123456789abcdef', substring(k, 1, 1)) - 1) % 16
+              AS INT) AS shard
+  FROM keyed
+)
+SELECT doc_id, phase, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY phase, shard ORDER BY k, doc_id)
+            AS INT) AS shard_pos
+FROM b
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3155,6 +3217,7 @@ QUERIES: dict[str, QueryFn] = {
     "label_centroids": label_centroids,
     "curriculum_docs": curriculum_docs,
     "mmr_rerank_docs": mmr_rerank_docs,
+    "curriculum_equal_mass_docs": curriculum_equal_mass_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -3232,6 +3295,7 @@ ORACLES: dict[str, str] = {
     "events_rolling_features": EVENTS_ROLLING_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
     "curriculum_docs": CURRICULUM_SQL,
+    "curriculum_equal_mass_docs": CURRICULUM_EQUAL_MASS_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe:
