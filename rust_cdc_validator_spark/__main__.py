@@ -74,6 +74,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--only-datadiff", action="store_true")
     p.add_argument("--source-root", help="parquet dir of source tables for validate")
     p.add_argument(
+        "--corpus-prep", nargs=2, metavar=("INPUT", "OUTPUT"),
+        help="extension: run the composed training-corpus prep (quality "
+             "gate -> exact dedup [-> near-dup removal]) on a corpus with "
+             "columns (doc_id, text) and write size-targeted shards + "
+             "_MANIFEST.json to OUTPUT",
+    )
+    p.add_argument("--corpus-format", choices=["parquet", "jsonl"],
+                   default="parquet")
+    p.add_argument("--corpus-jsonl-schema",
+                   help="DDL schema for jsonl input, e.g. "
+                        "'doc_id long, text string' (required for jsonl — "
+                        "inference would be a hidden extra scan)")
+    p.add_argument("--corpus-quarantine",
+                   help="dir for malformed jsonl lines (default: skip write)")
+    p.add_argument("--corpus-neardup", action="store_true",
+                   help="add the MinHash near-dup removal stage")
+    p.add_argument("--corpus-min-chars", type=int, default=100)
+    p.add_argument("--corpus-shuffle-seed", type=int,
+                   help="append a deterministic (shard, shard_pos) epoch "
+                        "order with this seed before writing")
+    p.add_argument("--corpus-target-shard-mb", type=int, default=256)
+    p.add_argument(
         "--advance-state", nargs=2, metavar=("STATE_TABLE", "NEW_STATE_TABLE"),
         help="incremental mode (extension): apply only the window's CDC "
              "files to the bucketed STATE_TABLE, writing NEW_STATE_TABLE "
@@ -120,9 +142,64 @@ def _prompt_missing(args, input_fn=input) -> None:
     args.start_position = ask("start position", default=args.start_position, cast=int)
 
 
+def _run_corpus_prep(args) -> int:
+    """The corpus-prep CLI leg: parquet/JSONL in, deduped shards +
+    manifest out. Separate from the CDC leg — it needs no catalog, no
+    bucket layout, no payload."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from rust_cdc_validator_spark.operators.corpus import (
+        prepare_training_corpus,
+        prepare_training_corpus_neardup,
+        shuffle_corpus,
+    )
+    from rust_cdc_validator_spark.sources.corpus_io import (
+        read_jsonl_corpus,
+        write_corpus_shards,
+    )
+
+    inp, outp = args.corpus_prep
+    spark = get_spark("corpus-prep-cli")
+    n_quarantined = 0
+    if args.corpus_format == "jsonl":
+        if not args.corpus_jsonl_schema:
+            print("--corpus-jsonl-schema is required for jsonl input",
+                  file=sys.stderr)
+            return 2
+        schema = _parse_datatype_string(args.corpus_jsonl_schema)
+        docs, quarantined = read_jsonl_corpus(spark, inp, schema)
+        if args.corpus_quarantine:
+            quarantined.write.mode("overwrite").text(args.corpus_quarantine)
+            n_quarantined = spark.read.text(args.corpus_quarantine).count()
+    else:
+        docs = spark.read.parquet(inp)
+    prep = (
+        prepare_training_corpus_neardup
+        if args.corpus_neardup
+        else prepare_training_corpus
+    )
+    # the prep pipelines return per-doc STATS; the shard writer needs the
+    # surviving documents whole -> semi-join the keeper ids (8-byte key)
+    keepers = prep(docs, min_chars=args.corpus_min_chars).select("doc_id")
+    kept = docs.join(keepers, "doc_id", "left_semi")
+    if args.corpus_shuffle_seed is not None:
+        kept = shuffle_corpus(kept, seed=args.corpus_shuffle_seed)
+    manifest = write_corpus_shards(
+        kept, outp, target_shard_mb=args.corpus_target_shard_mb
+    )
+    print(
+        f"corpus-prep: {manifest['row_count']} docs -> "
+        f"{manifest['num_shards']} shards at {outp}"
+        + (f" ({n_quarantined} lines quarantined)" if n_quarantined else "")
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+    if args.corpus_prep:
+        return _run_corpus_prep(args)
     if args.interactive:
         _prompt_missing(args)
     required = [

@@ -146,3 +146,75 @@ def test_cli_advance_state(spark, bucket):
     finally:
         for t in (v0, v1):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# ---------------------------------------------------------------------------
+# --corpus-prep leg
+# ---------------------------------------------------------------------------
+
+
+def _corpus_parquet(spark, tmp_path):
+    base = "the quick brown fox jumps over the lazy dog near the river " * 3
+    rows = [
+        (1, base.strip(), "srcA"),
+        (2, base.strip().upper() + "...", "srcA"),  # exact dup after norm
+        (3, "short", "srcB"),                        # gated out
+        (4, "a completely different document with the quick brown fox and "
+            "plenty of additional words to pass the length gate easily "
+            "plus more the and of filler", "srcB"),
+    ]
+    p = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(p)
+    return p
+
+
+def test_cli_corpus_prep_parquet(spark, tmp_path):
+    inp = _corpus_parquet(spark, tmp_path)
+    outp = str(tmp_path / "shards")
+    rc = main(["--corpus-prep", inp, outp, "--corpus-min-chars", "50",
+               "--corpus-shuffle-seed", "3"])
+    assert rc == 0
+    out = spark.read.parquet(outp)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 4}  # 2 deduped into 1, 3 gated
+    cols = set(out.columns)
+    assert {"doc_id", "text", "source", "shard", "shard_pos"} <= cols
+    from rust_cdc_validator_spark.sources.corpus_io import read_manifest
+
+    man = read_manifest(spark, outp)
+    assert man["row_count"] == 2 and man["num_shards"] >= 1
+
+
+def test_cli_corpus_prep_jsonl_with_quarantine(spark, tmp_path):
+    lines = [
+        '{"doc_id": 1, "text": "' + ("the quick brown fox and the lazy dog "
+                                     * 4).strip() + '"}',
+        "THIS IS NOT JSON",
+        '{"doc_id": 2, "text": "short"}',
+    ]
+    inp = tmp_path / "in.jsonl"
+    inp.write_text("\n".join(lines) + "\n")
+    outp = str(tmp_path / "shards_j")
+    quar = str(tmp_path / "quarantine")
+    rc = main([
+        "--corpus-prep", str(inp), outp,
+        "--corpus-format", "jsonl",
+        "--corpus-jsonl-schema", "doc_id long, text string",
+        "--corpus-quarantine", quar,
+        "--corpus-min-chars", "50",
+    ])
+    assert rc == 0
+    out = spark.read.parquet(outp)
+    assert {r["doc_id"] for r in out.collect()} == {1}
+    bad = [r["value"] for r in spark.read.text(quar).collect()]
+    assert bad == ["THIS IS NOT JSON"]
+
+
+def test_cli_corpus_prep_jsonl_requires_schema(tmp_path):
+    rc = main([
+        "--corpus-prep", str(tmp_path / "x.jsonl"), str(tmp_path / "o"),
+        "--corpus-format", "jsonl",
+    ])
+    assert rc == 2
