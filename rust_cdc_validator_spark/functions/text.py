@@ -231,3 +231,34 @@ def gopher_keep(signals: Column, rules: dict | None = None) -> Column:
     for c in conds[1:]:
         out = out & c
     return out
+
+
+def blocklist_signals(
+    text: Column, terms: list[str], case_insensitive: bool = True
+) -> Column:
+    """Token-level blocklist hits — the wordlist-filter stage every web
+    corpus runs (NSFW/spam lists a la C4's "List of Dirty, Naughty ...").
+    Returns a struct ``(n_blocked_hits, n_blocked_terms)``: total matching
+    token occurrences and distinct blocklist terms matched. Whole-token
+    matching only (no substring false positives: "class" never trips
+    "ass"); multi-word phrases are not matched — split them into their
+    tokens or pre-normalize upstream.
+
+    Pure map-side expression: the term list is embedded as a literal array
+    (fine into the thousands of terms — it broadcasts with the plan, no
+    join, no shuffle). Dedup/normalize the list before passing it in.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    norm = [t.lower() for t in terms] if case_insensitive else list(terms)
+    if len(set(norm)) != len(norm):
+        raise ValueError("terms contain duplicates after normalization")
+    toks = F.split(text, r"\s+")
+    if case_insensitive:
+        toks = F.transform(toks, F.lower)
+    arr = F.array(*[F.lit(t) for t in norm])
+    hits = F.filter(toks, lambda t: F.array_contains(arr, t))
+    return F.struct(
+        F.size(hits).cast("int").alias("n_blocked_hits"),
+        F.size(F.array_distinct(hits)).cast("int").alias("n_blocked_terms"),
+    )

@@ -3121,6 +3121,36 @@ FROM b
 """
 
 
+def blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist filtering (functions/text.py:blocklist_signals): docs with
+    ≥3 hits against a 3-term blocklist, with hit counts — map-side only,
+    the C4-style dirty-word gate."""
+    from rust_cdc_validator_spark.functions.text import blocklist_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = blocklist_signals(F.col("text"), ["slow", "error", "merge"])
+    out = docs.select("doc_id", sig.alias("_b")).select(
+        "doc_id",
+        F.col("_b.n_blocked_hits").alias("n_blocked_hits"),
+        F.col("_b.n_blocked_terms").alias("n_blocked_terms"),
+    )
+    return out.filter(F.col("n_blocked_hits") >= 3)
+
+
+BLOCKLIST_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(text, '\\s+'), w -> lower(w)),
+                     w -> list_contains(['slow', 'error', 'merge'], w)) AS hits
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(hits) AS INT) AS n_blocked_hits,
+       CAST(len(list_distinct(hits)) AS INT) AS n_blocked_terms
+FROM t WHERE len(hits) >= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3218,6 +3248,7 @@ QUERIES: dict[str, QueryFn] = {
     "curriculum_docs": curriculum_docs,
     "mmr_rerank_docs": mmr_rerank_docs,
     "curriculum_equal_mass_docs": curriculum_equal_mass_docs,
+    "blocklist_docs": blocklist_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -3296,6 +3327,7 @@ ORACLES: dict[str, str] = {
     "label_centroids": LABEL_CENTROIDS_SQL,
     "curriculum_docs": CURRICULUM_SQL,
     "curriculum_equal_mass_docs": CURRICULUM_EQUAL_MASS_SQL,
+    "blocklist_docs": BLOCKLIST_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe:

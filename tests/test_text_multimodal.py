@@ -161,3 +161,32 @@ def test_gopher_dup_paragraph_frac(spark):
     (row,) = _gopher(spark, [paras])
     assert abs(row["s"]["dup_para_frac"] - 0.6) < 1e-9
     assert row["s"]["dup_line_frac"] > 0.0  # lines view sees the dups too
+
+
+def test_blocklist_signals_whole_token_and_counts(spark):
+    from pyspark.sql import functions as F
+    from rust_cdc_validator_spark.functions.text import blocklist_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "the Error error happened in a classy way"),
+            (2, "clean text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = blocklist_signals(F.col("text"), ["error", "ass"])
+    out = {r["doc_id"]: r["b"] for r in df.select("doc_id", sig.alias("b")).collect()}
+    # case-insensitive whole tokens: 2 hits of one term; 'classy' never trips 'ass'
+    assert out[1]["n_blocked_hits"] == 2 and out[1]["n_blocked_terms"] == 1
+    assert out[2]["n_blocked_hits"] == 0
+
+
+def test_blocklist_signals_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from rust_cdc_validator_spark.functions.text import blocklist_signals
+
+    with pytest.raises(ValueError):
+        blocklist_signals(F.col("text"), [])
+    with pytest.raises(ValueError):
+        blocklist_signals(F.col("text"), ["A", "a"])  # dup after lowering
