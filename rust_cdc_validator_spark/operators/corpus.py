@@ -823,6 +823,131 @@ def importance_weights(
     )
 
 
+def lm_perplexity(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    alpha: float = 0.5,
+    beta: float = 0.7,
+) -> DataFrame:
+    """CCNet-style LM perplexity filtering (Wenzek et al. 2019,
+    arXiv:1911.00359 §4.3 — there a KenLM 5-gram; here a hashed
+    interpolated bigram model, the same hashing trade
+    :func:`importance_weights` makes so the score is engine-portable and
+    needs no model artifact): fit token/bigram bucket counts on ``train``
+    (the high-quality target corpus — CCNet fits on Wikipedia), then
+    score every ``score`` doc with
+    ``log_ppl = −(1/n) Σ log p(w_i | w_{i−1})`` where
+    ``p = β·min(c_bi/c_ctx, 1) + (1−β)·p_uni`` backing off to the
+    α-smoothed unigram when the context is unseen. Lower = more
+    target-like; threshold or bucket it for filtering, exactly like the
+    DSIR weights. Returns ``(id_col, n_tokens, log_ppl)``.
+
+    Hash collisions fold counts (crude by design — a 4096-bucket LM is a
+    quality *signal*, not a language model); the ratio clamp keeps folded
+    bigram counts from producing p > 1.
+
+    Scale shape: identical to ``importance_weights`` — both models
+    collapse MAP-SIDE to ≤ ``buckets`` rows (two tiny shuffles), scoring
+    joins are broadcasts of those relations, and each scored doc partial-
+    aggregates to one narrow row before its shuffle (shuffle ∝ docs, not
+    tokens). ``train`` is scanned twice (unigram + bigram fits) — persist
+    upstream if it is derived.
+    """
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError("beta must be in [0, 1]")
+    if alpha <= 0:
+        raise ValueError("alpha must be positive (unigram smoothing)")
+    b = buckets
+
+    def toks_arr(df: DataFrame) -> Column:
+        return F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+        )
+
+    def uni_b(w: Column) -> Column:
+        return md5_bucket_fine(w, b)
+
+    def bi_b(w1: Column, w2: Column) -> Column:
+        return md5_bucket_fine(F.concat(w1, F.lit(" "), w2), b)
+
+    t_toks = train.select(F.explode(toks_arr(train)).alias("_w"))
+    uni = t_toks.groupBy(uni_b(F.col("_w")).alias("_b")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    n_total = uni.agg(F.sum("_c")).collect()[0][0] or 0
+    tt = toks_arr(train)
+    t_pairs = train.select(
+        F.explode(
+            F.zip_with(
+                F.slice(tt, 1, F.size(tt) - 1),
+                F.slice(tt, 2, F.size(tt) - 1),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            )
+        ).alias("_p")
+    )
+    bi = t_pairs.groupBy(md5_bucket_fine(F.col("_p"), b).alias("_b")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+
+    st = toks_arr(score)
+    n = F.size(st)
+    # sequence(1, 0) DESCENDS in Spark — guard the single-token doc case
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    bigram_structs = F.transform(
+        idx,
+        lambda i: F.struct(
+            bi_b(F.element_at(st, i), F.element_at(st, i + 1)).alias("_bbi"),
+            uni_b(F.element_at(st, i)).alias("_b1"),
+            uni_b(F.element_at(st, i + 1)).alias("_b2"),
+        ),
+    )
+    first = F.struct(
+        F.lit(None).cast("int").alias("_bbi"),
+        F.lit(None).cast("int").alias("_b1"),
+        uni_b(F.element_at(st, 1)).alias("_b2"),
+    )
+    terms = score.filter(n >= 1).select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.concat(F.array(first), bigram_structs)).alias("_t"),
+    ).select("_id", "_t._bbi", "_t._b1", "_t._b2")
+
+    u2 = uni.select(F.col("_b").alias("_b2"), F.col("_c").alias("_c2"))
+    u1 = uni.select(F.col("_b").alias("_b1"), F.col("_c").alias("_c1"))
+    bb = bi.select(F.col("_b").alias("_bbi"), F.col("_c").alias("_cbi"))
+    joined = (
+        terms.join(F.broadcast(u2), "_b2", "left")
+        .join(F.broadcast(u1), "_b1", "left")
+        .join(F.broadcast(bb), "_bbi", "left")
+    )
+    p_uni = (F.coalesce(F.col("_c2"), F.lit(0)) + F.lit(alpha)) / F.lit(
+        float(n_total) + alpha * b
+    )
+    ratio = F.least(
+        F.col("_cbi").cast("double") / F.col("_c1").cast("double"), F.lit(1.0)
+    )
+    has_bigram = (
+        F.col("_b1").isNotNull()
+        & F.col("_c1").isNotNull()
+        & F.col("_cbi").isNotNull()
+    )
+    p = F.when(has_bigram, F.lit(beta) * ratio + F.lit(1 - beta) * p_uni).otherwise(
+        p_uni
+    )
+    return (
+        joined.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum(F.log(p)) / F.count(F.lit(1))).alias("log_ppl"),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "log_ppl")
+    )
+
+
 def clean_lines(
     df: DataFrame,
     text_col: str = "text",

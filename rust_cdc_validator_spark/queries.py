@@ -3151,6 +3151,81 @@ FROM t WHERE len(hits) >= 3
 """
 
 
+def lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering
+    (operators/corpus.py:lm_perplexity): hashed interpolated bigram LM fit
+    on the src0 target split, scoring the training pool — the same
+    benchmark-vs-pool split as dsir_importance_docs, giving the
+    perplexity-threshold quality signal. Rounded to 6 (libm ln ulp)."""
+    from rust_cdc_validator_spark.operators.corpus import lm_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    pool = docs.filter(F.col("source") != "src0")
+    out = lm_perplexity(target, pool, buckets=4096, alpha=0.5, beta=0.7)
+    return out.select(
+        "doc_id", "n_tokens", F.round("log_ppl", 6).alias("log_ppl_r")
+    )
+
+
+_B3 = (
+    "((strpos('0123456789abcdef', substring(md5({v}), 1, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substring(md5({v}), 2, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substring(md5({v}), 3, 1)) - 1))"
+)
+
+LM_PERPLEXITY_SQL = f"""
+WITH tr AS (
+  SELECT list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS tk
+  FROM documents WHERE source = 'src0'
+), tr_tok AS (
+  SELECT unnest(tk) AS w FROM tr
+), uni AS (
+  SELECT {_B3.format(v='w')} AS b, COUNT(*) AS c FROM tr_tok GROUP BY b
+), tot AS (
+  SELECT SUM(c) AS n FROM uni
+), tr_bi AS (
+  SELECT tk, unnest(range(1, len(tk))) AS i FROM tr WHERE len(tk) >= 2
+), bi AS (
+  SELECT {_B3.format(v="tk[i] || ' ' || tk[i + 1]")} AS b, COUNT(*) AS c
+  FROM tr_bi GROUP BY b
+), sc AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS tk
+  FROM documents WHERE source <> 'src0'
+), terms AS (
+  SELECT doc_id, CAST(NULL AS INT) AS bbi, CAST(NULL AS INT) AS b1,
+         {_B3.format(v='tk[1]')} AS b2
+  FROM sc WHERE len(tk) >= 1
+  UNION ALL
+  SELECT doc_id,
+         {_B3.format(v="tk[i] || ' ' || tk[i + 1]")} AS bbi,
+         {_B3.format(v='tk[i]')} AS b1,
+         {_B3.format(v='tk[i + 1]')} AS b2
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+        FROM sc WHERE len(tk) >= 2)
+), scored AS (
+  SELECT t.doc_id,
+         CASE WHEN t.b1 IS NOT NULL AND u1.c IS NOT NULL
+                   AND bb.c IS NOT NULL
+              THEN 0.7 * LEAST(CAST(bb.c AS DOUBLE) / CAST(u1.c AS DOUBLE),
+                               1.0)
+                 + 0.3 * ((COALESCE(u2.c, 0) + 0.5)
+                          / (tot.n + 0.5 * 4096))
+              ELSE (COALESCE(u2.c, 0) + 0.5) / (tot.n + 0.5 * 4096)
+         END AS p
+  FROM terms t
+  LEFT JOIN uni u2 ON t.b2 = u2.b
+  LEFT JOIN uni u1 ON t.b1 = u1.b
+  LEFT JOIN bi bb ON t.bbi = bb.b
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(-SUM(ln(p)) / COUNT(*), 6) AS log_ppl_r
+FROM scored GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3249,6 +3324,7 @@ QUERIES: dict[str, QueryFn] = {
     "mmr_rerank_docs": mmr_rerank_docs,
     "curriculum_equal_mass_docs": curriculum_equal_mass_docs,
     "blocklist_docs": blocklist_docs,
+    "lm_perplexity_docs": lm_perplexity_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -3328,6 +3404,7 @@ ORACLES: dict[str, str] = {
     "curriculum_docs": CURRICULUM_SQL,
     "curriculum_equal_mass_docs": CURRICULUM_EQUAL_MASS_SQL,
     "blocklist_docs": BLOCKLIST_SQL,
+    "lm_perplexity_docs": LM_PERPLEXITY_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe:

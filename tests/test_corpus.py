@@ -887,3 +887,64 @@ def test_curriculum_order_partition_invariant_and_validated(spark):
         curriculum_order(docs, "score", [])
     with pytest.raises(ValueError):
         curriculum_order(docs, "score", [0.9, 0.1])  # not ascending
+
+
+# ---------------------------------------------------------------------------
+# lm_perplexity (hashed bigram LM quality signal)
+# ---------------------------------------------------------------------------
+
+
+def test_lm_perplexity_ranks_target_like_text_lower(spark):
+    from rust_cdc_validator_spark.operators.corpus import lm_perplexity
+
+    target = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "zxq vbn mlk poi uyt rew qas dfg hjk"),  # out-of-domain
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_perplexity(target, score).collect()}
+    assert out[100]["log_ppl"] < out[101]["log_ppl"]
+    assert out[100]["n_tokens"] == 9
+    import math
+
+    assert all(math.isfinite(r["log_ppl"]) for r in out.values())
+
+
+def test_lm_perplexity_single_token_and_invariance(spark):
+    from rust_cdc_validator_spark.operators.corpus import lm_perplexity
+
+    target = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha beta")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "alpha"), (11, "alpha beta gamma")], "doc_id long, text string"
+    )
+    a = {
+        r["doc_id"]: (r["n_tokens"], round(r["log_ppl"], 6))
+        for r in lm_perplexity(target, score).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_tokens"], round(r["log_ppl"], 6))
+        for r in lm_perplexity(
+            target.repartition(5), score.repartition(3)
+        ).collect()
+    }
+    assert a == b
+    assert a[10][0] == 1  # single-token doc: unigram-only term
+
+
+def test_lm_perplexity_validation(spark):
+    import pytest
+    from rust_cdc_validator_spark.operators.corpus import lm_perplexity
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        lm_perplexity(df, df, beta=2.0)
+    with pytest.raises(ValueError):
+        lm_perplexity(df, df, alpha=0.0)
