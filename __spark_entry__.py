@@ -31,14 +31,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Coverage note (VERDICT r4 #8): this returns the FULL catalog (79
+    Coverage note (VERDICT r4 #8): this returns the FULL catalog (94
     queries). The driver's CORRECTNESS_r{N}.json has enumerated a fixed
     50-query subset since round 2 — that set is the driver's, not ours to
     configure from here. The queries the snapshot doesn't reach are gated
     by the same DuckDB comparison in-repo: tests/test_oracle_catalog.py
     runs the WHOLE catalog at sf0.001 in pytest, and
     ``python tools/check_oracle.py`` replicates the driver's gate for all
-    79 at sf0.01."""
+    oracled queries at sf0.01."""
     return dict(QUERIES)
 
 

@@ -565,6 +565,55 @@ def shuffle_corpus(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    ratios: dict[str, float],
+    cluster_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    denom: int = 4096,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak duplicates across
+    splits: the split decision hashes the duplicate-cluster ROOT
+    (``cluster_col`` — e.g. ``dedup_clusters``' root, or the min-id of
+    each normalized-text group), so every member of a cluster lands in
+    the SAME split. Splitting on raw doc ids is the classic eval bug —
+    near-identical docs straddle train and test and inflate every metric.
+    With ``cluster_col=None`` it degrades to a plain deterministic split
+    on ``id_col`` (only safe AFTER dedup).
+
+    ``ratios`` is an ordered name→fraction dict (insertion order = bucket
+    layout; fractions quantized to 1/denom and must sum to 1). Appends a
+    ``split`` column. Pure map-side: md5 bucket of the salted root
+    against cumulative thresholds — stable across runs, engines,
+    partitionings, and corpus growth (a cluster's split never changes
+    when other clusters appear)."""
+    total = sum(ratios.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"ratios must sum to 1 (got {total})")
+    if len(ratios) < 2:
+        raise ValueError("need at least two splits")
+    cuts: list[tuple[str, int]] = []
+    acc = 0.0
+    for name, r in ratios.items():
+        if r <= 0:
+            raise ValueError(f"ratio for {name!r} must be positive")
+        acc += r
+        cuts.append((name, round(acc * denom)))
+    cuts[-1] = (cuts[-1][0], denom)  # absorb rounding: last bucket closes
+    key_col = cluster_col or id_col
+    bucket = md5_bucket_fine(
+        F.concat(F.lit(f"split:{seed}:"), F.col(key_col).cast("string")), denom
+    )
+    expr = None
+    for name, cut in cuts:
+        case = F.when(bucket < F.lit(cut), F.lit(name))
+        expr = case if expr is None else expr.when(
+            bucket < F.lit(cut), F.lit(name)
+        )
+    return df.withColumn("split", expr)
+
+
 def curriculum_order(
     df: DataFrame,
     score_col: str,

@@ -3226,6 +3226,54 @@ FROM scored GROUP BY doc_id
 """
 
 
+def leakage_safe_splits_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment
+    (operators/corpus.py:leakage_safe_split): the split hashes each doc's
+    exact-dup cluster root (min id per normalized text), so duplicates
+    can never straddle splits — the classic eval-contamination bug."""
+    from rust_cdc_validator_spark.operators.corpus import (
+        leakage_safe_split,
+        normalize_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    normed = docs.withColumn("_norm_h", F.xxhash64(normalize_text(F.col("text"))))
+    roots = normed.groupBy("_norm_h").agg(F.min("doc_id").alias("root"))
+    with_root = normed.join(roots, "_norm_h")
+    out = leakage_safe_split(
+        with_root,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        cluster_col="root",
+        seed=5,
+    )
+    return out.select("doc_id", "root", "split")
+
+
+LEAKAGE_SAFE_SPLITS_SQL = """
+WITH normed AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), roots AS (
+  SELECT norm, MIN(doc_id) AS root FROM normed GROUP BY norm
+), with_root AS (
+  SELECT n.doc_id, r.root FROM normed n JOIN roots r ON n.norm = r.norm
+), b AS (
+  SELECT doc_id, root,
+         ((strpos('0123456789abcdef', substring(md5('split:5:' || CAST(root AS VARCHAR)), 1, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substring(md5('split:5:' || CAST(root AS VARCHAR)), 2, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substring(md5('split:5:' || CAST(root AS VARCHAR)), 3, 1)) - 1)) AS bucket
+  FROM with_root
+)
+SELECT doc_id, root,
+       CASE WHEN bucket < 3277 THEN 'train'
+            WHEN bucket < 3686 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3325,6 +3373,7 @@ QUERIES: dict[str, QueryFn] = {
     "curriculum_equal_mass_docs": curriculum_equal_mass_docs,
     "blocklist_docs": blocklist_docs,
     "lm_perplexity_docs": lm_perplexity_docs,
+    "leakage_safe_splits_docs": leakage_safe_splits_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -3405,6 +3454,7 @@ ORACLES: dict[str, str] = {
     "curriculum_equal_mass_docs": CURRICULUM_EQUAL_MASS_SQL,
     "blocklist_docs": BLOCKLIST_SQL,
     "lm_perplexity_docs": LM_PERPLEXITY_SQL,
+    "leakage_safe_splits_docs": LEAKAGE_SAFE_SPLITS_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe:

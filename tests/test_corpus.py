@@ -948,3 +948,49 @@ def test_lm_perplexity_validation(spark):
         lm_perplexity(df, df, beta=2.0)
     with pytest.raises(ValueError):
         lm_perplexity(df, df, alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from rust_cdc_validator_spark.operators.corpus import leakage_safe_split
+
+    # 200 clusters of 3 docs each, all sharing the cluster root
+    rows = [(c * 10 + i, c) for c in range(200) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, root long")
+    out = leakage_safe_split(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}, cluster_col="root"
+    ).collect()
+    by_root = {}
+    for r in out:
+        by_root.setdefault(r["root"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_root.values())  # no cluster straddles
+    shares = {}
+    for r in out:
+        shares[r["split"]] = shares.get(r["split"], 0) + 1
+    assert shares["train"] / len(out) > 0.7  # ratios roughly honored
+    assert set(shares) == {"train", "val", "test"}
+
+
+def test_leakage_safe_split_deterministic_and_validated(spark):
+    import pytest
+    from rust_cdc_validator_spark.operators.corpus import leakage_safe_split
+
+    df = spark.createDataFrame(
+        [(i, i) for i in range(100)], "doc_id long, root long"
+    )
+    key = lambda d: sorted((r["doc_id"], r["split"]) for r in d.collect())
+    a = key(leakage_safe_split(df, {"train": 0.9, "test": 0.1}, seed=1))
+    b = key(
+        leakage_safe_split(df.repartition(7), {"train": 0.9, "test": 0.1}, seed=1)
+    )
+    assert a == b
+    c = key(leakage_safe_split(df, {"train": 0.9, "test": 0.1}, seed=2))
+    assert a != c  # reseeding reassigns
+    with pytest.raises(ValueError):
+        leakage_safe_split(df, {"train": 0.5, "test": 0.4})  # sums to 0.9
+    with pytest.raises(ValueError):
+        leakage_safe_split(df, {"train": 1.0})  # single split
