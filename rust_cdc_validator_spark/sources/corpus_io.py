@@ -118,6 +118,7 @@ def write_corpus_shards(
     fmt: str = "parquet",
     target_shard_mb: int = 256,
     total_rows: int | None = None,
+    sort_by: list[str] | None = None,
 ) -> dict:
     """Write the corpus as ~``target_shard_mb`` shards plus ``_MANIFEST.json``.
 
@@ -132,14 +133,24 @@ def write_corpus_shards(
 
     At 100 TB: the write is one round-robin shuffle (unavoidable — shard
     sizing IS a repartition); the manifest costs one driver-side listing of
-    the output dir, no data read."""
+    the output dir, no data read.
+
+    ``sort_by``: sort WITHIN each shard before writing (a per-partition
+    sort — no extra shuffle, no global order). For parquet this tightens
+    per-row-group min/max statistics on the sort columns, so later
+    point/range scans prune row groups instead of reading whole shards —
+    the cheap half of data clustering, worth it whenever downstream reads
+    filter on a known column (doc_id lookups, time ranges)."""
     if fmt not in ("parquet", "json"):
         raise ValueError("fmt must be 'parquet' or 'json'")
     n = total_rows if total_rows is not None else df.count()
     row_bytes = _estimate_row_bytes(df, fmt)
     target = target_shard_mb * 1024 * 1024
     shards = max(1, -(-int(n * row_bytes) // target))
-    writer = df.repartition(shards).write.mode("overwrite")
+    sharded = df.repartition(shards)
+    if sort_by:
+        sharded = sharded.sortWithinPartitions(*sort_by)
+    writer = sharded.write.mode("overwrite")
     if fmt == "parquet":
         writer.parquet(path)
     else:
@@ -158,6 +169,7 @@ def write_corpus_shards(
     files.sort(key=lambda f: f["file"])
     manifest = {
         "format": fmt,
+        "sort_by": list(sort_by or []),
         "row_count": int(n),
         "estimated_row_bytes": row_bytes,
         "target_shard_mb": target_shard_mb,

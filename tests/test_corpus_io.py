@@ -103,3 +103,37 @@ def test_jsonl_write_then_read_back_through_reader(spark, tmp_path):
     write_corpus_shards(df, out, fmt="json", target_shard_mb=1)
     good, bad = read_jsonl_corpus(spark, out, _SCHEMA)
     assert good.count() == 50 and bad.count() == 0
+
+
+def test_write_corpus_shards_sort_by_tightens_rowgroup_stats(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from rust_cdc_validator_spark.sources.corpus_io import write_corpus_shards
+
+    df = spark.range(0, 20_000).selectExpr(
+        "id as doc_id", "cast(id % 977 as long) as bucket"
+    ).repartition(8)  # scatter ids across partitions first
+    out = str(tmp_path / "sorted")
+    man = write_corpus_shards(
+        df, out, target_shard_mb=1, total_rows=20_000, sort_by=["doc_id"]
+    )
+    assert man["sort_by"] == ["doc_id"]
+    # within every file, row groups must be internally ordered on doc_id:
+    # each row group's min > previous row group's max
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        idx = {
+            meta.row_group(0).column(i).path_in_schema: i
+            for i in range(meta.num_columns)
+        }["doc_id"]
+        prev_max = None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            assert st is not None and st.has_min_max
+            if prev_max is not None:
+                assert st.min > prev_max
+            prev_max = st.max
+    # round-trip intact
+    assert spark.read.parquet(out).count() == 20_000
