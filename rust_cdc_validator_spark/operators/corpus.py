@@ -941,29 +941,35 @@ def lm_perplexity(
         F.count(F.lit(1)).alias("_c")
     )
 
+    # Keep md5 OUT of higher-order lambdas: transform()/zip_with() bodies
+    # are interpreted (no whole-stage codegen), and three md5s per bigram
+    # interpreted is ~20× the cost of the same expressions as top-level
+    # projections after the explode. The lambdas below only build word
+    # structs; all hashing happens codegen-side on scalar columns.
     st = toks_arr(score)
     n = F.size(st)
-    # sequence(1, 0) DESCENDS in Spark — guard the single-token doc case
-    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.expr("array()").cast("array<int>")
+    word_pairs = F.zip_with(
+        F.slice(st, 1, n - 1),
+        F.slice(st, 2, n - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
-    bigram_structs = F.transform(
-        idx,
-        lambda i: F.struct(
-            bi_b(F.element_at(st, i), F.element_at(st, i + 1)).alias("_bbi"),
-            uni_b(F.element_at(st, i)).alias("_b1"),
-            uni_b(F.element_at(st, i + 1)).alias("_b2"),
-        ),
-    )
-    first = F.struct(
-        F.lit(None).cast("int").alias("_bbi"),
-        F.lit(None).cast("int").alias("_b1"),
-        uni_b(F.element_at(st, 1)).alias("_b2"),
-    )
-    terms = score.filter(n >= 1).select(
+    first_terms = score.filter(n >= 1).select(
         F.col(id_col).alias("_id"),
-        F.explode(F.concat(F.array(first), bigram_structs)).alias("_t"),
-    ).select("_id", "_t._bbi", "_t._b1", "_t._b2")
+        F.lit(None).cast("string").alias("_w1"),
+        F.element_at(st, 1).alias("_w2"),
+    )
+    bigram_terms = score.filter(n >= 2).select(
+        F.col(id_col).alias("_id"), F.explode(word_pairs).alias("_p")
+    ).select("_id", F.col("_p.w1").alias("_w1"), F.col("_p.w2").alias("_w2"))
+    terms = first_terms.unionByName(bigram_terms).select(
+        "_id",
+        F.when(
+            F.col("_w1").isNotNull(),
+            bi_b(F.col("_w1"), F.col("_w2")),
+        ).alias("_bbi"),
+        F.when(F.col("_w1").isNotNull(), uni_b(F.col("_w1"))).alias("_b1"),
+        uni_b(F.col("_w2")).alias("_b2"),
+    )
 
     u2 = uni.select(F.col("_b").alias("_b2"), F.col("_c").alias("_c2"))
     u1 = uni.select(F.col("_b").alias("_b1"), F.col("_c").alias("_c1"))

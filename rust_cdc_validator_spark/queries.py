@@ -3274,6 +3274,53 @@ FROM b
 """
 
 
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health dashboard: the pre-flight numbers a pipeline
+    operator reads before launching a 100 TB run — doc/source/lang counts,
+    exact-dup rate (over normalized text), gate pass rate, mean quality
+    and token length. ONE aggregation pass, all partials map-side; output
+    is one row."""
+    from rust_cdc_validator_spark.operators.corpus import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    length_term = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
+    sw_term = F.least(n_sw / F.size(toks) * 3, F.lit(1.0))
+    quality = (length_term + sw_term) / 2
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct(F.xxhash64(normalize_text(F.col("text")))).alias(
+            "n_distinct_norm"
+        ),
+        F.round(F.avg(quality), 6).alias("mean_quality_r"),
+        F.round(F.avg(F.size(toks)), 6).alias("mean_tokens_r"),
+        F.sum((F.length("text") >= 100).cast("long")).alias("n_pass_gate"),
+    )
+
+
+CORPUS_HEALTH_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT trim(regexp_replace(regexp_replace(lower(text),
+                 '[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g'))) AS BIGINT)
+         AS n_distinct_norm,
+       ROUND(AVG((LEAST(LENGTH(text) / 500.0, 1.0) +
+                  LEAST(3 * (LEN(list_filter(string_split(text, ' '),
+                                             t -> list_contains([{_SW_LIST}], t)))
+                         / CAST(LEN(string_split(text, ' ')) AS DOUBLE)), 1.0)
+                 ) / 2), 6) AS mean_quality_r,
+       ROUND(AVG(LEN(string_split(text, ' '))), 6) AS mean_tokens_r,
+       CAST(SUM(CASE WHEN LENGTH(text) >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass_gate
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3374,6 +3421,7 @@ QUERIES: dict[str, QueryFn] = {
     "blocklist_docs": blocklist_docs,
     "lm_perplexity_docs": lm_perplexity_docs,
     "leakage_safe_splits_docs": leakage_safe_splits_docs,
+    "corpus_health_report": corpus_health_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -3455,6 +3503,7 @@ ORACLES: dict[str, str] = {
     "blocklist_docs": BLOCKLIST_SQL,
     "lm_perplexity_docs": LM_PERPLEXITY_SQL,
     "leakage_safe_splits_docs": LEAKAGE_SAFE_SPLITS_SQL,
+    "corpus_health_report": CORPUS_HEALTH_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe:
