@@ -95,6 +95,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="append a deterministic (shard, shard_pos) epoch "
                         "order with this seed before writing")
     p.add_argument("--corpus-target-shard-mb", type=int, default=256)
+    p.add_argument("--corpus-sort-by", nargs="+",
+                   help="sort WITHIN each shard by these columns before "
+                        "writing (tightens parquet row-group min/max for "
+                        "pruned point/range reads; no extra shuffle)")
     p.add_argument(
         "--advance-state", nargs=2, metavar=("STATE_TABLE", "NEW_STATE_TABLE"),
         help="incremental mode (extension): apply only the window's CDC "
@@ -185,7 +189,10 @@ def _run_corpus_prep(args) -> int:
     if args.corpus_shuffle_seed is not None:
         kept = shuffle_corpus(kept, seed=args.corpus_shuffle_seed)
     manifest = write_corpus_shards(
-        kept, outp, target_shard_mb=args.corpus_target_shard_mb
+        kept,
+        outp,
+        target_shard_mb=args.corpus_target_shard_mb,
+        sort_by=args.corpus_sort_by,
     )
     print(
         f"corpus-prep: {manifest['row_count']} docs -> "

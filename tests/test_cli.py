@@ -218,3 +218,14 @@ def test_cli_corpus_prep_jsonl_requires_schema(tmp_path):
         "--corpus-format", "jsonl",
     ])
     assert rc == 2
+
+
+def test_cli_corpus_prep_sort_by_recorded_in_manifest(spark, tmp_path):
+    inp = _corpus_parquet(spark, tmp_path)
+    outp = str(tmp_path / "shards_sorted")
+    rc = main(["--corpus-prep", inp, outp, "--corpus-min-chars", "50",
+               "--corpus-sort-by", "doc_id"])
+    assert rc == 0
+    from rust_cdc_validator_spark.sources.corpus_io import read_manifest
+
+    assert read_manifest(spark, outp)["sort_by"] == ["doc_id"]
