@@ -485,7 +485,10 @@ def apply_mixture(
 
     ``weights`` is a (source, weight) DataFrame — typically the
     measurement pass's output, broadcast-joined since it is sources-sized
-    — or a plain dict for hand-pinned mixtures. Scale shape: broadcast
+    — or a plain dict for hand-pinned mixtures. The frame must hold ONE
+    row per source (a duplicate source would silently fan out its docs
+    through the join — measurement passes produce grouped output, which
+    is unique by construction). Scale shape: broadcast
     join + map-side explode; no shuffle, no driver state. Output row
     count fans out by ~``Σ w_s·n_s / Σ n_s``.
     """
@@ -529,7 +532,9 @@ def shuffle_corpus(
     cluster sizes, and input partitionings, unlike ``orderBy(rand())``
     (which reshuffles on every stage retry — silent corruption of a
     training run's data order). A new ``seed`` per epoch gives a fresh
-    permutation without rewriting the corpus.
+    permutation without rewriting the corpus. ``id_col`` must be unique:
+    duplicate ids share a sort key, making their relative order (and so
+    ``shard_pos``) partition-dependent.
 
     The sort key is ``md5(seed || ':' || id)`` (engine-portable, so the
     assignment is oracle-checkable); the shard is the key's leading hex

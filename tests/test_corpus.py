@@ -994,3 +994,26 @@ def test_leakage_safe_split_deterministic_and_validated(spark):
         leakage_safe_split(df, {"train": 0.5, "test": 0.4})  # sums to 0.9
     with pytest.raises(ValueError):
         leakage_safe_split(df, {"train": 1.0})  # single split
+
+
+def test_lm_perplexity_broadcast_joins_and_jvm_only(spark):
+    from rust_cdc_validator_spark.operators.corpus import lm_perplexity
+
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = (
+        lm_perplexity(target, score)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # model relations broadcast; scoring never sort-merge-joins or drops
+    # into a Python stage
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan and "Python" not in plan
