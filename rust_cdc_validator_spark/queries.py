@@ -3321,6 +3321,63 @@ FROM documents
 """
 
 
+def orders_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift monitoring (operators/drift.py:drift_report): the
+    ≤1996 orders slice as the "before" version vs the full table — one
+    aggregation pass per side, columns×metrics output, per-metric drifted
+    verdicts at the 1% default tolerance (every rel_delta in this data
+    sits far from the boundary; values rounded for the cross-engine
+    float accumulation)."""
+    from rust_cdc_validator_spark.operators.drift import drift_report
+
+    orders = _t(spark, sf_dir, "orders")
+    before = orders.filter(F.year("o_orderdate") <= 1996)
+    rep = drift_report(before, orders, columns=["o_custkey", "o_totalprice"])
+    return rep.select(
+        "column",
+        "metric",
+        F.round("value_before", 4).alias("value_before_r"),
+        F.round("value_after", 4).alias("value_after_r"),
+        F.round("rel_delta", 6).alias("rel_delta_r"),
+        "drifted",
+    )
+
+
+def _drift_side_sql(rel: str) -> str:
+    cols = ["o_custkey", "o_totalprice"]
+    parts = [
+        f"SELECT '__table__' AS \"column\", 'row_count' AS metric,"
+        f" CAST(COUNT(*) AS DOUBLE) AS v FROM {rel}"
+    ]
+    for c in cols:
+        parts += [
+            f"SELECT '{c}', 'null_count',"
+            f" CAST(COUNT(*) - COUNT({c}) AS DOUBLE) FROM {rel}",
+            f"SELECT '{c}', 'mean', AVG(CAST({c} AS DOUBLE)) FROM {rel}",
+            f"SELECT '{c}', 'std', stddev_samp(CAST({c} AS DOUBLE)) FROM {rel}",
+            f"SELECT '{c}', 'min', CAST(MIN({c}) AS DOUBLE) FROM {rel}",
+            f"SELECT '{c}', 'max', CAST(MAX({c}) AS DOUBLE) FROM {rel}",
+        ]
+    return "\n  UNION ALL ".join(parts)
+
+
+ORDERS_DRIFT_SQL = f"""
+WITH b AS (
+  SELECT * FROM orders WHERE year(o_orderdate) <= 1996
+), mb AS (
+  {_drift_side_sql('b')}
+), ma AS (
+  {_drift_side_sql('orders')}
+)
+SELECT mb."column", mb.metric,
+       ROUND(mb.v, 4) AS value_before_r,
+       ROUND(ma.v, 4) AS value_after_r,
+       ROUND(ABS(ma.v - mb.v) / GREATEST(ABS(mb.v), 1e-12), 6) AS rel_delta_r,
+       (ABS(ma.v - mb.v) / GREATEST(ABS(mb.v), 1e-12)) > 0.01 AS drifted
+FROM mb JOIN ma USING ("column", metric)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3422,6 +3479,7 @@ QUERIES: dict[str, QueryFn] = {
     "lm_perplexity_docs": lm_perplexity_docs,
     "leakage_safe_splits_docs": leakage_safe_splits_docs,
     "corpus_health_report": corpus_health_report,
+    "orders_drift_report": orders_drift_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -3504,6 +3562,7 @@ ORACLES: dict[str, str] = {
     "lm_perplexity_docs": LM_PERPLEXITY_SQL,
     "leakage_safe_splits_docs": LEAKAGE_SAFE_SPLITS_SQL,
     "corpus_health_report": CORPUS_HEALTH_SQL,
+    "orders_drift_report": ORDERS_DRIFT_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe:

@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rust_cdc_validator_spark.operators.drift import drift_report
+
+
+def _frames(spark):
+    before = spark.createDataFrame(
+        [(i, float(i), "x" if i % 2 else None) for i in range(100)],
+        "id long, v double, s string",
+    )
+    after = spark.createDataFrame(
+        [(i, float(i) * 2, None) for i in range(100)],  # v scale doubles; s all null
+        "id long, v double, s string",
+    )
+    return before, after
+
+
+def test_drift_report_flags_moved_metrics_only(spark):
+    before, after = _frames(spark)
+    rows = {
+        (r["column"], r["metric"]): r
+        for r in drift_report(before, after).collect()
+    }
+    assert rows[("__table__", "row_count")]["drifted"] is False
+    assert rows[("id", "mean")]["drifted"] is False        # unchanged column
+    assert rows[("v", "mean")]["drifted"] is True          # doubled
+    assert abs(rows[("v", "mean")]["rel_delta"] - 1.0) < 1e-9
+    assert rows[("s", "null_count")]["drifted"] is True    # 50 -> 100 nulls
+    assert rows[("v", "max")]["value_after"] == 198.0
+
+
+def test_drift_report_schema_drift_and_single_pass(spark):
+    before, after = _frames(spark)
+    after2 = after.drop("s").withColumn("extra", F.lit(1))
+    rows = {
+        (r["column"], r["metric"]): r
+        for r in drift_report(before, after2).collect()
+    }
+    # column only in BEFORE: flagged, after side null
+    assert rows[("s", "null_count")]["value_after"] is None
+    assert rows[("s", "null_count")]["drifted"] is True
+    # column only in AFTER: flagged
+    assert rows[("extra", "mean")]["value_before"] is None
+    assert rows[("extra", "mean")]["drifted"] is True
+    # each side is ONE aggregate: exactly two HashAggregate pairs feed the join
+    plan = (
+        drift_report(before, after)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+
+
+def test_drift_report_null_std_single_row_not_flagged(spark):
+    a = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    rows = {
+        (r["column"], r["metric"]): r for r in drift_report(a, a).collect()
+    }
+    assert rows[("v", "std")]["value_before"] is None
+    assert rows[("v", "std")]["drifted"] is False  # null==null: no drift
