@@ -321,6 +321,28 @@ class CdcValidator:
                 results[t] = fut.result()
         return results
 
+    def drift_between_states(
+        self,
+        state_table_before: str,
+        state_table_after: str,
+        columns: list[str] | None = None,
+        rel_tolerance: float = 0.01,
+    ) -> DataFrame:
+        """Distribution drift between two state-table versions
+        (``operators/drift.py:drift_report``) — the monitoring step a
+        standing ``advance_state`` chain runs after each merge: the
+        equality diff answers "did replay reproduce the source"; this
+        answers "how did the table MOVE this window" (null creep, scale
+        shifts, cardinality collapse). Two bucketed-state scans, one
+        KB-sized compare; no PK needed."""
+        from rust_cdc_validator_spark.operators.drift import drift_report
+
+        before = self.spark.table(state_table_before)
+        after = self.spark.table(state_table_after)
+        return drift_report(
+            before, after, columns=columns, rel_tolerance=rel_tolerance
+        )
+
     def run(
         self,
         payload: CdcPayload,

@@ -209,3 +209,27 @@ def test_advance_states_fans_out_all_tables(spark, tmp_path):
         for n in names.values():
             for x in n:
                 spark.sql(f"DROP TABLE IF EXISTS {x}")
+
+
+def test_drift_between_states_flags_moved_column(spark, tmp_path, tables):
+    from rust_cdc_validator_spark.api import CdcValidator
+    from rust_cdc_validator_spark.sources.catalog import StaticCatalog
+
+    a = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(i, float(i) * 3) for i in range(50)], "id long, score double"
+    )
+    save_state_bucketed(a, tables[0], ["id"], n_buckets=4)
+    save_state_bucketed(b, tables[1], ["id"], n_buckets=4)
+    v = CdcValidator(
+        spark, StaticCatalog({"public": {"items": ({"id": "bigint"}, ["id"])}})
+    )
+    rows = {
+        (r["column"], r["metric"]): r
+        for r in v.drift_between_states(tables[0], tables[1]).collect()
+    }
+    assert rows[("score", "mean")]["drifted"] is True
+    assert rows[("id", "mean")]["drifted"] is False
+    assert rows[("__table__", "row_count")]["drifted"] is False
