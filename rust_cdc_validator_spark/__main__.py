@@ -100,6 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "writing (tightens parquet row-group min/max for "
                         "pruned point/range reads; no extra shuffle)")
     p.add_argument(
+        "--drift-states", nargs=2, metavar=("STATE_A", "STATE_B"),
+        help="extension: distribution-drift report between two state-table "
+             "versions (exit 1 when any metric drifts past 1%%)",
+    )
+    p.add_argument(
         "--advance-state", nargs=2, metavar=("STATE_TABLE", "NEW_STATE_TABLE"),
         help="incremental mode (extension): apply only the window's CDC "
              "files to the bucketed STATE_TABLE, writing NEW_STATE_TABLE "
@@ -207,6 +212,23 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
     if args.corpus_prep:
         return _run_corpus_prep(args)
+    if args.drift_states:
+        from rust_cdc_validator_spark.operators.drift import drift_report
+
+        spark = get_spark("cdc-validator-cli")
+        a, b = args.drift_states
+        rep = drift_report(spark.table(a), spark.table(b)).orderBy(
+            "column", "metric"
+        )
+        drifted = 0
+        for r in rep.collect():
+            mark = "DRIFT" if r["drifted"] else "ok   "
+            drifted += bool(r["drifted"])
+            print(
+                f"{mark} {r['column']}.{r['metric']}: "
+                f"{r['value_before']} -> {r['value_after']}"
+            )
+        return 1 if drifted else 0
     if args.interactive:
         _prompt_missing(args)
     required = [

@@ -3565,8 +3565,9 @@ ORACLES: dict[str, str] = {
     "orders_drift_report": ORDERS_DRIFT_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
-    # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe:
-    # hash/quantizer-based, not
+    # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /
+    # contamination_bloom_docs (Bloom membership) / mmr_rerank_docs
+    # (iterative greedy): hash/quantizer/iterative-based, not
     # SQL-expressible → rows-only by design (golden-pinned in
     # tests/goldens/).
 }

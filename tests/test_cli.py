@@ -229,3 +229,25 @@ def test_cli_corpus_prep_sort_by_recorded_in_manifest(spark, tmp_path):
     from rust_cdc_validator_spark.sources.corpus_io import read_manifest
 
     assert read_manifest(spark, outp)["sort_by"] == ["doc_id"]
+
+
+def test_cli_drift_states_exit_codes(spark, tmp_path):
+    import uuid
+
+    from rust_cdc_validator_spark.operators.state import save_state_bucketed
+
+    a = f"cli_drift_{uuid.uuid4().hex[:8]}_a"
+    b = f"cli_drift_{uuid.uuid4().hex[:8]}_b"
+    try:
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(40)], "id long, v double"
+        )
+        save_state_bucketed(df, a, ["id"], n_buckets=2)
+        save_state_bucketed(
+            df.selectExpr("id", "v * 5 as v"), b, ["id"], n_buckets=2
+        )
+        assert main(["--drift-states", a, a]) == 0   # identical: clean exit
+        assert main(["--drift-states", a, b]) == 1   # moved column: flagged
+    finally:
+        for t in (a, b):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
