@@ -290,6 +290,61 @@ def contamination_check_bloom(
     return scans.filter(F.col("n_flagged_shingles") >= min_hits)
 
 
+def source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Pairwise content overlap between corpus sources — the forensics
+    pass that answers "which of my sources are mirrors of each other"
+    before mixture weights are trusted (a mirrored pair double-counts its
+    tokens). One row per unordered source pair:
+    ``(source_a, source_b, shared_shingles, jaccard)`` over each source's
+    DISTINCT ``shingle_n``-gram set.
+
+    Scale shape: shingles hash to 8 bytes map-side (the
+    :func:`contamination_check` reduction); the distinct (source, hash)
+    relation shuffles once on the hash for the self-join, whose output is
+    bounded by shingles shared ≥ 2 sources — sub-quadratic, no doc text
+    moves. Source sizes and the final matrix are sources²-sized —
+    broadcast. Hot shingles appearing in ALL sources cost |sources|² rows
+    each, bounded by the matrix size itself."""
+    sh = (
+        df.select(
+            F.col(source_col).alias("_src"),
+            F.explode(
+                _hashed_shingle_array(df, text_col, shingle_n)
+            ).alias("_h"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
+    left = sh.select(F.col("_src").alias("source_a"), "_h")
+    right = sh.select(F.col("_src").alias("source_b"), "_h")
+    shared = (
+        left.join(right, "_h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    sa = sizes.select(F.col("_src").alias("source_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_src").alias("source_b"), F.col("_n").alias("_nb"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            (
+                F.col("shared_shingles")
+                / (F.col("_na") + F.col("_nb") - F.col("shared_shingles"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,

@@ -3378,6 +3378,53 @@ FROM mb JOIN ma USING ("column", metric)
 """
 
 
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source content overlap
+    (operators/corpus.py:source_overlap): shared distinct 8-gram count +
+    Jaccard per source pair — mirror detection before trusting mixture
+    weights. Jaccard rounded to 6 (exact integer division either way,
+    rounding only normalizes the repr)."""
+    from rust_cdc_validator_spark.operators.corpus import source_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    out = source_overlap(docs, shingle_n=8)
+    return out.select(
+        "source_a",
+        "source_b",
+        "shared_shingles",
+        F.round("jaccard", 6).alias("jaccard_r"),
+    )
+
+
+SOURCE_OVERLAP_SQL = """
+WITH sh AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - 6),
+             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')
+         ))) AS g
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 8
+  UNION
+  -- word_shingles' short-doc fallback: the whole text as one shingle
+  SELECT DISTINCT source, text AS g FROM documents
+  WHERE len(string_split(text, ' ')) < 8
+), sizes AS (
+  SELECT source, COUNT(*) AS n FROM sh GROUP BY source
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared_shingles
+  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s.source_a, s.source_b, CAST(s.shared_shingles AS BIGINT) AS shared_shingles,
+       ROUND(CAST(s.shared_shingles AS DOUBLE)
+             / (na.n + nb.n - s.shared_shingles), 6) AS jaccard_r
+FROM shared s
+JOIN sizes na ON s.source_a = na.source
+JOIN sizes nb ON s.source_b = nb.source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3480,6 +3527,7 @@ QUERIES: dict[str, QueryFn] = {
     "leakage_safe_splits_docs": leakage_safe_splits_docs,
     "corpus_health_report": corpus_health_report,
     "orders_drift_report": orders_drift_report,
+    "source_overlap_matrix": source_overlap_matrix,
 }
 
 ORACLES: dict[str, str] = {
@@ -3563,6 +3611,7 @@ ORACLES: dict[str, str] = {
     "leakage_safe_splits_docs": LEAKAGE_SAFE_SPLITS_SQL,
     "corpus_health_report": CORPUS_HEALTH_SQL,
     "orders_drift_report": ORDERS_DRIFT_SQL,
+    "source_overlap_matrix": SOURCE_OVERLAP_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /

@@ -1017,3 +1017,23 @@ def test_lm_perplexity_broadcast_joins_and_jvm_only(spark):
     # into a Python stage
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan and "Python" not in plan
+
+
+def test_source_overlap_detects_mirrored_sources(spark):
+    from rust_cdc_validator_spark.operators.corpus import source_overlap
+
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (1, "srcA", base),
+        (2, "srcB", base),                      # full mirror of srcA
+        (3, "srcC", "totally different words with no overlap whatsoever "
+                    "in any of the shingles present here today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap(docs, shingle_n=8).collect()
+    }
+    ab = out[("srcA", "srcB")]
+    assert ab["jaccard"] == 1.0 and ab["shared_shingles"] == 5  # 12-7 shingles
+    assert ("srcA", "srcC") not in out  # zero overlap pairs absent
