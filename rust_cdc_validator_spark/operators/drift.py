@@ -123,3 +123,67 @@ def drift_report(
         .otherwise(F.lit(True))
         .alias("drifted"),
     )
+
+
+def psi_drift(
+    before: DataFrame,
+    after: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index for one numeric column — the standard
+    ML-monitoring histogram-drift metric (rule of thumb: < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 investigate). Fixed-width bins over
+    the BEFORE side's [min, max] (after-side outliers clamp into the edge
+    bins, which is where they should count); one row per bin with both
+    shares and the bin's PSI contribution ``(p_a − p_b)·ln(p_a / p_b)``,
+    shares floored at ``epsilon`` so empty bins contribute finitely.
+    ``SUM(psi_contrib)`` is the headline number.
+
+    Scale shape: one min/max aggregate on before (two doubles to the
+    driver), then ONE map-side bucket + count pass per side — shuffle is
+    ``bins`` rows each; the compare joins bins-sized relations. Null
+    values are excluded from both histograms (nulls are `drift_report`'s
+    null_count metric, not a bin)."""
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    lo, hi = before.agg(
+        F.min(F.col(value_col).cast("double")),
+        F.max(F.col(value_col).cast("double")),
+    ).collect()[0]
+    if lo is None or hi is None:
+        raise ValueError(f"{value_col} has no non-null values on the before side")
+    width = (hi - lo) / bins if hi > lo else 1.0
+
+    def hist(df: DataFrame, name: str) -> DataFrame:
+        x = F.col(value_col).cast("double")
+        b = F.least(
+            F.greatest(F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(0)),
+            F.lit(bins - 1),
+        ).cast("int")
+        counts = (
+            df.filter(x.isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        total = counts.agg(F.sum("_n").alias("_t"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "bin", (F.col("_n") / F.col("_t")).alias(name)
+        )
+
+    grid = before.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
+    hb = hist(before, "share_before")
+    ha = hist(after, "share_after")
+    joined = (
+        grid.join(hb, "bin", "left").join(ha, "bin", "left").fillna(0.0)
+    )
+    pb = F.greatest(F.col("share_before"), F.lit(epsilon))
+    pa = F.greatest(F.col("share_after"), F.lit(epsilon))
+    return joined.select(
+        "bin",
+        (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+        "share_before",
+        "share_after",
+        ((pa - pb) * F.log(pa / pb)).alias("psi_contrib"),
+    )

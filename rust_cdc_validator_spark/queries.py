@@ -3425,6 +3425,62 @@ JOIN sizes nb ON s.source_b = nb.source
 """
 
 
+def orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI histogram drift (operators/drift.py:psi_drift) on o_totalprice
+    between the ≤1996 slice and the full table — the ML-monitoring
+    companion to orders_drift_report's moment metrics. Shares and
+    contributions rounded (cross-engine count-ratio division is exact;
+    ln is libm-ulp)."""
+    from rust_cdc_validator_spark.operators.drift import psi_drift
+
+    orders = _t(spark, sf_dir, "orders")
+    before = orders.filter(F.year("o_orderdate") <= 1996)
+    out = psi_drift(before, orders, "o_totalprice", bins=10)
+    return out.select(
+        "bin",
+        F.round("bin_lo", 4).alias("bin_lo_r"),
+        F.round("share_before", 6).alias("share_before_r"),
+        F.round("share_after", 6).alias("share_after_r"),
+        F.round("psi_contrib", 8).alias("psi_contrib_r"),
+    )
+
+
+ORDERS_PSI_SQL = """
+WITH b AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+  WHERE year(o_orderdate) <= 1996 AND o_totalprice IS NOT NULL
+), a AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+  WHERE o_totalprice IS NOT NULL
+), bounds AS (
+  SELECT MIN(x) AS lo, (MAX(x) - MIN(x)) / 10 AS width FROM b
+), hb AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR((x - lo) / width), 0), 9) AS INT) AS bin,
+         COUNT(*) AS n
+  FROM b, bounds GROUP BY bin
+), ha AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR((x - lo) / width), 0), 9) AS INT) AS bin,
+         COUNT(*) AS n
+  FROM a, bounds GROUP BY bin
+), tb AS (SELECT SUM(n) AS t FROM hb),
+   ta AS (SELECT SUM(n) AS t FROM ha),
+   grid AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin)
+SELECT g.bin,
+       ROUND(bounds.lo + g.bin * bounds.width, 4) AS bin_lo_r,
+       ROUND(COALESCE(CAST(hb.n AS DOUBLE) / tb.t, 0.0), 6) AS share_before_r,
+       ROUND(COALESCE(CAST(ha.n AS DOUBLE) / ta.t, 0.0), 6) AS share_after_r,
+       ROUND((GREATEST(COALESCE(CAST(ha.n AS DOUBLE) / ta.t, 0.0), 1e-6)
+            - GREATEST(COALESCE(CAST(hb.n AS DOUBLE) / tb.t, 0.0), 1e-6))
+           * ln(GREATEST(COALESCE(CAST(ha.n AS DOUBLE) / ta.t, 0.0), 1e-6)
+              / GREATEST(COALESCE(CAST(hb.n AS DOUBLE) / tb.t, 0.0), 1e-6)),
+             8) AS psi_contrib_r
+FROM grid g
+CROSS JOIN bounds CROSS JOIN tb CROSS JOIN ta
+LEFT JOIN hb ON g.bin = hb.bin
+LEFT JOIN ha ON g.bin = ha.bin
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3528,6 +3584,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_health_report": corpus_health_report,
     "orders_drift_report": orders_drift_report,
     "source_overlap_matrix": source_overlap_matrix,
+    "orders_psi_drift": orders_psi_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -3612,6 +3669,7 @@ ORACLES: dict[str, str] = {
     "corpus_health_report": CORPUS_HEALTH_SQL,
     "orders_drift_report": ORDERS_DRIFT_SQL,
     "source_overlap_matrix": SOURCE_OVERLAP_SQL,
+    "orders_psi_drift": ORDERS_PSI_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /

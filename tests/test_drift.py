@@ -61,3 +61,45 @@ def test_drift_report_null_std_single_row_not_flagged(spark):
     }
     assert rows[("v", "std")]["value_before"] is None
     assert rows[("v", "std")]["drifted"] is False  # null==null: no drift
+
+
+def test_psi_drift_identical_distributions_near_zero(spark):
+    from rust_cdc_validator_spark.operators.drift import psi_drift
+
+    df = spark.createDataFrame(
+        [(i, float(i % 50)) for i in range(500)], "id long, v double"
+    )
+    rows = psi_drift(df, df, "v", bins=10).collect()
+    assert len(rows) == 10
+    assert abs(sum(r["psi_contrib"] for r in rows)) < 1e-12
+
+
+def test_psi_drift_shift_flags_and_clamps_outliers(spark):
+    from pyspark.sql import functions as F
+    from rust_cdc_validator_spark.operators.drift import psi_drift
+
+    before = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(1000)], "id long, v double"
+    )
+    after = before.withColumn("v", F.col("v") + 200.0)  # fully out of range
+    rows = psi_drift(before, after, "v", bins=10).collect()
+    total = sum(r["psi_contrib"] for r in rows)
+    assert total > 0.25  # "investigate" territory
+    top = max(rows, key=lambda r: r["bin"])
+    assert top["share_after"] == 1.0  # outliers clamp into the edge bin
+
+
+def test_psi_drift_validation_and_null_exclusion(spark):
+    import pytest
+    from rust_cdc_validator_spark.operators.drift import psi_drift
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 2.0)], "id long, v double"
+    )
+    rows = psi_drift(df, df, "v", bins=2).collect()
+    assert abs(sum(r["share_before"] for r in rows) - 1.0) < 1e-12  # nulls out
+    with pytest.raises(ValueError):
+        psi_drift(df, df, "v", bins=1)
+    empty = df.filter("v IS NULL")
+    with pytest.raises(ValueError):
+        psi_drift(empty, df, "v")
