@@ -3481,6 +3481,78 @@ LEFT JOIN ha ON g.bin = ha.bin
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel: users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that first qualifying click —
+    strict event-time ordering, not mere co-occurrence. Three per-user
+    aggregates (each a keyed shuffle with map-side partials) chained by
+    conditional-min joins; final counts are one row."""
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias("v_ts")
+    )
+    c = (
+        ev.join(v, "user_id")
+        .groupBy("user_id", "v_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_us") > F.col("v_ts")),
+                    F.col("ts_us"),
+                )
+            ).alias("c_ts")
+        )
+    )
+    p = (
+        ev.join(c, "user_id")
+        .groupBy("user_id", "v_ts", "c_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") > F.col("c_ts")),
+                    F.col("ts_us"),
+                )
+            ).alias("p_ts")
+        )
+    )
+    return p.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("v_ts").isNotNull().cast("long")).alias("n_viewed"),
+        F.sum(F.col("c_ts").isNotNull().cast("long")).alias("n_clicked_after"),
+        F.sum(F.col("p_ts").isNotNull().cast("long")).alias("n_purchased_after"),
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), v AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS v_ts
+  FROM ev GROUP BY user_id
+), c AS (
+  SELECT ev.user_id, v.v_ts,
+         MIN(CASE WHEN ev.event_type = 'click' AND ev.ts_us > v.v_ts
+                  THEN ev.ts_us END) AS c_ts
+  FROM ev JOIN v ON ev.user_id = v.user_id
+  GROUP BY ev.user_id, v.v_ts
+), p AS (
+  SELECT ev.user_id, c.v_ts, c.c_ts,
+         MIN(CASE WHEN ev.event_type = 'purchase' AND ev.ts_us > c.c_ts
+                  THEN ev.ts_us END) AS p_ts
+  FROM ev JOIN c ON ev.user_id = c.user_id
+  GROUP BY ev.user_id, c.v_ts, c.c_ts
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+       CAST(SUM(CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after,
+       CAST(SUM(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after
+FROM p
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3585,6 +3657,7 @@ QUERIES: dict[str, QueryFn] = {
     "orders_drift_report": orders_drift_report,
     "source_overlap_matrix": source_overlap_matrix,
     "orders_psi_drift": orders_psi_drift,
+    "events_funnel": events_funnel,
 }
 
 ORACLES: dict[str, str] = {
@@ -3670,6 +3743,7 @@ ORACLES: dict[str, str] = {
     "orders_drift_report": ORDERS_DRIFT_SQL,
     "source_overlap_matrix": SOURCE_OVERLAP_SQL,
     "orders_psi_drift": ORDERS_PSI_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /
