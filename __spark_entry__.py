@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Coverage note (VERDICT r4 #8): this returns the FULL catalog (94
+    Coverage note (VERDICT r4 #8): this returns the FULL catalog (100
     queries). The driver's CORRECTNESS_r{N}.json has enumerated a fixed
     50-query subset since round 2 — that set is the driver's, not ours to
     configure from here. The queries the snapshot doesn't reach are gated

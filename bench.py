@@ -53,17 +53,36 @@ def _iqr(runs: list[float]) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    start = time.time()
     spark = get_spark("bench")
 
     # warm-up: one untimed pass of EVERY query (JVM JIT, codegen cache,
     # python-UDF worker pool, parquet footers) — see module docstring
+    warm0 = time.time()
     for fn in QUERIES.values():
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         gc.collect()  # release py4j refs so ContextCleaner can drop
         # eager-localCheckpoint RDDs; otherwise blocks from dozens of
         # earlier queries pile up in executor storage and distort timings
+    warm_cost = time.time() - warm0
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # Budget guard (100-query catalog): the harness window that runs this
+    # script is finite, and a killed run loses EVERY median — worse than
+    # fewer reps. The warm-up pass just measured one full-catalog pass, so
+    # fit the rep count to the remaining budget (steady-state passes run
+    # faster than the warm-up, so warm_cost is a safe upper bound). Full
+    # catalog coverage is never sacrificed — only dispersion resolution.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "540"))
+    remaining = budget - (time.time() - start)
+    afford = max(1, int(remaining // max(warm_cost, 1e-9)))
+    if afford < reps:
+        print(
+            f"bench: budget {budget:.0f}s fits {afford} rep(s) of "
+            f"~{warm_cost:.0f}s, not {reps} — reducing",
+            file=sys.stderr,
+        )
+        reps = afford
     runs: dict[str, list[float]] = {name: [] for name in QUERIES}
     for _ in range(reps):  # interleaved: each round times every query once
         for name, fn in QUERIES.items():
