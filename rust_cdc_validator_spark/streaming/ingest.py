@@ -50,12 +50,24 @@ def ingest_jsonl_stream(
     checkpoint: str,
     corrupt_col: str = CORRUPT_COL,
     available_now: bool = True,
+    curate=None,
 ) -> None:
     """Run the ingest: parsed rows → parquet at ``dest_path``, malformed
     lines → text at ``quarantine_path``; one checkpoint governs both (a
     single stream with a foreachBatch fan-out, so a file is either fully
     ingested — both splits — or replayed whole after a crash; two
     independent streams would let the splits drift on restart).
+
+    ``curate``: optional ``DataFrame -> DataFrame`` applied to each
+    micro-batch's PARSED split before it lands — the ingest-time curation
+    gate (quality filter, blocklist, Bloom decontamination against a
+    broadcast benchmark filter: everything map-side composes here without
+    a second pass over the landed corpus). It must return a frame still
+    carrying the schema columns; rows it drops are simply not landed
+    (quarantine is for MALFORMED lines only and is unaffected). The hook
+    runs inside the checkpointed epoch, so crash-replay re-curates the
+    same file identically — keep it deterministic (every operator in this
+    repo's curation layer is).
 
     ``available_now=True`` (default) drains the current backlog and stops —
     the cron-friendly mode; pass False for a continuous tail (caller then
@@ -68,9 +80,10 @@ def ingest_jsonl_stream(
         bad_mask = F.col(corrupt_col).isNotNull()
         batch.persist()
         try:
-            batch.filter(~bad_mask).select(*good_cols).write.mode(
-                "append"
-            ).parquet(dest_path)
+            parsed = batch.filter(~bad_mask).select(*good_cols)
+            if curate is not None:
+                parsed = curate(parsed).select(*good_cols)
+            parsed.write.mode("append").parquet(dest_path)
             batch.filter(bad_mask).select(
                 F.col(corrupt_col).alias("value")
             ).write.mode("append").text(quarantine_path)

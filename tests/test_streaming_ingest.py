@@ -71,3 +71,47 @@ def test_ingest_good_schema_matches_contract(spark, tmp_path):
     got = spark.read.parquet(dest)
     assert got.columns == ["doc_id", "text"]
     assert dict(got.dtypes) == {"doc_id": "bigint", "text": "string"}
+
+
+def test_ingest_curate_hook_gates_at_landing(spark, tmp_path):
+    """Curation at ingest: a Bloom decontamination gate + min-length filter
+    applied inside the checkpointed epoch — flagged/short docs never land,
+    malformed lines still quarantine."""
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.corpus import (
+        build_benchmark_bloom,
+        contamination_check_bloom,
+    )
+
+    bench = spark.createDataFrame(
+        [(999, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    bloom = build_benchmark_bloom(bench, shingle_n=8, fpp=1e-6)
+
+    def curate(df):
+        flagged = contamination_check_bloom(df, bloom).select("doc_id")
+        return df.join(flagged, "doc_id", "left_anti").filter(
+            F.length("text") >= 20
+        )
+
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "dest")
+    quar = str(tmp_path / "quar")
+    ckpt = str(tmp_path / "ckpt")
+    _drop(
+        src,
+        "a.jsonl",
+        [
+            json.dumps({"doc_id": 1, "text": "clean document with plenty of words here"}),
+            json.dumps({"doc_id": 2, "text": "prefix alpha beta gamma delta epsilon zeta eta theta suffix"}),
+            json.dumps({"doc_id": 3, "text": "short"}),
+            "NOT JSON AT ALL",
+        ],
+    )
+    ingest_jsonl_stream(spark, src, dest, quar, _SCHEMA, ckpt, curate=curate)
+    landed = {r["doc_id"] for r in spark.read.parquet(dest).collect()}
+    assert landed == {1}  # 2 contaminated, 3 too short
+    bad = [r["value"] for r in spark.read.text(quar).collect()]
+    assert bad == ["NOT JSON AT ALL"]
