@@ -148,6 +148,48 @@ def bm25_topk(
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
 
 
+def recall_report(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """Recall@k of an approximate retriever against an exact one — the
+    index-quality monitor every standing ANN deployment needs (recall
+    drifts as the corpus grows away from the fitted quantizer/planes; this
+    is the number that says when to refit). Both inputs are ranked result
+    frames ``(query_col, neighbor_col, rank_col)`` — any retriever pair
+    composes: brute-force vs LSH, LSH vs IVF-PQ, old index vs new.
+
+    Returns one row per query: ``(query_col, n_exact, n_hit, recall)``.
+    Queries with NO exact neighbors are absent (recall undefined).
+    Aggregate ``avg(recall)`` for the headline number.
+
+    Scale: inputs are top-k lists (queries × k rows), so the semi-join and
+    counts here are micro-scale regardless of corpus size — the corpus
+    work happened in the retrievers."""
+    e = exact.filter(F.col(rank_col) <= k).select(query_col, neighbor_col)
+    a = approx.filter(F.col(rank_col) <= k).select(query_col, neighbor_col)
+    totals = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        e.join(a, [query_col, neighbor_col], "left_semi")
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        totals.join(hits, query_col, "left")
+        .fillna(0, subset=["n_hit"])
+        .select(
+            query_col,
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
 def mmr_rerank(
     candidates: DataFrame,
     query_col: str = "query_id",

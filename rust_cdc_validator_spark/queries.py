@@ -3553,6 +3553,29 @@ FROM p
 """
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH ANN path against exact brute force
+    (operators/retrieval.py:recall_report) for 64 query vectors — the
+    standing index-quality monitor. ANN is hash-based → rows-only with a
+    golden."""
+    from rust_cdc_validator_spark.operators.retrieval import recall_report
+    from rust_cdc_validator_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucket_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 64)
+    exact = brute_force_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=10
+    )
+    approx = lsh_bucket_topk(
+        emb, queries, dim=64, id_col="vec_id", vec_col="embedding",
+        k=10, num_planes=6, num_tables=8,
+    )
+    return recall_report(exact, approx, k=10).orderBy("query_id")
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3658,6 +3681,7 @@ QUERIES: dict[str, QueryFn] = {
     "source_overlap_matrix": source_overlap_matrix,
     "orders_psi_drift": orders_psi_drift,
     "events_funnel": events_funnel,
+    "ann_recall_report": ann_recall_report,
 }
 
 ORACLES: dict[str, str] = {

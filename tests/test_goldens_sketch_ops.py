@@ -46,6 +46,7 @@ SKETCH_QUERIES = [
     "lsh_index_probe",
     "contamination_bloom_docs",
     "mmr_rerank_docs",
+    "ann_recall_report",
 ]
 
 

@@ -196,3 +196,36 @@ def test_mmr_partition_invariant_k_cap_and_validation(spark):
     assert max(r["mmr_rank"] for r in mmr_rerank(two_q, k=2).collect()) <= 2
     with pytest.raises(ValueError):
         mmr_rerank(cands, lam=1.5)
+
+
+def test_recall_report_counts_hits_per_query(spark):
+    from rust_cdc_validator_spark.operators.retrieval import recall_report
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 99, 2), (1, 12, 3), (2, 21, 1)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    out = {r["query_id"]: r for r in recall_report(exact, approx, k=3).collect()}
+    assert out[1]["n_exact"] == 3 and out[1]["n_hit"] == 2
+    assert abs(out[1]["recall"] - 2 / 3) < 1e-12
+    assert out[2]["n_hit"] == 0 and out[2]["recall"] == 0.0
+
+
+def test_recall_report_respects_k_cutoff(spark):
+    from rust_cdc_validator_spark.operators.retrieval import recall_report
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, neighbor_id long, rank long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 11, 5)], "query_id long, neighbor_id long, rank long"
+    )
+    # approx found 11 but only at rank 5; at k=1 it does not count
+    (row,) = recall_report(exact, approx, k=1).collect()
+    assert row["n_exact"] == 1 and row["n_hit"] == 0
+    (row3,) = recall_report(exact, approx, k=5).collect()
+    assert row3["n_hit"] == 1
