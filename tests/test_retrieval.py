@@ -229,3 +229,31 @@ def test_recall_report_respects_k_cutoff(spark):
     assert row["n_exact"] == 1 and row["n_hit"] == 0
     (row3,) = recall_report(exact, approx, k=5).collect()
     assert row3["n_hit"] == 1
+
+
+def test_recall_report_shows_multiprobe_lift(spark):
+    """Compose the monitor with the index knobs it exists to tune:
+    multi-probe LSH must dominate single-probe recall on the same corpus
+    (strictly more buckets probed, same index)."""
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.retrieval import recall_report
+    from rust_cdc_validator_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucket_topk,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    )
+    queries = emb.filter(F.col("vec_id") < 32)
+    exact = brute_force_topk(emb, queries, k=5)
+    common = dict(dim=64, k=5, num_planes=8, num_tables=4)
+    plain = lsh_bucket_topk(emb, queries, **common)
+    multi = lsh_bucket_topk(emb, queries, n_probe_flips=2, **common)
+    mean = lambda res: (
+        recall_report(exact, res, k=5).agg(F.avg("recall")).collect()[0][0]
+    )
+    r_plain, r_multi = mean(plain), mean(multi)
+    assert r_multi >= r_plain  # never worse: superset of probed buckets
+    assert r_multi > 0.0
