@@ -143,6 +143,53 @@ def contamination_check(
     )
 
 
+def contamination_ratio(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+    min_ratio: float = 0.5,
+) -> DataFrame:
+    """Ratio-based (fuzzy) decontamination: flag training docs whose
+    distinct ``shingle_n``-gram set overlaps the benchmark's by at least
+    ``min_ratio`` — the published any-hit rule's stricter sibling (the
+    GPT-3/PaLM style "high n-gram overlap" criterion: a doc QUOTING one
+    benchmark line is different from a doc that largely IS benchmark
+    content). Returns ``(id_col, n_shingles, n_hit, overlap_ratio)`` for
+    docs at or above the threshold.
+
+    Same scale shape as :func:`contamination_check`: 8-byte hashed
+    shingles, per-doc totals computed map-side inside the same projection,
+    benchmark side broadcast by Catalyst when small. ``min_ratio=0``
+    returns every doc with ≥1 hit, with its ratio — the observability
+    form."""
+    if not 0.0 <= min_ratio <= 1.0:
+        raise ValueError("min_ratio must be in [0, 1]")
+    arr = _hashed_shingle_array(train, text_col, shingle_n)
+    tr = ensure_parallelism(train).select(
+        F.col(id_col).alias("_id"), arr.alias("_arr")
+    ).select("_id", F.size("_arr").alias("n_shingles"), F.explode("_arr").alias("_s"))
+    b_sh = (
+        benchmark.select(
+            F.explode(
+                _hashed_shingle_array(benchmark, text_col, shingle_n)
+            ).alias("_s")
+        )
+        .distinct()
+    )
+    hits = tr.join(b_sh, "_s").groupBy("_id", "n_shingles").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    ratio = F.col("n_hit") / F.col("n_shingles")
+    return hits.filter(ratio >= min_ratio).select(
+        F.col("_id").alias(id_col),
+        "n_shingles",
+        "n_hit",
+        ratio.alias("overlap_ratio"),
+    )
+
+
 @dataclass
 class BenchmarkBloom:
     """A broadcastable Bloom filter over a benchmark's hashed shingles:

@@ -3576,6 +3576,48 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_report(exact, approx, k=10).orderBy("query_id")
 
 
+def contamination_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination (operators/corpus.py:contamination_ratio):
+    docs whose distinct-8-gram overlap with the src0 benchmark split is
+    ≥50% — the "largely benchmark content" gate, vs contamination_docs'
+    any-hit rule. Ratio is an exact integer division (hash-portable)."""
+    from rust_cdc_validator_spark.operators.corpus import contamination_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    return contamination_ratio(train, bench, shingle_n=8, min_ratio=0.5)
+
+
+CONTAMINATION_RATIO_SQL = """
+WITH tok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+             range(1, len(t) - 6),
+             i -> array_to_string(list_slice(t, i, i + 7), ' ')))) AS s
+  FROM tok WHERE len(t) >= 8
+  UNION ALL
+  SELECT doc_id, source, array_to_string(t, ' ') AS s
+  FROM tok WHERE len(t) < 8
+), tr AS (
+  SELECT doc_id, s,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_shingles
+  FROM sh WHERE source <> 'src0'
+), b AS (
+  SELECT DISTINCT s FROM sh WHERE source = 'src0'
+)
+SELECT tr.doc_id,
+       CAST(tr.n_shingles AS INT) AS n_shingles,
+       CAST(COUNT(*) AS BIGINT) AS n_hit,
+       CAST(COUNT(*) AS DOUBLE) / tr.n_shingles AS overlap_ratio
+FROM tr JOIN b ON tr.s = b.s
+GROUP BY tr.doc_id, tr.n_shingles
+HAVING CAST(COUNT(*) AS DOUBLE) / tr.n_shingles >= 0.5
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3682,6 +3724,7 @@ QUERIES: dict[str, QueryFn] = {
     "orders_psi_drift": orders_psi_drift,
     "events_funnel": events_funnel,
     "ann_recall_report": ann_recall_report,
+    "contamination_ratio_docs": contamination_ratio_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -3768,6 +3811,7 @@ ORACLES: dict[str, str] = {
     "source_overlap_matrix": SOURCE_OVERLAP_SQL,
     "orders_psi_drift": ORDERS_PSI_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
+    "contamination_ratio_docs": CONTAMINATION_RATIO_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /

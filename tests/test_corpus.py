@@ -1037,3 +1037,35 @@ def test_source_overlap_detects_mirrored_sources(spark):
     ab = out[("srcA", "srcB")]
     assert ab["jaccard"] == 1.0 and ab["shared_shingles"] == 5  # 12-7 shingles
     assert ("srcA", "srcC") not in out  # zero overlap pairs absent
+
+
+def test_contamination_ratio_distinguishes_quote_from_copy(spark):
+    from rust_cdc_validator_spark.operators.corpus import contamination_ratio
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    quote = ("many original words surround a short quote alpha beta gamma "
+             "delta epsilon zeta eta theta and then much more novel text "
+             "follows afterwards for a while longer here")
+    copy = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [(1, quote), (2, copy)], "doc_id long, text string"
+    )
+    strict = {
+        r["doc_id"]: r
+        for r in contamination_ratio(train, bench, min_ratio=0.5).collect()
+    }
+    assert set(strict) == {2}  # the near-copy, not the quoting doc
+    assert strict[2]["overlap_ratio"] == 1.0
+    lax = {
+        r["doc_id"]: r["overlap_ratio"]
+        for r in contamination_ratio(train, bench, min_ratio=0.0).collect()
+    }
+    assert set(lax) == {1, 2} and lax[1] < 0.5
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        contamination_ratio(train, bench, min_ratio=1.5)
