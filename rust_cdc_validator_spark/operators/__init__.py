@@ -10,3 +10,7 @@ from rust_cdc_validator_spark.operators.state import (  # noqa: F401
     merge_into_state_touched,
     save_state_bucketed,
 )
+from rust_cdc_validator_spark.operators.drift import (  # noqa: F401
+    drift_report,
+    psi_drift,
+)
