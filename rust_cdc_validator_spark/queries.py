@@ -3618,6 +3618,30 @@ HAVING CAST(COUNT(*) AS DOUBLE) / tr.n_shingles >= 0.5
 """
 
 
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the near-dup clusters — the dedup-rate
+    observability the other sketch families already have (LSH overflow,
+    SimHash drops, IVF cells): one row per cluster size with cluster and
+    doc counts; `1` is the unduplicated mass, the tail is what dedup will
+    remove. MinHash-derived → rows-only with a golden. The re-aggregation
+    runs on the roots relation (≤ docs rows, 8-byte ids)."""
+    from rust_cdc_validator_spark.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup_clusters(docs, "text", "doc_id", num_hashes=32, num_bands=8)
+    sizes = clusters.groupBy("keeper_id").agg(
+        F.count(F.lit(1)).alias("_sz")
+    )
+    return (
+        sizes.groupBy(F.col("_sz").cast("int").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("_sz").cast("long").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3725,6 +3749,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_funnel": events_funnel,
     "ann_recall_report": ann_recall_report,
     "contamination_ratio_docs": contamination_ratio_docs,
+    "dedup_cluster_histogram": dedup_cluster_histogram,
 }
 
 ORACLES: dict[str, str] = {

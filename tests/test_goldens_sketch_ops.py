@@ -47,6 +47,7 @@ SKETCH_QUERIES = [
     "contamination_bloom_docs",
     "mmr_rerank_docs",
     "ann_recall_report",
+    "dedup_cluster_histogram",
 ]
 
 
