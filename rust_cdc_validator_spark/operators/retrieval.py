@@ -190,6 +190,50 @@ def recall_report(
     )
 
 
+def ndcg_report(
+    ranked: DataFrame,
+    rel_col: str,
+    query_col: str | None = None,
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """nDCG@k of a ranked list with graded relevance — recall@k's graded
+    companion (:func:`recall_report`): did the retriever put the MOST
+    relevant results first, not just somewhere in the top k.
+    ``DCG = Σ_{i≤k} rel_i / log2(i+1)`` over the given ranking;
+    IDCG re-sorts the SAME list by relevance (desc, rank as deterministic
+    tiebreak) — list-level nDCG, the standard offline formulation when the
+    full corpus ideal is unknowable. Returns ``(query_col?, dcg, idcg,
+    ndcg)``; ``ndcg`` is null when the list has no relevant rows.
+
+    Micro-scale like the other monitors: inputs are top-k lists, the
+    windows partition per query (or over the single list)."""
+    keys = [query_col] if query_col else []
+    part = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    top = ranked.filter(F.col(rank_col) <= k)
+    iw = part.orderBy(F.col(rel_col).desc(), F.col(rank_col).asc())
+    gains = top.select(
+        *keys,
+        (
+            F.col(rel_col).cast("double")
+            / F.log2(F.col(rank_col).cast("double") + 1.0)
+        ).alias("_g"),
+        (
+            F.col(rel_col).cast("double")
+            / F.log2(F.row_number().over(iw).cast("double") + 1.0)
+        ).alias("_ig"),
+    )
+    agg = gains.groupBy(*keys).agg(
+        F.sum("_g").alias("dcg"), F.sum("_ig").alias("idcg")
+    )
+    return agg.select(
+        *keys,
+        "dcg",
+        "idcg",
+        F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).alias("ndcg"),
+    )
+
+
 def mmr_rerank(
     candidates: DataFrame,
     query_col: str = "query_id",

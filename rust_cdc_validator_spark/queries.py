@@ -3642,6 +3642,68 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 (operators/retrieval.py:ndcg_report) of the BM25 top-25
+    with graded relevance = matched-query-term count — the ranking-quality
+    monitor over an oracle-reproducible retriever, so the metric itself is
+    value-checked end-to-end. Rounded to 6 (libm log2 ulp)."""
+    from rust_cdc_validator_spark.operators.retrieval import (
+        bm25_topk,
+        ndcg_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = bm25_topk(docs, ["spark", "join", "filter"], k=25, log_idf=False)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    ranked = bm.withColumn("rank", F.row_number().over(w))
+    out = ndcg_report(ranked, rel_col="n_terms", k=10)
+    return out.select(
+        F.round("dcg", 6).alias("dcg_r"),
+        F.round("idcg", 6).alias("idcg_r"),
+        F.round("ndcg", 6).alias("ndcg_r"),
+    )
+
+
+BM25_NDCG_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(len(arr)) AS avgdl FROM d
+), m AS (
+  SELECT doc_id, len(arr) AS dl, unnest(arr) AS tok FROM d
+), tf AS (
+  SELECT doc_id, dl, tok, COUNT(*) AS tf FROM m
+  WHERE tok IN ('spark', 'join', 'filter')
+  GROUP BY doc_id, dl, tok
+), dfq AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), scored AS (
+  SELECT tf.doc_id,
+         ((n_docs - df + 0.5) / (df + 0.5))
+         * (tf * (1.2 + 1.0))
+         / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS s
+  FROM tf JOIN dfq USING (tok) CROSS JOIN stats
+), bm AS (
+  SELECT doc_id, SUM(s) AS bm25, COUNT(*) AS n_terms
+  FROM scored GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id LIMIT 25
+), ranked AS (
+  SELECT doc_id, n_terms,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+  FROM bm
+), top AS (
+  SELECT n_terms, rnk,
+         ROW_NUMBER() OVER (ORDER BY n_terms DESC, rnk ASC) AS irnk
+  FROM ranked WHERE rnk <= 10
+)
+SELECT ROUND(SUM(n_terms / log2(rnk + 1.0)), 6) AS dcg_r,
+       ROUND(SUM(n_terms / log2(irnk + 1.0)), 6) AS idcg_r,
+       ROUND(SUM(n_terms / log2(rnk + 1.0))
+             / SUM(n_terms / log2(irnk + 1.0)), 6) AS ndcg_r
+FROM top
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3750,6 +3812,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_recall_report": ann_recall_report,
     "contamination_ratio_docs": contamination_ratio_docs,
     "dedup_cluster_histogram": dedup_cluster_histogram,
+    "bm25_ndcg_report": bm25_ndcg_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -3837,6 +3900,7 @@ ORACLES: dict[str, str] = {
     "orders_psi_drift": ORDERS_PSI_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "contamination_ratio_docs": CONTAMINATION_RATIO_SQL,
+    "bm25_ndcg_report": BM25_NDCG_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /

@@ -257,3 +257,37 @@ def test_recall_report_shows_multiprobe_lift(spark):
     r_plain, r_multi = mean(plain), mean(multi)
     assert r_multi >= r_plain  # never worse: superset of probed buckets
     assert r_multi > 0.0
+
+
+def test_ndcg_perfect_and_inverted_rankings(spark):
+    from rust_cdc_validator_spark.operators.retrieval import ndcg_report
+
+    perfect = spark.createDataFrame(
+        [(1, 3.0, 1), (1, 2.0, 2), (1, 1.0, 3)],
+        "query_id long, rel double, rank long",
+    )
+    (row,) = ndcg_report(perfect, "rel", query_col="query_id", k=3).collect()
+    assert abs(row["ndcg"] - 1.0) < 1e-12  # already ideal
+
+    inverted = spark.createDataFrame(
+        [(1, 1.0, 1), (1, 2.0, 2), (1, 3.0, 3)],
+        "query_id long, rel double, rank long",
+    )
+    (row2,) = ndcg_report(inverted, "rel", query_col="query_id", k=3).collect()
+    assert 0 < row2["ndcg"] < 1.0
+
+
+def test_ndcg_zero_relevance_is_null_and_k_cutoff(spark):
+    from rust_cdc_validator_spark.operators.retrieval import ndcg_report
+
+    nothing = spark.createDataFrame(
+        [(1, 0.0, 1), (1, 0.0, 2)], "query_id long, rel double, rank long"
+    )
+    (row,) = ndcg_report(nothing, "rel", query_col="query_id").collect()
+    assert row["ndcg"] is None
+    # relevant doc at rank 5 with k=3: excluded entirely
+    late = spark.createDataFrame(
+        [(1, 0.0, 1), (1, 3.0, 5)], "query_id long, rel double, rank long"
+    )
+    (row2,) = ndcg_report(late, "rel", query_col="query_id", k=3).collect()
+    assert row2["ndcg"] is None  # only the rel-0 row is inside k
