@@ -95,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="append a deterministic (shard, shard_pos) epoch "
                         "order with this seed before writing")
     p.add_argument("--corpus-target-shard-mb", type=int, default=256)
+    p.add_argument("--corpus-splits",
+                   help="comma list 'train=0.8,val=0.1,test=0.1': append a "
+                        "deterministic split column after dedup (post-dedup "
+                        "survivors are cluster keepers, so id-keyed splits "
+                        "are leakage-safe)")
     p.add_argument("--corpus-sort-by", nargs="+",
                    help="sort WITHIN each shard by these columns before "
                         "writing (tightens parquet row-group min/max for "
@@ -191,6 +196,23 @@ def _run_corpus_prep(args) -> int:
     # surviving documents whole -> semi-join the keeper ids (8-byte key)
     keepers = prep(docs, min_chars=args.corpus_min_chars).select("doc_id")
     kept = docs.join(keepers, "doc_id", "left_semi")
+    if args.corpus_splits:
+        from rust_cdc_validator_spark.operators.corpus import (
+            leakage_safe_split,
+        )
+
+        try:
+            ratios = {
+                name.strip(): float(v)
+                for name, v in (
+                    part.split("=") for part in args.corpus_splits.split(",")
+                )
+            }
+        except ValueError:
+            print("--corpus-splits must look like 'train=0.8,val=0.2'",
+                  file=sys.stderr)
+            return 2
+        kept = leakage_safe_split(kept, ratios)
     if args.corpus_shuffle_seed is not None:
         kept = shuffle_corpus(kept, seed=args.corpus_shuffle_seed)
     manifest = write_corpus_shards(

@@ -251,3 +251,17 @@ def test_cli_drift_states_exit_codes(spark, tmp_path):
     finally:
         for t in (a, b):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cli_corpus_prep_splits_column(spark, tmp_path):
+    inp = _corpus_parquet(spark, tmp_path)
+    outp = str(tmp_path / "shards_split")
+    rc = main(["--corpus-prep", inp, outp, "--corpus-min-chars", "50",
+               "--corpus-splits", "train=0.9,val=0.1"])
+    assert rc == 0
+    rows = spark.read.parquet(outp).collect()
+    assert all(r["split"] in ("train", "val") for r in rows)
+
+    rc2 = main(["--corpus-prep", inp, str(tmp_path / "x"),
+                "--corpus-splits", "garbage"])
+    assert rc2 == 2
