@@ -103,3 +103,45 @@ def normalize(a: Column) -> Column:
     return F.when(
         n > 0, F.transform(a, lambda x: x.cast("double") / n)
     ).otherwise(F.transform(a, lambda x: x.cast("double")))
+
+
+def centroid_outliers(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_salts: int = 32,
+) -> DataFrame:
+    """The ``k`` members of each group farthest (lowest cosine) from the
+    group's mean vector — mislabel/outlier triage for labeled embedding
+    sets and the per-cluster quality check after any clustering pass.
+    Returns ``(id_col, group_col, centroid_sim, outlier_rank)`` with rank
+    1 = farthest.
+
+    Scale shape: centroids via :func:`mean_vectors` (map-side partial
+    sums), broadcast back (groups-sized); similarity is a JVM fold per
+    row; the per-group bottom-k reuses ``cap_per_domain``'s salted
+    two-stage EXACT top-k, so a hot group never sorts in a single task.
+    """
+    from rust_cdc_validator_spark.operators.corpus import cap_per_domain
+
+    cents = mean_vectors(df, group_col, vec_col).select(group_col, "centroid")
+    joined = df.join(F.broadcast(cents), group_col)
+    scored = joined.withColumn(
+        "centroid_sim", cosine(F.col(vec_col), F.col("centroid"))
+    ).withColumn("_neg_sim", -F.col("centroid_sim"))
+    capped = cap_per_domain(
+        scored,
+        domain_col=group_col,
+        k=k,
+        order_col="_neg_sim",
+        id_col=id_col,
+        n_salts=n_salts,
+    )
+    return capped.select(
+        id_col,
+        group_col,
+        "centroid_sim",
+        F.col("domain_rank").cast("int").alias("outlier_rank"),
+    )

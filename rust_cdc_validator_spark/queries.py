@@ -3704,6 +3704,54 @@ FROM top
 """
 
 
+def centroid_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mislabel/outlier triage
+    (functions/vectors.py:centroid_outliers): the 5 vectors farthest from
+    their label centroid — salted exact bottom-k, never a one-task
+    per-label sort. Similarity rounded to 6 (cross-engine accumulation)."""
+    from rust_cdc_validator_spark.functions.vectors import centroid_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = centroid_outliers(emb, "label", k=5)
+    return out.select(
+        "vec_id",
+        "label",
+        F.round("centroid_sim", 6).alias("centroid_sim_r"),
+        "outlier_rank",
+    )
+
+
+CENTROID_OUTLIERS_SQL = """
+WITH dims AS (
+  SELECT vec_id, label, embedding,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings
+), vals AS (
+  SELECT vec_id, label, CAST(pos AS INT) AS pos,
+         CAST(embedding[pos] AS DOUBLE) AS v
+  FROM dims
+), cent AS (
+  SELECT label, pos, AVG(v) AS c FROM vals GROUP BY label, pos
+), agg AS (
+  SELECT vals.vec_id, vals.label,
+         SUM(vals.v * cent.c) AS dot,
+         SUM(vals.v * vals.v) AS n2,
+         SUM(cent.c * cent.c) AS c2
+  FROM vals JOIN cent ON vals.label = cent.label AND vals.pos = cent.pos
+  GROUP BY vals.vec_id, vals.label
+), sims AS (
+  SELECT vec_id, label, dot / (sqrt(n2) * sqrt(c2)) AS sim FROM agg
+)
+SELECT vec_id, label, ROUND(sim, 6) AS centroid_sim_r,
+       CAST(rn AS INT) AS outlier_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY label
+                               ORDER BY sim ASC, vec_id) AS rn
+  FROM sims
+) t WHERE rn <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3813,6 +3861,7 @@ QUERIES: dict[str, QueryFn] = {
     "contamination_ratio_docs": contamination_ratio_docs,
     "dedup_cluster_histogram": dedup_cluster_histogram,
     "bm25_ndcg_report": bm25_ndcg_report,
+    "centroid_outlier_docs": centroid_outlier_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -3901,6 +3950,7 @@ ORACLES: dict[str, str] = {
     "events_funnel": EVENTS_FUNNEL_SQL,
     "contamination_ratio_docs": CONTAMINATION_RATIO_SQL,
     "bm25_ndcg_report": BM25_NDCG_SQL,
+    "centroid_outlier_docs": CENTROID_OUTLIERS_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /

@@ -742,3 +742,28 @@ def test_mean_vectors_partial_aggregates_map_side(spark):
     # JVM-only (no Python stage) and the per-dim aggregate partials map-side
     assert "Python" not in plan and "partial" in plan.lower()
     assert out.count() == 3
+
+
+def test_centroid_outliers_flags_planted_outlier(spark):
+    from rust_cdc_validator_spark.functions.vectors import centroid_outliers
+
+    # label 1: a tight cluster around [1, 0] plus one opposite-direction
+    # outlier; label 2 untouched
+    rows = [(i, 1, [1.0, 0.01 * i]) for i in range(10)]
+    rows.append((99, 1, [-1.0, 0.0]))
+    rows += [(200 + i, 2, [0.0, 1.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = centroid_outliers(df, "label", k=2)
+    by_label = {}
+    for r in out.collect():
+        by_label.setdefault(r["label"], []).append(r)
+    top1 = min(by_label[1], key=lambda r: r["outlier_rank"])
+    assert top1["vec_id"] == 99 and top1["centroid_sim"] < 0
+    assert len(by_label[1]) == 2 and len(by_label[2]) == 2
+    # partition invariance
+    a = sorted((r["vec_id"], r["outlier_rank"]) for r in out.collect())
+    b = sorted(
+        (r["vec_id"], r["outlier_rank"])
+        for r in centroid_outliers(df.repartition(7), "label", k=2).collect()
+    )
+    assert a == b
