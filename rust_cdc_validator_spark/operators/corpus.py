@@ -337,6 +337,58 @@ def contamination_check_bloom(
     return scans.filter(F.col("n_flagged_shingles") >= min_hits)
 
 
+def hashed_doc_vectors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    normalize: bool = True,
+) -> DataFrame:
+    """Feature-hashing bag-of-words document vectors (the hashing trick,
+    Weinberger et al. 2009, ICML): token → ``md5 % dim`` bucket with a
+    ±1 sign from an independent hash digit (debiases collisions), summed
+    and L2-normalized. A model-free text→vector bridge: its output plugs
+    straight into every vector operator here (kNN, LSH/IVF ANN, SemDeDup,
+    centroid outliers) when no learned embeddings exist — and unlike a
+    model it is deterministic and engine-checkable.
+
+    Scale shape: explode collapses MAP-SIDE into ≤ dim partial rows per
+    (doc, partition) via the groupBy combine; the dense-array regroup
+    moves ≤ dim rows per doc. ``dim`` must divide 4096 (md5 bucket
+    contract)."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.explode(toks).alias("_w")
+    )
+    h = F.md5(F.col("_w"))
+    bucket = (F.conv(F.substring(h, 1, 3), 16, 10).cast("int") % dim)
+    if 4096 % dim != 0:
+        raise ValueError("dim must divide 4096")
+    sign = F.when(
+        F.conv(F.substring(h, 4, 1), 16, 10).cast("int") % 2 == 0, 1.0
+    ).otherwise(-1.0)
+    sparse = (
+        ex.select("_id", bucket.alias("_b"), sign.alias("_s"))
+        .groupBy("_id", "_b")
+        .agg(F.sum("_s").alias("_v"))
+    )
+    entries = sparse.groupBy("_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_v")))
+        ).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0.0)),
+    )
+    out = entries.select(F.col("_id").alias(id_col), dense.alias("vector"))
+    if normalize:
+        from rust_cdc_validator_spark.functions import vectors as V
+
+        out = out.select(id_col, V.normalize(F.col("vector")).alias("vector"))
+    return out
+
+
 def source_overlap(
     df: DataFrame,
     source_col: str = "source",

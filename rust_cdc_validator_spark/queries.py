@@ -3752,6 +3752,49 @@ FROM (
 """
 
 
+def doc_vectors_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing doc vectors
+    (operators/corpus.py:hashed_doc_vectors): the model-free text→vector
+    bridge, exploded per dimension for the oracle (values rounded to 6 —
+    the components are exact ± sums over one L2 division)."""
+    from rust_cdc_validator_spark.operators.corpus import hashed_doc_vectors
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hashed_doc_vectors(docs, dim=64)
+    return out.select(
+        "doc_id", F.posexplode("vector").alias("pos", "_v")
+    ).select("doc_id", "pos", F.round("_v", 6).alias("val_r"))
+
+
+DOC_VECTORS_HASHED_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS w
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substring(md5(w), 1, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substring(md5(w), 2, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substring(md5(w), 3, 1)) - 1)) % 64 AS b,
+         CASE WHEN (strpos('0123456789abcdef', substring(md5(w), 4, 1)) - 1) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM tok
+), sp AS (
+  SELECT doc_id, b, SUM(s) AS v FROM h GROUP BY doc_id, b
+), nrm AS (
+  SELECT doc_id, sqrt(SUM(v * v)) AS n FROM sp GROUP BY doc_id
+), grid AS (
+  SELECT DISTINCT doc_id, unnest(range(0, 64)) AS pos FROM documents
+)
+SELECT g.doc_id, CAST(g.pos AS INT) AS pos,
+       ROUND(CASE WHEN nrm.n > 0 THEN COALESCE(sp.v, 0.0) / nrm.n
+                  ELSE COALESCE(sp.v, 0.0) END, 6) AS val_r
+FROM grid g
+JOIN nrm ON g.doc_id = nrm.doc_id
+LEFT JOIN sp ON g.doc_id = sp.doc_id AND g.pos = sp.b
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3862,6 +3905,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_cluster_histogram": dedup_cluster_histogram,
     "bm25_ndcg_report": bm25_ndcg_report,
     "centroid_outlier_docs": centroid_outlier_docs,
+    "doc_vectors_hashed": doc_vectors_hashed,
 }
 
 ORACLES: dict[str, str] = {
@@ -3951,6 +3995,7 @@ ORACLES: dict[str, str] = {
     "contamination_ratio_docs": CONTAMINATION_RATIO_SQL,
     "bm25_ndcg_report": BM25_NDCG_SQL,
     "centroid_outlier_docs": CENTROID_OUTLIERS_SQL,
+    "doc_vectors_hashed": DOC_VECTORS_HASHED_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /

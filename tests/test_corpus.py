@@ -1069,3 +1069,48 @@ def test_contamination_ratio_distinguishes_quote_from_copy(spark):
 
     with pytest.raises(ValueError):
         contamination_ratio(train, bench, min_ratio=1.5)
+
+
+def test_hashed_doc_vectors_bridge_to_knn(spark):
+    """The hashing-trick vectors compose with the vector operators: near-
+    identical texts land near each other, disjoint texts do not."""
+    from rust_cdc_validator_spark.operators.corpus import hashed_doc_vectors
+    from rust_cdc_validator_spark.operators.similarity import brute_force_topk
+
+    rows = [
+        (1, "spark shuffles partitions into exchanges during wide joins"),
+        (2, "spark shuffles partitions into exchanges during wide joins fast"),
+        (3, "completely unrelated cooking recipe with butter flour and sugar"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = hashed_doc_vectors(docs, dim=64)
+    assert vecs.count() == 3
+    row = vecs.filter("doc_id = 1").collect()[0]["vector"]
+    assert len(row) == 64
+    assert abs(sum(x * x for x in row) - 1.0) < 1e-9  # unit norm
+    nn = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(
+            vecs, vecs, id_col="doc_id", vec_col="vector", k=1
+        ).collect()
+    }
+    assert nn[1] == 2 and nn[2] == 1  # the near-dup pair finds each other
+
+
+def test_hashed_doc_vectors_deterministic_and_validated(spark):
+    import pytest
+    from rust_cdc_validator_spark.operators.corpus import hashed_doc_vectors
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i % 7} alpha beta gamma token{i % 5}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    key = lambda df: sorted(
+        (r["doc_id"], tuple(round(x, 9) for x in r["vector"]))
+        for r in df.collect()
+    )
+    assert key(hashed_doc_vectors(docs, dim=32)) == key(
+        hashed_doc_vectors(docs.repartition(9), dim=32)
+    )
+    with pytest.raises(ValueError):
+        hashed_doc_vectors(docs, dim=100)  # does not divide 4096
