@@ -1134,3 +1134,55 @@ def embedding_near_dup(
             "cos_sim",
         )
     )
+
+
+def random_projection(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    normalize: bool = True,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: map ``in_dim`` vectors to
+    ``out_dim`` with a seeded Gaussian matrix (scaled 1/sqrt(out_dim) so
+    pairwise distances are approximately preserved). The standard
+    pre-reduction before expensive vector work — halving dims halves every
+    downstream shuffle/matmul of the ANN and dedup operators, at a
+    distance distortion that shrinks as out_dim grows (JL lemma).
+
+    The projection matrix is a pure function of ``(seed, in_dim,
+    out_dim)`` — regenerate anywhere, nothing to persist (the same
+    contract as the LSH planes). One Arrow-batched matmul per partition;
+    no shuffle. ``normalize=True`` re-unit-normalizes outputs so cosine
+    machinery applies directly.
+
+    Replaces ``vec_col`` in place (array<double> of ``out_dim``)."""
+    if out_dim >= in_dim:
+        raise ValueError("out_dim must be < in_dim (reduction)")
+    rng = np.random.default_rng(seed)
+    proj = rng.standard_normal((in_dim, out_dim)) / np.sqrt(out_dim)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(proj)
+    other = [c for c in df.columns if c != vec_col]
+    schema = T.StructType(
+        [df.schema[c] for c in other]
+        + [T.StructField(vec_col, T.ArrayType(T.DoubleType()), False)]
+    )
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            red = m @ p
+            if normalize:
+                n = np.linalg.norm(red, axis=1, keepdims=True)
+                n[n == 0] = 1.0
+                red = red / n
+            out = pdf[other].copy()
+            out[vec_col] = list(red)
+            yield out
+
+    return df.mapInPandas(project, schema)

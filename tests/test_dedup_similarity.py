@@ -767,3 +767,52 @@ def test_centroid_outliers_flags_planted_outlier(spark):
         for r in centroid_outliers(df.repartition(7), "label", k=2).collect()
     )
     assert a == b
+
+
+def test_random_projection_preserves_neighbors_and_shape(spark):
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.similarity import (
+        brute_force_topk,
+        random_projection,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((30, 64))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    # 5 planted near-dup pairs: vector i+100 = tiny perturbation of i
+    rows += [
+        (100 + i, [float(x) for x in base[i] + 0.01 * rng.standard_normal(64)])
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    red = random_projection(df, in_dim=64, out_dim=16)
+    sample = red.limit(1).collect()[0]["embedding"]
+    assert len(sample) == 16
+    assert abs(sum(x * x for x in sample) - 1.0) < 1e-9
+    nn = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(red, red, k=1).collect()
+    }
+    hits = sum(nn[100 + i] == i for i in range(5))
+    assert hits >= 4  # JL: near-dup pairs survive the 4x reduction
+
+
+def test_random_projection_deterministic_and_validated(spark):
+    import pytest
+
+    from rust_cdc_validator_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    key = lambda d: sorted(
+        (r["vec_id"], tuple(round(x, 9) for x in r["embedding"]))
+        for r in d.collect()
+    )
+    assert key(random_projection(df, 8, 4)) == key(
+        random_projection(df.repartition(5), 8, 4)
+    )
+    with pytest.raises(ValueError):
+        random_projection(df, 8, 8)
