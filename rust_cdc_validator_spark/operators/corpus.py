@@ -355,7 +355,9 @@ def hashed_doc_vectors(
     Scale shape: explode collapses MAP-SIDE into ≤ dim partial rows per
     (doc, partition) via the groupBy combine; the dense-array regroup
     moves ≤ dim rows per doc. ``dim`` must divide 4096 (md5 bucket
-    contract)."""
+    contract). Documents with no tokens have no vector and are absent
+    from the output (there is nothing to hash) — gate empties upstream
+    if every row must survive."""
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
     ex = df.select(
         F.col(id_col).alias("_id"), F.explode(toks).alias("_w")
