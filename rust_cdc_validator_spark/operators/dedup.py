@@ -724,7 +724,14 @@ def exact_substring_stats(
     w = int(window)
     if w < 2:
         raise ValueError("window must be >= 2 tokens")
-    toks = F.split(F.col(text_col), " ")
+    # Materialize the token array in its OWN projection below everything
+    # that consumes it. With split() written inline inside the transform()
+    # lambda, the interpreted higher-order function re-evaluates the split
+    # once PER ELEMENT — O(doc_len^2) re-tokenization (measured: 40 s vs
+    # 0.5 s on one 24k-token doc). As an attribute referenced >1 time the
+    # projection survives CollapseProject and the split runs once per row.
+    pre = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    toks = F.col("_toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - (w - 1))
     wins = F.when(
@@ -732,15 +739,25 @@ def exact_substring_stats(
         F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, w)))),
     ).otherwise(F.array().cast("array<bigint>"))
 
-    base = df.select(
+    base = pre.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
         F.greatest(F.lit(0), n - (w - 1)).cast("long").alias("n_windows"),
         wins.alias("_wins"),
     )
-    exploded = base.select(
-        id_col, F.posexplode("_wins").alias("_pos0", "_h")
-    ).select(id_col, (F.col("_pos0") + 1).alias("_pos"), "_h")
+    # posexplode_OUTER on purpose: plain posexplode triggers
+    # InferFiltersFromGenerate, and predicate pushdown then substitutes the
+    # whole window-hash transform (split inlined per element) into the
+    # inferred `size(...) > 0` filter — an O(doc_len^2) re-tokenization
+    # evaluated twice per row (measured 37 s vs 0.8 s on one 24k-token
+    # doc). The outer variant infers nothing; the null rows from empty
+    # window arrays are dropped by a filter on the GENERATOR OUTPUT, which
+    # cannot be pushed below the Generate.
+    exploded = (
+        base.select(id_col, F.posexplode_outer("_wins").alias("_pos0", "_h"))
+        .filter(F.col("_h").isNotNull())
+        .select(id_col, (F.col("_pos0") + 1).alias("_pos"), "_h")
+    )
 
     w_h = Window.partitionBy("_h")
     dup = exploded.withColumn("_cnt", F.count(F.lit(1)).over(w_h)).filter(
@@ -802,15 +819,25 @@ def exact_substring_scrub(
     positions relation back to the corpus on the id; that one corpus-sized
     shuffle is inherent to producing the cleaned corpus (the output IS a
     corpus rewrite) and the join strategy is left to AQE — with few dirty
-    docs the positions side broadcasts. Per-token keep checks are JVM
-    array lambdas, O(doc_len * dup_windows_in_doc) per row.
+    docs the positions side broadcasts. The per-token keep check first
+    folds the doc's sorted duplicate positions into merged covered
+    INTERVALS (the same closed-form union trick `exact_substring_stats`
+    uses), then tests each token against the islands — O(doc_len *
+    islands), not O(doc_len * dup_windows). On the pathological docs this
+    operator targets (long, mostly-duplicated spam: dup_windows ≈ doc_len)
+    the duplicated windows overlap into a handful of islands, so the
+    interpreted-lambda cost stays linear in the doc instead of quadratic.
     """
     from pyspark.sql import Window
 
     w = int(window)
     if w < 2:
         raise ValueError("window must be >= 2 tokens")
-    toks = F.split(F.col(text_col), " ")
+    # Same materialized-token-array discipline as `exact_substring_stats`:
+    # split once per row in a lower projection; an inline split inside the
+    # transform() lambda re-tokenizes per element (O(doc_len^2)).
+    pre = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    toks = F.col("_toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - (w - 1))
     wins = F.when(
@@ -818,8 +845,13 @@ def exact_substring_scrub(
         F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, w)))),
     ).otherwise(F.array().cast("array<bigint>"))
 
-    exploded = df.select(id_col, wins.alias("_wins")).select(
-        id_col, F.posexplode("_wins").alias("_pos0", "_h")
+    # posexplode_OUTER + generator-output null filter for the same reason
+    # as in `exact_substring_stats`: keep InferFiltersFromGenerate from
+    # inlining the O(doc_len) window transform into a pre-Generate filter.
+    exploded = (
+        pre.select(id_col, wins.alias("_wins"))
+        .select(id_col, F.posexplode_outer("_wins").alias("_pos0", "_h"))
+        .filter(F.col("_h").isNotNull())
     )
     dup = (
         exploded.withColumn("_cnt", F.count(F.lit(1)).over(Window.partitionBy("_h")))
@@ -830,23 +862,64 @@ def exact_substring_scrub(
         F.sort_array(F.collect_list("_pos")).alias("_ps")
     )
 
-    joined = df.join(per_doc, id_col, "left").withColumn(
-        "_ps", F.coalesce("_ps", F.array().cast("array<int>"))
+    # A dup window starting at q covers tokens [q, q+w-1]. Fold the sorted
+    # starts into merged covered intervals first: overlapping/adjacent
+    # windows collapse into one island, so the heavily-duplicated docs this
+    # operator exists to clean reduce thousands of windows to a few islands.
+    # The fold MUST run on the narrow per-doc relation BELOW the join (as a
+    # Project over the Aggregate): if it were a Project alongside the token
+    # filter, Catalyst's CollapseProject would inline the O(dup_windows)
+    # fold into the per-token exists() and re-run it once per token —
+    # exactly the quadratic this rewrite removes (measured: 110 s vs 4 s on
+    # a planted 24k-token fully-duplicated doc).
+    acc0 = F.struct(
+        F.array().cast("array<struct<s:int,e:int>>").alias("ivs"),
+        F.lit(-1).alias("cs"),
+        F.lit(-1).alias("ce"),
     )
-    # token at 1-based position p survives iff no duplicated window starts
-    # in [p - (w-1), p]; ps is sorted but exists() is simplest and the doc's
-    # own dup count bounds the scan
+    _island = lambda s, e: F.array(F.struct(s.alias("s"), e.alias("e")))
+    islands = F.aggregate(
+        F.col("_ps"),
+        acc0,
+        lambda acc, p: F.when(
+            acc["cs"] < 0,
+            F.struct(acc["ivs"].alias("ivs"), p.alias("cs"), (p + (w - 1)).alias("ce")),
+        )
+        .when(
+            p <= acc["ce"] + 1,
+            F.struct(
+                acc["ivs"].alias("ivs"),
+                acc["cs"].alias("cs"),
+                (p + (w - 1)).alias("ce"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["ivs"], _island(acc["cs"], acc["ce"])).alias("ivs"),
+                p.alias("cs"),
+                (p + (w - 1)).alias("ce"),
+            )
+        ),
+        lambda acc: F.when(acc["cs"] < 0, acc["ivs"]).otherwise(
+            F.concat(acc["ivs"], _island(acc["cs"], acc["ce"]))
+        ),
+    )
+    per_doc = per_doc.select(F.col(id_col), islands.alias("_islands"))
+
+    joined = pre.join(per_doc, id_col, "left").withColumn(
+        "_islands",
+        F.coalesce("_islands", F.array().cast("array<struct<s:int,e:int>>")),
+    )
+    # token at 1-based position t survives iff no island [s, e] contains t
     kept = F.filter(
-        F.split(F.col(text_col), " "),
+        F.col("_toks"),
         lambda tok, i0: ~F.exists(
-            F.col("_ps"),
-            lambda q: (q >= i0 + 1 - (w - 1)) & (q <= i0 + 1),
+            F.col("_islands"),
+            lambda iv: (i0 + 1 >= iv["s"]) & (i0 + 1 <= iv["e"]),
         ),
     )
     return joined.select(
         id_col,
         F.array_join(kept, " ").alias("scrubbed"),
-        (F.size(F.split(F.col(text_col), " ")) - F.size(kept))
-        .cast("long")
-        .alias("n_removed_tokens"),
+        (F.size(F.col("_toks")) - F.size(kept)).cast("long").alias("n_removed_tokens"),
     )

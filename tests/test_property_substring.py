@@ -91,3 +91,37 @@ def test_substring_stats_and_scrub_match_brute_force(texts):
         ) == (m["n_tokens"], m["n_windows"], m["n_dup_windows"], m["dup_covered_tokens"]), (i, texts)
         assert scrub[i]["scrubbed"] == m["scrubbed"], (i, texts)
         assert scrub[i]["n_removed_tokens"] == m["dup_covered_tokens"]
+
+def test_scrub_pathological_doc_linear_in_islands():
+    """Planted worst case for the keep-filter: a >=20k-token doc that is
+    ~100% duplicated (dup_windows ~= doc_len). The interval-merge rewrite
+    collapses the doc's thousands of duplicate windows into a single
+    covered island, so the per-token check is O(len * islands) and the
+    stage finishes promptly instead of O(len * dup_windows) interpreted
+    comparisons (~4e8 for this doc under the old exists-over-positions
+    filter)."""
+    import time
+
+    from rust_cdc_validator_spark.operators.dedup import exact_substring_scrub
+
+    spark = _get_spark()
+    # 24k tokens: one 4-token phrase repeated 6000 times; a twin doc makes
+    # every window corpus-duplicated even under self-dup-only counting
+    phrase = "alpha beta gamma delta"
+    big = " ".join([phrase] * 6000)
+    df = spark.createDataFrame(
+        [(0, big), (1, big), (2, "unique tokens only here nothing repeats")],
+        "doc_id long, text string",
+    )
+    t0 = time.monotonic()
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in exact_substring_scrub(df, "text", "doc_id", window=16).collect()
+    }
+    elapsed = time.monotonic() - t0
+    # fully duplicated docs scrub to empty; the clean doc is untouched
+    assert rows[0]["scrubbed"] == "" and rows[0]["n_removed_tokens"] == 24000
+    assert rows[1]["scrubbed"] == ""
+    assert rows[2]["n_removed_tokens"] == 0
+    # generous wall bound: the old quadratic filter takes minutes here
+    assert elapsed < 60, f"scrub took {elapsed:.1f}s on the planted doc"
