@@ -14,6 +14,7 @@ from dataclasses import dataclass
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 from rust_cdc_validator_spark.functions.text import STOPWORDS, word_shingles
 from rust_cdc_validator_spark.plans.inspect import ensure_parallelism
@@ -298,7 +299,15 @@ def contamination_check_bloom(
     from pyspark.sql.functions import pandas_udf
 
     if bloom.n == 0:
-        schema = f"{id_col} long, n_flagged_shingles int"
+        # derive the id type from the input so the empty frame unions/joins
+        # cleanly with the non-empty path for string/int doc ids too
+        id_type = train.schema[id_col].dataType
+        schema = StructType(
+            [
+                StructField(id_col, id_type, True),
+                StructField("n_flagged_shingles", IntegerType(), True),
+            ]
+        )
         return train.sparkSession.createDataFrame([], schema)
     sc = train.sparkSession.sparkContext
     b_bits = sc.broadcast(bloom.bits)
@@ -623,6 +632,7 @@ def apply_mixture(
     id_col: str = "doc_id",
     weight_col: str = "weight",
     denom: int = 4096,
+    missing_weight: float | None = None,
 ) -> DataFrame:
     """Apply per-source resampling weights to a corpus — the sampler half
     of mixture rebalancing (:func:`queries.source_mixture_weights` is the
@@ -644,7 +654,13 @@ def apply_mixture(
     — or a plain dict for hand-pinned mixtures. The frame must hold ONE
     row per source (a duplicate source would silently fan out its docs
     through the join — measurement passes produce grouped output, which
-    is unique by construction). Scale shape: broadcast
+    is unique by construction). Sources ABSENT from ``weights`` are
+    DROPPED (inner join): a mixture spec is a whitelist, matching
+    :func:`stratified_sample`. If the weights frame may be partial (e.g.
+    produced by a filtered measurement pass), pass ``missing_weight`` to
+    left-join instead and give unlisted sources that default weight
+    (``missing_weight=1.0`` keeps them unchanged) — otherwise the drop is
+    silent by design. Scale shape: broadcast
     join + map-side explode; no shuffle, no driver state. Output row
     count fans out by ~``Σ w_s·n_s / Σ n_s``.
     """
@@ -655,13 +671,18 @@ def apply_mixture(
             f"{source_col} string, {weight_col} double",
         )
     wdf = weights.select(source_col, F.col(weight_col).alias("_w"))
+    join_how = "inner" if missing_weight is None else "left"
     bucket = md5_bucket_fine(
         F.concat(F.lit("mix:"), F.col(id_col).cast("string")), denom
     )
     base = F.floor("_w").cast("int")
     frac_cut = F.round((F.col("_w") - F.floor("_w")) * denom, 0).cast("int")
     copies = base + F.when(bucket < frac_cut, 1).otherwise(0)
-    joined = df.join(F.broadcast(wdf), source_col)
+    joined = df.join(F.broadcast(wdf), source_col, join_how)
+    if missing_weight is not None:
+        joined = joined.withColumn(
+            "_w", F.coalesce("_w", F.lit(float(missing_weight)))
+        )
     return (
         joined.withColumn("_copies", copies)
         .filter(F.col("_copies") > 0)

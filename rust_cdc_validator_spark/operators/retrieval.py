@@ -115,8 +115,18 @@ def bm25_topk(
 
     if stats is not None:
         n_docs, avgdl = stats
+        if n_docs == 0 or avgdl is None:
+            raise ValueError(
+                "bm25_topk: stats describe an empty corpus — "
+                "avg document length is undefined"
+            )
     else:
         n_docs, avgdl = corpus_stats(docs, text_col)
+        if n_docs == 0 or avgdl is None:
+            raise ValueError(
+                "bm25_topk: corpus is empty (or all-null text) — "
+                "avg document length is undefined"
+            )
         if n_docs > max_autostats_docs:
             raise ValueError(
                 f"bm25_topk computed corpus_stats on the fly over {n_docs} "

@@ -2669,7 +2669,12 @@ def _docs_with_synthetic_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle) — with the ~30-word vocabulary, ~5% of distinct 4-word lines
     recur across documents, a realistic boilerplate rate."""
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
-    starts = F.sequence(F.lit(1), F.size(toks), F.lit(4))
+    # guard the empty-doc case: Spark's sequence(1, 0, 4) raises "illegal
+    # sequence boundaries" while the oracle's range(1, 1, 4) is empty —
+    # mirror the oracle by producing an empty starts list for empty docs
+    starts = F.when(
+        F.size(toks) > 0, F.sequence(F.lit(1), F.size(toks), F.lit(4))
+    ).otherwise(F.array().cast("array<int>"))
     lines = F.transform(
         starts, lambda s: F.array_join(F.slice(toks, s, 4), " ")
     )

@@ -1114,3 +1114,48 @@ def test_hashed_doc_vectors_deterministic_and_validated(spark):
     )
     with pytest.raises(ValueError):
         hashed_doc_vectors(docs, dim=100)  # does not divide 4096
+
+
+def test_bloom_empty_branch_preserves_id_type(spark):
+    """ADVICE r6: the empty-bloom early return must carry the INPUT's id
+    type (string ids here), not a hardcoded long, so it unions/joins with
+    the non-empty path's output."""
+    from rust_cdc_validator_spark.operators.corpus import (
+        build_benchmark_bloom,
+        contamination_check_bloom,
+    )
+
+    train = spark.createDataFrame(
+        [("a", "some text here"), ("b", "other words")],
+        "doc_id string, text string",
+    )
+    empty_bench = spark.createDataFrame([], "doc_id string, text string")
+    bloom = build_benchmark_bloom(empty_bench, shingle_n=3)
+    out = contamination_check_bloom(train, bloom, id_col="doc_id")
+    assert out.count() == 0
+    assert dict(out.dtypes)["doc_id"] == "string"
+    # and the non-empty path agrees on the schema
+    bench = spark.createDataFrame(
+        [("q", "some text here exactly")], "doc_id string, text string"
+    )
+    bloom2 = build_benchmark_bloom(bench, shingle_n=3)
+    out2 = contamination_check_bloom(train, bloom2, id_col="doc_id")
+    assert out.schema == out2.schema
+
+
+def test_apply_mixture_missing_weight_modes(spark):
+    """ADVICE r6: unlisted sources are dropped by default (documented
+    whitelist semantics); missing_weight=1.0 keeps them unchanged via a
+    left join."""
+    from rust_cdc_validator_spark.operators.corpus import apply_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i % 2 else "books") for i in range(20)],
+        "doc_id long, source string",
+    )
+    only_web = {"web": 1.0}
+    dropped = apply_mixture(docs, only_web)
+    assert {r["source"] for r in dropped.collect()} == {"web"}
+    kept = apply_mixture(docs, only_web, missing_weight=1.0)
+    assert kept.count() == 20
+    assert {r["source"] for r in kept.collect()} == {"web", "books"}

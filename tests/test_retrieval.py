@@ -291,3 +291,15 @@ def test_ndcg_zero_relevance_is_null_and_k_cutoff(spark):
     )
     (row2,) = ndcg_report(late, "rel", query_col="query_id", k=3).collect()
     assert row2["ndcg"] is None  # only the rel-0 row is inside k
+
+
+def test_bm25_empty_corpus_raises_meaningfully(spark):
+    """ADVICE r6: an empty (or all-null-text) corpus must raise a clear
+    ValueError instead of TypeError at float(None)."""
+    import pytest
+
+    from rust_cdc_validator_spark.operators.retrieval import bm25_topk
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty"):
+        bm25_topk(empty, "any query", k=5)
