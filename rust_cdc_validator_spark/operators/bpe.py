@@ -88,25 +88,88 @@ def _merge_fold(a: str, b: str):
     return lambda syms: F.aggregate(syms, empty, step)
 
 
+def _exact_batch(
+    rows: list, budget: int
+) -> list[tuple[str, str]]:
+    """Select the longest prefix of the count-sorted candidate list that
+    sequential BPE is GUARANTEED to pick in order — the exactness argument
+    for batched rounds:
+
+    1. the prefix is pairwise non-interacting (no symbol appears in two
+       selected pairs), so applying its merges in list order equals
+       applying them one-at-a-time with recounts: a merge only changes the
+       counts of pairs sharing one of its symbols, and the new pairs it
+       creates have count ≤ the old count of an interacting pair;
+    2. the last selected count strictly exceeds the first EXCLUDED count
+       (interacting pairs are where the prefix STOPS, never skipped), so
+       every pair outside the prefix — including any pair a batch merge
+       newly creates, bounded as above — stays strictly below every batch
+       member and cannot win a tie under the lexicographic tiebreak.
+
+    A single-pair batch is always exact (it is literally the sequential
+    pick), so rule 2 only truncates batches of length ≥ 2.
+    """
+    if not rows:
+        return []
+    k = 1
+    used = set(rows[0]["p"])
+    while k < min(budget, len(rows)):
+        nxt = rows[k]
+        a, b = nxt["p"]["a"], nxt["p"]["b"]
+        if a in used or b in used:
+            break  # stop, don't skip: its post-merge count is unknown
+        used.update((a, b))
+        k += 1
+    # tie guard (rule 2): shrink until strictly above the first excluded
+    while k > 1 and k < len(rows) and rows[k - 1]["c"] == rows[k]["c"]:
+        k -= 1
+    return [(r["p"]["a"], r["p"]["b"]) for r in rows[:k]]
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 100,
     min_pair_count: int = 2,
-    max_vocab_rows: int | None = None,
+    max_vocab_rows: int | None = 500_000,
+    merge_batch: int = 16,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus; returns the ordered
     merge list [(left, right), ...]. Stops early when no adjacent pair
     reaches ``min_pair_count`` (weighted by word frequency). Ties break
     deterministically: highest count, then lexicographic (left, right) —
     partitioning-invariant training.
+
+    Round-count economics (the actual scale limit — per-round DATA is only
+    vocabulary-sized): each round costs ~2 scheduled Spark jobs of fixed
+    overhead, so 64k merges one-at-a-time is ~10⁵ jobs — days of scheduler
+    time independent of data size. Two levers keep real tokenizer training
+    tractable, both on by default:
+
+    * **batched rounds** (``merge_batch``): each round collects the top
+      ``merge_batch + 1`` pairs (one driver-side, bounded collect) and
+      applies the longest provably-safe prefix in one map-side fold —
+      see :func:`_exact_batch` for why the result is EXACTLY the
+      sequential merge list, ties included. Round count drops ~batch×;
+      ``merge_batch=1`` is the plain sequential loop.
+    * **bounded vocabulary** (``max_vocab_rows``, default 500k): BPE
+      training operates on word FREQUENCIES, so truncating the long tail
+      of distinct words (keep the most frequent 500k — far beyond any
+      natural language's active vocabulary) bounds every round's relation
+      without materially changing top pair counts. Tokenizer training on
+      a frequency-truncated or sampled vocabulary is standard practice;
+      pass ``None`` to disable the cap for exact small-corpus work.
     """
+    if merge_batch < 1:
+        raise ValueError("merge_batch must be >= 1")
     words = _symbolize(_word_freqs(df, text_col, max_vocab_rows)).persist()
     words.count()  # materialize: the corpus scan happens exactly once
     merges: list[tuple[str, str]] = []
     current = words
+    since_checkpoint = 0
     try:
-        for i in range(num_merges):
+        while len(merges) < num_merges:
+            budget = min(merge_batch, num_merges - len(merges))
             pairs = current.select(
                 "freq",
                 F.explode(
@@ -121,18 +184,22 @@ def train_bpe(
                 pairs.groupBy("p")
                 .agg(F.sum("freq").alias("c"))
                 .orderBy(F.col("c").desc(), F.col("p.a"), F.col("p.b"))
-                .limit(1)
+                .limit(budget + 1)
                 .collect()
             )
-            if not top or top[0]["c"] < min_pair_count:
+            top = [r for r in top if r["c"] >= min_pair_count]
+            batch = _exact_batch(top, budget)
+            if not batch:
                 break
-            a, b = top[0]["p"]["a"], top[0]["p"]["b"]
-            merges.append((a, b))
-            nxt = current.select(
-                "word", "freq", _merge_fold(a, b)(F.col("syms")).alias("syms")
-            )
-            if (i + 1) % _CHECKPOINT_EVERY == 0:
+            merges.extend(batch)
+            syms = F.col("syms")
+            for a, b in batch:
+                syms = _merge_fold(a, b)(syms)
+            nxt = current.select("word", "freq", syms.alias("syms"))
+            since_checkpoint += len(batch)
+            if since_checkpoint >= _CHECKPOINT_EVERY:
                 nxt = nxt.localCheckpoint(eager=True)
+                since_checkpoint = 0
             current = nxt
     finally:
         words.unpersist()

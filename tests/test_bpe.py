@@ -126,3 +126,79 @@ def test_max_vocab_rows_truncates_tail(spark):
     want = _reference_train(["newest"] * 6 + ["low"] * 5, num_merges=4)
     assert merges_trunc == want
     assert merges_trunc != merges_full or len(CORPUS) == 11
+
+
+def test_batched_equals_sequential_on_fixture(spark):
+    """r7: batched rounds must reproduce the sequential merge list
+    EXACTLY (the prefix-batch selection is provably equivalent, ties
+    included — operators/bpe.py:_exact_batch)."""
+    df = _corpus_df(spark)
+    seq = train_bpe(df, num_merges=16, merge_batch=1)
+    bat = train_bpe(df, num_merges=16, merge_batch=16)
+    assert bat == seq == _reference_train(CORPUS, 16)
+
+
+def test_batched_equals_sequential_with_planted_ties(spark):
+    """Adversarial tie corpus: several pairs share the top count, and an
+    early merge creates a new pair whose count equals remaining
+    candidates — the regimes the tie guard (rule 2) exists for."""
+    words = (
+        ["abab"] * 4 + ["cdcd"] * 4 + ["efef"] * 4 + ["abcd"] * 2
+        + ["xyxy"] * 3 + ["aaaa"] * 4
+    )
+    df = _corpus_df(spark, words=words, per_row=2)
+    seq = train_bpe(df, num_merges=12, merge_batch=1)
+    bat = train_bpe(df, num_merges=12, merge_batch=8)
+    assert bat == seq == _reference_train(words, 12)
+
+
+def test_batched_round_count_drops(spark):
+    """The batching lever actually batches when the top of the pair
+    distribution is diverse (the Zipf bulk of a real corpus): 16 words
+    over disjoint alphabets with strictly distinct pair counts collapse
+    16 merges into ~1 round. (On tiny chain-y corpora where each merge
+    builds on the last, the safe prefix is short and training degrades
+    gracefully to the sequential loop — exactness is never traded.)"""
+    from unittest.mock import patch
+
+    import rust_cdc_validator_spark.operators.bpe as bpe_mod
+
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    words = []
+    for i in range(16):
+        x, y = alphabet[2 * i], alphabet[2 * i + 1]
+        words.extend([(x + y) * 2] * (100 - i))
+    df = _corpus_df(spark, words=words, per_row=8)
+    rounds = {"n": 0}
+    orig = bpe_mod._exact_batch
+
+    def counting(rows, budget):
+        rounds["n"] += 1
+        return orig(rows, budget)
+
+    with patch.object(bpe_mod, "_exact_batch", counting):
+        merges = train_bpe(df, num_merges=16, merge_batch=16)
+    assert merges == _reference_train(words, 16)
+    assert rounds["n"] <= 3, f"expected batched rounds, got {rounds['n']}"
+
+
+def test_batched_matches_reference_on_random_corpora(spark):
+    """Property check of the batching exactness theorem: for random dense
+    corpora over a 3-letter alphabet (maximally tie- and interaction-
+    prone), the batched trainer reproduces the textbook sequential merge
+    list exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=5)
+    corpus = st.lists(word, min_size=1, max_size=10)
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(corpus)
+    def check(words):
+        df = _corpus_df(spark, words=words, per_row=4)
+        bat = train_bpe(df, num_merges=5, merge_batch=4, min_pair_count=2)
+        assert bat == _reference_train(words, 5)
+
+    check()
