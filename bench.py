@@ -21,6 +21,17 @@ Methodology:
   neighbors pristine; 36/64 queries swung >1.2x between r3 and r4 in code
   nobody touched. Interleaving converts session drift from a per-query
   bias into per-query dispersion, which the output now reports.
+* Per-query rep ALLOCATION (round-6 verdict: at 106 queries a flat rep
+  count degraded to 2 — a median of two runs IS their mean, and one GC
+  spike migrates it): the warm-up pass doubles as a cost probe, and reps
+  are allocated per query from it. Every query gets the same floor first
+  (coverage before resolution); leftover budget then buys extra rounds
+  for the CHEAP queries — a sub-second query at 5 reps costs ~2 s of
+  budget and gains a real median, while a 4 s query stays at the floor.
+  Rounds stay interleaved: round k times every query whose allocation
+  exceeds k, so dispersion remains session-wide, and the wave structure
+  means a mid-run budget stop leaves every query with the same rep count
+  (uniform truncation, never a half-measured catalog).
 * Per-query MEDIAN is the headline (single runs swing up to ~5x from GC
   noise; round-1 observation on lineitem_cube). The `dispersion` key
   carries min/median/max/IQR plus every raw run so a regression can be
@@ -42,12 +53,72 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from rust_cdc_validator_spark.queries import QUERIES  # noqa: E402
 from rust_cdc_validator_spark.session import get_spark  # noqa: E402
 
+#: steady-state passes run ~25% faster than the warm-up (codegen/worker
+#: startup is in the warm numbers) — measured across the r6 clean runs
+_STEADY_FACTOR = 0.75
+#: queries under this estimated steady-state cost are "cheap": extra reps
+#: are nearly free and their 2-rep medians were the migrating-spike victims.
+#: 1.5 because the estimate is 0.75x the WARM time, which still overstates
+#: steady state for scan-bound queries — the first r7 run left 4 queries
+#: that run sub-second at steady state on 2-rep medians at a 1.0 cutoff.
+_CHEAP_S = 1.5
+#: hard per-query rep ceiling (diminishing returns past this)
+_MAX_REPS = 7
+
 
 def _iqr(runs: list[float]) -> float:
     if len(runs) < 2:
         return 0.0
     q = statistics.quantiles(runs, n=4, method="inclusive")
     return q[2] - q[0]
+
+
+def _allocate_reps(
+    est: dict[str, float], budget_s: float, target: int
+) -> dict[str, int]:
+    """Per-query rep counts fitted to ``budget_s``.
+
+    Fairness first: raise EVERY query to the same level (1 → 2 → …
+    ``target``) while the budget holds — a uniform floor keeps medians
+    comparable across the catalog. Then spend what's left on extra reps
+    for cheap queries only (up to ``_MAX_REPS``), cheapest first — that's
+    where two-run medians were statistically meaningless and where a rep
+    costs the least.
+    """
+    alloc = {name: 1 for name in est}
+    remaining = budget_s - sum(est.values())
+    if remaining < 0:
+        return alloc  # coverage floor: one run each, never a partial catalog
+
+    def raise_wave(names: list[str], level: int) -> float:
+        nonlocal remaining
+        wave_cost = sum(est[n] for n in names if alloc[n] == level - 1)
+        if wave_cost <= remaining:
+            for n in names:
+                if alloc[n] == level - 1:
+                    alloc[n] = level
+            remaining -= wave_cost
+            return wave_cost
+        return -1.0
+
+    everyone = sorted(est)
+    for level in range(2, target + 1):
+        if raise_wave(everyone, level) < 0:
+            break
+    # cheap extras resume from wherever the uniform waves stopped: under
+    # budget pressure the heavies stay at the floor but sub-second queries
+    # still climb to a statistically meaningful rep count. Unlike the
+    # uniform waves these fill PARTIALLY, cheapest first — an
+    # all-or-nothing cheap wave meant one over-budget wave left the whole
+    # catalog on 2-rep medians (the exact failure mode this allocator
+    # exists to prevent)
+    cheap = sorted((n for n in est if est[n] < _CHEAP_S), key=est.__getitem__)
+    for level in range(2, _MAX_REPS + 1):
+        for n in cheap:
+            if alloc[n] == level - 1 and est[n] <= remaining:
+                alloc[n] = level
+                remaining -= est[n]
+    return alloc
 
 
 def main() -> None:
@@ -57,40 +128,50 @@ def main() -> None:
     spark = get_spark("bench")
 
     # warm-up: one untimed pass of EVERY query (JVM JIT, codegen cache,
-    # python-UDF worker pool, parquet footers) — see module docstring
-    warm0 = time.time()
-    for fn in QUERIES.values():
+    # python-UDF worker pool, parquet footers) — doubles as the cost probe
+    # the rep allocator reads (see module docstring)
+    warm: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = time.time() - t0
         gc.collect()  # release py4j refs so ContextCleaner can drop
         # eager-localCheckpoint RDDs; otherwise blocks from dozens of
         # earlier queries pile up in executor storage and distort timings
-    warm_cost = time.time() - warm0
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    target = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # Budget guard (100-query catalog): the harness window that runs this
     # script is finite, and a killed run loses EVERY median — worse than
-    # fewer reps. The warm-up pass just measured one full-catalog pass, so
-    # fit the rep count to the remaining budget (steady-state passes run
-    # faster than the warm-up, so warm_cost is a safe upper bound). Full
-    # catalog coverage is never sacrificed — only dispersion resolution.
+    # fewer reps. Fit per-query reps to the remaining budget using the
+    # warm-up costs (steady state runs faster, so they're a safe bound).
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "540"))
     remaining = budget - (time.time() - start) - 30.0  # leave margin to emit
-    # steady-state passes run ~25% faster than the warm-up (codegen/worker
-    # startup is in the warm numbers) — measured across the r6 clean runs
-    rep_est = max(0.75 * warm_cost, 1e-9)
-    afford = max(1, int(remaining // rep_est))
-    if afford < reps:
+    est = {name: max(_STEADY_FACTOR * t, 1e-3) for name, t in warm.items()}
+    alloc = _allocate_reps(est, remaining, target)
+    n_rounds = max(alloc.values())
+    if min(alloc.values()) < target:
         print(
-            f"bench: budget {budget:.0f}s fits {afford} rep(s) of "
-            f"~{rep_est:.0f}s, not {reps} — reducing",
+            f"bench: budget {budget:.0f}s fits floor "
+            f"{min(alloc.values())} rep(s), not {target} — reduced",
             file=sys.stderr,
         )
-        reps = afford
+
     runs: dict[str, list[float]] = {name: [] for name in QUERIES}
-    for _ in range(reps):  # interleaved: each round times every query once
-        for name, fn in QUERIES.items():
+    for k in range(n_rounds):  # interleaved: round k times every query
+        # whose allocation exceeds k — cheap-query extra rounds stay
+        # spread across the session like the base rounds
+        wave = [n for n in QUERIES if alloc[n] > k]
+        wave_est = sum(est[n] for n in wave)
+        if k > 0 and (time.time() - start) + wave_est > budget - 30.0:
+            # estimates drifted: stop on a wave boundary (uniform
+            # truncation — every remaining query keeps equal reps)
+            print(f"bench: stopping after round {k} (budget)", file=sys.stderr)
+            break
+        for name in wave:
             t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             runs[name].append(time.time() - t0)
             gc.collect()
 
@@ -114,7 +195,7 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "dispersion": dispersion,
-            "reps": reps,
+            "reps": {name: len(r) for name, r in runs.items()},
             "interleaved": True,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }

@@ -213,13 +213,19 @@ def _run_corpus_prep(args) -> int:
                   file=sys.stderr)
             return 2
         kept = leakage_safe_split(kept, ratios)
+    shard_col = None
     if args.corpus_shuffle_seed is not None:
         kept = shuffle_corpus(kept, seed=args.corpus_shuffle_seed)
+        # the epoch shuffle already shuffled on `shard`: reuse that
+        # partitioning for the write instead of a second full-text
+        # round-robin repartition (plan-asserted in test_plans.py)
+        shard_col = "shard"
     manifest = write_corpus_shards(
         kept,
         outp,
         target_shard_mb=args.corpus_target_shard_mb,
         sort_by=args.corpus_sort_by,
+        shard_col=shard_col,
     )
     print(
         f"corpus-prep: {manifest['row_count']} docs -> "

@@ -933,6 +933,66 @@ def _quality_gate(docs: DataFrame, text_col: str, min_chars: int, min_stopwords:
     return gated, toks, n_sw
 
 
+def _gate_and_exact_dedup(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_chars: int,
+    min_stopwords: int,
+):
+    """Shared head of the composed near-dup pipeline: quality gate + exact
+    dedup on ``xxhash64(normalized text)``. Factored out so
+    :func:`neardup_overflow_report` measures the EXACT relation the
+    MinHash stage sees."""
+    gated, toks, n_sw = _quality_gate(docs, text_col, min_chars, min_stopwords)
+    gated = gated.withColumn("_h", F.xxhash64(normalize_text(F.col(text_col))))
+    w_min = gated.groupBy("_h").agg(F.min(id_col).alias("_keeper"))
+    exact = gated.join(w_min, on="_h").filter(F.col(id_col) == F.col("_keeper"))
+    return exact, toks, n_sw
+
+
+def neardup_overflow_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 100,
+    min_stopwords: int = 1,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Recall-loss observability for :func:`prepare_training_corpus_neardup`
+    (VERDICT r6 next-round #8): the composed pipeline silently inherits
+    MinHash's hot-bucket cap — buckets over ``max_bucket_size`` members are
+    dropped before the band self-join, so docs in them can only meet
+    through their other bands. This report runs the SAME gate + exact-dedup
+    head the pipeline runs, then ``dedup.minhash_dropped_band_stats`` over
+    that relation: one row per over-capacity (band_id, bucket) with its
+    population, on exactly the docs the near-dup stage sees. Empty output
+    = the cap cost nothing. Large populations = a boilerplate cluster the
+    exact stage should have collapsed (normalize harder) or a cap to
+    raise. Defaults mirror ``dedup_clusters``'s banding parameters — pass
+    the same overrides you pass the pipeline.
+    """
+    from rust_cdc_validator_spark.operators.dedup import (
+        minhash_dropped_band_stats,
+    )
+
+    exact, _, _ = _gate_and_exact_dedup(
+        docs, text_col, id_col, min_chars, min_stopwords
+    )
+    return minhash_dropped_band_stats(
+        exact,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        shingle_n=shingle_n,
+        max_bucket_size=max_bucket_size,
+    )
+
+
 def prepare_training_corpus_neardup(
     docs: DataFrame,
     text_col: str = "text",
@@ -954,13 +1014,16 @@ def prepare_training_corpus_neardup(
     8-byte ids (the roots set is corpus-sized — most docs are their own
     root — so it is NOT broadcast). Rows-only oracle (MinHash),
     golden-pinned.
+
+    The MinHash stage CAPS hot LSH buckets (recall trade, dedup.py) — run
+    :func:`neardup_overflow_report` with the same parameters to see
+    exactly which buckets the cap dropped for this pipeline's input.
     """
     from rust_cdc_validator_spark.operators.dedup import dedup_clusters
 
-    gated, toks, n_sw = _quality_gate(docs, text_col, min_chars, min_stopwords)
-    gated = gated.withColumn("_h", F.xxhash64(normalize_text(F.col(text_col))))
-    w_min = gated.groupBy("_h").agg(F.min(id_col).alias("_keeper"))
-    exact = gated.join(w_min, on="_h").filter(F.col(id_col) == F.col("_keeper"))
+    exact, toks, n_sw = _gate_and_exact_dedup(
+        docs, text_col, id_col, min_chars, min_stopwords
+    )
 
     clusters = dedup_clusters(
         exact, text_col, id_col, min_est_jaccard=min_est_jaccard

@@ -264,6 +264,10 @@ def build_ivfpq_index(
         cb_rows, "sub int, code int, center array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
 
+    # fitted-state quantization error: the baseline ivfpq_refit_needed's
+    # codebook-drift check compares appended data against (r7)
+    write_ivfpq_quant_baseline(spark, path)
+
 
 def _load_codebooks(spark, path: str) -> np.ndarray:
     pdf = (
@@ -478,3 +482,97 @@ def append_to_ivfpq_index(
     fresh.mapInPandas(enc, code_schema).write.mode("append").partitionBy(
         "cell"
     ).parquet(f"{path}/codes")
+
+
+def ivfpq_quantization_error(
+    spark, path: str, max_sample_rows: int = 2048
+) -> float:
+    """Mean squared PQ reconstruction residual ``||v − decode(code)||²``
+    over a deterministic sample of the index — the quantization-error half
+    of the IVF-PQ maintenance loop (cell balance is the other half).
+    Appends encode against the ORIGINAL codebooks, so as the corpus drifts
+    from the fitted sample this residual grows and ADC rankings get
+    noisier; :func:`ivfpq_refit_needed` compares it to the build-time
+    baseline stored in ``quant_stats/``.
+
+    Cost: one narrow scan of ``codes/`` (TakeOrderedAndProject on the
+    xxhash64 of the id — a top-k, not a sort), a broadcast semi-join of
+    the ≤``max_sample_rows`` sampled ids against ``vectors/``, and a
+    driver-side decode of the sample (≤ sample·dim floats)."""
+    books = _load_codebooks(spark, path)
+    codes = spark.read.parquet(f"{path}/codes").select("_id", "_code")
+    samp_ids = (
+        codes.withColumn("_h", F.xxhash64("_id"))
+        .orderBy("_h", "_id")
+        .limit(max_sample_rows)
+        .select("_id", "_code")
+    )
+    vecs = spark.read.parquet(f"{path}/vectors").select("_id", "_v")
+    pdf = samp_ids.join(vecs, "_id").toPandas()
+    if pdf.empty:
+        return 0.0
+    v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+    raw = np.stack([np.frombuffer(c, dtype=np.uint8) for c in pdf["_code"]])
+    m = books.shape[0]
+    sub_dim = books.shape[2]
+    recon = np.empty((len(pdf), m * sub_dim))
+    for s in range(m):
+        recon[:, s * sub_dim : (s + 1) * sub_dim] = books[s, raw[:, s]]
+    resid = v - recon[:, : v.shape[1]]
+    return float(np.mean(np.sum(resid * resid, axis=1)))
+
+
+def write_ivfpq_quant_baseline(spark, path: str, max_sample_rows: int = 2048) -> float:
+    """Record the build-time quantization error under ``quant_stats/`` so
+    later drift probes have a fitted-state baseline. Called by
+    :func:`build_ivfpq_index`; callable again after a refit."""
+    mse = ivfpq_quantization_error(spark, path, max_sample_rows)
+    spark.createDataFrame(
+        [(float(mse), int(max_sample_rows))], "baseline_mse double, sample_rows int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/quant_stats")
+    return mse
+
+
+def ivfpq_refit_needed(
+    spark,
+    path: str,
+    max_imbalance: float = 4.0,
+    max_error_ratio: float = 1.5,
+    abs_error_floor: float = 1e-3,
+    max_sample_rows: int = 2048,
+) -> bool:
+    """Maintenance trigger for a standing IVF-PQ index — True when either
+    degradation signal fires:
+
+    * **cell imbalance** (coarse quantizer drift): largest cell exceeds
+      ``max_imbalance`` × the mean population — the same signal as the
+      plain-IVF ``similarity.ivf_refit_needed`` (probe cost is no longer
+      ~|corpus|/n_cells);
+    * **quantization-error growth** (codebook drift): the sampled mean ADC
+      residual exceeds ``max(max_error_ratio × baseline, abs_error_floor)``
+      with the build-time baseline from ``quant_stats/`` — appended
+      vectors no longer resemble the sample the codebooks were fitted on,
+      so ADC candidate ranking degrades even if cells stay balanced. The
+      absolute floor handles a ZERO baseline (tiny corpora where 256
+      codewords per subspace reconstruct the fit sample exactly — a pure
+      ratio could never fire) and doubles as a noise gate for near-zero
+      ones; residuals are on unit vectors, so 1e-3 ≪ any ranking-relevant
+      error. Indexes built before the baseline existed skip this check
+      (imbalance still applies).
+
+    Bounded work: n_cells rows + the sampled residual probe.
+    """
+    from rust_cdc_validator_spark.operators.similarity import ivf_refit_needed
+
+    if ivf_refit_needed(spark, path, max_imbalance=max_imbalance):
+        return True
+    try:
+        base = spark.read.parquet(f"{path}/quant_stats").first()
+    except Exception:
+        return False  # pre-r7 index: no baseline recorded
+    if base is None or base["baseline_mse"] is None:
+        return False
+    current = ivfpq_quantization_error(spark, path, max_sample_rows)
+    return current > max(
+        max_error_ratio * float(base["baseline_mse"]), abs_error_floor
+    )

@@ -61,3 +61,19 @@ def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Count of WholeStageCodegen regions — wider is better (fewer
     interpreted seams)."""
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df))))
+
+
+def exchanges_carrying(df: DataFrame, col_name: str) -> int:
+    """Count Exchange (shuffle) nodes whose input carries ``col_name`` —
+    the composed-pipeline audit: a corpus chain should move full TEXT
+    through the minimum number of shuffles, whatever it does to 8-byte
+    keys. Parses the formatted plan's per-node detail blocks (``(N)
+    Exchange`` followed by ``Input [n]: [...]``)."""
+    text = explain_str(df, "formatted")
+    count = 0
+    # detail blocks start at "(N) NodeName" and run to the next "(M) " header
+    for block in re.split(r"\n(?=\(\d+\) )", text):
+        m = re.match(r"\(\d+\) Exchange\b", block)
+        if m and re.search(rf"\b{re.escape(col_name)}#\d+", block):
+            count += 1
+    return count

@@ -119,6 +119,7 @@ def write_corpus_shards(
     target_shard_mb: int = 256,
     total_rows: int | None = None,
     sort_by: list[str] | None = None,
+    shard_col: str | None = None,
 ) -> dict:
     """Write the corpus as ~``target_shard_mb`` shards plus ``_MANIFEST.json``.
 
@@ -140,14 +141,35 @@ def write_corpus_shards(
     per-row-group min/max statistics on the sort columns, so later
     point/range scans prune row groups instead of reading whole shards —
     the cheap half of data clustering, worth it whenever downstream reads
-    filter on a known column (doc_id lookups, time ranges)."""
+    filter on a known column (doc_id lookups, time ranges).
+
+    ``shard_col`` (r7): when the frame already carries a logical shard
+    assignment whose computation SHUFFLED on it (``shuffle_corpus``'s
+    window partitions by ``shard``), pass that column to skip the
+    round-robin repartition entirely — the rows are already grouped by
+    the existing partitioning, so the write adds ZERO shuffles and each
+    output file holds whole logical shards (sorted within via
+    ``sort_by``, which defaults to ``(shard_col, shard_pos)`` here so
+    files align with training order). Shard SIZES then follow the hash
+    spread of ``num_shards`` over partitions instead of the byte target —
+    even to within the law of large numbers at ≥4× parallelism shard
+    counts, and worth one full-text shuffle saved at 100 TB."""
     if fmt not in ("parquet", "json"):
         raise ValueError("fmt must be 'parquet' or 'json'")
     n = total_rows if total_rows is not None else df.count()
     row_bytes = _estimate_row_bytes(df, fmt)
     target = target_shard_mb * 1024 * 1024
     shards = max(1, -(-int(n * row_bytes) // target))
-    sharded = df.repartition(shards)
+    if shard_col is not None:
+        if shard_col not in df.columns:
+            raise ValueError(f"shard_col {shard_col!r} not in frame")
+        sharded = df
+        if sort_by is None:
+            sort_by = [shard_col] + (
+                ["shard_pos"] if "shard_pos" in df.columns else []
+            )
+    else:
+        sharded = df.repartition(shards)
     if sort_by:
         sharded = sharded.sortWithinPartitions(*sort_by)
     writer = sharded.write.mode("overwrite")

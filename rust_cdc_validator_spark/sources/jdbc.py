@@ -248,3 +248,72 @@ def merge_net_effect(
         delete_sql(target.table, primary_key, del_staging),
         upsert_sql(target.table, cols, primary_key, up_staging),
     ]
+
+
+def read_table_partitioned(
+    spark,
+    target: JdbcTarget,
+    primary_key: list[str],
+    chunk_spec: tuple[float, float, int] | None = None,
+    chunk_size: int = 1000,
+    max_connections: int = 100,
+) -> DataFrame:
+    """Read a JDBC table through N concurrent connections, partitioned on
+    the primary key — connection-pool parity with the reference, which
+    pushes every table through a bounded pool of up to 100 connections
+    (src/postgres/postgres_config.rs:51-79) rather than one cursor.
+
+    The partition bounds come from the SAME arithmetic chunk spec the
+    validator's diff uses (``operators.diff.compute_chunk_spec``:
+    ``(min_key, span, n_chunks)``), so a live-DB validate reads the table
+    as wide as it chunks it: ``partitionColumn = primary_key[0]``,
+    ``lowerBound = min_key``, ``upperBound = min_key + span·n_chunks``,
+    ``numPartitions = min(n_chunks, max_connections)``. Spark's JDBC
+    source puts rows OUTSIDE the bounds into the first/last partitions, so
+    a stale spec (table grew since it was computed) changes balance, never
+    completeness.
+
+    ``chunk_spec`` should be precomputed and passed in for standing
+    pipelines (one source aggregate per snapshot, reused everywhere —
+    same contract as ``diff_tables(chunk_spec=...)``). When omitted it is
+    derived here with one ``min/max/count`` aggregate over a
+    single-connection read — fine for moderate tables, but note plain
+    JDBC (DataSource v1) does not push aggregates down, so prefer passing
+    the spec at scale.
+
+    Falls back to the single-connection read (with the same columns) when
+    the first PK column is not numeric — Spark's JDBC range partitioning
+    needs a numeric/date column, and the hash fallback the diff uses for
+    string keys is not portable SQL. ``target.num_partitions`` additionally
+    caps the connection count if set.
+    """
+    props = target.connection_properties()
+    single = spark.read.jdbc(target.url, target.table, properties=props)
+    first_pk_type = dict(single.dtypes).get(primary_key[0])
+    numeric = first_pk_type in {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    } or (first_pk_type or "").startswith("decimal")
+    if not numeric:
+        return single
+    if chunk_spec is None:
+        from rust_cdc_validator_spark.operators.diff import compute_chunk_spec
+
+        chunk_spec = compute_chunk_spec(single, primary_key, chunk_size)
+    lo, span, n_chunks = chunk_spec
+    n_conn = max(1, min(int(n_chunks), int(max_connections)))
+    if target.num_partitions:
+        n_conn = min(n_conn, target.num_partitions)
+    if n_conn == 1:
+        return single
+    return spark.read.jdbc(
+        target.url,
+        target.table,
+        column=primary_key[0],
+        # pyspark accepts int or str bounds; floor/ceil keeps every key in
+        # range (out-of-range keys would only unbalance, not drop, but
+        # tight bounds partition best)
+        lowerBound=int(lo) if float(lo).is_integer() else str(lo),
+        upperBound=int(lo + span * n_chunks) + 1,
+        numPartitions=n_conn,
+        properties=props,
+    )

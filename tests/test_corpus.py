@@ -1159,3 +1159,55 @@ def test_apply_mixture_missing_weight_modes(spark):
     kept = apply_mixture(docs, only_web, missing_weight=1.0)
     assert kept.count() == 20
     assert {r["source"] for r in kept.collect()} == {"web", "books"}
+
+
+def test_neardup_overflow_report_surfaces_planted_hot_band(spark):
+    """r7 (VERDICT #8): the composed near-dup pipeline inherits MinHash's
+    hot-bucket cap silently; the companion report must surface a planted
+    hot band measured on the SAME post-gate post-exact-dedup relation the
+    pipeline's MinHash stage sees."""
+    from rust_cdc_validator_spark.operators.corpus import (
+        neardup_overflow_report,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to find some tasty food"
+    )
+    # 30 NEAR-duplicates (distinct suffix → they survive exact dedup) that
+    # share nearly all shingles → same LSH buckets in most bands
+    rows = [(i, f"{base} variant{i}") for i in range(30)]
+    rows += [(100 + i, f"totally different document number {i} with other "
+              f"unique words sprinkled liberally throughout the text body "
+              f"for the gate to accept it happily") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    hot = neardup_overflow_report(
+        docs, min_chars=50, min_stopwords=1, max_bucket_size=10
+    )
+    stats = hot.collect()
+    assert stats, "planted hot band must appear in the report"
+    assert all(r["population"] > 10 for r in stats)
+    # MinHash variance can route a variant elsewhere in some bands —
+    # the bulk of the planted cluster must still surface
+    assert max(r["population"] for r in stats) >= 25
+
+    # raising the cap above the planted population empties the report
+    assert (
+        neardup_overflow_report(
+            docs, min_chars=50, min_stopwords=1, max_bucket_size=50
+        ).count()
+        == 0
+    )
+
+    # and identical copies do NOT show up: exact dedup collapses them
+    # before the band stage (the relation measured is post-exact-dedup)
+    copies = spark.createDataFrame(
+        [(i, base) for i in range(30)], "doc_id long, text string"
+    )
+    assert (
+        neardup_overflow_report(
+            copies, min_chars=50, min_stopwords=1, max_bucket_size=10
+        ).count()
+        == 0
+    )

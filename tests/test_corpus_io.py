@@ -137,3 +137,38 @@ def test_write_corpus_shards_sort_by_tightens_rowgroup_stats(spark, tmp_path):
             prev_max = st.max
     # round-trip intact
     assert spark.read.parquet(out).count() == 20_000
+
+
+def test_write_shards_shard_col_reuses_partitioning(spark, tmp_path):
+    """r7: with shard_col, the write performs NO repartition — files hold
+    whole logical shards sorted by (shard, shard_pos), and the manifest
+    still audits correctly."""
+    from rust_cdc_validator_spark.operators.corpus import shuffle_corpus
+    from rust_cdc_validator_spark.sources.corpus_io import (
+        write_corpus_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    shuffled = shuffle_corpus(docs, seed=3, num_shards=8)
+    out = str(tmp_path / "shards")
+    manifest = write_corpus_shards(shuffled, out, shard_col="shard")
+    assert manifest["row_count"] == 200
+
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    # every logical shard lives entirely inside one physical file
+    from pyspark.sql import functions as F
+
+    per = (
+        back.withColumn("_f", F.input_file_name())
+        .groupBy("shard")
+        .agg(F.count_distinct("_f").alias("nf"))
+        .collect()
+    )
+    assert per and all(r["nf"] == 1 for r in per)
+
+    with pytest.raises(ValueError, match="shard_col"):
+        write_corpus_shards(shuffled, out, shard_col="nope")

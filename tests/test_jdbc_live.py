@@ -19,6 +19,7 @@ dialect (MERGE INTO + EXISTS delete) next to the reference-faithful
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from rust_cdc_validator_spark.sources.jdbc import (
     JdbcTarget,
@@ -190,3 +191,54 @@ def test_full_cdc_to_database_roundtrip(spark, tmp_path):
     )
     assert not rep2.is_match
     assert {r["ID"] for r in rep2.rows_only_in_source.collect()} == {5}
+
+
+def test_read_table_partitioned_n_connections_and_same_diff(spark, tmp_path):
+    """r7 (VERDICT missing #1): a live validate reads the big table N
+    connections wide. The partitioned read must (a) carry numPartitions
+    input partitions derived from the diff's chunk spec, and (b) produce
+    the same rows — and therefore the same diff report — as the
+    single-connection read."""
+    from rust_cdc_validator_spark.operators.diff import (
+        compute_chunk_spec,
+        diff_tables,
+    )
+    from rust_cdc_validator_spark.sources.jdbc import read_table_partitioned
+
+    url = _url(tmp_path)
+    rows = spark.range(0, 500).selectExpr("id", "concat('v', id) as v")
+    target = JdbcTarget(url=url, table="parttab", properties=DERBY)
+    append_dataframe(rows, target)
+
+    single = _read_table(spark, url, "parttab")
+    spec = compute_chunk_spec(single, ["id"], chunk_size=100)
+    assert spec[2] == 5  # 500 rows / 100
+
+    part = read_table_partitioned(
+        spark, target, ["id"], chunk_spec=spec, max_connections=100
+    )
+    # scan width == chunk count (capped by max_connections)
+    assert part.rdd.getNumPartitions() == 5
+    part = part.toDF(*[c.lower() for c in part.columns])
+    assert sorted(map(tuple, part.collect())) == sorted(
+        map(tuple, single.collect())
+    )
+
+    # same diff report through either read path
+    source = rows.withColumn("v", F.concat(F.lit("v"), F.col("id")))
+    rep_single = diff_tables(source, single, ["id"], chunk_size=100)
+    rep_part = diff_tables(source, part, ["id"], chunk_size=100)
+    assert rep_single.mismatched_chunks == rep_part.mismatched_chunks == []
+    assert rep_single.source_count == rep_part.source_count == 500
+
+    # connection cap honored
+    capped = read_table_partitioned(
+        spark, target, ["id"], chunk_spec=spec, max_connections=3
+    )
+    assert capped.rdd.getNumPartitions() == 3
+
+    # non-numeric first PK falls back to the single-connection read
+    fallback = read_table_partitioned(
+        spark, JdbcTarget(url=url, table="parttab", properties=DERBY), ["v"]
+    )
+    assert fallback.rdd.getNumPartitions() == 1

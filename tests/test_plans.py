@@ -105,3 +105,46 @@ def test_base_conf_block():
     assert "spark.sql.streaming.stateStore.providerClass" not in conf
     rocks = base_conf(64, rocksdb_state=True)
     assert rocks["spark.sql.streaming.stateStore.providerClass"] == _ROCKSDB_PROVIDER
+
+
+def test_corpus_prep_chain_text_shuffle_budget(spark, sf_dir):
+    """r7 (VERDICT #7): composition audit for the corpus-prep CLI chain —
+    gate → exact dedup → near-dup clusters → keeper semi-join → leakage
+    split → epoch shuffle → shard write. Individual stages are audited in
+    their own tests; this pins what the COMPOSITION moves: full document
+    TEXT crosses exactly two exchanges —
+
+      1. the keeper semi-join (the corpus rewrite itself: docs shuffle on
+         the 8-byte id to meet the corpus-sized keeper set — at fixture
+         scale AQE broadcasts the keeper side instead, so this exchange
+         may not appear at all), and
+      2. the epoch shuffle's window partitioning on `shard`
+
+    — and the shard write adds none (shard_col reuses the epoch shuffle's
+    partitioning; without the epoch shuffle its round-robin repartition
+    IS the documented rewrite shuffle). The dedup/cluster machinery that
+    decides WHO survives moves hashes and ids only.
+    """
+    from rust_cdc_validator_spark.operators.corpus import (
+        leakage_safe_split,
+        prepare_training_corpus_neardup,
+        shuffle_corpus,
+    )
+    from rust_cdc_validator_spark.plans.inspect import exchanges_carrying
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keepers = prepare_training_corpus_neardup(docs).select("doc_id")
+    kept = docs.join(keepers, "doc_id", "left_semi")
+    split = leakage_safe_split(kept, {"train": 0.9, "val": 0.1})
+    shuffled = shuffle_corpus(split, seed=1, num_shards=16)
+    # sortWithinPartitions is what the write adds with shard_col set
+    final = shuffled.sortWithinPartitions("shard", "shard_pos")
+
+    n = exchanges_carrying(final, "text")
+    assert 1 <= n <= 2, f"text crossed {n} exchanges"
+    # the decision machinery upstream of the semi-join moves no text
+    assert exchanges_carrying(keepers, "text") == 0
+    # regression guard for the r7 write path: adding the old round-robin
+    # repartition back would push the count to 3
+    round_robin = final.repartition(8)
+    assert exchanges_carrying(round_robin, "text") == n + 1

@@ -181,3 +181,46 @@ def test_append_matches_fresh_build_given_same_quantizers(spark, tmp_path):
     # and the probe sees appended vectors as first-class neighbors
     res = ivfpq_topk_from_index(spark, path, b, k=1, n_probe=2, refine_factor=8)
     assert res.count() == b.count()
+
+
+def test_refit_trigger_on_planted_codebook_drift(spark, tmp_path):
+    """r7: the IVF-PQ maintenance loop. A fresh index reports a baseline
+    quantization error and no refit need; appending a batch drawn from a
+    DIFFERENT distribution (orthogonal subspace the codebooks never saw)
+    inflates the sampled ADC residual past the ratio threshold and trips
+    ivfpq_refit_needed — even when cell balance alone would not."""
+    from rust_cdc_validator_spark.operators.pq import (
+        ivfpq_quantization_error,
+        ivfpq_refit_needed,
+        append_to_ivfpq_index,
+    )
+
+    dim = 16
+    path = str(tmp_path / "pqidx")
+    corpus = _clustered(spark, n_clusters=4, per=24, dim=dim, seed=3)
+    build_ivfpq_index(corpus, path, n_cells=4, m=4, seed=7)
+
+    base = spark.read.parquet(f"{path}/quant_stats").first()
+    assert base is not None and base["baseline_mse"] >= 0.0
+    fresh_err = ivfpq_quantization_error(spark, path)
+    assert fresh_err == pytest.approx(base["baseline_mse"], rel=1e-9)
+    assert not ivfpq_refit_needed(spark, path, max_imbalance=50.0)
+
+    # planted drift: vectors concentrated far from every fitted codeword
+    # (alternating-sign ramp — nothing like the clustered gaussians)
+    rng = np.random.default_rng(99)
+    rows = []
+    for j in range(96):
+        v = np.array([(-1.0) ** i * (1.0 + i / dim) for i in range(dim)])
+        v = v + rng.normal(scale=0.3, size=dim)
+        rows.append((10_000 + j, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+    drifted = spark.createDataFrame(rows, _SCHEMA)
+    append_to_ivfpq_index(drifted, path)
+
+    drifted_err = ivfpq_quantization_error(spark, path)
+    assert drifted_err > 1.5 * base["baseline_mse"]
+    assert ivfpq_refit_needed(spark, path, max_imbalance=50.0)
+    # rebuilding (the cued action) restores a healthy baseline
+    rebuilt = corpus.unionByName(drifted)
+    build_ivfpq_index(rebuilt, path, n_cells=4, m=4, seed=7)
+    assert not ivfpq_refit_needed(spark, path, max_imbalance=50.0)
