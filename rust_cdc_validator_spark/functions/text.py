@@ -56,10 +56,24 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:
-    """Array of character n-grams (for language-ID profiles / SimHash)."""
+    """Array of character n-grams (for language-ID profiles / SimHash).
+
+    Built like :func:`word_shingles` — a zip of n shifted char-array
+    slices, NOT ``substring(t, i, n)`` inside a ``transform`` lambda: the
+    interpreted HOF re-evaluates the ``lower(text)`` subtree once PER
+    ELEMENT, making the per-index form O(len²) per document (the same
+    trap SCALE.md documents for exact-substring windows). The slice form
+    evaluates the lowered text a constant number of times per row. Output
+    is value-identical, edge cases included (empty/short/unicode —
+    parity-tested in test_text_multimodal.py).
+    """
     t = F.lower(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(n - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.substring(t, i.cast("int"), n))
+    chars = F.split(t, "")
+    count = F.greatest(F.length(t) - F.lit(n - 1), F.lit(1))
+    zipped = F.arrays_zip(*[F.slice(chars, k + 1, count) for k in range(n)])
+    return F.transform(
+        zipped, lambda s: F.concat_ws("", *[s[str(k)] for k in range(n)])
+    )
 
 
 def stopword_ratio(text: Column) -> Column:

@@ -1266,13 +1266,31 @@ def clean_lines(
     Cross-document line dedup is a different operator class (it needs a
     corpus-wide shuffle — see exact_substring_stats for the span-level
     equivalent); this is the per-document pass C4 runs.
+
+    Long-doc plan shape (r7): the line array and its per-line xxhash64
+    array are MATERIALIZED in their own projections — lambdas referencing
+    an inline ``split()`` re-evaluate it once per element in interpreted
+    HOFs (the O(len²) trap SCALE.md documents), and the first-occurrence
+    scan compares 8-byte line hashes instead of line strings. The
+    first-occurrence filter itself stays O(n_lines²) per doc in LONG
+    comparisons (array_position per line — inherent to an expression-only
+    formulation); real prose is tens-to-hundreds of lines, and a planted
+    5k-line doc stays comfortably in budget (pytest-pinned).
     """
-    lines = F.split(F.col(text_col), "\n")
+    pre = df.withColumn("_lines", F.split(F.col(text_col), "\n"))
+    if dedup:
+        pre = pre.withColumn(
+            "_lh", F.transform(F.col("_lines"), lambda l: F.xxhash64(l))
+        )
+    lines = F.col("_lines")
     idx = F.sequence(F.lit(1), F.size(lines))
     # first-occurrence filter via position: element i survives iff the
-    # first index holding its value IS i (array_position = first match)
+    # first index holding its (hashed) value IS i (array_position = first
+    # match; 2^-64 collision trade, same as every hashed-key reduction
+    # here — the oracle keeps comparing raw strings)
+    lh = F.col("_lh")
     first = F.filter(
-        idx, lambda i: F.array_position(lines, F.element_at(lines, i)) == i
+        idx, lambda i: F.array_position(lh, F.element_at(lh, i)) == i
     )
     kept_idx = first if dedup else idx
     words_ok = lambda l: (
@@ -1290,9 +1308,10 @@ def clean_lines(
         F.transform(final_idx, lambda i: F.element_at(lines, i)), "\n"
     )
     return (
-        df.withColumn("n_lines", F.size(lines).cast("int"))
+        pre.withColumn("n_lines", F.size(lines).cast("int"))
         .withColumn("n_lines_kept", F.size(final_idx).cast("int"))
         .withColumn("text_clean", cleaned)
+        .drop("_lines", "_lh")
     )
 
 
@@ -1357,8 +1376,13 @@ def scrub_boilerplate_lines(
         .agg(F.collect_set("_pos").alias("_drop"))
         .withColumnRenamed("_id", id_col)
     )
-    out = df.join(dropped, id_col, "left")
-    lines = F.split(F.col(text_col), "\n")
+    # materialize the line array below its lambda consumers: an inline
+    # split() inside transform/filter is re-evaluated per element by the
+    # interpreted HOF — O(n_lines² · line_len) per doc (SCALE.md trap)
+    out = df.join(dropped, id_col, "left").withColumn(
+        "_lines", F.split(F.col(text_col), "\n")
+    )
+    lines = F.col("_lines")
     drop = F.coalesce(F.col("_drop"), F.expr("array()").cast("array<int>"))
     # sequence is 1-based; posexplode positions are 0-based
     keep_idx = F.filter(
@@ -1374,7 +1398,7 @@ def scrub_boilerplate_lines(
                 F.transform(keep_idx, lambda i: F.element_at(lines, i)), "\n"
             ),
         )
-        .drop("_drop")
+        .drop("_drop", "_lines")
     )
 
 

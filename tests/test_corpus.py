@@ -1211,3 +1211,25 @@ def test_neardup_overflow_report_surfaces_planted_hot_band(spark):
         ).count()
         == 0
     )
+
+
+def test_clean_lines_long_doc_stays_linear_enough(spark):
+    """r7 plan pin: the line array and per-line hashes are materialized
+    below the HOF lambdas (an inline split re-evaluates per element —
+    O(n_lines^2 * line_len)), and first-occurrence compares 8-byte hashes.
+    A planted 5k-line doc must clean promptly and correctly."""
+    import time
+
+    from rust_cdc_validator_spark.operators.corpus import clean_lines
+
+    lines = [f"this is unique content line number {i} ok" for i in range(5000)]
+    lines.insert(1000, lines[0])  # one duplicate to exercise dedup
+    doc = "\n".join(lines)
+    df = spark.createDataFrame([(0, doc)], "doc_id long, text string")
+    t0 = time.monotonic()
+    row = clean_lines(df, min_words=3).collect()[0]
+    elapsed = time.monotonic() - t0
+    assert row["n_lines"] == 5001
+    assert row["n_lines_kept"] == 5000  # the duplicate dropped
+    assert row["text_clean"].splitlines()[0] == lines[0]
+    assert elapsed < 30, f"clean_lines took {elapsed:.1f}s on a 5k-line doc"
