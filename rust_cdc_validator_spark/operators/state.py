@@ -622,3 +622,85 @@ def merge_into_state_manifest(
         spark, _manifest_path(root, new_version), json.dumps(manifest, indent=1)
     )
     return new_version
+
+
+def gc_state_versions(
+    spark: SparkSession,
+    root: str,
+    keep_versions: int = 2,
+    dry_run: bool = False,
+) -> dict:
+    """Garbage-collect manifest-state versions, respecting shared files.
+
+    The manifest layer makes versions share data files (an untouched
+    bucket's file is referenced by every subsequent manifest until the
+    bucket is next touched), so deleting an old version's DIRECTORY would
+    corrupt newer versions — the exact failure the directory-per-version
+    layout's hard links avoid locally. GC therefore works by
+    REACHABILITY, the same discipline as table-format snapshot expiry:
+
+    * keep the newest ``keep_versions`` manifests;
+    * a data file is LIVE iff some kept manifest references it;
+    * dropped versions lose their ``manifest.json`` and any of their data
+      files that are not live; version directories that still hold live
+      files survive (newer manifests point into them).
+
+    Returns ``{"kept_versions", "dropped_versions", "deleted_files",
+    "retained_shared_files"}``; with ``dry_run`` nothing is deleted and
+    the dict reports what would happen. Driver-side work is bounded by
+    versions × buckets file-list entries (the manifests themselves).
+    """
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1 — GC never deletes HEAD")
+    versions = sorted(
+        int(name[1:])
+        for name in _fs_list_names(spark, root)
+        if re.fullmatch(r"v\d{6}", name)
+    )
+    if not versions:
+        return {
+            "kept_versions": [],
+            "dropped_versions": [],
+            "deleted_files": [],
+            "retained_shared_files": [],
+        }
+    kept = versions[-keep_versions:]
+    dropped = [v for v in versions if v not in kept]
+    live: set[str] = set()
+    for v in kept:
+        m = _load_manifest(spark, root, v)
+        for rels in m["buckets"].values():
+            live.update(rels)
+
+    deleted: list[str] = []
+    retained: list[str] = []
+    fs, _, jvm = _hadoop_fs(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    for v in dropped:
+        own = _version_bucket_files(spark, root, v)
+        for rels in own.values():
+            for rel in rels:
+                if rel in live:
+                    retained.append(rel)
+                    continue
+                deleted.append(rel)
+                if not dry_run:
+                    fs.delete(hpath(posixpath.join(root, rel)), False)
+        if not dry_run:
+            fs.delete(hpath(_manifest_path(root, v)), False)
+            # prune now-empty bucket dirs / the version dir if fully dead
+            data_dir = posixpath.join(root, f"v{v:06d}", "data")
+            for sub in _fs_list_names(spark, data_dir):
+                sub_path = posixpath.join(data_dir, sub)
+                if not any(
+                    n.startswith("part-") for n in _fs_list_names(spark, sub_path)
+                ):
+                    fs.delete(hpath(sub_path), True)
+            if not _fs_list_names(spark, data_dir):
+                fs.delete(hpath(posixpath.join(root, f"v{v:06d}")), True)
+    return {
+        "kept_versions": kept,
+        "dropped_versions": dropped,
+        "deleted_files": sorted(deleted),
+        "retained_shared_files": sorted(retained),
+    }

@@ -458,3 +458,55 @@ def test_manifest_reader_latest_and_errors(spark, tmp_path):
     assert latest_state_version(spark, root) == v == 1
     # default read = latest
     assert read_state_manifest(spark, root).count() == 2
+
+
+def test_manifest_gc_respects_shared_files(spark, tmp_path):
+    """r7: version GC works by REACHABILITY — an old version's files that
+    newer manifests still reference (untouched-bucket carryover) must
+    survive; only unreferenced files and dropped manifests are deleted,
+    and the kept versions stay readable afterward."""
+    from rust_cdc_validator_spark.operators.state import (
+        _load_manifest,
+        gc_state_versions,
+        init_state_manifest,
+        latest_state_version,
+        merge_into_state_manifest,
+        read_state_manifest,
+    )
+
+    root = str(tmp_path / "mstate")
+    state0 = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "id long, val string"
+    )
+    init_state_manifest(spark, state0, root, ["id"], n_buckets=8)
+    merge_into_state_manifest(spark, root, _log(spark, [(1, "x", "U", 500)]))
+    merge_into_state_manifest(spark, root, _log(spark, [(2, "y", "U", 600)]))
+    assert latest_state_version(spark, root) == 2
+
+    before = sorted(map(tuple, read_state_manifest(spark, root, 2).collect()))
+    live = {
+        rel
+        for rels in _load_manifest(spark, root, 2)["buckets"].values()
+        for rel in rels
+    }
+    # v0 must still be contributing carried files (shared across versions)
+    assert any(rel.startswith("v000000/") for rel in live)
+
+    plan = gc_state_versions(spark, root, keep_versions=1, dry_run=True)
+    assert plan["kept_versions"] == [2]
+    assert plan["dropped_versions"] == [0, 1]
+    assert not set(plan["deleted_files"]) & live
+    assert set(plan["retained_shared_files"]) <= live
+
+    result = gc_state_versions(spark, root, keep_versions=1)
+    assert result["deleted_files"] == plan["deleted_files"]
+    # dropped manifests are gone; the kept version reads identically
+    with pytest.raises(Exception):
+        _load_manifest(spark, root, 0)
+    assert latest_state_version(spark, root) == 2
+    after = sorted(map(tuple, read_state_manifest(spark, root, 2).collect()))
+    assert after == before
+    # a further merge still chains off the surviving manifest
+    v3 = merge_into_state_manifest(spark, root, _log(spark, [(3, "z", "U", 700)]))
+    got = {r["id"]: r["val"] for r in read_state_manifest(spark, root, v3).collect()}
+    assert got[1] == "x" and got[2] == "y" and got[3] == "z"
