@@ -1477,3 +1477,128 @@ def chunk_documents(
         F.size(piece).cast("int").alias("chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic distinctive-term
+    extractor (keyword tagging, cluster labeling, index-time boosting).
+    Returns ``(id_col, token, tf, df_docs, tfidf_r, rnk)`` with the score
+    rounded to 6 places for engine-portable comparison.
+
+    Scale shape: one explode + one (doc, token) aggregation; document
+    frequency is a count window over the SAME relation (the single-scan
+    trick ``retrieval.bm25_topk`` documents — a groupBy-join formulation
+    plans a second corpus scan). The per-doc top-k is a bounded window.
+    ``n_docs`` skips the corpus count job when the caller already knows it
+    (standing-pipeline contract, same as ``write_corpus_shards``'s
+    ``total_rows``).
+    """
+    if n_docs is None:
+        n_docs = df.count()
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    with_df = tf.withColumn(
+        "df_docs", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
+    score = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_docs"))
+    w = Window.partitionBy(id_col).orderBy(
+        score.desc(), F.col("token")
+    )
+    return (
+        with_df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            id_col,
+            "token",
+            "tf",
+            "df_docs",
+            F.round(score, 6).alias("tfidf_r"),
+            "rnk",
+        )
+    )
+
+
+def shard_mixing_report(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 1,
+    num_shards: int = 16,
+) -> DataFrame:
+    """Did the epoch shuffle actually MIX? Per training shard
+    (:func:`shuffle_corpus` assignment): document count, distinct
+    sources, and the source-distribution entropy in nats (rounded to 6).
+    A shard whose entropy sits far below the corpus-level source entropy
+    means documents of one source clumped into it — the training-order
+    pathology (loss spikes on homogeneous stretches) the deterministic
+    shuffle exists to prevent.
+
+    Scale shape: the shard assignment is the same map-side md5 expression
+    as ``shuffle_corpus``; everything after is a (shard, source)
+    aggregation — shards×sources rows, KB-sized.
+    """
+    sh = shuffle_corpus(df, id_col=id_col, seed=seed, num_shards=num_shards)
+    per = sh.groupBy("shard", source_col).agg(F.count(F.lit(1)).alias("_n"))
+    tot = Window.partitionBy("shard")
+    p = F.col("_n") / F.sum("_n").over(tot)
+    ent = per.withColumn("_plogp", -p * F.log(p))
+    return (
+        ent.groupBy("shard")
+        .agg(
+            F.sum("_n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_sources"),
+            F.round(F.sum("_plogp"), 6).alias("source_entropy_r"),
+        )
+        .select("shard", "n_docs", "n_sources", "source_entropy_r")
+    )
+
+
+def ngram_novelty(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """How much of a corpus VERSION is genuinely new text: the fraction of
+    the new version's distinct ``shingle_n``-gram set absent from the old
+    version — the growth-quality monitor for a continuously-crawled
+    corpus (near-1 novelty = fresh content; near-0 = the crawl is
+    re-collecting what you have; a sudden jump = a source changed or a
+    dedup stage broke). One row: ``(n_new_ngrams, n_novel, novelty_r)``.
+
+    Scale shape: both sides reduce to DISTINCT 8-byte hashed shingles
+    map-side (the corpus-wide distinct is one hash shuffle each — counts
+    over the hash equal counts over the strings up to 2⁻⁶⁴, the standard
+    trade every contamination operator here makes, so the SQL oracle
+    keeps comparing raw shingle strings); the novelty check is a left
+    join on the 8-byte key.
+    """
+    o = (
+        old.select(
+            F.explode(_hashed_shingle_array(old, text_col, shingle_n)).alias("_s")
+        )
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    nw = new.select(
+        F.explode(_hashed_shingle_array(new, text_col, shingle_n)).alias("_s")
+    ).distinct()
+    joined = nw.join(o, "_s", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_new_ngrams"),
+        F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0)).alias("n_novel"),
+        F.round(
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("novelty_r"),
+    )

@@ -3804,6 +3804,118 @@ LEFT JOIN sp ON g.doc_id = sp.doc_id AND g.pos = sp.b
 # Registry
 # --------------------------------------------------------------------------
 
+def tfidf_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords
+    (operators/corpus.py:tfidf_keywords): the classic distinctive-term
+    extractor — one explode + one (doc, token) aggregation, document
+    frequency as a count window over the same relation (bm25's
+    single-scan trick), bounded per-doc top-k window."""
+    from rust_cdc_validator_spark.operators.corpus import tfidf_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, k=3)
+
+
+TFIDF_KEYWORDS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM tok WHERE token <> '' GROUP BY doc_id, token
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), with_df AS (
+  SELECT doc_id, token, tf,
+         COUNT(*) OVER (PARTITION BY token) AS df_docs
+  FROM tf
+), scored AS (
+  SELECT doc_id, token, tf, df_docs,
+         tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df_docs) AS s,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df_docs)
+                      DESC, token
+         ) AS rnk
+  FROM with_df
+)
+SELECT doc_id, token, tf, df_docs, round(s, 6) AS tfidf_r, rnk
+FROM scored WHERE rnk <= 3
+"""
+
+
+def shard_mixing_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-shuffle mixing diagnostics
+    (operators/corpus.py:shard_mixing_report): per training shard, the
+    source-distribution entropy — the monitor that says whether the
+    deterministic shuffle actually interleaved sources (homogeneous
+    shards = loss-spike training stretches). Shard assignment is the same
+    engine-portable md5 expression the oracle rebuilds."""
+    from rust_cdc_validator_spark.operators.corpus import shard_mixing_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_mixing_report(docs, seed=1, num_shards=16)
+
+
+SHARD_MIXING_SQL = """
+WITH keyed AS (
+  SELECT doc_id, source, md5('1:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+), b AS (
+  SELECT source,
+         CAST((strpos('0123456789abcdef', substring(k, 1, 1)) - 1) % 16
+              AS INT) AS shard
+  FROM keyed
+), per AS (
+  SELECT shard, source, COUNT(*) AS n FROM b GROUP BY shard, source
+), tot AS (
+  SELECT shard, source, n, SUM(n) OVER (PARTITION BY shard) AS t FROM per
+)
+SELECT shard,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_sources,
+       round(SUM(-(n * 1.0 / t) * ln(n * 1.0 / t)), 6) AS source_entropy_r
+FROM tot GROUP BY shard
+"""
+
+
+def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version n-gram novelty (operators/corpus.py:ngram_novelty):
+    the even-id half of documents plays the OLD crawl, the odd-id half the
+    NEW one — what fraction of the new version's distinct 3-gram set is
+    genuinely unseen. Hashed-shingle distinct + 8-byte left join; counts
+    match the oracle's raw-string counts up to the standard 2⁻⁶⁴ trade."""
+    from rust_cdc_validator_spark.operators.corpus import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return ngram_novelty(old, new, shingle_n=3)
+
+
+NGRAM_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+  FROM toks WHERE len(t) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 3
+), old_s AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0
+), new_s AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 1
+)
+SELECT COUNT(*) AS n_new_ngrams,
+       CAST(SUM(CASE WHEN o.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(SUM(CASE WHEN o.s IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*),
+             6) AS novelty_r
+FROM new_s n LEFT JOIN old_s o ON n.s = o.s
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -3860,6 +3972,9 @@ QUERIES: dict[str, QueryFn] = {
     "big_basket_customers": big_basket_customers,
     "orders_above_cust_avg": orders_above_cust_avg,
     "doc_fingerprints": doc_fingerprints,
+    "tfidf_keywords_docs": tfidf_keywords_docs,
+    "shard_mixing_docs": shard_mixing_docs,
+    "ngram_novelty_docs": ngram_novelty_docs,
     "embedding_near_dup_docs": embedding_near_dup_docs,
     "embedding_near_dup_narrow": embedding_near_dup_narrow,
     "semantic_dedup_docs": semantic_dedup_docs,
@@ -3963,6 +4078,9 @@ ORACLES: dict[str, str] = {
     "big_basket_customers": BIG_BASKET_SQL,
     "orders_above_cust_avg": ORDERS_ABOVE_AVG_SQL,
     "doc_fingerprints": DOC_FINGERPRINTS_SQL,
+    "tfidf_keywords_docs": TFIDF_KEYWORDS_SQL,
+    "shard_mixing_docs": SHARD_MIXING_SQL,
+    "ngram_novelty_docs": NGRAM_NOVELTY_SQL,
     "events_asof_purchase": EVENTS_ASOF_PURCHASE_SQL,
     "doc_repetition_stats": DOC_REPETITION_STATS_SQL,
     "lang_distinctive_terms": LANG_DISTINCTIVE_TERMS_SQL,

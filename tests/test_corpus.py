@@ -1233,3 +1233,78 @@ def test_clean_lines_long_doc_stays_linear_enough(spark):
     assert row["n_lines_kept"] == 5000  # the duplicate dropped
     assert row["text_clean"].splitlines()[0] == lines[0]
     assert elapsed < 30, f"clean_lines took {elapsed:.1f}s on a 5k-line doc"
+
+
+def test_tfidf_keywords_hand_checked(spark):
+    import math
+
+    from rust_cdc_validator_spark.operators.corpus import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["rnk"]): r.asDict()
+        for r in tfidf_keywords(docs, k=2).collect()
+    }
+    # doc 0: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    top0 = out[(0, 1)]
+    assert top0["token"] == "apple" and top0["tf"] == 2 and top0["df_docs"] == 1
+    assert top0["tfidf_r"] == round(2 * math.log(3.0), 6)
+    assert out[(0, 2)]["token"] == "banana"
+    # doc 2: cherry tf=2 df=2 -> 2*ln(1.5)=0.81; durian tf=1 df=1 -> ln(3)=1.10
+    assert out[(2, 1)]["token"] == "durian"
+    assert out[(2, 2)]["token"] == "cherry"
+    # n_docs passed explicitly skips the count job and changes nothing
+    got = {
+        (r["doc_id"], r["rnk"]): r["token"]
+        for r in tfidf_keywords(docs, k=2, n_docs=3).collect()
+    }
+    assert got == {k: v["token"] for k, v in out.items()}
+
+
+def test_shard_mixing_entropy_bounds(spark):
+    import math
+
+    from rust_cdc_validator_spark.operators.corpus import shard_mixing_report
+
+    # single-source corpus: entropy exactly 0 in every shard
+    mono = spark.createDataFrame(
+        [(i, "x", "web") for i in range(64)], "doc_id long, text string, source string"
+    )
+    rows = shard_mixing_report(mono, num_shards=4).collect()
+    assert rows and all(r["source_entropy_r"] == 0.0 for r in rows)
+    assert sum(r["n_docs"] for r in rows) == 64
+    # two balanced sources: entropy can never exceed ln(2)
+    duo = spark.createDataFrame(
+        [(i, "x", "web" if i % 2 else "books") for i in range(256)],
+        "doc_id long, text string, source string",
+    )
+    rows = shard_mixing_report(duo, num_shards=4).collect()
+    assert all(0.0 <= r["source_entropy_r"] <= math.log(2.0) + 1e-9 for r in rows)
+    # the deterministic shuffle mixes: every shard should see both sources
+    assert all(r["n_sources"] == 2 for r in rows)
+
+
+def test_ngram_novelty_extremes(spark):
+    from rust_cdc_validator_spark.operators.corpus import ngram_novelty
+
+    a = spark.createDataFrame(
+        [(0, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    b_same = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    b_disjoint = spark.createDataFrame(
+        [(2, "completely different words appear here now")],
+        "doc_id long, text string",
+    )
+    same = ngram_novelty(a, b_same).collect()[0]
+    assert same["n_novel"] == 0 and same["novelty_r"] == 0.0
+    disj = ngram_novelty(a, b_disjoint).collect()[0]
+    assert disj["n_novel"] == disj["n_new_ngrams"] and disj["novelty_r"] == 1.0
