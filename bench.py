@@ -111,7 +111,11 @@ def _allocate_reps(
     # uniform waves these fill PARTIALLY, cheapest first — an
     # all-or-nothing cheap wave meant one over-budget wave left the whole
     # catalog on 2-rep medians (the exact failure mode this allocator
-    # exists to prevent)
+    # exists to prevent). A caller who PINNED a low target (REPS<=2, e.g.
+    # a one-pass smoke run) gets exactly that — extras only engage at the
+    # default-or-higher target.
+    if target < 3:
+        return alloc
     cheap = sorted((n for n in est if est[n] < _CHEAP_S), key=est.__getitem__)
     for level in range(2, _MAX_REPS + 1):
         for n in cheap:

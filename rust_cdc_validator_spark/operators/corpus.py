@@ -1593,12 +1593,13 @@ def ngram_novelty(
         F.explode(_hashed_shingle_array(new, text_col, shingle_n)).alias("_s")
     ).distinct()
     joined = nw.join(o, "_s", "left")
+    novel = F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+    # coalesce: an EMPTY new side must report defined zeros, not NULLs a
+    # monitoring threshold comparison would choke on
     return joined.agg(
         F.count(F.lit(1)).alias("n_new_ngrams"),
-        F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0)).alias("n_novel"),
-        F.round(
-            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
-            / F.count(F.lit(1)),
-            6,
+        F.coalesce(novel, F.lit(0)).cast("long").alias("n_novel"),
+        F.coalesce(
+            F.round(novel / F.count(F.lit(1)), 6), F.lit(0.0)
         ).alias("novelty_r"),
     )

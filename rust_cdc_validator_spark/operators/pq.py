@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from typing import Iterator
 
+from pyspark.errors import AnalysisException
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -568,8 +570,10 @@ def ivfpq_refit_needed(
         return True
     try:
         base = spark.read.parquet(f"{path}/quant_stats").first()
-    except Exception:
-        return False  # pre-r7 index: no baseline recorded
+    except AnalysisException:
+        return False  # pre-r7 index: no baseline recorded (path missing);
+        # real read errors (permissions, corruption) propagate — silently
+        # disabling the drift check is how maintenance loops die
     if base is None or base["baseline_mse"] is None:
         return False
     current = ivfpq_quantization_error(spark, path, max_sample_rows)

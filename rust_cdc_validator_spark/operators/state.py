@@ -396,12 +396,21 @@ def _hadoop_fs(spark: SparkSession, uri: str):
 
 
 def _fs_write_text(spark: SparkSession, uri: str, text: str) -> None:
-    fs, path, _ = _hadoop_fs(spark, uri)
-    out = fs.create(path, True)
+    """Write-then-rename so readers never observe a truncated file — the
+    manifest is the version COMMIT record (atomic on local/HDFS; on
+    object stores the rename is copy+delete but the visible object still
+    appears all-or-nothing, which is the property the manifest needs)."""
+    fs, path, jvm = _hadoop_fs(spark, uri)
+    tmp = jvm.org.apache.hadoop.fs.Path(uri + ".tmp")
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(text, "utf-8"))
     finally:
         out.close()
+    if fs.exists(path):
+        fs.delete(path, False)
+    if not fs.rename(tmp, path):
+        raise IOError(f"could not commit {uri} (rename failed)")
 
 
 def _fs_read_text(spark: SparkSession, uri: str) -> str:
@@ -434,11 +443,19 @@ def _manifest_path(root: str, version: int) -> str:
 
 
 def latest_state_version(spark: SparkSession, root: str) -> int | None:
-    """Highest version number present under ``root`` (None if empty)."""
+    """Highest COMMITTED version under ``root`` (None if empty). The
+    manifest file is the commit record: a merge that died between its
+    data write and its manifest write leaves a data-only ``v{n}/`` dir,
+    which must stay invisible — counting it would permanently wedge every
+    subsequent read and merge on a manifest that never landed, and the
+    retry of the failed merge overwrites the orphan data dir anyway."""
+    fs, _, jvm = _hadoop_fs(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
     versions = [
-        int(name[1:])
+        v
         for name in _fs_list_names(spark, root)
         if re.fullmatch(r"v\d{6}", name)
+        and fs.exists(hpath(_manifest_path(root, (v := int(name[1:])))))
     ]
     return max(versions) if versions else None
 
@@ -652,10 +669,16 @@ def gc_state_versions(
     """
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1 — GC never deletes HEAD")
+    fs0, _, jvm0 = _hadoop_fs(spark, root)
+    hp0 = jvm0.org.apache.hadoop.fs.Path
+    # committed versions only (manifest present): an orphan data-only dir
+    # from a merge that died pre-commit is invisible here, exactly as it
+    # is to latest_state_version — the retrying merge overwrites it
     versions = sorted(
-        int(name[1:])
+        v
         for name in _fs_list_names(spark, root)
         if re.fullmatch(r"v\d{6}", name)
+        and fs0.exists(hp0(_manifest_path(root, (v := int(name[1:])))))
     )
     if not versions:
         return {

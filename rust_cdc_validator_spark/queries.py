@@ -3908,10 +3908,10 @@ WITH toks AS (
   SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 1
 )
 SELECT COUNT(*) AS n_new_ngrams,
-       CAST(SUM(CASE WHEN o.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_novel,
-       round(SUM(CASE WHEN o.s IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*),
-             6) AS novelty_r
+       CAST(COALESCE(SUM(CASE WHEN o.s IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_novel,
+       COALESCE(round(SUM(CASE WHEN o.s IS NULL THEN 1 ELSE 0 END) * 1.0
+                      / COUNT(*), 6), 0.0) AS novelty_r
 FROM new_s n LEFT JOIN old_s o ON n.s = o.s
 """
 

@@ -31,6 +31,7 @@ writer plus server-side merge/delete and reads back final state.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame
@@ -289,7 +290,11 @@ def read_table_partitioned(
     """
     props = target.connection_properties()
     single = spark.read.jdbc(target.url, target.table, properties=props)
-    first_pk_type = dict(single.dtypes).get(primary_key[0])
+    # case-insensitive: uppercase-folding databases (Derby/Oracle/DB2)
+    # surface the PK as 'ID' while callers pass 'id' — the DB resolves the
+    # WHERE-clause column case-insensitively anyway
+    dtypes = {c.lower(): t for c, t in single.dtypes}
+    first_pk_type = dtypes.get(primary_key[0].lower())
     numeric = first_pk_type in {
         "tinyint", "smallint", "int", "bigint", "float", "double",
     } or (first_pk_type or "").startswith("decimal")
@@ -309,11 +314,12 @@ def read_table_partitioned(
         target.url,
         target.table,
         column=primary_key[0],
-        # pyspark accepts int or str bounds; floor/ceil keeps every key in
-        # range (out-of-range keys would only unbalance, not drop, but
-        # tight bounds partition best)
-        lowerBound=int(lo) if float(lo).is_integer() else str(lo),
-        upperBound=int(lo + span * n_chunks) + 1,
+        # pyspark's jdbc() coerces both bounds with int(), so non-integer
+        # chunk bounds (decimal/float PKs) must be floored/ceiled — Spark
+        # puts out-of-bounds keys in the first/last partitions, so widening
+        # the bounds can only unbalance, never drop
+        lowerBound=int(math.floor(lo)),
+        upperBound=int(math.ceil(lo + span * n_chunks)) + 1,
         numPartitions=n_conn,
         properties=props,
     )

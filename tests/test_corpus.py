@@ -1308,3 +1308,16 @@ def test_ngram_novelty_extremes(spark):
     assert same["n_novel"] == 0 and same["novelty_r"] == 0.0
     disj = ngram_novelty(a, b_disjoint).collect()[0]
     assert disj["n_novel"] == disj["n_new_ngrams"] and disj["novelty_r"] == 1.0
+
+
+def test_ngram_novelty_empty_new_side_defined_zeros(spark):
+    from rust_cdc_validator_spark.operators.corpus import ngram_novelty
+
+    a = spark.createDataFrame(
+        [(0, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    row = ngram_novelty(a, empty).collect()[0]
+    assert row["n_new_ngrams"] == 0
+    assert row["n_novel"] == 0
+    assert row["novelty_r"] == 0.0

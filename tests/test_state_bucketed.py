@@ -510,3 +510,45 @@ def test_manifest_gc_respects_shared_files(spark, tmp_path):
     v3 = merge_into_state_manifest(spark, root, _log(spark, [(3, "z", "U", 700)]))
     got = {r["id"]: r["val"] for r in read_state_manifest(spark, root, v3).collect()}
     assert got[1] == "x" and got[2] == "y" and got[3] == "z"
+
+
+def test_manifest_orphan_data_dir_is_invisible_and_retry_heals(spark, tmp_path):
+    """r7 review fix: the manifest is the COMMIT record. A merge that dies
+    after writing v{n}/data but before manifest.json must leave the chain
+    readable (latest ignores the orphan) and the retried merge must
+    overwrite the orphan and commit cleanly."""
+    import os
+
+    from rust_cdc_validator_spark.operators.state import (
+        gc_state_versions,
+        init_state_manifest,
+        latest_state_version,
+        merge_into_state_manifest,
+        read_state_manifest,
+    )
+
+    root = str(tmp_path / "mstate")
+    init_state_manifest(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"),
+        root, ["id"], n_buckets=4,
+    )
+    # simulate the crash: a data-only version dir with no manifest
+    orphan = os.path.join(root, "v000001", "data", "_mb=0")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "wb") as f:
+        f.write(b"not a real parquet file")
+
+    assert latest_state_version(spark, root) == 0
+    assert read_state_manifest(spark, root).count() == 2
+    # gc also ignores the orphan
+    plan = gc_state_versions(spark, root, keep_versions=1, dry_run=True)
+    assert plan["kept_versions"] == [0] and plan["dropped_versions"] == []
+
+    # the retried merge overwrites the orphan data and commits v1
+    v = merge_into_state_manifest(spark, root, _log(spark, [(3, "c", "I", 9)]))
+    assert v == 1 and latest_state_version(spark, root) == 1
+    got = {r["id"]: r["val"] for r in read_state_manifest(spark, root).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    # the junk file is gone (overwritten by the retry)
+    assert not os.path.exists(os.path.join(orphan, "part-junk.parquet"))
