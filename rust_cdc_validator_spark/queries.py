@@ -3916,6 +3916,49 @@ FROM new_s n LEFT JOIN old_s o ON n.s = o.s
 """
 
 
+def events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (operators/layout.py:zorder_value): the
+    bit-interleaved (user_id, hour-of-day) sort key that makes parquet
+    row-group min/max statistics prune on BOTH columns after a re-layout
+    — pure shift/mask codegen, no UDF; the oracle replays the identical
+    bit math."""
+    from rust_cdc_validator_spark.operators.layout import zorder_value
+
+    ev = _t(spark, sf_dir, "events")
+    z = zorder_value([F.col("user_id"), F.hour("ts")], bits=12)
+    return ev.select("event_id", z.alias("zval"))
+
+
+EVENTS_ZORDER_SQL = """
+SELECT event_id,
+       (CAST((user_id >> 0) & 1 AS BIGINT) << 0) +
+       (CAST((CAST(hour(ts) AS BIGINT) >> 0) & 1 AS BIGINT) << 1) +
+       (CAST((user_id >> 1) & 1 AS BIGINT) << 2) +
+       (CAST((CAST(hour(ts) AS BIGINT) >> 1) & 1 AS BIGINT) << 3) +
+       (CAST((user_id >> 2) & 1 AS BIGINT) << 4) +
+       (CAST((CAST(hour(ts) AS BIGINT) >> 2) & 1 AS BIGINT) << 5) +
+       (CAST((user_id >> 3) & 1 AS BIGINT) << 6) +
+       (CAST((CAST(hour(ts) AS BIGINT) >> 3) & 1 AS BIGINT) << 7) +
+       (CAST((user_id >> 4) & 1 AS BIGINT) << 8) +
+       (CAST((CAST(hour(ts) AS BIGINT) >> 4) & 1 AS BIGINT) << 9) +
+       (CAST((user_id >> 5) & 1 AS BIGINT) << 10) +
+       (CAST((CAST(hour(ts) AS BIGINT) >> 5) & 1 AS BIGINT) << 11) +
+       (CAST((user_id >> 6) & 1 AS BIGINT) << 12) +
+       (CAST((CAST(hour(ts) AS BIGINT) >> 6) & 1 AS BIGINT) << 13) +
+       (CAST((user_id >> 7) & 1 AS BIGINT) << 14) +
+       (CAST((CAST(hour(ts) AS BIGINT) >> 7) & 1 AS BIGINT) << 15) +
+       (CAST((user_id >> 8) & 1 AS BIGINT) << 16) +
+       (CAST((CAST(hour(ts) AS BIGINT) >> 8) & 1 AS BIGINT) << 17) +
+       (CAST((user_id >> 9) & 1 AS BIGINT) << 18) +
+       (CAST((CAST(hour(ts) AS BIGINT) >> 9) & 1 AS BIGINT) << 19) +
+       (CAST((user_id >> 10) & 1 AS BIGINT) << 20) +
+       (CAST((CAST(hour(ts) AS BIGINT) >> 10) & 1 AS BIGINT) << 21) +
+       (CAST((user_id >> 11) & 1 AS BIGINT) << 22) +
+       (CAST((CAST(hour(ts) AS BIGINT) >> 11) & 1 AS BIGINT) << 23) AS zval
+FROM events
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -3975,6 +4018,7 @@ QUERIES: dict[str, QueryFn] = {
     "tfidf_keywords_docs": tfidf_keywords_docs,
     "shard_mixing_docs": shard_mixing_docs,
     "ngram_novelty_docs": ngram_novelty_docs,
+    "events_zorder": events_zorder,
     "embedding_near_dup_docs": embedding_near_dup_docs,
     "embedding_near_dup_narrow": embedding_near_dup_narrow,
     "semantic_dedup_docs": semantic_dedup_docs,
@@ -4081,6 +4125,7 @@ ORACLES: dict[str, str] = {
     "tfidf_keywords_docs": TFIDF_KEYWORDS_SQL,
     "shard_mixing_docs": SHARD_MIXING_SQL,
     "ngram_novelty_docs": NGRAM_NOVELTY_SQL,
+    "events_zorder": EVENTS_ZORDER_SQL,
     "events_asof_purchase": EVENTS_ASOF_PURCHASE_SQL,
     "doc_repetition_stats": DOC_REPETITION_STATS_SQL,
     "lang_distinctive_terms": LANG_DISTINCTIVE_TERMS_SQL,

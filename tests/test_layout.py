@@ -1,0 +1,85 @@
+"""Z-order layout (operators/layout.py): key correctness against a
+bit-twiddling reference, and the actual PRUNING payoff — per-file value
+spans shrink on every clustered column vs a single-column sort."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_cdc_validator_spark.operators.layout import zorder_layout, zorder_value
+
+
+def _ref_z(vals, bits):
+    out = 0
+    n = len(vals)
+    for j, v in enumerate(vals):
+        for i in range(bits):
+            out |= ((v >> i) & 1) << (i * n + j)
+    return out
+
+
+def test_zorder_value_matches_reference(spark):
+    rows = [(a, b) for a in [0, 1, 5, 255, 4095] for b in [0, 3, 17, 4095]]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", zorder_value([F.col("a"), F.col("b")], bits=12).alias("z")
+        ).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == _ref_z([a, b], 12), (a, b)
+    # locality sanity: neighbors in both dims stay close in key space
+    assert abs(_ref_z([5, 3], 12) - _ref_z([4, 3], 12)) <= 4
+
+
+def test_zorder_value_validates_inputs(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_value([], 8)
+    with pytest.raises(ValueError, match="64-bit"):
+        zorder_value([F.col("a"), F.col("b")], bits=32)
+
+
+def test_zorder_layout_shrinks_per_file_spans(spark, tmp_path):
+    """The point of the operator: after zorder_layout on (x, y), EVERY
+    file covers a compact rectangle — per-file spans shrink on BOTH
+    columns, where a single-column sort leaves the other column's span at
+    ~full range per file. Measured over the written files themselves (the
+    same min/max the parquet footers carry for pruning)."""
+    import itertools
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(
+        itertools.product(range(64), range(64))
+    )]
+    df = spark.createDataFrame(rows, "id long, x long, y long").repartition(8)
+
+    zpath = str(tmp_path / "zorder")
+    zorder_layout(df, ["x", "y"], bits=6, num_files=16).drop("_z").write.parquet(zpath)
+    spath = str(tmp_path / "singlesort")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(spath)
+
+    def spans(path, col):
+        per = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .collect()
+        )
+        return sum(r["span"] for r in per) / len(per)
+
+    # single sort: near-perfect on x, near-total span on y
+    assert spans(spath, "x") < 8
+    assert spans(spath, "y") > 48
+    # z-order: compact on BOTH dimensions
+    assert spans(zpath, "x") < 32
+    assert spans(zpath, "y") < 32
+
+
+def test_zorder_layout_constant_column_degrades_gracefully(spark):
+    df = spark.createDataFrame([(i, 7, i) for i in range(100)], "id long, c long, v long")
+    out = zorder_layout(df, ["c", "v"], bits=8, num_files=4)
+    assert out.count() == 100
+    # constant column contributes zero bits; ordering follows v
+    rows = out.select("v", "_z").collect()
+    assert sorted(rows, key=lambda r: r["_z"]) == sorted(rows, key=lambda r: (r["_z"], r["v"]))
