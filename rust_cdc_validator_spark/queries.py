@@ -3959,6 +3959,67 @@ FROM events
 """
 
 
+def events_user_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog (operators/sketch.py): per event type,
+    the distinct-user estimate plus register-level observability — the
+    persisted-mergeable sketch whose registers AND estimate a SQL engine
+    can replay exactly (md5-derived 60-bit hash, integer bin-length rank,
+    harmonic-mean estimate with linear-counting correction). p=10 →
+    m=1024 registers, ±3.3% 1σ."""
+    from rust_cdc_validator_spark.operators.sketch import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sk = hll_sketch(ev, ["event_type"], "user_id", p=10)
+    nz = F.size(F.filter(F.col("registers"), lambda r: r != 0))
+    return sk.select(
+        "event_type",
+        nz.alias("n_nonzero_registers"),
+        F.array_max("registers").alias("max_rank"),
+        F.round(hll_estimate(F.col("registers"), p=10), 4).alias("est_users_r"),
+    )
+
+
+EVENTS_USER_HLL_SQL = """
+WITH h AS (
+  SELECT event_type,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM events
+), rr AS (
+  SELECT event_type,
+         h >> 50 AS idx,
+         CASE WHEN (h & ((CAST(1 AS BIGINT) << 50) - 1)) = 0 THEN 51
+              ELSE 50 - (length(printf('%b',
+                         h & ((CAST(1 AS BIGINT) << 50) - 1))) - 1)
+         END AS rho
+  FROM h
+), regs AS (
+  SELECT event_type, idx, MAX(rho) AS r FROM rr GROUP BY event_type, idx
+), agg AS (
+  SELECT event_type,
+         COUNT(*) AS nz,
+         SUM(power(2.0, -r)) AS s_nz,
+         MAX(r) AS max_rank
+  FROM regs GROUP BY event_type
+), est AS (
+  SELECT event_type, nz, max_rank,
+         755541.746198293 / (s_nz + (1024 - nz) * 1.0) AS raw,
+         1024 - nz AS zeros
+  FROM agg
+)
+SELECT event_type,
+       CAST(nz AS INT) AS n_nonzero_registers,
+       CAST(max_rank AS INT) AS max_rank,
+       round(CASE WHEN raw <= 2560.0 AND zeros > 0
+                  THEN 1024.0 * ln(1024.0 / zeros)
+                  ELSE raw END, 4) AS est_users_r
+FROM est
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4019,6 +4080,7 @@ QUERIES: dict[str, QueryFn] = {
     "shard_mixing_docs": shard_mixing_docs,
     "ngram_novelty_docs": ngram_novelty_docs,
     "events_zorder": events_zorder,
+    "events_user_hll": events_user_hll,
     "embedding_near_dup_docs": embedding_near_dup_docs,
     "embedding_near_dup_narrow": embedding_near_dup_narrow,
     "semantic_dedup_docs": semantic_dedup_docs,
@@ -4126,6 +4188,7 @@ ORACLES: dict[str, str] = {
     "shard_mixing_docs": SHARD_MIXING_SQL,
     "ngram_novelty_docs": NGRAM_NOVELTY_SQL,
     "events_zorder": EVENTS_ZORDER_SQL,
+    "events_user_hll": EVENTS_USER_HLL_SQL,
     "events_asof_purchase": EVENTS_ASOF_PURCHASE_SQL,
     "doc_repetition_stats": DOC_REPETITION_STATS_SQL,
     "lang_distinctive_terms": LANG_DISTINCTIVE_TERMS_SQL,
