@@ -120,3 +120,93 @@ def hll_estimate(registers: Column, p: int = 12) -> Column:
     return F.when(
         (raw <= F.lit(2.5 * m)) & (zeros > 0), linear
     ).otherwise(raw)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min: mergeable frequency sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+def _cm_bucket(value: Column, i: int, w: int) -> Column:
+    """Row-``i`` bucket for a value: 4 md5 hex digits of the salted string
+    form, mod ``w`` (w must divide 16⁴ so the mod is unbiased) — the same
+    engine-portable discipline as every md5 bucket here."""
+    h = F.md5(F.concat(F.lit(f"{i}:"), value.cast("string")))
+    return (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % w).cast("int")
+
+
+def cm_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str | None = None,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """One Count-Min table per group: ``d`` hash rows × ``w`` counters,
+    flattened row-major into a single ``array<long>`` (``counters``).
+    Point-frequency overestimates by at most ``e·N/w`` with probability
+    ``1 − e^−d`` (never underestimates) — the heavy-hitter / frequency
+    side of the sketch family (:func:`hll_sketch` is the distinct side).
+
+    Scale shape: bucket assignment is map-side arithmetic; each of the
+    ``d`` rows reduces through a (group, row, bucket) SUM whose map-side
+    partials bound shuffle volume at groups × d × w rows whatever the
+    input size; the dense regroup moves the same. ``weight_col`` makes it
+    a weighted-frequency sketch (token counts, byte sizes).
+    """
+    if 65536 % w != 0:
+        raise ValueError("w must divide 16^4 (unbiased md5 bucket contract)")
+    if d < 1:
+        raise ValueError("d must be >= 1")
+    wt = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    rows = None
+    for i in range(d):
+        r = df.select(
+            *group_cols,
+            F.lit(i).alias("_row"),
+            _cm_bucket(F.col(value_col), i, w).alias("_b"),
+            wt.alias("_wt"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    regs = rows.groupBy(*group_cols, "_row", "_b").agg(
+        F.sum("_wt").alias("_c")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(d * w - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("long")),
+    )
+    return (
+        regs.groupBy(*group_cols)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("_row") * w + F.col("_b")).cast("int"),
+                        F.col("_c"),
+                    )
+                )
+            ).alias("_m")
+        )
+        .select(*group_cols, dense.alias("counters"))
+    )
+
+
+def cm_merge(a: Column, b: Column) -> Column:
+    """Combine two Count-Min tables: element-wise sum. Over DISJOINT
+    inputs (per-partition / per-day sketches of distinct row sets) this
+    is exactly the sketch of the union; overlapping inputs double-count —
+    unlike :func:`hll_merge`, CM merge is additive, not idempotent, so
+    fold each raw row into exactly one part."""
+    return F.zip_with(a, b, lambda x, y: x + y)
+
+
+def cm_estimate(counters: Column, value: Column, d: int = 4, w: int = 256) -> Column:
+    """Point-frequency estimate: min over the ``d`` rows of the value's
+    counter — a pure expression over a persisted sketch (join the sketch
+    row, estimate any number of candidate values without touching raw
+    data). Never below the true count."""
+    est = None
+    for i in range(d):
+        c = F.element_at(counters, _cm_bucket(value, i, w) + F.lit(i * w) + 1)
+        est = c if est is None else F.least(est, c)
+    return est

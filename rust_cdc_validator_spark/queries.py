@@ -4020,6 +4020,64 @@ FROM est
 """
 
 
+def token_cm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (operators/sketch.py): build one 4×256
+    counter table over all document tokens, then probe the exact top-10
+    tokens through it — (token, exact freq, CM estimate ≥ exact). The
+    whole sketch (salted md5 buckets, counter sums, min-of-rows lookup)
+    replays in SQL, like the HLL sibling."""
+    from rust_cdc_validator_spark.operators.sketch import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(10)
+    )
+    sk = cm_sketch(tok, [], "token", d=4, w=256)
+    return top.crossJoin(sk).select(
+        "token",
+        "freq",
+        cm_estimate(F.col("counters"), F.col("token"), d=4, w=256).alias(
+            "cm_est"
+        ),
+    )
+
+
+TOKEN_CM_COUNTS_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT token, COUNT(*) AS freq FROM toks WHERE token <> '' GROUP BY token
+), top AS (
+  SELECT token, freq FROM tf ORDER BY freq DESC, token LIMIT 10
+), regs AS (
+  SELECT i,
+         CAST('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || token), 1, 4)
+              AS BIGINT) % 256 AS b,
+         CAST(SUM(freq) AS BIGINT) AS c
+  FROM tf CROSS JOIN range(4) t(i)
+  GROUP BY i, b
+)
+SELECT top.token, top.freq, MIN(regs.c) AS cm_est
+FROM top
+CROSS JOIN range(4) r(i)
+JOIN regs
+  ON regs.i = r.i
+ AND regs.b = CAST('0x' || substring(
+                md5(CAST(r.i AS VARCHAR) || ':' || top.token), 1, 4)
+              AS BIGINT) % 256
+GROUP BY top.token, top.freq
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4081,6 +4139,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_novelty_docs": ngram_novelty_docs,
     "events_zorder": events_zorder,
     "events_user_hll": events_user_hll,
+    "token_cm_counts": token_cm_counts,
     "embedding_near_dup_docs": embedding_near_dup_docs,
     "embedding_near_dup_narrow": embedding_near_dup_narrow,
     "semantic_dedup_docs": semantic_dedup_docs,
@@ -4189,6 +4248,7 @@ ORACLES: dict[str, str] = {
     "ngram_novelty_docs": NGRAM_NOVELTY_SQL,
     "events_zorder": EVENTS_ZORDER_SQL,
     "events_user_hll": EVENTS_USER_HLL_SQL,
+    "token_cm_counts": TOKEN_CM_COUNTS_SQL,
     "events_asof_purchase": EVENTS_ASOF_PURCHASE_SQL,
     "doc_repetition_stats": DOC_REPETITION_STATS_SQL,
     "lang_distinctive_terms": LANG_DISTINCTIVE_TERMS_SQL,

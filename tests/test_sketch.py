@@ -71,3 +71,75 @@ def test_p_validation(spark):
     df = _vals(spark, 0, 10)
     with pytest.raises(ValueError, match="p must be"):
         hll_sketch(df, ["g"], "v", p=2)
+
+
+def test_cm_never_underestimates_and_is_tight_for_heavies(spark):
+    from rust_cdc_validator_spark.operators.sketch import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    rows = (
+        [("g", "hot") for _ in range(500)]
+        + [("g", "warm") for _ in range(50)]
+        + [("g", f"cold{i}") for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    sk = cm_sketch(df, ["g"], "v", d=4, w=256)
+    probes = spark.createDataFrame(
+        [("hot", 500), ("warm", 50), ("cold7", 1), ("absent", 0)],
+        "v string, truth long",
+    )
+    got = {
+        r["v"]: (r["est"], r["truth"])
+        for r in probes.crossJoin(sk.drop("g"))
+        .select("v", "truth", cm_estimate(F.col("counters"), F.col("v")).alias("est"))
+        .collect()
+    }
+    for v, (est, truth) in got.items():
+        assert est >= truth, (v, est, truth)
+    # heavy hitters are tight: max overestimate ~ N/w = 750/256 < 3 per row
+    assert got["hot"][0] - 500 <= 12
+    assert got["warm"][0] - 50 <= 12
+
+
+def test_cm_merge_of_disjoint_parts_equals_union_sketch(spark):
+    from rust_cdc_validator_spark.operators.sketch import cm_merge, cm_sketch
+
+    a = spark.createDataFrame(
+        [("g", f"t{i % 20}") for i in range(300)], "g string, v string"
+    )
+    b = spark.createDataFrame(
+        [("g", f"t{i % 35}") for i in range(400)], "g string, v string"
+    )
+    sa = cm_sketch(a, ["g"], "v").collect()[0]["counters"]
+    sb = cm_sketch(b, ["g"], "v").collect()[0]["counters"]
+    su = cm_sketch(a.unionByName(b), ["g"], "v").collect()[0]["counters"]
+    merged = (
+        spark.createDataFrame([(sa, sb)], "ra array<bigint>, rb array<bigint>")
+        .select(cm_merge(F.col("ra"), F.col("rb")).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert merged == su
+
+
+def test_cm_weighted_and_validation(spark):
+    import pytest as _pytest
+
+    from rust_cdc_validator_spark.operators.sketch import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "x", 10), ("g", "x", 5), ("g", "y", 2)],
+        "g string, v string, wt long",
+    )
+    sk = cm_sketch(df, ["g"], "v", weight_col="wt")
+    est = (
+        sk.select(cm_estimate(F.col("counters"), F.lit("x")).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert est >= 15
+    with _pytest.raises(ValueError, match="16\\^4"):
+        cm_sketch(df, ["g"], "v", w=100)
