@@ -96,6 +96,78 @@ def stratified_sample(
     return df.filter(bucket < thresh)
 
 
+def weighted_priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Weighted sampling without replacement, the A-ES priority-key scheme
+    (Efraimidis & Spirakis 2006): each row gets key = ln(u) / w for a
+    uniform u, and the k LARGEST keys are the sample — inclusion
+    probability proportional to weight, no replacement, single pass. The
+    corpus use: quality- or length-weighted subsampling where simple
+    uniform sampling would over-represent junk.
+
+    Unlike the textbook RNG version, u here is DETERMINISTIC — the
+    `md5_bucket_fine` engine-portable uniform ((bucket + 0.5) / 4096) —
+    so the same rows are selected on every run, engine, and partitioning
+    (the reproducibility contract all the repo's sampling ops share), and
+    a SQL oracle can replay the selection exactly. Ties (same u AND same
+    weight give bit-identical keys in any engine) break on ``id_col``.
+
+    With ``strata_col``, k rows are kept PER STRATUM (one window rank per
+    stratum); otherwise a global top-k. Weights must be > 0; rows with
+    null/non-positive weight are rejected loudly rather than silently
+    skewing inclusion.
+
+    Scale shape: key computation is pure map-side expression work; the
+    top-k is one window rank over the stratum key (or the classic global
+    top-k via sort-limit when unstratified, which Spark executes as
+    per-partition partial top-k + a k-sized driver merge — no full sort).
+    Returns the sampled rows with their ``sample_rank``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    u = (md5_bucket_fine(F.col(id_col)).cast("double") + F.lit(0.5)) / F.lit(
+        4096.0
+    )
+    key = F.log(u) / w
+    guarded = df.withColumn(
+        "_wps_key",
+        F.when(w > 0, key).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("weighted_priority_sample: non-positive weight "),
+                    w.cast("string"),
+                )
+            )
+        ),
+    )
+    if strata_col is not None:
+        rank_w = Window.partitionBy(strata_col).orderBy(
+            F.col("_wps_key").desc(), F.col(id_col).asc()
+        )
+        return (
+            guarded.withColumn("sample_rank", F.row_number().over(rank_w))
+            .filter(F.col("sample_rank") <= k)
+            .drop("_wps_key")
+        )
+    return (
+        guarded.orderBy(F.col("_wps_key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn(
+            "sample_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("_wps_key").desc(), F.col(id_col).asc())
+            ),
+        )
+        .drop("_wps_key")
+    )
+
+
 def contamination_check(
     train: DataFrame,
     benchmark: DataFrame,

@@ -210,3 +210,137 @@ def cm_estimate(counters: Column, value: Column, d: int = 4, w: int = 256) -> Co
         c = F.element_at(counters, _cm_bucket(value, i, w) + F.lit(i * w) + 1)
         est = c if est is None else F.least(est, c)
     return est
+
+
+# ---------------------------------------------------------------------------
+# Quantile histogram: mergeable rank sketch (HDR-histogram bucketing,
+# Tene's public HdrHistogram design — exponential octaves with linear
+# sub-buckets, bounded relative error)
+# ---------------------------------------------------------------------------
+
+def _qh_bucket(c: Column, s: int) -> Column:
+    """Bucket id for integer units ``c`` >= 0 with ``sub = 2**s`` linear
+    sub-buckets per power-of-two octave: values < sub get an EXACT bucket
+    (id = value); larger values keep their top ``s+1`` mantissa bits, so
+    every bucket spans <= 2^-s relative width. Pure integer arithmetic —
+    the octave is ``length(bin(c)) - 1``, the same no-float-log trick the
+    HLL rank uses, so a SQL oracle rebuilds ids exactly."""
+    sub = 1 << s
+    octave = F.length(F.bin(c)) - F.lit(1)
+    shift = octave - F.lit(s)
+    # call_function: the Python shiftright/shiftleft helpers only accept a
+    # literal shift; the SQL functions take expressions.
+    m = F.call_function("shiftright", c, shift)
+    return F.when(c < sub, c).otherwise((octave - s) * sub + m).cast("int")
+
+
+def _qh_bounds(bucket: Column, s: int) -> tuple[Column, Column]:
+    """Inverse of `_qh_bucket`: the inclusive [lo, hi] integer-unit range a
+    bucket id covers (exact singleton below ``sub``)."""
+    sub = 1 << s
+    o = F.lit(s) + F.floor((bucket - sub) / F.lit(sub)).cast("int")
+    m = bucket - (o - F.lit(s)) * F.lit(sub)
+    shift = o - F.lit(s)
+    lo = F.call_function("shiftleft", m.cast("long"), shift)
+    hi = F.call_function("shiftleft", (m + F.lit(1)).cast("long"), shift) - F.lit(1)
+    small = bucket < sub
+    return (
+        F.when(small, bucket.cast("long")).otherwise(lo),
+        F.when(small, bucket.cast("long")).otherwise(hi),
+    )
+
+
+def q_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    s: int = 5,
+    scale: int = 1,
+) -> DataFrame:
+    """Mergeable quantile sketch as a RELATION: one (group, bucket, lo,
+    hi, cnt) row per occupied bucket. ``scale`` converts the value to
+    integer units first (100 for cents); ``s`` sets accuracy — every
+    bucket is at most 2^-s relative-width, so any quantile read off the
+    histogram is within that of the truth. Negative values are a loud
+    error (rank sketches of signed data should offset first); nulls are
+    ignored like any SQL aggregate.
+
+    This completes the engine-portable sketch trio (HLL = distinct, CM =
+    frequency, QH = rank): like them it is built once per shard/day,
+    persisted small (<= ~32·octaves rows per group), and MERGED instead
+    of recounting — `q_histogram_merge` is a groupBy-sum, associative and
+    exact, so quantiles over any union of history cost KB, not a rescan.
+
+    Scale shape: bucketing is map-side integer expression work; the count
+    agg gets map-side partial combine, so at most (partitions × buckets)
+    tiny rows shuffle regardless of input size.
+    """
+    if not 0 <= s <= 10:
+        raise ValueError("s must be in [0, 10]")
+    if scale < 1:
+        raise ValueError("scale must be >= 1")
+    units = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    units = F.when(
+        units >= 0, units
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("q_histogram: negative value "),
+                F.col(value_col).cast("string"),
+            )
+        )
+    )
+    b = _qh_bucket(F.col("_units"), s)
+    lo, hi = _qh_bounds(F.col("bucket"), s)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, units.alias("_units"))
+        .select(*group_cols, b.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(*group_cols, "bucket", lo.alias("lo"), hi.alias("hi"), "cnt")
+    )
+
+
+def q_histogram_merge(parts: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union per-shard histograms: re-sum counts per (group, bucket).
+    Additive like :func:`cm_merge` — each raw row must be folded into
+    exactly one part. The bounds are functionally determined by the
+    bucket id, so min/max here is a no-op reconstruction, not data."""
+    return parts.groupBy(*group_cols, "bucket").agg(
+        F.min("lo").alias("lo"),
+        F.min("hi").alias("hi"),
+        F.sum("cnt").alias("cnt"),
+    )
+
+
+def q_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    scale: int = 1,
+) -> DataFrame:
+    """Quantile estimates from a `q_histogram` relation: for each q the
+    bucket holding the ceil(q·N)-th ranked value, reported as the bucket
+    midpoint back in original units — within 2^-s relative error by
+    construction. One window cumsum per group plus a group agg; the
+    histogram is already tiny, so this is driver-free KB work.
+    """
+    from pyspark.sql import Window
+
+    if not qs or any(not 0 < q <= 1 for q in qs):
+        raise ValueError("qs must be fractions in (0, 1]")
+    w = Window.partitionBy(*group_cols).orderBy(F.col("bucket").asc())
+    cum = hist.withColumn("_cum", F.sum("cnt").over(w)).withColumn(
+        "_tot", F.sum("cnt").over(Window.partitionBy(*group_cols))
+    )
+    mid = (F.col("lo") + F.col("hi")).cast("double") / F.lit(2.0 * scale)
+    aggs = []
+    for q in qs:
+        target = F.ceil(F.lit(q) * F.col("_tot"))
+        aggs.append(
+            F.round(
+                F.min(F.when(F.col("_cum") >= target, mid)), 4
+            ).alias(f"p{int(round(q * 100)):02d}")
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)

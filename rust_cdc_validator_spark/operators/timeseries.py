@@ -52,3 +52,112 @@ def rolling_window_features(
         .withColumn(f"{prefix}_sum", F.sum(value_col).over(w))
         .withColumn(f"{prefix}_avg", F.avg(value_col).over(w))
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    bucket: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: group users by the period of their FIRST
+    event (the cohort), then count how many of each cohort are still active
+    N periods later — the standard product-analytics retention triangle,
+    here as a batch relational plan.
+
+    Returns (cohort, age, n_users, cohort_size, retention) where ``age`` is
+    whole ``bucket`` periods since the cohort period and ``retention`` =
+    n_users / cohort_size (age 0 is 1.0 by construction).
+
+    Scale shape: two hash aggregations, both on keys far smaller than the
+    event stream — (1) min-ts per user (map-side partial combine collapses
+    each user's events before the shuffle, so ~one row per user moves),
+    (2) distinct (user, cohort, age) then count by (cohort, age). The
+    events table itself is touched once, projected to two columns; nothing
+    wider than (user, date) ever shuffles. The cohort-size join is a
+    broadcast: one row per cohort period.
+    """
+    if bucket not in ("week", "month", "day"):
+        raise ValueError("bucket must be week|month|day")
+    per = {"week": 7, "month": 30, "day": 1}[bucket]
+    ev = df.select(
+        F.col(user_col).alias("_u"), F.to_date(F.col(ts_col)).alias("_d")
+    )
+    first = ev.groupBy("_u").agg(F.min("_d").alias("_first"))
+    aged = (
+        ev.join(first, "_u")
+        .select(
+            "_u",
+            F.date_trunc(bucket, F.col("_first")).cast("date").alias("cohort"),
+            (
+                F.floor(
+                    F.datediff(
+                        F.date_trunc(bucket, F.col("_d")),
+                        F.date_trunc(bucket, F.col("_first")),
+                    )
+                    / per
+                )
+            ).cast("int").alias("age"),
+        )
+        .distinct()
+    )
+    counts = aged.groupBy("cohort", "age").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    sizes = counts.filter(F.col("age") == 0).select(
+        "cohort", F.col("n_users").alias("cohort_size")
+    )
+    return (
+        counts.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "age",
+            "n_users",
+            "cohort_size",
+            F.round(
+                F.col("n_users").cast("double") / F.col("cohort_size"), 4
+            ).alias("retention"),
+        )
+    )
+
+
+def event_path_ngrams(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    n: int = 3,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Most-common length-``n`` event-type sequences per user stream (path
+    analysis: "view → cart → purchase"). Orders each user's events by
+    timestamp (plus ``tiebreak_col`` for a total order), slides an n-gram
+    window with ``lead``, and counts each path corpus-wide.
+
+    Returns (path, n_paths) — one row per distinct n-gram that occurs,
+    ``path`` as the arrow-joined type string.
+
+    Scale shape: one shuffle on the user key + per-user sort for the lead
+    window (the stream never globally sorts), then a hash count on the
+    n-gram string whose cardinality is |types|^n, tiny. The count agg gets
+    map-side partial combine, so what shuffles the second time is at most
+    (partitions x |types|^n) rows.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    path = F.concat_ws(" -> ", *steps)
+    return (
+        df.select(F.col(user_col), F.col(ts_col), F.col(type_col), path.alias("_path"))
+        .filter(F.col("_path").isNotNull())
+        .withColumn("_n_steps", F.size(F.split(F.col("_path"), " -> ")))
+        .filter(F.col("_n_steps") == n)
+        .groupBy(F.col("_path").alias("path"))
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )

@@ -4078,6 +4078,217 @@ GROUP BY top.token, top.freq
 """
 
 
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over the event stream
+    (operators/timeseries.retention_cohorts): users grouped by
+    first-active week, distinct-active counts at each week of age."""
+    from rust_cdc_validator_spark.operators.timeseries import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev, "user_id", "ts", "week")
+
+
+EVENTS_RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id AS u, CAST(ts AS DATE) AS d FROM events
+), f AS (
+  SELECT u, MIN(d) AS fd FROM ev GROUP BY u
+), aged AS (
+  SELECT DISTINCT ev.u,
+         CAST(date_trunc('week', f.fd) AS DATE) AS cohort,
+         CAST(floor(date_diff('day', date_trunc('week', f.fd),
+                              date_trunc('week', ev.d)) / 7) AS INT) AS age
+  FROM ev JOIN f ON ev.u = f.u
+), c AS (
+  SELECT cohort, age, COUNT(*) AS n_users FROM aged GROUP BY cohort, age
+), s AS (
+  SELECT cohort, n_users AS cohort_size FROM c WHERE age = 0
+)
+SELECT c.cohort, c.age, c.n_users, s.cohort_size,
+       round(c.n_users * 1.0 / s.cohort_size, 4) AS retention
+FROM c JOIN s ON c.cohort = s.cohort
+"""
+
+
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-sequence trigram counts
+    (operators/timeseries.event_path_ngrams) — "view -> cart -> purchase"
+    path analysis as one keyed window + a tiny hash count."""
+    from rust_cdc_validator_spark.operators.timeseries import event_path_ngrams
+
+    ev = _t(spark, sf_dir, "events")
+    return event_path_ngrams(ev, "user_id", "ts", "event_type", 3, "event_id")
+
+
+EVENTS_PATH_TRIGRAMS_SQL = """
+WITH p AS (
+  SELECT event_type || ' -> ' || lead(event_type, 1) OVER w
+                    || ' -> ' || lead(event_type, 2) OVER w AS path
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT path, COUNT(*) AS n_paths FROM p WHERE path IS NOT NULL GROUP BY path
+"""
+
+
+def customers_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (operators/linkage.blocked_fuzzy_pairs):
+    near-identical customer names within a nation block at edit distance
+    <= 2 — entity resolution without the all-pairs cartesian (reference
+    has only exact row equality; this is the "should have matched"
+    companion)."""
+    from rust_cdc_validator_spark.operators.linkage import blocked_fuzzy_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    return blocked_fuzzy_pairs(cust, ["c_nationkey"], "c_custkey", "c_name", 2)
+
+
+CUSTOMERS_FUZZY_PAIRS_SQL = """
+SELECT a.c_nationkey AS c_nationkey,
+       a.c_custkey AS id_a,
+       b.c_custkey AS id_b,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement
+    (operators/corpus.weighted_priority_sample): per source, the 5 docs
+    selected by length-weighted A-ES priority keys — deterministic
+    (md5-uniform), so the oracle replays the exact selection."""
+    from rust_cdc_validator_spark.operators.corpus import (
+        weighted_priority_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_priority_sample(
+        docs, "n_chars", 5, "doc_id", "source"
+    ).select("doc_id", "source", "n_chars", "sample_rank")
+
+
+WEIGHTED_SAMPLE_DOCS_SQL = """
+WITH k AS (
+  SELECT doc_id, source, n_chars,
+         ln((
+           ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)
+           ) * 1.0 + 0.5) / 4096.0) / CAST(n_chars AS DOUBLE) AS key
+  FROM documents
+), r AS (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY key DESC, doc_id ASC) AS INT
+         ) AS sample_rank
+  FROM k
+)
+SELECT doc_id, source, n_chars, sample_rank FROM r WHERE sample_rank <= 5
+"""
+
+
+def orders_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (operators/sketch.q_histogram /
+    q_quantiles): HDR-style integer-exact histogram of order totals in
+    cents, p50/p90/p99 per priority read off the bucket midpoints —
+    every bucket id, bound, and cumsum replays in SQL (no float log
+    anywhere in the binning), like the HLL/CM siblings."""
+    from rust_cdc_validator_spark.operators.sketch import (
+        q_histogram,
+        q_quantiles,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    h = q_histogram(orders, ["o_orderpriority"], "o_totalprice", s=5, scale=100)
+    return q_quantiles(h, ["o_orderpriority"], [0.5, 0.9, 0.99], scale=100)
+
+
+ORDERS_PRICE_QSKETCH_SQL = """
+WITH u AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+), b AS (
+  SELECT g,
+         CASE WHEN c < 32 THEN c
+              ELSE (length(printf('%b', c)) - 1 - 5) * 32
+                   + (c >> (length(printf('%b', c)) - 1 - 5))
+         END AS bucket
+  FROM u
+), h AS (
+  SELECT g, bucket, COUNT(*) AS cnt FROM b GROUP BY g, bucket
+), bounds AS (
+  SELECT g, bucket, cnt,
+         CASE WHEN bucket < 32 THEN bucket
+              ELSE CAST(bucket - CAST(floor((bucket - 32) / 32.0) AS INT) * 32
+                        AS BIGINT)
+                   << CAST(floor((bucket - 32) / 32.0) AS INT)
+         END AS lo,
+         CASE WHEN bucket < 32 THEN bucket
+              ELSE (CAST(bucket - CAST(floor((bucket - 32) / 32.0) AS INT) * 32
+                         + 1 AS BIGINT)
+                    << CAST(floor((bucket - 32) / 32.0) AS INT)) - 1
+         END AS hi
+  FROM h
+), cum AS (
+  SELECT g, bucket, lo, hi, cnt,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+         SUM(cnt) OVER (PARTITION BY g) AS tot
+  FROM bounds
+)
+SELECT g AS o_orderpriority,
+       round(MIN(CASE WHEN cum >= ceil(0.5 * tot) THEN (lo + hi) / 200.0 END), 4) AS p50,
+       round(MIN(CASE WHEN cum >= ceil(0.9 * tot) THEN (lo + hi) / 200.0 END), 4) AS p90,
+       round(MIN(CASE WHEN cum >= ceil(0.99 * tot) THEN (lo + hi) / 200.0 END), 4) AS p99
+FROM cum GROUP BY g
+"""
+
+
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD outlier screen (operators/drift.robust_outliers):
+    per event type, how many values sit beyond 3.5 modified z-scores —
+    the monitoring query that catches a corrupted feed's value column
+    without the outliers inflating their own threshold."""
+    from rust_cdc_validator_spark.operators.drift import robust_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return robust_outliers(ev, ["event_type"], "value", z=3.5)
+
+
+EVENTS_VALUE_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med,
+         COUNT(value) AS n_rows
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT o.event_type,
+         quantile_cont(abs(o.value - m.med), 0.5) AS mad
+  FROM events o JOIN med m ON o.event_type = m.event_type
+  GROUP BY o.event_type
+), fl AS (
+  SELECT o.event_type, m.n_rows, m.med, d.mad,
+         CASE WHEN d.mad > 0
+              THEN CASE WHEN 0.6745 * abs(o.value - m.med) / d.mad > 3.5
+                        THEN 1 ELSE 0 END
+              ELSE CASE WHEN abs(o.value - m.med) > 0 THEN 1 ELSE 0 END
+         END AS is_out
+  FROM events o
+  JOIN med m ON o.event_type = m.event_type
+  JOIN mad d ON o.event_type = d.event_type
+)
+SELECT event_type,
+       CAST(MIN(n_rows) AS BIGINT) AS n_rows,
+       round(MIN(med), 4) AS med,
+       round(MIN(mad), 4) AS mad,
+       CAST(SUM(is_out) AS BIGINT) AS n_outliers,
+       round(SUM(is_out) * 1.0 / MIN(n_rows), 4) AS outlier_frac
+FROM fl GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4191,6 +4402,12 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_ndcg_report": bm25_ndcg_report,
     "centroid_outlier_docs": centroid_outlier_docs,
     "doc_vectors_hashed": doc_vectors_hashed,
+    "events_retention_cohorts": events_retention_cohorts,
+    "events_path_trigrams": events_path_trigrams,
+    "customers_fuzzy_pairs": customers_fuzzy_pairs,
+    "weighted_sample_docs": weighted_sample_docs,
+    "orders_price_quantile_sketch": orders_price_quantile_sketch,
+    "events_value_outliers": events_value_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -4287,6 +4504,12 @@ ORACLES: dict[str, str] = {
     "bm25_ndcg_report": BM25_NDCG_SQL,
     "centroid_outlier_docs": CENTROID_OUTLIERS_SQL,
     "doc_vectors_hashed": DOC_VECTORS_HASHED_SQL,
+    "events_retention_cohorts": EVENTS_RETENTION_SQL,
+    "events_path_trigrams": EVENTS_PATH_TRIGRAMS_SQL,
+    "customers_fuzzy_pairs": CUSTOMERS_FUZZY_PAIRS_SQL,
+    "weighted_sample_docs": WEIGHTED_SAMPLE_DOCS_SQL,
+    "orders_price_quantile_sketch": ORDERS_PRICE_QSKETCH_SQL,
+    "events_value_outliers": EVENTS_VALUE_OUTLIERS_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /
