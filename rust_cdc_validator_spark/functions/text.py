@@ -276,3 +276,39 @@ def blocklist_signals(
         F.size(hits).cast("int").alias("n_blocked_hits"),
         F.size(F.array_distinct(hits)).cast("int").alias("n_blocked_terms"),
     )
+
+
+def strip_markup(text: Column) -> Column:
+    """HTML/XML markup removal — the first cleaning step for any
+    web-crawled corpus (raw HTML → text before C4/CCNet/Gopher gates run;
+    the reference pipeline has no web leg, so this extends the text
+    family the same way `gopher_signals` does).
+
+    Three fixed stages, in an order that is part of the contract (the
+    DuckDB oracle replays it verbatim):
+
+    1. every ``<...>`` tag (including attributes and self-closing tags)
+       is replaced by a single space — replacing with a space, not '',
+       keeps words from fusing across ``</p><p>`` boundaries;
+    2. the six common entities are decoded, ``&amp;`` deliberately LAST
+       so ``&amp;lt;`` decodes to the literal text ``&lt;`` and never
+       double-decodes into a ``<`` (the classic entity-order bug);
+    3. whitespace runs collapse to one space and the result is trimmed.
+
+    Pure map-side regexp/replace expressions — zero shuffle, no UDF.
+    Script/style element CONTENT is out of scope for a regex pass (needs
+    an HTML parser); tags themselves are still removed.
+    """
+    no_tags = F.regexp_replace(text, r"<[^>]*>", " ")
+    ents = [
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # must stay last: see docstring
+    ]
+    out = no_tags
+    for src, dst in ents:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

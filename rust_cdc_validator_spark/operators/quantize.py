@@ -1,0 +1,136 @@
+"""Int8 scalar quantization (SQ8) for embedding columns.
+
+The storage-tier companion to IVF-PQ (`operators/pq.py`): where PQ
+compresses vectors to m codebook bytes for ANN *probing*, SQ8 keeps every
+dimension at 1 byte with a per-dimension affine scale — 4x smaller than
+float32 at ~1e-2 reconstruction error, and decode is exact arithmetic (no
+codebook), so it is the standard format for the *stored* tier of a vector
+pipeline (FAISS `SQ8`, Milvus/pgvector scalar quantization; Jégou et al.
+2011 §II discusses the scalar-vs-product trade-off).
+
+Scale shape at 100 TB:
+  * `sq8_fit` is ONE aggregation pass: per-dimension min/max with map-side
+    partials — the shuffle is partitions x dims rows of three scalars, and
+    the driver collects a dims-sized bounds list (512 dims = ~8 KB, the
+    same bounded-collect contract as PQ codebooks / IVF centroids).
+  * `sq8_encode` / `sq8_decode` are pure map-side array expressions with
+    the bounds embedded as literal arrays in the plan — zero shuffle, no
+    UDF, no join. Codes travel as `array<smallint>` (0..255).
+  * quantization uses floor(x*255 + 0.5) — explicit half-up — so the
+    DuckDB oracle reproduces codes bit-exactly (engine `round()` tie rules
+    differ; floor(+0.5) does not).
+
+Degenerate dimensions (hi == lo, e.g. a padding dim) encode to 0 and
+decode to exactly `lo`, contributing zero error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["sq8_fit", "sq8_encode", "sq8_decode", "sq8_error_report"]
+
+
+def sq8_fit(df: DataFrame, vec_col: str) -> list[tuple[float, float]]:
+    """One scan -> per-dimension (lo, hi) bounds, driver-collected.
+
+    posexplode + groupBy(dim) so the min/max partials combine map-side;
+    the exchange carries at most partitions x dims tiny rows. Returns a
+    dims-sized python list (bounded like PQ codebooks), ready to embed as
+    plan literals in `sq8_encode`/`sq8_decode`.
+    """
+    rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("_dim", "_v"))
+        .groupBy("_dim")
+        .agg(
+            F.min(F.col("_v").cast("double")).alias("_lo"),
+            F.max(F.col("_v").cast("double")).alias("_hi"),
+        )
+        .orderBy("_dim")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("sq8_fit: input has no vectors")
+    if [r["_dim"] for r in rows] != list(range(len(rows))):
+        raise ValueError("sq8_fit: ragged vectors (dimensions missing in some rows)")
+    return [(float(r["_lo"]), float(r["_hi"])) for r in rows]
+
+
+def _bounds_arrays(bounds: list[tuple[float, float]]) -> tuple[Column, Column]:
+    lo = F.array(*[F.lit(float(b[0])) for b in bounds])
+    hi = F.array(*[F.lit(float(b[1])) for b in bounds])
+    return lo, hi
+
+
+def sq8_encode(vec: Column, bounds: list[tuple[float, float]]) -> Column:
+    """float vector -> array<smallint> of 0..255 codes, map-side only.
+
+    code = floor((v - lo) / (hi - lo) * 255 + 0.5), clamped to [0, 255]
+    (clamping matters when encoding NEW vectors against bounds fit on an
+    older corpus — out-of-range values saturate instead of wrapping).
+    """
+    lo, hi = _bounds_arrays(bounds)
+    return F.transform(
+        vec,
+        lambda v, i: F.when(
+            F.element_at(hi, i + 1) > F.element_at(lo, i + 1),
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        (v.cast("double") - F.element_at(lo, i + 1))
+                        / (F.element_at(hi, i + 1) - F.element_at(lo, i + 1))
+                        * 255.0
+                        + 0.5
+                    ),
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("smallint"),
+    )
+
+
+def sq8_decode(code: Column, bounds: list[tuple[float, float]]) -> Column:
+    """array<smallint> codes -> array<double> reconstruction
+    (lo + code/255 * (hi - lo)); exact arithmetic, no codebook lookup."""
+    lo, hi = _bounds_arrays(bounds)
+    return F.transform(
+        code,
+        lambda c, i: F.element_at(lo, i + 1)
+        + c.cast("double")
+        / 255.0
+        * (F.element_at(hi, i + 1) - F.element_at(lo, i + 1)),
+    )
+
+
+def sq8_error_report(
+    df: DataFrame,
+    vec_col: str,
+    bounds: list[tuple[float, float]],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Reconstruction-quality monitor: encode -> decode -> per-group mean
+    squared error and max absolute error. The refit cue for a standing
+    SQ8 tier (bounds fit on last month's corpus drift as the data does —
+    same maintenance loop as `ivf_refit_needed` / the PQ drift trigger).
+
+    One map-side encode/decode + one aggregation with map-side partials;
+    output is groups-sized.
+    """
+    deq = sq8_decode(sq8_encode(F.col(vec_col), bounds), bounds)
+    err = F.zip_with(F.col(vec_col), deq, lambda v, d: v.cast("double") - d)
+    per_row = df.select(
+        *(group_cols or []),
+        F.aggregate(err, F.lit(0.0), lambda a, e: a + e * e).alias("_sse"),
+        F.array_max(F.transform(err, F.abs)).alias("_maxe"),
+        F.size(F.col(vec_col)).alias("_dim"),
+    )
+    gb = per_row.groupBy(*(group_cols or []))
+    return gb.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (F.sum("_sse") / F.sum("_dim")).alias("mse"),
+        F.max("_maxe").alias("max_abs_err"),
+    )

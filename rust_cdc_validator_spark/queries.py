@@ -4289,6 +4289,111 @@ FROM fl GROUP BY event_type
 """
 
 
+def docs_markup_stripped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML markup removal (functions/text.py:strip_markup) — the step
+    before every other text gate when the corpus arrives as crawled HTML.
+    The documents fixture is plain text, so the query first synthesizes a
+    deterministic HTML wrapper per doc (head/title, a <b> tag around every
+    ' the ', a footer exercising all six entities), then strips it. Pure
+    map-side build + strip: zero shuffle end to end."""
+    from rust_cdc_validator_spark.functions.text import strip_markup
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><title>doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</title></head><body><p class="lead">'),
+        F.replace(F.col("text"), F.lit(" the "), F.lit(" <b>the</b> ")),
+        F.lit("</p><br/>&nbsp;&amp; &lt;footer&gt;</body></html>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(html, F.lit(r"<[^>]*>"), F.lit(0)))
+        .cast("int")
+        .alias("n_tags"),
+        strip_markup(html).alias("text_clean"),
+    )
+
+
+DOCS_MARKUP_STRIPPED_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+           || '</title></head><body><p class="lead">'
+           || replace(text, ' the ', ' <b>the</b> ')
+           || '</p><br/>&nbsp;&amp; &lt;footer&gt;</body></html>' AS html
+  FROM documents
+), stripped AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(html, '<[^>]*>')) AS INT) AS n_tags,
+         regexp_replace(html, '<[^>]*>', ' ', 'g') AS s
+  FROM h
+)
+SELECT doc_id, n_tags,
+       trim(regexp_replace(
+         replace(replace(replace(replace(replace(replace(
+           s, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+         '\\s+', ' ', 'g')) AS text_clean
+FROM stripped
+"""
+
+
+def embedding_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization quality report (operators/quantize.py):
+    fit per-dimension bounds on the embeddings (one agg pass, dims-sized
+    driver collect), encode -> decode map-side, per-label MSE / max abs
+    error — the monitor that decides when a standing SQ8 storage tier
+    needs its bounds refit. floor(x*255+0.5) half-up quantization is
+    replayed bit-exactly by the oracle."""
+    from rust_cdc_validator_spark.operators.quantize import (
+        sq8_error_report,
+        sq8_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bounds = sq8_fit(emb, "embedding")
+    rep = sq8_error_report(emb, "embedding", bounds, group_cols=["label"])
+    return rep.select(
+        "label",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.round("mse", 9).alias("mse"),
+        F.round("max_abs_err", 9).alias("max_abs_err"),
+    ).orderBy("label")
+
+
+EMBEDDING_SQ8_ERROR_SQL = """
+WITH d AS (
+  SELECT vec_id, label, CAST(u.x AS DOUBLE) AS val, u.i AS dim
+  FROM embeddings, unnest(embedding) WITH ORDINALITY AS u(x, i)
+), b AS (
+  SELECT dim, min(val) AS lo, max(val) AS hi FROM d GROUP BY dim
+), q AS (
+  SELECT vec_id, label, val, lo, hi,
+         CASE WHEN hi > lo THEN
+           greatest(0, least(255, floor((val - lo) / (hi - lo) * 255 + 0.5)))
+         ELSE 0 END AS code
+  FROM d JOIN b USING (dim)
+), r AS (
+  SELECT vec_id, label, val,
+         CASE WHEN hi > lo THEN lo + code / 255.0 * (hi - lo)
+         ELSE lo END AS deq
+  FROM q
+), per_vec AS (
+  SELECT vec_id, label,
+         sum((val - deq) * (val - deq)) AS sse,
+         max(abs(val - deq)) AS maxe,
+         count(*) AS dim_n
+  FROM r GROUP BY vec_id, label
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(sum(sse) / sum(dim_n), 9) AS mse,
+       round(max(maxe), 9) AS max_abs_err
+FROM per_vec GROUP BY label ORDER BY label
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4408,6 +4513,8 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_sample_docs": weighted_sample_docs,
     "orders_price_quantile_sketch": orders_price_quantile_sketch,
     "events_value_outliers": events_value_outliers,
+    "docs_markup_stripped": docs_markup_stripped,
+    "embedding_sq8_error": embedding_sq8_error,
 }
 
 ORACLES: dict[str, str] = {
@@ -4510,6 +4617,8 @@ ORACLES: dict[str, str] = {
     "weighted_sample_docs": WEIGHTED_SAMPLE_DOCS_SQL,
     "orders_price_quantile_sketch": ORDERS_PRICE_QSKETCH_SQL,
     "events_value_outliers": EVENTS_VALUE_OUTLIERS_SQL,
+    "docs_markup_stripped": DOCS_MARKUP_STRIPPED_SQL,
+    "embedding_sq8_error": EMBEDDING_SQ8_ERROR_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /
