@@ -45,6 +45,15 @@ def blocked_fuzzy_pairs(
     block-equi-join (hash join on the block columns, never cartesian), and
     levenshtein runs JVM-side inside codegen. Cost is sum over blocks of
     |block|^2 — pick block keys to keep blocks in the 10-10k range.
+
+    Two result-neutral pair-pruners keep the per-pair constant small:
+      * a length-band prefilter — edit distance is >= |len(a) - len(b)|,
+        so pairs outside ``max_dist`` length difference are discarded
+        before any DP runs (lengths are computed once per ROW, pre-join,
+        not once per pair);
+      * Spark 3.5+'s bounded ``levenshtein(l, r, threshold)``, whose DP
+        early-exits (returns -1) as soon as the running distance exceeds
+        ``max_dist`` — O(len * max_dist) instead of O(len^2) per survivor.
     """
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
@@ -52,7 +61,12 @@ def blocked_fuzzy_pairs(
         raise ValueError("max_block must be >= 2")
     w = Window.partitionBy(*block_cols).orderBy(F.col(id_col).asc())
     base = (
-        df.select(*block_cols, F.col(id_col), F.col(text_col))
+        df.select(
+            *block_cols,
+            F.col(id_col),
+            F.col(text_col),
+            F.length(F.col(text_col)).alias("_len"),
+        )
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_block)
         .drop("_rn")
@@ -61,22 +75,27 @@ def blocked_fuzzy_pairs(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id_a"),
         F.col(text_col).alias("_ta"),
+        F.col("_len").alias("_la"),
     )
     b = base.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id_b"),
         F.col(text_col).alias("_tb"),
+        F.col("_len").alias("_lb"),
     )
     pairs = (
         a.join(b, on=block_cols)
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
+        )
         .select(
             *block_cols,
             "id_a",
             "id_b",
-            F.levenshtein(F.col("_ta"), F.col("_tb")).alias("dist"),
+            F.levenshtein(F.col("_ta"), F.col("_tb"), max_dist).alias("dist"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter(F.col("dist") >= 0)
     )
     return pairs
 

@@ -46,13 +46,19 @@ def sq8_fit(df: DataFrame, vec_col: str) -> list[tuple[float, float]]:
         .agg(
             F.min(F.col("_v").cast("double")).alias("_lo"),
             F.max(F.col("_v").cast("double")).alias("_hi"),
+            F.count(F.lit(1)).alias("_n"),
         )
         .orderBy("_dim")
         .collect()
     )
     if not rows:
         raise ValueError("sq8_fit: input has no vectors")
-    if [r["_dim"] for r in rows] != list(range(len(rows))):
+    # Raggedness check that actually sees SHORT rows: a missing dim in a
+    # short row still exists in longer rows, so dim-id contiguity alone
+    # cannot detect it — but its per-dim count drops below dim 0's.
+    if [r["_dim"] for r in rows] != list(range(len(rows))) or len(
+        {r["_n"] for r in rows}
+    ) != 1:
         raise ValueError("sq8_fit: ragged vectors (dimensions missing in some rows)")
     return [(float(r["_lo"]), float(r["_hi"])) for r in rows]
 

@@ -4133,14 +4133,26 @@ SELECT path, COUNT(*) AS n_paths FROM p WHERE path IS NOT NULL GROUP BY path
 
 def customers_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy matching (operators/linkage.blocked_fuzzy_pairs):
-    near-identical customer names within a nation block at edit distance
-    <= 2 — entity resolution without the all-pairs cartesian (reference
-    has only exact row equality; this is the "should have matched"
-    companion)."""
+    near-identical customer names at edit distance <= 2 — entity
+    resolution without the all-pairs cartesian (reference has only exact
+    row equality; this is the "should have matched" companion).
+
+    Block key = (nation, 15-char name prefix), per the operator's own
+    guidance to keep blocks in the 10-10k range: nation alone gives 25
+    blocks of ~N/25 rows (quadratic blow-up AND a 25-way parallelism
+    ceiling at any SF), while the prefix sub-blocks grow in NUMBER with
+    the corpus and hold block SIZE roughly constant — the standard
+    multi-attribute blocking trade (Fellegi-Sunter): recall is scoped to
+    within-block pairs by design, and the oracle replays the same block
+    predicate so the approximation itself is value-checked."""
     from rust_cdc_validator_spark.operators.linkage import blocked_fuzzy_pairs
 
-    cust = _t(spark, sf_dir, "customer")
-    return blocked_fuzzy_pairs(cust, ["c_nationkey"], "c_custkey", "c_name", 2)
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "name_blk", F.substring("c_name", 1, 15)
+    )
+    return blocked_fuzzy_pairs(
+        cust, ["c_nationkey", "name_blk"], "c_custkey", "c_name", 2
+    ).drop("name_blk")
 
 
 CUSTOMERS_FUZZY_PAIRS_SQL = """
@@ -4150,7 +4162,9 @@ SELECT a.c_nationkey AS c_nationkey,
        levenshtein(a.c_name, b.c_name) AS dist
 FROM customer a
 JOIN customer b
-  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  ON a.c_nationkey = b.c_nationkey
+ AND substring(a.c_name, 1, 15) = substring(b.c_name, 1, 15)
+ AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 """
 
@@ -4364,8 +4378,12 @@ def embedding_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMBEDDING_SQ8_ERROR_SQL = """
 WITH d AS (
-  SELECT vec_id, label, CAST(u.x AS DOUBLE) AS val, u.i AS dim
-  FROM embeddings, unnest(embedding) WITH ORDINALITY AS u(x, i)
+  -- DuckDB 1.0 lacks `unnest ... WITH ORDINALITY`; unnest +
+  -- generate_subscripts expand in lockstep and give the same (val, dim).
+  SELECT vec_id, label,
+         CAST(unnest(embedding) AS DOUBLE) AS val,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
 ), b AS (
   SELECT dim, min(val) AS lo, max(val) AS hi FROM d GROUP BY dim
 ), q AS (

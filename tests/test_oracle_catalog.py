@@ -22,6 +22,30 @@ from rust_cdc_validator_spark.queries import ORACLES, QUERIES
 from tools.check_oracle import TABLES, frame_key
 
 
+def test_every_oracle_parses_on_pinned_duckdb(sf_dir):
+    """Fast (seconds, no Spark) dialect-portability smoke (VERDICT r7 #3).
+
+    Round 7's final commit shipped an oracle using ``unnest ... WITH
+    ORDINALITY``, which the pinned DuckDB 1.0.0 cannot parse — the full
+    catalog gate then CRASHED 12 minutes in, and the query went unverified.
+    ``EXPLAIN`` binds + plans every oracle against the real table views
+    without executing, so a dialect-incompatible oracle now fails the
+    default (non-slow) pytest sweep instantly.
+    """
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    failures = []
+    for name, sql in ORACLES.items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001 — report every unparseable oracle
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
+
+
 @pytest.mark.slow
 def test_every_oracled_catalog_query_matches_duckdb(spark, sf_dir):
     con = duckdb.connect()
