@@ -148,7 +148,21 @@ def main() -> None:
     # script is finite, and a killed run loses EVERY median — worse than
     # fewer reps. Fit per-query reps to the remaining budget using the
     # warm-up costs (steady state runs faster, so they're a safe bound).
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "540"))
+    # The DEFAULT budget scales with the catalog (r7 verdict #4: a fixed
+    # 540 s fit 3 reps at 106 queries but degraded to a uniform 2-rep
+    # floor at 120): warm_total x _STEADY_FACTOR approximates one timed
+    # round, so `target` rounds plus warm-up plus margin is
+    # ~(1 + target x 0.75) x warm_total + 60 — floored at the old 540 s
+    # so small catalogs keep their cheap-query extra reps. An explicit
+    # SPARK_GRAFT_BENCH_BUDGET_S always wins (the driver's window is not
+    # ours to size).
+    env_budget = os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S")
+    warm_total = sum(warm.values())
+    budget = (
+        float(env_budget)
+        if env_budget
+        else max(540.0, (1.0 + target * _STEADY_FACTOR) * warm_total + 60.0)
+    )
     remaining = budget - (time.time() - start) - 30.0  # leave margin to emit
     est = {name: max(_STEADY_FACTOR * t, 1e-3) for name, t in warm.items()}
     alloc = _allocate_reps(est, remaining, target)

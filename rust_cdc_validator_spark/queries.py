@@ -4412,6 +4412,196 @@ FROM per_vec GROUP BY label ORDER BY label
 """
 
 
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (operators/graph.py) over the bipartite
+    customer↔supplier trade graph (edge weight = lineitem count, both
+    directions so the walk alternates sides): which suppliers sit at the
+    center of the purchase network — the iterative-graph representative
+    (5 power-method steps, lineage checkpointed per step, dangling mass
+    redistributed in-plan). The oracle replays all 5 unrolled iterations
+    in SQL, so even the iterative path is value-hash-checked."""
+    from rust_cdc_validator_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    pair = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    cnode = F.concat(F.lit("c"), F.col("c").cast("string"))
+    snode = F.concat(F.lit("s"), F.col("s").cast("string"))
+    edges = pair.select(
+        cnode.alias("src"), snode.alias("dst"), "w"
+    ).unionAll(pair.select(snode.alias("src"), cnode.alias("dst"), "w"))
+    ranks = pagerank(edges, weight_col="w", damping=0.85, iterations=5)
+    return ranks.filter(F.col("node").startswith("s")).select(
+        F.col("node").substr(F.lit(2), F.lit(30)).cast("long").alias("suppkey"),
+        F.round("rank", 8).alias("rank_r"),
+    )
+
+
+def _pagerank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power-method CTE chain mirroring operators/graph.pagerank
+    step for step (transition probs, per-iteration dangling mass, uniform
+    teleport) — generated, not handwritten, so the iteration count stays
+    in ONE place."""
+    ctes = [
+        """pair AS (
+  SELECT o.o_custkey AS c, l.l_suppkey AS s, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, l.l_suppkey
+)""",
+        """e0 AS (
+  SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst, w
+  FROM pair
+  UNION ALL
+  SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR), w FROM pair
+)""",
+        """nodes AS (
+  SELECT DISTINCT src AS node FROM e0
+  UNION
+  SELECT DISTINCT dst AS node FROM e0
+)""",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "ow AS (SELECT src, SUM(w) AS ow FROM e0 GROUP BY src)",
+        """e AS (
+  SELECT e0.src AS s, e0.dst AS d, e0.w / ow.ow AS p
+  FROM e0 JOIN ow ON e0.src = ow.src
+)""",
+        "r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes, nn)",
+    ]
+    for k in range(iterations):
+        ctes.append(
+            f"""d{k} AS (
+  SELECT coalesce(sum(r.rank), 0.0) AS dm FROM r{k} r
+  WHERE r.node NOT IN (SELECT src FROM ow)
+)"""
+        )
+        ctes.append(
+            f"""c{k} AS (
+  SELECT e.d AS node, sum(r.rank * e.p) AS c
+  FROM e JOIN r{k} r ON e.s = r.node GROUP BY e.d
+)"""
+        )
+        ctes.append(
+            f"""r{k + 1} AS (
+  SELECT nodes.node,
+         (1.0 - {damping}) / nn.n
+           + {damping} * (coalesce(c.c, 0.0) + d{k}.dm / nn.n) AS rank
+  FROM nodes LEFT JOIN c{k} c ON nodes.node = c.node
+  CROSS JOIN d{k} CROSS JOIN nn
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(substring(node, 2) AS BIGINT) AS suppkey,
+       round(rank, 8) AS rank_r
+FROM r{iterations} WHERE node LIKE 's%'"""
+    )
+
+
+SUPPLIER_PAGERANK_SQL = _pagerank_oracle_sql()
+
+
+def events_type_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra (operators/sketch.py): for every event-type pair,
+    the distinct-user union (register-wise max merge — exact over the
+    sketches) and the inclusion–exclusion intersection estimate — the
+    "how much do these segments share" question a persisted sketch store
+    answers WITHOUT re-reading raw history. Pair fan-out is groups², fine
+    for segment-level sketches (registers are KB-sized); the raw data is
+    read exactly once to build the per-type sketches."""
+    from rust_cdc_validator_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sk = hll_sketch(ev, ["event_type"], "user_id", p=10)
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("registers").alias("_ra")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("registers").alias("_rb")
+    )
+    est_a = hll_estimate(F.col("_ra"), p=10)
+    est_b = hll_estimate(F.col("_rb"), p=10)
+    est_u = hll_estimate(hll_merge(F.col("_ra"), F.col("_rb")), p=10)
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.round(est_a, 4).alias("est_a"),
+            F.round(est_b, 4).alias("est_b"),
+            F.round(est_u, 4).alias("est_union"),
+            F.round(
+                F.greatest(F.lit(0.0), est_a + est_b - est_u), 4
+            ).alias("est_intersection"),
+        )
+    )
+
+
+EVENTS_TYPE_OVERLAP_HLL_SQL = """
+WITH h AS (
+  SELECT event_type,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM events
+), rr AS (
+  SELECT event_type,
+         h >> 50 AS idx,
+         CASE WHEN (h & ((CAST(1 AS BIGINT) << 50) - 1)) = 0 THEN 51
+              ELSE 50 - (length(printf('%b',
+                         h & ((CAST(1 AS BIGINT) << 50) - 1))) - 1)
+         END AS rho
+  FROM h
+), regs AS (
+  SELECT event_type, idx, MAX(rho) AS r FROM rr GROUP BY event_type, idx
+), single_est AS (
+  SELECT event_type,
+         CASE WHEN 755541.746198293 / (SUM(power(2.0, -r)) + (1024 - COUNT(*)) * 1.0)
+                   <= 2560.0 AND 1024 - COUNT(*) > 0
+              THEN 1024.0 * ln(1024.0 / (1024 - COUNT(*)))
+              ELSE 755541.746198293 / (SUM(power(2.0, -r)) + (1024 - COUNT(*)) * 1.0)
+         END AS est
+  FROM regs GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM regs) a
+  JOIN (SELECT DISTINCT event_type FROM regs) b
+    ON a.event_type < b.event_type
+), umax AS (
+  SELECT p.type_a, p.type_b, g.idx, MAX(g.r) AS r
+  FROM pairs p JOIN regs g
+    ON g.event_type = p.type_a OR g.event_type = p.type_b
+  GROUP BY p.type_a, p.type_b, g.idx
+), union_est AS (
+  SELECT type_a, type_b,
+         CASE WHEN 755541.746198293 / (SUM(power(2.0, -r)) + (1024 - COUNT(*)) * 1.0)
+                   <= 2560.0 AND 1024 - COUNT(*) > 0
+              THEN 1024.0 * ln(1024.0 / (1024 - COUNT(*)))
+              ELSE 755541.746198293 / (SUM(power(2.0, -r)) + (1024 - COUNT(*)) * 1.0)
+         END AS est_u
+  FROM umax GROUP BY type_a, type_b
+)
+SELECT u.type_a, u.type_b,
+       round(sa.est, 4) AS est_a,
+       round(sb.est, 4) AS est_b,
+       round(u.est_u, 4) AS est_union,
+       round(greatest(0.0, sa.est + sb.est - u.est_u), 4) AS est_intersection
+FROM union_est u
+JOIN single_est sa ON u.type_a = sa.event_type
+JOIN single_est sb ON u.type_b = sb.event_type
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4528,6 +4718,8 @@ QUERIES: dict[str, QueryFn] = {
     "events_retention_cohorts": events_retention_cohorts,
     "events_path_trigrams": events_path_trigrams,
     "customers_fuzzy_pairs": customers_fuzzy_pairs,
+    "supplier_pagerank": supplier_pagerank,
+    "events_type_overlap_hll": events_type_overlap_hll,
     "weighted_sample_docs": weighted_sample_docs,
     "orders_price_quantile_sketch": orders_price_quantile_sketch,
     "events_value_outliers": events_value_outliers,
@@ -4632,6 +4824,8 @@ ORACLES: dict[str, str] = {
     "events_retention_cohorts": EVENTS_RETENTION_SQL,
     "events_path_trigrams": EVENTS_PATH_TRIGRAMS_SQL,
     "customers_fuzzy_pairs": CUSTOMERS_FUZZY_PAIRS_SQL,
+    "supplier_pagerank": SUPPLIER_PAGERANK_SQL,
+    "events_type_overlap_hll": EVENTS_TYPE_OVERLAP_HLL_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_DOCS_SQL,
     "orders_price_quantile_sketch": ORDERS_PRICE_QSKETCH_SQL,
     "events_value_outliers": EVENTS_VALUE_OUTLIERS_SQL,

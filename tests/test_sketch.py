@@ -143,3 +143,39 @@ def test_cm_weighted_and_validation(spark):
     assert est >= 15
     with _pytest.raises(ValueError, match="16\\^4"):
         cm_sketch(df, ["g"], "v", w=100)
+
+
+def test_hll_pairwise_intersection_disjoint_vs_identical(spark):
+    """Inclusion–exclusion over merged registers: disjoint segments
+    estimate ~zero overlap, identical segments estimate ~full overlap."""
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    rows = (
+        [("a", i) for i in range(500)]
+        + [("b", i) for i in range(500, 1000)]  # disjoint from a
+        + [("c", i) for i in range(500)]  # identical to a
+    )
+    df = spark.createDataFrame(rows, "seg string, uid long")
+    sk = hll_sketch(df, ["seg"], "uid", p=10)
+    one = {r["seg"]: r["registers"] for r in sk.collect()}
+    pair = spark.createDataFrame(
+        [("a", one["a"], "b", one["b"]), ("a", one["a"], "c", one["c"])],
+        "sa string, ra array<int>, sb string, rb array<int>",
+    )
+    est = pair.select(
+        "sb",
+        (
+            hll_estimate(F.col("ra"), 10)
+            + hll_estimate(F.col("rb"), 10)
+            - hll_estimate(hll_merge(F.col("ra"), F.col("rb")), 10)
+        ).alias("inter"),
+    )
+    got = {r["sb"]: r["inter"] for r in est.collect()}
+    assert abs(got["b"]) < 50  # disjoint: ~0 (±sketch noise at p=10)
+    assert abs(got["c"] - 500) < 50  # identical: ~500
