@@ -4602,6 +4602,38 @@ JOIN single_est sb ON u.type_b = sb.event_type
 """
 
 
+def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening (operators/pca.py): fit 8 principal axes on the
+    embedding corpus (one mapInPandas scatter-matrix pass, d×d driver
+    eigh), project every vector map-side with whitening, and report each
+    label's centroid displacement in whitened units — the "is this class
+    separable after decorrelation" probe that guides SemDeDup cell counts
+    and cosine thresholds. Rows-only: the eigendecomposition is not
+    SQL-expressible; numpy equivalence + partition invariance are pinned
+    in tests/test_pca.py."""
+    from rust_cdc_validator_spark.operators.pca import fit_pca, pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k = 8
+    model = fit_pca(emb, "embedding", k=k)
+    proj = emb.select(
+        "label",
+        pca_project(F.col("embedding"), model, whiten=True).alias("p"),
+    )
+    comp_avgs = [F.avg(F.col("p")[i]).alias(f"_m{i}") for i in range(k)]
+    per_label = proj.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"), *comp_avgs
+    )
+    norm = F.sqrt(
+        sum(F.col(f"_m{i}") * F.col(f"_m{i}") for i in range(k))
+    )
+    return per_label.select(
+        "label",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.round(norm, 6).alias("centroid_shift_w"),
+    ).orderBy("label")
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4720,6 +4752,7 @@ QUERIES: dict[str, QueryFn] = {
     "customers_fuzzy_pairs": customers_fuzzy_pairs,
     "supplier_pagerank": supplier_pagerank,
     "events_type_overlap_hll": events_type_overlap_hll,
+    "embedding_pca_whiten": embedding_pca_whiten,
     "weighted_sample_docs": weighted_sample_docs,
     "orders_price_quantile_sketch": orders_price_quantile_sketch,
     "events_value_outliers": events_value_outliers,
