@@ -28,7 +28,7 @@ boundaries keep files even), per-file sort. Nothing else moves.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -93,3 +93,91 @@ def zorder_layout(
     return keyed.repartitionByRange(parts, F.col(key_col)).sortWithinPartitions(
         key_col
     )
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum_before",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Exclusive running sum of ``value_col`` in global ``order_cols``
+    order, WITHOUT the single-task global window.
+
+    ``Window.orderBy(...)`` with no partition key funnels the whole table
+    through ONE task — the textbook scale cliff. This is the standard
+    two-phase fix:
+
+      1. range-repartition + sort by ``order_cols`` (the one exchange any
+         globally-ordered computation pays) and compute the LOCAL running
+         sum per partition with a window PARTITIONED by
+         ``spark_partition_id()`` — Catalyst sees the aggregation keyed,
+         so every partition sums independently;
+      2. per-partition totals (a partitions-sized frame) get their own
+         tiny exclusive scan and are broadcast-joined back as offsets.
+
+    The result is exact whatever the sampled range boundaries turn out to
+    be; ties in ``order_cols`` would make it boundary-DEPENDENT, so pass
+    a tie-free key (append a unique id). The output adds ``out_col`` =
+    sum of all strictly-preceding rows' values (first row: 0).
+    """
+    parts = num_ranges or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    ranged = (
+        df.repartitionByRange(int(parts), *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "_local", F.coalesce(F.sum(F.col(value_col)).over(w), F.lit(0))
+    )
+    wp = (
+        Window.orderBy("_pid")  # partitions-sized frame: 1-task window is fine
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum(F.col(value_col)).alias("_ptot"))
+        .withColumn("_off", F.coalesce(F.sum("_ptot").over(wp), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_local") + F.col("_off"))
+        .drop("_pid", "_local")
+    )
+
+
+def plan_compaction(
+    files: DataFrame,
+    size_col: str,
+    order_cols: list[str],
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction plan (the OPTIMIZE / rewrite-data-files
+    companion to :func:`zorder_layout`): assign inputs to output bins of
+    ~``target_bytes`` by streaming them in ``order_cols`` order and
+    cutting a new bin every time the running total crosses the target —
+    ``bin = floor(cum_before / target)``.
+
+    Deterministic (given a tie-free order key), one-pass, and exactly
+    replayable in SQL — unlike greedy first-fit-decreasing, whose
+    sequential bin state can't be expressed as a window. Bins average to
+    the target; a single input larger than ``target_bytes`` gets a bin of
+    its own plus spillover, which matches rewrite semantics (an oversized
+    file is copied, not split). Scale shape: one range exchange + the
+    broadcast offset join from :func:`prefix_sum`; no global-window task.
+    """
+    if target_bytes < 1:
+        raise ValueError("target_bytes must be >= 1")
+    with_cum = prefix_sum(files, order_cols, size_col)
+    return with_cum.withColumn(
+        "bin", F.floor(F.col("cum_before") / F.lit(target_bytes)).cast("int")
+    ).drop("cum_before")

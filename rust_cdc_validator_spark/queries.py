@@ -4634,6 +4634,41 @@ def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
+def docs_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (operators/layout.plan_compaction):
+    stream documents in doc_id order into ~64 KiB output bins via the
+    two-phase prefix sum (range exchange + broadcast offsets — no
+    single-task global window), then report each bin's fill. The OPTIMIZE
+    companion to events_zorder; the oracle replays the running sum with a
+    plain window cumsum, so the scalable plan is value-checked against
+    the textbook one."""
+    from rust_cdc_validator_spark.operators.layout import plan_compaction
+
+    docs = _t(spark, sf_dir, "documents")
+    f = docs.select("doc_id", F.octet_length("text").cast("long").alias("sz"))
+    plan = plan_compaction(f, "sz", ["doc_id"], 64 * 1024)
+    return plan.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("sz").alias("bin_bytes"),
+    )
+
+
+DOCS_COMPACTION_PLAN_SQL = """
+WITH f AS (
+  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS sz FROM documents
+), c AS (
+  SELECT doc_id, sz,
+         coalesce(sum(sz) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM f
+)
+SELECT CAST(floor(cb / 65536) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(sz) AS BIGINT) AS bin_bytes
+FROM c GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4753,6 +4788,7 @@ QUERIES: dict[str, QueryFn] = {
     "supplier_pagerank": supplier_pagerank,
     "events_type_overlap_hll": events_type_overlap_hll,
     "embedding_pca_whiten": embedding_pca_whiten,
+    "docs_compaction_plan": docs_compaction_plan,
     "weighted_sample_docs": weighted_sample_docs,
     "orders_price_quantile_sketch": orders_price_quantile_sketch,
     "events_value_outliers": events_value_outliers,
@@ -4859,6 +4895,7 @@ ORACLES: dict[str, str] = {
     "customers_fuzzy_pairs": CUSTOMERS_FUZZY_PAIRS_SQL,
     "supplier_pagerank": SUPPLIER_PAGERANK_SQL,
     "events_type_overlap_hll": EVENTS_TYPE_OVERLAP_HLL_SQL,
+    "docs_compaction_plan": DOCS_COMPACTION_PLAN_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_DOCS_SQL,
     "orders_price_quantile_sketch": ORDERS_PRICE_QSKETCH_SQL,
     "events_value_outliers": EVENTS_VALUE_OUTLIERS_SQL,

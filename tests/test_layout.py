@@ -83,3 +83,58 @@ def test_zorder_layout_constant_column_degrades_gracefully(spark):
     # constant column contributes zero bits; ordering follows v
     rows = out.select("v", "_z").collect()
     assert sorted(rows, key=lambda r: r["_z"]) == sorted(rows, key=lambda r: (r["_z"], r["v"]))
+
+
+# ------------------------------------------------- prefix sum / compaction
+
+
+def test_prefix_sum_exact_and_partition_invariant(spark):
+    from rust_cdc_validator_spark.operators.layout import prefix_sum
+
+    df = spark.range(500).select(
+        F.col("id"), ((F.col("id") * 37) % 11 + 1).alias("sz")
+    )
+    for parts in (1, 7):
+        out = (
+            prefix_sum(df.repartition(parts), ["id"], "sz", num_ranges=5)
+            .orderBy("id")
+            .collect()
+        )
+        expected = 0
+        for r in out:
+            assert r["cum_before"] == expected
+            expected += r["sz"]
+
+
+def test_compaction_bins_monotone_and_sized(spark):
+    from rust_cdc_validator_spark.operators.layout import plan_compaction
+
+    df = spark.range(200).select(F.col("id"), F.lit(10).alias("sz"))
+    plan = plan_compaction(df, "sz", ["id"], 100).orderBy("id").collect()
+    bins = [r["bin"] for r in plan]
+    assert bins == sorted(bins)  # streaming order never revisits a bin
+    from collections import Counter
+
+    c = Counter(bins)
+    assert all(v == 10 for v in c.values())  # 10 x 10 bytes per 100-byte bin
+
+
+def test_compaction_oversized_input_spills(spark):
+    from rust_cdc_validator_spark.operators.layout import plan_compaction
+
+    rows = [(1, 10), (2, 500), (3, 10)]  # row 2 alone exceeds the target
+    df = spark.createDataFrame(rows, "id long, sz long")
+    got = {
+        r["id"]: r["bin"]
+        for r in plan_compaction(df, "sz", ["id"], 100).collect()
+    }
+    assert got[1] == 0 and got[2] == 0  # oversized row STARTS in-place
+    assert got[3] == 5  # and the next row lands past the spillover
+
+
+def test_compaction_validates_target(spark):
+    from rust_cdc_validator_spark.operators.layout import plan_compaction
+
+    df = spark.createDataFrame([(1, 1)], "id long, sz long")
+    with pytest.raises(ValueError, match="target_bytes"):
+        plan_compaction(df, "sz", ["id"], 0)
