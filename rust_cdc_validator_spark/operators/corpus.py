@@ -697,6 +697,47 @@ def pack_sequences(
     )
 
 
+def length_bucket_batches(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_tokens",
+    batch_size: int = 32,
+    shards: int = 8,
+) -> DataFrame:
+    """Length-bucketed inference/training batching: group sequences of
+    similar length into fixed-count batches so padding-to-batch-max wastes
+    little compute (the NeMo/fairseq dynamic-batching layout,
+    deterministic variant). Bucket = ceil(log2(len)) via integer
+    bit-length — power-of-two length bands, no float log at boundaries —
+    then batches of ``batch_size`` in id order within (shard, bucket).
+
+    Sharding bounds the per-window sort exactly like ``pack_sequences``:
+    batching has no cross-shard constraint, so md5 shards keep every sort
+    slice small and the whole plan is one hash shuffle + per-slice sort.
+    Returns (id, len, shard, bucket, batch) — aggregate
+    ``n × max(len)`` per batch for the padding-efficiency report.
+    """
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    ln = F.col(len_col)
+    bucket = (
+        F.when(ln <= 1, F.lit(0))
+        .otherwise(F.length(F.bin(ln - 1)))
+        .cast("int")
+    )
+    base = docs.select(
+        F.col(id_col),
+        ln.alias(len_col),
+        md5_bucket(F.col(id_col), shards).alias("shard"),
+        bucket.alias("bucket"),
+    )
+    w = Window.partitionBy("shard", "bucket").orderBy(id_col)
+    return base.withColumn(
+        "batch",
+        F.floor((F.row_number().over(w) - 1) / batch_size).cast("int"),
+    )
+
+
 def apply_mixture(
     df: DataFrame,
     weights: DataFrame | dict[str, float],

@@ -4669,6 +4669,68 @@ FROM c GROUP BY 1
 """
 
 
+def doc_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching report
+    (operators/corpus.length_bucket_batches): documents grouped into
+    power-of-two token-length bands and fixed-count batches, with the
+    padding cost of batching each band — the pad-to-batch-max waste a
+    dynamic-batching inference layout exists to minimize."""
+    from rust_cdc_validator_spark.operators.corpus import (
+        length_bucket_batches,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    b = length_bucket_batches(toks, "doc_id", "n_tokens", batch_size=16, shards=8)
+    per_batch = b.groupBy("shard", "bucket", "batch").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("n_tokens").alias("_mx"),
+        F.sum("n_tokens").alias("_tok"),
+    )
+    return per_batch.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        F.sum("_n").cast("long").alias("n_docs"),
+        F.sum(F.col("_n") * F.col("_mx")).cast("long").alias("padded_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("_tok") / F.sum(F.col("_n") * F.col("_mx")),
+            6,
+        ).alias("pad_waste_r"),
+    )
+
+
+DOC_LENGTH_BATCHES_SQL = """
+WITH toks AS (
+  SELECT doc_id, LEN(string_split(text, ' ')) AS n_tokens,
+         (strpos('0123456789abcdef',
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8 AS shard
+  FROM documents
+), bk AS (
+  SELECT doc_id, n_tokens, shard,
+         CASE WHEN n_tokens <= 1 THEN 0
+              ELSE length(printf('%b', n_tokens - 1)) END AS bucket
+  FROM toks
+), rn AS (
+  SELECT shard, bucket, n_tokens,
+         CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY shard, bucket
+             ORDER BY doc_id) - 1) / 16.0) AS INT) AS batch
+  FROM bk
+), per_batch AS (
+  SELECT shard, bucket, batch,
+         COUNT(*) AS n, MAX(n_tokens) AS mx, SUM(n_tokens) AS tok
+  FROM rn GROUP BY shard, bucket, batch
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_batches,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(SUM(n * mx) AS BIGINT) AS padded_tokens,
+       round(1.0 - CAST(SUM(tok) AS DOUBLE) / SUM(n * mx), 6) AS pad_waste_r
+FROM per_batch GROUP BY bucket
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4789,6 +4851,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_type_overlap_hll": events_type_overlap_hll,
     "embedding_pca_whiten": embedding_pca_whiten,
     "docs_compaction_plan": docs_compaction_plan,
+    "doc_length_batches": doc_length_batches,
     "weighted_sample_docs": weighted_sample_docs,
     "orders_price_quantile_sketch": orders_price_quantile_sketch,
     "events_value_outliers": events_value_outliers,
@@ -4896,6 +4959,7 @@ ORACLES: dict[str, str] = {
     "supplier_pagerank": SUPPLIER_PAGERANK_SQL,
     "events_type_overlap_hll": EVENTS_TYPE_OVERLAP_HLL_SQL,
     "docs_compaction_plan": DOCS_COMPACTION_PLAN_SQL,
+    "doc_length_batches": DOC_LENGTH_BATCHES_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_DOCS_SQL,
     "orders_price_quantile_sketch": ORDERS_PRICE_QSKETCH_SQL,
     "events_value_outliers": EVENTS_VALUE_OUTLIERS_SQL,

@@ -1321,3 +1321,32 @@ def test_ngram_novelty_empty_new_side_defined_zeros(spark):
     assert row["n_new_ngrams"] == 0
     assert row["n_novel"] == 0
     assert row["novelty_r"] == 0.0
+
+
+def test_length_bucket_batches_bands_and_caps(spark):
+    from rust_cdc_validator_spark.operators.corpus import length_bucket_batches
+
+    rows = [(i, n) for i, n in enumerate([1, 2, 3, 4, 5, 8, 9, 16, 17, 100])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = length_bucket_batches(df, batch_size=2, shards=1).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # bucket = ceil(log2(len)): 1->0, 2->1, (3,4)->2, (5,8)->3, (9,16)->4, ...
+    want = {0: 0, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3, 6: 4, 7: 4, 8: 5, 9: 7}
+    assert {i: by_id[i]["bucket"] for i in want} == want
+    # batches respect the cap within each (shard, bucket)
+    from collections import Counter
+
+    c = Counter((r["shard"], r["bucket"], r["batch"]) for r in out)
+    assert max(c.values()) <= 2
+    # ids in the same bucket fill batch 0 before batch 1 (id order)
+    assert by_id[2]["batch"] == 0 and by_id[3]["batch"] == 0
+
+
+def test_length_bucket_batches_validates(spark):
+    import pytest
+
+    from rust_cdc_validator_spark.operators.corpus import length_bucket_batches
+
+    df = spark.createDataFrame([(1, 4)], "doc_id long, n_tokens int")
+    with pytest.raises(ValueError, match="batch_size"):
+        length_bucket_batches(df, batch_size=0)
