@@ -40,6 +40,26 @@ from pyspark.sql import functions as F
 
 __all__ = ["pagerank"]
 
+#: conservative per-row estimate for the (node, rank) frame when sizing
+#: the ranks-side broadcast: string key + double + row overhead
+_RANK_ROW_BYTES = 96
+
+
+def _parse_bytes(v: str | int | None) -> int:
+    """Spark size confs come as '10485760', '10m', '10MB', or '-1'."""
+    if v is None:
+        return -1
+    s = str(v).strip().lower().removesuffix("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return -1
+
 
 def pagerank(
     edges: DataFrame,
@@ -66,9 +86,15 @@ def pagerank(
         if weight_col
         else F.lit(1.0)
     )
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w"))
+    if checkpoint:
+        # materialize the edge build ONCE — nodes, out-weights, transition
+        # probs, and the dangling set all derive from it, and without this
+        # cut each would re-run the caller's upstream joins/aggregations
+        e = e.localCheckpoint(eager=True)
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
         .distinct()
     )
     if checkpoint:
@@ -77,44 +103,72 @@ def pagerank(
     if n == 0:
         raise ValueError("pagerank: edge set is empty")
 
-    out_w = edges.groupBy(F.col(src).alias("_s")).agg(F.sum(w).alias("_ow"))
-    trans = (
-        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w"))
-        .join(out_w, "_s")
-        .select("_s", "_d", (F.col("_w") / F.col("_ow")).alias("_p"))
+    out_w = e.groupBy("_s").agg(F.sum("_w").alias("_ow"))
+    trans = e.join(out_w, "_s").select(
+        "_s", "_d", (F.col("_w") / F.col("_ow")).alias("_p")
     )
     if checkpoint:
         trans = trans.localCheckpoint(eager=True)
 
-    # dangling = nodes that never appear as a source
+    # dangling = nodes that never appear as a source. A graph with none
+    # (e.g. any undirected graph) skips the per-iteration mass aggregate
+    # entirely — dm is identically zero there, so the plans are equivalent
+    # and each iteration saves an aggregation + broadcast.
     dangling_nodes = nodes.join(
         out_w.select(F.col("_s").alias("node")), "node", "left_anti"
     )
     if checkpoint:
         dangling_nodes = dangling_nodes.localCheckpoint(eager=True)
+    has_dangling = bool(dangling_nodes.head(1))
+    # nodes with no IN-edges receive only teleport mass; when none exist
+    # (any undirected graph), the contribution aggregate already covers
+    # every node and the per-iteration nodes left-join is pure overhead —
+    # decided once, saving a join + shuffle per iteration.
+    has_sources_only = bool(
+        nodes.join(
+            e.select(F.col("_d").alias("node")).distinct(), "node", "left_anti"
+        ).head(1)
+    )
+
+    # localCheckpoint scans carry no size stats, so the planner can't pick
+    # a broadcast join on its own — gate it on |V| × an estimated row
+    # width against the session's own broadcast threshold: small graphs
+    # (ranks fit executors) map-side-join every iteration; huge graphs
+    # keep the shuffle join. Same decision the optimizer would make with
+    # stats, made explicit.
+    threshold = _parse_bytes(
+        edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+    )
+    broadcast_ranks = 0 < n * _RANK_ROW_BYTES <= threshold
 
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
+        rside = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            trans.join(ranks, trans["_s"] == ranks["node"])
+            trans.join(rside, trans["_s"] == rside["node"])
             .groupBy("_d")
-            .agg(F.sum(F.col("rank") * F.col("_p")).alias("_c"))
+            .agg(F.sum(rside["rank"] * F.col("_p")).alias("_c"))
         )
-        dm = dangling_nodes.join(ranks, "node").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
-        )
-        ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["_d"], "left")
-            .crossJoin(F.broadcast(dm))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.col("_dm") / n)
-                ).alias("rank"),
+        if has_sources_only:
+            updated = nodes.join(contrib, nodes["node"] == contrib["_d"], "left")
+        else:
+            updated = contrib.select(F.col("_d").alias("node"), "_c")
+        if has_dangling:
+            dm = dangling_nodes.join(ranks, "node").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
             )
+            updated = updated.crossJoin(F.broadcast(dm))
+            redistributed = F.col("_dm") / n
+        else:
+            redistributed = F.lit(0.0)
+        ranks = updated.select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("_c"), F.lit(0.0)) + redistributed)
+            ).alias("rank"),
         )
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=True)
