@@ -257,3 +257,52 @@ def robust_outliers(
         )
     )
     return flagged
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation between two columns — the
+    monotone-association monitor (is balance still predictive of spend in
+    every segment?) that Pearson misses whenever the relationship curves
+    or outliers stretch one tail.
+
+    Ranks use the standard AVERAGE-rank tie treatment, built from
+    engine-portable pieces so the SQL oracle agrees exactly:
+    ``avg_rank = rank() + (ties − 1)/2`` where ``ties`` counts the value's
+    duplicates — identical in Spark and any ANSI engine (no
+    implementation-defined `percent_rank` edge cases). Pearson of the
+    avg-ranks is then one ``corr`` aggregate.
+
+    Scale shape: two window passes partitioned BY GROUP (per-group sorts,
+    never a global one) + one grouped corr with map-side partials. Rows
+    with a NULL in either column are excluded up front (their presence
+    would shift everyone's rank); groups need ≥ 2 distinct rows for a
+    defined corr — degenerate groups return NULL, not a crash.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(*group_cols, F.col(x_col), F.col(y_col)).filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+
+    def avg_rank(col: str):
+        w_rank = Window.partitionBy(*group_cols).orderBy(F.col(col))
+        w_ties = Window.partitionBy(*group_cols, col)
+        return (
+            F.rank().over(w_rank)
+            + (F.count(F.lit(1)).over(w_ties) - F.lit(1)) / F.lit(2.0)
+        )
+
+    ranked = base.select(
+        *group_cols,
+        avg_rank(x_col).alias("_rx"),
+        avg_rank(y_col).alias("_ry"),
+    )
+    return ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.corr("_rx", "_ry").alias("spearman_r"),
+    )

@@ -4731,6 +4731,107 @@ FROM per_batch GROUP BY bucket
 """
 
 
+def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (operators/privacy.py): is the
+    customer table releasable on the quasi-identifiers (nation, market
+    segment, balance band)? One hash aggregation with map-side partials +
+    a groups-sized re-aggregation — the structural-risk complement to the
+    regex PII scrub. k=5, l=3 with the customer name standing in as the
+    sensitive column (the synthetic table carries no true secret; names
+    are per-row distinct, so diversity reduces to group size — the
+    pipeline is what's exercised)."""
+    from rust_cdc_validator_spark.operators.privacy import k_anonymity_report
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("int")
+    )
+    return k_anonymity_report(
+        cust,
+        ["c_nationkey", "c_mktsegment", "bal_band"],
+        k=5,
+        sensitive_col="c_name",
+        l=3,
+    )
+
+
+CUSTOMERS_K_ANONYMITY_SQL = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS INT) AS bal_band,
+         COUNT(*) AS group_rows,
+         COUNT(DISTINCT c_name) AS sensitive_values
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment, CAST(FLOOR(c_acctbal / 1000) AS INT)
+), agg AS (
+  SELECT CAST(SUM(group_rows) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(CASE WHEN group_rows < 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS small_groups,
+         CAST(SUM(CASE WHEN group_rows < 5 THEN group_rows ELSE 0 END)
+              AS BIGINT) AS rows_at_risk,
+         CAST(MIN(group_rows) AS BIGINT) AS min_group_rows,
+         CAST(SUM(CASE WHEN sensitive_values < 3 THEN 1 ELSE 0 END)
+              AS BIGINT) AS low_diversity_groups,
+         CAST(SUM(CASE WHEN sensitive_values < 3 THEN group_rows ELSE 0 END)
+              AS BIGINT) AS rows_low_diversity
+  FROM g
+)
+SELECT *, round(CAST(rows_at_risk AS DOUBLE) / n_rows, 6) AS at_risk_ratio
+FROM agg
+"""
+
+
+def nation_balance_spend_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Spearman rank correlation
+    (operators/drift.spearman_corr) between a customer's account balance
+    and their lifetime order spend — the monotone-association drift
+    monitor (average-rank ties, engine-portable, so the oracle replays
+    the ranks exactly). Customers without orders count as zero spend."""
+    from rust_cdc_validator_spark.operators.drift import spearman_corr
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("_spend")
+    )
+    joined = (
+        cust.join(spend, cust["c_custkey"] == spend["o_custkey"], "left")
+        .select(
+            "c_nationkey",
+            F.col("c_acctbal"),
+            F.coalesce(F.col("_spend"), F.lit(0.0)).alias("spend"),
+        )
+    )
+    rep = spearman_corr(joined, ["c_nationkey"], "c_acctbal", "spend")
+    return rep.select(
+        "c_nationkey", "n_rows", F.round("spearman_r", 6).alias("spearman_r")
+    )
+
+
+NATION_BALANCE_SPEND_CORR_SQL = """
+WITH spend AS (
+  SELECT o_custkey, SUM(o_totalprice) AS s FROM orders GROUP BY o_custkey
+), base AS (
+  SELECT c.c_nationkey, c.c_acctbal,
+         COALESCE(CAST(sp.s AS DOUBLE), 0.0) AS spend
+  FROM customer c LEFT JOIN spend sp ON c.c_custkey = sp.o_custkey
+), ranked AS (
+  SELECT c_nationkey,
+         RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)
+           + (COUNT(*) OVER (PARTITION BY c_nationkey, c_acctbal) - 1) / 2.0
+           AS rx,
+         RANK() OVER (PARTITION BY c_nationkey ORDER BY spend)
+           + (COUNT(*) OVER (PARTITION BY c_nationkey, spend) - 1) / 2.0
+           AS ry
+  FROM base
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       round(corr(rx, ry), 6) AS spearman_r
+FROM ranked GROUP BY c_nationkey
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4852,6 +4953,8 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_pca_whiten": embedding_pca_whiten,
     "docs_compaction_plan": docs_compaction_plan,
     "doc_length_batches": doc_length_batches,
+    "customers_k_anonymity": customers_k_anonymity,
+    "nation_balance_spend_corr": nation_balance_spend_corr,
     "weighted_sample_docs": weighted_sample_docs,
     "orders_price_quantile_sketch": orders_price_quantile_sketch,
     "events_value_outliers": events_value_outliers,
@@ -4960,6 +5063,8 @@ ORACLES: dict[str, str] = {
     "events_type_overlap_hll": EVENTS_TYPE_OVERLAP_HLL_SQL,
     "docs_compaction_plan": DOCS_COMPACTION_PLAN_SQL,
     "doc_length_batches": DOC_LENGTH_BATCHES_SQL,
+    "customers_k_anonymity": CUSTOMERS_K_ANONYMITY_SQL,
+    "nation_balance_spend_corr": NATION_BALANCE_SPEND_CORR_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_DOCS_SQL,
     "orders_price_quantile_sketch": ORDERS_PRICE_QSKETCH_SQL,
     "events_value_outliers": EVENTS_VALUE_OUTLIERS_SQL,

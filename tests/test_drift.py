@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from rust_cdc_validator_spark.operators.drift import drift_report
@@ -103,3 +104,43 @@ def test_psi_drift_validation_and_null_exclusion(spark):
     empty = df.filter("v IS NULL")
     with pytest.raises(ValueError):
         psi_drift(empty, df, "v")
+
+
+def test_spearman_perfect_monotone_and_inverted(spark):
+    from rust_cdc_validator_spark.operators.drift import spearman_corr
+
+    rows = [("g", float(i), float(i * i)) for i in range(1, 8)] + [
+        ("h", float(i), float(-i)) for i in range(1, 8)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r["spearman_r"] for r in spearman_corr(df, ["g"], "x", "y").collect()}
+    assert got["g"] == pytest.approx(1.0, abs=1e-12)  # monotone, nonlinear
+    assert got["h"] == pytest.approx(-1.0, abs=1e-12)
+
+
+def test_spearman_average_rank_ties_match_scipy_formula(spark):
+    from rust_cdc_validator_spark.operators.drift import spearman_corr
+
+    xs = [1.0, 2.0, 2.0, 3.0]
+    ys = [10.0, 20.0, 30.0, 40.0]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "g string, x double, y double"
+    )
+    got = spearman_corr(df, ["g"], "x", "y").first()["spearman_r"]
+    # average ranks: x -> [1, 2.5, 2.5, 4], y -> [1,2,3,4]; Pearson by hand
+    import numpy as np
+
+    rx = np.array([1.0, 2.5, 2.5, 4.0])
+    ry = np.array([1.0, 2.0, 3.0, 4.0])
+    want = float(np.corrcoef(rx, ry)[0, 1])
+    assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_spearman_nulls_excluded_and_degenerate_null(spark):
+    from rust_cdc_validator_spark.operators.drift import spearman_corr
+
+    rows = [("g", 1.0, 1.0), ("g", 2.0, None), ("g", 3.0, 9.0), ("k", 5.0, 5.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in spearman_corr(df, ["g"], "x", "y").collect()}
+    assert out["g"]["n_rows"] == 2  # null row dropped before ranking
+    assert out["k"]["spearman_r"] is None  # single row: undefined, not a crash
