@@ -120,3 +120,85 @@ def block_size_stats(
             ).alias("rows_cut"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_cols: list[str],
+    id_col: str,
+    text_col: str,
+    max_dist: int,
+    window: int = 5,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernández & Stolfo 1995): sort
+    candidates by a discriminating key and score each row only against
+    its next ``window`` neighbors — O(N·w) comparisons instead of
+    blocking's Σ|block|², and robust to the block-key cardinality
+    mistakes `blocked_fuzzy_pairs` documents (a mis-sized block explodes
+    quadratically; a sort window never does).
+
+    The window runs INSIDE ``block_cols`` partitions (default: the first
+    sort column's first character — a coarse, order-preserving prefix),
+    because a single global sorted window is one task at any scale. The
+    standard trade: pairs straddling a partition boundary are skipped, and
+    the method's own answer is multiple passes with DIFFERENT sort keys
+    (each pass is cheap) rather than a bigger window. Deterministic, so
+    the SQL oracle replays pass-for-pass.
+
+    Pair scoring reuses the bounded-levenshtein discipline: length-band
+    prefilter, early-exit DP at ``max_dist``. Returns (id_a, id_b, dist)
+    with id_a/id_b ordered by sort position (each pair once).
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if block_cols is None:
+        blk = [F.substring(F.col(sort_cols[0]).cast("string"), 1, 1).alias("_blk")]
+        blk_names = ["_blk"]
+    else:
+        blk = [F.col(c) for c in block_cols]
+        blk_names = list(block_cols)
+    needed = [
+        c
+        for c in dict.fromkeys([*sort_cols, id_col, text_col])
+        if c not in blk_names
+    ]
+    base = df.select(
+        *blk,
+        *[F.col(c) for c in needed],
+        F.length(F.col(text_col)).alias("_len"),
+    )
+    w = Window.partitionBy(*blk_names).orderBy(
+        *[F.col(c) for c in sort_cols], F.col(id_col)
+    )
+    leads = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("_ta"),
+        F.col("_len").alias("_la"),
+        F.array(
+            *[
+                F.struct(
+                    F.lead(F.col(id_col), i).over(w).alias("id_b"),
+                    F.lead(F.col(text_col), i).over(w).alias("_tb"),
+                    F.lead(F.col("_len"), i).over(w).alias("_lb"),
+                )
+                for i in range(1, window + 1)
+            ]
+        ).alias("_nbrs"),
+    )
+    pairs = leads.select(
+        "id_a",
+        "_ta",
+        "_la",
+        F.explode("_nbrs").alias("_n"),
+    ).filter(
+        F.col("_n.id_b").isNotNull()
+        & (F.abs(F.col("_la") - F.col("_n._lb")) <= max_dist)
+    )
+    return pairs.select(
+        "id_a",
+        F.col("_n.id_b").alias("id_b"),
+        F.levenshtein(F.col("_ta"), F.col("_n._tb"), max_dist).alias("dist"),
+    ).filter(F.col("dist") >= 0)

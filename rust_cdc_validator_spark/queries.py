@@ -4832,6 +4832,46 @@ FROM ranked GROUP BY c_nationkey
 """
 
 
+def customers_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood linkage
+    (operators/linkage.sorted_neighborhood_pairs): the O(N·w) second pass
+    of the record-linkage family — near-identical customer names among
+    each row's 5 sort neighbors, windowed inside the same 15-char prefix
+    blocks as customers_fuzzy_pairs so no sort slice becomes one task.
+    The oracle replays the neighborhood as a row_number band join."""
+    from rust_cdc_validator_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "name_blk", F.substring("c_name", 1, 15)
+    )
+    return sorted_neighborhood_pairs(
+        cust,
+        ["c_name"],
+        "c_custkey",
+        "c_name",
+        max_dist=2,
+        window=5,
+        block_cols=["name_blk"],
+    )
+
+
+CUSTOMERS_SORTED_NEIGHBORHOOD_SQL = """
+WITH r AS (
+  SELECT substring(c_name, 1, 15) AS blk, c_custkey AS id, c_name,
+         ROW_NUMBER() OVER (PARTITION BY substring(c_name, 1, 15)
+                            ORDER BY c_name, c_custkey) AS rn
+  FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM r a JOIN r b
+  ON a.blk = b.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + 5
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4955,6 +4995,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_length_batches": doc_length_batches,
     "customers_k_anonymity": customers_k_anonymity,
     "nation_balance_spend_corr": nation_balance_spend_corr,
+    "customers_sorted_neighborhood": customers_sorted_neighborhood,
     "weighted_sample_docs": weighted_sample_docs,
     "orders_price_quantile_sketch": orders_price_quantile_sketch,
     "events_value_outliers": events_value_outliers,
@@ -5065,6 +5106,7 @@ ORACLES: dict[str, str] = {
     "doc_length_batches": DOC_LENGTH_BATCHES_SQL,
     "customers_k_anonymity": CUSTOMERS_K_ANONYMITY_SQL,
     "nation_balance_spend_corr": NATION_BALANCE_SPEND_CORR_SQL,
+    "customers_sorted_neighborhood": CUSTOMERS_SORTED_NEIGHBORHOOD_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_DOCS_SQL,
     "orders_price_quantile_sketch": ORDERS_PRICE_QSKETCH_SQL,
     "events_value_outliers": EVENTS_VALUE_OUTLIERS_SQL,

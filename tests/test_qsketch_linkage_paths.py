@@ -227,3 +227,55 @@ def test_robust_outliers_degenerate_mad(spark):
     df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
     r = robust_outliers(df, ["g"], "v").collect()[0]
     assert r["mad"] == 0.0 and r["n_outliers"] == 2
+
+
+def test_sorted_neighborhood_window_and_dist(spark):
+    from rust_cdc_validator_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "alpha"),
+        (2, "alphb"),   # dist 1 from alpha, adjacent in sort
+        (3, "alzzz"),   # dist > 2 from both
+        (4, "beta"),    # different first letter -> different default block
+        (5, "betb"),    # dist 1 from beta
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in sorted_neighborhood_pairs(df, ["name"], "id", "name", 2).collect()
+    }
+    assert got == {(1, 2): 1, (4, 5): 1}
+
+
+def test_sorted_neighborhood_window_cap_limits_pairs(spark):
+    from rust_cdc_validator_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    # 4 identical-prefix names: window=1 pairs only adjacent rows
+    rows = [(i, f"aaa{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = sorted_neighborhood_pairs(
+        df, ["name"], "id", "name", max_dist=2, window=1
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(0, 1), (1, 2), (2, 3)}
+    got3 = sorted_neighborhood_pairs(
+        df, ["name"], "id", "name", max_dist=2, window=3
+    ).collect()
+    assert len(got3) == 6  # all within-window pairs of 4 rows
+
+
+def test_sorted_neighborhood_validates(spark):
+    import pytest
+
+    from rust_cdc_validator_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    with pytest.raises(ValueError, match="max_dist"):
+        sorted_neighborhood_pairs(df, ["name"], "id", "name", -1)
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, ["name"], "id", "name", 1, window=0)
