@@ -150,10 +150,12 @@ def main() -> None:
     # warm-up costs (steady state runs faster, so they're a safe bound).
     # The DEFAULT budget scales with the catalog (r7 verdict #4: a fixed
     # 540 s fit 3 reps at 106 queries but degraded to a uniform 2-rep
-    # floor at 120): warm_total x _STEADY_FACTOR approximates one timed
-    # round, so `target` rounds plus warm-up plus margin is
-    # ~(1 + target x 0.75) x warm_total + 60 — floored at the old 540 s
-    # so small catalogs keep their cheap-query extra reps. An explicit
+    # floor at 120). Sized assuming steady state runs NO faster than the
+    # warm pass — 0.75x is the historical mean, but the first r8 capture
+    # measured ~0.95x on a noisy machine and the optimistic budget cut
+    # round 3 on the wave boundary; a pessimistic budget only ever ends
+    # early, never under-reps. Floored at the old 540 s so small catalogs
+    # keep their cheap-query extra reps. An explicit
     # SPARK_GRAFT_BENCH_BUDGET_S always wins (the driver's window is not
     # ours to size).
     env_budget = os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S")
@@ -161,7 +163,7 @@ def main() -> None:
     budget = (
         float(env_budget)
         if env_budget
-        else max(540.0, (1.0 + target * _STEADY_FACTOR) * warm_total + 60.0)
+        else max(540.0, (1.0 + target) * warm_total + 120.0)
     )
     remaining = budget - (time.time() - start) - 30.0  # leave margin to emit
     est = {name: max(_STEADY_FACTOR * t, 1e-3) for name, t in warm.items()}
@@ -173,6 +175,45 @@ def main() -> None:
             f"{min(alloc.values())} rep(s), not {target} — reduced",
             file=sys.stderr,
         )
+
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
+    )
+
+    def emit_line(runs: dict[str, list[float]]) -> str:
+        timings = {
+            name: round(statistics.median(r), 3) for name, r in runs.items()
+        }
+        dispersion = {
+            name: {
+                "min": round(min(r), 3),
+                "median": timings[name],
+                "max": round(max(r), 3),
+                "iqr": round(_iqr(r), 3),
+                "runs": [round(x, 3) for x in r],
+            }
+            for name, r in runs.items()
+        }
+        return json.dumps(
+            {
+                "metric": "all_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "dispersion": dispersion,
+                "reps": {name: len(r) for name, r in runs.items()},
+                "interleaved": True,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+
+    def write_out(line: str) -> None:
+        try:
+            with open(out_path, "w") as f:
+                f.write(line + "\n")
+        except OSError as e:
+            print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
 
     runs: dict[str, list[float]] = {name: [] for name in QUERIES}
     for k in range(n_rounds):  # interleaved: round k times every query
@@ -192,45 +233,17 @@ def main() -> None:
             ).save()
             runs[name].append(time.time() - t0)
             gc.collect()
+        # checkpoint the capture after EVERY completed round: an external
+        # kill (harness wall limit) then costs one round of resolution,
+        # never the whole run's medians
+        write_out(emit_line(runs))
 
-    timings = {name: round(statistics.median(r), 3) for name, r in runs.items()}
-    dispersion = {
-        name: {
-            "min": round(min(r), 3),
-            "median": timings[name],
-            "max": round(max(r), 3),
-            "iqr": round(_iqr(r), 3),
-            "runs": [round(x, 3) for x in r],
-        }
-        for name, r in runs.items()
-    }
-
-    total = round(sum(timings.values()), 3)
-    line = json.dumps(
-        {
-            "metric": "all_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "dispersion": dispersion,
-            "reps": {name: len(r) for name, r in runs.items()},
-            "interleaved": True,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        }
-    )
+    line = emit_line(runs)
     print(line)
     # companion file: the driver's stdout capture is tail-bounded and
     # truncated BENCH_r05's medians away (r5 verdict) — the full line always
     # lands on disk too, so no capture window can lose it
-    out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
-    )
-    try:
-        with open(out_path, "w") as f:
-            f.write(line + "\n")
-    except OSError as e:
-        print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
+    write_out(line)
     spark.stop()
 
 

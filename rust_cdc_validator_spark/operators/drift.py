@@ -306,3 +306,58 @@ def spearman_corr(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.corr("_rx", "_ry").alias("spearman_r"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns —
+    I(X;Y) = Σ p(x,y)·ln(p(x,y) / (p(x)p(y))) — the dependence monitor
+    that catches what correlation cannot (categorical, non-ordinal,
+    non-monotone relations): does event type depend on hour-of-day, does
+    label depend on source, did a supposedly independent sampling key
+    become entangled with the payload?
+
+    Computed exactly from counts: ONE hash aggregation on (x, y) with
+    map-side partials; the x- and y-marginals re-aggregate FROM the joint
+    relation (cells-sized, not data-sized), and the final score is a
+    cells-sized join + sum. Also reports the entropies H(X), H(Y) and the
+    normalized redundancy I/min(H) (0 = independent, 1 = one determines
+    the other) so thresholds transfer across cardinalities. NULL category
+    values count as a category of their own (groupBy semantics) — a
+    column going all-NULL is a dependence signal, not a row drop.
+
+    With ``group_cols``, everything is additionally keyed per group (one
+    row out per group). Scale: shuffle is bounded by distinct cells, not
+    rows; no windows; log arithmetic stays in the JVM.
+    """
+    g = list(group_cols or [])
+    joint = df.groupBy(*g, x_col, y_col).agg(F.count(F.lit(1)).alias("_nxy"))
+    tot = joint.groupBy(*g).agg(F.sum("_nxy").alias("_n"))
+    mx = joint.groupBy(*g, x_col).agg(F.sum("_nxy").alias("_nx"))
+    my = joint.groupBy(*g, y_col).agg(F.sum("_nxy").alias("_ny"))
+    cells = joint.join(mx, [*g, x_col]).join(my, [*g, y_col])
+    if g:
+        cells = cells.join(tot, g)
+    else:
+        cells = cells.crossJoin(F.broadcast(tot))
+    n = F.col("_n").cast("double")
+    pxy = F.col("_nxy") / n
+    mi_term = pxy * F.log(
+        (F.col("_nxy") * n) / (F.col("_nx") * F.col("_ny"))
+    )
+    hx_term = (F.col("_nxy") / n) * F.log(F.col("_nx") / n)
+    hy_term = (F.col("_nxy") / n) * F.log(F.col("_ny") / n)
+    rep = cells.groupBy(*g).agg(
+        F.sum(mi_term).alias("mi_nats"),
+        (-F.sum(hx_term)).alias("h_x"),
+        (-F.sum(hy_term)).alias("h_y"),
+    )
+    min_h = F.least(F.col("h_x"), F.col("h_y"))
+    return rep.withColumn(
+        "redundancy",
+        F.when(min_h > 0, F.col("mi_nats") / min_h).otherwise(F.lit(0.0)),
+    )

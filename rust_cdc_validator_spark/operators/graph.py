@@ -92,16 +92,24 @@ def pagerank(
         # probs, and the dangling set all derive from it, and without this
         # cut each would re-run the caller's upstream joins/aggregations
         e = e.localCheckpoint(eager=True)
-    nodes = (
-        e.select(F.col("_s").alias("node"))
-        .union(e.select(F.col("_d").alias("node")))
-        .distinct()
+    # ONE aggregation derives the node set AND both structural flags
+    # (dangling = no out-edges; teleport-only = no in-edges) — replacing a
+    # distinct + two anti-join probe jobs with a single union-aggregate
+    # whose filters then run against the checkpointed result.
+    role = (
+        e.select(F.col("_s").alias("node"), F.lit(1).alias("_o"), F.lit(0).alias("_i"))
+        .unionAll(
+            e.select(F.col("_d").alias("node"), F.lit(0).alias("_o"), F.lit(1).alias("_i"))
+        )
+        .groupBy("node")
+        .agg(F.max("_o").alias("_has_out"), F.max("_i").alias("_has_in"))
     )
     if checkpoint:
-        nodes = nodes.localCheckpoint(eager=True)
-    n = nodes.count()  # the ONE driver scalar (|V|), needed as a literal
+        role = role.localCheckpoint(eager=True)
+    n = role.count()  # the ONE driver scalar (|V|), needed as a literal
     if n == 0:
         raise ValueError("pagerank: edge set is empty")
+    nodes = role.select("node")
 
     out_w = e.groupBy("_s").agg(F.sum("_w").alias("_ow"))
     trans = e.join(out_w, "_s").select(
@@ -110,25 +118,17 @@ def pagerank(
     if checkpoint:
         trans = trans.localCheckpoint(eager=True)
 
-    # dangling = nodes that never appear as a source. A graph with none
-    # (e.g. any undirected graph) skips the per-iteration mass aggregate
-    # entirely — dm is identically zero there, so the plans are equivalent
-    # and each iteration saves an aggregation + broadcast.
-    dangling_nodes = nodes.join(
-        out_w.select(F.col("_s").alias("node")), "node", "left_anti"
-    )
-    if checkpoint:
-        dangling_nodes = dangling_nodes.localCheckpoint(eager=True)
+    # A graph with no dangling nodes (e.g. any undirected graph) skips the
+    # per-iteration mass aggregate entirely — dm is identically zero, so
+    # the plans are equivalent and each iteration saves an aggregation +
+    # broadcast.
+    dangling_nodes = role.filter(F.col("_has_out") == 0).select("node")
     has_dangling = bool(dangling_nodes.head(1))
-    # nodes with no IN-edges receive only teleport mass; when none exist
+    # Nodes with no IN-edges receive only teleport mass; when none exist
     # (any undirected graph), the contribution aggregate already covers
     # every node and the per-iteration nodes left-join is pure overhead —
     # decided once, saving a join + shuffle per iteration.
-    has_sources_only = bool(
-        nodes.join(
-            e.select(F.col("_d").alias("node")).distinct(), "node", "left_anti"
-        ).head(1)
-    )
+    has_sources_only = bool(role.filter(F.col("_has_in") == 0).head(1))
 
     # localCheckpoint scans carry no size stats, so the planner can't pick
     # a broadcast join on its own — gate it on |V| × an estimated row
@@ -143,7 +143,7 @@ def pagerank(
 
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for _ in range(iterations):
+    for it in range(iterations):
         rside = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
             trans.join(rside, trans["_s"] == rside["node"])
@@ -170,6 +170,12 @@ def pagerank(
                 * (F.coalesce(F.col("_c"), F.lit(0.0)) + redistributed)
             ).alias("rank"),
         )
-        if checkpoint:
+        # Shuffle path: truncate lineage EVERY superstep (nested shuffle
+        # joins are the iterative-plan failure mode). Broadcast path: each
+        # iteration's broadcast exchange already materializes the previous
+        # ranks inside one job, so per-step checkpoints only add 1 job per
+        # superstep — checkpoint once at the end instead (so callers with
+        # multiple downstream actions don't re-run the chain).
+        if checkpoint and (not broadcast_ranks or it == iterations - 1):
             ranks = ranks.localCheckpoint(eager=True)
     return ranks

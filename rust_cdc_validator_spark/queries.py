@@ -4872,6 +4872,54 @@ WHERE levenshtein(a.c_name, b.c_name) <= 2
 """
 
 
+def events_type_hour_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (operators/drift.mutual_information) between
+    event type and hour-of-day — the categorical-dependence monitor
+    (correlation can't see non-ordinal relations). Exact from counts: one
+    (x,y) hash agg; marginals re-aggregate from the cells relation, never
+    from the data."""
+    from rust_cdc_validator_spark.operators.drift import mutual_information
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("event_type", F.hour("ts").alias("hour"))
+    rep = mutual_information(base, "event_type", "hour")
+    return rep.select(
+        F.round("mi_nats", 6).alias("mi_nats"),
+        F.round("h_x", 6).alias("h_x"),
+        F.round("h_y", 6).alias("h_y"),
+        F.round("redundancy", 6).alias("redundancy"),
+    )
+
+
+EVENTS_TYPE_HOUR_MI_SQL = """
+WITH b AS (
+  SELECT event_type AS x, EXTRACT(hour FROM ts) AS y FROM events
+), j AS (
+  SELECT x, y, CAST(COUNT(*) AS DOUBLE) AS nxy FROM b GROUP BY x, y
+), t AS (
+  SELECT SUM(nxy) AS n FROM j
+), mx AS (
+  SELECT x, SUM(nxy) AS nx FROM j GROUP BY x
+), my AS (
+  SELECT y, SUM(nxy) AS ny FROM j GROUP BY y
+), cells AS (
+  SELECT j.nxy, mx.nx, my.ny, t.n
+  FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t
+), agg AS (
+  SELECT SUM((nxy / n) * ln((nxy * n) / (nx * ny))) AS mi,
+         -SUM((nxy / n) * ln(nx / n)) AS hx,
+         -SUM((nxy / n) * ln(ny / n)) AS hy
+  FROM cells
+)
+SELECT round(mi, 6) AS mi_nats,
+       round(hx, 6) AS h_x,
+       round(hy, 6) AS h_y,
+       round(CASE WHEN least(hx, hy) > 0 THEN mi / least(hx, hy)
+                  ELSE 0.0 END, 6) AS redundancy
+FROM agg
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4996,6 +5044,7 @@ QUERIES: dict[str, QueryFn] = {
     "customers_k_anonymity": customers_k_anonymity,
     "nation_balance_spend_corr": nation_balance_spend_corr,
     "customers_sorted_neighborhood": customers_sorted_neighborhood,
+    "events_type_hour_mi": events_type_hour_mi,
     "weighted_sample_docs": weighted_sample_docs,
     "orders_price_quantile_sketch": orders_price_quantile_sketch,
     "events_value_outliers": events_value_outliers,
@@ -5107,6 +5156,7 @@ ORACLES: dict[str, str] = {
     "customers_k_anonymity": CUSTOMERS_K_ANONYMITY_SQL,
     "nation_balance_spend_corr": NATION_BALANCE_SPEND_CORR_SQL,
     "customers_sorted_neighborhood": CUSTOMERS_SORTED_NEIGHBORHOOD_SQL,
+    "events_type_hour_mi": EVENTS_TYPE_HOUR_MI_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_DOCS_SQL,
     "orders_price_quantile_sketch": ORDERS_PRICE_QSKETCH_SQL,
     "events_value_outliers": EVENTS_VALUE_OUTLIERS_SQL,

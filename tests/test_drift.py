@@ -144,3 +144,52 @@ def test_spearman_nulls_excluded_and_degenerate_null(spark):
     out = {r["g"]: r for r in spearman_corr(df, ["g"], "x", "y").collect()}
     assert out["g"]["n_rows"] == 2  # null row dropped before ranking
     assert out["k"]["spearman_r"] is None  # single row: undefined, not a crash
+
+
+def test_mutual_information_independent_and_determined(spark):
+    import math
+
+    from rust_cdc_validator_spark.operators.drift import mutual_information
+
+    # perfectly factorized joint: MI must be exactly ~0
+    indep = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "uv" for _ in range(3)],
+        "x string, y string",
+    )
+    r = mutual_information(indep, "x", "y").first()
+    assert abs(r["mi_nats"]) < 1e-12 and abs(r["redundancy"]) < 1e-12
+    assert r["h_x"] == pytest.approx(math.log(2), abs=1e-12)
+
+    # y determined by x: MI == H(X) == H(Y), redundancy == 1
+    det = spark.createDataFrame(
+        [("a", "u"), ("a", "u"), ("b", "v"), ("c", "w")], "x string, y string"
+    )
+    r = mutual_information(det, "x", "y").first()
+    want_h = -(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25))
+    assert r["mi_nats"] == pytest.approx(want_h, abs=1e-12)
+    assert r["redundancy"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_mutual_information_hand_computed_and_grouped(spark):
+    import math
+
+    from rust_cdc_validator_spark.operators.drift import mutual_information
+
+    # group g: joint {(a,u):2, (a,v):1, (b,v):1}; group h: independent
+    rows = (
+        [("g", "a", "u"), ("g", "a", "u"), ("g", "a", "v"), ("g", "b", "v")]
+        + [("h", x, y) for x in "ab" for y in "uv"]
+    )
+    df = spark.createDataFrame(rows, "grp string, x string, y string")
+    out = {
+        r["grp"]: r
+        for r in mutual_information(df, "x", "y", ["grp"]).collect()
+    }
+    # p(a,u)=.5 [px=.75, pu=.5]; p(a,v)=.25 [px=.75, pv=.5]; p(b,v)=.25 [px=.25, pv=.5]
+    want = (
+        0.5 * math.log(0.5 / (0.75 * 0.5))
+        + 0.25 * math.log(0.25 / (0.75 * 0.5))
+        + 0.25 * math.log(0.25 / (0.25 * 0.5))
+    )
+    assert out["g"]["mi_nats"] == pytest.approx(want, abs=1e-12)
+    assert abs(out["h"]["mi_nats"]) < 1e-12
