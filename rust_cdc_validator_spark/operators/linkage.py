@@ -202,3 +202,45 @@ def sorted_neighborhood_pairs(
         F.col("_n.id_b").alias("id_b"),
         F.levenshtein(F.col("_ta"), F.col("_n._tb"), max_dist).alias("dist"),
     ).filter(F.col("dist") >= 0)
+
+
+def golden_records(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_cols: list,
+) -> DataFrame:
+    """Entity resolution end-game: fold matched pairs (from
+    `blocked_fuzzy_pairs`, `sorted_neighborhood_pairs`, or their union)
+    into entities via connected components, then elect ONE canonical
+    ("golden") record per entity by ``order_cols`` priority (e.g. most
+    complete, most recent — pass `F.desc(...)` columns; ties break on id).
+
+    Returns every input row plus (entity_id = min linked id, entity_size,
+    is_canonical). Unmatched rows are their own singleton entities.
+
+    Scale shape: components run on the PAIRS relation (tiny — it IS the
+    duplicates, same adaptive union-find as dedup); the election is one
+    membership join + a window partitioned by entity — and since entity
+    sizes are match-cluster sizes (near-cliques of a handful of rows),
+    the per-entity sort is bounded, never a skew risk.
+    """
+    from rust_cdc_validator_spark.operators.dedup import connected_components
+
+    comps = connected_components(pairs, id_a="id_a", id_b="id_b")
+    base = df.join(
+        comps.select(
+            F.col("node").alias("__n"), F.col("component").alias("__c")
+        ),
+        df[id_col] == F.col("__n"),
+        "left",
+    ).drop("__n")
+    base = base.withColumn(
+        "entity_id", F.coalesce(F.col("__c"), F.col(id_col))
+    ).drop("__c")
+    w = Window.partitionBy("entity_id")
+    wo = Window.partitionBy("entity_id").orderBy(*order_cols, F.col(id_col))
+    return (
+        base.withColumn("entity_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.row_number().over(wo) == 1)
+    )

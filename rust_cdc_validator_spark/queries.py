@@ -4920,6 +4920,97 @@ FROM agg
 """
 
 
+def customer_golden_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end (operators/linkage.golden_records):
+    union BOTH linkage passes' match pairs (quadratic-in-block + sorted
+    neighborhood), fold them into entities by connected components, and
+    elect each entity's canonical record (highest balance, id tiebreak).
+    The oracle replays even the transitive closure — a recursive CTE
+    floods min-reachable-ids to a fixpoint — so the full composition is
+    value-hash-checked, not rows-only."""
+    from rust_cdc_validator_spark.operators.linkage import (
+        blocked_fuzzy_pairs,
+        golden_records,
+        sorted_neighborhood_pairs,
+    )
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "name_blk", F.substring("c_name", 1, 15)
+    )
+    p1 = blocked_fuzzy_pairs(
+        cust, ["c_nationkey", "name_blk"], "c_custkey", "c_name", 2
+    ).select("id_a", "id_b")
+    p2 = sorted_neighborhood_pairs(
+        cust, ["c_name"], "c_custkey", "c_name", 2, window=5,
+        block_cols=["name_blk"],
+    ).select("id_a", "id_b")
+    pairs = (
+        p1.unionAll(p2)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    g = golden_records(cust, pairs, "c_custkey", [F.desc("c_acctbal")])
+    return (
+        g.filter((F.col("entity_size") > 1) & F.col("is_canonical"))
+        .select(
+            F.col("entity_id").cast("long").alias("entity_id"),
+            F.col("entity_size").cast("long").alias("entity_size"),
+            F.col("c_custkey").alias("canonical_id"),
+        )
+    )
+
+
+CUSTOMER_GOLDEN_ENTITIES_SQL = """
+WITH RECURSIVE c AS (
+  SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+         substring(c_name, 1, 15) AS blk
+  FROM customer
+), p1 AS (
+  SELECT a.c_custkey AS x, b.c_custkey AS y
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 2
+), r AS (
+  SELECT blk, c_custkey AS id, c_name,
+         ROW_NUMBER() OVER (PARTITION BY blk ORDER BY c_name, c_custkey) AS rn
+  FROM c
+), p2 AS (
+  SELECT a.id AS x, b.id AS y
+  FROM r a JOIN r b ON a.blk = b.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + 5
+  WHERE levenshtein(a.c_name, b.c_name) <= 2
+), pairs AS (
+  SELECT least(x, y) AS a, greatest(x, y) AS b
+  FROM (SELECT x, y FROM p1 UNION SELECT x, y FROM p2)
+), und AS (
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM und
+), reach(n, m) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT re.n, u.b FROM reach re JOIN und u ON re.m = u.a
+), comp AS (
+  SELECT n AS node, MIN(m) AS entity FROM reach GROUP BY n
+), sized AS (
+  SELECT entity, COUNT(*) AS entity_size FROM comp GROUP BY entity
+), canon AS (
+  SELECT comp.entity, cu.c_custkey,
+         ROW_NUMBER() OVER (PARTITION BY comp.entity
+                            ORDER BY cu.c_acctbal DESC, cu.c_custkey) AS rn
+  FROM comp JOIN customer cu ON comp.node = cu.c_custkey
+)
+SELECT s.entity AS entity_id,
+       CAST(s.entity_size AS BIGINT) AS entity_size,
+       cn.c_custkey AS canonical_id
+FROM sized s JOIN canon cn ON s.entity = cn.entity AND cn.rn = 1
+WHERE s.entity_size > 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -5045,6 +5136,7 @@ QUERIES: dict[str, QueryFn] = {
     "nation_balance_spend_corr": nation_balance_spend_corr,
     "customers_sorted_neighborhood": customers_sorted_neighborhood,
     "events_type_hour_mi": events_type_hour_mi,
+    "customer_golden_entities": customer_golden_entities,
     "weighted_sample_docs": weighted_sample_docs,
     "orders_price_quantile_sketch": orders_price_quantile_sketch,
     "events_value_outliers": events_value_outliers,
@@ -5157,6 +5249,7 @@ ORACLES: dict[str, str] = {
     "nation_balance_spend_corr": NATION_BALANCE_SPEND_CORR_SQL,
     "customers_sorted_neighborhood": CUSTOMERS_SORTED_NEIGHBORHOOD_SQL,
     "events_type_hour_mi": EVENTS_TYPE_HOUR_MI_SQL,
+    "customer_golden_entities": CUSTOMER_GOLDEN_ENTITIES_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_DOCS_SQL,
     "orders_price_quantile_sketch": ORDERS_PRICE_QSKETCH_SQL,
     "events_value_outliers": EVENTS_VALUE_OUTLIERS_SQL,

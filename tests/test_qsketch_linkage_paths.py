@@ -279,3 +279,45 @@ def test_sorted_neighborhood_validates(spark):
         sorted_neighborhood_pairs(df, ["name"], "id", "name", -1)
     with pytest.raises(ValueError, match="window"):
         sorted_neighborhood_pairs(df, ["name"], "id", "name", 1, window=0)
+
+
+def test_golden_records_election_and_singletons(spark):
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.linkage import golden_records
+
+    people = spark.createDataFrame(
+        [
+            (1, "ann", 10.0),
+            (2, "anne", 50.0),   # linked to 1+3: highest balance -> canonical
+            (3, "annie", 30.0),
+            (4, "bob", 99.0),    # singleton
+        ],
+        "id long, name string, bal double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {
+        r["id"]: r
+        for r in golden_records(people, pairs, "id", [F.desc("bal")]).collect()
+    }
+    assert {i: out[i]["entity_id"] for i in (1, 2, 3, 4)} == {1: 1, 2: 1, 3: 1, 4: 4}
+    assert out[1]["entity_size"] == 3 and out[4]["entity_size"] == 1
+    assert [i for i in out if out[i]["is_canonical"]] == [2, 4] or sorted(
+        i for i in out if out[i]["is_canonical"]
+    ) == [2, 4]
+
+
+def test_golden_records_tiebreak_on_id(spark):
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.linkage import golden_records
+
+    people = spark.createDataFrame(
+        [(7, 1.0), (9, 1.0)], "id long, bal double"  # equal priority
+    )
+    pairs = spark.createDataFrame([(7, 9)], "id_a long, id_b long")
+    out = {
+        r["id"]: r["is_canonical"]
+        for r in golden_records(people, pairs, "id", [F.desc("bal")]).collect()
+    }
+    assert out == {7: True, 9: False}  # lower id wins ties
