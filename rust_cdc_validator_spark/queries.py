@@ -5011,6 +5011,42 @@ WHERE s.entity_size > 1
 """
 
 
+def bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY path (operators/bpe.apply_bpe): train a small merge
+    table, tokenize the whole corpus with it (broadcast merges, Arrow
+    batches, per-batch word memoization — the Zipf bulk is a dict hit),
+    and report each source's real token budget vs the whitespace
+    approximation — the fertility check run before committing a tokenizer
+    to a training mix. Rows-only (the iterative trainer and the merge
+    loop are not SQL-expressible); the apply path is golden-pinned in
+    test_bpe.py."""
+    from rust_cdc_validator_spark.operators.bpe import (
+        bpe_token_count,
+        train_bpe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=16)
+    counted = bpe_token_count(docs, merges)
+    return (
+        counted.select(
+            "source",
+            F.col("bpe_token_count"),
+            F.size(F.split(F.col("text"), " ")).alias("_ws"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("bpe_token_count").cast("long").alias("bpe_tokens"),
+            F.sum("_ws").cast("long").alias("ws_tokens"),
+            F.round(
+                F.sum("bpe_token_count") / F.sum("_ws"), 6
+            ).alias("fertility_r"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -5137,6 +5173,7 @@ QUERIES: dict[str, QueryFn] = {
     "customers_sorted_neighborhood": customers_sorted_neighborhood,
     "events_type_hour_mi": events_type_hour_mi,
     "customer_golden_entities": customer_golden_entities,
+    "bpe_token_budget": bpe_token_budget,
     "weighted_sample_docs": weighted_sample_docs,
     "orders_price_quantile_sketch": orders_price_quantile_sketch,
     "events_value_outliers": events_value_outliers,
