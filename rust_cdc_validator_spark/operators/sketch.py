@@ -212,6 +212,36 @@ def cm_estimate(counters: Column, value: Column, d: int = 4, w: int = 256) -> Co
     return est
 
 
+def cm_join_size(a: Column, b: Column, d: int = 4, w: int = 256) -> Column:
+    """Join-cardinality estimate from two Count-Min tables built over the
+    JOIN KEY of each side: |A ⋈ B| = Σ_k f_A(k)·f_B(k), estimated as the
+    MIN over the d hash rows of the row-wise counter dot product
+    (Cormode & Muthukrishnan 2005 §4.2 — the inner-product query). Always
+    an OVERestimate in expectation (colliding keys add cross terms, never
+    subtract), error ≤ e·N_A·N_B/w per row with prob 1−e^−d.
+
+    The plan-time sizing primitive: persisted per-table key sketches
+    answer "how big would this join be" for ANY table pair without
+    touching raw data — broadcast-vs-shuffle decisions, skew alarms
+    (compare the estimate against N_A + N_B), incremental-maintenance
+    sizing. Pure expression over two KB-sized arrays; replayable in SQL
+    like every sketch here.
+    """
+    est = None
+    for i in range(d):
+        row_dot = F.aggregate(
+            F.zip_with(
+                F.slice(a, i * w + 1, w),
+                F.slice(b, i * w + 1, w),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        est = row_dot if est is None else F.least(est, row_dot)
+    return est
+
+
 # ---------------------------------------------------------------------------
 # Quantile histogram: mergeable rank sketch (HDR-histogram bucketing,
 # Tene's public HdrHistogram design — exponential octaves with linear

@@ -5047,6 +5047,80 @@ def bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-time join sizing from persisted sketches
+    (operators/sketch.cm_join_size): Count-Min tables over each side's
+    join key answer |orders ⋈ lineitem| as the min-over-rows counter dot
+    product (Cormode-Muthukrishnan inner-product query) — no raw data
+    touched at ask time. Reported against the exact join count; the
+    estimate value-hash-replays in SQL like the rest of the sketch
+    family."""
+    from rust_cdc_validator_spark.operators.sketch import (
+        cm_join_size,
+        cm_sketch,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o_sk = cm_sketch(
+        orders.select(F.col("o_orderkey").alias("k")), [], "k"
+    ).select(F.col("counters").alias("_ca"))
+    l_sk = cm_sketch(
+        li.select(F.col("l_orderkey").alias("k")), [], "k"
+    ).select(F.col("counters").alias("_cb"))
+    exact = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .agg(F.count(F.lit(1)).alias("exact_join_rows"))
+    )
+    return (
+        o_sk.crossJoin(F.broadcast(l_sk))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            cm_join_size(F.col("_ca"), F.col("_cb")).alias("est_join_rows"),
+            F.col("exact_join_rows"),
+            F.round(
+                cm_join_size(F.col("_ca"), F.col("_cb"))
+                / F.col("exact_join_rows"),
+                6,
+            ).alias("over_ratio"),
+        )
+    )
+
+
+ORDERS_JOIN_SIZE_SKETCH_SQL = """
+WITH ka AS (
+  SELECT o_orderkey AS k, COUNT(*) AS f FROM orders GROUP BY o_orderkey
+), kb AS (
+  SELECT l_orderkey AS k, COUNT(*) AS f FROM lineitem GROUP BY l_orderkey
+), ra AS (
+  SELECT i,
+         CAST('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 4)
+              AS BIGINT) % 256 AS b,
+         CAST(SUM(f) AS BIGINT) AS c
+  FROM ka CROSS JOIN range(4) t(i) GROUP BY i, b
+), rb AS (
+  SELECT i,
+         CAST('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 4)
+              AS BIGINT) % 256 AS b,
+         CAST(SUM(f) AS BIGINT) AS c
+  FROM kb CROSS JOIN range(4) t(i) GROUP BY i, b
+), dots AS (
+  SELECT ra.i, CAST(SUM(ra.c * rb.c) AS BIGINT) AS dot
+  FROM ra JOIN rb ON ra.i = rb.i AND ra.b = rb.b
+  GROUP BY ra.i
+), est AS (
+  SELECT MIN(dot) AS est_join_rows FROM dots
+), ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_rows
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT est.est_join_rows, ex.exact_join_rows,
+       round(CAST(est.est_join_rows AS DOUBLE) / ex.exact_join_rows, 6)
+         AS over_ratio
+FROM est CROSS JOIN ex
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -5174,6 +5248,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_type_hour_mi": events_type_hour_mi,
     "customer_golden_entities": customer_golden_entities,
     "bpe_token_budget": bpe_token_budget,
+    "orders_join_size_sketch": orders_join_size_sketch,
     "weighted_sample_docs": weighted_sample_docs,
     "orders_price_quantile_sketch": orders_price_quantile_sketch,
     "events_value_outliers": events_value_outliers,
@@ -5287,6 +5362,7 @@ ORACLES: dict[str, str] = {
     "customers_sorted_neighborhood": CUSTOMERS_SORTED_NEIGHBORHOOD_SQL,
     "events_type_hour_mi": EVENTS_TYPE_HOUR_MI_SQL,
     "customer_golden_entities": CUSTOMER_GOLDEN_ENTITIES_SQL,
+    "orders_join_size_sketch": ORDERS_JOIN_SIZE_SKETCH_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_DOCS_SQL,
     "orders_price_quantile_sketch": ORDERS_PRICE_QSKETCH_SQL,
     "events_value_outliers": EVENTS_VALUE_OUTLIERS_SQL,

@@ -179,3 +179,38 @@ def test_hll_pairwise_intersection_disjoint_vs_identical(spark):
     got = {r["sb"]: r["inter"] for r in est.collect()}
     assert abs(got["b"]) < 50  # disjoint: ~0 (±sketch noise at p=10)
     assert abs(got["c"] - 500) < 50  # identical: ~500
+
+
+def test_cm_join_size_exact_when_no_collisions(spark):
+    """With keys << w buckets, the inner product estimates the join size
+    nearly exactly; estimate never undershoots the true size."""
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.sketch import cm_join_size, cm_sketch
+
+    a = spark.createDataFrame([(k,) for k in range(20) for _ in range(3)], "k long")
+    b = spark.createDataFrame([(k,) for k in range(10, 30)], "k long")
+    true_size = a.join(b, "k").count()  # keys 10..19, 3 rows each = 30
+    assert true_size == 30
+    sa = cm_sketch(a, [], "k").select(F.col("counters").alias("ca"))
+    sb = cm_sketch(b, [], "k").select(F.col("counters").alias("cb"))
+    est = sa.crossJoin(sb).select(
+        cm_join_size(F.col("ca"), F.col("cb")).alias("e")
+    ).first()["e"]
+    assert est >= true_size  # cross terms only ever add
+    assert est <= true_size + 20  # 40 keys in 256 buckets: tiny collision tail
+
+
+def test_cm_join_size_disjoint_keys_near_zero(spark):
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.sketch import cm_join_size, cm_sketch
+
+    a = spark.createDataFrame([(k,) for k in range(50)], "k long")
+    b = spark.createDataFrame([(k,) for k in range(1000, 1050)], "k long")
+    sa = cm_sketch(a, [], "k").select(F.col("counters").alias("ca"))
+    sb = cm_sketch(b, [], "k").select(F.col("counters").alias("cb"))
+    est = sa.crossJoin(sb).select(
+        cm_join_size(F.col("ca"), F.col("cb")).alias("e")
+    ).first()["e"]
+    assert 0 <= est <= 60  # min-over-rows suppresses collision noise
