@@ -209,6 +209,7 @@ def golden_records(
     pairs: DataFrame,
     id_col: str,
     order_cols: list,
+    cc_driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Entity resolution end-game: fold matched pairs (from
     `blocked_fuzzy_pairs`, `sorted_neighborhood_pairs`, or their union)
@@ -224,10 +225,19 @@ def golden_records(
     membership join + a window partitioned by entity — and since entity
     sizes are match-cluster sizes (near-cliques of a handful of rows),
     the per-entity sort is bounded, never a skew risk.
+
+    ``cc_driver_threshold`` is raised well above dedup's default: edit-
+    distance match graphs CHAIN (a~b~c through successive one-char
+    steps), and min-label propagation needs O(diameter) rounds on chains
+    — 16-byte pair rows make exact driver union-find the right call up to
+    ~10⁶ edges (~16 MB), where the distributed path would grind through
+    its iteration cap.
     """
     from rust_cdc_validator_spark.operators.dedup import connected_components
 
-    comps = connected_components(pairs, id_a="id_a", id_b="id_b")
+    comps = connected_components(
+        pairs, id_a="id_a", id_b="id_b", driver_threshold=cc_driver_threshold
+    )
     base = df.join(
         comps.select(
             F.col("node").alias("__n"), F.col("component").alias("__c")
