@@ -29,7 +29,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sq8_fit", "sq8_encode", "sq8_decode", "sq8_error_report"]
+__all__ = [
+    "sq8_fit",
+    "sq8_encode",
+    "sq8_decode",
+    "sq8_error_report",
+    "sq8_refit_needed",
+]
 
 
 def sq8_fit(df: DataFrame, vec_col: str) -> list[tuple[float, float]]:
@@ -139,4 +145,69 @@ def sq8_error_report(
         F.count(F.lit(1)).alias("n_vectors"),
         (F.sum("_sse") / F.sum("_dim")).alias("mse"),
         F.max("_maxe").alias("max_abs_err"),
+    )
+
+
+def sq8_refit_needed(
+    df: DataFrame,
+    vec_col: str,
+    bounds: list[tuple[float, float]],
+    baseline_mse: float,
+    max_error_ratio: float = 1.5,
+    abs_error_floor: float = 1e-6,
+    max_clip_frac: float = 0.01,
+    max_sample_rows: int = 2048,
+) -> bool:
+    """Maintenance trigger for a standing SQ8 tier — the stored-tier
+    analog of ``pq.ivfpq_refit_needed``. True when either drift signal
+    fires on a bounded sample of the CURRENT corpus:
+
+    * **clipped mass**: the fraction of vector components falling outside
+      the fitted per-dimension [lo, hi] exceeds ``max_clip_frac``. At fit
+      time this is exactly 0 by construction (bounds ARE the min/max), so
+      any clipped mass is appended-data drift; clipped components saturate
+      to code 0/255 and their error is unbounded by the fit.
+    * **reconstruction-error growth**: sampled encode->decode MSE exceeds
+      ``max(max_error_ratio * baseline_mse, abs_error_floor)``. The
+      absolute floor handles a zero baseline (constant dims reconstruct
+      exactly) the same way the PQ trigger does.
+
+    ``baseline_mse`` is the fit-time ``sq8_error_report(...)['mse']`` on
+    the corpus the bounds were fitted against — record it next to the
+    bounds, as ``write_ivfpq_quant_baseline`` does for PQ.
+
+    Bounded work: one LIMIT-sampled map-side encode/decode + a single
+    global aggregation (three scalars); nothing shuffles but the partial
+    sums.
+    """
+    lo, hi = _bounds_arrays(bounds)
+    deq = sq8_decode(sq8_encode(F.col(vec_col), bounds), bounds)
+    err = F.zip_with(F.col(vec_col), deq, lambda v, d: v.cast("double") - d)
+    clip_flags = F.transform(
+        F.col(vec_col),
+        lambda v, i: (
+            (v.cast("double") < F.element_at(lo, i + 1))
+            | (v.cast("double") > F.element_at(hi, i + 1))
+        ).cast("int"),
+    )
+    row = (
+        df.select(vec_col)
+        .limit(max_sample_rows)
+        .select(
+            F.aggregate(err, F.lit(0.0), lambda a, e: a + e * e).alias("_sse"),
+            F.aggregate(clip_flags, F.lit(0), lambda a, x: a + x).alias("_clip"),
+            F.size(F.col(vec_col)).alias("_dim"),
+        )
+        .agg(
+            (F.sum("_sse") / F.sum("_dim")).alias("mse"),
+            (F.sum("_clip") / F.sum("_dim")).alias("clip_frac"),
+        )
+        .first()
+    )
+    if row is None or row["mse"] is None:
+        return False  # empty sample: nothing to judge drift on
+    if float(row["clip_frac"]) > max_clip_frac:
+        return True
+    return float(row["mse"]) > max(
+        max_error_ratio * float(baseline_mse), abs_error_floor
     )

@@ -4803,8 +4803,12 @@ def nation_balance_spend_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rep = spearman_corr(joined, ["c_nationkey"], "c_acctbal", "spend")
+    # + 0.0 collapses IEEE negative zero (round can yield -0.0 on tiny
+    # negative correlations; engines render it differently)
     return rep.select(
-        "c_nationkey", "n_rows", F.round("spearman_r", 6).alias("spearman_r")
+        "c_nationkey",
+        "n_rows",
+        (F.round("spearman_r", 6) + F.lit(0.0)).alias("spearman_r"),
     )
 
 
@@ -4827,7 +4831,7 @@ WITH spend AS (
 )
 SELECT c_nationkey,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       round(corr(rx, ry), 6) AS spearman_r
+       round(corr(rx, ry), 6) + 0.0 AS spearman_r
 FROM ranked GROUP BY c_nationkey
 """
 

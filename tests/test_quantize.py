@@ -11,6 +11,7 @@ from rust_cdc_validator_spark.operators.quantize import (
     sq8_encode,
     sq8_error_report,
     sq8_fit,
+    sq8_refit_needed,
 )
 
 
@@ -101,6 +102,32 @@ def test_fit_validations(spark):
     )
     with pytest.raises(ValueError, match="ragged"):
         sq8_fit(ragged, "embedding")
+
+
+def test_refit_trigger(spark, vecs):
+    bounds = sq8_fit(vecs, "embedding")
+    baseline = sq8_error_report(vecs, "embedding", bounds).first()["mse"]
+    # the corpus the bounds were fitted on does not trip the trigger
+    assert not sq8_refit_needed(vecs, "embedding", bounds, baseline)
+    # planted drift: values shifted far outside the fitted bounds ->
+    # clipped mass + error growth both fire
+    drifted = vecs.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v * 10.0 + 100.0).alias("embedding"),
+    )
+    assert sq8_refit_needed(drifted, "embedding", bounds, baseline)
+    # clip signal alone: one component nudged past hi on 2 of 4 rows
+    # (>1% mass) while reconstruction error stays small elsewhere
+    nudged = vecs.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda v: F.when(v > 19.0, v + 5.0).otherwise(v)
+        ).alias("embedding"),
+    )
+    assert sq8_refit_needed(nudged, "embedding", bounds, baseline)
+    # empty probe: nothing to judge, stays quiet
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert not sq8_refit_needed(empty, "embedding", bounds, baseline)
 
 
 def test_strip_markup_stages(spark):
