@@ -909,6 +909,55 @@ def leakage_safe_split(
     return df.withColumn("split", expr)
 
 
+def stratified_kfold(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    strata_cols: list[str] | None = None,
+    shards: int | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Exact-balance k-fold assignment for cross-validation / sharded
+    eval: appends a ``fold`` column in [0, k) with every stratum split to
+    within ±1 row per fold (hash-based splits like
+    :func:`leakage_safe_split` are only balanced in expectation — at
+    small strata the binomial noise is the eval bug this fixes).
+
+    Deterministic round-robin over a seeded md5 ordering: row_number
+    within each stratum ordered by ``md5("fold:{seed}:" || id)`` (id
+    tiebreak), fold = (rn - 1) % k — stable across runs, engines, and
+    partitionings, re-dealable per ``seed``. Leakage discipline is the
+    caller's: pass the dedup-cluster root as ``id_col``'s frame key
+    upstream, or fold AFTER dedup.
+
+    Scale shape at 100 TB: the window sorts each stratum in one task —
+    for huge strata pass ``shards`` (power of two) to sub-partition the
+    window by an independent md5 shard exactly like ``pack_sequences``;
+    balance loosens to ±``shards`` per stratum, every sort stays
+    task-sized, and shard count scales with the cluster.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    strata = [F.col(c) for c in (strata_cols or [])]
+    order_key = F.md5(
+        F.concat(F.lit(f"fold:{seed}:"), F.col(id_col).cast("string"))
+    )
+    part = list(strata)
+    if shards is not None:
+        part.append(
+            md5_bucket(
+                F.concat(F.lit(f"foldshard:{seed}:"), F.col(id_col).cast("string")),
+                shards,
+            )
+        )
+    w = (
+        Window.partitionBy(*part) if part else Window.partitionBy()
+    ).orderBy(order_key, F.col(id_col))
+    return df.withColumn(
+        "fold", ((F.row_number().over(w) - F.lit(1)) % k).cast("int")
+    )
+
+
 def curriculum_order(
     df: DataFrame,
     score_col: str,

@@ -1,5 +1,6 @@
-"""Iterative graph analytics over edge DataFrames: weighted PageRank
-(Brin & Page 1998) with dangling-mass redistribution.
+"""Graph analytics over edge DataFrames: weighted PageRank (Brin & Page
+1998) with dangling-mass redistribution, and degree-oriented triangle
+counting (Schank & Wagner 2005).
 
 `connected_components` (operators/dedup.py) answers "which nodes touch";
 PageRank answers "which nodes MATTER" — the importance score a pipeline
@@ -38,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_count"]
 
 #: conservative per-row estimate for the (node, rank) frame when sizing
 #: the ranks-side broadcast: string key + double + row overhead
@@ -179,3 +180,76 @@ def pagerank(
         if checkpoint and (not broadcast_ranks or it == iterations - 1):
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts of the UNDIRECTED graph induced by
+    ``edges`` (direction, duplicates, and self-loops are dropped) —
+    (node, triangles), one row per node that closes at least one triangle.
+
+    Triangles are the third leg of the graph-analytics family (reach:
+    ``connected_components``; importance: ``pagerank``; cohesion: local
+    clustering) — a linkage/dedup pipeline reads them as "how clique-like
+    is this match cluster", and Σ triangles / Σ wedges is the global
+    clustering coefficient.
+
+    Degree-oriented node-iterator (Schank & Wagner 2005; the MapReduce
+    formulation is Suri & Vassilvitskii 2011, "the curse of the last
+    reducer"): orient every undirected edge from its (degree, id)-smaller
+    endpoint to its larger one — a total order, so the oriented graph is
+    acyclic and every triangle survives as EXACTLY ONE wedge
+    u→v, u→w (v before w in the order) closed by v→w. Counting wedge
+    closures therefore needs no de-duplication, and the orientation bounds
+    every out-degree by O(√|E|): a celebrity node of degree d contributes
+    C(d,2) wedges un-oriented, but oriented it RECEIVES high-degree edges
+    instead of fanning them out — the skew is structural, not mitigated.
+
+    Scale shape at 100 TB: one distinct on canonical pairs (shuffle |E|),
+    one degree aggregation (map-side combining), two degree-attach joins
+    (degrees frame is |V| rows of (key, long) — Catalyst broadcasts when
+    small), the wedge self-join shuffled on the shared source, and the
+    closure join shuffled on the (v, w) pair key. All arithmetic is
+    comparisons and counts — a SQL oracle replays it row for row.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("_a").alias("node"))
+        .unionAll(und.select(F.col("_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    da = deg.select(F.col("node").alias("_a"), F.col("_deg").alias("_da"))
+    db = deg.select(F.col("node").alias("_b"), F.col("_deg").alias("_db"))
+    keyed = und.join(da, "_a").join(db, "_b")
+    ka = F.struct(F.col("_da").alias("d"), F.col("_a").alias("n"))
+    kb = F.struct(F.col("_db").alias("d"), F.col("_b").alias("n"))
+    oriented = keyed.select(
+        F.when(ka < kb, F.col("_a")).otherwise(F.col("_b")).alias("_u"),
+        F.when(ka < kb, F.col("_b")).otherwise(F.col("_a")).alias("_v"),
+        # the head's order key rides along so the wedge join can order its
+        # two endpoints without re-attaching degrees
+        F.when(ka < kb, kb).otherwise(ka).alias("_vk"),
+    )
+    o1 = oriented.select(
+        F.col("_u"), F.col("_v").alias("_x"), F.col("_vk").alias("_xk")
+    )
+    o2 = oriented.select(
+        F.col("_u"), F.col("_v").alias("_y"), F.col("_vk").alias("_yk")
+    )
+    wedges = o1.join(o2, "_u").filter(F.col("_xk") < F.col("_yk"))
+    closing = oriented.select(
+        F.col("_u").alias("_x"), F.col("_v").alias("_y")
+    )
+    tris = wedges.join(closing, ["_x", "_y"]).select("_u", "_x", "_y")
+    return (
+        tris.select(
+            F.explode(F.array("_u", "_x", "_y")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )

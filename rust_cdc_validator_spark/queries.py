@@ -5125,6 +5125,201 @@ FROM est CROSS JOIN ex
 """
 
 
+def parts_cotrade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts (operators/graph.triangle_count) of the
+    1995 co-order graph — parts are adjacent when some order bought both.
+    Triangles measure basket cohesion (cliques of parts that sell
+    together), the graph signal PageRank's importance score can't see;
+    degree orientation makes each triangle count exactly once and bounds
+    the wedge fan-out by O(sqrt(E)) even at 100-TB basket graphs. The
+    oracle replays orientation, wedges, and closures in pure SQL."""
+    from rust_cdc_validator_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    op = (
+        li.join(
+            o.filter(F.year("o_orderdate") == 1995).select("o_orderkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = op.alias("x"), op.alias("y")
+    edges = x.join(y, "l_orderkey").filter(
+        F.col("x.l_partkey") < F.col("y.l_partkey")
+    ).select(
+        F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+    )
+    return triangle_count(edges).select(
+        F.col("node").alias("partkey"), "triangles"
+    )
+
+
+PARTS_COTRADE_TRIANGLES_SQL = """
+WITH op AS (
+  SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+  FROM lineitem l JOIN orders od ON l.l_orderkey = od.o_orderkey
+  WHERE EXTRACT(year FROM od.o_orderdate) = 1995
+), und AS (
+  SELECT DISTINCT x.p AS a, y.p AS b
+  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+), deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+  ) GROUP BY node
+), orient AS (
+  SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS s,
+         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS t,
+         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN db.d ELSE da.d END AS td
+  FROM und u
+  JOIN deg da ON u.a = da.node
+  JOIN deg db ON u.b = db.node
+), tri AS (
+  SELECT o1.s AS u, o1.t AS x, o2.t AS y
+  FROM orient o1
+  JOIN orient o2 ON o1.s = o2.s
+  JOIN orient e ON e.s = o1.t AND e.t = o2.t
+  WHERE (o1.td, o1.t) < (o2.td, o2.t)
+)
+SELECT node AS partkey, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+  SELECT u AS node FROM tri
+  UNION ALL SELECT x AS node FROM tri
+  UNION ALL SELECT y AS node FROM tri
+) GROUP BY node
+"""
+
+
+def docs_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/url.canonicalize_url) as the dedup
+    key of a web corpus: four deterministic messy spellings of the same
+    logical URLs (case, default port, www, tracking params, param order,
+    fragments, trailing slashes) are synthesized per doc — the testdata
+    has no URL column — then canonicalized and grouped, counting docs and
+    surviving raw forms per canonical URL. Pure map-side string rewrites
+    + one hash agg; the DuckDB oracle replays every RE2-safe regex."""
+    from rust_cdc_validator_spark.functions.url import canonicalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    pid = (F.col("doc_id") % 50).cast("string")
+    v = F.col("doc_id") % 4
+    raw = docs.select(
+        "doc_id",
+        F.when(
+            v == 0,
+            F.concat(F.lit("http://www.example.com/p/"), pid, F.lit("/?utm_source=x&a=1")),
+        )
+        .when(
+            v == 1,
+            F.concat(F.lit("HTTP://Example.COM:80/p/"), pid, F.lit("?a=1")),
+        )
+        .when(
+            v == 2,
+            F.concat(F.lit("http://example.com/p/"), pid, F.lit("?a=1&utm_campaign=z#frag")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://EXAMPLE.com/p/"), pid, F.lit("/?b=2&a=1"))
+        )
+        .alias("url"),
+    )
+    return (
+        raw.select("url", canonicalize_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url").alias("n_raw_forms"),
+        )
+    )
+
+
+DOCS_URL_CANONICAL_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'http://www.example.com/p/' || CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=x&a=1'
+      WHEN 1 THEN 'HTTP://Example.COM:80/p/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1'
+      WHEN 2 THEN 'http://example.com/p/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&utm_campaign=z#frag'
+      ELSE 'http://EXAMPLE.com/p/' || CAST(doc_id % 50 AS VARCHAR) || '/?b=2&a=1'
+    END AS url
+  FROM documents
+), s1 AS (
+  SELECT url, regexp_replace(url, '#.*$', '') AS u FROM raw
+), s2 AS (
+  SELECT url,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1))
+           || substring(u, length(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)) + 1)
+           AS u
+  FROM s1
+), s3 AS (
+  SELECT url,
+         regexp_replace(
+           regexp_replace(u, '^(http://[^/:?]+):80([/?].*)?$', '\1\2'),
+           '^(https://[^/:?]+):443([/?].*)?$', '\1\2') AS u
+  FROM s2
+), s4 AS (
+  SELECT url, regexp_replace(u, '^(https?://)www\.', '\1') AS u FROM s3
+), s5 AS (
+  SELECT url,
+         regexp_replace(u, '\?.*$', '') AS base,
+         list_sort(list_filter(
+           string_split(regexp_extract(u, '\?(.*)$', 1), '&'),
+           p -> p <> '' AND NOT regexp_matches(
+             regexp_extract(p, '^([^=]*)', 1),
+             '^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref)$')
+         )) AS kept
+  FROM s4
+), s6 AS (
+  SELECT url,
+         CASE WHEN len(kept) > 0
+              THEN base || '?' || array_to_string(kept, '&')
+              ELSE base END AS u
+  FROM s5
+), s7 AS (
+  SELECT url,
+         regexp_replace(u, '^([a-z][a-z0-9+.-]*://[^/?]+/.+?)/+(\?|$)', '\1\2')
+           AS canonical_url
+  FROM s6
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms
+FROM s7 GROUP BY canonical_url
+"""
+
+
+def docs_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-balance stratified 5-fold assignment
+    (operators/corpus.stratified_kfold) over documents stratified by
+    language — the cross-validation splitter whose per-stratum fold sizes
+    differ by at most 1 (hash splits only balance in expectation).
+    Returns per-(lang, fold) counts; the oracle replays the seeded md5
+    round-robin deal row for row."""
+    from rust_cdc_validator_spark.operators.corpus import stratified_kfold
+
+    docs = _t(spark, sf_dir, "documents")
+    folded = stratified_kfold(docs, k=5, id_col="doc_id", strata_cols=["lang"])
+    return folded.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+DOCS_KFOLD_ASSIGNMENT_SQL = """
+WITH ranked AS (
+  SELECT lang, doc_id,
+         CAST((ROW_NUMBER() OVER (
+            PARTITION BY lang
+            ORDER BY md5('fold:0:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) - 1) % 5 AS INT) AS fold
+  FROM documents
+)
+SELECT lang, fold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS min_doc_id
+FROM ranked GROUP BY lang, fold
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -5258,6 +5453,9 @@ QUERIES: dict[str, QueryFn] = {
     "events_value_outliers": events_value_outliers,
     "docs_markup_stripped": docs_markup_stripped,
     "embedding_sq8_error": embedding_sq8_error,
+    "parts_cotrade_triangles": parts_cotrade_triangles,
+    "docs_url_canonical": docs_url_canonical,
+    "docs_kfold_assignment": docs_kfold_assignment,
 }
 
 ORACLES: dict[str, str] = {
@@ -5372,6 +5570,9 @@ ORACLES: dict[str, str] = {
     "events_value_outliers": EVENTS_VALUE_OUTLIERS_SQL,
     "docs_markup_stripped": DOCS_MARKUP_STRIPPED_SQL,
     "embedding_sq8_error": EMBEDDING_SQ8_ERROR_SQL,
+    "parts_cotrade_triangles": PARTS_COTRADE_TRIANGLES_SQL,
+    "docs_url_canonical": DOCS_URL_CANONICAL_SQL,
+    "docs_kfold_assignment": DOCS_KFOLD_ASSIGNMENT_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /

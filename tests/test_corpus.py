@@ -1350,3 +1350,60 @@ def test_length_bucket_batches_validates(spark):
     df = spark.createDataFrame([(1, 4)], "doc_id long, n_tokens int")
     with pytest.raises(ValueError, match="batch_size"):
         length_bucket_batches(df, batch_size=0)
+
+
+def test_stratified_kfold_exact_balance(spark):
+    from rust_cdc_validator_spark.operators.corpus import stratified_kfold
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(101)]  # strata of 34/34/33
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = stratified_kfold(df, k=5, strata_cols=["src"]).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["src"], {}).setdefault(r["fold"], 0)
+        per[r["src"]][r["fold"]] += 1
+    for src, folds in per.items():
+        assert set(folds) <= set(range(5))
+        sizes = [folds.get(f, 0) for f in range(5)]
+        assert max(sizes) - min(sizes) <= 1, (src, sizes)
+
+
+def test_stratified_kfold_deterministic_and_seeded(spark):
+    from rust_cdc_validator_spark.operators.corpus import stratified_kfold
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 2)) for i in range(40)], "doc_id long, src string"
+    )
+    a = {r["doc_id"]: r["fold"] for r in stratified_kfold(df, 4, strata_cols=["src"]).collect()}
+    b = {
+        r["doc_id"]: r["fold"]
+        for r in stratified_kfold(df.repartition(7), 4, strata_cols=["src"]).collect()
+    }
+    assert a == b  # partitioning-independent
+    c = {
+        r["doc_id"]: r["fold"]
+        for r in stratified_kfold(df, 4, strata_cols=["src"], seed=1).collect()
+    }
+    assert a != c  # re-dealable per seed
+
+
+def test_stratified_kfold_sharded_balance_bound(spark):
+    from rust_cdc_validator_spark.operators.corpus import stratified_kfold
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    out = stratified_kfold(df, k=3, shards=4).collect()
+    sizes = {}
+    for r in out:
+        sizes[r["fold"]] = sizes.get(r["fold"], 0) + 1
+    assert sum(sizes.values()) == 300
+    assert max(sizes.values()) - min(sizes.values()) <= 4  # ±shards bound
+
+
+def test_stratified_kfold_validates_k(spark):
+    import pytest
+
+    from rust_cdc_validator_spark.operators.corpus import stratified_kfold
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="k must be"):
+        stratified_kfold(df, k=1)

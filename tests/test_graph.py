@@ -4,6 +4,8 @@ nodes, weight sensitivity, and argument validation."""
 
 from __future__ import annotations
 
+import random
+
 import pytest
 
 from rust_cdc_validator_spark.operators.graph import pagerank
@@ -84,3 +86,48 @@ def test_validations(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     with pytest.raises(ValueError, match="empty"):
         pagerank(empty)
+
+
+def test_triangle_count_known_graph(spark):
+    from rust_cdc_validator_spark.operators.graph import triangle_count
+
+    # K4 on 1..4 (4 triangles, 3 per node) + pendant 5 + noise the
+    # normalization must drop: self-loop, duplicate, reversed duplicate
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (1, 5),
+        (2, 2), (3, 2), (4, 3),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # pendant 5 closes nothing
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from rust_cdc_validator_spark.operators.graph import triangle_count
+
+    # deterministic pseudo-random graph on 30 nodes
+    rng = random.Random(42)
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(30), rng.randrange(30)) for _ in range(200)
+            )
+            if a != b
+        }
+    )
+    adj = {v: set() for e in edges for v in e}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected: dict[int, int] = {}
+    for u, v, w in combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            for n in (u, v, w):
+                expected[n] = expected.get(n, 0) + 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert got == expected and expected  # non-trivial graph
