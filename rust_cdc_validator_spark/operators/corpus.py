@@ -1765,3 +1765,83 @@ def ngram_novelty(
             F.round(novel / F.count(F.lit(1)), 6), F.lit(0.0)
         ).alias("novelty_r"),
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the character distribution —
+    the classic low-entropy filter that catches what length/stopword
+    heuristics miss: base64 blobs and hex dumps (HIGH uniform entropy),
+    keyboard mashing and single-char runs (LOW entropy), padded boilerplate
+    (CCNet §3 filters on exactly this signal family). Returns
+    (id, n_chars, entropy_bits); empty docs report (0, 0.0).
+
+    Shape: entropy = log2(N) - (Σ c·log2 c)/N over per-(doc, char) counts
+    c — ONE hash shuffle of doc×distinct-char rows (≤ alphabet-sized per
+    doc, ~1e2 for text), then a per-doc re-agg; all arithmetic in codegen,
+    and the SQL oracle replays it with the same two aggregations.
+    """
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("_ch")
+    ).filter(F.col("_ch") != "")  # Spark splits "" to [""]; DuckDB to []
+    counts = chars.groupBy(id_col, "_ch").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("_c").alias("n_chars"),
+        (
+            F.log2(F.sum("_c"))
+            - F.sum(F.col("_c") * F.log2("_c")) / F.sum("_c")
+        ).alias("entropy_bits"),
+    )
+    # empty docs produce no char rows: restore them with defined zeros
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+            F.coalesce("entropy_bits", F.lit(0.0)).alias("entropy_bits"),
+        )
+    )
+
+
+def domain_quota_cap(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-domain document quota — keep at most ``cap`` docs per domain,
+    chosen by a deterministic seeded md5 order (so the kept set is a
+    uniform sample, stable across runs/engines/partitionings, and
+    re-dealable per seed). The standard web-corpus rebalancer: without it
+    a handful of mega-domains dominate the token budget (C4 and RefinedWeb
+    both cap per-host contributions).
+
+    Two-regime plan so the window never sorts what it doesn't have to:
+    domains already within quota pass through UNTOUCHED (no sort, no
+    window) via a (domain, count) join — domains-sized, so the planner
+    broadcasts it when it fits and co-partitions otherwise (100M-host
+    crawls must NOT be force-broadcast); only over-cap domains
+    rank-and-filter. At 100 TB the over-cap window input can be
+    pre-narrowed by the md5-prefix trick (keep buckets < ~4×cap/n before
+    ranking) since the rank ORDER IS the md5 order — documented here,
+    applied when a single domain outgrows a task.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    dcount = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_dn"))
+    tagged = df.join(dcount, domain_col)
+    under = tagged.filter(F.col("_dn") <= cap).drop("_dn")
+    over = tagged.filter(F.col("_dn") > cap).drop("_dn")
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.concat(F.lit(f"quota:{seed}:"), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    capped = (
+        over.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    return under.unionByName(capped)

@@ -5320,6 +5320,140 @@ FROM ranked GROUP BY lang, fold
 """
 
 
+def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-entropy profile
+    (operators/corpus.char_entropy): the low-entropy / high-entropy
+    corpus filter signal (keyboard mash vs base64 blobs), aggregated per
+    language. Per-doc entropies are rounded then summed as DECIMAL so the
+    cross-row aggregation is order-independent and the oracle replays it
+    bit-exactly."""
+    from rust_cdc_validator_spark.operators.corpus import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    ent = char_entropy(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    h6 = F.round("entropy_bits", 6).cast("decimal(18,6)")
+    return ent.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round((F.sum(h6).cast("double") / F.count(F.lit(1))), 6).alias(
+            "avg_entropy"
+        ),
+        F.min(F.round("entropy_bits", 6)).alias("min_entropy"),
+        F.max(F.round("entropy_bits", 6)).alias("max_entropy"),
+    )
+
+
+DOCS_CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+), counts AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+), per_doc AS (
+  SELECT doc_id,
+         log2(SUM(c)) - SUM(c * log2(c)) / SUM(c) AS h
+  FROM counts GROUP BY doc_id
+), restored AS (
+  SELECT d.lang, COALESCE(p.h, 0.0) AS h
+  FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(CAST(SUM(CAST(round(h, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_entropy,
+       MIN(round(h, 6)) AS min_entropy,
+       MAX(round(h, 6)) AS max_entropy
+FROM restored GROUP BY lang
+"""
+
+
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token-frequency curve: OLS slope of
+    ln(freq) on ln(rank) for the top 200 tokens (natural text sits near
+    slope −1; a corpus drifting toward boilerplate or dedup failure
+    flattens or steepens it — a one-row drift monitor on tokenizer-visible
+    structure). slope = covar_pop/var_pop, intercept and r² from the same
+    single aggregation; everything replayed by the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    # top-k via TakeOrdered (per-partition heaps, no global sort shuffle);
+    # the rank window then runs over 200 rows only
+    top200 = freq.orderBy(F.desc("freq"), "token").limit(200)
+    w = Window.orderBy(F.desc("freq"), F.col("token"))
+    top = top200.withColumn("rnk", F.row_number().over(w))
+    xy = top.select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    return xy.agg(
+        F.count(F.lit(1)).alias("n_tokens_fit"),
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("zipf_slope"),
+        F.round(
+            F.avg("y") - (F.covar_pop("x", "y") / F.var_pop("x")) * F.avg("x"), 6
+        ).alias("intercept"),
+        F.round(F.pow(F.corr("x", "y"), 2), 6).alias("r2"),
+    )
+
+
+TOKEN_ZIPF_FIT_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), freq AS (
+  SELECT token, COUNT(*) AS freq FROM toks WHERE token <> '' GROUP BY token
+), top AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rnk
+  FROM freq QUALIFY rnk <= 200
+), xy AS (
+  SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y FROM top
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens_fit,
+       round(covar_pop(x, y) / var_pop(x), 6) AS zipf_slope,
+       round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 6) AS intercept,
+       round(corr(x, y) ^ 2, 6) AS r2
+FROM xy
+"""
+
+
+def docs_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota rebalancing (operators/corpus.domain_quota_cap):
+    cap every source at 15 docs via the deterministic md5 deal, then
+    fingerprint the kept set per source (count / min / max / id-sum) so
+    the oracle value-checks WHICH docs survived, not just how many.
+    Under-quota sources pass through without entering the window."""
+    from rust_cdc_validator_spark.operators.corpus import domain_quota_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = domain_quota_cap(docs, "source", cap=15)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+DOCS_SOURCE_QUOTA_SQL = """
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('quota:0:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+), kept AS (
+  SELECT source, doc_id FROM ranked WHERE rn <= 15
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       MIN(doc_id) AS min_id,
+       MAX(doc_id) AS max_id,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM kept GROUP BY source
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -5456,6 +5590,9 @@ QUERIES: dict[str, QueryFn] = {
     "parts_cotrade_triangles": parts_cotrade_triangles,
     "docs_url_canonical": docs_url_canonical,
     "docs_kfold_assignment": docs_kfold_assignment,
+    "docs_char_entropy": docs_char_entropy,
+    "token_zipf_fit": token_zipf_fit,
+    "docs_source_quota": docs_source_quota,
 }
 
 ORACLES: dict[str, str] = {
@@ -5573,6 +5710,9 @@ ORACLES: dict[str, str] = {
     "parts_cotrade_triangles": PARTS_COTRADE_TRIANGLES_SQL,
     "docs_url_canonical": DOCS_URL_CANONICAL_SQL,
     "docs_kfold_assignment": DOCS_KFOLD_ASSIGNMENT_SQL,
+    "docs_char_entropy": DOCS_CHAR_ENTROPY_SQL,
+    "token_zipf_fit": TOKEN_ZIPF_FIT_SQL,
+    "docs_source_quota": DOCS_SOURCE_QUOTA_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /

@@ -1407,3 +1407,60 @@ def test_stratified_kfold_validates_k(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="k must be"):
         stratified_kfold(df, k=1)
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from rust_cdc_validator_spark.operators.corpus import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),       # single symbol: 0 bits
+            (2, "abab"),       # two equiprobable: 1 bit
+            (3, "abcd"),       # four equiprobable: 2 bits
+            (4, ""),           # empty: defined zeros
+            (5, "aab"),        # 2/3,1/3 mix
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_chars"], r["entropy_bits"])
+        for r in char_entropy(df).collect()
+    }
+    assert got[1] == (4, 0.0)
+    assert got[2] == (4, 1.0)
+    assert got[3] == (4, 2.0)
+    assert got[4] == (0, 0.0)
+    want = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert abs(got[5][1] - want) < 1e-12 and got[5][0] == 3
+
+
+def test_domain_quota_cap(spark):
+    from rust_cdc_validator_spark.operators.corpus import domain_quota_cap
+
+    rows = [(i, "big" if i < 30 else "small") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = domain_quota_cap(df, "src", cap=10).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["src"], set()).add(r["doc_id"])
+    assert len(per["big"]) == 10          # capped
+    assert per["small"] == set(range(30, 40))  # under quota: untouched
+    # deterministic across partitionings; seeded re-deal changes the set
+    again = {
+        r["doc_id"]
+        for r in domain_quota_cap(df.repartition(7), "src", cap=10).collect()
+        if r["src"] == "big"
+    }
+    assert again == per["big"]
+    reseeded = {
+        r["doc_id"]
+        for r in domain_quota_cap(df, "src", cap=10, seed=1).collect()
+        if r["src"] == "big"
+    }
+    assert reseeded != per["big"]
+    import pytest
+
+    with pytest.raises(ValueError, match="cap"):
+        domain_quota_cap(df, "src", cap=0)
