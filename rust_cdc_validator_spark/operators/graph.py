@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count"]
+__all__ = ["pagerank", "triangle_count", "degree_assortativity"]
 
 #: conservative per-row estimate for the (node, rank) frame when sizing
 #: the ranks-side broadcast: string key + double + row overhead
@@ -252,4 +252,70 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the undirected
+    graph induced by ``edges`` — the Pearson correlation of endpoint
+    degrees over all edges, each edge contributing both orientations.
+    Positive: hubs link to hubs (social nets); negative: hubs link to
+    leaves (hub-and-spoke supply/co-purchase graphs). Completes the graph
+    diagnostic family: reach (components), importance (pagerank),
+    cohesion (triangles), mixing (this).
+
+    One row: (n_nodes, n_edges, avg_degree, assortativity_r). Degenerate
+    degree variance (e.g. a perfect cycle) reports NULL r, as corr does.
+
+    Shape: distinct canonical pairs (one |E| shuffle), a degree agg, two
+    node-keyed degree-attach joins, one global corr agg — every join key
+    is a node id, nothing wide moves, and the SQL oracle replays it.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("_a").alias("node"))
+        .unionAll(und.select(F.col("_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    da = deg.select(F.col("node").alias("_a"), F.col("_deg").alias("_da"))
+    db = deg.select(F.col("node").alias("_b"), F.col("_deg").alias("_db"))
+    keyed = und.join(da, "_a").join(db, "_b")
+    both = keyed.select(
+        F.col("_da").cast("double").alias("_x"),
+        F.col("_db").cast("double").alias("_y"),
+    ).unionAll(
+        keyed.select(
+            F.col("_db").cast("double").alias("_x"),
+            F.col("_da").cast("double").alias("_y"),
+        )
+    )
+    n_nodes = deg.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_deg").alias("sd")
+    )
+    # corr() under ANSI mode (Spark 4 default) raises DIVIDE_BY_ZERO on a
+    # degree-regular graph (zero variance); try_divide over the explicit
+    # covar/stddev form returns NULL there, matching SQL corr semantics
+    stats = both.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+        F.round(
+            F.try_divide(
+                F.covar_pop("_x", "_y"),
+                F.stddev_pop("_x") * F.stddev_pop("_y"),
+            ),
+            6,
+        ).alias("assortativity_r"),
+    )
+    return stats.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("n").alias("n_nodes"),
+        "n_edges",
+        F.round(F.col("sd") / F.col("n"), 6).alias("avg_degree"),
+        "assortativity_r",
     )

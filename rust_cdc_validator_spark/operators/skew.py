@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -67,4 +67,52 @@ def salted_agg(
     )
     return partial.groupBy(*keys).agg(
         *[fn(name).alias(name) for name, fn in final_aggs.items()]
+    )
+
+
+def key_skew_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """The diagnostic that decides WHETHER to salt: one row summarizing
+    how skewed a prospective shuffle key is — the shuffle-planning
+    companion to ``salted_join``/``salted_agg`` and the static sibling of
+    AQE's runtime skew split.
+
+    Columns: n_rows, n_keys, max_count, max_share (hottest key's row
+    fraction — >1/parallelism means the hot key alone outlasts every
+    other task), entropy_norm (Shannon entropy of the key distribution
+    over log2 n_keys: 1.0 = uniform, →0 = one key dominates), gini
+    (0 = uniform, →1 = concentrated).
+
+    Shape: ONE map-side-combining count agg to a keys-sized relation,
+    then a keys-sized re-agg; the Gini rank window sorts only the
+    (key, count) relation, never the data. Output is a single row.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy("_c", *[F.col(c) for c in key_cols])
+    ranked = counts.withColumn("_i", F.row_number().over(w))
+    return ranked.agg(
+        F.sum("_c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("_c").alias("max_count"),
+        F.round(F.max("_c") / F.sum("_c"), 6).alias("max_share"),
+        # H = log2 N − (Σ c·log2 c)/N (no nested aggregates), normalized
+        # by the uniform-distribution maximum log2 n_keys
+        F.when(
+            F.count(F.lit(1)) > 1,
+            F.round(
+                (
+                    F.log2(F.sum("_c"))
+                    - F.sum(F.col("_c") * F.log2("_c")) / F.sum("_c")
+                )
+                / F.log2(F.count(F.lit(1))),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("entropy_norm"),
+        F.round(
+            (2 * F.sum(F.col("_i") * F.col("_c")))
+            / (F.count(F.lit(1)) * F.sum("_c"))
+            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
     )

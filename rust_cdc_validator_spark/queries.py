@@ -5454,6 +5454,98 @@ FROM kept GROUP BY source
 """
 
 
+def suppliers_comention_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity (operators/graph.degree_assortativity) of the
+    1995 supplier co-order graph — do high-degree suppliers co-occur with
+    each other (assortative) or with the long tail (hub-and-spoke)? The
+    mixing diagnostic that complements pagerank (importance) and
+    triangles (cohesion) on the same trade network; one-row output, all
+    replayed by the oracle."""
+    from rust_cdc_validator_spark.operators.graph import degree_assortativity
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    op = (
+        li.join(
+            o.filter(F.year("o_orderdate") == 1995).select("o_orderkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    x, y = op.alias("x"), op.alias("y")
+    edges = x.join(y, "l_orderkey").filter(
+        F.col("x.l_suppkey") < F.col("y.l_suppkey")
+    ).select(
+        F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
+    )
+    return degree_assortativity(edges)
+
+
+SUPPLIERS_COMENTION_MIXING_SQL = """
+WITH op AS (
+  SELECT DISTINCT l.l_orderkey AS o, l.l_suppkey AS s
+  FROM lineitem l JOIN orders od ON l.l_orderkey = od.o_orderkey
+  WHERE EXTRACT(year FROM od.o_orderdate) = 1995
+), und AS (
+  SELECT DISTINCT x.s AS a, y.s AS b
+  FROM op x JOIN op y ON x.o = y.o AND x.s < y.s
+), deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+  ) GROUP BY node
+), keyed AS (
+  SELECT CAST(da.d AS DOUBLE) AS x, CAST(db.d AS DOUBLE) AS y
+  FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node
+), both_dir AS (
+  SELECT x, y FROM keyed UNION ALL SELECT y AS x, x AS y FROM keyed
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d) AS DOUBLE) AS sd
+  FROM deg
+)
+SELECT nn.n_nodes,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,
+       round(nn.sd / nn.n_nodes, 6) AS avg_degree,
+       round(covar_pop(x, y) / (stddev_pop(x) * stddev_pop(y)), 6)
+         AS assortativity_r
+FROM both_dir CROSS JOIN nn
+GROUP BY nn.n_nodes, nn.sd
+"""
+
+
+def orders_custkey_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (operators/skew.key_skew_report) on the
+    orders→customer join key: max-share, normalized entropy, and Gini of
+    the o_custkey distribution — the one-row report that decides whether
+    a join needs `salted_join` or AQE's skew split can cope. All formulas
+    (entropy via log2 N − Σ c·log2 c / N, Gini via the rank identity)
+    replay in the oracle."""
+    from rust_cdc_validator_spark.operators.skew import key_skew_report
+
+    orders = _t(spark, sf_dir, "orders")
+    return key_skew_report(orders, ["o_custkey"])
+
+
+ORDERS_CUSTKEY_SKEW_SQL = """
+WITH counts AS (
+  SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c, o_custkey) AS i FROM counts
+)
+SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(c) AS BIGINT) AS max_count,
+       round(MAX(c) / SUM(c), 6) AS max_share,
+       CASE WHEN COUNT(*) > 1 THEN
+         round((log2(SUM(c)) - SUM(c * log2(c)) / SUM(c)) / log2(COUNT(*)), 6)
+       ELSE 0.0 END AS entropy_norm,
+       round((2 * SUM(i * c)) / (COUNT(*) * SUM(c))
+             - (COUNT(*) + 1) / COUNT(*), 6) AS gini
+FROM ranked
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -5593,6 +5685,8 @@ QUERIES: dict[str, QueryFn] = {
     "docs_char_entropy": docs_char_entropy,
     "token_zipf_fit": token_zipf_fit,
     "docs_source_quota": docs_source_quota,
+    "suppliers_comention_mixing": suppliers_comention_mixing,
+    "orders_custkey_skew": orders_custkey_skew,
 }
 
 ORACLES: dict[str, str] = {
@@ -5713,6 +5807,8 @@ ORACLES: dict[str, str] = {
     "docs_char_entropy": DOCS_CHAR_ENTROPY_SQL,
     "token_zipf_fit": TOKEN_ZIPF_FIT_SQL,
     "docs_source_quota": DOCS_SOURCE_QUOTA_SQL,
+    "suppliers_comention_mixing": SUPPLIERS_COMENTION_MIXING_SQL,
+    "orders_custkey_skew": ORDERS_CUSTKEY_SKEW_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /

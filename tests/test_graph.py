@@ -131,3 +131,46 @@ def test_triangle_count_matches_bruteforce(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
     assert got == expected and expected  # non-trivial graph
+
+
+def test_assortativity_star_and_cycle(spark):
+    from rust_cdc_validator_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    r = degree_assortativity(star).first()
+    assert (r["n_nodes"], r["n_edges"]) == (6, 5)
+    assert r["assortativity_r"] == -1.0  # pure hub-and-spoke
+    # perfect cycle: zero degree variance -> NULL r, like corr
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    rc = degree_assortativity(cyc).first()
+    assert rc["assortativity_r"] is None and rc["avg_degree"] == 2.0
+
+
+def test_assortativity_matches_numpy(spark):
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.graph import degree_assortativity
+
+    rng = random.Random(7)
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in ((rng.randrange(25), rng.randrange(25)) for _ in range(120))
+            if a != b
+        }
+    )
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = [deg[a] for a, b in edges] + [deg[b] for a, b in edges]
+    ys = [deg[b] for a, b in edges] + [deg[a] for a, b in edges]
+    want = float(np.corrcoef(xs, ys)[0, 1])
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = degree_assortativity(df).first()
+    assert abs(got["assortativity_r"] - round(want, 6)) <= 1e-6
+    assert got["n_edges"] == len(edges)

@@ -148,3 +148,39 @@ def test_corpus_prep_chain_text_shuffle_budget(spark, sf_dir):
     # repartition back would push the count to 3
     round_robin = final.repartition(8)
     assert exchanges_carrying(round_robin, "text") == n + 1
+
+
+def test_zipf_fit_uses_takeordered(spark, sf_dir):
+    """token_zipf_fit's top-200 must come from TakeOrderedAndProject
+    (per-partition heaps), never a global-window sort over the whole
+    vocabulary."""
+    from rust_cdc_validator_spark.plans.inspect import explain_str
+    from rust_cdc_validator_spark.queries import token_zipf_fit
+
+    plan = explain_str(token_zipf_fit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quota_cap_under_quota_domains_skip_window(spark):
+    """domain_quota_cap's two-regime plan: the pass-through side of the
+    union must contain no Window node — only over-cap domains sort."""
+    from rust_cdc_validator_spark.operators.corpus import domain_quota_cap
+
+    df = spark.createDataFrame(
+        [(i, "d%d" % (i % 4)) for i in range(40)], "doc_id long, src string"
+    )
+    plan = (
+        domain_quota_cap(df, "src", cap=100)  # nothing over cap
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the window exists in the over-cap branch but its input is the
+    # filtered (empty at this cap) side; the pass-through branch joins and
+    # filters only — exactly one Window node in the whole union, and the
+    # rank filter must push down as a WindowGroupLimit (per-partition
+    # top-cap before the full sort-window)
+    import re
+
+    assert len(re.findall(r"\+- Window \[", plan)) == 1
+    assert "WindowGroupLimit" in plan

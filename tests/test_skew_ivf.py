@@ -260,3 +260,28 @@ def test_ivf_cell_stats_and_refit_trigger(spark, tmp_path):
     assert sum(stats.values()) == 520
     assert max(stats.values()) >= 400
     assert ivf_refit_needed(spark, idx, max_imbalance=3.0)
+
+
+def test_key_skew_report_values(spark):
+    from rust_cdc_validator_spark.operators.skew import key_skew_report
+
+    # uniform: 4 keys x 25 rows
+    uni = spark.createDataFrame(
+        [(i, i % 4) for i in range(100)], "id long, k long"
+    )
+    r = key_skew_report(uni, ["k"]).first()
+    assert (r["n_rows"], r["n_keys"], r["max_count"]) == (100, 4, 25)
+    assert r["entropy_norm"] == 1.0 and r["max_share"] == 0.25
+    assert abs(r["gini"]) < 1e-9
+    # one dominant key: 70/100 on key 9
+    hot = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)] + [(100 + i, 9) for i in range(70)],
+        "id long, k long",
+    )
+    h = key_skew_report(hot, ["k"]).first()
+    assert h["max_share"] == 0.7 and h["n_keys"] == 4
+    assert h["entropy_norm"] < 0.7 and h["gini"] > 0.4
+    # single key: defined degenerate values
+    one = spark.createDataFrame([(1, 5), (2, 5)], "id long, k long")
+    o = key_skew_report(one, ["k"]).first()
+    assert (o["n_keys"], o["entropy_norm"], o["gini"]) == (1, 0.0, 0.0)
