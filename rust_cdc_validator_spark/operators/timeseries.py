@@ -161,3 +161,81 @@ def event_path_ngrams(
         .groupBy(F.col("_path").alias("path"))
         .agg(F.count(F.lit(1)).alias("n_paths"))
     )
+
+
+def changepoint_amoc(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """At-most-one-change (AMOC) mean-shift detection per group — the
+    binary-segmentation statistic of classic change-point analysis
+    (Hinkley 1970; the first split of PELT/binseg): for every cut t of
+    the ordered series, D_t = |mean(x₁..t) − mean(x_{t+1}..n)| ·
+    √(t(n−t)/n), maximized over t. Reports each group's best cut —
+    (group, n_points, cut_point, cut_index, shift_stat, mean_before,
+    mean_after) — the monitoring query that answers "WHEN did this
+    feed's level move", one step past drift_report's "did it move".
+
+    Recursive CUSUM folds don't window-express; this statistic does:
+    ONE per-group cumulative-sum window (prefix mean; suffix mean derives
+    from total − prefix) + one max-ranking window over the same
+    partitioning — two shuffles on the group key, no recursion, so the
+    SQL oracle replays it exactly. Ties break on the earliest cut.
+    Series are per-group ordered sequences (e.g. daily aggregates):
+    pre-aggregate raw events to ticks first so n = series length, not
+    row count.
+    """
+    g = [F.col(c) for c in group_cols]
+    w = Window.partitionBy(*g).orderBy(order_col)
+    cum = df.select(
+        *g,
+        F.col(order_col),
+        F.col(value_col).cast("double").alias("_v"),
+        F.row_number().over(w).alias("_t"),
+        F.sum(F.col(value_col).cast("double")).over(w).alias("_ps"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(*g).orderBy(order_col).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+        F.sum(F.col(value_col).cast("double")).over(
+            Window.partitionBy(*g).orderBy(order_col).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_total"),
+    )
+    scored = cum.filter(F.col("_t") < F.col("_n")).select(
+        *g,
+        F.col(order_col),
+        "_t",
+        "_n",
+        (F.col("_ps") / F.col("_t")).alias("_mb"),
+        ((F.col("_total") - F.col("_ps")) / (F.col("_n") - F.col("_t"))).alias(
+            "_ma"
+        ),
+        (
+            F.abs(
+                F.col("_ps") / F.col("_t")
+                - (F.col("_total") - F.col("_ps")) / (F.col("_n") - F.col("_t"))
+            )
+            * F.sqrt(
+                F.col("_t") * (F.col("_n") - F.col("_t")) / F.col("_n")
+            )
+        ).alias("_d"),
+    )
+    pick = Window.partitionBy(*g).orderBy(F.desc("_d"), F.col(order_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(pick))
+        .filter(F.col("_rk") == 1)
+        .select(
+            *group_cols,
+            F.col("_n").alias("n_points"),
+            F.col(order_col).alias("cut_point"),
+            F.col("_t").alias("cut_index"),
+            F.round("_d", 6).alias("shift_stat"),
+            F.round("_mb", 6).alias("mean_before"),
+            F.round("_ma", 6).alias("mean_after"),
+        )
+    )

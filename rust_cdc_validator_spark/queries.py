@@ -5546,6 +5546,56 @@ FROM ranked
 """
 
 
+def events_value_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift localization (operators/timeseries.changepoint_amoc)
+    over each event type's DAILY mean value: the monitoring query that
+    answers WHEN a feed's level moved, one step past the drift monitors'
+    "did it move". Events pre-aggregate to day ticks first so the series
+    length is days, not rows; the AMOC statistic then replays in the
+    oracle with plain SQL windows."""
+    from rust_cdc_validator_spark.operators.timeseries import changepoint_amoc
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.avg("value"), 9).alias("v"))
+    return changepoint_amoc(daily, ["event_type"], "day", "v")
+
+
+EVENTS_VALUE_CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, round(AVG(value), 9) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), cum AS (
+  SELECT event_type, day, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         SUM(v) OVER (PARTITION BY event_type ORDER BY day) AS ps,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(v) OVER (PARTITION BY event_type) AS total
+  FROM daily
+), scored AS (
+  SELECT event_type, day, t, n,
+         ps / t AS mb,
+         (total - ps) / (n - t) AS ma,
+         abs(ps / t - (total - ps) / (n - t))
+           * sqrt(CAST(t AS DOUBLE) * (n - t) / n) AS d
+  FROM cum WHERE t < n
+), pick AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY d DESC, day
+  ) AS rk FROM scored
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_points,
+       day AS cut_point,
+       CAST(t AS BIGINT) AS cut_index,
+       round(d, 6) AS shift_stat,
+       round(mb, 6) AS mean_before,
+       round(ma, 6) AS mean_after
+FROM pick WHERE rk = 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -5687,6 +5737,7 @@ QUERIES: dict[str, QueryFn] = {
     "docs_source_quota": docs_source_quota,
     "suppliers_comention_mixing": suppliers_comention_mixing,
     "orders_custkey_skew": orders_custkey_skew,
+    "events_value_changepoint": events_value_changepoint,
 }
 
 ORACLES: dict[str, str] = {
@@ -5809,6 +5860,7 @@ ORACLES: dict[str, str] = {
     "docs_source_quota": DOCS_SOURCE_QUOTA_SQL,
     "suppliers_comention_mixing": SUPPLIERS_COMENTION_MIXING_SQL,
     "orders_custkey_skew": ORDERS_CUSTKEY_SKEW_SQL,
+    "events_value_changepoint": EVENTS_VALUE_CHANGEPOINT_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /
