@@ -312,3 +312,39 @@ def strip_markup(text: Column) -> Column:
     for src, dst in ents:
         out = F.replace(out, F.lit(src), F.lit(dst))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def sentence_count(text: Column) -> Column:
+    """Number of sentences, heuristically: runs of ``[.!?]`` acting as
+    terminators; a document with text but no terminator counts as one
+    sentence (so ratios below never divide by zero on prose fragments)."""
+    terms = F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), 0))
+    has_text = F.length(F.trim(text)) > 0
+    return F.when(~has_text, F.lit(0)).otherwise(F.greatest(terms, F.lit(1)))
+
+
+def syllable_count(text: Column) -> Column:
+    """Heuristic English syllable count: vowel-group runs
+    (``[aeiouyAEIOUY]+``) across the document — the standard cheap proxy
+    (each vowel cluster ≈ one syllable; the Flesch formulas were tuned
+    against counts of exactly this kind)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[aeiouyAEIOUY]+"), 0))
+
+
+def flesch_reading_ease(text: Column) -> Column:
+    """Flesch Reading Ease (Flesch 1948): 206.835 − 1.015·(words/sentence)
+    − 84.6·(syllables/word). Higher = simpler prose (60–70 ≈ plain
+    English); strongly negative values flag non-prose (code, tables,
+    enumerations) — a quality-filter signal orthogonal to
+    ``quality_score``'s stopword/punctuation mix. NULL on empty docs
+    (no words to score). Pure JVM regexp counts — map-side, zero
+    shuffle, and every regex is RE2-safe for the SQL oracle."""
+    n_words = token_count(text)
+    n_sents = sentence_count(text)
+    n_syll = syllable_count(text)
+    return F.when(
+        n_words > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents)
+        - F.lit(84.6) * (n_syll.cast("double") / n_words),
+    )

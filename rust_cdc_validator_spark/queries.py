@@ -5596,6 +5596,51 @@ FROM pick WHERE rk = 1
 """
 
 
+def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Flesch Reading Ease profile
+    (functions/text.flesch_reading_ease): the readability quality-filter
+    signal, map-side regexp counts only. Per-doc scores round then sum as
+    DECIMAL so the per-language averages are order-independent for the
+    oracle."""
+    from rust_cdc_validator_spark.functions.text import flesch_reading_ease
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang", flesch_reading_ease(F.col("text")).alias("fre")
+    ).filter(F.col("fre").isNotNull())
+    f6 = F.round("fre", 6).cast("decimal(24,6)")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum(f6).cast("double") / F.count(F.lit(1)), 6).alias("avg_fre"),
+        F.min(F.round("fre", 6)).alias("min_fre"),
+        F.max(F.round("fre", 6)).alias("max_fre"),
+    )
+
+
+DOCS_READABILITY_SQL = r"""
+WITH scored AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '\S+')) AS w,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS y
+  FROM documents
+  WHERE len(trim(text)) > 0
+), fre AS (
+  SELECT lang,
+         206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                 - 84.6 * (CAST(y AS DOUBLE) / w) AS fre
+  FROM scored WHERE w > 0
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(CAST(SUM(CAST(round(fre, 6) AS DECIMAL(24,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_fre,
+       MIN(round(fre, 6)) AS min_fre,
+       MAX(round(fre, 6)) AS max_fre
+FROM fre GROUP BY lang
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -5738,6 +5783,7 @@ QUERIES: dict[str, QueryFn] = {
     "suppliers_comention_mixing": suppliers_comention_mixing,
     "orders_custkey_skew": orders_custkey_skew,
     "events_value_changepoint": events_value_changepoint,
+    "docs_readability": docs_readability,
 }
 
 ORACLES: dict[str, str] = {
@@ -5861,6 +5907,7 @@ ORACLES: dict[str, str] = {
     "suppliers_comention_mixing": SUPPLIERS_COMENTION_MIXING_SQL,
     "orders_custkey_skew": ORDERS_CUSTKEY_SKEW_SQL,
     "events_value_changepoint": EVENTS_VALUE_CHANGEPOINT_SQL,
+    "docs_readability": DOCS_READABILITY_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /

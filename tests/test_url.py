@@ -82,3 +82,53 @@ def test_canonicalize_is_map_side(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_flesch_components(spark):
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.functions.text import (
+        flesch_reading_ease,
+        sentence_count,
+        syllable_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat on the mat."),
+            (2, ""),
+            (3, "no terminator here"),
+            (4, "One. Two! Three? Four..."),
+        ],
+        "id long, t string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            sentence_count(F.col("t")).alias("s"),
+            syllable_count(F.col("t")).alias("y"),
+            flesch_reading_ease(F.col("t")).alias("f"),
+        ).collect()
+    }
+    assert rows[1]["s"] == 1 and rows[1]["y"] == 6
+    assert rows[2]["s"] == 0 and rows[2]["f"] is None
+    assert rows[3]["s"] == 1  # fragment counts as one sentence
+    assert rows[4]["s"] == 4
+    # words=6, sents=1, syll=6: 206.835 - 1.015*6 - 84.6*1
+    assert abs(rows[1]["f"] - (206.835 - 1.015 * 6 - 84.6)) < 1e-9
+
+
+def test_flesch_is_map_side(spark):
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.functions.text import flesch_reading_ease
+
+    df = spark.createDataFrame([("x.",)], "t string")
+    plan = (
+        df.select(flesch_reading_ease(F.col("t")).alias("f"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
