@@ -182,6 +182,37 @@ def pagerank(
     return ranks
 
 
+def _canonical_edges_and_degrees(
+    edges: DataFrame, src: str, dst: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the undirected-graph statistics: canonical
+    distinct pairs (small, large), plus the (node, _deg) relation —
+    materialized once and size-gated for broadcast (the degrees frame is
+    |V| rows of (key, long); when that fits the session's broadcast
+    threshold both degree-attach joins become map-side, the same explicit
+    decision pagerank makes for its rank frame)."""
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("_a").alias("node"))
+        .unionAll(und.select(F.col("_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .localCheckpoint(eager=True)
+    )
+    threshold = _parse_bytes(
+        edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+    )
+    if 0 < deg.count() * _RANK_ROW_BYTES <= threshold:
+        deg = F.broadcast(deg)
+    return und, deg
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node triangle counts of the UNDIRECTED graph induced by
     ``edges`` (direction, duplicates, and self-loops are dropped) —
@@ -211,18 +242,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     closure join shuffled on the (v, w) pair key. All arithmetic is
     comparisons and counts — a SQL oracle replays it row for row.
     """
-    a, b = F.col(src), F.col(dst)
-    und = (
-        edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
-        .filter(F.col("_a") != F.col("_b"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("_a").alias("node"))
-        .unionAll(und.select(F.col("_b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("_deg"))
-    )
+    und, deg = _canonical_edges_and_degrees(edges, src, dst)
     da = deg.select(F.col("node").alias("_a"), F.col("_deg").alias("_da"))
     db = deg.select(F.col("node").alias("_b"), F.col("_deg").alias("_db"))
     keyed = und.join(da, "_a").join(db, "_b")
@@ -273,18 +293,7 @@ def degree_assortativity(
     node-keyed degree-attach joins, one global corr agg — every join key
     is a node id, nothing wide moves, and the SQL oracle replays it.
     """
-    a, b = F.col(src), F.col(dst)
-    und = (
-        edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
-        .filter(F.col("_a") != F.col("_b"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("_a").alias("node"))
-        .unionAll(und.select(F.col("_b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("_deg"))
-    )
+    und, deg = _canonical_edges_and_degrees(edges, src, dst)
     da = deg.select(F.col("node").alias("_a"), F.col("_deg").alias("_da"))
     db = deg.select(F.col("node").alias("_b"), F.col("_deg").alias("_db"))
     keyed = und.join(da, "_a").join(db, "_b")
