@@ -348,3 +348,47 @@ def flesch_reading_ease(text: Column) -> Column:
         - F.lit(1.015) * (n_words.cast("double") / n_sents)
         - F.lit(84.6) * (n_syll.cast("double") / n_words),
     )
+
+
+#: PII detector regexes — deliberately RE2-safe (no lookaround, no
+#: backrefs) so the DuckDB oracles replay them verbatim. Word-ish
+#: boundaries are spelled with explicit character classes.
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — conservative: no quoted locals, no IP domains
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # international-ish phone: optional +CC, separators, 7-14 digits total
+    "phone": r"\+?[0-9][0-9()\-. ]{6,16}[0-9]",
+    # dotted-quad with 1-3 digit octets (range check beyond regex scope)
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_counts(text: Column) -> Column:
+    """Struct of per-type PII match counts (email, phone, ipv4) — the
+    detection half of the corpus governance pass (CCNet/Dolma-style
+    scrubbing pipelines detect exactly these classes before release).
+    Pure JVM regexp counts: map-side, zero shuffle. Counts are signals,
+    not proofs — the phone/ipv4 patterns trade precision for recall the
+    way every release-gate detector does (flag, then audit)."""
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(text, F.lit(p), 0)).alias(name)
+            for name, p in PII_PATTERNS.items()
+        ]
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Redaction half: replace every PII match with ``<TYPE>`` tags.
+    Order is most-specific first — email, then ipv4, then phone — because
+    the classes overlap textually (an email's local part carries digits,
+    a dotted quad matches the loose phone separator class); earlier
+    redactions remove their text before looser patterns can shred it.
+    Same regexes as :func:`pii_counts` (which counts each class
+    independently, overlaps included)."""
+    out = text
+    for name in ("email", "ipv4", "phone"):
+        out = F.regexp_replace(
+            out, PII_PATTERNS[name], f"<{name.upper()}>"
+        )
+    return out

@@ -5641,6 +5641,105 @@ FROM fre GROUP BY lang
 """
 
 
+def docs_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-governance PII pass (functions/text.pii_counts/redact_pii):
+    deterministic email/phone/IPv4 markers are planted on a doc_id grid —
+    the corpus has no real PII — then detected and redacted, reporting
+    per-source doc coverage, match totals, and the redaction size delta.
+    Everything is map-side regexp work + one aggregation; the oracle
+    replays the same RE2 patterns with DuckDB's 'g' flag."""
+    from rust_cdc_validator_spark.functions.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" call +1 555-01"),
+                    F.lpad((did % 100).cast("string"), 2, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    sig = aug.select(
+        "source",
+        pii_counts(F.col("t")).alias("p"),
+        (F.length(redact_pii(F.col("t"))) - F.length("t")).alias("_delta"),
+    )
+    return sig.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("p.email") > 0, 1).otherwise(0)).alias("docs_email"),
+        F.sum(F.when(F.col("p.phone") > 0, 1).otherwise(0)).alias("docs_phone"),
+        F.sum(F.when(F.col("p.ipv4") > 0, 1).otherwise(0)).alias("docs_ipv4"),
+        F.sum("p.email").cast("long").alias("n_email"),
+        F.sum("p.phone").cast("long").alias("n_phone"),
+        F.sum("p.ipv4").cast("long").alias("n_ipv4"),
+        F.sum("_delta").cast("long").alias("redact_delta_chars"),
+    )
+
+
+DOCS_PII_REPORT_SQL = r"""
+WITH aug AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 7 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+              THEN ' call +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+              THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+              ELSE '' END AS t
+  FROM documents
+), sig AS (
+  SELECT source,
+    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+    len(regexp_extract_all(t, '\+?[0-9][0-9()\-. ]{6,16}[0-9]')) AS ph,
+    len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS ip,
+    length(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g'),
+        '\+?[0-9][0-9()\-. ]{6,16}[0-9]', '<PHONE>', 'g')
+    ) - length(t) AS delta
+  FROM aug
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+       CAST(SUM(CASE WHEN ph > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_phone,
+       CAST(SUM(CASE WHEN ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_ipv4,
+       CAST(SUM(e) AS BIGINT) AS n_email,
+       CAST(SUM(ph) AS BIGINT) AS n_phone,
+       CAST(SUM(ip) AS BIGINT) AS n_ipv4,
+       CAST(SUM(delta) AS BIGINT) AS redact_delta_chars
+FROM sig GROUP BY source
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -5784,6 +5883,7 @@ QUERIES: dict[str, QueryFn] = {
     "orders_custkey_skew": orders_custkey_skew,
     "events_value_changepoint": events_value_changepoint,
     "docs_readability": docs_readability,
+    "docs_pii_report": docs_pii_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -5908,6 +6008,7 @@ ORACLES: dict[str, str] = {
     "orders_custkey_skew": ORDERS_CUSTKEY_SKEW_SQL,
     "events_value_changepoint": EVENTS_VALUE_CHANGEPOINT_SQL,
     "docs_readability": DOCS_READABILITY_SQL,
+    "docs_pii_report": DOCS_PII_REPORT_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /

@@ -132,3 +132,34 @@ def test_flesch_is_map_side(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pii_detect_and_redact(spark):
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail jo.doe+x@mail.example.org or call +1 (555) 123-4567."),
+            (2, "server at 10.0.255.7 and 192.168.1.1:8080"),
+            (3, "clean prose only"),
+        ],
+        "id long, t string",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            pii_counts(F.col("t")).alias("p"),
+            redact_pii(F.col("t")).alias("r"),
+        ).collect()
+    }
+    assert out[1]["p"]["email"] == 1 and out[1]["p"]["phone"] == 1
+    assert "<EMAIL>" in out[1]["r"] and "<PHONE>" in out[1]["r"]
+    assert "@" not in out[1]["r"]
+    # ipv4 redacts as <IPV4>, never as <PHONE> (specific-first ordering)
+    assert out[2]["p"]["ipv4"] == 2
+    assert out[2]["r"].count("<IPV4>") == 2 and "<PHONE>" not in out[2]["r"]
+    assert out[3]["r"] == "clean prose only"
+    assert out[3]["p"].asDict() == {"email": 0, "phone": 0, "ipv4": 0}
