@@ -5740,6 +5740,196 @@ FROM sig GROUP BY source
 """
 
 
+def late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): count orders per priority
+    that have AT LEAST ONE late line item — the EXISTS-subquery pattern,
+    expressed Spark-first as a left-SEMI join (one pass over lineitem,
+    no row duplication, Catalyst's own EXISTS rewrite). 'Late' adapts
+    Q4's commitdate<receiptdate to this schema: shipped more than 90
+    days after the order date."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    window = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    late = li.join(
+        window.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+    flagged = window.join(
+        late.select(F.col("l_orderkey").alias("_k")).distinct(),
+        window["o_orderkey"] == F.col("_k"),
+        "left_semi",
+    )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+LATE_SHIP_PRIORITY_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): discounted revenue flowing
+    between two specific nations in either direction, per shipping year —
+    the two-role dimension pattern (nation joined twice under different
+    roles). Both nation legs broadcast; the fact table shuffles once for
+    the orders join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("_sk"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("_ck"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+
+
+NATION_TRADE_FLOWS_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(year FROM l.l_shipdate) AS l_year,
+       round(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)
+"""
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    three OR'd (brand, size-range, quantity-range) arms over the
+    part⋈lineitem join — the optimizer stress case where the join
+    condition must stay an equi-join with the disjunction as a residual
+    filter (not a cross product). Part broadcasts; adapted to this
+    schema's columns (p_size for p_container)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    arm1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#7")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 20)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(arm1 | arm2 | arm3).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )
+
+
+DISJUNCTIVE_REVENUE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers whose
+    balance beats the average POSITIVE balance but placed no order since
+    2000 (this corpus assigns every customer SOME order, so Q22's
+    "never ordered" arm adapts to dormancy) —
+    scalar subquery (one-row broadcast) + NOT EXISTS (anti-join), grouped
+    by market segment (standing in for Q22's phone prefix)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_ab")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_ab")
+    )
+    recent = o.filter(F.col("o_orderdate") >= "2000-01-01")
+    dormant = rich.join(
+        recent.select("o_custkey").distinct(),
+        rich["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
+    )
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+    )
+
+
+DORMANT_RICH_CUSTOMERS_SQL = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       round(SUM(c_acctbal), 4) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (
+    SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= DATE '2000-01-01'
+  )
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -5884,6 +6074,10 @@ QUERIES: dict[str, QueryFn] = {
     "events_value_changepoint": events_value_changepoint,
     "docs_readability": docs_readability,
     "docs_pii_report": docs_pii_report,
+    "late_ship_priority": late_ship_priority,
+    "nation_trade_flows": nation_trade_flows,
+    "disjunctive_revenue": disjunctive_revenue,
+    "dormant_rich_customers": dormant_rich_customers,
 }
 
 ORACLES: dict[str, str] = {
@@ -6009,6 +6203,10 @@ ORACLES: dict[str, str] = {
     "events_value_changepoint": EVENTS_VALUE_CHANGEPOINT_SQL,
     "docs_readability": DOCS_READABILITY_SQL,
     "docs_pii_report": DOCS_PII_REPORT_SQL,
+    "late_ship_priority": LATE_SHIP_PRIORITY_SQL,
+    "nation_trade_flows": NATION_TRADE_FLOWS_SQL,
+    "disjunctive_revenue": DISJUNCTIVE_REVENUE_SQL,
+    "dormant_rich_customers": DORMANT_RICH_CUSTOMERS_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /
