@@ -5930,6 +5930,173 @@ GROUP BY c_mktsegment
 """
 
 
+def web_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end web-corpus preparation — the composition this round's
+    operators exist for, value-checked as ONE plan: synthesize messy URLs
+    (the corpus has none) → canonicalize (functions/url) → URL-dedup
+    keeping each canonical's min doc id → prose quality gate (≥20 tokens)
+    → PII redaction with planted markers (functions/text) → per-source
+    quota (corpus.domain_quota_cap, cap 12) → stratified 3-fold deal
+    (corpus.stratified_kfold) → per-(lang, fold) counts, id-sum
+    fingerprint, and redaction delta. Map-side stages add ZERO exchanges
+    (plan-budget test); the oracle replays the full chain in one CTE
+    pipeline."""
+    from rust_cdc_validator_spark.functions.text import (
+        redact_pii,
+        token_count,
+    )
+    from rust_cdc_validator_spark.functions.url import canonicalize_url
+    from rust_cdc_validator_spark.operators.corpus import (
+        domain_quota_cap,
+        stratified_kfold,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pid = (did % 50).cast("string")
+    v = did % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://www.example.com/p/"), pid, F.lit("/?utm_source=x&a=1")))
+        .when(v == 1, F.concat(F.lit("HTTP://Example.COM:80/p/"), pid, F.lit("?a=1")))
+        .when(v == 2, F.concat(F.lit("http://example.com/p/"), pid, F.lit("?a=1&utm_campaign=z#frag")))
+        .otherwise(F.concat(F.lit("http://EXAMPLE.com/p/"), pid, F.lit("/?b=2&a=1")))
+    )
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+    )
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        canonicalize_url(url).alias("canonical_url"),
+        pii_text.alias("t"),
+    ).filter(token_count(F.col("t")) >= 20)
+    # URL dedup: canonical's earliest doc survives (same rule as exact
+    # dedup's min-id representative)
+    wdup = Window.partitionBy("canonical_url").orderBy("doc_id")
+    deduped = (
+        staged.withColumn("_r", F.row_number().over(wdup))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+    redacted = deduped.select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.length(redact_pii(F.col("t"))) - F.length("t")).alias("_delta"),
+    ).localCheckpoint(eager=True)
+    # ^ materialize ONCE: domain_quota_cap's two-regime split consumes its
+    # input three times (count agg + both branches); without this cut the
+    # whole canonicalize→dedup→redact chain re-executes per consumer —
+    # at 100 TB that is three full corpus scans instead of one.
+    capped = domain_quota_cap(redacted, "source", cap=12)
+    folded = stratified_kfold(capped, k=3, id_col="doc_id", strata_cols=["lang"])
+    return folded.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("_delta").cast("long").alias("redact_delta_chars"),
+    )
+
+
+WEB_CORPUS_PREP_SQL = r"""
+WITH staged AS (
+  SELECT doc_id, lang, source,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'http://www.example.com/p/' || CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=x&a=1'
+      WHEN 1 THEN 'HTTP://Example.COM:80/p/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1'
+      WHEN 2 THEN 'http://example.com/p/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&utm_campaign=z#frag'
+      ELSE 'http://EXAMPLE.com/p/' || CAST(doc_id % 50 AS VARCHAR) || '/?b=2&a=1'
+    END AS url,
+    text || CASE WHEN doc_id % 7 = 0
+      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      ELSE '' END AS t
+  FROM documents
+  WHERE len(regexp_extract_all(
+          text || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END, '\S+')) >= 20
+), s1 AS (
+  SELECT doc_id, lang, source, t, regexp_replace(url, '#.*$', '') AS u FROM staged
+), s2 AS (
+  SELECT doc_id, lang, source, t,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1))
+           || substring(u, length(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)) + 1)
+           AS u
+  FROM s1
+), s3 AS (
+  SELECT doc_id, lang, source, t,
+         regexp_replace(
+           regexp_replace(u, '^(http://[^/:?]+):80([/?].*)?$', '\1\2'),
+           '^(https://[^/:?]+):443([/?].*)?$', '\1\2') AS u
+  FROM s2
+), s4 AS (
+  SELECT doc_id, lang, source, t,
+         regexp_replace(u, '^(https?://)www\.', '\1') AS u FROM s3
+), s5 AS (
+  SELECT doc_id, lang, source, t,
+         regexp_replace(u, '\?.*$', '') AS base,
+         list_sort(list_filter(
+           string_split(regexp_extract(u, '\?(.*)$', 1), '&'),
+           p -> p <> '' AND NOT regexp_matches(
+             regexp_extract(p, '^([^=]*)', 1),
+             '^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref)$')
+         )) AS kept
+  FROM s4
+), s6 AS (
+  SELECT doc_id, lang, source, t,
+         CASE WHEN len(kept) > 0
+              THEN base || '?' || array_to_string(kept, '&')
+              ELSE base END AS u
+  FROM s5
+), canon AS (
+  SELECT doc_id, lang, source, t,
+         regexp_replace(u, '^([a-z][a-z0-9+.-]*://[^/?]+/.+?)/+(\?|$)', '\1\2')
+           AS canonical_url
+  FROM s6
+), deduped AS (
+  SELECT doc_id, lang, source, t FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY canonical_url ORDER BY doc_id) AS r
+    FROM canon
+  ) WHERE r = 1
+), redacted AS (
+  SELECT doc_id, lang, source,
+    length(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g'),
+        '\+?[0-9][0-9()\-. ]{6,16}[0-9]', '<PHONE>', 'g')
+    ) - length(t) AS delta
+  FROM deduped
+), capped AS (
+  SELECT doc_id, lang, source, delta FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5('quota:0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM redacted
+  ) WHERE rn <= 12
+), folded AS (
+  SELECT lang, delta, doc_id,
+         CAST((row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('fold:0:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) - 1) % 3 AS INT) AS fold
+  FROM capped
+)
+SELECT lang, fold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(delta) AS BIGINT) AS redact_delta_chars
+FROM folded GROUP BY lang, fold
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -6078,6 +6245,7 @@ QUERIES: dict[str, QueryFn] = {
     "nation_trade_flows": nation_trade_flows,
     "disjunctive_revenue": disjunctive_revenue,
     "dormant_rich_customers": dormant_rich_customers,
+    "web_corpus_prep": web_corpus_prep,
 }
 
 ORACLES: dict[str, str] = {
@@ -6207,6 +6375,7 @@ ORACLES: dict[str, str] = {
     "nation_trade_flows": NATION_TRADE_FLOWS_SQL,
     "disjunctive_revenue": DISJUNCTIVE_REVENUE_SQL,
     "dormant_rich_customers": DORMANT_RICH_CUSTOMERS_SQL,
+    "web_corpus_prep": WEB_CORPUS_PREP_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /

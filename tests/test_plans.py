@@ -184,3 +184,19 @@ def test_quota_cap_under_quota_domains_skip_window(spark):
 
     assert len(re.findall(r"\+- Window \[", plan)) == 1
     assert "WindowGroupLimit" in plan
+
+
+def test_web_corpus_prep_materializes_once(spark, sf_dir):
+    """The composed prep chain must not re-read the corpus per consumer:
+    the redacted stage is checkpointed, so the final plan reads NO parquet
+    (one upstream scan happened at materialization) and the remaining
+    exchanges are exactly the keyed stages (quota count-agg + quota
+    window + fold window + final agg)."""
+    import re
+
+    from rust_cdc_validator_spark.plans.inspect import explain_str
+    from rust_cdc_validator_spark.queries import web_corpus_prep
+
+    plan = explain_str(web_corpus_prep(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 5
