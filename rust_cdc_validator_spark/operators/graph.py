@@ -107,7 +107,16 @@ def pagerank(
     )
     if checkpoint:
         role = role.localCheckpoint(eager=True)
-    n = role.count()  # the ONE driver scalar (|V|), needed as a literal
+    # ONE probe job for every driver scalar the loop shape depends on —
+    # |V|, any-dangling, any-source-only — instead of a count plus two
+    # head() jobs (each driver-blocking action costs a full job launch,
+    # and these three run before the first iteration can start).
+    probe = role.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.when(F.col("_has_out") == 0, 1).otherwise(0)).alias("dang"),
+        F.max(F.when(F.col("_has_in") == 0, 1).otherwise(0)).alias("srco"),
+    ).first()
+    n = int(probe["n"])  # the ONE collected row (three scalars)
     if n == 0:
         raise ValueError("pagerank: edge set is empty")
     nodes = role.select("node")
@@ -124,12 +133,12 @@ def pagerank(
     # the plans are equivalent and each iteration saves an aggregation +
     # broadcast.
     dangling_nodes = role.filter(F.col("_has_out") == 0).select("node")
-    has_dangling = bool(dangling_nodes.head(1))
+    has_dangling = bool(probe["dang"])
     # Nodes with no IN-edges receive only teleport mass; when none exist
     # (any undirected graph), the contribution aggregate already covers
     # every node and the per-iteration nodes left-join is pure overhead —
     # decided once, saving a join + shuffle per iteration.
-    has_sources_only = bool(role.filter(F.col("_has_in") == 0).head(1))
+    has_sources_only = bool(probe["srco"])
 
     # localCheckpoint scans carry no size stats, so the planner can't pick
     # a broadcast join on its own — gate it on |V| × an estimated row
