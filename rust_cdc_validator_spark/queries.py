@@ -6097,6 +6097,97 @@ FROM folded GROUP BY lang, fold
 """
 
 
+def embedding_pair_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-pair cosine calibration: the distribution of cos-similarity
+    between UNRELATED vector pairs — the baseline every near-dup /
+    SemDeDup / ANN threshold must clear (a 0.8 cutoff means nothing until
+    you know random pairs sit at 0.1 ± 0.05). Pairs come from a
+    deterministic md5 deal: vectors sort by a seeded md5 key INSIDE 16
+    md5 shards and each pairs with its predecessor — quasi-random,
+    engine-replayable, and never a global sort (the sorted-neighborhood
+    trick from linkage); ~N pairs for one window pass. Output: 0.25-wide
+    cosine bins with pair counts and DECIMAL-summed mean cosine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    key = F.md5(F.concat(F.lit("pair:0:"), vid.cast("string")))
+    shard = F.conv(
+        F.substring(F.md5(F.concat(F.lit("pairshard:"), vid.cast("string"))), 1, 1),
+        16,
+        10,
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("key", "vec_id")
+    staged = emb.select(
+        "vec_id", "embedding", key.alias("key"), shard.alias("shard")
+    )
+    paired = staged.select(
+        "vec_id",
+        "embedding",
+        F.lag("embedding").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "prev", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = paired.select(
+        (dot / (norm(F.col("embedding")) * norm(F.col("prev")))).alias("cos")
+    )
+    binned = scored.select(
+        F.least(F.floor((F.col("cos") + 1.0) / 0.25), F.lit(7))
+        .cast("int")
+        .alias("cos_bin"),
+        F.round("cos", 6).cast("decimal(18,6)").alias("c6"),
+    )
+    return binned.groupBy("cos_bin").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("c6").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_cos"
+        ),
+    )
+
+
+EMBEDDING_PAIR_CALIBRATION_SQL = """
+WITH staged AS (
+  SELECT vec_id, embedding,
+         md5('pair:0:' || CAST(vec_id AS VARCHAR)) AS key,
+         CAST(CAST('0x' || substring(
+           md5('pairshard:' || CAST(vec_id AS VARCHAR)), 1, 1) AS BIGINT)
+           AS INT) AS shard
+  FROM embeddings
+), paired AS (
+  SELECT embedding,
+         lag(embedding) OVER (PARTITION BY shard ORDER BY key, vec_id)
+           AS prev
+  FROM staged
+), scored AS (
+  SELECT list_sum(list_transform(range(1, len(embedding) + 1),
+           i -> CAST(embedding[i] AS DOUBLE) * CAST(prev[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(prev,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM paired WHERE prev IS NOT NULL
+), binned AS (
+  SELECT CAST(LEAST(floor((cos + 1.0) / 0.25), 7) AS INT) AS cos_bin,
+         CAST(round(cos, 6) AS DECIMAL(18,6)) AS c6
+  FROM scored
+)
+SELECT cos_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(CAST(SUM(c6) AS DOUBLE) / COUNT(*), 6) AS mean_cos
+FROM binned GROUP BY cos_bin
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -6246,6 +6337,7 @@ QUERIES: dict[str, QueryFn] = {
     "disjunctive_revenue": disjunctive_revenue,
     "dormant_rich_customers": dormant_rich_customers,
     "web_corpus_prep": web_corpus_prep,
+    "embedding_pair_calibration": embedding_pair_calibration,
 }
 
 ORACLES: dict[str, str] = {
@@ -6376,6 +6468,7 @@ ORACLES: dict[str, str] = {
     "disjunctive_revenue": DISJUNCTIVE_REVENUE_SQL,
     "dormant_rich_customers": DORMANT_RICH_CUSTOMERS_SQL,
     "web_corpus_prep": WEB_CORPUS_PREP_SQL,
+    "embedding_pair_calibration": EMBEDDING_PAIR_CALIBRATION_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /
