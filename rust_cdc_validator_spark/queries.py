@@ -6188,6 +6188,117 @@ FROM binned GROUP BY cos_bin
 """
 
 
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit — the natural extension of
+    the reference's row-level diff (cdc_operator.rs validates ONE table
+    against its source; replication bugs also break RELATIONSHIPS):
+    orphaned lineitems, childless orders, customers with no nation,
+    orders with unknown customers. Each check is one anti-join or
+    left-semi count; output is one row per check so a standing pipeline
+    alerts on any non-zero count."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+
+    def count_anti(left, key_l, right, key_r):
+        return (
+            left.join(
+                right.select(F.col(key_r).alias("_k")).distinct(),
+                F.col(key_l) == F.col("_k"),
+                "left_anti",
+            ).agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        )
+
+    checks = [
+        ("lineitem_orphans", count_anti(li, "l_orderkey", o, "o_orderkey")),
+        ("orders_childless", count_anti(o, "o_orderkey", li, "l_orderkey")),
+        ("orders_unknown_customer", count_anti(o, "o_custkey", c, "c_custkey")),
+        ("customer_unknown_nation", count_anti(c, "c_nationkey", n, "n_nationkey")),
+    ]
+    out = None
+    for name, df in checks:
+        row = df.select(F.lit(name).alias("check"), "n_violations")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+REFERENTIAL_INTEGRITY_SQL = """
+SELECT 'lineitem_orphans' AS check, CAST(COUNT(*) AS BIGINT) AS n_violations
+FROM lineitem l WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders_childless', CAST(COUNT(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+UNION ALL
+SELECT 'orders_unknown_customer', CAST(COUNT(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS (
+  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'customer_unknown_nation', CAST(COUNT(*) AS BIGINT)
+FROM customer c WHERE NOT EXISTS (
+  SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+"""
+
+
+def orders_benford_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit on order totals — the classic fabricated-
+    or corrupted-feed detector (Benford 1938; Nigrini's forensic
+    accounting standard): observed first-significant-digit shares vs
+    log10(1 + 1/d), with the chi-square contribution per digit. A feed
+    whose values were scaled, truncated, or synthesized drifts visibly.
+    One map-side digit extraction + a 9-row aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.regexp_replace(
+            F.format_number(F.abs(F.col("o_totalprice")), 10), r"[0.,]", ""
+        ),
+        1,
+        1,
+    ).cast("int")
+    base = o.filter(F.col("o_totalprice") != 0).select(digit.alias("d"))
+    tot = base.agg(F.count(F.lit(1)).alias("_n"))
+    per = base.groupBy("d").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n_orders",
+            F.round(F.col("n_orders") / F.col("_n"), 6).alias("observed_share"),
+            F.round(F.log10(1 + 1 / F.col("d")), 6).alias("benford_share"),
+            F.round(
+                F.pow(
+                    F.col("n_orders") / F.col("_n") - F.log10(1 + 1 / F.col("d")),
+                    2,
+                )
+                / F.log10(1 + 1 / F.col("d")),
+                6,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+ORDERS_BENFORD_DRIFT_SQL = """
+WITH base AS (
+  SELECT CAST(substring(
+           regexp_replace(format('{:.10f}', abs(o_totalprice)), '[0.,]', '', 'g'),
+           1, 1) AS INT) AS d
+  FROM orders WHERE o_totalprice <> 0
+), tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base
+)
+SELECT d,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(COUNT(*) / tot.n, 6) AS observed_share,
+       round(log10(1 + 1.0 / d), 6) AS benford_share,
+       round(pow(COUNT(*) / tot.n - log10(1 + 1.0 / d), 2)
+             / log10(1 + 1.0 / d), 6) AS chi2_term
+FROM base CROSS JOIN tot
+GROUP BY d, tot.n
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -6338,6 +6449,8 @@ QUERIES: dict[str, QueryFn] = {
     "dormant_rich_customers": dormant_rich_customers,
     "web_corpus_prep": web_corpus_prep,
     "embedding_pair_calibration": embedding_pair_calibration,
+    "referential_integrity_report": referential_integrity_report,
+    "orders_benford_drift": orders_benford_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -6469,6 +6582,8 @@ ORACLES: dict[str, str] = {
     "dormant_rich_customers": DORMANT_RICH_CUSTOMERS_SQL,
     "web_corpus_prep": WEB_CORPUS_PREP_SQL,
     "embedding_pair_calibration": EMBEDDING_PAIR_CALIBRATION_SQL,
+    "referential_integrity_report": REFERENTIAL_INTEGRITY_SQL,
+    "orders_benford_drift": ORDERS_BENFORD_DRIFT_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /
