@@ -83,12 +83,21 @@ def key_skew_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
     (0 = uniform, →1 = concentrated).
 
     Shape: ONE map-side-combining count agg to a keys-sized relation,
-    then a keys-sized re-agg; the Gini rank window sorts only the
-    (key, count) relation, never the data. Output is a single row.
+    then a keys-sized re-agg. The Gini ranks come from
+    ``layout.prefix_sum`` (range-repartitioned two-phase scan), NOT a
+    global window — a 100M-key relation would funnel through one task
+    otherwise; key columns break count ties so the ranks are exact.
+    Output is a single row.
     """
+    from rust_cdc_validator_spark.operators.layout import prefix_sum
+
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_c"))
-    w = Window.orderBy("_c", *[F.col(c) for c in key_cols])
-    ranked = counts.withColumn("_i", F.row_number().over(w))
+    ranked = prefix_sum(
+        counts.withColumn("_one", F.lit(1)),
+        order_cols=["_c", *key_cols],
+        value_col="_one",
+        out_col="_r0",
+    ).withColumn("_i", F.col("_r0") + 1)
     return ranked.agg(
         F.sum("_c").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
