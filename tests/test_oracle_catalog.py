@@ -63,6 +63,11 @@ def test_every_oracled_catalog_query_matches_duckdb(spark, sf_dir):
             continue  # rows-only by design (sketch/quantizer ops)
         sc, st, sv = frame_key(fn(spark, sf_dir).toArrow())
         oc, ot, ov = frame_key(con.execute(ORACLES[name]).arrow())
+        if not sv:
+            # equal-but-EMPTY results prove nothing — a catalog query must
+            # demonstrate its operator on the fixture data (round-8 lesson:
+            # the dormancy query silently matched on zero rows)
+            failures.append(f"{name}: returns 0 rows at {sf_dir}")
         if sc != oc:
             failures.append(f"{name}: cols {sc} != {oc}")
         elif st != ot:
