@@ -115,3 +115,42 @@ def test_ingest_curate_hook_gates_at_landing(spark, tmp_path):
     assert landed == {1}  # 2 contaminated, 3 too short
     bad = [r["value"] for r in spark.read.text(quar).collect()]
     assert bad == ["NOT JSON AT ALL"]
+
+
+def test_ingest_curate_redacts_pii_at_landing(spark, tmp_path):
+    """PII never touches the landed corpus: redact_pii runs inside the
+    curate hook (same checkpointed epoch), so every landed row is already
+    scrubbed and crash-replay re-redacts identically."""
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.functions.text import pii_counts, redact_pii
+
+    def curate(df):
+        return df.select(
+            "doc_id", redact_pii(F.col("text")).alias("text")
+        )
+
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "dest")
+    quar = str(tmp_path / "quar")
+    ckpt = str(tmp_path / "ckpt")
+    _drop(
+        src,
+        "a.jsonl",
+        [
+            json.dumps({"doc_id": 1, "text": "mail me at a.b@example.com today"}),
+            json.dumps({"doc_id": 2, "text": "server 10.0.0.1 is fine"}),
+            json.dumps({"doc_id": 3, "text": "nothing sensitive"}),
+        ],
+    )
+    ingest_jsonl_stream(spark, src, dest, quar, _SCHEMA, ckpt, curate=curate)
+    landed = spark.read.parquet(dest)
+    texts = {r["doc_id"]: r["text"] for r in landed.collect()}
+    assert "<EMAIL>" in texts[1] and "@" not in texts[1]
+    assert "<IPV4>" in texts[2]
+    assert texts[3] == "nothing sensitive"
+    # and the landed corpus scans PII-free end to end
+    residue = landed.select(pii_counts(F.col("text")).alias("p")).agg(
+        F.sum("p.email").alias("e"), F.sum("p.ipv4").alias("i")
+    ).first()
+    assert residue["e"] == 0 and residue["i"] == 0
