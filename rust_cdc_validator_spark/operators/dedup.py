@@ -923,3 +923,48 @@ def exact_substring_scrub(
         F.array_join(kept, " ").alias("scrubbed"),
         (F.size(F.col("_toks")) - F.size(kept)).cast("long").alias("n_removed_tokens"),
     )
+
+
+def lsh_plan(
+    threshold: float, num_hashes: int = 64
+) -> dict[str, float | int]:
+    """Pick (num_bands, rows_per_band) for a target Jaccard ``threshold``
+    — the S-curve tuning every MinHash-LSH deployment does by hand
+    (Leskovec/Rajaraman/Ullman, *Mining of Massive Datasets* §3.4): a
+    pair with similarity s collides in ≥1 band with probability
+    1 − (1 − s^r)^b, and the curve's inflection sits near (1/b)^(1/r).
+    Among the divisors of ``num_hashes`` this picks the (b, r) whose
+    inflection lands closest to the threshold, then reports the collision
+    probabilities at, below, and above it so the caller sees the
+    false-positive / false-negative trade they're buying BEFORE running
+    the banded join.
+
+    Driver-side arithmetic only (no Spark) — feed the result straight
+    into ``minhash_near_dup_pairs(num_hashes=..., num_bands=...)``.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_hashes < 2:
+        raise ValueError("num_hashes must be >= 2")
+
+    def collide(s: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    best = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        inflection = (1.0 / b) ** (1.0 / r)
+        gap = abs(inflection - threshold)
+        if best is None or gap < best[0]:
+            best = (gap, b, r, inflection)
+    _, b, r, inflection = best
+    return {
+        "num_bands": b,
+        "rows_per_band": r,
+        "inflection": round(inflection, 6),
+        "p_at_threshold": round(collide(threshold, b, r), 6),
+        "p_below": round(collide(max(threshold - 0.2, 0.0), b, r), 6),
+        "p_above": round(collide(min(threshold + 0.2, 1.0), b, r), 6),
+    }

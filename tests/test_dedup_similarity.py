@@ -816,3 +816,25 @@ def test_random_projection_deterministic_and_validated(spark):
     )
     with pytest.raises(ValueError):
         random_projection(df, 8, 8)
+
+
+def test_lsh_plan_scurve(spark):
+    import pytest as _pytest
+
+    from rust_cdc_validator_spark.operators.dedup import lsh_plan
+
+    plan = lsh_plan(threshold=0.8, num_hashes=64)
+    assert plan["num_bands"] * plan["rows_per_band"] == 64
+    # the S-curve must separate: near-certain above, unlikely below
+    assert plan["p_above"] > 0.95
+    assert plan["p_below"] < 0.5
+    assert plan["p_at_threshold"] > plan["p_below"]
+    # inflection lands near the asked threshold among 64's divisors
+    assert abs(plan["inflection"] - 0.8) < 0.15
+    # a low threshold picks more, shorter bands (catches weaker pairs)
+    loose = lsh_plan(threshold=0.3, num_hashes=64)
+    assert loose["rows_per_band"] < plan["rows_per_band"]
+    with _pytest.raises(ValueError):
+        lsh_plan(threshold=1.5)
+    with _pytest.raises(ValueError):
+        lsh_plan(threshold=0.5, num_hashes=1)
