@@ -35,6 +35,8 @@ __all__ = [
     "sq8_decode",
     "sq8_error_report",
     "sq8_refit_needed",
+    "write_sq8_baseline",
+    "read_sq8_baseline",
 ]
 
 
@@ -211,3 +213,36 @@ def sq8_refit_needed(
     return float(row["mse"]) > max(
         max_error_ratio * float(baseline_mse), abs_error_floor
     )
+
+
+def write_sq8_baseline(
+    spark,
+    path: str,
+    df: DataFrame,
+    vec_col: str,
+    bounds: list[tuple[float, float]],
+) -> float:
+    """Persist the fit-time reconstruction baseline next to a stored SQ8
+    tier — the exact analog of ``pq.write_ivfpq_quant_baseline`` so both
+    quantizer tiers share one maintenance idiom: fit → write baseline →
+    periodically probe ``sq8_refit_needed(..., read_sq8_baseline(...))``.
+    Returns the recorded MSE."""
+    mse = float(
+        sq8_error_report(df, vec_col, bounds).first()["mse"] or 0.0
+    )
+    spark.createDataFrame(
+        [(mse, len(bounds))], "baseline_mse double, n_dims int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/sq8_stats")
+    return mse
+
+
+def read_sq8_baseline(spark, path: str) -> float:
+    """Read back the persisted fit-time MSE (see
+    :func:`write_sq8_baseline`). Raises if the baseline was never
+    written — a standing tier without its baseline has no drift anchor,
+    and silently substituting 0.0 would make the refit trigger fire
+    forever (or never, depending on the floor)."""
+    row = spark.read.parquet(f"{path}/sq8_stats").first()
+    if row is None or row["baseline_mse"] is None:
+        raise ValueError(f"no SQ8 baseline recorded at {path}/sq8_stats")
+    return float(row["baseline_mse"])

@@ -147,3 +147,26 @@ def test_strip_markup_stages(spark):
     assert out[3] == "a <b> \"c\" 'd' e"
     assert out[4] == "no markup here"
     assert out[5] == "t"
+
+
+def test_sq8_baseline_roundtrip(spark, vecs, tmp_path):
+    from rust_cdc_validator_spark.operators.quantize import (
+        read_sq8_baseline,
+        sq8_refit_needed,
+        write_sq8_baseline,
+    )
+
+    bounds = sq8_fit(vecs, "embedding")
+    path = str(tmp_path / "tier")
+    mse = write_sq8_baseline(spark, path, vecs, "embedding", bounds)
+    assert read_sq8_baseline(spark, path) == mse
+    # the persisted baseline drives the same trigger decisions
+    assert not sq8_refit_needed(vecs, "embedding", bounds, read_sq8_baseline(spark, path))
+    drifted = vecs.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v * 10.0 + 100.0).alias("embedding"),
+    )
+    assert sq8_refit_needed(drifted, "embedding", bounds, read_sq8_baseline(spark, path))
+    # missing baseline raises, never silently anchors at 0.0
+    with pytest.raises(Exception):
+        read_sq8_baseline(spark, str(tmp_path / "never_written"))
