@@ -69,6 +69,7 @@ def pagerank(
     weight_col: str | None = None,
     damping: float = 0.85,
     iterations: int = 5,
+    tol: float | None = None,
     checkpoint: bool = True,
 ) -> DataFrame:
     """Rank every node of the directed (optionally weighted) edge set.
@@ -77,11 +78,23 @@ def pagerank(
     the power method (5–10 reaches ~1e-3 station for typical graphs);
     ``checkpoint=False`` is for tiny unit-test graphs only — at scale the
     un-truncated lineage is the failure mode, not the compute.
+
+    ``tol``: optional early-stop — after each superstep compute the L1
+    rank delta (one 1-row aggregate over the already-checkpointed rank
+    frames; the ONLY per-iteration driver action, and only when ``tol``
+    is set) and stop once it falls below ``tol``. The returned DataFrame
+    carries ``_pagerank_iterations`` (supersteps actually run) and
+    ``_pagerank_delta`` (last L1 delta, None when ``tol`` is None) for
+    convergence observability. With ``tol`` set, per-step checkpointing
+    is forced even on the broadcast path, so the delta probe never
+    re-executes the chain.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    if tol is not None and tol <= 0.0:
+        raise ValueError("tol must be positive when set")
     w = (
         F.col(weight_col).cast("double")
         if weight_col
@@ -153,7 +166,10 @@ def pagerank(
 
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    iterations_used = iterations
+    last_delta = None
     for it in range(iterations):
+        prev_ranks = ranks
         rside = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
             trans.join(rside, trans["_s"] == rside["node"])
@@ -186,8 +202,28 @@ def pagerank(
         # ranks inside one job, so per-step checkpoints only add 1 job per
         # superstep — checkpoint once at the end instead (so callers with
         # multiple downstream actions don't re-run the chain).
-        if checkpoint and (not broadcast_ranks or it == iterations - 1):
+        if checkpoint and (
+            tol is not None or not broadcast_ranks or it == iterations - 1
+        ):
             ranks = ranks.localCheckpoint(eager=True)
+        if tol is not None:
+            last_delta = (
+                ranks.join(
+                    prev_ranks.select(
+                        "node", F.col("rank").alias("_prev")
+                    ),
+                    "node",
+                )
+                .agg(
+                    F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("_l1")
+                )
+                .first()["_l1"]
+            )
+            if last_delta is not None and last_delta < tol:
+                iterations_used = it + 1
+                break
+    ranks._pagerank_iterations = iterations_used
+    ranks._pagerank_delta = last_delta
     return ranks
 
 

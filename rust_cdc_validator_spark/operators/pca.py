@@ -10,11 +10,17 @@ fixes the co-occurrence over-counting in aggregated descriptors).
 Scale shape at 100 TB:
   * ``fit_pca`` computes the d×d scatter matrix with ONE ``mapInPandas``
     pass: each Arrow batch folds into a local (count, Σx, ΣxxT) triple and
-    each PARTITION emits exactly one flattened row — the driver combines
-    #partitions rows of d(d+1) doubles (d=64 → ~33 KB each), the same
-    bounded-collect contract as PQ codebooks / IVF centroids / SQ8 bounds.
-    The eigendecomposition is a d×d driver-side ``numpy.linalg.eigh`` —
-    microseconds, independent of corpus size.
+    each PARTITION emits exactly one flattened row of d(d+1) doubles.
+    When the scan has more than ``combine_fanout`` partitions, ONE in-plan
+    tree level re-partitions those partial rows to ⌈√P⌉ groups and folds
+    them again executor-side, so the driver collects O(√P) rows instead of
+    O(P) — at embedding dims (d=1024, each partial ~8 MB) and 100 TB scan
+    partition counts (10⁵–10⁶) the un-treed collect would be terabytes;
+    the treed one is ≤ √P × 8 MB ≈ single-digit GB spread over a shuffle,
+    with ≤ ~1000 rows landing on the driver. Same bounded-collect contract
+    as PQ codebooks / IVF centroids / SQ8 bounds. The eigendecomposition
+    is a d×d driver-side ``numpy.linalg.eigh`` — microseconds, independent
+    of corpus size.
   * ``pca_project`` embeds mean + the k×d projection as PLAN LITERALS:
     each output component is one ``zip_with``/``aggregate`` dot product,
     pure JVM expressions, zero shuffle, no UDF on the projection path.
@@ -27,6 +33,7 @@ summation noise), and goldens stay stable.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -64,15 +71,47 @@ _PARTIAL_SCHEMA = T.StructType(
 )
 
 
-def fit_pca(df: DataFrame, vec_col: str, k: int) -> PcaModel:
+def _fold_partial_rows(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Executor-side combine of (n, s, ss) partial rows — the tree level
+    between the scan partials and the driver collect. Pure array sums, so
+    it composes associatively with the per-partition fold."""
+    n = 0
+    s = None
+    ss = None
+    for pdf in batches:
+        for nn, sa, sa2 in zip(pdf["n"], pdf["s"], pdf["ss"]):
+            a = np.asarray(sa, dtype=np.float64)
+            a2 = np.asarray(sa2, dtype=np.float64)
+            if s is not None and (
+                a.shape != s.shape or a2.shape != ss.shape
+            ):
+                raise ValueError(
+                    "fit_pca: ragged vectors across partitions"
+                )
+            n += int(nn)
+            s = a if s is None else s + a
+            ss = a2 if ss is None else ss + a2
+    if n:
+        yield pd.DataFrame({"n": [n], "s": [s.tolist()], "ss": [ss.tolist()]})
+
+
+def fit_pca(
+    df: DataFrame, vec_col: str, k: int, combine_fanout: int = 64
+) -> PcaModel:
     """One distributed pass → top-``k`` principal components.
 
-    Partition partials (count, Σx, upper-triangular ΣxxT) reduce driver
-    side; covariance = ΣxxT/n − mean·meanT (population, matching the
+    Partition partials (count, Σx, flattened ΣxxT) reduce toward the
+    driver; when the scan has more than ``combine_fanout`` partitions one
+    in-plan ⌈√P⌉-way combine level runs first so the collect is O(√P)
+    rows. Covariance = ΣxxT/n − mean·meanT (population, matching the
     oracle-free goldens); eigh on the d×d result.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if combine_fanout < 1:
+        raise ValueError("combine_fanout must be >= 1")
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 0
@@ -81,7 +120,14 @@ def fit_pca(df: DataFrame, vec_col: str, k: int) -> PcaModel:
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            try:
+                x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            except ValueError as exc:
+                raise ValueError(
+                    "fit_pca: ragged vectors within a batch"
+                ) from exc
+            if s is not None and x.shape[1] != s.shape[0]:
+                raise ValueError("fit_pca: ragged vectors across batches")
             n += x.shape[0]
             s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
             g = x.T @ x
@@ -91,7 +137,14 @@ def fit_pca(df: DataFrame, vec_col: str, k: int) -> PcaModel:
                 {"n": [n], "s": [s.tolist()], "ss": [ss.reshape(-1).tolist()]}
             )
 
-    rows = df.select(vec_col).mapInPandas(partials, _PARTIAL_SCHEMA).collect()
+    part_df = df.select(vec_col).mapInPandas(partials, _PARTIAL_SCHEMA)
+    p = df.rdd.getNumPartitions()
+    if p > combine_fanout:
+        groups = max(1, math.isqrt(p - 1) + 1)  # ⌈√P⌉
+        part_df = part_df.repartition(groups).mapInPandas(
+            _fold_partial_rows, _PARTIAL_SCHEMA
+        )
+    rows = part_df.collect()
     if not rows:
         raise ValueError("fit_pca: input has no vectors")
     dims = {len(r["s"]) for r in rows}
@@ -117,6 +170,7 @@ def fit_pca(df: DataFrame, vec_col: str, k: int) -> PcaModel:
             comps[i] = -comps[i]
     model = PcaModel(mean, comps, evals)
     model._total_var = float(np.trace(cov))
+    model._collected_partials = len(rows)  # observability: O(√P) contract
     return model
 
 

@@ -226,6 +226,12 @@ def cm_join_size(a: Column, b: Column, d: int = 4, w: int = 256) -> Column:
     (compare the estimate against N_A + N_B), incremental-maintenance
     sizing. Pure expression over two KB-sized arrays; replayable in SQL
     like every sketch here.
+
+    Overflow contract: at w=256 two ~10¹²-row sides already push a
+    counter dot product past int64, so the accumulation WIDENS to
+    DECIMAL(38,0) (good to ~10³⁸ — beyond any real join cardinality) and
+    the final narrowing back to BIGINT is asserted in-plan: an estimate
+    that genuinely exceeds int64 raises instead of wrapping silently.
     """
     est = None
     for i in range(d):
@@ -233,13 +239,23 @@ def cm_join_size(a: Column, b: Column, d: int = 4, w: int = 256) -> Column:
             F.zip_with(
                 F.slice(a, i * w + 1, w),
                 F.slice(b, i * w + 1, w),
-                lambda x, y: x * y,
+                lambda x, y: x.cast("decimal(19,0)") * y.cast("decimal(19,0)"),
             ),
-            F.lit(0).cast("long"),
+            F.lit(0).cast("decimal(38,0)"),
             lambda acc, t: acc + t,
         )
         est = row_dot if est is None else F.least(est, row_dot)
-    return est
+    long_max = F.lit(9223372036854775807).cast("decimal(38,0)")
+    return F.when(
+        F.assert_true(
+            est <= long_max,
+            F.lit(
+                "cm_join_size: estimate exceeds int64 — raise w or "
+                "pre-scale counters"
+            ),
+        ).isNull(),
+        est.cast("long"),
+    )
 
 
 # ---------------------------------------------------------------------------

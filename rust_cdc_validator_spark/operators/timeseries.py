@@ -69,20 +69,22 @@ def retention_cohorts(
     whole ``bucket`` periods since the cohort period and ``retention`` =
     n_users / cohort_size (age 0 is 1.0 by construction).
 
-    Scale shape: two hash aggregations, both on keys far smaller than the
-    event stream — (1) min-ts per user (map-side partial combine collapses
-    each user's events before the shuffle, so ~one row per user moves),
-    (2) distinct (user, cohort, age) then count by (cohort, age). The
-    events table itself is touched once, projected to two columns; nothing
-    wider than (user, date) ever shuffles. The cohort-size join is a
-    broadcast: one row per cohort period.
+    Scale shape: the event stream is projected to (user, date) and
+    DEDUPLICATED before anything joins — map-side partial combine
+    collapses each user's same-day events locally, so a high-event user
+    contributes at most one row per active day to every downstream
+    shuffle. Then (1) min-date per user rides the same (user,)-prefixed
+    partitioning, (2) the first-date join fans the already-shrunk
+    (user, date) rows, (3) distinct (user, cohort, age) then count by
+    (cohort, age). Nothing wider than (user, date) ever shuffles. The
+    cohort-size join is a broadcast: one row per cohort period.
     """
     if bucket not in ("week", "month", "day"):
         raise ValueError("bucket must be week|month|day")
     per = {"week": 7, "month": 30, "day": 1}[bucket]
     ev = df.select(
         F.col(user_col).alias("_u"), F.to_date(F.col(ts_col)).alias("_d")
-    )
+    ).distinct()
     first = ev.groupBy("_u").agg(F.min("_d").alias("_first"))
     aged = (
         ev.join(first, "_u")

@@ -77,12 +77,41 @@ def test_checkpointed_equals_uncheckpointed(spark):
     assert with_cp == without
 
 
+def test_tol_early_stop_converges_before_cap(spark):
+    # a 2-cycle reaches its stationary distribution immediately (both
+    # ranks stay 0.5 every step), so step 1's L1 delta is ~0 and a
+    # 50-iteration cap must stop at the first probe.
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    out = pagerank(df, iterations=50, tol=1e-9)
+    assert out._pagerank_iterations < 50
+    assert out._pagerank_delta < 1e-9
+    got = _ranks(out)
+    assert got["a"] == pytest.approx(0.5, abs=1e-12)
+    assert got["b"] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_tol_none_runs_fixed_count_and_matches_reference(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = pagerank(df, iterations=5, tol=None, checkpoint=False)
+    assert out._pagerank_iterations == 5
+    assert out._pagerank_delta is None
+    want = _reference(edges, iterations=5)
+    got = _ranks(out)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
 def test_validations(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError, match="damping"):
         pagerank(df, damping=1.0)
     with pytest.raises(ValueError, match="iterations"):
         pagerank(df, iterations=0)
+    with pytest.raises(ValueError, match="tol must be positive"):
+        pagerank(df, tol=0.0)
     empty = spark.createDataFrame([], "src string, dst string")
     with pytest.raises(ValueError, match="empty"):
         pagerank(empty)

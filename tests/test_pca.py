@@ -85,6 +85,33 @@ def test_partition_invariance(spark, vecs):
     np.testing.assert_allclose(m1.eigenvalues, m8.eigenvalues, atol=1e-9)
 
 
+def test_tree_combine_bounds_driver_collect(spark, vecs, data):
+    # force a high partition count: without the tree level the driver
+    # would collect one partial row per partition (100 here); with it the
+    # collect is at most ceil(sqrt(P)) rows, and the fit is unchanged.
+    wide = vecs.repartition(100)
+    treed = fit_pca(wide, "embedding", k=2, combine_fanout=16)
+    assert treed._collected_partials <= 10  # ceil(sqrt(100))
+    flat = fit_pca(wide, "embedding", k=2, combine_fanout=1000)
+    assert flat._collected_partials > 10
+    mean, comps, evals = _numpy_pca(data, 2)
+    np.testing.assert_allclose(treed.mean, mean, atol=1e-9)
+    np.testing.assert_allclose(treed.components, comps, atol=1e-9)
+    np.testing.assert_allclose(treed.eigenvalues, evals, atol=1e-9)
+
+
+def test_tree_combine_ragged_guard(spark):
+    # colocate each dimensionality in its own partitions so the mismatch
+    # only surfaces where partials from DIFFERENT partitions meet — the
+    # combine level's cross-partition guard.
+    ragged = spark.createDataFrame(
+        [(i, [1.0, 2.0] if i % 2 else [1.0, 2.0, 3.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4, (F.col("vec_id") % 2).cast("int"))
+    with pytest.raises(Exception, match="ragged vectors"):
+        fit_pca(ragged, "embedding", k=1, combine_fanout=1)
+
+
 def test_projection_is_map_side(vecs):
     model = fit_pca(vecs, "embedding", k=2)
     plan = (

@@ -214,3 +214,46 @@ def test_cm_join_size_disjoint_keys_near_zero(spark):
         cm_join_size(F.col("ca"), F.col("cb")).alias("e")
     ).first()["e"]
     assert 0 <= est <= 60  # min-over-rows suppresses collision noise
+
+
+def test_cm_join_size_planted_overflow_raises(spark):
+    """Two ~10¹²-row-per-key sides at w=256: the counter dot product
+    passes int64, which must raise (decimal accumulation + asserted
+    narrowing), never wrap silently into a bogus plan-time size."""
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.sketch import cm_join_size
+
+    d, w = 4, 256
+    big = 4 * 10**12  # per-counter count; 256 × big² ≈ 4.1e36 ≫ 2^63
+    arr = F.array(*[F.lit(big).cast("long")] * (d * w))
+    df = spark.range(1).select(arr.alias("ca"), arr.alias("cb"))
+    with pytest.raises(Exception, match="exceeds int64"):
+        df.select(cm_join_size(F.col("ca"), F.col("cb")).alias("e")).collect()
+
+
+def test_cm_join_size_large_but_representable_is_exact(spark):
+    """Just below the guard: products that overflow naive int64 MULTIPLY
+    terms but whose total fits in int64 come back exact via the decimal
+    path (a long×long accumulation would have wrapped)."""
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.sketch import cm_join_size
+
+    d, w = 4, 256
+    big = 4 * 10**9  # one nonzero counter per row: dot = 1.6e19? no — see below
+    # put the mass in ONE bucket per row: dot product = big² = 1.6e19 > 2^63?
+    # 2^63 ≈ 9.22e18, so use 3e9 → 9e18 < 2^63 yet 3e9×3e9 overflows
+    # int32 and stresses the decimal multiply path.
+    big = 3 * 10**9
+    one_hot = F.array(
+        *[
+            (F.lit(big) if i % w == 0 else F.lit(0)).cast("long")
+            for i in range(d * w)
+        ]
+    )
+    df = spark.range(1).select(one_hot.alias("ca"), one_hot.alias("cb"))
+    got = df.select(
+        cm_join_size(F.col("ca"), F.col("cb")).alias("e")
+    ).first()["e"]
+    assert got == big * big
