@@ -1180,15 +1180,34 @@ def prepare_training_corpus_neardup(
     The MinHash stage CAPS hot LSH buckets (recall trade, dedup.py) — run
     :func:`neardup_overflow_report` with the same parameters to see
     exactly which buckets the cap dropped for this pipeline's input.
+
+    The (bands, rows-per-band) split is DERIVED from ``min_est_jaccard``
+    by :func:`rust_cdc_validator_spark.operators.dedup.lsh_plan` — the
+    S-curve inflection lands on the verify threshold instead of a
+    hard-coded 16×4, so changing the threshold retunes the banding with
+    it (at the 0.5 default the planner picks exactly 16×4).
     """
-    from rust_cdc_validator_spark.operators.dedup import dedup_clusters
+    from rust_cdc_validator_spark.operators.dedup import (
+        dedup_clusters,
+        lsh_plan,
+    )
 
     exact, toks, n_sw = _gate_and_exact_dedup(
         docs, text_col, id_col, min_chars, min_stopwords
     )
 
+    num_hashes = 64
+    if 0.0 < min_est_jaccard < 1.0:
+        num_bands = lsh_plan(min_est_jaccard, num_hashes)["num_bands"]
+    else:
+        num_bands = 16
     clusters = dedup_clusters(
-        exact, text_col, id_col, min_est_jaccard=min_est_jaccard
+        exact,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        min_est_jaccard=min_est_jaccard,
     )
     roots = clusters.filter(F.col(id_col) == F.col("keeper_id")).select(id_col)
     kept = exact.join(roots, on=id_col, how="left_semi")

@@ -1957,6 +1957,56 @@ def training_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepare_training_corpus_neardup(docs, min_chars=100, min_stopwords=1)
 
 
+def docs_lsh_planned_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-driven near-dup pass (operators/dedup.lsh_plan →
+    minhash_near_dup_pairs): pick (bands, rows-per-band) for a 0.7 target
+    Jaccard from the S-curve — NOT a hand-tuned constant — then run the
+    banded join with exactly that split and report the predicted
+    false-positive / false-negative trade (collision probability at the
+    threshold, 0.2 below it, and the MISS probability 0.2 above it)
+    alongside the measured pair count, an id-sum fingerprint, and the
+    mean estimated Jaccard. One row; a regression in either the planner's
+    arithmetic or the banded join moves the golden. Rows-only (MinHash
+    sketch — no SQL oracle); the planner itself is exhaustively
+    unit-tested in test_dedup.py."""
+    from rust_cdc_validator_spark.operators.dedup import (
+        lsh_plan,
+        minhash_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    threshold = 0.7
+    plan = lsh_plan(threshold, num_hashes=64)
+    pairs = minhash_near_dup_pairs(
+        docs,
+        "text",
+        "doc_id",
+        num_hashes=64,
+        num_bands=int(plan["num_bands"]),
+        min_est_jaccard=threshold,
+    )
+    summary = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.coalesce(F.sum(F.col("id_a") + F.col("id_b")), F.lit(0))
+        .cast("long")
+        .alias("pair_id_sum"),
+        F.round(F.coalesce(F.avg("est_jaccard"), F.lit(0.0)), 6).alias(
+            "mean_est_jaccard"
+        ),
+    )
+    return summary.select(
+        F.lit(int(plan["num_bands"])).cast("int").alias("num_bands"),
+        F.lit(int(plan["rows_per_band"])).cast("int").alias("rows_per_band"),
+        F.lit(float(plan["inflection"])).alias("inflection"),
+        F.lit(float(plan["p_at_threshold"])).alias("p_collide_at_t"),
+        F.lit(float(plan["p_below"])).alias("p_fp_below_t"),
+        F.round(F.lit(1.0 - float(plan["p_above"])), 6).alias("p_miss_above_t"),
+        "n_pairs",
+        "pair_id_sum",
+        "mean_est_jaccard",
+    )
+
+
 def embedding_near_dup_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same near-dup contract as embedding_near_dup_docs through the
     NARROW pair-generation strategy (operators/similarity.py:
@@ -6365,6 +6415,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_near_dup_narrow": embedding_near_dup_narrow,
     "semantic_dedup_docs": semantic_dedup_docs,
     "training_corpus_neardup": training_corpus_neardup,
+    "docs_lsh_planned_neardup": docs_lsh_planned_neardup,
     "lsh_bucket_overflow_stats": lsh_bucket_overflow_stats,
     "minhash_band_overflow_stats": minhash_band_overflow_stats,
     "minhash_index_probe": minhash_index_probe,

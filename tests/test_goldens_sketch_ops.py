@@ -48,7 +48,23 @@ SKETCH_QUERIES = [
     "mmr_rerank_docs",
     "ann_recall_report",
     "dedup_cluster_histogram",
+    "docs_lsh_planned_neardup",
+    "bpe_token_budget",
+    "embedding_pca_whiten",
 ]
+
+
+def test_every_catalog_query_is_gated():
+    """Structural invariant (VERDICT r8 #1): every registered catalog
+    query must be value-checked by SOME gate — the DuckDB oracle sweep or
+    this file's golden pins. Round 8 shipped two queries that escaped
+    both; this test makes that impossible to repeat."""
+    from rust_cdc_validator_spark.queries import ORACLES, QUERIES
+
+    ungated = set(QUERIES) - set(ORACLES) - set(SKETCH_QUERIES)
+    assert not ungated, (
+        f"catalog queries with no oracle and no golden pin: {sorted(ungated)}"
+    )
 
 
 def _cell(v):
