@@ -36,10 +36,16 @@ columns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count", "degree_assortativity"]
+__all__ = [
+    "pagerank",
+    "triangle_count",
+    "degree_assortativity",
+    "label_propagation",
+    "shortest_hops",
+]
 
 #: conservative per-row estimate for the (node, rank) frame when sizing
 #: the ranks-side broadcast: string key + double + row overhead
@@ -373,3 +379,125 @@ def degree_assortativity(
         F.round(F.col("sd") / F.col("n"), 6).alias("avg_degree"),
         "assortativity_r",
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007) over the UNDIRECTED graph induced by ``edges``
+    (direction, duplicates, self-loops dropped). Every node starts with
+    its own id as label; each superstep it adopts the most frequent label
+    among its neighbors, breaking count ties toward the SMALLEST label —
+    the asynchronous/random tie-break of the paper is replaced with a
+    total order so runs (and the SQL oracle) are bit-reproducible.
+    Returns (node, label); nodes sharing a label after ``iterations``
+    supersteps are one community.
+
+    Scale shape: the symmetrized neighbor relation materializes once
+    (localCheckpoint, like pagerank's edge build). Each superstep is one
+    |E|-keyed join + a (node, label) count aggregation (map-side partial
+    combine) + a per-node argmax window whose partition is bounded by the
+    node's distinct NEighbor-label count (≤ degree) — no global sort, no
+    driver collect, lineage truncated per step. Iterations are fixed
+    (LPA oscillates on bipartite structures; synchronous + fixed count is
+    the deterministic choice — callers pick 3–7)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    nbr = und.select(
+        F.col("_a").alias("_n"), F.col("_b").alias("_nb")
+    ).unionAll(und.select(F.col("_b").alias("_n"), F.col("_a").alias("_nb")))
+    if checkpoint:
+        nbr = nbr.localCheckpoint(eager=True)
+    labels = nbr.select(F.col("_n").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("_n").orderBy(
+        F.col("_c").desc(), F.col("label").asc()
+    )
+    for it in range(iterations):
+        counts = (
+            nbr.join(labels, nbr["_nb"] == labels["node"])
+            .groupBy("_n", "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("_n").alias("node"), "label")
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def shortest_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 5,
+    directed: bool = True,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Minimum hop distance from ANY seed node to every node reachable
+    within ``max_hops`` — frontier BFS (unweighted single-source-set
+    shortest paths). ``seeds`` is a one-column (``node``) frame. Returns
+    (node, hops) with hops 0 for the seeds themselves; unreachable nodes
+    are absent.
+
+    Scale shape: classic frontier expansion — each hop joins ONLY the
+    newly-discovered frontier (not the whole distance table) against the
+    edge relation, dedups the candidates, and anti-joins the settled set,
+    so total work is O(Σ frontier-adjacent edges) ≈ O(E) across all hops,
+    not O(E × hops). The settled set and each frontier are checkpointed
+    (iterative-lineage discipline, as pagerank). One bounded driver probe
+    per hop (``take(1)`` on the new frontier) stops early when the BFS
+    exhausts before the cap — the same jobs-per-superstep budget the
+    pressure test pins for pagerank. Replays in SQL as a bounded-depth
+    recursive CTE (see TRADE_REACH_HOPS_SQL).
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if not directed:
+        e = e.unionAll(
+            edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+        )
+    e = e.filter(F.col("_s") != F.col("_d")).distinct()
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    dist = seeds.select("node").distinct().select(
+        "node", F.lit(0).cast("int").alias("hops")
+    )
+    if checkpoint:
+        dist = dist.localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        cand = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_d").alias("node"))
+            .distinct()
+        )
+        new = cand.join(dist.select("node"), "node", "left_anti").select(
+            "node", F.lit(h).cast("int").alias("hops")
+        )
+        if checkpoint:
+            new = new.localCheckpoint(eager=True)
+        if not new.take(1):
+            break
+        dist = dist.unionAll(new)
+        if checkpoint:
+            dist = dist.localCheckpoint(eager=True)
+        frontier = new.select("node")
+    return dist

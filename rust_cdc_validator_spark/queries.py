@@ -4558,6 +4558,143 @@ FROM r{iterations} WHERE node LIKE 's%'"""
 SUPPLIER_PAGERANK_SQL = _pagerank_oracle_sql()
 
 
+def supplier_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection (operators/graph.label_propagation) on the
+    bipartite customer↔supplier trade graph: 3 synchronous supersteps of
+    min-tie-break label propagation — which market segments emerge from
+    who-buys-from-whom, the clustering signal PageRank's importance score
+    flattens. Returns every supplier's community label. The oracle
+    replays all 3 unrolled supersteps (count-argmax windows included) in
+    generated SQL, so the iterative path is value-hash-checked like
+    supplier_pagerank's."""
+    from rust_cdc_validator_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    pair = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    labels = label_propagation(pair, iterations=3)
+    return labels.filter(F.col("node").startswith("s")).select(
+        F.col("node").substr(F.lit(2), F.lit(30)).cast("long").alias("suppkey"),
+        F.col("label").alias("community"),
+    )
+
+
+def _lpa_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled label-propagation CTE chain mirroring
+    operators/graph.label_propagation step for step (symmetrized neighbor
+    relation, per-node count argmax with DESC-count/ASC-label ordering) —
+    generated, like the PageRank oracle, so the iteration count lives in
+    one place."""
+    ctes = [
+        """pair AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)""",
+        """nbr AS (
+  SELECT a AS n, b AS nb FROM pair
+  UNION ALL
+  SELECT b AS n, a AS nb FROM pair
+)""",
+        "l0 AS (SELECT DISTINCT n AS node, n AS label FROM nbr)",
+    ]
+    for k in range(iterations):
+        ctes.append(
+            f"""l{k + 1} AS (
+  SELECT n AS node, label FROM (
+    SELECT nbr.n, l.label, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY nbr.n
+                              ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+    FROM nbr JOIN l{k} l ON nbr.nb = l.node
+    GROUP BY nbr.n, l.label
+  ) t WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(substring(node, 2) AS BIGINT) AS suppkey, label AS community
+FROM l{iterations} WHERE node LIKE 's%'"""
+    )
+
+
+SUPPLIER_TRADE_COMMUNITIES_SQL = _lpa_oracle_sql()
+
+
+def trade_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier BFS (operators/graph.shortest_hops): minimum hop distance
+    from NATION_7's suppliers across the undirected customer↔supplier
+    trade graph, capped at 4 hops — "how far does one nation's supply
+    network reach" (hop 1 = their direct customers, hop 2 = those
+    customers' other suppliers, …). Node-level output so the whole
+    distance assignment value-hashes; the oracle is a bounded-depth
+    recursive CTE over the same edge relation."""
+    from rust_cdc_validator_spark.operators.graph import shortest_hops
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    pair = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    seeds = (
+        sup.join(
+            nat.filter(F.col("n_name") == "NATION_7"),
+            sup["s_nationkey"] == nat["n_nationkey"],
+        )
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    return shortest_hops(pair, seeds, max_hops=4, directed=False)
+
+
+TRADE_REACH_HOPS_SQL = """
+WITH RECURSIVE
+pair AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+e AS (SELECT a AS s, b AS d FROM pair UNION ALL SELECT b AS s, a AS d FROM pair),
+seeds AS (
+  SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+),
+walk(node, h) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.d, w.h + 1 FROM walk w JOIN e ON e.s = w.node WHERE w.h < 4
+)
+SELECT node, CAST(MIN(h) AS INT) AS hops FROM walk GROUP BY node
+"""
+
+
 def events_type_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL set algebra (operators/sketch.py): for every event-type pair,
     the distinct-user union (register-wise max merge — exact over the
@@ -6467,6 +6604,8 @@ QUERIES: dict[str, QueryFn] = {
     "events_path_trigrams": events_path_trigrams,
     "customers_fuzzy_pairs": customers_fuzzy_pairs,
     "supplier_pagerank": supplier_pagerank,
+    "supplier_trade_communities": supplier_trade_communities,
+    "trade_reach_hops": trade_reach_hops,
     "events_type_overlap_hll": events_type_overlap_hll,
     "embedding_pca_whiten": embedding_pca_whiten,
     "docs_compaction_plan": docs_compaction_plan,
@@ -6602,6 +6741,8 @@ ORACLES: dict[str, str] = {
     "events_path_trigrams": EVENTS_PATH_TRIGRAMS_SQL,
     "customers_fuzzy_pairs": CUSTOMERS_FUZZY_PAIRS_SQL,
     "supplier_pagerank": SUPPLIER_PAGERANK_SQL,
+    "supplier_trade_communities": SUPPLIER_TRADE_COMMUNITIES_SQL,
+    "trade_reach_hops": TRADE_REACH_HOPS_SQL,
     "events_type_overlap_hll": EVENTS_TYPE_OVERLAP_HLL_SQL,
     "docs_compaction_plan": DOCS_COMPACTION_PLAN_SQL,
     "doc_length_batches": DOC_LENGTH_BATCHES_SQL,

@@ -203,3 +203,156 @@ def test_assortativity_matches_numpy(spark):
     got = degree_assortativity(df).first()
     assert abs(got["assortativity_r"] - round(want, 6)) <= 1e-6
     assert got["n_edges"] == len(edges)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (r9)
+# ---------------------------------------------------------------------------
+
+def _lpa_reference(edges, iterations):
+    """Driver-side synchronous LPA with the same min-label tie-break."""
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    labels = {v: v for v in nbrs}
+    for _ in range(iterations):
+        nxt = {}
+        for v, ns in nbrs.items():
+            counts = {}
+            for u in ns:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            mc = max(counts.values())
+            nxt[v] = min(l for l, c in counts.items() if c == mc)
+        labels = nxt
+    return labels
+
+
+
+def test_lpa_two_cliques_converge_to_min_ids(spark):
+    from rust_cdc_validator_spark.operators.graph import label_propagation
+
+    cliq1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    cliq2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    df = spark.createDataFrame(cliq1 + cliq2, "src string, dst string")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iterations=4, checkpoint=False).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
+
+
+def test_lpa_matches_reference_random_graph(spark):
+    import random
+
+    from rust_cdc_validator_spark.operators.graph import label_propagation
+
+    rng = random.Random(11)
+    edges = list(
+        {
+            (f"n{rng.randrange(30)}", f"n{rng.randrange(30)}")
+            for _ in range(120)
+        }
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for iters in (1, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(
+                df, iterations=iters, checkpoint=False
+            ).collect()
+        }
+        assert got == _lpa_reference(edges, iters)
+
+
+def test_lpa_partition_invariance_and_validation(spark):
+    import pytest as _pytest
+
+    from rust_cdc_validator_spark.operators.graph import label_propagation
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    one = {
+        r["node"]: r["label"]
+        for r in label_propagation(df.repartition(1), iterations=3).collect()
+    }
+    many = {
+        r["node"]: r["label"]
+        for r in label_propagation(df.repartition(7), iterations=3).collect()
+    }
+    assert one == many
+    with _pytest.raises(ValueError, match="iterations"):
+        label_propagation(df, iterations=0)
+
+
+# ---------------------------------------------------------------------------
+# Shortest hops / BFS (r9)
+# ---------------------------------------------------------------------------
+
+def _bfs_reference(edges, seeds, max_hops, directed):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        if not directed:
+            adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for v in frontier:
+            for u in adj.get(v, ()):
+                if u not in dist:
+                    dist[u] = h
+                    nxt.add(u)
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+def test_shortest_hops_matches_reference(spark):
+    from rust_cdc_validator_spark.operators.graph import shortest_hops
+
+    rng = random.Random(5)
+    edges = list(
+        {(rng.randrange(40), rng.randrange(40)) for _ in range(150)}
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (1,)], "node long")
+    for directed in (True, False):
+        got = {
+            r["node"]: r["hops"]
+            for r in shortest_hops(
+                df, seeds, max_hops=6, directed=directed, checkpoint=False
+            ).collect()
+        }
+        assert got == _bfs_reference(edges, [0, 1], 6, directed)
+
+
+def test_shortest_hops_early_exhaustion_and_cap(spark):
+    from rust_cdc_validator_spark.operators.graph import shortest_hops
+
+    # chain 0 -> 1 -> 2 -> 3; cap at 2 hops cuts node 3
+    chain = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    capped = {
+        r["node"]: r["hops"]
+        for r in shortest_hops(chain, seeds, max_hops=2).collect()
+    }
+    assert capped == {0: 0, 1: 1, 2: 2}
+    # exhaustion before the cap: max_hops=50 still terminates with all 4
+    full = {
+        r["node"]: r["hops"]
+        for r in shortest_hops(chain, seeds, max_hops=50).collect()
+    }
+    assert full == {0: 0, 1: 1, 2: 2, 3: 3}
+    with pytest.raises(ValueError, match="max_hops"):
+        shortest_hops(chain, seeds, max_hops=-1)
