@@ -361,3 +361,60 @@ def mutual_information(
         "redundancy",
         F.when(min_h > 0, F.col("mi_nats") / min_h).otherwise(F.lit(0.0)),
     )
+
+
+def chi_squared(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Pearson chi-squared independence statistic between two categorical
+    columns, plus Cramér's V — the frequentist sibling of
+    :func:`mutual_information` (same question, different scale: chi² has
+    a null distribution, V is in [0, 1] regardless of table size).
+
+    Zero-observed cells matter to chi² (expected mass with no counts),
+    but the full |X|×|Y| grid never materializes: by the identity
+    χ² = n·(Σ_observed n_xy²/(n_x·n_y) − 1) the unobserved cells are
+    exactly the "−1" — Σ over all cells of expected is n. So the compute
+    is the SAME cells-sized relation MI uses: one (x, y) hash agg with
+    map-side partials, marginals re-aggregated from the cells, one
+    cells-sized join + sum. Returns (group…, n, dof, chi2, cramers_v);
+    dof = (|X|−1)(|Y|−1), V = sqrt(χ²/(n·(min(|X|,|Y|)−1))) (0 when the
+    table is degenerate 1×k). NULL categories count as categories.
+    """
+    g = list(group_cols or [])
+    joint = df.groupBy(*g, x_col, y_col).agg(F.count(F.lit(1)).alias("_nxy"))
+    tot = joint.groupBy(*g).agg(F.sum("_nxy").alias("_n"))
+    mx = joint.groupBy(*g, x_col).agg(F.sum("_nxy").alias("_nx"))
+    my = joint.groupBy(*g, y_col).agg(F.sum("_nxy").alias("_ny"))
+    cells = joint.join(mx, [*g, x_col]).join(my, [*g, y_col])
+    if g:
+        cells = cells.join(tot, g)
+    else:
+        cells = cells.crossJoin(F.broadcast(tot))
+    nxy = F.col("_nxy").cast("double")
+    s_term = (nxy * nxy) / (
+        F.col("_nx").cast("double") * F.col("_ny").cast("double")
+    )
+    rep = cells.groupBy(*g).agg(
+        F.max("_n").cast("long").alias("n"),
+        F.sum(s_term).alias("_s"),
+        F.countDistinct(x_col).alias("_rx"),
+        F.countDistinct(y_col).alias("_ry"),
+    )
+    n_d = F.col("n").cast("double")
+    chi2 = n_d * (F.col("_s") - F.lit(1.0))
+    min_side = F.least(F.col("_rx"), F.col("_ry")) - F.lit(1)
+    return rep.select(
+        *g,
+        "n",
+        ((F.col("_rx") - 1) * (F.col("_ry") - 1)).cast("long").alias("dof"),
+        chi2.alias("chi2"),
+        F.when(
+            min_side > 0, F.sqrt(F.greatest(chi2, F.lit(0.0)) / (n_d * min_side))
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cramers_v"),
+    )

@@ -241,3 +241,47 @@ def changepoint_amoc(
             F.round("_ma", 6).alias("mean_after"),
         )
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix of per-entity event streams:
+    for each consecutive event pair within an entity's timeline, count
+    (from_type → to_type) and row-normalize — the "what happens next"
+    model behind path analysis (:func:`event_path_ngrams` counts the
+    raw n-grams; this is the n=2 case as conditional probabilities).
+    Returns (from_type, to_type, n_transitions, prob) with
+    Σ prob = 1 per from_type.
+
+    Scale shape: one shuffle on the entity key + per-entity sort for the
+    ``lead`` window (streams never globally sort; pass ``tiebreak_col``
+    for a total order under equal timestamps), then a hash count whose
+    cardinality is |types|² — tiny — with map-side partial combine. The
+    row-normalizing totals re-aggregate FROM the counts relation, never
+    from the data.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(group_col).orderBy(*order)
+    pairs = df.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tot = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("_t")
+    )
+    return counts.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        (F.col("n_transitions") / F.col("_t")).alias("prob"),
+    )

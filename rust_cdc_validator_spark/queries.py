@@ -5082,6 +5082,92 @@ def events_type_hour_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov model of user event streams
+    (operators/timeseries.markov_transitions): per consecutive event pair
+    within a user's timeline (event_id tie-break for a total order),
+    transition counts row-normalized to conditional probabilities — the
+    "what happens after a view" question path n-grams count raw. One
+    user-keyed window + a |types|²-sized count agg."""
+    from rust_cdc_validator_spark.operators.timeseries import (
+        markov_transitions,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rep = markov_transitions(ev, "user_id", "ts", "event_type", "event_id")
+    return rep.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round("prob", 6).alias("prob_r"),
+    )
+
+
+EVENTS_MARKOV_TRANSITIONS_SQL = """
+WITH p AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS to_type
+  FROM events
+), c AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+), t AS (
+  SELECT from_type, SUM(n_transitions) AS tot FROM c GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n_transitions,
+       round(CAST(c.n_transitions AS DOUBLE) / t.tot, 6) AS prob_r
+FROM c JOIN t ON c.from_type = t.from_type
+"""
+
+
+def events_type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi² + Cramér's V (operators/drift.chi_squared) between
+    event type and hour-of-day — the frequentist companion to
+    events_type_hour_mi (same cells-sized plan; zero-observed cells enter
+    via the χ² = n(Σn_xy²/(n_x·n_y) − 1) identity, so the full grid never
+    materializes)."""
+    from rust_cdc_validator_spark.operators.drift import chi_squared
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("event_type", F.hour("ts").alias("hour"))
+    rep = chi_squared(base, "event_type", "hour")
+    return rep.select(
+        "n",
+        "dof",
+        F.round("chi2", 6).alias("chi2"),
+        F.round("cramers_v", 6).alias("cramers_v"),
+    )
+
+
+EVENTS_TYPE_HOUR_CHI2_SQL = """
+WITH b AS (
+  SELECT event_type AS x, EXTRACT(hour FROM ts) AS y FROM events
+), j AS (
+  SELECT x, y, CAST(COUNT(*) AS DOUBLE) AS nxy FROM b GROUP BY x, y
+), t AS (
+  SELECT SUM(nxy) AS n FROM j
+), mx AS (
+  SELECT x, SUM(nxy) AS nx FROM j GROUP BY x
+), my AS (
+  SELECT y, SUM(nxy) AS ny FROM j GROUP BY y
+), agg AS (
+  SELECT SUM((nxy * nxy) / (nx * ny)) AS s,
+         COUNT(DISTINCT j.x) AS rx,
+         COUNT(DISTINCT j.y) AS ry
+  FROM j JOIN mx USING (x) JOIN my USING (y)
+)
+SELECT CAST(t.n AS BIGINT) AS n,
+       CAST((rx - 1) * (ry - 1) AS BIGINT) AS dof,
+       round(t.n * (s - 1.0), 6) AS chi2,
+       round(CASE WHEN least(rx, ry) > 1
+                  THEN sqrt(greatest(t.n * (s - 1.0), 0.0)
+                            / (t.n * (least(rx, ry) - 1)))
+                  ELSE 0.0 END, 6) AS cramers_v
+FROM agg CROSS JOIN t
+"""
+
+
 EVENTS_TYPE_HOUR_MI_SQL = """
 WITH b AS (
   SELECT event_type AS x, EXTRACT(hour FROM ts) AS y FROM events
@@ -5276,6 +5362,75 @@ def orders_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("over_ratio"),
         )
     )
+
+
+def orders_heavy_hitters_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase heavy-hitter detection (operators/sketch.cm_sketch /
+    cm_estimate): screen every candidate key against the KB-sized
+    Count-Min table (never underestimates → zero false NEGATIVES above
+    the threshold), then exactly count ONLY the survivors — the
+    sketch-screens-exact-confirms pattern that finds hot keys in a
+    100 TB stream without a full exact count of every key. Output keeps
+    the estimate next to the exact count so the over-approximation is
+    auditable. The oracle replays the md5 bucket arithmetic and the
+    min-over-rows estimate in SQL."""
+    from rust_cdc_validator_spark.operators.sketch import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    w, d, threshold = 4096, 4, 12
+    sk = cm_sketch(
+        orders.select(F.col("o_custkey").alias("k")), [], "k", d=d, w=w
+    )
+    keys = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    est = keys.crossJoin(F.broadcast(sk)).select(
+        "custkey",
+        cm_estimate(F.col("counters"), F.col("custkey"), d=d, w=w).alias(
+            "est_orders"
+        ),
+    )
+    survivors = est.filter(F.col("est_orders") >= threshold)
+    exact = (
+        orders.join(
+            F.broadcast(survivors.select("custkey")),
+            orders["o_custkey"] == F.col("custkey"),
+        )
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_orders"))
+    )
+    return survivors.join(exact, "custkey").select(
+        "custkey",
+        "est_orders",
+        "exact_orders",
+        F.round(
+            F.col("est_orders") / F.col("exact_orders"), 6
+        ).alias("over_ratio"),
+    )
+
+
+ORDERS_HEAVY_HITTERS_CM_SQL = """
+WITH f AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY 1
+), r AS (
+  SELECT i,
+         CAST('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 4)
+              AS BIGINT) % 4096 AS b,
+         CAST(SUM(c) AS BIGINT) AS cnt
+  FROM f CROSS JOIN range(4) t(i) GROUP BY i, b
+), est AS (
+  SELECT f.k, MIN(r.cnt) AS est_orders
+  FROM f JOIN r
+    ON r.b = CAST('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' || CAST(f.k AS VARCHAR)), 1, 4)
+                  AS BIGINT) % 4096
+  GROUP BY f.k
+)
+SELECT f.k AS custkey, est.est_orders, f.c AS exact_orders,
+       round(CAST(est.est_orders AS DOUBLE) / f.c, 6) AS over_ratio
+FROM est JOIN f ON est.k = f.k
+WHERE est.est_orders >= 12
+"""
 
 
 ORDERS_JOIN_SIZE_SKETCH_SQL = """
@@ -6614,9 +6769,12 @@ QUERIES: dict[str, QueryFn] = {
     "nation_balance_spend_corr": nation_balance_spend_corr,
     "customers_sorted_neighborhood": customers_sorted_neighborhood,
     "events_type_hour_mi": events_type_hour_mi,
+    "events_type_hour_chi2": events_type_hour_chi2,
+    "events_markov_transitions": events_markov_transitions,
     "customer_golden_entities": customer_golden_entities,
     "bpe_token_budget": bpe_token_budget,
     "orders_join_size_sketch": orders_join_size_sketch,
+    "orders_heavy_hitters_cm": orders_heavy_hitters_cm,
     "weighted_sample_docs": weighted_sample_docs,
     "orders_price_quantile_sketch": orders_price_quantile_sketch,
     "events_value_outliers": events_value_outliers,
@@ -6750,8 +6908,11 @@ ORACLES: dict[str, str] = {
     "nation_balance_spend_corr": NATION_BALANCE_SPEND_CORR_SQL,
     "customers_sorted_neighborhood": CUSTOMERS_SORTED_NEIGHBORHOOD_SQL,
     "events_type_hour_mi": EVENTS_TYPE_HOUR_MI_SQL,
+    "events_type_hour_chi2": EVENTS_TYPE_HOUR_CHI2_SQL,
+    "events_markov_transitions": EVENTS_MARKOV_TRANSITIONS_SQL,
     "customer_golden_entities": CUSTOMER_GOLDEN_ENTITIES_SQL,
     "orders_join_size_sketch": ORDERS_JOIN_SIZE_SKETCH_SQL,
+    "orders_heavy_hitters_cm": ORDERS_HEAVY_HITTERS_CM_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_DOCS_SQL,
     "orders_price_quantile_sketch": ORDERS_PRICE_QSKETCH_SQL,
     "events_value_outliers": EVENTS_VALUE_OUTLIERS_SQL,

@@ -236,3 +236,63 @@ def test_changepoint_amoc_matches_bruteforce(spark):
     got = changepoint_amoc(df, ["grp"], "day", "v").first()
     assert got["cut_index"] == best[0]
     assert abs(got["shift_stat"] - round(best[1], 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared independence (r9)
+# ---------------------------------------------------------------------------
+
+def test_chi_squared_matches_direct_computation(spark):
+    from rust_cdc_validator_spark.operators.drift import chi_squared
+
+    rows = []
+    # 3x2 table with known counts, including a zero-observed cell ("c",0)
+    for x, y, c in [("a", 0, 20), ("a", 1, 30), ("b", 0, 25), ("b", 1, 5), ("c", 1, 20)]:
+        rows += [(x, y)] * c
+    df = spark.createDataFrame(rows, "x string, y int")
+    got = chi_squared(df, "x", "y").first()
+    # direct chi2 over the FULL 3x2 grid (zero cells included)
+    import itertools
+
+    n = len(rows)
+    from collections import Counter
+
+    obs = Counter(rows)
+    nx = Counter(x for x, _ in rows)
+    ny = Counter(y for _, y in rows)
+    chi2 = 0.0
+    for x, y in itertools.product(nx, ny):
+        e = nx[x] * ny[y] / n
+        chi2 += (obs.get((x, y), 0) - e) ** 2 / e
+    assert got["n"] == n
+    assert got["dof"] == 2  # (3-1)*(2-1)
+    assert abs(got["chi2"] - chi2) < 1e-9
+    import math
+
+    assert abs(got["cramers_v"] - math.sqrt(chi2 / (n * 1))) < 1e-9
+
+
+def test_chi_squared_independent_and_degenerate(spark):
+    from rust_cdc_validator_spark.operators.drift import chi_squared
+
+    # perfectly independent 2x2 (balanced cross)
+    rows = [(x, y) for x in ("a", "b") for y in (0, 1) for _ in range(10)]
+    df = spark.createDataFrame(rows, "x string, y int")
+    got = chi_squared(df, "x", "y").first()
+    assert abs(got["chi2"]) < 1e-9 and got["cramers_v"] == 0.0
+    # degenerate 1xk: dof 0, V defined as 0
+    deg = spark.createDataFrame([("a", i % 3) for i in range(12)], "x string, y int")
+    d = chi_squared(deg, "x", "y").first()
+    assert d["dof"] == 0 and d["cramers_v"] == 0.0
+
+
+def test_chi_squared_grouped(spark):
+    from rust_cdc_validator_spark.operators.drift import chi_squared
+
+    rows = [("g1", "a", 0)] * 10 + [("g1", "b", 1)] * 10 + [
+        ("g2", x, y) for x in ("a", "b") for y in (0, 1) for _ in range(5)
+    ]
+    df = spark.createDataFrame(rows, "g string, x string, y int")
+    got = {r["g"]: r for r in chi_squared(df, "x", "y", ["g"]).collect()}
+    assert got["g1"]["chi2"] > 10  # perfect association
+    assert abs(got["g2"]["chi2"]) < 1e-9

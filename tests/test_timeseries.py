@@ -53,3 +53,46 @@ def test_rolling_window_single_shuffle_and_validation(spark):
     assert plan.count("Exchange") == 1  # one hash shuffle on the key
     with pytest.raises(ValueError):
         rolling_window_features(df, ["k"], "ts", "v", 0)
+
+
+# ---------------------------------------------------------------------------
+# Markov transitions (r9)
+# ---------------------------------------------------------------------------
+
+def test_markov_transitions_known_streams(spark):
+    from rust_cdc_validator_spark.operators.timeseries import markov_transitions
+
+    rows = [
+        ("u1", 1, "view"), ("u1", 2, "cart"), ("u1", 3, "buy"),
+        ("u2", 1, "view"), ("u2", 2, "view"), ("u2", 3, "cart"),
+        ("u3", 1, "view"),  # single event: no transition
+    ]
+    df = spark.createDataFrame(rows, "u string, ts long, t string")
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["prob"])
+        for r in markov_transitions(df, "u", "ts", "t").collect()
+    }
+    assert got[("view", "cart")] == (2, 2 / 3)
+    assert got[("view", "view")] == (1, 1 / 3)
+    assert got[("cart", "buy")] == (1, 1.0)
+    assert set(got) == {("view", "cart"), ("view", "view"), ("cart", "buy")}
+    # probs row-normalize per from_type
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (f, _), (_, p) in got.items():
+        sums[f] += p
+    assert all(abs(s - 1.0) < 1e-12 for s in sums.values())
+
+
+def test_markov_transitions_tiebreak_total_order(spark):
+    from rust_cdc_validator_spark.operators.timeseries import markov_transitions
+
+    # equal timestamps: tiebreak column fixes the order deterministically
+    rows = [("u", 1, 2, "b"), ("u", 1, 1, "a"), ("u", 1, 3, "c")]
+    df = spark.createDataFrame(rows, "u string, ts long, eid long, t string")
+    got = {
+        (r["from_type"], r["to_type"])
+        for r in markov_transitions(df, "u", "ts", "t", "eid").collect()
+    }
+    assert got == {("a", "b"), ("b", "c")}
