@@ -186,6 +186,125 @@ GROUP BY r_name, n_name
 """
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue per supplier over one quarter, then the
+    supplier(s) achieving the MAX — the scalar-aggregate-as-filter
+    pattern (a 1-row broadcast join, never a driver collect). Revenue
+    compares as exact DECIMAL before the display cast, so the max-match
+    is engine-portable (double equality is not)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") <= F.lit("1995-03-31"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(24,8)"
+                )
+            ).alias("_rev")
+        )
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["_rev"] == mx["_mx"])
+        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+Q15_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS r
+  FROM lineitem
+  WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(CAST(r AS DOUBLE), 2) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)
+"""
+
+
+def q22_low_engagement_value_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 shape (adapted — the testdata has no phone country
+    codes and every customer has orders): customers holding
+    above-average balances but ordering BELOW the average order count —
+    the capital-at-risk segment. Exercises TWO independent scalar
+    thresholds (each an exact-decimal 1-row aggregate broadcast into the
+    filter, never collected) + an aggregation join + a per-nation
+    rollup."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    bal_thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_bal_thr")
+    )
+    oc = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_orders")
+    )
+    cnt_thr = oc.agg(
+        (F.sum("_n_orders").cast("double") / F.count(F.lit(1))).alias(
+            "_cnt_thr"
+        )
+    )
+    picked = (
+        cust.join(oc, cust["c_custkey"] == oc["o_custkey"])
+        .crossJoin(F.broadcast(bal_thr))
+        .crossJoin(F.broadcast(cnt_thr))
+        .filter(
+            (F.col("c_acctbal") > F.col("_bal_thr"))
+            & (F.col("_n_orders") < F.col("_cnt_thr"))
+        )
+    )
+    return (
+        picked.join(
+            F.broadcast(nation), picked["c_nationkey"] == nation["n_nationkey"]
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            _dsum(F.col("c_acctbal")).alias("total_balance"),
+            F.sum("_n_orders").cast("long").alias("total_orders"),
+        )
+    )
+
+
+Q22_LOW_ENGAGEMENT_SQL = """
+WITH bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS t
+  FROM customer WHERE c_acctbal > 0
+), oc AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY o_custkey
+), cnt AS (
+  SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS t FROM oc
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
+       CAST(SUM(n) AS BIGINT) AS total_orders
+FROM customer
+JOIN oc ON c_custkey = o_custkey
+JOIN nation ON c_nationkey = n_nationkey
+CROSS JOIN bal CROSS JOIN cnt
+WHERE c_acctbal > bal.t AND n < cnt.t
+GROUP BY n_name
+"""
+
+
 def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING over a join — customers whose single orders
     exceed 150 units total quantity."""
@@ -6647,6 +6766,8 @@ QUERIES: dict[str, QueryFn] = {
     "q5_region_revenue": q5_region_revenue,
     "top_parts_per_brand": top_parts_per_brand,
     "big_orders": big_orders,
+    "q15_top_supplier": q15_top_supplier,
+    "q22_low_engagement_value_customers": q22_low_engagement_value_customers,
     "returned_items": returned_items,
     "promo_revenue_share": promo_revenue_share,
     "events_hourly": events_hourly,
@@ -6807,6 +6928,8 @@ ORACLES: dict[str, str] = {
     "q5_region_revenue": Q5_SQL,
     "top_parts_per_brand": TOP_PARTS_SQL,
     "big_orders": BIG_ORDERS_SQL,
+    "q15_top_supplier": Q15_TOP_SUPPLIER_SQL,
+    "q22_low_engagement_value_customers": Q22_LOW_ENGAGEMENT_SQL,
     "returned_items": RETURNED_ITEMS_SQL,
     "promo_revenue_share": PROMO_SHARE_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
