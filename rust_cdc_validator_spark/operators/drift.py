@@ -418,3 +418,76 @@ def chi_squared(
         .otherwise(F.lit(0.0))
         .alias("cramers_v"),
     )
+
+
+def ks_two_sample(a: DataFrame, b: DataFrame, value_col: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic for one numeric column —
+    D = max over observed values of |CDF_a(v) − CDF_b(v)|, the
+    distribution-drift test that (unlike :func:`psi_drift`'s fixed bins)
+    needs no binning decision and catches shape changes PSI's coarse
+    histogram can average away. Returns ONE row:
+    (n_a, n_b, ks_d, at_value, critical_95) where ``at_value`` is the
+    smallest value achieving D and ``critical_95`` the classic
+    1.358·√((n_a+n_b)/(n_a·n_b)) large-sample threshold.
+
+    Scale shape: each side collapses to a (value, count) relation first
+    (map-side combine — the shuffle carries distinct values, not rows),
+    the two relations merge-count in one hash agg, and BOTH cumulative
+    counts ride ONE two-phase prefix scan
+    (operators/layout.prefix_sums: range exchange + partition-local
+    windows + broadcast offsets — no single-task global window). All
+    arithmetic is exact integer counts divided once per row, so a SQL
+    oracle replays D bit-for-bit. NULLs are excluded (they are
+    drift_report's null_count signal, not a distribution point).
+    """
+    from rust_cdc_validator_spark.operators.layout import prefix_sums
+
+    def side(df: DataFrame, ca: int, cb: int) -> DataFrame:
+        return (
+            df.select(F.col(value_col).cast("double").alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .select("_v", F.lit(ca).alias("_ca"), F.lit(cb).alias("_cb"))
+        )
+
+    pooled = side(a, 1, 0).unionAll(side(b, 0, 1))
+    cells = pooled.groupBy("_v").agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    cum = prefix_sums(cells, ["_v"], {"_na": "_cna", "_nb": "_cnb"})
+    tot = cells.agg(
+        F.sum("_na").cast("long").alias("_ta"),
+        F.sum("_nb").cast("long").alias("_tb"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "_v",
+        "_ta",
+        "_tb",
+        F.abs(
+            (F.col("_cna") + F.col("_na")).cast("double") / F.col("_ta")
+            - (F.col("_cnb") + F.col("_nb")).cast("double") / F.col("_tb")
+        ).alias("_d"),
+    )
+    mx = d.agg(F.max("_d").alias("_mx"))
+    return (
+        d.join(F.broadcast(mx), d["_d"] == mx["_mx"])
+        .agg(
+            F.max("_ta").alias("n_a"),
+            F.max("_tb").alias("n_b"),
+            F.round(F.max("_d"), 6).alias("ks_d"),
+            F.min("_v").alias("at_value"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "ks_d",
+            "at_value",
+            F.round(
+                F.lit(1.358)
+                * F.sqrt(
+                    (F.col("n_a") + F.col("n_b")).cast("double")
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("critical_95"),
+        )
+    )

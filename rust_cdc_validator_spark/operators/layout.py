@@ -122,6 +122,24 @@ def prefix_sum(
     a tie-free key (append a unique id). The output adds ``out_col`` =
     sum of all strictly-preceding rows' values (first row: 0).
     """
+    return prefix_sums(df, order_cols, {value_col: out_col}, num_ranges)
+
+
+def prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    value_cols: dict[str, str],
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Exclusive running sums of SEVERAL value columns in one pass —
+    identical two-phase plan to :func:`prefix_sum` (range exchange +
+    partition-local windows + one broadcast offset join), amortized over
+    every requested column instead of re-sorting per column.
+    ``value_cols`` maps each input column to its output cumulative-sum
+    column name. Same tie-free-order contract as :func:`prefix_sum`.
+    """
+    if not value_cols:
+        raise ValueError("value_cols must not be empty")
     parts = num_ranges or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
@@ -135,23 +153,32 @@ def prefix_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = ranged.withColumn(
-        "_local", F.coalesce(F.sum(F.col(value_col)).over(w), F.lit(0))
-    )
+    local = ranged
+    for i, c in enumerate(value_cols):
+        local = local.withColumn(
+            f"_local{i}", F.coalesce(F.sum(F.col(c)).over(w), F.lit(0))
+        )
     wp = (
         Window.orderBy("_pid")  # partitions-sized frame: 1-task window is fine
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = (
-        ranged.groupBy("_pid")
-        .agg(F.sum(F.col(value_col)).alias("_ptot"))
-        .withColumn("_off", F.coalesce(F.sum("_ptot").over(wp), F.lit(0)))
-        .select("_pid", "_off")
+    offsets = ranged.groupBy("_pid").agg(
+        *[F.sum(F.col(c)).alias(f"_ptot{i}") for i, c in enumerate(value_cols)]
     )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, F.col("_local") + F.col("_off"))
-        .drop("_pid", "_local")
+    for i in range(len(value_cols)):
+        offsets = offsets.withColumn(
+            f"_off{i}", F.coalesce(F.sum(f"_ptot{i}").over(wp), F.lit(0))
+        )
+    offsets = offsets.select(
+        "_pid", *[f"_off{i}" for i in range(len(value_cols))]
+    )
+    out = local.join(F.broadcast(offsets), "_pid")
+    for i, (c, name) in enumerate(value_cols.items()):
+        out = out.withColumn(name, F.col(f"_local{i}") + F.col(f"_off{i}"))
+    return out.drop(
+        "_pid",
+        *[f"_local{i}" for i in range(len(value_cols))],
+        *[f"_off{i}" for i in range(len(value_cols))],
     )
 
 
@@ -181,3 +208,51 @@ def plan_compaction(
     return with_cum.withColumn(
         "bin", F.floor(F.col("cum_before") / F.lit(target_bytes)).cast("int")
     ).drop("cum_before")
+
+
+def prefix_max(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "run_max_before",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Exclusive running MAX of ``value_col`` in global ``order_cols``
+    order — :func:`prefix_sum`'s shape with a max monoid: range exchange,
+    partition-local window, per-partition maxima scanned exclusively and
+    broadcast back as offsets (combined with ``greatest``). The first row
+    gets NULL (max has no identity element, unlike sum's 0). Same
+    tie-free-order contract. Feeds running-record computations — e.g. the
+    2-D Pareto frontier (operators/pareto.py) keeps rows beating every
+    predecessor's best."""
+    parts = num_ranges or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    ranged = (
+        df.repartitionByRange(int(parts), *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("_lmax", F.max(F.col(value_col)).over(w))
+    wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.max(F.col(value_col)).alias("_pmax"))
+        .withColumn("_off", F.max("_pmax").over(wp))
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out_col,
+            F.when(F.col("_lmax").isNull(), F.col("_off"))
+            .when(F.col("_off").isNull(), F.col("_lmax"))
+            .otherwise(F.greatest(F.col("_lmax"), F.col("_off"))),
+        )
+        .drop("_pid", "_lmax", "_off")
+    )

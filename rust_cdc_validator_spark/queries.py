@@ -5201,6 +5201,88 @@ def events_type_hour_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_record_price_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (operators/pareto.pareto_frontier_2d):
+    record-setting orders — the skyline of (earliest date, highest price),
+    i.e. every order whose price beat every earlier-or-same-day order.
+    The SKYLINE OF dominance query WITHOUT the quadratic self-join: one
+    per-date max agg + one range-exchanged running-record scan
+    (prefix_max — no single-task global window). The oracle replays the
+    running max with a plain window."""
+    from rust_cdc_validator_spark.operators.pareto import pareto_frontier_2d
+
+    orders = _t(spark, sf_dir, "orders")
+    return pareto_frontier_2d(
+        orders, "o_orderdate", "o_totalprice", minimize_x=True, maximize_y=True
+    )
+
+
+ORDERS_RECORD_PRICE_FRONTIER_SQL = """
+WITH cand AS (
+  SELECT o_orderdate, MAX(o_totalprice) AS o_totalprice
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY o_orderdate
+), c AS (
+  SELECT o_orderdate, o_totalprice,
+         MAX(o_totalprice) OVER (
+           ORDER BY o_orderdate
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM cand
+)
+SELECT o_orderdate, o_totalprice FROM c WHERE pm IS NULL OR o_totalprice > pm
+"""
+
+
+def orders_price_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift (operators/drift.ks_two_sample)
+    between early-era (< 1998) and late-era order prices — the
+    binning-free companion to PSI: D = max CDF gap over observed values,
+    with the 95% critical threshold alongside. Both cumulative counts
+    ride ONE two-phase prefix scan (no single-task global window); the
+    oracle replays the exact integer-count arithmetic with a plain window
+    cumsum."""
+    from rust_cdc_validator_spark.operators.drift import ks_two_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    early = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01")).select(
+        "o_totalprice"
+    )
+    late = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01")).select(
+        "o_totalprice"
+    )
+    return ks_two_sample(early, late, "o_totalprice")
+
+
+ORDERS_PRICE_KS_DRIFT_SQL = """
+WITH pooled AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v,
+         CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS ca,
+         CASE WHEN o_orderdate < DATE '1998-01-01' THEN 0 ELSE 1 END AS cb
+  FROM orders WHERE o_totalprice IS NOT NULL
+), cells AS (
+  SELECT v, SUM(ca) AS na, SUM(cb) AS nb FROM pooled GROUP BY v
+), t AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+  FROM cells
+), c AS (
+  SELECT v,
+         SUM(na) OVER (ORDER BY v) AS cna,
+         SUM(nb) OVER (ORDER BY v) AS cnb
+  FROM cells
+), d AS (
+  SELECT v,
+         ABS(CAST(cna AS DOUBLE) / t.ta - CAST(cnb AS DOUBLE) / t.tb) AS dd
+  FROM c CROSS JOIN t
+), mx AS (SELECT MAX(dd) AS m FROM d)
+SELECT t.ta AS n_a, t.tb AS n_b, round(mx.m, 6) AS ks_d,
+       (SELECT MIN(v) FROM d CROSS JOIN mx WHERE d.dd = mx.m) AS at_value,
+       round(1.358 * sqrt(CAST(t.ta + t.tb AS DOUBLE) / (t.ta * t.tb)), 6)
+         AS critical_95
+FROM t CROSS JOIN mx
+"""
+
+
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov model of user event streams
     (operators/timeseries.markov_transitions): per consecutive event pair
@@ -6891,6 +6973,8 @@ QUERIES: dict[str, QueryFn] = {
     "customers_sorted_neighborhood": customers_sorted_neighborhood,
     "events_type_hour_mi": events_type_hour_mi,
     "events_type_hour_chi2": events_type_hour_chi2,
+    "orders_price_ks_drift": orders_price_ks_drift,
+    "orders_record_price_frontier": orders_record_price_frontier,
     "events_markov_transitions": events_markov_transitions,
     "customer_golden_entities": customer_golden_entities,
     "bpe_token_budget": bpe_token_budget,
@@ -7032,6 +7116,8 @@ ORACLES: dict[str, str] = {
     "customers_sorted_neighborhood": CUSTOMERS_SORTED_NEIGHBORHOOD_SQL,
     "events_type_hour_mi": EVENTS_TYPE_HOUR_MI_SQL,
     "events_type_hour_chi2": EVENTS_TYPE_HOUR_CHI2_SQL,
+    "orders_price_ks_drift": ORDERS_PRICE_KS_DRIFT_SQL,
+    "orders_record_price_frontier": ORDERS_RECORD_PRICE_FRONTIER_SQL,
     "events_markov_transitions": EVENTS_MARKOV_TRANSITIONS_SQL,
     "customer_golden_entities": CUSTOMER_GOLDEN_ENTITIES_SQL,
     "orders_join_size_sketch": ORDERS_JOIN_SIZE_SKETCH_SQL,

@@ -296,3 +296,49 @@ def test_chi_squared_grouped(spark):
     got = {r["g"]: r for r in chi_squared(df, "x", "y", ["g"]).collect()}
     assert got["g1"]["chi2"] > 10  # perfect association
     assert abs(got["g2"]["chi2"]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample (r9)
+# ---------------------------------------------------------------------------
+
+def _ks_reference(xs, ys):
+    vals = sorted(set(xs) | set(ys))
+    na, nb = len(xs), len(ys)
+    sx, sy = sorted(xs), sorted(ys)
+    import bisect
+
+    best, at = -1.0, None
+    for v in vals:
+        d = abs(
+            bisect.bisect_right(sx, v) / na - bisect.bisect_right(sy, v) / nb
+        )
+        if d > best + 1e-15:
+            best, at = d, v
+    return best, at
+
+
+def test_ks_two_sample_matches_reference(spark):
+    import random
+
+    from rust_cdc_validator_spark.operators.drift import ks_two_sample
+
+    rng = random.Random(3)
+    xs = [round(rng.gauss(0, 1), 3) for _ in range(400)]
+    ys = [round(rng.gauss(0.5, 1.3), 3) for _ in range(300)]
+    a = spark.createDataFrame([(v,) for v in xs], "x double")
+    b = spark.createDataFrame([(v,) for v in ys], "x double")
+    got = ks_two_sample(a, b, "x").first()
+    want_d, want_at = _ks_reference(xs, ys)
+    assert got["n_a"] == 400 and got["n_b"] == 300
+    assert abs(got["ks_d"] - round(want_d, 6)) < 1e-9
+    assert got["at_value"] == want_at
+    assert got["ks_d"] > got["critical_95"]  # planted shift is detectable
+
+
+def test_ks_two_sample_identical_distributions(spark):
+    from rust_cdc_validator_spark.operators.drift import ks_two_sample
+
+    a = spark.range(500).select((F.col("id") % 50).cast("double").alias("x"))
+    got = ks_two_sample(a, a, "x").first()
+    assert got["ks_d"] == 0.0

@@ -138,3 +138,22 @@ def test_compaction_validates_target(spark):
     df = spark.createDataFrame([(1, 1)], "id long, sz long")
     with pytest.raises(ValueError, match="target_bytes"):
         plan_compaction(df, "sz", ["id"], 0)
+
+
+def test_prefix_sums_multi_column_matches_single(spark):
+    from rust_cdc_validator_spark.operators.layout import prefix_sum, prefix_sums
+
+    df = spark.range(200).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("a"),
+        (F.col("id") % 5).alias("b"),
+    )
+    multi = prefix_sums(df, ["id"], {"a": "ca", "b": "cb"}).orderBy("id")
+    single_a = prefix_sum(df, ["id"], "a", "ca").orderBy("id")
+    got = [(r["id"], r["ca"], r["cb"]) for r in multi.collect()]
+    want_a = {r["id"]: r["ca"] for r in single_a.collect()}
+    run_a = run_b = 0
+    for i, (rid, ca, cb) in enumerate(got):
+        assert rid == i and ca == run_a == want_a[rid] and cb == run_b
+        run_a += i % 7
+        run_b += i % 5
