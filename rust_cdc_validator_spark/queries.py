@@ -5565,6 +5565,106 @@ def orders_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (operators/sketch.key_bloom /
+    bloom_prune): build a 64 Kbit bitmap over high-value order keys
+    entirely in-plan (bit_or aggregation — nothing collects), pre-filter
+    the lineitem scan against it with broadcast-only joins, and audit the
+    trade: definite keeps, false positives, and the fraction of the big
+    side that never reaches the shuffle join. Mirrors Spark's runtime
+    bloom pushdown as an explicit, engine-replayable operator; the oracle
+    rebuilds every bit with the same md5 arithmetic."""
+    from rust_cdc_validator_spark.operators.sketch import (
+        bloom_prune,
+        key_bloom,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    keys = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("kk")
+    )
+    bloom = key_bloom(keys, "kk")
+    probe = li.select(F.col("l_orderkey").alias("k"))
+    passed = bloom_prune(probe, "k", bloom)
+    n_total = probe.agg(F.count(F.lit(1)).cast("long").alias("n_lineitems"))
+    n_pass = passed.agg(F.count(F.lit(1)).cast("long").alias("n_pass_bloom"))
+    n_true = (
+        probe.join(keys, probe["k"] == keys["kk"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true_match"))
+    )
+    return (
+        n_total.crossJoin(F.broadcast(n_pass))
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "n_lineitems",
+            "n_pass_bloom",
+            "n_true_match",
+            (F.col("n_pass_bloom") - F.col("n_true_match"))
+            .cast("long")
+            .alias("n_false_pos"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_pass_bloom") / F.col("n_lineitems"),
+                6,
+            ).alias("pruned_fraction"),
+        )
+    )
+
+
+def _bloom_prune_oracle_sql(k: int = 4, price_min: int = 400000) -> str:
+    """Replays key_bloom + bloom_prune bit for bit: md5 16-bit positions,
+    32-bit words via bit_or, k probe bit-tests as generated LEFT JOINs —
+    generated like the PageRank/LPA oracles so k lives in one place."""
+    joins = []
+    hits = []
+    for i in range(k):
+        pos = (
+            f"CAST('0x' || substring(md5('{i}:' || CAST(li.k AS VARCHAR)), 1, 4)"
+            f" AS BIGINT)"
+        )
+        joins.append(
+            f"LEFT JOIN bloom b{i} ON b{i}.w = ({pos} >> 5)"
+        )
+        hits.append(
+            f"((COALESCE(b{i}.bits, 0) >> CAST(({pos}) % 32 AS INT)) & 1) = 1"
+        )
+    return f"""
+WITH keys AS (
+  SELECT o_orderkey AS kk FROM orders WHERE o_totalprice > {price_min}
+), pos AS (
+  SELECT CAST('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(kk AS VARCHAR)), 1, 4)
+              AS BIGINT) AS p
+  FROM keys CROSS JOIN range({k}) t(i)
+), bloom AS (
+  SELECT p >> 5 AS w,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+  FROM pos GROUP BY 1
+), li AS (
+  SELECT l_orderkey AS k FROM lineitem
+), probe AS (
+  SELECT li.k, ({' AND '.join(hits)}) AS hit
+  FROM li
+  {chr(10).join('  ' + j for j in joins)}
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+         CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom
+  FROM probe
+), tr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_true_match
+  FROM li WHERE k IN (SELECT kk FROM keys)
+)
+SELECT n_lineitems, n_pass_bloom, n_true_match,
+       CAST(n_pass_bloom - n_true_match AS BIGINT) AS n_false_pos,
+       round(1.0 - CAST(n_pass_bloom AS DOUBLE) / n_lineitems, 6)
+         AS pruned_fraction
+FROM agg CROSS JOIN tr
+"""
+
+
+LINEITEM_BLOOM_JOIN_PRUNE_SQL = _bloom_prune_oracle_sql()
+
+
 def orders_heavy_hitters_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase heavy-hitter detection (operators/sketch.cm_sketch /
     cm_estimate): screen every candidate key against the KB-sized
@@ -6980,6 +7080,7 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_token_budget": bpe_token_budget,
     "orders_join_size_sketch": orders_join_size_sketch,
     "orders_heavy_hitters_cm": orders_heavy_hitters_cm,
+    "lineitem_bloom_join_prune": lineitem_bloom_join_prune,
     "weighted_sample_docs": weighted_sample_docs,
     "orders_price_quantile_sketch": orders_price_quantile_sketch,
     "events_value_outliers": events_value_outliers,
@@ -7122,6 +7223,7 @@ ORACLES: dict[str, str] = {
     "customer_golden_entities": CUSTOMER_GOLDEN_ENTITIES_SQL,
     "orders_join_size_sketch": ORDERS_JOIN_SIZE_SKETCH_SQL,
     "orders_heavy_hitters_cm": ORDERS_HEAVY_HITTERS_CM_SQL,
+    "lineitem_bloom_join_prune": LINEITEM_BLOOM_JOIN_PRUNE_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_DOCS_SQL,
     "orders_price_quantile_sketch": ORDERS_PRICE_QSKETCH_SQL,
     "events_value_outliers": EVENTS_VALUE_OUTLIERS_SQL,

@@ -257,3 +257,58 @@ def test_cm_join_size_large_but_representable_is_exact(spark):
         cm_join_size(F.col("ca"), F.col("cb")).alias("e")
     ).first()["e"]
     assert got == big * big
+
+
+# ---------------------------------------------------------------------------
+# Key Bloom join pruning (r9)
+# ---------------------------------------------------------------------------
+
+def test_bloom_prune_no_false_negatives_and_low_fp(spark):
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.sketch import bloom_prune, key_bloom
+
+    keys = spark.range(500).select((F.col("id") * 7).alias("k"))
+    bloom = key_bloom(keys, "k")
+    probe = spark.range(20000).select(F.col("id").alias("k"))
+    kept = bloom_prune(probe, "k", bloom)
+    kept_set = {r["k"] for r in kept.collect()}
+    true_set = {i * 7 for i in range(500)}
+    assert true_set <= kept_set  # NO false negatives, ever
+    fp = len(kept_set - true_set)
+    non_members = 20000 - len([k for k in true_set if k < 20000])
+    # n=500, m=65536, k=4 -> theoretical fp ~ (1-exp(-4*500/65536))^4 ~ 8e-7;
+    # allow generous slack
+    assert fp / non_members < 0.01, f"{fp} false positives"
+
+
+def test_bloom_prune_plan_is_broadcast_only(spark):
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.sketch import bloom_prune, key_bloom
+
+    keys = spark.range(100).select(F.col("id").alias("k"))
+    bloom = key_bloom(keys, "k")
+    probe = spark.range(5000).select(F.col("id").alias("k"))
+    plan = (
+        bloom_prune(probe, "k", bloom)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_key_bloom_validations(spark):
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    from rust_cdc_validator_spark.operators.sketch import bloom_prune, key_bloom
+
+    df = spark.range(5).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError, match="k must be"):
+        key_bloom(df, "k", k=0)
+    with _pytest.raises(ValueError, match="k must be"):
+        bloom_prune(df, "k", key_bloom(df, "k"), k=0)
