@@ -1864,3 +1864,63 @@ def domain_quota_cap(
         .drop("_rn")
     )
     return under.unionByName(capped)
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information (Church & Hanks
+    1990): PMI(w1, w2) = ln(p(w1,w2) / (p(w1)·p(w2))) over adjacent token
+    pairs — the phrase-discovery statistic (tokenizer vocab seeding,
+    stopword-phrase screens) that raw bigram counts can't give (frequent
+    ≠ associated).
+
+    Scale shape: bigrams fan out MAP-SIDE (zip_with over two array
+    slices — no posexplode self-join), then one hash count; unigram
+    margins re-aggregate FROM the bigram relation (cells-sized). The
+    top-k orders by the EXACT integer ratio n·N/(n1·n2) (ln is monotone,
+    so the order is identical — and exact-int ordering is engine-portable
+    where last-ulp ln differences are not) via orderBy+limit
+    (TakeOrderedAndProject — parallel partial top-k, no global sort).
+    ``min_count`` screens the unstable low-count tail PMI is notorious
+    for. Returns (w1, w2, n_pair, pmi) ordered strongest-first.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    sz = F.size(toks)
+    pairs = F.when(
+        sz >= 2,
+        F.zip_with(
+            F.slice(toks, 1, sz - 1),
+            F.slice(toks, 2, sz - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = df.select(F.explode(pairs).alias("_p")).select("_p.w1", "_p.w2")
+    counts = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    )
+    tot = counts.agg(F.sum("n_pair").cast("long").alias("_tot"))
+    left = counts.groupBy("w1").agg(F.sum("n_pair").alias("_n1"))
+    right = counts.groupBy("w2").agg(F.sum("n_pair").alias("_n2"))
+    ratio = (
+        F.col("n_pair").cast("double")
+        * F.col("_tot")
+        / (F.col("_n1") * F.col("_n2"))
+    )
+    return (
+        counts.filter(F.col("n_pair") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n_pair", ratio.alias("_ratio"))
+        .orderBy(F.col("_ratio").desc(), "w1", "w2")
+        .limit(top_k)
+        .select("w1", "w2", "n_pair", F.round(F.log("_ratio"), 6).alias("pmi"))
+    )

@@ -17,7 +17,7 @@ agg, not per-column jobs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -489,5 +489,121 @@ def ks_two_sample(a: DataFrame, b: DataFrame, value_col: str) -> DataFrame:
                 ),
                 6,
             ).alias("critical_95"),
+        )
+    )
+
+
+def ols_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression (closed-form OLS): slope,
+    intercept, r², n — the trend detector behind "is this metric drifting
+    WITH that one" questions (drift_report says a mean moved;
+    this says how fast, per segment).
+
+    Everything derives from the five classical sums (n, Σx, Σy, Σxy, Σx²,
+    Σy²) in ONE hash aggregation with map-side partials — no second pass,
+    no window, shuffle bounded by group count. Degenerate groups (zero x
+    variance or n < 2) return NULL slope/intercept/r² via ``try_divide``
+    (ANSI-safe) rather than raising. Rows with NULL x or y are excluded.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull())
+    agg = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n  # n·cov
+    varx_n = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n  # n·var(x)
+    vary_n = F.col("_syy") - F.col("_sy") * F.col("_sy") / n  # n·var(y)
+    slope = F.try_divide(cov_n, varx_n)
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / n
+    r2 = F.try_divide(cov_n * cov_n, varx_n * vary_n)
+    return agg.select(
+        *group_cols,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def decile_lift(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    tiebreak_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Lift table: rank rows by ``score_col`` descending, split into
+    ``buckets`` equal-population bands, and report each band's positive
+    rate against the base rate plus the cumulative share of positives
+    captured — the model-evaluation readout ("top decile captures 31% of
+    converters") and the drift check for a deployed score (a lift curve
+    flattening release-over-release is the score going stale).
+
+    Ranks are EXACT and scalable: no global ``Window.orderBy`` funnel —
+    rows ride :func:`operators.layout.prefix_sum` (range exchange +
+    partition-local windows + broadcast offsets) over the tie-broken
+    (−score, tiebreak) order; bucket = floor(rank·buckets/n), identical
+    to SQL ROW_NUMBER arithmetic, so an oracle replays it. The final
+    cumulative-capture window runs over ``buckets`` rows — constant-size.
+    ``label_col`` must be 0/1-valued (cast to int).
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    from rust_cdc_validator_spark.operators.layout import prefix_sum
+
+    base = df.select(
+        (-F.col(score_col).cast("double")).alias("_ns"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.col(label_col).cast("int").alias("_y"),
+        F.lit(1).alias("_one"),
+    )
+    ranked = prefix_sum(base, ["_ns", "_tb"], "_one", "_rk")
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_p"),
+    )
+    bucketed = ranked.crossJoin(F.broadcast(tot)).select(
+        F.floor(
+            F.col("_rk").cast("double") * buckets / F.col("_n")
+        ).cast("int").alias("bucket"),
+        "_y",
+        "_n",
+        "_p",
+    )
+    per = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("_y").cast("long").alias("n_pos"),
+        F.max("_n").alias("_n"),
+        F.max("_p").alias("_p"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    rate = F.col("n_pos").cast("double") / F.col("n_rows")
+    base_rate = F.col("_p").cast("double") / F.col("_n")
+    return (
+        per.withColumn("_cum_pos", F.sum("n_pos").over(w))
+        .select(
+            "bucket",
+            "n_rows",
+            "n_pos",
+            F.round(rate, 6).alias("rate"),
+            F.round(F.try_divide(rate, base_rate), 6).alias("lift"),
+            F.round(
+                F.try_divide(
+                    F.col("_cum_pos").cast("double"), F.col("_p")
+                ),
+                6,
+            ).alias("cum_capture"),
         )
     )

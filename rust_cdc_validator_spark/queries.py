@@ -5234,6 +5234,143 @@ SELECT o_orderdate, o_totalprice FROM c WHERE pm IS NULL OR o_totalprice > pm
 """
 
 
+def customer_balance_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table (operators/drift.decile_lift): does account
+    balance predict heavy ordering (≥12 orders)? Exact global ranks ride
+    the two-phase prefix scan (no single-task Window.orderBy over the
+    customer table); per-decile rate, lift vs base rate, and cumulative
+    capture replay in SQL with ROW_NUMBER arithmetic."""
+    from rust_cdc_validator_spark.operators.drift import decile_lift
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    oc = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_no"))
+    lab = cust.join(oc, cust["c_custkey"] == oc["o_custkey"], "left").select(
+        "c_custkey",
+        "c_acctbal",
+        (F.coalesce(F.col("_no"), F.lit(0)) >= 12).cast("int").alias("_y"),
+    )
+    return decile_lift(lab, "c_acctbal", "_y", "c_custkey")
+
+
+CUSTOMER_BALANCE_LIFT_SQL = """
+WITH oc AS (
+  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+), lab AS (
+  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS s,
+         CASE WHEN COALESCE(oc.n, 0) >= 12 THEN 1 ELSE 0 END AS y
+  FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+), r AS (
+  SELECT y, ROW_NUMBER() OVER (ORDER BY s DESC, c_custkey) - 1 AS rk FROM lab
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS p FROM lab
+), g AS (
+  SELECT CAST(FLOOR(CAST(rk AS DOUBLE) * 10 / t.n) AS INT) AS bucket, y
+  FROM r CROSS JOIN t
+), per AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM g GROUP BY bucket
+)
+SELECT bucket, n_rows, n_pos,
+       round(CAST(n_pos AS DOUBLE) / n_rows, 6) AS rate,
+       round((CAST(n_pos AS DOUBLE) / n_rows)
+             / (CAST(t.p AS DOUBLE) / t.n), 6) AS lift,
+       round(CAST(SUM(n_pos) OVER (ORDER BY bucket) AS DOUBLE) / t.p, 6)
+         AS cum_capture
+FROM per CROSS JOIN t
+"""
+
+
+def docs_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by PMI (operators/corpus.bigram_pmi): adjacent
+    token pairs scored ln(p(w1,w2)/(p(w1)p(w2))) with a min-count screen —
+    phrase discovery for tokenizer/vocab work. Bigrams fan out map-side
+    (array-slice zip, no self-join); the top-k orders by the EXACT integer
+    ratio (ln is monotone) so the cut is engine-portable."""
+    from rust_cdc_validator_spark.operators.corpus import bigram_pmi
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_pmi(docs, "text", min_count=3, top_k=50)
+
+
+DOCS_BIGRAM_PMI_SQL = """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS tk
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS i FROM d
+), bg AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), c AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM bg GROUP BY w1, w2
+), t AS (
+  SELECT SUM(n_pair) AS tot FROM c
+), l AS (
+  SELECT w1, SUM(n_pair) AS n1 FROM c GROUP BY w1
+), r AS (
+  SELECT w2, SUM(n_pair) AS n2 FROM c GROUP BY w2
+)
+SELECT w1, w2, n_pair,
+       round(ln(CAST(n_pair AS DOUBLE) * tot / (n1 * n2)), 6) AS pmi
+FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
+WHERE n_pair >= 3
+ORDER BY CAST(n_pair AS DOUBLE) * tot / (n1 * n2) DESC, w1, w2
+LIMIT 50
+"""
+
+
+def events_value_hour_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend (operators/drift.ols_by_group) of value
+    against hour-of-day: slope/intercept/r² from the five classical sums
+    in ONE hash aggregation — "is this metric climbing through the day,
+    and in which segment" (drift_report says the mean moved; this says
+    how fast, per type)."""
+    from rust_cdc_validator_spark.operators.drift import ols_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.hour("ts").alias("hour"), F.col("value")
+    )
+    rep = ols_by_group(base, ["event_type"], "hour", "value")
+    return rep.select(
+        "event_type",
+        "n",
+        F.round("slope", 6).alias("slope_r"),
+        F.round("intercept", 6).alias("intercept_r"),
+        F.round("r2", 6).alias("r2_r"),
+    )
+
+
+EVENTS_VALUE_HOUR_TREND_SQL = """
+WITH b AS (
+  SELECT event_type,
+         CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x,
+         CAST(value AS DOUBLE) AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM b GROUP BY event_type
+), c AS (
+  SELECT event_type, n,
+         sxy - sx * sy / n AS cov_n,
+         sxx - sx * sx / n AS varx_n,
+         syy - sy * sy / n AS vary_n,
+         sx, sy
+  FROM s
+)
+SELECT event_type, n,
+       round(cov_n / nullif(varx_n, 0), 6) AS slope_r,
+       round((sy - (cov_n / nullif(varx_n, 0)) * sx) / n, 6) AS intercept_r,
+       round((cov_n * cov_n) / nullif(varx_n * vary_n, 0), 6) AS r2_r
+FROM c
+"""
+
+
 def orders_price_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov drift (operators/drift.ks_two_sample)
     between early-era (< 1998) and late-era order prices — the
@@ -7073,6 +7210,9 @@ QUERIES: dict[str, QueryFn] = {
     "customers_sorted_neighborhood": customers_sorted_neighborhood,
     "events_type_hour_mi": events_type_hour_mi,
     "events_type_hour_chi2": events_type_hour_chi2,
+    "customer_balance_lift": customer_balance_lift,
+    "docs_bigram_pmi": docs_bigram_pmi,
+    "events_value_hour_trend": events_value_hour_trend,
     "orders_price_ks_drift": orders_price_ks_drift,
     "orders_record_price_frontier": orders_record_price_frontier,
     "events_markov_transitions": events_markov_transitions,
@@ -7217,6 +7357,9 @@ ORACLES: dict[str, str] = {
     "customers_sorted_neighborhood": CUSTOMERS_SORTED_NEIGHBORHOOD_SQL,
     "events_type_hour_mi": EVENTS_TYPE_HOUR_MI_SQL,
     "events_type_hour_chi2": EVENTS_TYPE_HOUR_CHI2_SQL,
+    "customer_balance_lift": CUSTOMER_BALANCE_LIFT_SQL,
+    "docs_bigram_pmi": DOCS_BIGRAM_PMI_SQL,
+    "events_value_hour_trend": EVENTS_VALUE_HOUR_TREND_SQL,
     "orders_price_ks_drift": ORDERS_PRICE_KS_DRIFT_SQL,
     "orders_record_price_frontier": ORDERS_RECORD_PRICE_FRONTIER_SQL,
     "events_markov_transitions": EVENTS_MARKOV_TRANSITIONS_SQL,

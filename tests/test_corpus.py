@@ -1464,3 +1464,57 @@ def test_domain_quota_cap(spark):
 
     with pytest.raises(ValueError, match="cap"):
         domain_quota_cap(df, "src", cap=0)
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI (r9)
+# ---------------------------------------------------------------------------
+
+def test_bigram_pmi_matches_reference(spark):
+    import math
+    from collections import Counter
+
+    from rust_cdc_validator_spark.operators.corpus import bigram_pmi
+
+    texts = [
+        "strong tea strong tea weak tea",
+        "strong coffee weak coffee strong tea",
+        "weak tea weak coffee strong tea",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = [
+        (r["w1"], r["w2"], r["n_pair"], r["pmi"])
+        for r in bigram_pmi(df, min_count=1, top_k=100).collect()
+    ]
+    bigrams = Counter()
+    for t in texts:
+        ws = t.split(" ")
+        bigrams.update(zip(ws, ws[1:]))
+    n_tot = sum(bigrams.values())
+    n1, n2 = Counter(), Counter()
+    for (a, b), c in bigrams.items():
+        n1[a] += c
+        n2[b] += c
+    want = {
+        (a, b): (c, round(math.log(c * n_tot / (n1[a] * n2[b])), 6))
+        for (a, b), c in bigrams.items()
+    }
+    assert {(a, b): (c, p) for a, b, c, p in got} == want
+    # ordering: ratio descending, ties by words
+    ratios = [
+        (-(c * n_tot / (n1[a] * n2[b])), a, b) for a, b, c, _ in got
+    ]
+    assert ratios == sorted(ratios)
+
+
+def test_bigram_pmi_min_count_and_short_docs(spark):
+    from rust_cdc_validator_spark.operators.corpus import bigram_pmi
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "solo"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {(r["w1"], r["w2"]): r["n_pair"]
+           for r in bigram_pmi(df, min_count=2, top_k=10).collect()}
+    assert got == {("a", "b"): 2}  # "b a" occurs once -> screened; short docs no-op

@@ -342,3 +342,97 @@ def test_ks_two_sample_identical_distributions(spark):
     a = spark.range(500).select((F.col("id") % 50).cast("double").alias("x"))
     got = ks_two_sample(a, a, "x").first()
     assert got["ks_d"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Group-wise OLS (r9)
+# ---------------------------------------------------------------------------
+
+def test_ols_by_group_matches_numpy(spark):
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.drift import ols_by_group
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for g, (a, b) in {"g1": (2.0, 1.0), "g2": (-0.5, 3.0)}.items():
+        xs = rng.uniform(0, 10, 100)
+        ys = a * xs + b + rng.normal(0, 0.5, 100)
+        rows += [(g, float(x), float(y)) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in ols_by_group(df, ["g"], "x", "y").collect()}
+    for g in ("g1", "g2"):
+        xs = np.array([x for gg, x, _ in rows if gg == g])
+        ys = np.array([y for gg, _, y in rows if gg == g])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert got[g]["n"] == 100
+        assert abs(got[g]["slope"] - slope) < 1e-9
+        assert abs(got[g]["intercept"] - intercept) < 1e-9
+        assert abs(got[g]["r2"] - r * r) < 1e-9
+
+
+def test_ols_degenerate_and_nulls(spark):
+    from rust_cdc_validator_spark.operators.drift import ols_by_group
+
+    rows = [("flat", 1.0, 5.0), ("flat", 1.0, 7.0),
+            ("ok", 1.0, 1.0), ("ok", 2.0, 3.0), ("ok", None, 9.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in ols_by_group(df, ["g"], "x", "y").collect()}
+    assert got["flat"]["slope"] is None and got["flat"]["r2"] is None
+    assert got["ok"]["n"] == 2  # null x excluded
+    assert abs(got["ok"]["slope"] - 2.0) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Decile lift (r9)
+# ---------------------------------------------------------------------------
+
+def test_decile_lift_matches_reference(spark):
+    import random
+
+    from rust_cdc_validator_spark.operators.drift import decile_lift
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(v):  # Spark/DuckDB round() is half-up; Python's is half-even
+        return float(Decimal(repr(v)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    rng = random.Random(21)
+    rows = []
+    for i in range(500):
+        score = rng.random()
+        # higher score -> more likely positive (a working model)
+        label = 1 if rng.random() < score else 0
+        rows.append((i, score, label))
+    df = spark.createDataFrame(rows, "id long, score double, y int")
+    got = {r["bucket"]: r for r in decile_lift(df, "score", "y", "id").collect()}
+    # reference: python sort by (-score, id)
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    n, p = len(rows), sum(r[2] for r in rows)
+    want = {}
+    for rk, (_, _, y) in enumerate(ordered):
+        b = rk * 10 // n
+        want.setdefault(b, [0, 0])
+        want[b][0] += 1
+        want[b][1] += y
+    cum = 0
+    for b in sorted(want):
+        nb, pb = want[b]
+        cum += pb
+        assert got[b]["n_rows"] == nb and got[b]["n_pos"] == pb
+        assert abs(got[b]["rate"] - r6(pb / nb)) < 1e-9
+        assert abs(got[b]["lift"] - r6((pb / nb) / (p / n))) < 1e-9
+        assert abs(got[b]["cum_capture"] - r6(cum / p)) < 1e-9
+    # a score that works has a downward-sloping lift curve
+    assert got[0]["lift"] > 1.5 > got[9]["lift"]
+
+
+def test_decile_lift_validation(spark):
+    import pytest as _pytest
+
+    from rust_cdc_validator_spark.operators.drift import decile_lift
+
+    df = spark.createDataFrame([(1, 0.5, 1)], "id long, s double, y int")
+    with _pytest.raises(ValueError, match="buckets"):
+        decile_lift(df, "s", "y", "id", buckets=1)
