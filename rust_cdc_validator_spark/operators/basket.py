@@ -1,0 +1,107 @@
+"""Pairwise association rules over (basket, item) relations — the
+pair-level core of A-priori market-basket analysis (Agrawal & Srikant
+1994): which items co-occur more than chance, as support / confidence /
+lift rules.
+
+Spark-first shape: the quadratic step is the per-basket pair fan-out,
+expressed as a self-equi-join of the DISTINCT (basket, item) relation on
+the basket key with an ``item_a < item_b`` canonical filter — the same
+bounded pattern the co-trade graph builders use (queries.py triangles).
+Pair counts, item margins, and the basket total all re-aggregate from
+relations no wider than (key, count); nothing ever collects. The top-k
+orders by the EXACT integer ratio n_pair·n_baskets/(n_ante·n_cons)
+(= lift, and monotone in it), so the cut is engine-portable and a SQL
+oracle replays it.
+
+Scale guardrail: one pathological basket of B items fans out B²/2 pairs;
+``max_basket_size`` drops baskets beyond the cap BEFORE the join (the
+standard basket-analysis hygiene — a basket with thousands of items
+carries no association signal anyway), making worst-case fan-out
+baskets × cap².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["association_rules"]
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 3,
+    top_k: int = 100,
+    max_basket_size: int = 1000,
+) -> DataFrame:
+    """Top-``top_k`` pairwise rules by lift. Returns BOTH directions of
+    each surviving pair — (antecedent, consequent, n_pair, support,
+    confidence, lift) — since confidence is asymmetric while support and
+    lift are not. ``min_pair_count`` screens the unstable low-support
+    tail; ties in lift break on (antecedent, consequent)."""
+    if min_pair_count < 1:
+        raise ValueError("min_pair_count must be >= 1")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    if max_basket_size < 2:
+        raise ValueError("max_basket_size must be >= 2")
+    bi = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    sizes = bi.groupBy("_b").agg(F.count(F.lit(1)).alias("_sz"))
+    kept = bi.join(
+        sizes.filter(F.col("_sz") <= max_basket_size).select("_b"), "_b"
+    )
+    nb = kept.agg(F.count_distinct(F.col("_b")).alias("_nb"))
+    items = kept.groupBy("_i").agg(F.count(F.lit(1)).cast("long").alias("_ni"))
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(b, "_b")
+        .filter(F.col("a._i") < F.col("b._i"))
+        .groupBy(F.col("a._i").alias("_x"), F.col("b._i").alias("_y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_count)
+    )
+    both = pairs.select(
+        F.col("_x").alias("antecedent"),
+        F.col("_y").alias("consequent"),
+        "n_pair",
+    ).unionAll(
+        pairs.select(
+            F.col("_y").alias("antecedent"),
+            F.col("_x").alias("consequent"),
+            "n_pair",
+        )
+    )
+    na = items.select(F.col("_i").alias("antecedent"), F.col("_ni").alias("_na"))
+    nc = items.select(F.col("_i").alias("consequent"), F.col("_ni").alias("_nc"))
+    lift = (
+        F.col("n_pair").cast("double")
+        * F.col("_nb")
+        / (F.col("_na") * F.col("_nc"))
+    )
+    return (
+        both.join(na, "antecedent")
+        .join(nc, "consequent")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_pair",
+            lift.alias("_lift"),
+            (F.col("n_pair").cast("double") / F.col("_nb")).alias("_sup"),
+            (F.col("n_pair").cast("double") / F.col("_na")).alias("_conf"),
+        )
+        .orderBy(F.col("_lift").desc(), "antecedent", "consequent")
+        .limit(top_k)
+        .select(
+            "antecedent",
+            "consequent",
+            "n_pair",
+            F.round("_sup", 6).alias("support"),
+            F.round("_conf", 6).alias("confidence"),
+            F.round("_lift", 6).alias("lift"),
+        )
+    )

@@ -5234,6 +5234,55 @@ SELECT o_orderdate, o_totalprice FROM c WHERE pm IS NULL OR o_totalprice > pm
 """
 
 
+def parts_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (operators/basket.association_rules)
+    over order baskets: which part pairs co-sell beyond chance, as
+    support/confidence/lift — the A-priori pair core. The quadratic
+    per-basket fan-out is capped (max_basket_size) and the top-100 cut
+    orders by the EXACT integer lift ratio, so the oracle replays the
+    whole rule table."""
+    from rust_cdc_validator_spark.operators.basket import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=3, top_k=100
+    )
+
+
+PARTS_ASSOCIATION_RULES_SQL = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), sz AS (
+  SELECT b FROM bi GROUP BY b HAVING COUNT(*) <= 1000
+), kept AS (
+  SELECT bi.b, bi.i FROM bi JOIN sz USING (b)
+), nb AS (
+  SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM kept
+), it AS (
+  SELECT i, CAST(COUNT(*) AS BIGINT) AS ni FROM kept GROUP BY i
+), p AS (
+  SELECT a.i AS x, c.i AS y, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+  GROUP BY a.i, c.i HAVING COUNT(*) >= 3
+), dirs AS (
+  SELECT x AS antecedent, y AS consequent, n_pair FROM p
+  UNION ALL
+  SELECT y AS antecedent, x AS consequent, n_pair FROM p
+)
+SELECT antecedent, consequent, n_pair,
+       round(CAST(n_pair AS DOUBLE) / nb.n, 6) AS support,
+       round(CAST(n_pair AS DOUBLE) / na.ni, 6) AS confidence,
+       round(CAST(n_pair AS DOUBLE) * nb.n / (na.ni * nc.ni), 6) AS lift
+FROM dirs
+JOIN it na ON dirs.antecedent = na.i
+JOIN it nc ON dirs.consequent = nc.i
+CROSS JOIN nb
+ORDER BY CAST(n_pair AS DOUBLE) * nb.n / (na.ni * nc.ni) DESC,
+         antecedent, consequent
+LIMIT 100
+"""
+
+
 def customer_balance_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile lift table (operators/drift.decile_lift): does account
     balance predict heavy ordering (≥12 orders)? Exact global ranks ride
@@ -7210,6 +7259,7 @@ QUERIES: dict[str, QueryFn] = {
     "customers_sorted_neighborhood": customers_sorted_neighborhood,
     "events_type_hour_mi": events_type_hour_mi,
     "events_type_hour_chi2": events_type_hour_chi2,
+    "parts_association_rules": parts_association_rules,
     "customer_balance_lift": customer_balance_lift,
     "docs_bigram_pmi": docs_bigram_pmi,
     "events_value_hour_trend": events_value_hour_trend,
@@ -7357,6 +7407,7 @@ ORACLES: dict[str, str] = {
     "customers_sorted_neighborhood": CUSTOMERS_SORTED_NEIGHBORHOOD_SQL,
     "events_type_hour_mi": EVENTS_TYPE_HOUR_MI_SQL,
     "events_type_hour_chi2": EVENTS_TYPE_HOUR_CHI2_SQL,
+    "parts_association_rules": PARTS_ASSOCIATION_RULES_SQL,
     "customer_balance_lift": CUSTOMER_BALANCE_LIFT_SQL,
     "docs_bigram_pmi": DOCS_BIGRAM_PMI_SQL,
     "events_value_hour_trend": EVENTS_VALUE_HOUR_TREND_SQL,
