@@ -4754,7 +4754,7 @@ SUPPLIER_TRADE_COMMUNITIES_SQL = _lpa_oracle_sql()
 
 def trade_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier BFS (operators/graph.shortest_hops): minimum hop distance
-    from NATION_7's suppliers across the undirected customer↔supplier
+    from NATION_3's suppliers across the undirected customer↔supplier
     trade graph, capped at 4 hops — "how far does one nation's supply
     network reach" (hop 1 = their direct customers, hop 2 = those
     customers' other suppliers, …). Node-level output so the whole
@@ -4780,7 +4780,7 @@ def trade_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = (
         sup.join(
-            nat.filter(F.col("n_name") == "NATION_7"),
+            nat.filter(F.col("n_name") == "NATION_3"),
             sup["s_nationkey"] == nat["n_nationkey"],
         )
         .select(
@@ -4803,7 +4803,7 @@ e AS (SELECT a AS s, b AS d FROM pair UNION ALL SELECT b AS s, a AS d FROM pair)
 seeds AS (
   SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
   FROM supplier JOIN nation ON s_nationkey = n_nationkey
-  WHERE n_name = 'NATION_7'
+  WHERE n_name = 'NATION_3'
 ),
 walk(node, h) AS (
   SELECT node, 0 FROM seeds
