@@ -36,6 +36,46 @@ def _h60(col: Column) -> Column:
     )
 
 
+def _dense_regroup(
+    regs: DataFrame,
+    group_cols: list[str],
+    idx_col: str,
+    val_col: str,
+    size: int,
+    out_col: str,
+) -> DataFrame:
+    """Sparse (group…, idx, val) rows → one dense ``array`` of ``size``
+    values per group, zero-filled. Union a per-group ZERO GRID so every
+    position exists, then sort-assemble: collect_list of (idx, val)
+    structs, one O(m log m) ``array_sort``, extract values — NO per-slot
+    map lookups (Spark maps are ArrayBasedMapData: ``element_at`` is a
+    LINEAR scan, so the map-based regroup was O(m²) per group — 16 K
+    slots took seconds; this is milliseconds). The zero rows fold through
+    SUM/MAX identically (both monoids have identity 0 here), so values
+    are bit-identical to the sparse truth."""
+    spark = regs.sparkSession
+    zero = regs.schema[val_col].dataType.simpleString()
+    grid = spark.range(size).select(
+        F.col("id").cast("int").alias(idx_col),
+        F.lit(0).cast(zero).alias(val_col),
+    )
+    if group_cols:
+        grid = regs.select(*group_cols).distinct().crossJoin(grid)
+    full = (
+        regs.select(*group_cols, F.col(idx_col).cast("int").alias(idx_col), val_col)
+        .unionByName(grid)
+        .groupBy(*group_cols, idx_col)
+        .agg(F.max(val_col).alias(val_col))
+    )
+    dense = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(idx_col), F.col(val_col)))
+        ),
+        lambda e: e[val_col],
+    )
+    return full.groupBy(*group_cols).agg(dense.alias(out_col))
+
+
 def hll_sketch(
     df: DataFrame,
     group_cols: list[str],
@@ -70,19 +110,7 @@ def hll_sketch(
         .groupBy(*group_cols, "_idx")
         .agg(F.max("_rho").alias("_r"))
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)),
-    )
-    return (
-        regs.groupBy(*group_cols)
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("_idx").cast("int"), F.col("_r")))
-            ).alias("_m")
-        )
-        .select(*group_cols, dense.alias("registers"))
-    )
+    return _dense_regroup(regs, group_cols, "_idx", "_r", m, "registers")
 
 
 def hll_merge(a: Column, b: Column) -> Column:
@@ -168,27 +196,16 @@ def cm_sketch(
             wt.alias("_wt"),
         )
         rows = r if rows is None else rows.unionByName(r)
-    regs = rows.groupBy(*group_cols, "_row", "_b").agg(
-        F.sum("_wt").alias("_c")
-    )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(d * w - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("long")),
-    )
-    return (
-        regs.groupBy(*group_cols)
-        .agg(
-            F.map_from_entries(
-                F.collect_list(
-                    F.struct(
-                        (F.col("_row") * w + F.col("_b")).cast("int"),
-                        F.col("_c"),
-                    )
-                )
-            ).alias("_m")
+    regs = (
+        rows.groupBy(*group_cols, "_row", "_b")
+        .agg(F.sum("_wt").alias("_c"))
+        .select(
+            *group_cols,
+            (F.col("_row") * w + F.col("_b")).cast("int").alias("_i"),
+            "_c",
         )
-        .select(*group_cols, dense.alias("counters"))
     )
+    return _dense_regroup(regs, group_cols, "_i", "_c", d * w, "counters")
 
 
 def cm_merge(a: Column, b: Column) -> Column:

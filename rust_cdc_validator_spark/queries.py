@@ -5868,9 +5868,12 @@ def orders_heavy_hitters_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     w, d, threshold = 4096, 4, 12
+    # the sketch (ONE row) and the survivor set (hot keys) each feed two
+    # downstream consumers — materialize both so the 4-pass sketch build
+    # and the full-key estimate scan run exactly once, not per consumer
     sk = cm_sketch(
         orders.select(F.col("o_custkey").alias("k")), [], "k", d=d, w=w
-    )
+    ).localCheckpoint(eager=True)
     keys = orders.select(F.col("o_custkey").alias("custkey")).distinct()
     est = keys.crossJoin(F.broadcast(sk)).select(
         "custkey",
@@ -5878,7 +5881,9 @@ def orders_heavy_hitters_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_orders"
         ),
     )
-    survivors = est.filter(F.col("est_orders") >= threshold)
+    survivors = est.filter(F.col("est_orders") >= threshold).localCheckpoint(
+        eager=True
+    )
     exact = (
         orders.join(
             F.broadcast(survivors.select("custkey")),
