@@ -455,16 +455,11 @@ def hashed_doc_vectors(
         .groupBy("_id", "_b")
         .agg(F.sum("_s").alias("_v"))
     )
-    entries = sparse.groupBy("_id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("_b"), F.col("_v")))
-        ).alias("_m")
+    from rust_cdc_validator_spark.operators.sketch import _dense_regroup
+
+    out = _dense_regroup(sparse, ["_id"], "_b", "_v", dim, "vector").select(
+        F.col("_id").alias(id_col), "vector"
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0.0)),
-    )
-    out = entries.select(F.col("_id").alias(id_col), dense.alias("vector"))
     if normalize:
         from rust_cdc_validator_spark.functions import vectors as V
 

@@ -50,9 +50,10 @@ def _dense_regroup(
     structs, one O(m log m) ``array_sort``, extract values — NO per-slot
     map lookups (Spark maps are ArrayBasedMapData: ``element_at`` is a
     LINEAR scan, so the map-based regroup was O(m²) per group — 16 K
-    slots took seconds; this is milliseconds). The zero rows fold through
-    SUM/MAX identically (both monoids have identity 0 here), so values
-    are bit-identical to the sparse truth."""
+    slots took seconds; this is milliseconds). ``regs`` holds at most ONE
+    row per (group, idx) slot, so SUM with the zero rows reproduces every
+    value bit-exactly — including negative ones (signed doc vectors); the
+    sum's type widening is cast back to the input value type."""
     spark = regs.sparkSession
     zero = regs.schema[val_col].dataType.simpleString()
     grid = spark.range(size).select(
@@ -65,7 +66,7 @@ def _dense_regroup(
         regs.select(*group_cols, F.col(idx_col).cast("int").alias(idx_col), val_col)
         .unionByName(grid)
         .groupBy(*group_cols, idx_col)
-        .agg(F.max(val_col).alias(val_col))
+        .agg(F.sum(val_col).cast(zero).alias(val_col))
     )
     dense = F.transform(
         F.array_sort(
