@@ -4189,6 +4189,92 @@ FROM est
 """
 
 
+def events_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users from PERSISTED daily HLL sketches —
+    the union-without-recount showcase: raw events are scanned ONCE into
+    per-day register arrays; every window answer is a register-wise max
+    fold over ≤7 KB-sized arrays (merge-of-parts == sketch-of-union,
+    bit-exactly — pytest-pinned), never a re-count of history. At 100 TB
+    this is the difference between one scan per day and one scan per
+    (day × window) pair. The day-level window rides a days-sized relation
+    (single-task window on a BOUNDED frame — the benign class
+    BENCH_NOTES.md documents). The oracle recomputes each window's
+    registers from raw rows — legitimate BECAUSE the merge is exact."""
+    from rust_cdc_validator_spark.operators.sketch import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = hll_sketch(ev, ["day"], "user_id", p=10)
+    dayord = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    w = Window.orderBy(dayord).rangeBetween(-6, 0)
+    merged = F.aggregate(
+        F.collect_list("registers").over(w),
+        F.array_repeat(F.lit(0), 1024),
+        lambda acc, r: F.zip_with(acc, r, lambda x, y: F.greatest(x, y)),
+    )
+    return daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n_days_window"),
+        F.round(hll_estimate(F.col("registers"), p=10), 4).alias(
+            "est_users_1d"
+        ),
+        F.round(hll_estimate(merged, p=10), 4).alias("est_users_7d"),
+    )
+
+
+EVENTS_ROLLING_DISTINCT_HLL_SQL = """
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS eday, user_id FROM events
+), days AS (
+  SELECT DISTINCT eday AS day FROM ev
+), win AS (
+  SELECT d.day, e.eday, e.user_id
+  FROM days d JOIN ev e ON e.eday BETWEEN d.day - 6 AND d.day
+), h AS (
+  SELECT day, eday,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM win
+), rr AS (
+  SELECT day, eday, h >> 50 AS idx,
+         CASE WHEN (h & ((CAST(1 AS BIGINT) << 50) - 1)) = 0 THEN 51
+              ELSE 50 - (length(printf('%b',
+                         h & ((CAST(1 AS BIGINT) << 50) - 1))) - 1)
+         END AS rho
+  FROM h
+), regs7 AS (
+  SELECT day, idx, MAX(rho) AS r FROM rr GROUP BY day, idx
+), est7 AS (
+  SELECT day,
+         755541.746198293 / (SUM(power(2.0, -r)) + (1024 - COUNT(*))) AS raw,
+         1024 - COUNT(*) AS zeros
+  FROM regs7 GROUP BY day
+), regs1 AS (
+  SELECT day, idx, MAX(rho) AS r FROM rr WHERE eday = day GROUP BY day, idx
+), est1 AS (
+  SELECT day,
+         755541.746198293 / (SUM(power(2.0, -r)) + (1024 - COUNT(*))) AS raw,
+         1024 - COUNT(*) AS zeros
+  FROM regs1 GROUP BY day
+), nd AS (
+  SELECT day, CAST(COUNT(DISTINCT eday) AS BIGINT) AS n_days_window
+  FROM win GROUP BY day
+)
+SELECT nd.day, nd.n_days_window,
+       round(CASE WHEN est1.raw <= 2560.0 AND est1.zeros > 0
+                  THEN 1024.0 * ln(1024.0 / est1.zeros)
+                  ELSE est1.raw END, 4) AS est_users_1d,
+       round(CASE WHEN est7.raw <= 2560.0 AND est7.zeros > 0
+                  THEN 1024.0 * ln(1024.0 / est7.zeros)
+                  ELSE est7.raw END, 4) AS est_users_7d
+FROM nd JOIN est7 ON nd.day = est7.day JOIN est1 ON nd.day = est1.day
+"""
+
+
 def token_cm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketch (operators/sketch.py): build one 4×256
     counter table over all document tokens, then probe the exact top-10
@@ -7196,6 +7282,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_novelty_docs": ngram_novelty_docs,
     "events_zorder": events_zorder,
     "events_user_hll": events_user_hll,
+    "events_rolling_distinct_hll": events_rolling_distinct_hll,
     "token_cm_counts": token_cm_counts,
     "embedding_near_dup_docs": embedding_near_dup_docs,
     "embedding_near_dup_narrow": embedding_near_dup_narrow,
@@ -7359,6 +7446,7 @@ ORACLES: dict[str, str] = {
     "ngram_novelty_docs": NGRAM_NOVELTY_SQL,
     "events_zorder": EVENTS_ZORDER_SQL,
     "events_user_hll": EVENTS_USER_HLL_SQL,
+    "events_rolling_distinct_hll": EVENTS_ROLLING_DISTINCT_HLL_SQL,
     "token_cm_counts": TOKEN_CM_COUNTS_SQL,
     "events_asof_purchase": EVENTS_ASOF_PURCHASE_SQL,
     "doc_repetition_stats": DOC_REPETITION_STATS_SQL,
