@@ -184,3 +184,89 @@ def sessionize_stateful(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+_HLL_STATE_SCHEMA = T.StructType(
+    [T.StructField("regs", T.ArrayType(T.IntegerType()))]
+)
+_HLL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("est_distinct", T.DoubleType()),
+        T.StructField("n_nonzero", T.IntegerType()),
+    ]
+)
+_HLL_P = 10  # m = 1024 registers per key, ±3.3% 1σ — KBs of state per key
+
+
+def _hll_fold(values, regs) -> None:
+    """Fold raw values into a register list — the SAME md5-derived 60-bit
+    hash / bin-length rank as operators/sketch.hll_sketch, so streaming
+    state registers are bit-identical to a batch sketch of the same rows
+    (pytest-pinned): the sketch family's exact-merge contract extended
+    into streaming state."""
+    import hashlib
+
+    tail = 60 - _HLL_P
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        idx = h >> tail
+        w = h & ((1 << tail) - 1)
+        rho = (tail + 1) if w == 0 else tail - (w.bit_length() - 1)
+        if rho > regs[idx]:
+            regs[idx] = rho
+
+
+def _hll_estimate_py(regs) -> float:
+    """Mirror of operators/sketch.hll_estimate for m=2^p registers."""
+    m = 1 << _HLL_P
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = sum(2.0 ** -r for r in regs)
+    zeros = sum(1 for r in regs if r == 0)
+    raw = alpha * m * m / s
+    if raw <= 2.5 * m and zeros > 0:
+        import math
+
+        return m * math.log(m / zeros)
+    return raw
+
+
+def distinct_count_stateful(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key streaming distinct count whose STATE is an HLL register
+    array — bounded at m=1024 ints per key forever, unlike
+    ``dropDuplicates`` state that grows with the distinct set. Each
+    micro-batch folds its values into the registers (monotone max — the
+    exact-merge property means replay/reordering cannot skew the
+    estimate) and emits the key's refreshed estimate. The streaming
+    sibling of ``events_rolling_distinct_hll``'s batch sketches: the SAME
+    hash/rank arithmetic, so state equals a batch sketch of everything
+    seen (pytest-pinned)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        m = 1 << _HLL_P
+        (regs,) = state.get if state.exists else ([0] * m,)
+        regs = list(regs)
+        for pdf in pdfs:
+            _hll_fold(pdf[value_col].tolist(), regs)
+        state.update((regs,))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "est_distinct": [_hll_estimate_py(regs)],
+                "n_nonzero": [sum(1 for r in regs if r != 0)],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_HLL_OUT_SCHEMA,
+        stateStructType=_HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

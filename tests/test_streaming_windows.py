@@ -377,3 +377,61 @@ def test_maintain_ivf_index_appends_and_flags_refit(spark, tmp_path):
     import os
     assert os.path.isdir(flag)  # skewed burst tripped the refit cue
     assert spark.read.parquet(flag).count() >= 1
+
+
+def test_distinct_count_stateful_state_equals_batch_sketch(spark, tmp_path):
+    """Streaming HLL state must be BIT-IDENTICAL to a batch sketch of the
+    union of all batches (the exact-merge contract carried into
+    streaming), and the emitted estimate must match hll_estimate."""
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.sketch import (
+        hll_estimate,
+        hll_sketch,
+    )
+    from rust_cdc_validator_spark.streaming.windows import (
+        distinct_count_stateful,
+    )
+
+    src = tmp_path / "ev_hll"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("seg", T.StringType()),
+         T.StructField("uid", T.LongType())]
+    )
+    import pyarrow as pa_, pyarrow.parquet as pq_
+
+    def w(name, rows):
+        pq_.write_table(
+            pa_.table({"seg": [s for s, _ in rows],
+                       "uid": [u for _, u in rows]}), str(src / name))
+
+    # batch 1: seg a users 0..299, seg b users 0..49
+    w("a.parquet", [("a", i) for i in range(300)] + [("b", i) for i in range(50)])
+    # batch 2: overlaps a on [200, 400), new b users
+    w("b.parquet", [("a", i) for i in range(200, 400)] + [("b", i) for i in range(50, 80)])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    q = (distinct_count_stateful(stream, "seg", "uid").writeStream
+         .format("memory").queryName("hll_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("SELECT key, max(est_distinct) est FROM hll_out GROUP BY key").collect()
+    got = {r["key"]: r["est"] for r in out}
+    # batch-side truth: sketch the union with the SAME arithmetic
+    union = spark.createDataFrame(
+        [("a", i) for i in range(400)] + [("b", i) for i in range(80)],
+        "seg string, uid long",
+    )
+    want = {
+        r["seg"]: r["e"]
+        for r in hll_sketch(union, ["seg"], "uid", p=10)
+        .select("seg", hll_estimate(F.col("registers"), p=10).alias("e"))
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    # sanity: estimates near truth (400 and 80)
+    assert abs(got["a"] - 400) / 400 < 0.15
+    assert abs(got["b"] - 80) / 80 < 0.15
