@@ -457,14 +457,23 @@ def hashed_doc_vectors(
     )
     from rust_cdc_validator_spark.operators.sketch import _dense_regroup
 
-    out = _dense_regroup(sparse, ["_id"], "_b", "_v", dim, "vector").select(
+    if normalize:
+        # scale the SPARSE values by the L2 norm BEFORE dense assembly:
+        # normalize(dense) references the assembled array twice (values /
+        # norm-of-values), and projection collapse would inline the whole
+        # gap-fill expression tree into each reference — measured 3× the
+        # query cost. Norm over sparse values == norm over the dense
+        # vector (gap zeros contribute nothing); zero-norm docs cannot
+        # occur here (a doc with no tokens emits no sparse rows at all).
+        norms = sparse.groupBy("_id").agg(
+            F.sqrt(F.sum(F.col("_v") * F.col("_v"))).alias("_n")
+        )
+        sparse = sparse.join(norms, "_id").select(
+            "_id", "_b", (F.col("_v") / F.col("_n")).alias("_v")
+        )
+    return _dense_regroup(sparse, ["_id"], "_b", "_v", dim, "vector").select(
         F.col("_id").alias(id_col), "vector"
     )
-    if normalize:
-        from rust_cdc_validator_spark.functions import vectors as V
-
-        out = out.select(id_col, V.normalize(F.col("vector")).alias("vector"))
-    return out
 
 
 def source_overlap(

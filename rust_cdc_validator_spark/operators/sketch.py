@@ -51,30 +51,43 @@ def _dense_regroup(
     map lookups (Spark maps are ArrayBasedMapData: ``element_at`` is a
     LINEAR scan, so the map-based regroup was O(m²) per group — 16 K
     slots took seconds; this is milliseconds). ``regs`` holds at most ONE
-    row per (group, idx) slot, so SUM with the zero rows reproduces every
-    value bit-exactly — including negative ones (signed doc vectors); the
-    sum's type widening is cast back to the input value type."""
-    spark = regs.sparkSession
-    zero = regs.schema[val_col].dataType.simpleString()
-    grid = spark.range(size).select(
-        F.col("id").cast("int").alias(idx_col),
-        F.lit(0).cast(zero).alias(val_col),
+    row per (group, idx) slot, so the assembly is pure positional
+    arithmetic: collect the sorted (idx, val) entries in the SAME single
+    aggregation the old path used (no extra shuffle, no zero grid), then
+    gap-fill — each entry contributes ``array_repeat(0, idx − prev − 1)``
+    zeros plus its value, and the tail pads to ``size``. O(m) array ops
+    per group, value-type preserved (sign-safe — values pass through
+    untouched)."""
+    zero = F.lit(0).cast(regs.schema[val_col].dataType.simpleString())
+    entries = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(idx_col).cast("int").alias("i"),
+                F.col(val_col).alias("v"),
+            )
+        )
     )
-    if group_cols:
-        grid = regs.select(*group_cols).distinct().crossJoin(grid)
-    full = (
-        regs.select(*group_cols, F.col(idx_col).cast("int").alias(idx_col), val_col)
-        .unionByName(grid)
-        .groupBy(*group_cols, idx_col)
-        .agg(F.sum(val_col).cast(zero).alias(val_col))
-    )
-    dense = F.transform(
-        F.array_sort(
-            F.collect_list(F.struct(F.col(idx_col), F.col(val_col)))
+    agg = regs.groupBy(*group_cols).agg(entries.alias("_e"))
+    e = F.col("_e")
+    n = F.size(e)
+    prev = F.concat(
+        F.array(F.lit(-1)),
+        F.transform(
+            F.slice(e, 1, F.greatest(n - 1, F.lit(0))), lambda x: x["i"]
         ),
-        lambda e: e[val_col],
     )
-    return full.groupBy(*group_cols).agg(dense.alias(out_col))
+    pieces = F.zip_with(
+        e,
+        prev,
+        lambda x, p: F.concat(
+            F.array_repeat(zero, x["i"] - p - 1), F.array(x["v"])
+        ),
+    )
+    dense = F.concat(
+        F.flatten(pieces),
+        F.array_repeat(zero, F.lit(size - 1) - F.element_at(e, -1)["i"]),
+    )
+    return agg.select(*group_cols, dense.alias(out_col))
 
 
 def hll_sketch(
