@@ -5856,7 +5856,9 @@ def lineitem_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = orders.filter(F.col("o_totalprice") > 400000).select(
         F.col("o_orderkey").alias("kk")
     )
-    bloom = key_bloom(keys, "kk")
+    # the ≤2048-row bitmap feeds k=4 probe joins — materialize once so
+    # the build agg doesn't re-run per probe side
+    bloom = key_bloom(keys, "kk").localCheckpoint(eager=True)
     probe = li.select(F.col("l_orderkey").alias("k"))
     passed = bloom_prune(probe, "k", bloom)
     n_total = probe.agg(F.count(F.lit(1)).cast("long").alias("n_lineitems"))
