@@ -463,13 +463,20 @@ def hashed_doc_vectors(
         # norm-of-values), and projection collapse would inline the whole
         # gap-fill expression tree into each reference — measured 3× the
         # query cost. Norm over sparse values == norm over the dense
-        # vector (gap zeros contribute nothing); zero-norm docs cannot
-        # occur here (a doc with no tokens emits no sparse rows at all).
+        # vector (gap zeros contribute nothing). Zero-norm CAN occur even
+        # with sparse rows present: opposite-sign tokens landing in one
+        # bucket cancel to _v=0 in every bucket — pass those vectors
+        # through unchanged (they are all-zero anyway) instead of
+        # dividing, which under ANSI mode is a DIVIDE_BY_ZERO crash.
         norms = sparse.groupBy("_id").agg(
             F.sqrt(F.sum(F.col("_v") * F.col("_v"))).alias("_n")
         )
         sparse = sparse.join(norms, "_id").select(
-            "_id", "_b", (F.col("_v") / F.col("_n")).alias("_v")
+            "_id",
+            "_b",
+            F.when(F.col("_n") > 0, F.col("_v") / F.col("_n"))
+            .otherwise(F.col("_v"))
+            .alias("_v"),
         )
     return _dense_regroup(sparse, ["_id"], "_b", "_v", dim, "vector").select(
         F.col("_id").alias(id_col), "vector"

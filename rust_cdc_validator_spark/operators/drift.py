@@ -382,14 +382,26 @@ def chi_squared(
     map-side partials, marginals re-aggregated from the cells, one
     cells-sized join + sum. Returns (group…, n, dof, chi2, cramers_v);
     dof = (|X|−1)(|Y|−1), V = sqrt(χ²/(n·(min(|X|,|Y|)−1))) (0 when the
-    table is degenerate 1×k). NULL categories count as categories.
+    table is degenerate 1×k). NULL categories count as categories: x/y
+    ride inside single-field structs, which group, equi-join, and
+    countDistinct null-safely (struct(NULL) is a non-null value), so a
+    NULL category's cells stay in the sum and its marginal in the counts
+    — plain columns would silently drop them at the null-unsafe joins
+    while n still counted their rows, skewing chi² (even negative).
     """
     g = list(group_cols or [])
-    joint = df.groupBy(*g, x_col, y_col).agg(F.count(F.lit(1)).alias("_nxy"))
+    wrapped = df.select(
+        *g,
+        F.struct(F.col(x_col).alias("v")).alias("_x"),
+        F.struct(F.col(y_col).alias("v")).alias("_y"),
+    )
+    joint = wrapped.groupBy(*g, "_x", "_y").agg(
+        F.count(F.lit(1)).alias("_nxy")
+    )
     tot = joint.groupBy(*g).agg(F.sum("_nxy").alias("_n"))
-    mx = joint.groupBy(*g, x_col).agg(F.sum("_nxy").alias("_nx"))
-    my = joint.groupBy(*g, y_col).agg(F.sum("_nxy").alias("_ny"))
-    cells = joint.join(mx, [*g, x_col]).join(my, [*g, y_col])
+    mx = joint.groupBy(*g, "_x").agg(F.sum("_nxy").alias("_nx"))
+    my = joint.groupBy(*g, "_y").agg(F.sum("_nxy").alias("_ny"))
+    cells = joint.join(mx, [*g, "_x"]).join(my, [*g, "_y"])
     if g:
         cells = cells.join(tot, g)
     else:
@@ -401,8 +413,8 @@ def chi_squared(
     rep = cells.groupBy(*g).agg(
         F.max("_n").cast("long").alias("n"),
         F.sum(s_term).alias("_s"),
-        F.countDistinct(x_col).alias("_rx"),
-        F.countDistinct(y_col).alias("_ry"),
+        F.countDistinct("_x").alias("_rx"),
+        F.countDistinct("_y").alias("_ry"),
     )
     n_d = F.col("n").cast("double")
     chi2 = n_d * (F.col("_s") - F.lit(1.0))
@@ -557,12 +569,17 @@ def decile_lift(
     (−score, tiebreak) order; bucket = floor(rank·buckets/n), identical
     to SQL ROW_NUMBER arithmetic, so an oracle replays it. The final
     cumulative-capture window runs over ``buckets`` rows — constant-size.
-    ``label_col`` must be 0/1-valued (cast to int).
+    ``label_col`` must be 0/1-valued (cast to int). NULL scores are
+    EXCLUDED (matching :func:`ols_by_group`'s NULL policy): an unscored
+    row has no rank — Spark's ascending-negated sort would otherwise put
+    NULLs in the TOP decile while SQL ``ORDER BY s DESC`` puts them
+    last, a silent oracle divergence and surprising semantics.
     """
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
     from rust_cdc_validator_spark.operators.layout import prefix_sum
 
+    df = df.filter(F.col(score_col).isNotNull())
     base = df.select(
         (-F.col(score_col).cast("double")).alias("_ns"),
         F.col(tiebreak_col).alias("_tb"),

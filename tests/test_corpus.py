@@ -1116,6 +1116,23 @@ def test_hashed_doc_vectors_deterministic_and_validated(spark):
         hashed_doc_vectors(docs, dim=100)  # does not divide 4096
 
 
+def test_hashed_doc_vectors_zero_norm_passthrough(spark):
+    """ADVICE r9: signed hashing can cancel to an all-zero sparse vector
+    ("aab" and "aau" share bucket 34 at dim=64 with opposite signs) — the
+    normalize path must pass the zero vector through unchanged instead of
+    dividing by the zero norm (ANSI DIVIDE_BY_ZERO crash)."""
+    from rust_cdc_validator_spark.operators.corpus import hashed_doc_vectors
+
+    docs = spark.createDataFrame(
+        [(1, "aab aau"), (2, "alpha beta gamma")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: list(r["vector"]) for r in
+           hashed_doc_vectors(docs, dim=64).collect()}
+    assert got[1] == [0.0] * 64  # cancelled doc survives as the zero vector
+    import math
+    assert abs(math.sqrt(sum(x * x for x in got[2])) - 1.0) < 1e-9
+
+
 def test_bloom_empty_branch_preserves_id_type(spark):
     """ADVICE r6: the empty-bloom early return must carry the INPUT's id
     type (string ids here), not a hardcoded long, so it unions/joins with

@@ -298,6 +298,38 @@ def test_chi_squared_grouped(spark):
     assert abs(got["g2"]["chi2"]) < 1e-9
 
 
+def test_chi_squared_null_category_counts(spark):
+    """ADVICE r9: NULL must be a real category — null-unsafe marginal
+    joins dropped its cells from the sum while n still counted the rows,
+    driving chi2 low (even negative) and dof wrong. Compare against a
+    direct full-grid computation with NULL as a category."""
+    import itertools
+    from collections import Counter
+
+    from rust_cdc_validator_spark.operators.drift import chi_squared
+
+    rows = []
+    for x, y, c in [
+        ("a", 0, 12), ("a", 1, 3), ("b", 0, 5), ("b", 1, 10),
+        (None, 0, 9), (None, 1, 1),
+    ]:
+        rows += [(x, y)] * c
+    df = spark.createDataFrame(rows, "x string, y int")
+    got = chi_squared(df, "x", "y").first()
+    n = len(rows)
+    obs = Counter(rows)
+    nx = Counter(x for x, _ in rows)
+    ny = Counter(y for _, y in rows)
+    chi2 = 0.0
+    for x, y in itertools.product(nx, ny):
+        e = nx[x] * ny[y] / n
+        chi2 += (obs.get((x, y), 0) - e) ** 2 / e
+    assert got["n"] == n
+    assert got["dof"] == 2  # NULL is the third x category: (3-1)*(2-1)
+    assert abs(got["chi2"] - chi2) < 1e-9
+    assert got["chi2"] > 0
+
+
 # ---------------------------------------------------------------------------
 # Kolmogorov-Smirnov two-sample (r9)
 # ---------------------------------------------------------------------------
@@ -436,3 +468,22 @@ def test_decile_lift_validation(spark):
     df = spark.createDataFrame([(1, 0.5, 1)], "id long, s double, y int")
     with _pytest.raises(ValueError, match="buckets"):
         decile_lift(df, "s", "y", "id", buckets=1)
+
+
+def test_decile_lift_null_scores_excluded(spark):
+    """ADVICE r9: Spark's ascending-negated sort put NULL scores FIRST
+    (best decile) while SQL ORDER BY s DESC puts them last — unscored
+    rows are now excluded entirely, matching ols_by_group's NULL policy."""
+    from rust_cdc_validator_spark.operators.drift import decile_lift
+
+    rows = [(i, float(i), 1 if i % 2 else 0) for i in range(40)]
+    rows += [(100 + i, None, 1) for i in range(10)]  # unscored positives
+    df = spark.createDataFrame(rows, "id long, score double, y int")
+    got = decile_lift(df, "score", "y", "id", buckets=4).collect()
+    assert sum(r["n_rows"] for r in got) == 40  # NULL-score rows dropped
+    # top bucket holds the HIGHEST scores (39..30), not the NULL block
+    top = next(r for r in got if r["bucket"] == 0)
+    assert top["n_rows"] == 10 and top["n_pos"] == 5
+    # cum_capture denominator counts only scored positives (20, not 30)
+    last = max(got, key=lambda r: r["bucket"])
+    assert abs(last["cum_capture"] - 1.0) < 1e-9
