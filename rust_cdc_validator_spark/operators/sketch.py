@@ -109,22 +109,32 @@ def hll_sketch(
     if not 4 <= p <= 16:
         raise ValueError("p must be in [4, 16]")
     m = 1 << p
-    tail = _HASH_BITS - p
-    h = _h60(F.col(value_col))
-    idx = F.shiftright(h, tail)
-    w = h.bitwiseAND(F.lit((1 << tail) - 1))
-    # rank of first 1-bit in the tail window (1-based from the left);
-    # all-zero tail -> tail+1. bin() length = floor(log2(w))+1 for w>0,
-    # exact integer string arithmetic — no float log anywhere.
-    rho = F.when(w == 0, F.lit(tail + 1)).otherwise(
-        F.lit(tail) - (F.length(F.bin(w)) - F.lit(1))
-    )
+    idx, rho = hll_index_rank(F.col(value_col), p)
     regs = (
         df.select(*group_cols, idx.alias("_idx"), rho.alias("_rho"))
         .groupBy(*group_cols, "_idx")
         .agg(F.max("_rho").alias("_r"))
     )
     return _dense_regroup(regs, group_cols, "_idx", "_r", m, "registers")
+
+
+def hll_index_rank(col: Column, p: int) -> tuple[Column, Column]:
+    """The map-side HLL arithmetic as a (register index, rank) column
+    pair — shared by :func:`hll_sketch` and the streaming state fold
+    (streaming/windows.distinct_count_stateful) so streaming registers
+    stay bit-identical to batch sketches of the same rows. Rank of the
+    first 1-bit in the tail window is 1-based from the left; all-zero
+    tail -> tail+1. bin() length = floor(log2(w))+1 for w>0, exact
+    integer string arithmetic — no float log anywhere. NULL input
+    yields NULL columns (callers filter)."""
+    tail = _HASH_BITS - p
+    h = _h60(col)
+    idx = F.shiftright(h, tail)
+    w = h.bitwiseAND(F.lit((1 << tail) - 1))
+    rho = F.when(w == 0, F.lit(tail + 1)).otherwise(
+        F.lit(tail) - (F.length(F.bin(w)) - F.lit(1))
+    )
+    return idx, rho
 
 
 def hll_merge(a: Column, b: Column) -> Column:

@@ -199,24 +199,6 @@ _HLL_OUT_SCHEMA = T.StructType(
 _HLL_P = 10  # m = 1024 registers per key, ±3.3% 1σ — KBs of state per key
 
 
-def _hll_fold(values, regs) -> None:
-    """Fold raw values into a register list — the SAME md5-derived 60-bit
-    hash / bin-length rank as operators/sketch.hll_sketch, so streaming
-    state registers are bit-identical to a batch sketch of the same rows
-    (pytest-pinned): the sketch family's exact-merge contract extended
-    into streaming state."""
-    import hashlib
-
-    tail = 60 - _HLL_P
-    for v in values:
-        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
-        idx = h >> tail
-        w = h & ((1 << tail) - 1)
-        rho = (tail + 1) if w == 0 else tail - (w.bit_length() - 1)
-        if rho > regs[idx]:
-            regs[idx] = rho
-
-
 def _hll_estimate_py(regs) -> float:
     """Mirror of operators/sketch.hll_estimate for m=2^p registers."""
     m = 1 << _HLL_P
@@ -231,6 +213,40 @@ def _hll_estimate_py(regs) -> float:
     return raw
 
 
+def _hll_prereduce(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Stateless in-plan pre-reduce for the streaming HLL fold: (idx, rho)
+    are the SAME codegen column expressions as operators/sketch.hll_sketch
+    (md5 ``conv``, ``bin``-length rank — JVM-side, no Python per row),
+    then a partition-local pandas groupby-max collapses each partition to
+    ≤ m rows per key BEFORE the stateful operator. Max is associative and
+    idempotent, so partial maxima fold into state bit-identically to
+    folding every raw event. NULL values hash to NULL and are excluded
+    (SQL count-distinct semantics)."""
+    from rust_cdc_validator_spark.operators.sketch import hll_index_rank
+
+    idx, rho = hll_index_rank(F.col(value_col), _HLL_P)
+    pre = df.select(
+        F.col(key_col).cast("string").alias("_k"),
+        idx.cast("int").alias("_idx"),
+        rho.cast("int").alias("_rho"),
+    ).filter(F.col("_idx").isNotNull())
+
+    def partial_max(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [
+            pdf.groupby(["_k", "_idx"], as_index=False)["_rho"].max()
+            for pdf in batches
+            if len(pdf)
+        ]
+        if parts:
+            yield (
+                pd.concat(parts)
+                .groupby(["_k", "_idx"], as_index=False)["_rho"]
+                .max()
+            )
+
+    return pre.mapInPandas(partial_max, schema="_k string, _idx int, _rho int")
+
+
 def distinct_count_stateful(
     stream: DataFrame,
     key_col: str,
@@ -238,32 +254,41 @@ def distinct_count_stateful(
 ) -> DataFrame:
     """Per-key streaming distinct count whose STATE is an HLL register
     array — bounded at m=1024 ints per key forever, unlike
-    ``dropDuplicates`` state that grows with the distinct set. Each
-    micro-batch folds its values into the registers (monotone max — the
-    exact-merge property means replay/reordering cannot skew the
-    estimate) and emits the key's refreshed estimate. The streaming
-    sibling of ``events_rolling_distinct_hll``'s batch sketches: the SAME
-    hash/rank arithmetic, so state equals a batch sketch of everything
-    seen (pytest-pinned)."""
+    ``dropDuplicates`` state that grows with the distinct set. The
+    streaming sibling of ``events_rolling_distinct_hll``'s batch
+    sketches: the SAME hash/rank arithmetic, so state equals a batch
+    sketch of everything seen (pytest-pinned).
+
+    Scale shape: hashing happens as codegen column arithmetic and a
+    partition-local pandas max (:func:`_hll_prereduce`) — the stateful
+    operator's input is ≤ m rows per key per partition per micro-batch
+    (register-sized, pytest-pinned), NOT the raw event stream, and the
+    state update is one vectorized ``np.maximum.at`` over those rows.
+    No per-row Python anywhere on the path."""
+    reduced = _hll_prereduce(stream, key_col, value_col)
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         m = 1 << _HLL_P
         (regs,) = state.get if state.exists else ([0] * m,)
-        regs = list(regs)
+        regs = np.asarray(regs, dtype=np.int32)
         for pdf in pdfs:
-            _hll_fold(pdf[value_col].tolist(), regs)
-        state.update((regs,))
+            np.maximum.at(
+                regs, pdf["_idx"].to_numpy(), pdf["_rho"].to_numpy()
+            )
+        state.update(([int(r) for r in regs],))
         yield pd.DataFrame(
             {
-                "key": [str(key[0])],
+                "key": [key[0]],
                 "est_distinct": [_hll_estimate_py(regs)],
-                "n_nonzero": [sum(1 for r in regs if r != 0)],
+                "n_nonzero": [int((regs != 0).sum())],
             }
         )
 
-    return stream.groupBy(key_col).applyInPandasWithState(
+    return reduced.groupBy("_k").applyInPandasWithState(
         update,
         outputStructType=_HLL_OUT_SCHEMA,
         stateStructType=_HLL_STATE_SCHEMA,
