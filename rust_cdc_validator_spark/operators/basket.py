@@ -28,6 +28,24 @@ from pyspark.sql import functions as F
 __all__ = ["association_rules"]
 
 
+def _prune_infrequent(
+    kept: DataFrame, items: DataFrame, min_pair_count: int
+) -> DataFrame:
+    """A-priori downward closure (Agrawal & Srikant 1994, the candidate-
+    generation prune): an item occurring in fewer than ``min_pair_count``
+    baskets cannot appear in any surviving pair (a pair's count is
+    bounded by either item's margin), so drop its rows BEFORE the
+    quadratic basket self-join. On heavy-tailed item distributions — most
+    of a real corpus — the rare-item mass dominates the fan-out this
+    removes. Semantics-exact: surviving pairs and their counts are
+    untouched (both their items are frequent and no basket row they share
+    is dropped)."""
+    frequent = items.filter(
+        F.col("_ni") >= min_pair_count
+    ).select("_i")
+    return kept.join(frequent, "_i", "left_semi")
+
+
 def association_rules(
     df: DataFrame,
     basket_col: str,
@@ -56,7 +74,8 @@ def association_rules(
     )
     nb = kept.agg(F.count_distinct(F.col("_b")).alias("_nb"))
     items = kept.groupBy("_i").agg(F.count(F.lit(1)).cast("long").alias("_ni"))
-    a, b = kept.alias("a"), kept.alias("b")
+    pruned = _prune_infrequent(kept, items, min_pair_count)
+    a, b = pruned.alias("a"), pruned.alias("b")
     pairs = (
         a.join(b, "_b")
         .filter(F.col("a._i") < F.col("b._i"))

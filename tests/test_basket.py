@@ -76,3 +76,36 @@ def test_validations(spark, baskets):
         association_rules(baskets, "basket", "item", top_k=0)
     with pytest.raises(ValueError, match="max_basket_size"):
         association_rules(baskets, "basket", "item", max_basket_size=1)
+
+
+def test_apriori_prune_shrinks_heavy_tail_join_input(spark):
+    """VERDICT r9 #2: items with margin < min_pair_count must not enter
+    the basket self-join (downward closure), and the prune must not
+    change any surviving rule."""
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.basket import (
+        _prune_infrequent,
+        association_rules,
+    )
+
+    # heavy tail: 2 hot items in every basket, 500 singleton rares
+    rows = []
+    for b in range(50):
+        rows += [(b, "hot1"), (b, "hot2")]
+        for j in range(10):
+            rows.append((b, f"rare_{b}_{j}"))  # each rare in exactly 1 basket
+    df = spark.createDataFrame(rows, "basket long, item string")
+
+    kept = df.select(F.col("basket").alias("_b"), F.col("item").alias("_i")).distinct()
+    items = kept.groupBy("_i").agg(F.count(F.lit(1)).cast("long").alias("_ni"))
+    pruned = _prune_infrequent(kept, items, min_pair_count=3)
+    assert pruned.count() == 100  # only the hot rows survive (600 -> 100)
+
+    got = association_rules(df, "basket", "item", min_pair_count=3).collect()
+    # the only surviving pair is hot1<->hot2, both directions, lift 1
+    assert {(r["antecedent"], r["consequent"]) for r in got} == {
+        ("hot1", "hot2"), ("hot2", "hot1")
+    }
+    for r in got:
+        assert r["n_pair"] == 50 and abs(r["lift"] - 1.0) < 1e-9
