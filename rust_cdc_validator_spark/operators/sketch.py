@@ -449,7 +449,20 @@ def _bloom_pos(value: Column, i: int) -> Column:
     return F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
 
 
-def key_bloom(df: DataFrame, key_col: str, k: int = 4) -> DataFrame:
+def _bloom_bucket(value: Column, buckets: int) -> Column:
+    """Filter-routing bucket for a key: 8 md5 hex digits (independent of
+    every :func:`_bloom_pos` salt) mod ``buckets`` — computable from the
+    key ALONE, so the probe side routes to the same per-bucket filter
+    without any extra information."""
+    h = F.md5(F.concat(F.lit("bkt:"), value.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
+    ).cast("int")
+
+
+def key_bloom(
+    df: DataFrame, key_col: str, k: int = 4, buckets: int = 1
+) -> DataFrame:
     """Bloom bitmap over a key column as a RELATION: (w, bits) rows where
     word ``w`` holds 32 bloom bits — ≤ 2048 rows total (64 Kbit filter),
     built with one hash aggregation (map-side ``bit_or`` partials).
@@ -458,15 +471,26 @@ def key_bloom(df: DataFrame, key_col: str, k: int = 4) -> DataFrame:
     build fully in-plan and the probe a broadcast join — nothing ever
     collects, and both sides replay in SQL (``bit_or`` + shifts exist in
     every engine). False-positive rate ≈ (1 − e^(−k·n/m))^k: at the fixed
-    m = 65 536 and k = 4, ~2.4% for n = 10⁴ keys; build one filter per
-    partition/bucket of the small side when n grows past that.
+    m = 65 536 and k = 4, ~2.4% for n = 10⁴ keys.
+
+    ``buckets`` > 1 scales past that: keys hash-route to one of
+    ``buckets`` independent 64 Kbit filters (the relation grows a ``bkt``
+    grouping column — ≤ buckets × 2048 rows, still one ``bit_or`` agg and
+    still broadcastable), so each filter holds ~n/buckets keys and the FP
+    rate is that of the SMALLER load — at n = 10⁵ a single filter is
+    ~99% FP (useless) while 32 buckets hold ~0.1%. Probes route by the
+    same key-derived hash, so :func:`bloom_prune` needs the same
+    ``buckets`` value and nothing else.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    bucketed = buckets > 1
     probes = None
     for i in range(k):
         p = _bloom_pos(F.col(key_col), i)
-        one = df.select(
+        cols = [
             F.shiftright(p, 5).cast("int").alias("w"),
             # call_function: the Python shift helpers take literal shifts only
             F.call_function(
@@ -474,13 +498,18 @@ def key_bloom(df: DataFrame, key_col: str, k: int = 4) -> DataFrame:
                 F.lit(1).cast("long"),
                 p.bitwiseAND(F.lit(31)).cast("int"),
             ).alias("_bit"),
-        )
+        ]
+        if bucketed:
+            cols.insert(0, _bloom_bucket(F.col(key_col), buckets).alias("bkt"))
+        one = df.select(*cols)
         probes = one if probes is None else probes.unionAll(one)
-    return probes.groupBy("w").agg(F.bit_or("_bit").alias("bits"))
+    group = ["bkt", "w"] if bucketed else ["w"]
+    return probes.groupBy(*group).agg(F.bit_or("_bit").alias("bits"))
 
 
 def bloom_prune(
-    df: DataFrame, key_col: str, bloom: DataFrame, k: int = 4
+    df: DataFrame, key_col: str, bloom: DataFrame, k: int = 4,
+    buckets: int = 1,
 ) -> DataFrame:
     """Keep only rows whose ``key_col`` PASSES the bloom filter — the
     map-side pre-filter in front of a shuffle join: the big side drops
@@ -489,21 +518,37 @@ def bloom_prune(
     against the ≤ 2048-row bitmap relation, all map-side — the plan stays
     exchange-free on ``df``. Mirrors what Spark's runtime bloom pushdown
     does, made explicit, deterministic, and SQL-replayable.
+
+    ``buckets`` must match the :func:`key_bloom` build: each probe routes
+    to its key's per-bucket filter by the same key-derived hash (one more
+    equi-column on the same broadcast joins — still zero exchanges on
+    ``df``).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    bucketed = buckets > 1
+    if bucketed and "bkt" not in bloom.columns:
+        raise ValueError(
+            "bloom relation has no 'bkt' column — was key_bloom built "
+            "with the same buckets value?"
+        )
     out = df
     cond = None
     for i in range(k):
         p = _bloom_pos(F.col(key_col), i)
-        side = bloom.select(
+        side_cols = [
             F.col("w").alias(f"_bw{i}"), F.col("bits").alias(f"_bb{i}")
-        )
-        out = out.join(
-            F.broadcast(side),
-            F.shiftright(p, 5).cast("int") == F.col(f"_bw{i}"),
-            "left",
-        )
+        ]
+        on = F.shiftright(p, 5).cast("int") == F.col(f"_bw{i}")
+        if bucketed:
+            side_cols.insert(0, F.col("bkt").alias(f"_bk{i}"))
+            on = on & (
+                _bloom_bucket(F.col(key_col), buckets) == F.col(f"_bk{i}")
+            )
+        side = bloom.select(*side_cols)
+        out = out.join(F.broadcast(side), on, "left")
         hit = (
             F.call_function(
                 "shiftright",
@@ -514,4 +559,6 @@ def bloom_prune(
         )
         cond = hit if cond is None else (cond & hit)
     drop = [c for i in range(k) for c in (f"_bw{i}", f"_bb{i}")]
+    if bucketed:
+        drop += [f"_bk{i}" for i in range(k)]
     return out.filter(cond).drop(*drop)
