@@ -387,6 +387,7 @@ def label_propagation(
     dst: str = "dst",
     iterations: int = 5,
     checkpoint: bool = True,
+    track_convergence: bool = False,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan,
     Albert & Kumara 2007) over the UNDIRECTED graph induced by ``edges``
@@ -405,7 +406,16 @@ def label_propagation(
     node's distinct NEighbor-label count (≤ degree) — no global sort, no
     driver collect, lineage truncated per step. Iterations are fixed
     (LPA oscillates on bipartite structures; synchronous + fixed count is
-    the deterministic choice — callers pick 3–7)."""
+    the deterministic choice — callers pick 3–7).
+
+    ``track_convergence``: after each superstep count the nodes whose
+    label CHANGED (one count aggregate over the already-checkpointed
+    label frames — the only per-superstep driver action, mirroring
+    pagerank's ``tol`` probe) and stop early once a superstep changes
+    nothing (a fixed point: further synchronous steps are identity). The
+    returned DataFrame carries ``_lpa_iterations`` (supersteps actually
+    run) and ``_lpa_changes`` (list of per-superstep changed counts;
+    ``None`` when tracking is off) for convergence observability."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     a, b = F.col(src), F.col(dst)
@@ -425,7 +435,10 @@ def label_propagation(
     w = Window.partitionBy("_n").orderBy(
         F.col("_c").desc(), F.col("label").asc()
     )
+    changes: list[int] | None = [] if track_convergence else None
+    iterations_used = iterations
     for it in range(iterations):
+        prev = labels
         counts = (
             nbr.join(labels, nbr["_nb"] == labels["node"])
             .groupBy("_n", "label")
@@ -438,6 +451,21 @@ def label_propagation(
         )
         if checkpoint:
             labels = labels.localCheckpoint(eager=True)
+        if track_convergence:
+            changed = (
+                labels.join(
+                    prev.select("node", F.col("label").alias("_prev")),
+                    "node",
+                )
+                .filter(F.col("label") != F.col("_prev"))
+                .count()
+            )
+            changes.append(changed)
+            if changed == 0:
+                iterations_used = it + 1
+                break
+    labels._lpa_iterations = iterations_used
+    labels._lpa_changes = changes
     return labels
 
 
@@ -496,8 +524,10 @@ def shortest_hops(
             new = new.localCheckpoint(eager=True)
         if not new.take(1):
             break
+        # dist is a UNION of already-checkpointed frontier frames — its
+        # lineage stays flat (a scan per materialized hop, no recursive
+        # joins), so re-checkpointing the whole table every hop would
+        # only add a job and an O(V) copy per hop for nothing.
         dist = dist.unionAll(new)
-        if checkpoint:
-            dist = dist.localCheckpoint(eager=True)
         frontier = new.select("node")
     return dist

@@ -289,6 +289,26 @@ def test_lpa_partition_invariance_and_validation(spark):
         label_propagation(df, iterations=0)
 
 
+def test_lpa_track_convergence_early_stop(spark):
+    """VERDICT r9 #5: with track_convergence, LPA reports labels-changed
+    per superstep and stops at the fixed point — two cliques converge in
+    2 supersteps (changes then 0), well before a cap of 10."""
+    from rust_cdc_validator_spark.operators.graph import label_propagation
+
+    cliq1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    cliq2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    df = spark.createDataFrame(cliq1 + cliq2, "src string, dst string")
+    out = label_propagation(df, iterations=10, track_convergence=True)
+    got = {r["node"]: r["label"] for r in out.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
+    assert out._lpa_iterations < 10  # stopped before the cap
+    assert out._lpa_changes[-1] == 0  # the stopping superstep changed nothing
+    assert all(c >= 0 for c in out._lpa_changes)
+    # tracking off: no per-step probe, attributes report that
+    fixed = label_propagation(df, iterations=3, checkpoint=False)
+    assert fixed._lpa_iterations == 3 and fixed._lpa_changes is None
+
+
 # ---------------------------------------------------------------------------
 # Shortest hops / BFS (r9)
 # ---------------------------------------------------------------------------

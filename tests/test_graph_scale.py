@@ -13,7 +13,12 @@ import time
 
 from pyspark.sql import functions as F
 
-from rust_cdc_validator_spark.operators.graph import pagerank, triangle_count
+from rust_cdc_validator_spark.operators.graph import (
+    label_propagation,
+    pagerank,
+    shortest_hops,
+    triangle_count,
+)
 
 N_EDGES = 1_000_000
 N_NODES = 50_000
@@ -78,6 +83,72 @@ def test_pagerank_1m_edges_wall_and_job_count(spark):
         f"\npagerank 1M edges x5 iters: {r1[2]:.1f}s, {r1[3]} jobs "
         f"(run2 {r2[2]:.1f}s)"
     )
+
+
+def _count_jobs(spark, label, fn):
+    """Run fn() under a job group; return (fn result, elapsed, job count)."""
+    sc = spark.sparkContext
+    group = f"{label}-{time.monotonic_ns()}"
+    sc.setJobGroup(group, f"{label} pressure run")
+    try:
+        t0 = time.time()
+        result = fn()
+        elapsed = time.time() - t0
+    finally:
+        sc.setJobGroup("", "")
+    return result, elapsed, len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_lpa_1m_edges_wall_and_job_count(spark):
+    """VERDICT r9 #4: label propagation at 1M edges / 100 partitions with
+    the same job-count pin as pagerank — each superstep is one join + one
+    count agg + one argmax window + one checkpoint, O(1) jobs/step."""
+    edges = _edges(spark).localCheckpoint(eager=True)
+
+    def run():
+        labels = label_propagation(edges, iterations=3)
+        return labels.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("label").alias("communities"),
+        ).first()
+
+    r1 = _count_jobs(spark, "lpa-pressure", run)
+    r2 = _count_jobs(spark, "lpa-pressure", run)
+    for row, elapsed, jobs in (r1, r2):
+        assert row["n"] > 0 and 0 < row["communities"] <= row["n"]
+        assert elapsed < 120, f"3 LPA supersteps over 1M edges took {elapsed:.1f}s"
+        assert jobs <= 30, f"lpa launched {jobs} jobs"
+    assert r1[2] == r2[2], f"job count unstable: {r1[2]} != {r2[2]}"
+    print(f"\nlpa 1M edges x3 iters: {r1[1]:.1f}s, {r1[2]} jobs (run2 {r2[1]:.1f}s)")
+
+
+def test_bfs_1m_edges_wall_and_job_count(spark):
+    """VERDICT r9 #4: frontier BFS at 1M edges / 100 partitions. BFS's
+    per-hop take(1) probe makes its job budget the one most likely to
+    regress silently — pin it: edge build + seed + per hop (candidates
+    checkpoint + probe + dist checkpoint) is O(1) jobs per hop."""
+    edges = _edges(spark).localCheckpoint(eager=True)
+
+    def run():
+        seeds = spark.createDataFrame([(0,), (1,)], "node long")
+        dist = shortest_hops(edges, seeds, max_hops=4)
+        return dist.agg(
+            F.count(F.lit(1)).alias("n"), F.max("hops").alias("h")
+        ).first()
+
+    r1 = _count_jobs(spark, "bfs-pressure", run)
+    r2 = _count_jobs(spark, "bfs-pressure", run)
+    for row, elapsed, jobs in (r1, r2):
+        # ~20 out-edges/node: 4 hops from 2 seeds reach most of the graph
+        assert row["n"] > N_NODES // 2 and row["h"] <= 4
+        assert elapsed < 120, f"4-hop BFS over 1M edges took {elapsed:.1f}s"
+        # measured 36 under AQE (each checkpoint's shuffle stages count
+        # as jobs): setup ~6 + ~7/hop (frontier-join checkpoint, take(1)
+        # probe) + final agg. O(1) per hop is the invariant; the
+        # run-to-run equality below is the sharp pin.
+        assert jobs <= 44, f"bfs launched {jobs} jobs"
+    assert r1[2] == r2[2], f"job count unstable: {r1[2]} != {r2[2]}"
+    print(f"\nbfs 1M edges x4 hops: {r1[1]:.1f}s, {r1[2]} jobs (run2 {r2[1]:.1f}s)")
 
 
 def test_triangle_count_200k_edges_wall_bounded(spark):
