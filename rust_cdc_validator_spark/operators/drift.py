@@ -432,7 +432,12 @@ def chi_squared(
     )
 
 
-def ks_two_sample(a: DataFrame, b: DataFrame, value_col: str) -> DataFrame:
+def ks_two_sample(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    round_to: float | None = None,
+) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic for one numeric column —
     D = max over observed values of |CDF_a(v) − CDF_b(v)|, the
     distribution-drift test that (unlike :func:`psi_drift`'s fixed bins)
@@ -451,12 +456,28 @@ def ks_two_sample(a: DataFrame, b: DataFrame, value_col: str) -> DataFrame:
     arithmetic is exact integer counts divided once per row, so a SQL
     oracle replays D bit-for-bit. NULLs are excluded (they are
     drift_report's null_count signal, not a distribution point).
+
+    ``round_to``: optional bucket width. The (value, count) collapse only
+    shrinks the shuffle when values repeat — on a nearly-unique
+    continuous column (prices with float noise, timings) the distinct
+    relation IS row-sized. Setting ``round_to`` floors each value to a
+    multiple of the width BEFORE aggregation (``floor(v/w)·w``), bounding
+    the shuffled relation at range/width rows per side. D is then
+    computed on the bucketed CDFs — exact for the bucketed distribution,
+    and within one bucket's probability mass of the raw-value D. Default
+    ``None`` preserves the exact raw-value semantics (the oracle path).
     """
     from rust_cdc_validator_spark.operators.layout import prefix_sums
 
+    if round_to is not None and not round_to > 0:
+        raise ValueError("round_to must be > 0")
+
     def side(df: DataFrame, ca: int, cb: int) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        if round_to is not None:
+            v = F.floor(v / F.lit(float(round_to))) * F.lit(float(round_to))
         return (
-            df.select(F.col(value_col).cast("double").alias("_v"))
+            df.select(v.alias("_v"))
             .filter(F.col("_v").isNotNull())
             .select("_v", F.lit(ca).alias("_ca"), F.lit(cb).alias("_cb"))
         )

@@ -376,6 +376,50 @@ def test_ks_two_sample_identical_distributions(spark):
     assert got["ks_d"] == 0.0
 
 
+def test_ks_round_to_bounds_distinct_relation(spark):
+    """VERDICT r9 #6: on a nearly-unique continuous column the (value,
+    count) collapse is row-sized — round_to must bound the shuffled
+    relation at range/width buckets while keeping D within one bucket's
+    probability mass of the exact statistic."""
+    import random
+
+    from rust_cdc_validator_spark.operators.drift import ks_two_sample
+
+    rng = random.Random(11)
+    xs = [rng.gauss(0, 1) for _ in range(4000)]       # ~all distinct
+    ys = [rng.gauss(0.4, 1.0) for _ in range(4000)]
+    a = spark.createDataFrame([(v,) for v in xs], "x double")
+    b = spark.createDataFrame([(v,) for v in ys], "x double")
+
+    exact = ks_two_sample(a, b, "x").first()
+    w = 0.05
+    bucketed = ks_two_sample(a, b, "x", round_to=w).first()
+
+    # counts unchanged; D within a bucket's probability mass of exact
+    assert bucketed["n_a"] == 4000 and bucketed["n_b"] == 4000
+    assert abs(bucketed["ks_d"] - exact["ks_d"]) < 0.05
+    assert bucketed["ks_d"] > bucketed["critical_95"]  # drift still seen
+    # at_value sits on the bucket grid (floor(v/w)*w)
+    assert abs(bucketed["at_value"] / w - round(bucketed["at_value"] / w)) < 1e-9
+
+    # the relation entering the prefix scan is bucket-sized, not row-sized:
+    # the same floor expression over the pooled raw values collapses
+    # 8000 near-unique rows to ~range/width buckets
+    pooled = a.unionAll(b)
+    raw_distinct = pooled.distinct().count()
+    bucket_distinct = (
+        pooled.select((F.floor(F.col("x") / w) * w).alias("v")).distinct().count()
+    )
+    assert raw_distinct > 7900            # the planted worst case is real
+    assert bucket_distinct < 400          # ~8 sigma span / 0.05 width
+
+    # validation
+    import pytest
+
+    with pytest.raises(ValueError):
+        ks_two_sample(a, b, "x", round_to=0.0)
+
+
 # ---------------------------------------------------------------------------
 # Group-wise OLS (r9)
 # ---------------------------------------------------------------------------
