@@ -6852,6 +6852,106 @@ GROUP BY c_mktsegment
 """
 
 
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape ("suppliers who kept orders waiting"), adapted to
+    this corpus: lineitem has no l_receiptdate/l_commitdate, so "late"
+    := shipped more than 90 days after the order date, and Q21's single
+    nation widens to one region (~20 of the 100 suppliers). For finished
+    orders (o_orderstatus = 'F'), count per supplier the late lines on
+    MULTI-supplier orders where that supplier was the ONLY late one —
+    the double-correlated EXISTS / NOT EXISTS self-join on one table
+    that no other catalog query exercises.
+
+    Spark shape: one orderkey equi-join of lineitem×orders attaches the
+    lateness cutoff; EXISTS becomes a LEFT SEMI join (same orderkey,
+    different suppkey) and NOT EXISTS a LEFT ANTI join whose residual
+    predicate references the probe row's own o_orderdate (same order ⇒
+    same date), so the anti side is the RAW lineitem relation — no
+    second orders join, no cartesian. supplier (100 rows) and nation
+    (25) broadcast. Top-100 by (numwait DESC, s_name) is a total order
+    (s_name unique), so the oracle replays the LIMIT deterministically.
+
+    Scale shape: all three lineitem-sized relations shuffle on
+    l_orderkey — the semi and anti joins co-partition with the orders
+    join and AQE reuses the exchange; the residual suppkey/date
+    predicates ride the join, adding no extra pass. Reference parity:
+    the classic Q21 plan family (semi+anti over one fact table),
+    SURVEY.md §2 joins row.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+
+    late1 = (
+        li.join(
+            o.select("o_orderkey", "o_orderdate"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    waiting = late1.join(
+        l2,
+        (late1["l_orderkey"] == l2["_ok2"])
+        & (late1["l_suppkey"] != l2["_sk2"]),
+        "left_semi",
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("_ok3"),
+        F.col("l_suppkey").alias("_sk3"),
+        F.col("l_shipdate").alias("_sd3"),
+    )
+    waiting = waiting.join(
+        l3,
+        (waiting["l_orderkey"] == l3["_ok3"])
+        & (waiting["l_suppkey"] != l3["_sk3"])
+        & (
+            l3["_sd3"]
+            > waiting["o_orderdate"] + F.expr("INTERVAL 90 DAYS")
+        ),
+        "left_anti",
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+Q21_WAITING_SUPPLIERS_SQL = """
+WITH latelines AS (
+  SELECT l.l_orderkey, l.l_suppkey, o.o_orderdate
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM latelines l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_regionkey = 0
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 def web_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end web-corpus preparation — the composition this round's
     operators exist for, value-checked as ONE plan: synthesize messy URLs
@@ -7385,6 +7485,7 @@ QUERIES: dict[str, QueryFn] = {
     "nation_trade_flows": nation_trade_flows,
     "disjunctive_revenue": disjunctive_revenue,
     "dormant_rich_customers": dormant_rich_customers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "web_corpus_prep": web_corpus_prep,
     "embedding_pair_calibration": embedding_pair_calibration,
     "referential_integrity_report": referential_integrity_report,
@@ -7533,6 +7634,7 @@ ORACLES: dict[str, str] = {
     "nation_trade_flows": NATION_TRADE_FLOWS_SQL,
     "disjunctive_revenue": DISJUNCTIVE_REVENUE_SQL,
     "dormant_rich_customers": DORMANT_RICH_CUSTOMERS_SQL,
+    "q21_waiting_suppliers": Q21_WAITING_SUPPLIERS_SQL,
     "web_corpus_prep": WEB_CORPUS_PREP_SQL,
     "embedding_pair_calibration": EMBEDDING_PAIR_CALIBRATION_SQL,
     "referential_integrity_report": REFERENTIAL_INTEGRITY_SQL,

@@ -200,3 +200,17 @@ def test_web_corpus_prep_materializes_once(spark, sf_dir):
     plan = explain_str(web_corpus_prep(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 5
+
+
+def test_q21_semi_anti_no_cartesian(spark, sf_dir):
+    """VERDICT r9 #7: the Q21 shape must plan as a LeftSemi + LeftAnti
+    over lineitem with the suppkey/date predicates riding the joins as
+    residual conditions — and never degrade to a cartesian (a
+    non-equi-only condition would)."""
+    from rust_cdc_validator_spark.plans.inspect import explain_str
+    from rust_cdc_validator_spark.queries import q21_waiting_suppliers
+
+    plan = explain_str(q21_waiting_suppliers(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
