@@ -28,6 +28,11 @@ from pyspark.sql import functions as F
 __all__ = ["association_rules"]
 
 
+#: conservative per-row estimate for the frequent-items frame when sizing
+#: its broadcast: one key column (string/long) + row overhead
+_ITEM_ROW_BYTES = 64
+
+
 def _prune_infrequent(
     kept: DataFrame, items: DataFrame, min_pair_count: int
 ) -> DataFrame:
@@ -39,10 +44,29 @@ def _prune_infrequent(
     of a real corpus — the rare-item mass dominates the fan-out this
     removes. Semantics-exact: surviving pairs and their counts are
     untouched (both their items are frequent and no basket row they share
-    is dropped)."""
+    is dropped).
+
+    The prune must not cost a shuffle: a plain semi-join would exchange
+    the whole basket relation on the ITEM key (a shuffle the query never
+    needed — the self-join exchanges on the basket key), so the frequent
+    set is broadcast whenever it fits the session's own threshold,
+    keeping the basket relation's only exchange the basket-keyed one.
+    The count gating it is one job over the (checkpointed, vocab-sized)
+    margins relation. Past the threshold the shuffle semi-join is the
+    honest fallback — at that vocab size the rare-item mass it removes
+    dwarfs the exchange."""
+    from rust_cdc_validator_spark.operators.graph import _parse_bytes
+
     frequent = items.filter(
         F.col("_ni") >= min_pair_count
     ).select("_i")
+    threshold = _parse_bytes(
+        kept.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10m"
+        )
+    )
+    if 0 < frequent.count() * _ITEM_ROW_BYTES <= threshold:
+        frequent = F.broadcast(frequent)
     return kept.join(frequent, "_i", "left_semi")
 
 
@@ -72,8 +96,20 @@ def association_rules(
     kept = bi.join(
         sizes.filter(F.col("_sz") <= max_basket_size).select("_b"), "_b"
     )
+    # Materialize the basket relation ONCE: nb, the item margins, and
+    # BOTH sides of the pair self-join read it — without the cut each
+    # reference replays the distinct + size-filter join (the A-priori
+    # prune's extra reference measured 1.9× the query at sf0.1 before
+    # this). The margins relation is vocab-sized and feeds three
+    # consumers (prune gate, antecedent and consequent joins), so it is
+    # cut too.
+    kept = kept.localCheckpoint(eager=True)
     nb = kept.agg(F.count_distinct(F.col("_b")).alias("_nb"))
-    items = kept.groupBy("_i").agg(F.count(F.lit(1)).cast("long").alias("_ni"))
+    items = (
+        kept.groupBy("_i")
+        .agg(F.count(F.lit(1)).cast("long").alias("_ni"))
+        .localCheckpoint(eager=True)
+    )
     pruned = _prune_infrequent(kept, items, min_pair_count)
     a, b = pruned.alias("a"), pruned.alias("b")
     pairs = (

@@ -109,3 +109,21 @@ def test_apriori_prune_shrinks_heavy_tail_join_input(spark):
     }
     for r in got:
         assert r["n_pair"] == 50 and abs(r["lift"] - 1.0) < 1e-9
+
+
+def test_apriori_prune_broadcasts_frequent_set(spark, baskets):
+    """The prune must not add an item-keyed exchange of the basket
+    relation: with a small vocabulary the frequent set broadcasts, so
+    the semi-join is map-side and the only exchanges on the pair path
+    stay basket-keyed."""
+    from rust_cdc_validator_spark.operators.basket import association_rules
+
+    plan = (
+        association_rules(baskets, "basket", "item", min_pair_count=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan)
