@@ -6952,6 +6952,110 @@ LIMIT 100
 """
 
 
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): how many customers placed
+    exactly k non-urgent orders, INCLUDING k = 0 — the zero-preserving
+    outer-join histogram no other catalog query has (semi/anti joins drop
+    the zero class; inner-join counts never see it).
+
+    Spark shape: aggregate-BEFORE-join — orders collapse to a
+    (custkey, count) relation first, then LEFT join customer (both |C|-
+    sized, keyed on custkey), then the histogram agg over the tiny
+    c_count domain. The naive Q13 outer-join-then-count expands customer
+    × orders rows through the join; this plan's join carries one row per
+    customer per side. At 100 TB: one map-side-combined agg shuffle of
+    orders + one |C| keyed join + a |distinct counts| agg.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    counts = (
+        o.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    per_cust = c.join(
+        counts, c["c_custkey"] == counts["o_custkey"], "left"
+    ).select(F.coalesce(F.col("_cnt"), F.lit(0)).alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, COALESCE(oc.cnt, 0) AS c_count
+  FROM customer c LEFT JOIN (
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey
+  ) oc ON oc.o_custkey = c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval counting: treating each event as a 5-minute
+    open interval [ts, ts+300s), the PEAK number of simultaneously-open
+    intervals per event type and the first instant it is reached — the
+    classic +1/−1 boundary-scan shape (concurrent sessions, connection
+    counts, room occupancy) absent from the catalog's window family.
+
+    Delegates to operators/sweepline.peak_concurrency — one boundary
+    collapse + ONE generalized two-phase prefix scan (no per-type
+    single-partition window; see the operator docstring for the
+    zero-sum group-reset argument) + a |types| struct-max agg.
+    """
+    from rust_cdc_validator_spark.operators.sweepline import peak_concurrency
+
+    ev = _events(spark, sf_dir)
+    return (
+        peak_concurrency(
+            ev.select(
+                "event_type",
+                F.col("ts_ns").alias("_start"),
+                (F.col("ts_ns") + F.lit(300_000_000_000)).alias("_end"),
+            ),
+            ["event_type"],
+            "_start",
+            "_end",
+        )
+        .withColumnRenamed("first_peak", "first_peak_ns")
+        .orderBy("event_type")
+    )
+
+
+EVENTS_PEAK_CONCURRENCY_SQL = """
+WITH pts AS (
+  SELECT event_type, epoch_ns(ts) AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, epoch_ns(ts) + 300000000000 AS t, -1 AS delta FROM events
+), cells AS (
+  SELECT event_type, t, delta, CAST(SUM(delta) AS BIGINT) AS d
+  FROM pts GROUP BY event_type, t, delta
+), cum AS (
+  SELECT event_type, t,
+         CAST(SUM(d) OVER (PARTITION BY event_type ORDER BY t, delta
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS run
+  FROM cells
+), ranked AS (
+  SELECT event_type, t, run,
+         MAX(run) OVER (PARTITION BY event_type) AS mx
+  FROM cum
+)
+SELECT event_type,
+       CAST(mx AS BIGINT) AS peak_concurrency,
+       CAST(MIN(t) FILTER (WHERE run = mx) AS BIGINT) AS first_peak_ns
+FROM ranked
+GROUP BY event_type, mx
+ORDER BY event_type
+"""
+
+
 def web_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end web-corpus preparation — the composition this round's
     operators exist for, value-checked as ONE plan: synthesize messy URLs
@@ -7486,6 +7590,8 @@ QUERIES: dict[str, QueryFn] = {
     "disjunctive_revenue": disjunctive_revenue,
     "dormant_rich_customers": dormant_rich_customers,
     "q21_waiting_suppliers": q21_waiting_suppliers,
+    "customer_order_distribution": customer_order_distribution,
+    "events_peak_concurrency": events_peak_concurrency,
     "web_corpus_prep": web_corpus_prep,
     "embedding_pair_calibration": embedding_pair_calibration,
     "referential_integrity_report": referential_integrity_report,
@@ -7635,6 +7741,8 @@ ORACLES: dict[str, str] = {
     "disjunctive_revenue": DISJUNCTIVE_REVENUE_SQL,
     "dormant_rich_customers": DORMANT_RICH_CUSTOMERS_SQL,
     "q21_waiting_suppliers": Q21_WAITING_SUPPLIERS_SQL,
+    "customer_order_distribution": CUSTOMER_ORDER_DISTRIBUTION_SQL,
+    "events_peak_concurrency": EVENTS_PEAK_CONCURRENCY_SQL,
     "web_corpus_prep": WEB_CORPUS_PREP_SQL,
     "embedding_pair_calibration": EMBEDDING_PAIR_CALIBRATION_SQL,
     "referential_integrity_report": REFERENTIAL_INTEGRITY_SQL,
