@@ -1581,11 +1581,25 @@ def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     row threshold (this query ≡ ``percentile_profile(li, approx=False)``,
     pinned equivalent in ``tests/test_corpus.py``)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    # ONE array-valued percentile aggregate for the price column — two
+    # scalar F.percentile calls are two independent sort-buffer
+    # aggregates that each materialize every group's l_extendedprice
+    # values (measured 1.5× this query at sf0.1); the array form buffers
+    # the column once and reads both ranks off it (the same shape
+    # operators/corpus.percentile_profile uses).
+    agg = li.groupBy("l_returnflag").agg(
         F.median("l_quantity").alias("med_qty"),
-        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
-        F.percentile("l_extendedprice", 0.99).alias("p99_price"),
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.9), F.lit(0.99))
+        ).alias("_p"),
         F.count(F.lit(1)).alias("n_items"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "med_qty",
+        F.col("_p")[0].alias("p90_price"),
+        F.col("_p")[1].alias("p99_price"),
+        "n_items",
     )
 
 
