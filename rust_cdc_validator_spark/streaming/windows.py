@@ -295,3 +295,161 @@ def distinct_count_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_GAUGE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cur", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("first_peak", T.LongType()),
+    ]
+)
+_GAUGE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("current", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("first_peak", T.LongType()),
+    ]
+)
+
+
+def interval_boundaries(
+    df: DataFrame, key_col: str, start_col: str, end_col: str
+) -> DataFrame:
+    """Explode half-open intervals [start, end) into the (key, ts, delta)
+    boundary relation the concurrency gauge consumes: +1 at start, −1 at
+    end, NULL/empty intervals excluded (matching
+    operators/sweepline.peak_concurrency). For a LIVE gauge feed the
+    open and close events should instead arrive as separate rows when
+    they happen — exploding a completed-interval stream closes every
+    interval within its own micro-batch, so ``current`` nets to zero at
+    each batch end (peak/first_peak remain the useful outputs)."""
+    iv = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(start_col).cast("long").alias("_s"),
+        F.col(end_col).cast("long").alias("_e"),
+    ).filter(
+        F.col("_s").isNotNull()
+        & F.col("_e").isNotNull()
+        & (F.col("_e") > F.col("_s"))
+    )
+    return iv.select(
+        F.col("_k").alias(key_col),
+        F.col("_s").alias("ts"),
+        F.lit(1).cast("long").alias("delta"),
+    ).unionAll(
+        iv.select(
+            F.col("_k").alias(key_col),
+            F.col("_e").alias("ts"),
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    )
+
+
+def _boundary_prereduce(
+    df: DataFrame, key_col: str, ts_col: str, delta_col: str
+) -> DataFrame:
+    """Stateless in-plan pre-reduce for the streaming concurrency gauge:
+    a partition-local pandas groupby-sum collapses boundary rows to NET
+    deltas per (key, instant) BEFORE the stateful operator — partial
+    sums are associative, so folding partial cells in time order equals
+    folding every raw boundary, and net-collapse is peak-equivalent
+    (within one instant the −1s apply before the +1s under half-open
+    semantics, so the only new peak candidate is the post-all-deltas
+    value — exactly the net cell's running value). The stateful input is
+    cells (distinct boundary instants per key per partition), not the
+    raw boundary stream. NULL ts/delta rows are excluded."""
+    pre = df.select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.col(ts_col).cast("long").alias("_t"),
+        F.col(delta_col).cast("long").alias("_d"),
+    ).filter(F.col("_t").isNotNull() & F.col("_d").isNotNull())
+
+    def partial_sum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [
+            pdf.groupby(["_k", "_t"], as_index=False)["_d"].sum()
+            for pdf in batches
+            if len(pdf)
+        ]
+        if parts:
+            yield (
+                pd.concat(parts)
+                .groupby(["_k", "_t"], as_index=False)["_d"]
+                .sum()
+            )
+
+    return pre.mapInPandas(partial_sum, schema="_k string, _t long, _d long")
+
+
+def concurrency_gauge_stateful(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    delta_col: str = "delta",
+) -> DataFrame:
+    """Per-key streaming concurrency gauge over a BOUNDARY stream —
+    rows are open (+1) / close (−1) events at an instant (connections
+    opened and closed, sessions started and ended). Emits the CURRENT
+    number open, the running PEAK, and the first instant the peak was
+    reached, with O(1) state per key (three longs) forever — the
+    stateful sibling of ``operators/sweepline.peak_concurrency``
+    (:func:`interval_boundaries` explodes interval-shaped input into
+    this relation).
+
+    Exactness contract: ``current`` is exact under ANY arrival order
+    (every boundary adjusts the sum exactly once — pytest-pinned under
+    cross-batch disorder). ``peak``/``first_peak`` equal the batch
+    operator whenever boundaries arrive in non-decreasing time order
+    ACROSS micro-batches (within a batch the fold sorts, so intra-batch
+    disorder is free — pytest-pinned on a time-split feed); a boundary
+    older than the high-water mark still adjusts ``current``, but its
+    transient peak cannot be reconstructed from three longs — the
+    documented gauge approximation, same family as every O(1)-state
+    monitor.
+
+    Scale shape: delta arithmetic is codegen column work; a
+    partition-local pandas sum (:func:`_boundary_prereduce`) hands the
+    stateful operator cells, not events, and the state update is one
+    vectorized cumsum over those cells. No per-row Python on the path."""
+    reduced = _boundary_prereduce(stream, key_col, ts_col, delta_col)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cur, peak, first_peak = (
+            state.get if state.exists else (0, 0, None)
+        )
+        cells = [pdf for pdf in pdfs if len(pdf)]
+        if cells:
+            merged = (
+                pd.concat(cells)
+                .groupby("_t", as_index=False)["_d"]
+                .sum()
+                .sort_values("_t")
+            )
+            running = merged["_d"].cumsum() + cur
+            cur = int(running.iloc[-1])
+            batch_max = int(running.max())
+            if batch_max > peak:
+                peak = batch_max
+                first_peak = int(
+                    merged.loc[running.to_numpy() == peak, "_t"].iloc[0]
+                )
+        state.update((cur, peak, first_peak))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "current": [cur],
+                "peak": [peak],
+                "first_peak": [first_peak],
+            }
+        )
+
+    return reduced.groupBy("_k").applyInPandasWithState(
+        update,
+        outputStructType=_GAUGE_OUT_SCHEMA,
+        stateStructType=_GAUGE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

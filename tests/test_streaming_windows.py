@@ -467,3 +467,154 @@ def test_hll_prereduce_input_is_register_sized(spark):
     truth = _hll_prereduce(df.coalesce(1), "seg", "uid")
     key = lambda d: sorted(map(tuple, d.collect()))
     assert key(glob) == key(truth)
+
+
+def test_concurrency_gauge_equals_batch_on_ordered_feed(spark, tmp_path):
+    """Streaming gauge (r10) on a time-ordered boundary feed split
+    across micro-batches must equal the batch sweep-line operator:
+    same peak, same first-peak instant — and after the FIRST batch,
+    `current` must equal the number of intervals open at the split."""
+    from rust_cdc_validator_spark.operators.sweepline import peak_concurrency
+    from rust_cdc_validator_spark.streaming.windows import (
+        concurrency_gauge_stateful,
+    )
+
+    import random
+
+    rng = random.Random(13)
+    ivs = []
+    t = 0
+    for _ in range(200):
+        t += rng.randrange(0, 5)
+        ivs.append((t, t + rng.randrange(1, 30)))
+    bounds = sorted(
+        [(s, 1) for s, _ in ivs] + [(e, -1) for _, e in ivs]
+    )  # global time order; ties: any intra-batch order is fine (fold sorts)
+    mid = len(bounds) // 2
+    # split on an instant boundary so no instant spans the two batches
+    while mid < len(bounds) and bounds[mid][0] == bounds[mid - 1][0]:
+        mid += 1
+    split_t = bounds[mid][0]
+
+    src = tmp_path / "gauge"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("g", T.StringType()),
+         T.StructField("ts", T.LongType()),
+         T.StructField("delta", T.LongType())]
+    )
+
+    def w(name, rows):
+        pq.write_table(
+            pa.table({"g": ["x"] * len(rows),
+                      "ts": [t for t, _ in rows],
+                      "delta": [d for _, d in rows]}), str(src / name))
+
+    w("a.parquet", bounds[:mid])
+    w("b.parquet", bounds[mid:])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    q = (concurrency_gauge_stateful(stream, "g").writeStream
+         .format("memory").queryName("gauge_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    per_batch = spark.sql("SELECT * FROM gauge_out").collect()
+    assert len(per_batch) == 2  # one update row per micro-batch
+    # the final batch's row is the one with every interval closed
+    # (current is exact on an ordered feed); the other row is batch 1
+    final = next(r for r in per_batch if r["current"] == 0)
+    first = next(r for r in per_batch if r["current"] != 0)
+
+    batch = spark.createDataFrame([("x", a, b) for a, b in ivs],
+                                  "g string, s long, e long")
+    want = peak_concurrency(batch, ["g"], "s", "e").first()
+    assert final["peak"] == want["peak_concurrency"]
+    assert final["first_peak"] == want["first_peak"]
+    # live gauge after batch 1: intervals open just before the split
+    open_at = sum(1 for a, b in ivs if a < split_t <= b)
+    assert first["current"] == open_at and open_at > 0
+
+
+def test_concurrency_gauge_current_exact_under_disorder(spark, tmp_path):
+    """Under cross-batch DISORDER peak is a documented approximation,
+    but `current` must stay exact — every boundary adjusts the sum
+    exactly once, in any order."""
+    from rust_cdc_validator_spark.streaming.windows import (
+        concurrency_gauge_stateful,
+    )
+
+    src = tmp_path / "gauge3"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("g", T.StringType()),
+         T.StructField("ts", T.LongType()),
+         T.StructField("delta", T.LongType())]
+    )
+    # batch 1: opens at 50 and 60, close at 70 — 1 open at high-water
+    pq.write_table(pa.table({"g": ["x"] * 3, "ts": [50, 60, 70],
+                             "delta": [1, 1, -1]}), str(src / "a.parquet"))
+    # batch 2: a LATE pair that predates batch 1 entirely
+    pq.write_table(pa.table({"g": ["x"] * 2, "ts": [0, 10],
+                             "delta": [1, -1]}), str(src / "b.parquet"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    q = (concurrency_gauge_stateful(stream, "g").writeStream
+         .format("memory").queryName("gauge3_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = sorted(spark.sql("SELECT * FROM gauge3_out").collect(),
+                  key=lambda r: r["current"], reverse=True)
+    assert rows[0]["current"] == 1  # after batch 1
+    assert rows[1]["current"] == 1  # late pair nets 0: still exactly 1 open
+
+
+def test_interval_boundaries_and_half_open_semantics(spark):
+    """interval_boundaries explodes [s, e) rows (+1/-1, empty and NULL
+    intervals dropped); at equal instants the -1 applies first, so
+    touching intervals never overlap."""
+    from rust_cdc_validator_spark.streaming.windows import interval_boundaries
+
+    df = spark.createDataFrame(
+        [("g", 0, 10), ("g", 10, 20), ("g", 5, 5), ("g", None, 9)],
+        "g string, s long, e long",
+    )
+    rows = sorted(
+        (r["ts"], r["delta"])
+        for r in interval_boundaries(df, "g", "s", "e").collect()
+    )
+    assert rows == [(0, 1), (10, -1), (10, 1), (20, -1)]
+
+
+def test_boundary_prereduce_input_is_cell_sized(spark):
+    """The stateful operator's input must be cells (distinct boundary
+    instants per key per partition), not raw boundary rows, and partial
+    sums must equal the global net delta per (key, instant)."""
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.streaming.windows import (
+        _boundary_prereduce,
+        interval_boundaries,
+    )
+
+    # 40k intervals over only 50 distinct instants -> 80k boundary rows
+    # collapse to <= 4 partitions * 2 keys * 50 instants
+    df = (
+        spark.range(40_000)
+        .select(
+            F.concat(F.lit("k"), (F.col("id") % 2).cast("string")).alias("g"),
+            (F.col("id") % 25).alias("s"),
+            (F.col("id") % 25 + 25).alias("e"),
+        )
+        .repartition(4)
+    )
+    bounds = interval_boundaries(df, "g", "s", "e")
+    cells = _boundary_prereduce(bounds, "g", "ts", "delta")
+    n = cells.count()
+    assert n <= 4 * 2 * 50
+    # partial sums fold to the exact global net delta
+    glob = cells.groupBy("_k", "_t").agg(F.sum("_d").alias("d"))
+    rows = {(r["_k"], r["_t"]): r["d"] for r in glob.collect()}
+    for k in ("k0", "k1"):
+        for t in range(25):
+            assert rows[(k, t)] == 800
+            assert rows[(k, t + 25)] == -800
