@@ -424,9 +424,22 @@ def label_propagation(
         .filter(F.col("_a") != F.col("_b"))
         .distinct()
     )
+    # both directions in ONE pass: a unionAll of two selects would
+    # evaluate the whole und subtree (including the caller's edge build)
+    # twice before the checkpoint materializes — explode duplicates each
+    # row map-side instead
     nbr = und.select(
-        F.col("_a").alias("_n"), F.col("_b").alias("_nb")
-    ).unionAll(und.select(F.col("_b").alias("_n"), F.col("_a").alias("_nb")))
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_a").alias("_n"), F.col("_b").alias("_nb")
+                ),
+                F.struct(
+                    F.col("_b").alias("_n"), F.col("_a").alias("_nb")
+                ),
+            )
+        ).alias("_x")
+    ).select(F.col("_x._n").alias("_n"), F.col("_x._nb").alias("_nb"))
     if checkpoint:
         nbr = nbr.localCheckpoint(eager=True)
     labels = nbr.select(F.col("_n").alias("node")).distinct().select(
@@ -497,11 +510,23 @@ def shortest_hops(
     """
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-    if not directed:
-        e = e.unionAll(
-            edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
-        )
+    if directed:
+        e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    else:
+        # one-pass doubling (explode, not unionAll — the union form
+        # evaluates the caller's edge build twice before the checkpoint)
+        e = edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("_s"), F.col(dst).alias("_d")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("_s"), F.col(src).alias("_d")
+                    ),
+                )
+            ).alias("_x")
+        ).select(F.col("_x._s").alias("_s"), F.col("_x._d").alias("_d"))
     e = e.filter(F.col("_s") != F.col("_d")).distinct()
     if checkpoint:
         e = e.localCheckpoint(eager=True)

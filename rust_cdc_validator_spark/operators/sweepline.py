@@ -65,12 +65,24 @@ def peak_concurrency(
         & F.col("_e").isNotNull()
         & (F.col("_e") > F.col("_s"))
     )
+    # both boundaries in ONE pass (explode, not unionAll — the union form
+    # evaluates the caller's upstream plan twice)
     pts = iv.select(
-        *group_cols, F.col("_s").alias("_t"), F.lit(1).alias("_delta")
-    ).unionAll(
-        iv.select(
-            *group_cols, F.col("_e").alias("_t"), F.lit(-1).alias("_delta")
-        )
+        *group_cols,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_s").alias("_t"), F.lit(1).alias("_delta")
+                ),
+                F.struct(
+                    F.col("_e").alias("_t"), F.lit(-1).alias("_delta")
+                ),
+            )
+        ).alias("_x"),
+    ).select(
+        *group_cols,
+        F.col("_x._t").alias("_t"),
+        F.col("_x._delta").alias("_delta"),
     )
     cells = pts.groupBy(*group_cols, "_t", "_delta").agg(
         F.sum("_delta").alias("_d")

@@ -334,16 +334,26 @@ def interval_boundaries(
         & F.col("_e").isNotNull()
         & (F.col("_e") > F.col("_s"))
     )
+    # one-pass boundary fan-out (explode, not unionAll — the union form
+    # evaluates the upstream plan twice)
     return iv.select(
         F.col("_k").alias(key_col),
-        F.col("_s").alias("ts"),
-        F.lit(1).cast("long").alias("delta"),
-    ).unionAll(
-        iv.select(
-            F.col("_k").alias(key_col),
-            F.col("_e").alias("ts"),
-            F.lit(-1).cast("long").alias("delta"),
-        )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_s").alias("ts"),
+                    F.lit(1).cast("long").alias("delta"),
+                ),
+                F.struct(
+                    F.col("_e").alias("ts"),
+                    F.lit(-1).cast("long").alias("delta"),
+                ),
+            )
+        ).alias("_x"),
+    ).select(
+        key_col,
+        F.col("_x.ts").alias("ts"),
+        F.col("_x.delta").alias("delta"),
     )
 
 
