@@ -119,17 +119,24 @@ def association_rules(
         .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
         .filter(F.col("n_pair") >= min_pair_count)
     )
+    # both rule directions in ONE pass (explode, not unionAll — the union
+    # form evaluates the quadratic self-join + pair aggregation twice)
     both = pairs.select(
-        F.col("_x").alias("antecedent"),
-        F.col("_y").alias("consequent"),
-        "n_pair",
-    ).unionAll(
-        pairs.select(
-            F.col("_y").alias("antecedent"),
-            F.col("_x").alias("consequent"),
-            "n_pair",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_x").alias("antecedent"),
+                    F.col("_y").alias("consequent"),
+                    F.col("n_pair"),
+                ),
+                F.struct(
+                    F.col("_y").alias("antecedent"),
+                    F.col("_x").alias("consequent"),
+                    F.col("n_pair"),
+                ),
+            )
+        ).alias("_r")
+    ).select("_r.antecedent", "_r.consequent", "_r.n_pair")
     na = items.select(F.col("_i").alias("antecedent"), F.col("_ni").alias("_na"))
     nc = items.select(F.col("_i").alias("consequent"), F.col("_ni").alias("_nc"))
     lift = (

@@ -348,15 +348,22 @@ def degree_assortativity(
     da = deg.select(F.col("node").alias("_a"), F.col("_deg").alias("_da"))
     db = deg.select(F.col("node").alias("_b"), F.col("_deg").alias("_db"))
     keyed = und.join(da, "_a").join(db, "_b")
+    # both orientations in ONE pass (explode, not unionAll — the union
+    # form re-executes the two degree-attach joins)
     both = keyed.select(
-        F.col("_da").cast("double").alias("_x"),
-        F.col("_db").cast("double").alias("_y"),
-    ).unionAll(
-        keyed.select(
-            F.col("_db").cast("double").alias("_x"),
-            F.col("_da").cast("double").alias("_y"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_da").cast("double").alias("_x"),
+                    F.col("_db").cast("double").alias("_y"),
+                ),
+                F.struct(
+                    F.col("_db").cast("double").alias("_x"),
+                    F.col("_da").cast("double").alias("_y"),
+                ),
+            )
+        ).alias("_p")
+    ).select(F.col("_p._x").alias("_x"), F.col("_p._y").alias("_y"))
     n_nodes = deg.agg(
         F.count(F.lit(1)).alias("n"), F.sum("_deg").alias("sd")
     )

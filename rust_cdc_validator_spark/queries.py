@@ -731,8 +731,10 @@ def ngram_jaccard_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc count of near-dup partners (3-word-shingle Jaccard ≥ 0.5)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
-    both = pairs.select(F.col("id_a").alias("doc_id")).unionByName(
-        pairs.select(F.col("id_b").alias("doc_id"))
+    # each pair contributes a partner to BOTH ids — explode, not a union
+    # of two selects (that would run the shingle self-join twice)
+    both = pairs.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id")
     )
     return both.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_partners"))
 
