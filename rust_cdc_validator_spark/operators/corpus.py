@@ -1390,15 +1390,28 @@ def lm_perplexity(
         F.slice(st, 2, n - 1),
         lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
-    first_terms = score.filter(n >= 1).select(
-        F.col(id_col).alias("_id"),
-        F.lit(None).cast("string").alias("_w1"),
-        F.element_at(st, 1).alias("_w2"),
+    # ONE pass over the scored docs: the first-token sentinel (w1 NULL →
+    # unigram back-off term) rides the same explode as the bigram pairs —
+    # a unionByName of two selects would evaluate the upstream score
+    # relation twice. For n == 1 word_pairs is empty (zip_with of empty
+    # slices), so concat leaves just the sentinel.
+    first_struct = F.struct(
+        F.lit(None).cast("string").alias("w1"),
+        F.element_at(st, 1).alias("w2"),
     )
-    bigram_terms = score.filter(n >= 2).select(
-        F.col(id_col).alias("_id"), F.explode(word_pairs).alias("_p")
-    ).select("_id", F.col("_p.w1").alias("_w1"), F.col("_p.w2").alias("_w2"))
-    terms = first_terms.unionByName(bigram_terms).select(
+    terms = (
+        score.filter(n >= 1)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.concat(F.array(first_struct), word_pairs)).alias(
+                "_p"
+            ),
+        )
+        .select(
+            "_id", F.col("_p.w1").alias("_w1"), F.col("_p.w2").alias("_w2")
+        )
+    )
+    terms = terms.select(
         "_id",
         F.when(
             F.col("_w1").isNotNull(),
