@@ -211,15 +211,30 @@ def cm_sketch(
     if d < 1:
         raise ValueError("d must be >= 1")
     wt = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
-    rows = None
-    for i in range(d):
-        r = df.select(
-            *group_cols,
-            F.lit(i).alias("_row"),
-            _cm_bucket(F.col(value_col), i, w).alias("_b"),
-            wt.alias("_wt"),
-        )
-        rows = r if rows is None else rows.unionByName(r)
+    # all d hash rows in ONE pass: a unionByName chain of d selects would
+    # evaluate the input subtree d times — explode an array of (row,
+    # bucket) structs instead (the weight is constant across rows, so it
+    # rides outside the explode)
+    rows = df.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("_row"),
+                        _cm_bucket(F.col(value_col), i, w).alias("_b"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("_rb"),
+        wt.alias("_wt"),
+    ).select(
+        *group_cols,
+        F.col("_rb._row").alias("_row"),
+        F.col("_rb._b").alias("_b"),
+        "_wt",
+    )
     regs = (
         rows.groupBy(*group_cols, "_row", "_b")
         .agg(F.sum("_wt").alias("_c"))
@@ -487,22 +502,31 @@ def key_bloom(
     if buckets < 1:
         raise ValueError("buckets must be >= 1")
     bucketed = buckets > 1
-    probes = None
+    # all k hash positions in ONE pass (explode, not a unionAll chain —
+    # the union form evaluates the key subtree k times)
+    structs = []
     for i in range(k):
         p = _bloom_pos(F.col(key_col), i)
-        cols = [
-            F.shiftright(p, 5).cast("int").alias("w"),
-            # call_function: the Python shift helpers take literal shifts only
-            F.call_function(
-                "shiftleft",
-                F.lit(1).cast("long"),
-                p.bitwiseAND(F.lit(31)).cast("int"),
-            ).alias("_bit"),
-        ]
-        if bucketed:
-            cols.insert(0, _bloom_bucket(F.col(key_col), buckets).alias("bkt"))
-        one = df.select(*cols)
-        probes = one if probes is None else probes.unionAll(one)
+        structs.append(
+            F.struct(
+                F.shiftright(p, 5).cast("int").alias("w"),
+                # call_function: the Python shift helpers take literal
+                # shifts only
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    p.bitwiseAND(F.lit(31)).cast("int"),
+                ).alias("_bit"),
+            )
+        )
+    cols = [F.explode(F.array(*structs)).alias("_p")]
+    if bucketed:
+        cols.insert(0, _bloom_bucket(F.col(key_col), buckets).alias("bkt"))
+    probes = df.select(*cols).select(
+        *(["bkt"] if bucketed else []),
+        F.col("_p.w").alias("w"),
+        F.col("_p._bit").alias("_bit"),
+    )
     group = ["bkt", "w"] if bucketed else ["w"]
     return probes.groupBy(*group).agg(F.bit_or("_bit").alias("bits"))
 
