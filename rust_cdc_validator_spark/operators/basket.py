@@ -28,9 +28,11 @@ from pyspark.sql import functions as F
 __all__ = ["association_rules"]
 
 
-#: conservative per-row estimate for the frequent-items frame when sizing
-#: its broadcast: one key column (string/long) + row overhead
-_ITEM_ROW_BYTES = 64
+#: conservative (over-)estimate per row for the frequent-items frame when
+#: sizing its broadcast: item keys are often long strings (URLs, shingles),
+#: and F.broadcast OVERRIDES the threshold — underestimating here would
+#: force oversized broadcasts past the limit the user configured
+_ITEM_ROW_BYTES = 256
 
 
 def _prune_infrequent(

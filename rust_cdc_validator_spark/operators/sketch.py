@@ -558,6 +558,29 @@ def bloom_prune(
             "bloom relation has no 'bkt' column — was key_bloom built "
             "with the same buckets value?"
         )
+    if not bucketed and "bkt" in bloom.columns:
+        # probing a bucketed relation with buckets=1 would join on w
+        # alone — every bucket's row matches, fanning each probe out
+        # buckets^k times and passing if ANY bucket has the bit
+        raise ValueError(
+            "bloom relation is bucketed ('bkt' column present) but "
+            "buckets=1 — pass the key_bloom build's buckets value"
+        )
+    if bucketed:
+        # bounded 1-row probe: a key that hashed past the probe-side
+        # bucket count proves the build used MORE buckets — such probes
+        # would route to buckets the relation doesn't have and produce
+        # FALSE NEGATIVES, the one contract violation a bloom filter
+        # must never commit. (The reverse mismatch — built with fewer —
+        # is indistinguishable from sparse bucket usage; the buckets
+        # value is the caller's contract.)
+        max_bkt = bloom.agg(F.max("bkt")).first()[0]
+        if max_bkt is not None and max_bkt >= buckets:
+            raise ValueError(
+                f"bloom relation has bucket ids up to {max_bkt} but "
+                f"buckets={buckets} — key_bloom was built with a "
+                "different buckets value"
+            )
     out = df
     cond = None
     for i in range(k):

@@ -5653,10 +5653,18 @@ WITH b AS (
 ), my AS (
   SELECT y, SUM(nxy) AS ny FROM j GROUP BY y
 ), agg AS (
+  -- NULL categories stay in the sum and the counts, mirroring the
+  -- Spark operator's struct-wrapped null-safe grouping: the marginal
+  -- joins are IS NOT DISTINCT FROM, and the distinct counts add the
+  -- NULL category back (COUNT(DISTINCT) excludes it)
   SELECT SUM((nxy * nxy) / (nx * ny)) AS s,
-         COUNT(DISTINCT j.x) AS rx,
-         COUNT(DISTINCT j.y) AS ry
-  FROM j JOIN mx USING (x) JOIN my USING (y)
+         COUNT(DISTINCT j.x)
+           + MAX(CASE WHEN j.x IS NULL THEN 1 ELSE 0 END) AS rx,
+         COUNT(DISTINCT j.y)
+           + MAX(CASE WHEN j.y IS NULL THEN 1 ELSE 0 END) AS ry
+  FROM j
+  JOIN mx ON j.x IS NOT DISTINCT FROM mx.x
+  JOIN my ON j.y IS NOT DISTINCT FROM my.y
 )
 SELECT CAST(t.n AS BIGINT) AS n,
        CAST((rx - 1) * (ry - 1) AS BIGINT) AS dof,

@@ -232,15 +232,22 @@ def _hll_prereduce(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     ).filter(F.col("_idx").isNotNull())
 
     def partial_max(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # dropna=False: pandas groupby DROPS None group keys by default,
+        # which would silently erase the NULL-key group the raw
+        # stream.groupBy(key_col) used to emit
         parts = [
-            pdf.groupby(["_k", "_idx"], as_index=False)["_rho"].max()
+            pdf.groupby(["_k", "_idx"], as_index=False, dropna=False)[
+                "_rho"
+            ].max()
             for pdf in batches
             if len(pdf)
         ]
         if parts:
             yield (
                 pd.concat(parts)
-                .groupby(["_k", "_idx"], as_index=False)["_rho"]
+                .groupby(["_k", "_idx"], as_index=False, dropna=False)[
+                    "_rho"
+                ]
                 .max()
             )
 
@@ -377,15 +384,21 @@ def _boundary_prereduce(
     ).filter(F.col("_t").isNotNull() & F.col("_d").isNotNull())
 
     def partial_sum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # dropna=False: a NULL gauge key is a real group (same policy as
+        # _hll_prereduce); only NULL ts/delta rows are excluded above
         parts = [
-            pdf.groupby(["_k", "_t"], as_index=False)["_d"].sum()
+            pdf.groupby(["_k", "_t"], as_index=False, dropna=False)[
+                "_d"
+            ].sum()
             for pdf in batches
             if len(pdf)
         ]
         if parts:
             yield (
                 pd.concat(parts)
-                .groupby(["_k", "_t"], as_index=False)["_d"]
+                .groupby(["_k", "_t"], as_index=False, dropna=False)[
+                    "_d"
+                ]
                 .sum()
             )
 

@@ -348,3 +348,26 @@ def test_bucketed_bloom_holds_fp_rate_at_1e5_keys(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_bloom_prune_rejects_buckets_mismatch(spark):
+    """Code-review r10: a buckets mismatch must fail loudly in BOTH
+    directions — probing a bucketed relation with buckets=1 (would join
+    on w alone, fanning probes out buckets^k times), and probing with
+    fewer buckets than the build used (would route keys to buckets the
+    relation proves exist past the probe count -> false negatives)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.sketch import bloom_prune, key_bloom
+
+    keys = spark.range(5_000).select(F.col("id").alias("k"))
+    bucketed = key_bloom(keys, "k", buckets=32).localCheckpoint(eager=True)
+    probe = spark.range(100).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="bucketed"):
+        bloom_prune(probe, "k", bucketed)  # default buckets=1
+    with pytest.raises(ValueError, match="different buckets"):
+        bloom_prune(probe, "k", bucketed, buckets=8)
+    # matching value still works and passes all true keys
+    kept = bloom_prune(probe, "k", bucketed, buckets=32)
+    assert kept.count() == 100

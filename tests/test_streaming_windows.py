@@ -618,3 +618,30 @@ def test_boundary_prereduce_input_is_cell_sized(spark):
         for t in range(25):
             assert rows[(k, t)] == 800
             assert rows[(k, t + 25)] == -800
+
+
+def test_stateful_prereduces_keep_null_key_group(spark):
+    """Code-review r10: pandas groupby drops None keys by default
+    (dropna) — the pre-reduce helpers must keep the NULL-key group the
+    raw stream.groupBy used to emit."""
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.streaming.windows import (
+        _boundary_prereduce,
+        _hll_prereduce,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), ("a", 1)], "seg string, uid int"
+    )
+    cells = _hll_prereduce(df, "seg", "uid")
+    ks = {r["_k"] for r in cells.select("_k").distinct().collect()}
+    assert ks == {None, "a"}
+
+    bdf = spark.createDataFrame(
+        [(None, 5, 1), (None, 9, -1), ("a", 5, 1)],
+        "g string, ts long, delta long",
+    )
+    bcells = _boundary_prereduce(bdf, "g", "ts", "delta")
+    bks = {r["_k"] for r in bcells.select("_k").distinct().collect()}
+    assert bks == {None, "a"}
