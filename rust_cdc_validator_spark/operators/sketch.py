@@ -193,6 +193,7 @@ def cm_sketch(
     weight_col: str | None = None,
     d: int = 4,
     w: int = 256,
+    fanout: str = "union",
 ) -> DataFrame:
     """One Count-Min table per group: ``d`` hash rows × ``w`` counters,
     flattened row-major into a single ``array<long>`` (``counters``).
@@ -205,36 +206,66 @@ def cm_sketch(
     partials bound shuffle volume at groups × d × w rows whatever the
     input size; the dense regroup moves the same. ``weight_col`` makes it
     a weighted-frequency sketch (token counts, byte sizes).
+
+    ``fanout`` picks how the d hash rows are produced — both forms are
+    bit-identical, the choice is pure physics (r10→r11 bisect):
+
+    * ``"union"`` (default): d branch selects unioned. Over a
+      MATERIALIZED input (a parquet scan, a checkpoint) the branches
+      cost d cheap column re-scans, run as d× the TASKS, and add no
+      shuffle (the map-side partial agg bounds exchange volume at
+      groups × d × w rows either way). On an under-split source —
+      orders.parquet at bench scale plans as ONE file split — the d
+      branches are the only source of parallelism: the explode form
+      serialized 4·N md5s onto ≤3 cores and cost 1.7× on
+      orders_join_size_sketch (2.65 s vs 1.55 s solo, 6 reps).
+    * ``"explode"``: one pass over the input, each row fanned to d
+      (row, bucket) structs via explode. Use when the input subtree is
+      EXPENSIVE and un-materialized (a join, a tokenizer explode) —
+      the union form would re-evaluate it d times — or when the source
+      is already split finer than the cores so branch-parallelism buys
+      nothing and the d−1 saved re-scans win.
     """
     if 65536 % w != 0:
         raise ValueError("w must divide 16^4 (unbiased md5 bucket contract)")
     if d < 1:
         raise ValueError("d must be >= 1")
+    if fanout not in ("union", "explode"):
+        raise ValueError("fanout must be 'union' or 'explode'")
     wt = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
-    # all d hash rows in ONE pass: a unionByName chain of d selects would
-    # evaluate the input subtree d times — explode an array of (row,
-    # bucket) structs instead (the weight is constant across rows, so it
-    # rides outside the explode)
-    rows = df.select(
-        *group_cols,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("_row"),
-                        _cm_bucket(F.col(value_col), i, w).alias("_b"),
-                    )
-                    for i in range(d)
-                ]
+    if fanout == "union":
+        rows = None
+        for i in range(d):
+            r = df.select(
+                *group_cols,
+                F.lit(i).alias("_row"),
+                _cm_bucket(F.col(value_col), i, w).alias("_b"),
+                wt.alias("_wt"),
             )
-        ).alias("_rb"),
-        wt.alias("_wt"),
-    ).select(
-        *group_cols,
-        F.col("_rb._row").alias("_row"),
-        F.col("_rb._b").alias("_b"),
-        "_wt",
-    )
+            rows = r if rows is None else rows.unionByName(r)
+    else:
+        # the weight is constant across rows, so it rides outside the
+        # explode
+        rows = df.select(
+            *group_cols,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("_row"),
+                            _cm_bucket(F.col(value_col), i, w).alias("_b"),
+                        )
+                        for i in range(d)
+                    ]
+                )
+            ).alias("_rb"),
+            wt.alias("_wt"),
+        ).select(
+            *group_cols,
+            F.col("_rb._row").alias("_row"),
+            F.col("_rb._b").alias("_b"),
+            "_wt",
+        )
     regs = (
         rows.groupBy(*group_cols, "_row", "_b")
         .agg(F.sum("_wt").alias("_c"))

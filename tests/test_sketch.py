@@ -143,6 +143,30 @@ def test_cm_weighted_and_validation(spark):
     assert est >= 15
     with _pytest.raises(ValueError, match="16\\^4"):
         cm_sketch(df, ["g"], "v", w=100)
+    with _pytest.raises(ValueError, match="fanout"):
+        cm_sketch(df, ["g"], "v", fanout="zip")
+
+
+def test_cm_fanout_forms_bit_identical(spark):
+    """The union and explode fan-outs are pure physics — same counters,
+    bit for bit, weighted and unweighted, grouped and global (r11 bisect
+    of the orders_join_size_sketch regression: the forms differ only in
+    task shape, never in output)."""
+    from rust_cdc_validator_spark.operators.sketch import cm_sketch
+
+    df = spark.createDataFrame(
+        [(g, f"v{i % 37}", i % 5 + 1) for g in ("a", "b") for i in range(200)],
+        "g string, v string, wt long",
+    )
+    for kwargs in ({}, {"weight_col": "wt"}):
+        u = cm_sketch(df, ["g"], "v", fanout="union", **kwargs).collect()
+        e = cm_sketch(df, ["g"], "v", fanout="explode", **kwargs).collect()
+        assert {r["g"]: r["counters"] for r in u} == {
+            r["g"]: r["counters"] for r in e
+        }
+    gu = cm_sketch(df, [], "v", fanout="union").collect()[0]["counters"]
+    ge = cm_sketch(df, [], "v", fanout="explode").collect()[0]["counters"]
+    assert gu == ge
 
 
 def test_hll_pairwise_intersection_disjoint_vs_identical(spark):
