@@ -36,16 +36,33 @@ columns.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "GraphRunStats",
     "pagerank",
     "triangle_count",
     "degree_assortativity",
     "label_propagation",
     "shortest_hops",
 ]
+
+
+@dataclass(frozen=True)
+class GraphRunStats:
+    """Convergence observability for the iterative operators, returned as
+    a real value (r10 advice: the previous ad-hoc DataFrame attributes
+    vanished on any select/filter/cache and were invisible to type
+    checkers). ``delta`` is pagerank's last L1 rank delta (None when
+    ``tol`` is off); ``changes`` is LPA's per-superstep changed-label
+    counts (None when tracking is off)."""
+
+    iterations: int
+    delta: float | None = None
+    changes: list[int] | None = None
 
 #: conservative per-row estimate for the (node, rank) frame when sizing
 #: the ranks-side broadcast: string key + double + row overhead
@@ -77,7 +94,8 @@ def pagerank(
     iterations: int = 5,
     tol: float | None = None,
     checkpoint: bool = True,
-) -> DataFrame:
+    return_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, GraphRunStats]:
     """Rank every node of the directed (optionally weighted) edge set.
 
     Returns (node, rank) with Σ rank = 1. ``iterations`` fixed steps of
@@ -88,12 +106,16 @@ def pagerank(
     ``tol``: optional early-stop — after each superstep compute the L1
     rank delta (one 1-row aggregate over the already-checkpointed rank
     frames; the ONLY per-iteration driver action, and only when ``tol``
-    is set) and stop once it falls below ``tol``. The returned DataFrame
-    carries ``_pagerank_iterations`` (supersteps actually run) and
-    ``_pagerank_delta`` (last L1 delta, None when ``tol`` is None) for
-    convergence observability. With ``tol`` set, per-step checkpointing
-    is forced even on the broadcast path, so the delta probe never
-    re-executes the chain.
+    is set) and stop once it falls below ``tol``. With ``return_stats``,
+    returns ``(ranks, GraphRunStats(iterations, delta))`` — supersteps
+    actually run, last L1 delta (None when ``tol`` is None) — for
+    convergence observability (r10 advice: stats are a real value now,
+    not DataFrame attributes that vanish on the next select). With
+    ``tol`` set, per-step checkpointing is forced even on the broadcast
+    path so the delta probe never re-executes the chain; ``tol``
+    therefore REQUIRES ``checkpoint=True`` (on an un-truncated lineage
+    every probe re-runs the whole chain — raised, not silently
+    quadratic).
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
@@ -101,6 +123,11 @@ def pagerank(
         raise ValueError("iterations must be >= 1")
     if tol is not None and tol <= 0.0:
         raise ValueError("tol must be positive when set")
+    if tol is not None and not checkpoint:
+        raise ValueError(
+            "tol requires checkpoint=True: each delta probe would "
+            "re-execute the un-truncated iteration lineage"
+        )
     w = (
         F.col(weight_col).cast("double")
         if weight_col
@@ -170,6 +197,44 @@ def pagerank(
     )
     broadcast_ranks = 0 < n * _RANK_ROW_BYTES <= threshold
 
+    ranks, iterations_used, last_delta = _pagerank_loop(
+        nodes,
+        trans,
+        dangling_nodes,
+        n,
+        has_dangling,
+        has_sources_only,
+        broadcast_ranks,
+        damping,
+        iterations,
+        tol,
+        checkpoint,
+    )
+    if return_stats:
+        return ranks, GraphRunStats(iterations=iterations_used, delta=last_delta)
+    return ranks
+
+
+def _pagerank_loop(
+    nodes: DataFrame,
+    trans: DataFrame,
+    dangling_nodes: DataFrame,
+    n: int,
+    has_dangling: bool,
+    has_sources_only: bool,
+    broadcast_ranks: bool,
+    damping: float,
+    iterations: int,
+    tol: float | None,
+    checkpoint: bool,
+) -> tuple[DataFrame, int, float | None]:
+    """The power-method supersteps, shared by :func:`pagerank` (which
+    derives nodes/transition-probs/dangling from a raw edge frame) and
+    ``graphstate.pagerank_from_state`` (which reads them from persisted
+    edge state and skips every prep job). ``nodes`` is (node), ``trans``
+    is (_s, _d, _p), ``dangling_nodes`` is (node); all three must already
+    be materialized (checkpoint or parquet scan) — the loop never
+    re-derives them."""
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     iterations_used = iterations
@@ -228,9 +293,7 @@ def pagerank(
             if last_delta is not None and last_delta < tol:
                 iterations_used = it + 1
                 break
-    ranks._pagerank_iterations = iterations_used
-    ranks._pagerank_delta = last_delta
-    return ranks
+    return ranks, iterations_used, last_delta
 
 
 def _canonical_edges_and_degrees(
@@ -395,7 +458,8 @@ def label_propagation(
     iterations: int = 5,
     checkpoint: bool = True,
     track_convergence: bool = False,
-) -> DataFrame:
+    return_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, GraphRunStats]:
     """Community detection by synchronous label propagation (Raghavan,
     Albert & Kumara 2007) over the UNDIRECTED graph induced by ``edges``
     (direction, duplicates, self-loops dropped). Every node starts with
@@ -419,12 +483,21 @@ def label_propagation(
     label CHANGED (one count aggregate over the already-checkpointed
     label frames — the only per-superstep driver action, mirroring
     pagerank's ``tol`` probe) and stop early once a superstep changes
-    nothing (a fixed point: further synchronous steps are identity). The
-    returned DataFrame carries ``_lpa_iterations`` (supersteps actually
-    run) and ``_lpa_changes`` (list of per-superstep changed counts;
-    ``None`` when tracking is off) for convergence observability."""
+    nothing (a fixed point: further synchronous steps are identity).
+    It REQUIRES ``checkpoint=True`` — on an un-truncated lineage every
+    per-superstep count() re-executes the whole chain (raised, not
+    silently quadratic). With ``return_stats``, returns
+    ``(labels, GraphRunStats(iterations, changes=[...]))`` — supersteps
+    actually run and per-superstep changed counts (``None`` when
+    tracking is off) — as a real value, not DataFrame attributes."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    if track_convergence and not checkpoint:
+        raise ValueError(
+            "track_convergence requires checkpoint=True: each "
+            "per-superstep changed-count would re-execute the "
+            "un-truncated iteration lineage"
+        )
     a, b = F.col(src), F.col(dst)
     und = (
         edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
@@ -452,6 +525,29 @@ def label_propagation(
     labels = nbr.select(F.col("_n").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
+    labels, iterations_used, changes = _lpa_loop(
+        nbr, labels, iterations, checkpoint, track_convergence
+    )
+    if return_stats:
+        return labels, GraphRunStats(
+            iterations=iterations_used, changes=changes
+        )
+    return labels
+
+
+def _lpa_loop(
+    nbr: DataFrame,
+    labels: DataFrame,
+    iterations: int,
+    checkpoint: bool,
+    track_convergence: bool,
+) -> tuple[DataFrame, int, list[int] | None]:
+    """The synchronous LPA supersteps, shared by
+    :func:`label_propagation` (which symmetrizes a raw edge frame) and
+    ``graphstate.label_propagation_from_state`` (which reads the
+    pre-exploded neighbor relation from persisted edge state). ``nbr``
+    is (_n, _nb), already symmetric/dedup'd/self-loop-free and
+    materialized; ``labels`` is the (node, label) init."""
     w = Window.partitionBy("_n").orderBy(
         F.col("_c").desc(), F.col("label").asc()
     )
@@ -484,9 +580,7 @@ def label_propagation(
             if changed == 0:
                 iterations_used = it + 1
                 break
-    labels._lpa_iterations = iterations_used
-    labels._lpa_changes = changes
-    return labels
+    return labels, iterations_used, changes
 
 
 def shortest_hops(
@@ -537,6 +631,20 @@ def shortest_hops(
     e = e.filter(F.col("_s") != F.col("_d")).distinct()
     if checkpoint:
         e = e.localCheckpoint(eager=True)
+    return _bfs_loop(e, seeds, max_hops, checkpoint)
+
+
+def _bfs_loop(
+    e: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    checkpoint: bool,
+) -> DataFrame:
+    """The frontier supersteps, shared by :func:`shortest_hops` (which
+    symmetrizes/dedups a raw edge frame) and
+    ``graphstate.shortest_hops_from_state`` (which reads the pre-exploded
+    adjacency from persisted edge state). ``e`` is (_s, _d), already
+    direction-expanded, dedup'd, and materialized."""
     dist = seeds.select("node").distinct().select(
         "node", F.lit(0).cast("int").alias("hops")
     )

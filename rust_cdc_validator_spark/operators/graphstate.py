@@ -1,0 +1,346 @@
+"""Persisted edge state for the graph family — the graph sibling of the
+MinHash/LSH/IVF index discipline (operators/dedup.build_minhash_index,
+operators/similarity.build_lsh_index).
+
+Motivation (r10 verdict): pagerank, label propagation, BFS, and triangle
+counting each rebuilt the same fact-table-derived edge relation per
+query — at bench scale ~11% of suite wall, and at 100 TB a full
+lineitem-sized scan + join per analytic. A standing pipeline computes
+the edge relation ONCE (per day / per snapshot), persists it in
+algorithm-ready form, and every graph analytic reads kilobyte-to-
+gigabyte edge state instead of re-joining terabytes of facts.
+
+Layout under ``path`` (same parquet-dir portability as the ANN indexes —
+no metastore dependency, any Spark session can read it):
+
+* ``adj/`` — the adjacency every algorithm consumes DIRECTLY:
+  (src, dst, w, p) with both directions PRE-EXPLODED for undirected
+  builds (dedup'd, self-loops dropped) and the transition probability
+  ``p = w / out_w(src)`` precomputed, so ``pagerank_from_state`` skips
+  the out-weight aggregation and join entirely. Written re-partitioned
+  by ``src`` into ``buckets`` files and sorted within partitions, so
+  src-keyed reads get row-group min/max pruning and co-located keys.
+* ``nodes/`` — (node, has_out, has_in, out_deg, in_deg, out_w): the
+  role relation pagerank derives per call (node set, dangling flag,
+  teleport-only flag) plus degrees for degree-keyed analytics.
+* ``params/`` — one row: directed, weighted, buckets, n_nodes, n_edges
+  (adjacency rows). The staleness baseline —
+  :func:`edge_state_refit_needed` compares the CURRENT canonical edge
+  count against ``n_edges``, mirroring ``similarity.ivf_refit_needed``.
+
+Semantics contract: undirected builds canonicalize (least, greatest),
+DROP self-loops, and SUM weights across duplicate/reversed input rows —
+exactly the relation ``label_propagation`` / ``shortest_hops``
+(undirected) derive internally, so the ``*_from_state`` variants are
+value-identical to the direct operators on self-loop-free input.
+Directed builds keep self-loops and sum multi-edge weights.
+
+Scale shape at 100 TB: the build pays the fact scan once; ``adj`` is
+O(|E|) narrow rows and every ``*_from_state`` analytic starts its
+iterations from a parquet scan — zero prep jobs, zero fact-table
+exchanges. The iteration loops themselves are shared with
+operators/graph.py (same shuffle bounds, same checkpoint discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rust_cdc_validator_spark.operators.graph import (
+    GraphRunStats,
+    _bfs_loop,
+    _lpa_loop,
+    _pagerank_loop,
+    _parse_bytes,
+    _RANK_ROW_BYTES,
+)
+
+__all__ = [
+    "build_edge_state",
+    "edge_state_params",
+    "edge_state_adjacency",
+    "edge_state_nodes",
+    "edge_state_refit_needed",
+    "pagerank_from_state",
+    "label_propagation_from_state",
+    "shortest_hops_from_state",
+]
+
+
+def _canonical(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    weight_col: str | None,
+    directed: bool,
+) -> DataFrame:
+    """The build's canonical (src, dst, w) relation — also recomputed by
+    :func:`edge_state_refit_needed` so drift is measured against the
+    same formulation the state was built from."""
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    if directed:
+        pairs = edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+        )
+    else:
+        a, b = F.col(src), F.col(dst)
+        pairs = edges.select(
+            F.least(a, b).alias("src"),
+            F.greatest(a, b).alias("dst"),
+            w.alias("w"),
+        ).filter(F.col("src") != F.col("dst"))
+    return pairs.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+
+
+def build_edge_state(
+    edges: DataFrame,
+    path: str,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    directed: bool = False,
+    buckets: int = 32,
+) -> None:
+    """Persist algorithm-ready edge state under ``path`` (layout above).
+
+    ONE pass over the (possibly expensive) ``edges`` subtree: the
+    canonical aggregation materializes to ``adj/`` first, and nodes,
+    degrees, out-weights, and counts all derive from the WRITTEN files —
+    the caller's fact joins never re-execute.
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    spark = edges.sparkSession
+    canon = _canonical(edges, src, dst, weight_col, directed)
+    if directed:
+        directed_edges = canon
+    else:
+        # both directions in ONE pass (explode, not unionAll — the union
+        # form would evaluate the caller's edge build twice)
+        directed_edges = canon.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("src"),
+                        F.col("dst").alias("dst"),
+                        F.col("w").alias("w"),
+                    ),
+                    F.struct(
+                        F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                        F.col("w").alias("w"),
+                    ),
+                )
+            ).alias("_x")
+        ).select("_x.src", "_x.dst", "_x.w")
+    # out-weights and transition probs attached BEFORE the write, so the
+    # per-query prep cost is zero forever after; the out_w relation is a
+    # groupBy over the (already aggregated) directed edges, not the input
+    out_w = directed_edges.groupBy(F.col("src").alias("_s")).agg(
+        F.sum("w").alias("_ow")
+    )
+    adj = directed_edges.join(
+        out_w, directed_edges["src"] == out_w["_s"]
+    ).select("src", "dst", "w", (F.col("w") / F.col("_ow")).alias("p"))
+    adj.repartition(buckets, "src").sortWithinPartitions("src").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/adj")
+
+    # everything below derives from the WRITTEN adjacency — the input
+    # subtree has already been released
+    written = spark.read.parquet(f"{path}/adj")
+    nodes = (
+        written.select(
+            F.col("src").alias("node"),
+            F.lit(1).alias("_o"),
+            F.lit(0).alias("_i"),
+            F.col("w").alias("_ow"),
+        )
+        .unionAll(
+            written.select(
+                F.col("dst").alias("node"),
+                F.lit(0).alias("_o"),
+                F.lit(1).alias("_i"),
+                F.lit(0.0).alias("_ow"),
+            )
+        )
+        .groupBy("node")
+        .agg(
+            F.max("_o").alias("has_out"),
+            F.max("_i").alias("has_in"),
+            F.sum("_o").cast("long").alias("out_deg"),
+            F.sum("_i").cast("long").alias("in_deg"),
+            F.sum("_ow").alias("out_w"),
+        )
+    )
+    nodes.repartition(buckets, "node").write.mode("overwrite").parquet(
+        f"{path}/nodes"
+    )
+    # counts come from the WRITTEN files (parquet row-group metadata),
+    # never from re-running the input subtree
+    n_edges = spark.read.parquet(f"{path}/adj").count()
+    n_nodes = spark.read.parquet(f"{path}/nodes").count()
+    spark.createDataFrame(
+        [(bool(directed), weight_col is not None, buckets, n_nodes, n_edges)],
+        "directed boolean, weighted boolean, buckets int, "
+        "n_nodes long, n_edges long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def edge_state_params(spark: SparkSession, path: str) -> dict:
+    """The build's pinned parameters + size facts as a plain dict."""
+    return spark.read.parquet(f"{path}/params").first().asDict()
+
+
+def edge_state_adjacency(spark: SparkSession, path: str) -> DataFrame:
+    """(src, dst, w, p) — direction-expanded for undirected builds."""
+    return spark.read.parquet(f"{path}/adj")
+
+
+def edge_state_nodes(spark: SparkSession, path: str) -> DataFrame:
+    """(node, has_out, has_in, out_deg, in_deg, out_w)."""
+    return spark.read.parquet(f"{path}/nodes")
+
+
+def edge_state_refit_needed(
+    current_edges: DataFrame,
+    path: str,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    max_drift: float = 0.10,
+) -> bool:
+    """True when the CURRENT canonical edge count has drifted more than
+    ``max_drift`` (fraction) from the persisted state's — the rebuild cue
+    for a standing pipeline, the graph analog of
+    ``similarity.ivf_refit_needed``. One count aggregate over the current
+    edge relation; the state is never scanned."""
+    params = edge_state_params(current_edges.sparkSession, path)
+    canon_rows = _canonical(
+        current_edges, src, dst, weight_col, params["directed"]
+    ).count()
+    stored = params["n_edges"] // (1 if params["directed"] else 2)
+    if stored == 0:
+        return canon_rows > 0
+    return abs(canon_rows - stored) / stored > max_drift
+
+
+def pagerank_from_state(
+    spark: SparkSession,
+    path: str,
+    damping: float = 0.85,
+    iterations: int = 5,
+    tol: float | None = None,
+    checkpoint: bool = True,
+    return_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, GraphRunStats]:
+    """:func:`graph.pagerank` over persisted edge state: the node set,
+    dangling flags, and transition probabilities are READ, not derived —
+    the only pre-loop job is a 3-scalar aggregate over ``nodes/``. Same
+    power-method loop, bit-for-bit (shared ``_pagerank_loop``)."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if tol is not None and tol <= 0.0:
+        raise ValueError("tol must be positive when set")
+    if tol is not None and not checkpoint:
+        raise ValueError(
+            "tol requires checkpoint=True: each delta probe would "
+            "re-execute the un-truncated iteration lineage"
+        )
+    adj = edge_state_adjacency(spark, path)
+    trans = adj.select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d"), F.col("p").alias("_p")
+    )
+    role = edge_state_nodes(spark, path)
+    probe = role.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.when(F.col("has_out") == 0, 1).otherwise(0)).alias("dang"),
+        F.max(F.when(F.col("has_in") == 0, 1).otherwise(0)).alias("srco"),
+    ).first()
+    n = int(probe["n"])
+    if n == 0:
+        raise ValueError("pagerank_from_state: edge state is empty")
+    nodes = role.select("node")
+    dangling_nodes = role.filter(F.col("has_out") == 0).select("node")
+    threshold = _parse_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+    )
+    broadcast_ranks = 0 < n * _RANK_ROW_BYTES <= threshold
+    ranks, iterations_used, last_delta = _pagerank_loop(
+        nodes,
+        trans,
+        dangling_nodes,
+        n,
+        bool(probe["dang"]),
+        bool(probe["srco"]),
+        broadcast_ranks,
+        damping,
+        iterations,
+        tol,
+        checkpoint,
+    )
+    if return_stats:
+        return ranks, GraphRunStats(iterations=iterations_used, delta=last_delta)
+    return ranks
+
+
+def label_propagation_from_state(
+    spark: SparkSession,
+    path: str,
+    iterations: int = 5,
+    checkpoint: bool = True,
+    track_convergence: bool = False,
+    return_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, GraphRunStats]:
+    """:func:`graph.label_propagation` over persisted UNDIRECTED edge
+    state: the symmetrized, dedup'd, self-loop-free neighbor relation is
+    exactly ``adj/`` — read, not rebuilt. Same synchronous supersteps,
+    bit-for-bit (shared ``_lpa_loop``)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if track_convergence and not checkpoint:
+        raise ValueError(
+            "track_convergence requires checkpoint=True: each "
+            "per-superstep changed-count would re-execute the "
+            "un-truncated iteration lineage"
+        )
+    if edge_state_params(spark, path)["directed"]:
+        raise ValueError(
+            "label_propagation_from_state requires undirected edge state "
+            "(LPA is defined on the undirected graph; rebuild with "
+            "directed=False)"
+        )
+    nbr = edge_state_adjacency(spark, path).select(
+        F.col("src").alias("_n"), F.col("dst").alias("_nb")
+    )
+    labels = edge_state_nodes(spark, path).select(
+        "node", F.col("node").alias("label")
+    )
+    labels, iterations_used, changes = _lpa_loop(
+        nbr, labels, iterations, checkpoint, track_convergence
+    )
+    if return_stats:
+        return labels, GraphRunStats(iterations=iterations_used, changes=changes)
+    return labels
+
+
+def shortest_hops_from_state(
+    spark: SparkSession,
+    path: str,
+    seeds: DataFrame,
+    max_hops: int = 5,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """:func:`graph.shortest_hops` over persisted edge state: the
+    direction-expanded adjacency is read, not rebuilt (undirected state
+    already carries both directions; directed state walks edge
+    direction). Same frontier supersteps (shared ``_bfs_loop``)."""
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edge_state_adjacency(spark, path).select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d")
+    )
+    return _bfs_loop(e, seeds, max_hops, checkpoint)

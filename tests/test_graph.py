@@ -84,9 +84,9 @@ def test_tol_early_stop_converges_before_cap(spark):
     df = spark.createDataFrame(
         [("a", "b"), ("b", "a")], "src string, dst string"
     )
-    out = pagerank(df, iterations=50, tol=1e-9)
-    assert out._pagerank_iterations < 50
-    assert out._pagerank_delta < 1e-9
+    out, stats = pagerank(df, iterations=50, tol=1e-9, return_stats=True)
+    assert stats.iterations < 50
+    assert stats.delta < 1e-9
     got = _ranks(out)
     assert got["a"] == pytest.approx(0.5, abs=1e-12)
     assert got["b"] == pytest.approx(0.5, abs=1e-12)
@@ -95,9 +95,11 @@ def test_tol_early_stop_converges_before_cap(spark):
 def test_tol_none_runs_fixed_count_and_matches_reference(spark):
     edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
     df = spark.createDataFrame(edges, "src string, dst string")
-    out = pagerank(df, iterations=5, tol=None, checkpoint=False)
-    assert out._pagerank_iterations == 5
-    assert out._pagerank_delta is None
+    out, stats = pagerank(
+        df, iterations=5, tol=None, checkpoint=False, return_stats=True
+    )
+    assert stats.iterations == 5
+    assert stats.delta is None
     want = _reference(edges, iterations=5)
     got = _ranks(out)
     for v in want:
@@ -298,15 +300,31 @@ def test_lpa_track_convergence_early_stop(spark):
     cliq1 = [("a", "b"), ("b", "c"), ("a", "c")]
     cliq2 = [("x", "y"), ("y", "z"), ("x", "z")]
     df = spark.createDataFrame(cliq1 + cliq2, "src string, dst string")
-    out = label_propagation(df, iterations=10, track_convergence=True)
+    out, stats = label_propagation(
+        df, iterations=10, track_convergence=True, return_stats=True
+    )
     got = {r["node"]: r["label"] for r in out.collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
-    assert out._lpa_iterations < 10  # stopped before the cap
-    assert out._lpa_changes[-1] == 0  # the stopping superstep changed nothing
-    assert all(c >= 0 for c in out._lpa_changes)
-    # tracking off: no per-step probe, attributes report that
-    fixed = label_propagation(df, iterations=3, checkpoint=False)
-    assert fixed._lpa_iterations == 3 and fixed._lpa_changes is None
+    assert stats.iterations < 10  # stopped before the cap
+    assert stats.changes[-1] == 0  # the stopping superstep changed nothing
+    assert all(c >= 0 for c in stats.changes)
+    # tracking off: no per-step probe, stats report that
+    _, fixed = label_propagation(
+        df, iterations=3, checkpoint=False, return_stats=True
+    )
+    assert fixed.iterations == 3 and fixed.changes is None
+    # the probe-requires-checkpoint contracts raise instead of going
+    # quadratic on an un-truncated lineage (r10 advice)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="track_convergence"):
+        label_propagation(
+            df, iterations=3, checkpoint=False, track_convergence=True
+        )
+    from rust_cdc_validator_spark.operators.graph import pagerank as _pr
+
+    with _pytest.raises(ValueError, match="tol requires"):
+        _pr(df, tol=1e-6, checkpoint=False)
 
 
 # ---------------------------------------------------------------------------

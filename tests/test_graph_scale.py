@@ -170,3 +170,42 @@ def test_triangle_count_200k_edges_wall_bounded(spark):
     assert n_tri > 0  # dense modular graph: triangles certainly exist
     assert elapsed < 90, f"triangle count over 200k edges took {elapsed:.1f}s"
     print(f"\ntriangles over 200k edges: {n_tri} in {elapsed:.1f}s")
+
+
+def test_pagerank_from_state_1m_edges_fewer_jobs_than_direct(spark, tmp_path):
+    """r11 (VERDICT #2): persisted edge state at 1M edges — the build
+    pays the prep ONCE; pagerank_from_state must launch strictly FEWER
+    jobs than direct pagerank on the same graph (no edge checkpoint, no
+    role checkpoint, no transition build) while conserving rank mass."""
+    from rust_cdc_validator_spark.operators.graphstate import (
+        build_edge_state,
+        edge_state_params,
+        pagerank_from_state,
+    )
+
+    edges = _edges(spark).localCheckpoint(eager=True)
+    path = str(tmp_path / "pressure_edge_state")
+    build_edge_state(edges, path, directed=True, buckets=N_PARTS)
+    params = edge_state_params(spark, path)
+    assert params["n_edges"] > 0 and params["n_nodes"] <= N_NODES
+
+    def run_state():
+        ranks = pagerank_from_state(spark, path, iterations=5)
+        return ranks.agg(
+            F.sum("rank").alias("s"), F.count(F.lit(1)).alias("n")
+        ).first()
+
+    s1 = _count_jobs(spark, "pr-state-pressure", run_state)
+    s2 = _count_jobs(spark, "pr-state-pressure", run_state)
+    d = _run_pagerank_counting_jobs(spark, edges)
+    for row, elapsed, jobs in (s1, s2):
+        assert abs(row["s"] - 1.0) < 1e-6  # mass conserved
+        assert elapsed < 120, f"state pagerank took {elapsed:.1f}s"
+        assert jobs < d[3], (
+            f"state path must skip prep jobs: {jobs} vs direct {d[3]}"
+        )
+    assert s1[2] == s2[2], f"job count unstable: {s1[2]} != {s2[2]}"
+    print(
+        f"\npagerank_from_state 1M edges x5 iters: {s1[1]:.1f}s, {s1[2]} "
+        f"jobs (direct: {d[2]:.1f}s, {d[3]} jobs)"
+    )

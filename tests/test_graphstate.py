@@ -1,0 +1,201 @@
+"""Persisted edge state (operators/graphstate.py): the *_from_state
+variants must be VALUE-IDENTICAL to the direct operators on the same
+input, the params/staleness surface must observe drift, and the state
+must be readable by a fresh scan (parquet-dir portability, like the
+MinHash/LSH indexes)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_cdc_validator_spark.operators.graph import (
+    label_propagation,
+    pagerank,
+    shortest_hops,
+)
+from rust_cdc_validator_spark.operators.graphstate import (
+    build_edge_state,
+    edge_state_adjacency,
+    edge_state_nodes,
+    edge_state_params,
+    edge_state_refit_needed,
+    label_propagation_from_state,
+    pagerank_from_state,
+    shortest_hops_from_state,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+EDGES = [
+    ("a", "b", 2.0),
+    ("a", "c", 1.0),
+    ("b", "c", 3.0),
+    ("c", "d", 1.0),
+    ("d", "e", 4.0),
+    ("e", "f", 1.0),
+    ("b", "a", 1.0),  # reversed duplicate: undirected build sums to 3.0
+]
+
+
+@pytest.fixture
+def state_path(spark, tmp_path):
+    df = spark.createDataFrame(EDGES, "src string, dst string, w double")
+    path = str(tmp_path / "edge_state")
+    build_edge_state(df, path, weight_col="w", directed=False, buckets=4)
+    return path
+
+
+def test_layout_params_and_adjacency(spark, state_path):
+    p = edge_state_params(spark, state_path)
+    assert p["directed"] is False and p["weighted"] is True
+    assert p["buckets"] == 4
+    # 6 canonical undirected edges, doubled
+    assert p["n_edges"] == 12
+    assert p["n_nodes"] == 6
+    adj = edge_state_adjacency(spark, state_path)
+    rows = {(r["src"], r["dst"]): (r["w"], r["p"]) for r in adj.collect()}
+    assert len(rows) == 12
+    # reversed duplicate summed: a-b weight = 3.0 in both directions
+    assert rows[("a", "b")][0] == 3.0 and rows[("b", "a")][0] == 3.0
+    # transition probs normalize per source
+    by_src = {}
+    for (s, _), (_, prob) in rows.items():
+        by_src[s] = by_src.get(s, 0.0) + prob
+    for s, total in by_src.items():
+        assert total == pytest.approx(1.0, abs=1e-12), s
+    nodes = {r["node"]: r for r in edge_state_nodes(spark, state_path).collect()}
+    assert set(nodes) == {"a", "b", "c", "d", "e", "f"}
+    # undirected: every node has both directions
+    assert all(r["has_out"] == 1 and r["has_in"] == 1 for r in nodes.values())
+    assert nodes["a"]["out_deg"] == 2 and nodes["a"]["out_w"] == 4.0
+
+
+def test_pagerank_from_state_matches_direct(spark, state_path):
+    df = spark.createDataFrame(EDGES, "src string, dst string, w double")
+    # the direct operator over the SAME undirected doubled relation the
+    # state stores (canonical sum, both directions)
+    canon = (
+        df.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    doubled = canon.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionAll(
+        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    direct = {
+        r["node"]: r["rank"]
+        for r in pagerank(doubled, weight_col="w", iterations=4).collect()
+    }
+    from_state = {
+        r["node"]: r["rank"]
+        for r in pagerank_from_state(spark, state_path, iterations=4).collect()
+    }
+    assert set(direct) == set(from_state)
+    for n in direct:
+        assert from_state[n] == pytest.approx(direct[n], abs=1e-12), n
+
+
+def test_lpa_from_state_matches_direct(spark, state_path):
+    df = spark.createDataFrame(EDGES, "src string, dst string, w double")
+    direct = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iterations=3).collect()
+    }
+    from_state = {
+        r["node"]: r["label"]
+        for r in label_propagation_from_state(
+            spark, state_path, iterations=3
+        ).collect()
+    }
+    assert from_state == direct
+    # convergence stats surface works over state too
+    _, stats = label_propagation_from_state(
+        spark, state_path, iterations=10, track_convergence=True,
+        return_stats=True,
+    )
+    assert stats.iterations <= 10 and stats.changes[-1] == 0
+
+
+def test_bfs_from_state_matches_direct(spark, state_path):
+    df = spark.createDataFrame(EDGES, "src string, dst string, w double")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    direct = {
+        r["node"]: r["hops"]
+        for r in shortest_hops(df, seeds, max_hops=3, directed=False).collect()
+    }
+    from_state = {
+        r["node"]: r["hops"]
+        for r in shortest_hops_from_state(
+            spark, state_path, seeds, max_hops=3
+        ).collect()
+    }
+    assert from_state == direct
+    assert from_state["a"] == 0 and from_state["e"] == 3
+
+
+def test_directed_state(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "a")], "src string, dst string"
+    )
+    path = str(tmp_path / "directed_state")
+    build_edge_state(df, path, directed=True, buckets=2)
+    p = edge_state_params(spark, path)
+    assert p["directed"] is True and p["weighted"] is False
+    assert p["n_edges"] == 3  # self-loop kept for directed builds
+    nodes = {r["node"]: r for r in edge_state_nodes(spark, path).collect()}
+    assert nodes["c"]["has_out"] == 0  # dangling
+    assert nodes["a"]["has_in"] == 1  # via the self-loop
+    seeds = spark.createDataFrame([("a",)], "node string")
+    hops = {
+        r["node"]: r["hops"]
+        for r in shortest_hops_from_state(spark, path, seeds, max_hops=3).collect()
+    }
+    assert hops == {"a": 0, "b": 1, "c": 2}
+    # LPA refuses directed state loudly
+    with pytest.raises(ValueError, match="undirected"):
+        label_propagation_from_state(spark, path)
+    # pagerank over directed state redistributes the dangling node's mass
+    ranks = pagerank_from_state(spark, path, iterations=3)
+    total = ranks.agg(F.sum("rank")).first()[0]
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_refit_needed_observes_drift(spark, state_path):
+    df = spark.createDataFrame(EDGES, "src string, dst string, w double")
+    assert edge_state_refit_needed(df, state_path, weight_col="w") is False
+    grown = df.unionAll(
+        spark.createDataFrame(
+            [("f", "g", 1.0), ("g", "h", 1.0), ("h", "a", 1.0)],
+            "src string, dst string, w double",
+        )
+    )
+    # 6 -> 9 canonical edges = 50% drift > 10% default
+    assert edge_state_refit_needed(grown, state_path, weight_col="w") is True
+    assert (
+        edge_state_refit_needed(grown, state_path, weight_col="w", max_drift=0.6)
+        is False
+    )
+
+
+def test_validations(spark, state_path):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="buckets"):
+        build_edge_state(df, "/tmp/never", buckets=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank_from_state(spark, state_path, damping=1.5)
+    with pytest.raises(ValueError, match="tol requires"):
+        pagerank_from_state(spark, state_path, tol=1e-6, checkpoint=False)
+    with pytest.raises(ValueError, match="track_convergence"):
+        label_propagation_from_state(
+            spark, state_path, track_convergence=True, checkpoint=False
+        )
+    with pytest.raises(ValueError, match="max_hops"):
+        shortest_hops_from_state(
+            spark, state_path, df.select(F.col("src").alias("node")), max_hops=-1
+        )

@@ -645,3 +645,130 @@ def test_stateful_prereduces_keep_null_key_group(spark):
     bcells = _boundary_prereduce(bdf, "g", "ts", "delta")
     bks = {r["_k"] for r in bcells.select("_k").distinct().collect()}
     assert bks == {None, "a"}
+
+
+def test_concurrency_gauge_exact_fixes_disordered_peak(spark, tmp_path):
+    """r11 (VERDICT #3): plant cross-batch disorder where the O(1)-state
+    gauge's peak is provably WRONG, and pin that concurrency_gauge_exact
+    — which buffers cells until the watermark closes their instant and
+    folds in timestamp order — matches the batch sweep-line operator on
+    the same data. True timeline: +1@1000, +1@1010, -1@1020, -1@1030
+    (intervals [1000,1020) and [1010,1030)): peak 2, first at t=1010.
+    The feed delivers the INNER pair first and the outer pair late.
+    (Timestamps sit away from epoch 0: the engine drops rows AT the
+    watermark, and the initial watermark is 0.)"""
+    from rust_cdc_validator_spark.operators.sweepline import peak_concurrency
+    from rust_cdc_validator_spark.streaming.windows import (
+        concurrency_gauge_exact,
+        concurrency_gauge_stateful,
+    )
+
+    schema = T.StructType(
+        [T.StructField("g", T.StringType()),
+         T.StructField("ts", T.LongType()),
+         T.StructField("delta", T.LongType())]
+    )
+
+    def feed(d):
+        d.mkdir()
+        pq.write_table(pa.table({"g": ["x"] * 2, "ts": [1010, 1020],
+                                 "delta": [1, -1]}), str(d / "a.parquet"))
+        # late outer pair, predating and postdating batch 1 (20 s of
+        # disorder, inside the 60 s watermark)
+        pq.write_table(pa.table({"g": ["x"] * 2, "ts": [1000, 1030],
+                                 "delta": [1, -1]}), str(d / "b.parquet"))
+        # horizon-advancing sentinel: a net-zero cell far in the future
+        # drives the watermark past every real instant
+        pq.write_table(pa.table({"g": ["x"] * 2, "ts": [5000, 5000],
+                                 "delta": [1, -1]}), str(d / "c.parquet"))
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(str(d)))
+
+    batch = spark.createDataFrame(
+        [("x", 1000, 1020), ("x", 1010, 1030)], "g string, s long, e long"
+    )
+    want = peak_concurrency(batch, ["g"], "s", "e").first()
+    assert want["peak_concurrency"] == 2 and want["first_peak"] == 1010
+
+    # the O(1) gauge folds each batch against three longs: batch 1 peaks
+    # at 1, the late outer pair nets through an empty gauge — peak stays
+    # 1, missing the true 2 (the documented approximation)
+    q = (concurrency_gauge_stateful(feed(tmp_path / "approx"), "g")
+         .writeStream.format("memory").queryName("gauge_approx")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    approx = spark.sql(
+        "SELECT max(peak) AS p FROM gauge_approx"
+    ).first()["p"]
+    assert approx == 1  # wrong vs the true 2 — the planted failure
+
+    # the exact gauge: watermark 60s covers the 30s disorder; the
+    # sentinel closes the horizon; fold order is global time order
+    q = (concurrency_gauge_exact(feed(tmp_path / "exact"), "g",
+                                 watermark="60 seconds")
+         .writeStream.format("memory").queryName("gauge_exact")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM gauge_exact").collect()
+    final = max(rows, key=lambda r: r["watermark_ts"])
+    assert final["peak"] == want["peak_concurrency"]
+    assert final["first_peak"] == want["first_peak"]
+    assert final["current"] == 0  # all real intervals closed
+
+
+def test_concurrency_gauge_exact_equals_batch_on_ordered_feed(spark, tmp_path):
+    """The exact gauge must also reproduce the batch sweep-line on the
+    ordered two-batch feed the r10 gauge is pinned on (same scenario as
+    test_concurrency_gauge_equals_batch_on_ordered_feed) — event-time
+    exactness is a superset of arrival-order exactness."""
+    from rust_cdc_validator_spark.operators.sweepline import peak_concurrency
+    from rust_cdc_validator_spark.streaming.windows import (
+        concurrency_gauge_exact,
+    )
+
+    import random
+
+    rng = random.Random(13)
+    ivs = []
+    t = 0
+    for _ in range(200):
+        t += rng.randrange(0, 5)
+        ivs.append((t, t + rng.randrange(1, 30)))
+    bounds = sorted([(s, 1) for s, _ in ivs] + [(e, -1) for _, e in ivs])
+    mid = len(bounds) // 2
+    while mid < len(bounds) and bounds[mid][0] == bounds[mid - 1][0]:
+        mid += 1
+    horizon = bounds[-1][0] + 1000
+
+    src = tmp_path / "gauge_exact_ordered"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("g", T.StringType()),
+         T.StructField("ts", T.LongType()),
+         T.StructField("delta", T.LongType())]
+    )
+
+    def w(name, rows):
+        pq.write_table(
+            pa.table({"g": ["x"] * len(rows),
+                      "ts": [t for t, _ in rows],
+                      "delta": [d for _, d in rows]}), str(src / name))
+
+    w("a.parquet", bounds[:mid])
+    w("b.parquet", bounds[mid:])
+    w("c.parquet", [(horizon, 1), (horizon, -1)])  # horizon sentinel
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    q = (concurrency_gauge_exact(stream, "g", watermark="0 seconds")
+         .writeStream.format("memory").queryName("gauge_exact_ord")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM gauge_exact_ord").collect()
+    final = max(rows, key=lambda r: r["watermark_ts"])
+
+    batch = spark.createDataFrame([("x", a, b) for a, b in ivs],
+                                  "g string, s long, e long")
+    want = peak_concurrency(batch, ["g"], "s", "e").first()
+    assert final["peak"] == want["peak_concurrency"]
+    assert final["first_peak"] == want["first_peak"]
+    assert final["current"] == 0
