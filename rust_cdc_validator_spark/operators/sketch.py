@@ -525,8 +525,14 @@ def key_bloom(
     still broadcastable), so each filter holds ~n/buckets keys and the FP
     rate is that of the SMALLER load — at n = 10⁵ a single filter is
     ~99% FP (useless) while 32 buckets hold ~0.1%. Probes route by the
-    same key-derived hash, so :func:`bloom_prune` needs the same
-    ``buckets`` value and nothing else.
+    same key-derived hash.
+
+    The build's ``buckets`` value is EMBEDDED in the relation as a
+    constant ``n_buckets`` column (r10 advice): :func:`bloom_prune`
+    derives it from there by default and exact-compares any explicit
+    value, so a build/probe mismatch fails loudly in BOTH directions —
+    a mis-routed probe is a silent FALSE NEGATIVE, the one contract a
+    bloom filter must never break.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -559,12 +565,16 @@ def key_bloom(
         F.col("_p._bit").alias("_bit"),
     )
     group = ["bkt", "w"] if bucketed else ["w"]
-    return probes.groupBy(*group).agg(F.bit_or("_bit").alias("bits"))
+    return (
+        probes.groupBy(*group)
+        .agg(F.bit_or("_bit").alias("bits"))
+        .withColumn("n_buckets", F.lit(buckets).cast("int"))
+    )
 
 
 def bloom_prune(
     df: DataFrame, key_col: str, bloom: DataFrame, k: int = 4,
-    buckets: int = 1,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Keep only rows whose ``key_col`` PASSES the bloom filter — the
     map-side pre-filter in front of a shuffle join: the big side drops
@@ -574,44 +584,46 @@ def bloom_prune(
     exchange-free on ``df``. Mirrors what Spark's runtime bloom pushdown
     does, made explicit, deterministic, and SQL-replayable.
 
-    ``buckets`` must match the :func:`key_bloom` build: each probe routes
-    to its key's per-bucket filter by the same key-derived hash (one more
-    equi-column on the same broadcast joins — still zero exchanges on
-    ``df``).
+    ``buckets`` defaults to the value EMBEDDED in the relation by
+    :func:`key_bloom` (the ``n_buckets`` constant column, read with one
+    LIMIT-1 probe — not the full-relation aggregate the r10 guard paid),
+    so build and probe cannot drift; an explicitly passed value is
+    exact-compared against the embedded one and BOTH mismatch directions
+    raise (a mis-routed probe is a silent false negative). Routing is
+    one more equi-column on the same broadcast joins — still zero
+    exchanges on ``df``.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    if buckets < 1:
+    if buckets is not None and buckets < 1:
         raise ValueError("buckets must be >= 1")
+    if "n_buckets" not in bloom.columns:
+        raise ValueError(
+            "bloom relation has no 'n_buckets' column — rebuild it with "
+            "key_bloom (the build embeds its buckets value so probes "
+            "can never mis-route)"
+        )
+    first = bloom.select("n_buckets").first()
+    built_buckets = int(first["n_buckets"]) if first is not None else None
+    if built_buckets is None:
+        # empty relation: no keys were added, so every probe is a
+        # definite non-member whatever the routing — honor the caller's
+        # value (or unbucketed) and let the filter reject everything
+        built_buckets = buckets or 1
+    elif buckets is not None and buckets != built_buckets:
+        raise ValueError(
+            f"bloom relation was built with buckets={built_buckets} but "
+            f"buckets={buckets} was passed — a mismatched probe routes "
+            "keys to the wrong per-bucket filter (silent false "
+            "negatives); omit buckets to use the embedded value"
+        )
+    buckets = built_buckets
     bucketed = buckets > 1
     if bucketed and "bkt" not in bloom.columns:
         raise ValueError(
-            "bloom relation has no 'bkt' column — was key_bloom built "
-            "with the same buckets value?"
+            "bloom relation claims n_buckets > 1 but has no 'bkt' "
+            "column — not a key_bloom relation"
         )
-    if not bucketed and "bkt" in bloom.columns:
-        # probing a bucketed relation with buckets=1 would join on w
-        # alone — every bucket's row matches, fanning each probe out
-        # buckets^k times and passing if ANY bucket has the bit
-        raise ValueError(
-            "bloom relation is bucketed ('bkt' column present) but "
-            "buckets=1 — pass the key_bloom build's buckets value"
-        )
-    if bucketed:
-        # bounded 1-row probe: a key that hashed past the probe-side
-        # bucket count proves the build used MORE buckets — such probes
-        # would route to buckets the relation doesn't have and produce
-        # FALSE NEGATIVES, the one contract violation a bloom filter
-        # must never commit. (The reverse mismatch — built with fewer —
-        # is indistinguishable from sparse bucket usage; the buckets
-        # value is the caller's contract.)
-        max_bkt = bloom.agg(F.max("bkt")).first()[0]
-        if max_bkt is not None and max_bkt >= buckets:
-            raise ValueError(
-                f"bloom relation has bucket ids up to {max_bkt} but "
-                f"buckets={buckets} — key_bloom was built with a "
-                "different buckets value"
-            )
     out = df
     cond = None
     for i in range(k):

@@ -338,8 +338,10 @@ def test_key_bloom_validations(spark):
         bloom_prune(df, "k", key_bloom(df, "k"), k=0)
     with _pytest.raises(ValueError, match="buckets must be"):
         key_bloom(df, "k", buckets=0)
-    with _pytest.raises(ValueError, match="bkt"):
+    with _pytest.raises(ValueError, match="built with buckets=1"):
         bloom_prune(df, "k", key_bloom(df, "k"), buckets=8)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        bloom_prune(df, "k", key_bloom(df, "k").drop("n_buckets"))
 
 
 def test_bucketed_bloom_holds_fp_rate_at_1e5_keys(spark):
@@ -374,12 +376,13 @@ def test_bucketed_bloom_holds_fp_rate_at_1e5_keys(spark):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
 
-def test_bloom_prune_rejects_buckets_mismatch(spark):
-    """Code-review r10: a buckets mismatch must fail loudly in BOTH
-    directions — probing a bucketed relation with buckets=1 (would join
-    on w alone, fanning probes out buckets^k times), and probing with
-    fewer buckets than the build used (would route keys to buckets the
-    relation proves exist past the probe count -> false negatives)."""
+def test_bloom_prune_buckets_embedded_and_mismatch_raises(spark):
+    """r11 (r10 advice): the build's buckets value is embedded in the
+    relation (n_buckets constant column) — bloom_prune derives it by
+    default (no contract to get wrong), and an explicit value is
+    exact-compared so BOTH mismatch directions (fewer AND more than the
+    build) fail loudly instead of silently mis-routing probes into
+    false negatives."""
     import pytest
     from pyspark.sql import functions as F
 
@@ -388,10 +391,16 @@ def test_bloom_prune_rejects_buckets_mismatch(spark):
     keys = spark.range(5_000).select(F.col("id").alias("k"))
     bucketed = key_bloom(keys, "k", buckets=32).localCheckpoint(eager=True)
     probe = spark.range(100).select(F.col("id").alias("k"))
-    with pytest.raises(ValueError, match="bucketed"):
-        bloom_prune(probe, "k", bucketed)  # default buckets=1
-    with pytest.raises(ValueError, match="different buckets"):
+    # no buckets argument: derived from the relation — no false negatives
+    assert bloom_prune(probe, "k", bucketed).count() == 100
+    # explicit matching value also works
+    assert bloom_prune(probe, "k", bucketed, buckets=32).count() == 100
+    # both mismatch directions raise, including the built-with-MORE
+    # case the r10 max(bkt) guard could silently pass
+    with pytest.raises(ValueError, match="built with buckets=32"):
         bloom_prune(probe, "k", bucketed, buckets=8)
-    # matching value still works and passes all true keys
-    kept = bloom_prune(probe, "k", bucketed, buckets=32)
-    assert kept.count() == 100
+    with pytest.raises(ValueError, match="built with buckets=32"):
+        bloom_prune(probe, "k", bucketed, buckets=64)
+    flat = key_bloom(keys, "k").localCheckpoint(eager=True)
+    with pytest.raises(ValueError, match="built with buckets=1"):
+        bloom_prune(probe, "k", flat, buckets=32)
