@@ -525,6 +525,10 @@ def label_propagation(
     labels = nbr.select(F.col("_n").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
+    if checkpoint:
+        # the loop's broadcast gate counts the init frame and superstep 1
+        # joins it — materialize so the node-set distinct runs once
+        labels = labels.localCheckpoint(eager=True)
     labels, iterations_used, changes = _lpa_loop(
         nbr, labels, iterations, checkpoint, track_convergence
     )
@@ -547,7 +551,25 @@ def _lpa_loop(
     ``graphstate.label_propagation_from_state`` (which reads the
     pre-exploded neighbor relation from persisted edge state). ``nbr``
     is (_n, _nb), already symmetric/dedup'd/self-loop-free and
-    materialized; ``labels`` is the (node, label) init."""
+    materialized; ``labels`` is the (node, label) init (materialized or
+    cheap to re-derive — the broadcast gate counts it once).
+
+    Superstep shape (r11): the labels side is size-gated for BROADCAST
+    exactly like pagerank's rank frame — checkpointed label frames carry
+    no stats, so without the gate supersteps ≥ 2 fall back to a
+    sort-merge join that EXCHANGES AND SORTS the full |E| neighbor
+    relation every step; with it the join is map-side and the only |E|
+    pass is the (node, label) count aggregate with map-side partial
+    combine. The per-node argmax stays a row_number window: Spark's
+    WindowGroupLimit pushes the top-1 below the exchange, so only ≤1 row
+    per (partition, node) shuffles."""
+    threshold = _parse_bytes(
+        nbr.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10m"
+        )
+    )
+    n = labels.count()
+    broadcast_labels = 0 < n * _RANK_ROW_BYTES <= threshold
     w = Window.partitionBy("_n").orderBy(
         F.col("_c").desc(), F.col("label").asc()
     )
@@ -555,8 +577,9 @@ def _lpa_loop(
     iterations_used = iterations
     for it in range(iterations):
         prev = labels
+        lside = F.broadcast(labels) if broadcast_labels else labels
         counts = (
-            nbr.join(labels, nbr["_nb"] == labels["node"])
+            nbr.join(lside, nbr["_nb"] == lside["node"])
             .groupBy("_n", "label")
             .agg(F.count(F.lit(1)).alias("_c"))
         )
@@ -644,30 +667,57 @@ def _bfs_loop(
     symmetrizes/dedups a raw edge frame) and
     ``graphstate.shortest_hops_from_state`` (which reads the pre-exploded
     adjacency from persisted edge state). ``e`` is (_s, _d), already
-    direction-expanded, dedup'd, and materialized."""
+    direction-expanded, dedup'd, and materialized.
+
+    Per-hop join shape (r11): the frontier and settled-set sizes are
+    KNOWN to the driver exactly — the per-hop emptiness probe is a
+    count() over the checkpointed new frontier (same one job the old
+    take(1) cost), and the settled total is its running sum — so both
+    the frontier-expansion join and the settled anti-join are size-gated
+    for broadcast with exact numbers, not estimates. Checkpointed frames
+    carry no stats, so without the gates every hop falls back to
+    sort-merge joins that exchange and sort the full |E| adjacency AND
+    the candidate set; with them, e is scanned map-side per hop and only
+    the candidate distinct exchanges. Past the threshold (frontiers near
+    |V| on a 100 TB graph) the shuffle join is the honest fallback —
+    the same explicit decision pagerank's rank frame makes."""
+    threshold = _parse_bytes(
+        e.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+    )
     dist = seeds.select("node").distinct().select(
         "node", F.lit(0).cast("int").alias("hops")
     )
     if checkpoint:
         dist = dist.localCheckpoint(eager=True)
     frontier = dist.select("node")
+    n_frontier = n_settled = dist.count()
     for h in range(1, max_hops + 1):
+        fside = (
+            F.broadcast(frontier)
+            if 0 < n_frontier * _RANK_ROW_BYTES <= threshold
+            else frontier
+        )
         cand = (
-            frontier.join(e, frontier["node"] == e["_s"])
+            fside.join(e, fside["node"] == e["_s"])
             .select(F.col("_d").alias("node"))
             .distinct()
         )
-        new = cand.join(dist.select("node"), "node", "left_anti").select(
+        settled = dist.select("node")
+        if 0 < n_settled * _RANK_ROW_BYTES <= threshold:
+            settled = F.broadcast(settled)
+        new = cand.join(settled, "node", "left_anti").select(
             "node", F.lit(h).cast("int").alias("hops")
         )
         if checkpoint:
             new = new.localCheckpoint(eager=True)
-        if not new.take(1):
+        n_frontier = new.count()
+        if n_frontier == 0:
             break
         # dist is a UNION of already-checkpointed frontier frames — its
         # lineage stays flat (a scan per materialized hop, no recursive
         # joins), so re-checkpointing the whole table every hop would
         # only add a job and an O(V) copy per hop for nothing.
         dist = dist.unionAll(new)
+        n_settled += n_frontier
         frontier = new.select("node")
     return dist
