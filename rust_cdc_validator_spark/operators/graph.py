@@ -48,6 +48,7 @@ __all__ = [
     "degree_assortativity",
     "label_propagation",
     "shortest_hops",
+    "k_core",
 ]
 
 
@@ -721,3 +722,98 @@ def _bfs_loop(
         n_settled += n_frontier
         frontier = new.select("node")
     return dist
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 10,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """k-core peeling (Seidman 1983) over the UNDIRECTED graph induced by
+    ``edges`` (direction, duplicates, self-loops dropped): repeatedly
+    remove nodes with degree < ``k`` until a fixed point (or ``rounds``
+    synchronous peels, whichever first). Returns the surviving (node,
+    core_deg) — core_deg is the node's degree WITHIN the final survivor
+    set, so a converged run has every core_deg ≥ k, and a round-capped
+    run exposes the not-yet-peeled frontier (observability over silent
+    truncation). The LLM-pipeline use: core membership separates densely
+    embedded entities from peripheral/spam structure — link-graph quality
+    signals at corpus scale.
+
+    Scale shape: each peel is two survivor-filter joins on the
+    materialized adjacency plus one degree aggregate (map-side combined,
+    ≤ |V| result rows). The survivor frame's size is KNOWN to the driver
+    exactly (the fixed-point probe is a count), so both filter joins are
+    size-gated for broadcast like pagerank's ranks — under the threshold
+    the adjacency never exchanges; past it the shuffle join is the
+    honest fallback. Lineage truncates per peel (checkpoint), and the
+    loop stops the first round that removes nothing."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    adj = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("_a").alias("_s"), F.col("_b").alias("_d")),
+                F.struct(F.col("_b").alias("_s"), F.col("_a").alias("_d")),
+            )
+        ).alias("_x")
+    ).select(F.col("_x._s").alias("_s"), F.col("_x._d").alias("_d"))
+    if checkpoint:
+        adj = adj.localCheckpoint(eager=True)
+    return _kcore_loop(adj, k, rounds, checkpoint)
+
+
+def _kcore_loop(
+    adj: DataFrame, k: int, rounds: int, checkpoint: bool
+) -> DataFrame:
+    """The synchronous peels, shared by :func:`k_core` (raw edge frame)
+    and ``graphstate.k_core_from_state`` (persisted adjacency). ``adj``
+    is (_s, _d), direction-expanded, dedup'd, self-loop-free, and
+    materialized."""
+    threshold = _parse_bytes(
+        adj.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+    )
+    deg = adj.groupBy("_s").agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+    if checkpoint:
+        deg = deg.localCheckpoint(eager=True)
+    n_alive = deg.count()
+    for _ in range(rounds):
+        alive = deg.filter(F.col("core_deg") >= k).select(
+            F.col("_s").alias("_n")
+        )
+        if checkpoint:
+            alive = alive.localCheckpoint(eager=True)
+        n_next = alive.count()
+        if n_next == n_alive:
+            break
+        n_alive = n_next
+        if n_alive == 0:
+            return deg.filter(F.lit(False)).select(
+                F.col("_s").alias("node"), "core_deg"
+            )
+        aside = (
+            F.broadcast(alive)
+            if 0 < n_alive * _RANK_ROW_BYTES <= threshold
+            else alive
+        )
+        a2 = aside.select(F.col("_n").alias("_n2"))
+        deg = (
+            adj.join(aside, adj["_s"] == aside["_n"])
+            .join(a2, adj["_d"] == F.col("_n2"))
+            .groupBy("_s")
+            .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+        )
+        if checkpoint:
+            deg = deg.localCheckpoint(eager=True)
+    return deg.select(F.col("_s").alias("node"), "core_deg")

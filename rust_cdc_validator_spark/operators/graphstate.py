@@ -65,6 +65,7 @@ __all__ = [
     "pagerank_from_state",
     "label_propagation_from_state",
     "shortest_hops_from_state",
+    "k_core_from_state",
 ]
 
 
@@ -344,3 +345,31 @@ def shortest_hops_from_state(
         F.col("src").alias("_s"), F.col("dst").alias("_d")
     )
     return _bfs_loop(e, seeds, max_hops, checkpoint)
+
+
+def k_core_from_state(
+    spark: SparkSession,
+    path: str,
+    k: int,
+    rounds: int = 10,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """:func:`graph.k_core` over persisted UNDIRECTED edge state: the
+    symmetrized adjacency is read, not rebuilt (shared ``_kcore_loop``,
+    same peel semantics and early stop)."""
+    from rust_cdc_validator_spark.operators.graph import _kcore_loop
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if edge_state_params(spark, path)["directed"]:
+        raise ValueError(
+            "k_core_from_state requires undirected edge state (the k-core "
+            "is defined on the undirected graph; rebuild with "
+            "directed=False)"
+        )
+    adj = edge_state_adjacency(spark, path).select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d")
+    )
+    return _kcore_loop(adj, k, rounds, checkpoint)

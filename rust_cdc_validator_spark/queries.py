@@ -7046,6 +7046,228 @@ LIMIT 100
 """
 
 
+def supplier_trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core screening (operators/graph.k_core, Seidman 1983) over the
+    bipartite trade graph, read from the SAME persisted edge state as
+    the pagerank/LPA/BFS trio: peel nodes with fewer than 40 distinct
+    trade partners until a fixed point, return surviving suppliers with
+    their in-core degree — the dense-subgraph quality screen (peripheral
+    / spam-like structure falls out; the core is the load-bearing
+    market). Fixed 4-round cap: the peel converges in 2 on this graph,
+    and the oracle unrolls the same 4 synchronous rounds in generated
+    SQL (identical after convergence since a converged peel is a no-op),
+    so the iterative path value-hashes like PageRank's."""
+    from rust_cdc_validator_spark.operators.graphstate import (
+        k_core_from_state,
+    )
+
+    core = k_core_from_state(
+        spark, _trade_edge_state_for(spark, sf_dir), k=40, rounds=4
+    )
+    return core.filter(F.col("node").startswith("s")).select(
+        F.col("node").substr(F.lit(2), F.lit(30)).cast("long").alias("suppkey"),
+        F.col("core_deg"),
+    )
+
+
+def _kcore_oracle_sql(k: int = 40, rounds: int = 4) -> str:
+    """Unrolled k-core peel mirroring graph._kcore_loop round for round
+    (degree over survivor-restricted adjacency, >= k filter) — generated
+    like the PageRank/LPA oracles so k and the round count live in one
+    place. Extra rounds past convergence are no-ops, so a fixed unroll
+    equals the operator's early-stopped result."""
+    ctes = [
+        """pair AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)""",
+        "e AS (SELECT a AS s, b AS d FROM pair UNION ALL SELECT b, a FROM pair)",
+        """d0 AS (
+  SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM e GROUP BY s
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"a{r} AS (SELECT node FROM d{r - 1} WHERE core_deg >= {k})"
+        )
+        ctes.append(
+            f"""d{r} AS (
+  SELECT e.s AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+  FROM e JOIN a{r} x ON e.s = x.node JOIN a{r} y ON e.d = y.node
+  GROUP BY e.s
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(substring(node, 2) AS BIGINT) AS suppkey, core_deg
+FROM d{rounds} WHERE node LIKE 's%'"""
+    )
+
+
+SUPPLIER_TRADE_KCORE_SQL = _kcore_oracle_sql()
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit, adapted: the testdata has no
+    partsupp, so unit cost is proxied as 10% of p_retailprice — the JOIN
+    SHAPE is the point): profit per supplier nation per order year over
+    parts whose name contains a color token. Five-table star join with a
+    substring part filter, a date-part extraction, and a two-key rollup —
+    the classic "filter one dimension hard, join the fact once, group by
+    two other dimensions" plan.
+
+    Spark shape: the part filter prunes BEFORE the fact join and the
+    small dimension side broadcasts (parts ~20% selectivity of a
+    dimension table; supplier/nation broadcast unconditionally), so the
+    lineitem fact is scanned once and exchanges only for the final
+    (nation, year) aggregate — map-side combined, |nations × years|
+    result rows. At 100 TB the fact never shuffles on a join key."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+    )
+
+
+Q9_PRODUCT_TYPE_PROFIT_SQL = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+       round(SUM(l.l_extendedprice * (1.0 - l.l_discount)
+                 - 0.1 * p.p_retailprice * l.l_quantity), 4) AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): average yearly
+    revenue lost if orders below 20% of a part's average quantity were
+    no longer taken, for one brand. The textbook correlated scalar
+    subquery (per-part AVG compared against each row of the same part) —
+    decorrelated into aggregate-then-join.
+
+    Spark shape: the brand filter prunes part to ~1/25 of a dimension
+    and BROADCASTS twice — once pruning the fact scan, once carrying the
+    per-part averages back — so lineitem is scanned once, exchanges only
+    for the |brand parts|-sized average aggregate, and the final global
+    sum is a 1-row aggregate. The averages are exact (whole-number
+    quantities sum exactly in doubles), so the 0.2·avg comparison is
+    engine-portable bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    branded = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avgs = branded.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("_avg_qty")
+    )
+    return (
+        branded.join(F.broadcast(avgs), "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 4).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_small_lines"),
+        )
+    )
+
+
+Q17_SMALL_QUANTITY_REVENUE_SQL = """
+WITH branded AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#13'
+), avgs AS (
+  SELECT l_partkey, AVG(l_quantity) AS avg_qty
+  FROM branded GROUP BY l_partkey
+)
+SELECT round(SUM(b.l_extendedprice) / 7.0, 4) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small_lines
+FROM branded b JOIN avgs a ON b.l_partkey = a.l_partkey
+WHERE b.l_quantity < 0.2 * a.avg_qty
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): top orders whose total
+    line quantity exceeds a threshold, with their customer. The
+    aggregate-HAVING-then-semi-join shape: the qualifying order set is
+    found by one fact aggregation, and only THOSE orders join back to
+    the dimensions.
+
+    Spark shape: the HAVING aggregate is the only fact exchange
+    (map-side combined on orderkey); the qualifying set (~0.5% of
+    orders here) broadcasts into the orders join, customer joins the
+    survivor relation, and the top-100 is a TakeOrdered — no global
+    sort. Whole-number quantities sum exactly, so the threshold is
+    engine-portable."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 180.0)
+    )
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            F.round("o_totalprice", 2).alias("o_total_r"),
+            F.col("total_qty"),
+        )
+        .orderBy(
+            F.col("o_total_r").desc(), F.col("o_date"), F.col("o_orderkey")
+        )
+        .limit(100)
+    )
+
+
+Q18_LARGE_VOLUME_CUSTOMERS_SQL = """
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 180.0
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+       round(o.o_totalprice, 2) AS o_total_r,
+       b.total_qty
+FROM orders o
+JOIN big b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o_total_r DESC, o_date, o.o_orderkey
+LIMIT 100
+"""
+
+
 def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape (customer distribution): how many customers placed
     exactly k non-urgent orders, INCLUDING k = 0 — the zero-preserving
@@ -7643,6 +7865,10 @@ QUERIES: dict[str, QueryFn] = {
     "supplier_trade_communities": supplier_trade_communities,
     "trade_reach_hops": trade_reach_hops,
     "trade_edge_state_stats": trade_edge_state_stats,
+    "q9_product_type_profit": q9_product_type_profit,
+    "supplier_trade_kcore": supplier_trade_kcore,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
     "events_type_overlap_hll": events_type_overlap_hll,
     "embedding_pca_whiten": embedding_pca_whiten,
     "docs_compaction_plan": docs_compaction_plan,
@@ -7797,6 +8023,10 @@ ORACLES: dict[str, str] = {
     "supplier_trade_communities": SUPPLIER_TRADE_COMMUNITIES_SQL,
     "trade_reach_hops": TRADE_REACH_HOPS_SQL,
     "trade_edge_state_stats": TRADE_EDGE_STATE_STATS_SQL,
+    "q9_product_type_profit": Q9_PRODUCT_TYPE_PROFIT_SQL,
+    "supplier_trade_kcore": SUPPLIER_TRADE_KCORE_SQL,
+    "q17_small_quantity_revenue": Q17_SMALL_QUANTITY_REVENUE_SQL,
+    "q18_large_volume_customers": Q18_LARGE_VOLUME_CUSTOMERS_SQL,
     "events_type_overlap_hll": EVENTS_TYPE_OVERLAP_HLL_SQL,
     "docs_compaction_plan": DOCS_COMPACTION_PLAN_SQL,
     "doc_length_batches": DOC_LENGTH_BATCHES_SQL,

@@ -394,3 +394,91 @@ def test_shortest_hops_early_exhaustion_and_cap(spark):
     assert full == {0: 0, 1: 1, 2: 2, 3: 3}
     with pytest.raises(ValueError, match="max_hops"):
         shortest_hops(chain, seeds, max_hops=-1)
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (r11)
+# ---------------------------------------------------------------------------
+
+def test_kcore_cascade_and_survivors(spark):
+    """A triangle with a pendant chain: k=2 peels the chain node by node
+    (a real cascade — each removal drops the next node under k) and
+    leaves exactly the triangle, every survivor at core_deg 2."""
+    from rust_cdc_validator_spark.operators.graph import k_core
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),  # triangle
+             ("c", "d"), ("d", "e"), ("e", "f")]  # pendant chain
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["core_deg"] for r in k_core(df, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_whole_graph_is_core(spark):
+    """k=1 on a connected graph peels nothing — first round is a no-op
+    and the loop early-stops, returning full degrees."""
+    from rust_cdc_validator_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got = {r["node"]: r["core_deg"] for r in k_core(df, k=1).collect()}
+    assert got == {"a": 1, "b": 2, "c": 1}
+
+
+def test_kcore_empties_and_validations(spark):
+    from rust_cdc_validator_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    # a path has no 2-core
+    assert k_core(df, k=2).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        k_core(df, k=0)
+    with _pytest.raises(ValueError, match="rounds"):
+        k_core(df, k=2, rounds=0)
+
+
+def test_kcore_round_cap_matches_unrolled_semantics(spark):
+    """With rounds capped below convergence, the output is the degrees
+    after exactly that many peels — the contract the fixed-unroll SQL
+    oracle replays. Path a-b-c-d-e, k=2: round 1 peels the endpoints;
+    capping there leaves b,c,d with their restricted degrees."""
+    from rust_cdc_validator_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["core_deg"] for r in k_core(df, k=2, rounds=1).collect()}
+    assert got == {"b": 1, "c": 2, "d": 1}
+    # run to convergence: the whole path peels away
+    assert k_core(df, k=2).count() == 0
+
+
+def test_kcore_from_state_matches_direct(spark, tmp_path):
+    from rust_cdc_validator_spark.operators.graph import k_core
+    from rust_cdc_validator_spark.operators.graphstate import (
+        build_edge_state,
+        k_core_from_state,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    path = str(tmp_path / "kcore_state")
+    build_edge_state(df, path, directed=False, buckets=2)
+    direct = {r["node"]: r["core_deg"] for r in k_core(df, k=2).collect()}
+    from_state = {
+        r["node"]: r["core_deg"]
+        for r in k_core_from_state(spark, path, k=2).collect()
+    }
+    assert from_state == direct == {"a": 2, "b": 2, "c": 2}
+    # directed state refused
+    path2 = str(tmp_path / "kcore_directed")
+    build_edge_state(df, path2, directed=True, buckets=2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="undirected"):
+        k_core_from_state(spark, path2, k=2)

@@ -214,3 +214,37 @@ def test_q21_semi_anti_no_cartesian(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_q9_fact_scans_once_dims_broadcast(spark, sf_dir):
+    """r11 TPC-H Q9 shape: the part filter reaches the scan, every
+    dimension joins broadcast (no fact exchange before the aggregate),
+    and the fact reads only the referenced columns."""
+    from rust_cdc_validator_spark.plans.inspect import explain_str
+    from rust_cdc_validator_spark.queries import q9_product_type_profit
+
+    df = q9_product_type_profit(spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert any("p_name" in f for f in pushed_filters(df))
+    li_cols = next(
+        c for c in scan_columns(df) if any(x.startswith("l_") for x in c)
+    )
+    assert set(li_cols) == {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    }
+
+
+def test_q18_having_is_only_fact_exchange(spark, sf_dir):
+    """r11 TPC-H Q18 shape: the qualifying-order aggregate is the fact's
+    only exchange; the survivor set joins back broadcast and the top-100
+    is a TakeOrdered, not a global sort."""
+    from rust_cdc_validator_spark.plans.inspect import explain_str
+    from rust_cdc_validator_spark.queries import q18_large_volume_customers
+
+    plan = explain_str(q18_large_volume_customers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
