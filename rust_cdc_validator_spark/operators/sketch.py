@@ -624,6 +624,17 @@ def bloom_prune(
             "bloom relation claims n_buckets > 1 but has no 'bkt' "
             "column — not a key_bloom relation"
         )
+    out, cond, drop = _bloom_probe_joined(df, key_col, bloom, k, buckets)
+    return out.filter(cond).drop(*drop)
+
+
+def _bloom_probe_joined(
+    df: DataFrame, key_col: str, bloom: DataFrame, k: int, buckets: int
+) -> tuple[DataFrame, Column, list[str]]:
+    """The k broadcast probe joins shared by :func:`bloom_prune` (filter
+    form) and :func:`bloom_flag` (audit form): returns the joined frame,
+    the never-NULL pass condition, and the helper columns to drop."""
+    bucketed = buckets > 1
     out = df
     cond = None
     for i in range(k):
@@ -651,4 +662,39 @@ def bloom_prune(
     drop = [c for i in range(k) for c in (f"_bw{i}", f"_bb{i}")]
     if bucketed:
         drop += [f"_bk{i}" for i in range(k)]
-    return out.filter(cond).drop(*drop)
+    return out, cond, drop
+
+
+def bloom_flag(
+    df: DataFrame, key_col: str, bloom: DataFrame, flag_col: str = "bloom_hit",
+    k: int = 4, buckets: int | None = None,
+) -> DataFrame:
+    """:func:`bloom_prune`'s audit form: every row kept, plus a boolean
+    ``flag_col`` saying whether the key passes the filter — for
+    one-pass FP/pruned-fraction accounting (count, passes, and
+    true-match flags in a single scan instead of a filtered pass per
+    statistic) and for routing rows instead of dropping them. Same
+    embedded-``n_buckets`` contract and broadcast-only plan as the
+    filter form."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if buckets is not None and buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    if "n_buckets" not in bloom.columns:
+        raise ValueError(
+            "bloom relation has no 'n_buckets' column — rebuild it with "
+            "key_bloom"
+        )
+    first = bloom.select("n_buckets").first()
+    built_buckets = int(first["n_buckets"]) if first is not None else None
+    if built_buckets is None:
+        built_buckets = buckets or 1
+    elif buckets is not None and buckets != built_buckets:
+        raise ValueError(
+            f"bloom relation was built with buckets={built_buckets} but "
+            f"buckets={buckets} was passed"
+        )
+    out, cond, drop = _bloom_probe_joined(
+        df, key_col, bloom, k, built_buckets
+    )
+    return out.withColumn(flag_col, cond).drop(*drop)

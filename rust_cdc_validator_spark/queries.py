@@ -5941,7 +5941,7 @@ def lineitem_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom pushdown as an explicit, engine-replayable operator; the oracle
     rebuilds every bit with the same md5 arithmetic."""
     from rust_cdc_validator_spark.operators.sketch import (
-        bloom_prune,
+        bloom_flag,
         key_bloom,
     )
 
@@ -5954,29 +5954,31 @@ def lineitem_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the build agg doesn't re-run per probe side
     bloom = key_bloom(keys, "kk").localCheckpoint(eager=True)
     probe = li.select(F.col("l_orderkey").alias("k"))
-    passed = bloom_prune(probe, "k", bloom)
-    n_total = probe.agg(F.count(F.lit(1)).cast("long").alias("n_lineitems"))
-    n_pass = passed.agg(F.count(F.lit(1)).cast("long").alias("n_pass_bloom"))
-    n_true = (
-        probe.join(keys, probe["k"] == keys["kk"], "left_semi")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_true_match"))
+    # ONE pass over lineitem (r11): bloom_flag carries the pass bit, a
+    # broadcast left join against the (unique-keyed) filter keys carries
+    # the true-match bit, and one aggregate reads all three counts — the
+    # previous form scanned the probe THREE times (total, pass, semi)
+    flagged = bloom_flag(probe, "k", bloom).join(
+        F.broadcast(keys), F.col("k") == F.col("kk"), "left"
     )
-    return (
-        n_total.crossJoin(F.broadcast(n_pass))
-        .crossJoin(F.broadcast(n_true))
-        .select(
-            "n_lineitems",
-            "n_pass_bloom",
-            "n_true_match",
-            (F.col("n_pass_bloom") - F.col("n_true_match"))
-            .cast("long")
-            .alias("n_false_pos"),
-            F.round(
-                F.lit(1.0)
-                - F.col("n_pass_bloom") / F.col("n_lineitems"),
-                6,
-            ).alias("pruned_fraction"),
-        )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.sum(F.col("bloom_hit").cast("long")).cast("long").alias(
+            "n_pass_bloom"
+        ),
+        F.sum(F.col("kk").isNotNull().cast("long")).cast("long").alias(
+            "n_true_match"
+        ),
+        (
+            F.sum(F.col("bloom_hit").cast("long"))
+            - F.sum(F.col("kk").isNotNull().cast("long"))
+        ).cast("long").alias("n_false_pos"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.col("bloom_hit").cast("long"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pruned_fraction"),
     )
 
 

@@ -404,3 +404,28 @@ def test_bloom_prune_buckets_embedded_and_mismatch_raises(spark):
     flat = key_bloom(keys, "k").localCheckpoint(eager=True)
     with pytest.raises(ValueError, match="built with buckets=1"):
         bloom_prune(probe, "k", flat, buckets=32)
+
+
+def test_bloom_flag_matches_prune(spark):
+    """bloom_flag is the audit form of bloom_prune: rows with the flag
+    true are exactly the pruned output, every input row survives, and
+    the mismatch contract is shared."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.sketch import (
+        bloom_flag,
+        bloom_prune,
+        key_bloom,
+    )
+
+    keys = spark.range(300).select((F.col("id") * 11).alias("k"))
+    bloom = key_bloom(keys, "k").localCheckpoint(eager=True)
+    probe = spark.range(5000).select(F.col("id").alias("k"))
+    flagged = bloom_flag(probe, "k", bloom)
+    assert flagged.count() == 5000  # nothing dropped
+    passed = {r["k"] for r in flagged.filter("bloom_hit").collect()}
+    pruned = {r["k"] for r in bloom_prune(probe, "k", bloom).collect()}
+    assert passed == pruned
+    with pytest.raises(ValueError, match="built with buckets=1"):
+        bloom_flag(probe, "k", bloom, buckets=16)
