@@ -7051,7 +7051,7 @@ LIMIT 100
 def supplier_trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core screening (operators/graph.k_core, Seidman 1983) over the
     bipartite trade graph, read from the SAME persisted edge state as
-    the pagerank/LPA/BFS trio: peel nodes with fewer than 40 distinct
+    the pagerank/LPA/BFS trio: peel nodes with fewer than 8 distinct
     trade partners until a fixed point, return surviving suppliers with
     their in-core degree — the dense-subgraph quality screen (peripheral
     / spam-like structure falls out; the core is the load-bearing
@@ -7064,7 +7064,7 @@ def supplier_trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     core = k_core_from_state(
-        spark, _trade_edge_state_for(spark, sf_dir), k=40, rounds=4
+        spark, _trade_edge_state_for(spark, sf_dir), k=8, rounds=4
     )
     return core.filter(F.col("node").startswith("s")).select(
         F.col("node").substr(F.lit(2), F.lit(30)).cast("long").alias("suppkey"),
@@ -7072,7 +7072,7 @@ def supplier_trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kcore_oracle_sql(k: int = 40, rounds: int = 4) -> str:
+def _kcore_oracle_sql(k: int = 8, rounds: int = 4) -> str:
     """Unrolled k-core peel mirroring graph._kcore_loop round for round
     (degree over survivor-restricted adjacency, >= k filter) — generated
     like the PageRank/LPA oracles so k and the round count live in one
