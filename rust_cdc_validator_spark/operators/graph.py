@@ -358,6 +358,15 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     comparisons and counts — a SQL oracle replays it row for row.
     """
     und, deg = _canonical_edges_and_degrees(edges, src, dst)
+    return _triangle_core(und, deg)
+
+
+def _triangle_core(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """The orientation + wedge-closure half of :func:`triangle_count`,
+    shared with ``graphstate.triangle_count_from_state`` (which reads the
+    canonical pairs and degrees from persisted edge state instead of
+    deriving them). ``und`` is (_a, _b) canonical distinct pairs; ``deg``
+    is (node, _deg), possibly broadcast-hinted."""
     da = deg.select(F.col("node").alias("_a"), F.col("_deg").alias("_da"))
     db = deg.select(F.col("node").alias("_b"), F.col("_deg").alias("_db"))
     keyed = und.join(da, "_a").join(db, "_b")
@@ -409,6 +418,13 @@ def degree_assortativity(
     is a node id, nothing wide moves, and the SQL oracle replays it.
     """
     und, deg = _canonical_edges_and_degrees(edges, src, dst)
+    return _assortativity_core(und, deg)
+
+
+def _assortativity_core(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """The degree-attach + correlation half of
+    :func:`degree_assortativity`, shared with
+    ``graphstate.degree_assortativity_from_state``."""
     da = deg.select(F.col("node").alias("_a"), F.col("_deg").alias("_da"))
     db = deg.select(F.col("node").alias("_b"), F.col("_deg").alias("_db"))
     keyed = und.join(da, "_a").join(db, "_b")

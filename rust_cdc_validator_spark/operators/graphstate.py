@@ -66,6 +66,8 @@ __all__ = [
     "label_propagation_from_state",
     "shortest_hops_from_state",
     "k_core_from_state",
+    "triangle_count_from_state",
+    "degree_assortativity_from_state",
 ]
 
 
@@ -373,3 +375,56 @@ def k_core_from_state(
         F.col("src").alias("_s"), F.col("dst").alias("_d")
     )
     return _kcore_loop(adj, k, rounds, checkpoint)
+
+
+def _state_und_deg(spark: SparkSession, path: str):
+    """Canonical distinct pairs + broadcast-gated degree relation from
+    persisted UNDIRECTED edge state — the front half
+    ``graph._canonical_edges_and_degrees`` derives per call, read here
+    instead: pairs are the adjacency's src < dst half, degrees are the
+    nodes relation's out_deg, and the broadcast gate uses the params'
+    pinned n_nodes (zero probe jobs)."""
+    from rust_cdc_validator_spark.operators.graph import (
+        _parse_bytes as _pb,
+        _RANK_ROW_BYTES as _rrb,
+    )
+
+    params = edge_state_params(spark, path)
+    if params["directed"]:
+        raise ValueError(
+            "undirected edge state required (triangles/assortativity are "
+            "defined on the undirected graph; rebuild with directed=False)"
+        )
+    adj = edge_state_adjacency(spark, path)
+    und = adj.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("_a"), F.col("dst").alias("_b")
+    )
+    deg = edge_state_nodes(spark, path).select(
+        "node", F.col("out_deg").alias("_deg")
+    )
+    threshold = _pb(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+    )
+    if 0 < params["n_nodes"] * _rrb <= threshold:
+        deg = F.broadcast(deg)
+    return und, deg
+
+
+def triangle_count_from_state(spark: SparkSession, path: str) -> DataFrame:
+    """:func:`graph.triangle_count` over persisted undirected edge state:
+    canonical pairs and degrees are READ (parquet scans — the params'
+    n_nodes drives the degree-broadcast gate with no probe job); the
+    orientation + wedge-closure plan is shared (``_triangle_core``)."""
+    from rust_cdc_validator_spark.operators.graph import _triangle_core
+
+    und, deg = _state_und_deg(spark, path)
+    return _triangle_core(und, deg)
+
+
+def degree_assortativity_from_state(spark: SparkSession, path: str) -> DataFrame:
+    """:func:`graph.degree_assortativity` over persisted undirected edge
+    state (shared ``_assortativity_core``)."""
+    from rust_cdc_validator_spark.operators.graph import _assortativity_core
+
+    und, deg = _state_und_deg(spark, path)
+    return _assortativity_core(und, deg)

@@ -6143,6 +6143,47 @@ FROM est CROSS JOIN ex
 """
 
 
+
+def _cooccur_edge_state_for(
+    spark: SparkSession, sf_dir: str, item_col: str
+) -> str:
+    """Build (once per (sf_dir, item) per process) the persisted 1995
+    co-order edge state for an item column — the co-trade sibling of
+    _trade_edge_state_for: the quadratic within-order self-join runs
+    ONCE; triangles and assortativity read algorithm-ready pairs +
+    degrees (graphstate._state_und_deg) forever after."""
+    key = f"{sf_dir}:{item_col}"
+    path = _EDGE_STATE_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        from rust_cdc_validator_spark.operators.graphstate import (
+            build_edge_state,
+        )
+
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        op = (
+            li.join(
+                o.filter(F.year("o_orderdate") == 1995).select("o_orderkey"),
+                li["l_orderkey"] == F.col("o_orderkey"),
+            )
+            .select("l_orderkey", item_col)
+            .distinct()
+        )
+        x, y = op.alias("x"), op.alias("y")
+        edges = x.join(y, "l_orderkey").filter(
+            F.col(f"x.{item_col}") < F.col(f"y.{item_col}")
+        ).select(
+            F.col(f"x.{item_col}").alias("src"),
+            F.col(f"y.{item_col}").alias("dst"),
+        )
+        path = tempfile.mkdtemp(prefix=f"cooccur_{item_col}_")
+        build_edge_state(edges, path, directed=False)
+        _EDGE_STATE_CACHE[key] = path
+    return path
+
+
 def parts_cotrade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle counts (operators/graph.triangle_count) of the
     1995 co-order graph — parts are adjacent when some order bought both.
@@ -6150,28 +6191,17 @@ def parts_cotrade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     together), the graph signal PageRank's importance score can't see;
     degree orientation makes each triangle count exactly once and bounds
     the wedge fan-out by O(sqrt(E)) even at 100-TB basket graphs. The
-    oracle replays orientation, wedges, and closures in pure SQL."""
-    from rust_cdc_validator_spark.operators.graph import triangle_count
+    oracle replays orientation, wedges, and closures in pure SQL.
+    r11: reads the persisted co-order edge state (pairs + degrees) —
+    the quadratic within-order self-join runs once per process, not per
+    query."""
+    from rust_cdc_validator_spark.operators.graphstate import (
+        triangle_count_from_state,
+    )
 
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    op = (
-        li.join(
-            o.filter(F.year("o_orderdate") == 1995).select("o_orderkey"),
-            li["l_orderkey"] == F.col("o_orderkey"),
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    x, y = op.alias("x"), op.alias("y")
-    edges = x.join(y, "l_orderkey").filter(
-        F.col("x.l_partkey") < F.col("y.l_partkey")
-    ).select(
-        F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
-    )
-    return triangle_count(edges).select(
-        F.col("node").alias("partkey"), "triangles"
-    )
+    return triangle_count_from_state(
+        spark, _cooccur_edge_state_for(spark, sf_dir, "l_partkey")
+    ).select(F.col("node").alias("partkey"), "triangles")
 
 
 PARTS_COTRADE_TRIANGLES_SQL = """
@@ -6478,26 +6508,15 @@ def suppliers_comention_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     each other (assortative) or with the long tail (hub-and-spoke)? The
     mixing diagnostic that complements pagerank (importance) and
     triangles (cohesion) on the same trade network; one-row output, all
-    replayed by the oracle."""
-    from rust_cdc_validator_spark.operators.graph import degree_assortativity
+    replayed by the oracle. r11: reads the persisted co-order edge state
+    (pairs + degrees read, not rebuilt)."""
+    from rust_cdc_validator_spark.operators.graphstate import (
+        degree_assortativity_from_state,
+    )
 
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    op = (
-        li.join(
-            o.filter(F.year("o_orderdate") == 1995).select("o_orderkey"),
-            li["l_orderkey"] == F.col("o_orderkey"),
-        )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    return degree_assortativity_from_state(
+        spark, _cooccur_edge_state_for(spark, sf_dir, "l_suppkey")
     )
-    x, y = op.alias("x"), op.alias("y")
-    edges = x.join(y, "l_orderkey").filter(
-        F.col("x.l_suppkey") < F.col("y.l_suppkey")
-    ).select(
-        F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
-    )
-    return degree_assortativity(edges)
 
 
 SUPPLIERS_COMENTION_MIXING_SQL = """

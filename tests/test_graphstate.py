@@ -199,3 +199,38 @@ def test_validations(spark, state_path):
         shortest_hops_from_state(
             spark, state_path, df.select(F.col("src").alias("node")), max_hops=-1
         )
+
+
+def test_triangles_and_assortativity_from_state_match_direct(spark, tmp_path):
+    """The state-backed triangle/assortativity variants read canonical
+    pairs + degrees from the persisted layout and must equal the direct
+    operators bit-for-bit (shared cores)."""
+    from rust_cdc_validator_spark.operators.graph import (
+        degree_assortativity,
+        triangle_count,
+    )
+    from rust_cdc_validator_spark.operators.graphstate import (
+        degree_assortativity_from_state,
+        triangle_count_from_state,
+    )
+
+    # K4 + pendant + duplicate/reversed noise (triangle test's graph)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (1, 5), (3, 2), (4, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    path = str(tmp_path / "cooccur_state")
+    build_edge_state(df, path, directed=False, buckets=2)
+    d_tri = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    s_tri = {
+        r["node"]: r["triangles"]
+        for r in triangle_count_from_state(spark, path).collect()
+    }
+    assert s_tri == d_tri == {1: 3, 2: 3, 3: 3, 4: 3}
+    d_mix = degree_assortativity(df).first()
+    s_mix = degree_assortativity_from_state(spark, path).first()
+    assert s_mix.asDict() == d_mix.asDict()
+    # directed state refused
+    path2 = str(tmp_path / "cooccur_directed")
+    build_edge_state(df, path2, directed=True, buckets=2)
+    with pytest.raises(ValueError, match="undirected"):
+        triangle_count_from_state(spark, path2)
