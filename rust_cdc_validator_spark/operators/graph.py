@@ -96,6 +96,7 @@ def pagerank(
     tol: float | None = None,
     checkpoint: bool = True,
     return_stats: bool = False,
+    seeds: DataFrame | None = None,
 ) -> DataFrame | tuple[DataFrame, GraphRunStats]:
     """Rank every node of the directed (optionally weighted) edge set.
 
@@ -117,6 +118,14 @@ def pagerank(
     therefore REQUIRES ``checkpoint=True`` (on an un-truncated lineage
     every probe re-runs the whole chain — raised, not silently
     quadratic).
+
+    ``seeds`` (r11): a one-column (``node``) frame switches to
+    PERSONALIZED PageRank (Page et al. 1999 §6): the walk restarts into
+    the seed set (uniformly over seeds ∩ V) instead of uniformly over
+    all nodes — "importance relative to THESE entities", the
+    related-entity retrieval primitive. Dangling mass follows the
+    teleport vector; ranks still sum to 1; seeds outside the graph are
+    ignored and an empty intersection raises.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
@@ -198,6 +207,8 @@ def pagerank(
     )
     broadcast_ranks = 0 < n * _RANK_ROW_BYTES <= threshold
 
+    if seeds is not None:
+        nodes = _attach_teleport(nodes, seeds, checkpoint)
     ranks, iterations_used, last_delta = _pagerank_loop(
         nodes,
         trans,
@@ -214,6 +225,36 @@ def pagerank(
     if return_stats:
         return ranks, GraphRunStats(iterations=iterations_used, delta=last_delta)
     return ranks
+
+
+def _attach_teleport(
+    nodes: DataFrame, seeds: DataFrame, checkpoint: bool
+) -> DataFrame:
+    """Attach the personalized teleport column: uniform 1/|seeds ∩ V|
+    over the seed nodes, 0 elsewhere (Page et al. 1999 §6 personalized
+    vector; the random walk restarts INTO the seed set). Seeds outside
+    the node set are ignored; an empty intersection raises — a PPR with
+    nowhere to restart is undefined. One bounded count job; the teleport
+    frame is materialized so per-superstep reuse never re-runs the seed
+    join."""
+    seed_nodes = seeds.select("node").distinct()
+    ns = nodes.join(seed_nodes, "node", "left_semi").count()
+    if ns == 0:
+        raise ValueError(
+            "personalized pagerank: no seed intersects the graph's nodes"
+        )
+    marked = nodes.join(
+        seed_nodes.select("node", F.lit(1).alias("_is_seed")), "node", "left"
+    )
+    out = marked.select(
+        "node",
+        F.when(F.col("_is_seed") == 1, F.lit(1.0 / ns))
+        .otherwise(F.lit(0.0))
+        .alias("_t"),
+    )
+    if checkpoint:
+        out = out.localCheckpoint(eager=True)
+    return out
 
 
 def _pagerank_loop(
@@ -235,9 +276,23 @@ def _pagerank_loop(
     edge state and skips every prep job). ``nodes`` is (node), ``trans``
     is (_s, _d, _p), ``dangling_nodes`` is (node); all three must already
     be materialized (checkpoint or parquet scan) — the loop never
-    re-derives them."""
-    base = (1.0 - damping) / n
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    re-derives them.
+
+    PERSONALIZED mode (r11): when ``nodes`` carries a ``_t`` column (a
+    teleport distribution summing to 1 — nonzero only on the seed set
+    for personalized PageRank), the uniform 1/n teleport is replaced by
+    ``_t`` everywhere it appears: the init vector, the (1−d) restart
+    mass, and the dangling redistribution. The update then always joins
+    through the nodes frame (a zero-teleport node with no in-edges must
+    still emit its row), and mass stays 1 because Σ _t = 1."""
+    personalized = "_t" in nodes.columns
+    if personalized:
+        tcol = F.col("_t")
+        ranks = nodes.select("node", tcol.alias("rank"))
+        base_expr = F.lit(1.0 - damping) * tcol
+    else:
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+        base_expr = F.lit((1.0 - damping) / n)
     iterations_used = iterations
     last_delta = None
     for it in range(iterations):
@@ -248,7 +303,7 @@ def _pagerank_loop(
             .groupBy("_d")
             .agg(F.sum(rside["rank"] * F.col("_p")).alias("_c"))
         )
-        if has_sources_only:
+        if has_sources_only or personalized:
             updated = nodes.join(contrib, nodes["node"] == contrib["_d"], "left")
         else:
             updated = contrib.select(F.col("_d").alias("node"), "_c")
@@ -257,13 +312,15 @@ def _pagerank_loop(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
             )
             updated = updated.crossJoin(F.broadcast(dm))
-            redistributed = F.col("_dm") / n
+            redistributed = F.col("_dm") * (
+                tcol if personalized else F.lit(1.0 / n)
+            )
         else:
             redistributed = F.lit(0.0)
         ranks = updated.select(
             "node",
             (
-                F.lit(base)
+                base_expr
                 + F.lit(damping)
                 * (F.coalesce(F.col("_c"), F.lit(0.0)) + redistributed)
             ).alias("rank"),

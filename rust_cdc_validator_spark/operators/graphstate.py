@@ -237,6 +237,7 @@ def pagerank_from_state(
     tol: float | None = None,
     checkpoint: bool = True,
     return_stats: bool = False,
+    seeds: DataFrame | None = None,
 ) -> DataFrame | tuple[DataFrame, GraphRunStats]:
     """:func:`graph.pagerank` over persisted edge state: the node set,
     dangling flags, and transition probabilities are READ, not derived —
@@ -267,6 +268,10 @@ def pagerank_from_state(
     if n == 0:
         raise ValueError("pagerank_from_state: edge state is empty")
     nodes = role.select("node")
+    if seeds is not None:
+        from rust_cdc_validator_spark.operators.graph import _attach_teleport
+
+        nodes = _attach_teleport(nodes, seeds, checkpoint)
     dangling_nodes = role.filter(F.col("has_out") == 0).select("node")
     threshold = _parse_bytes(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")

@@ -4816,6 +4816,117 @@ FROM r{iterations} WHERE node LIKE 's%'"""
 SUPPLIER_PAGERANK_SQL = _pagerank_oracle_sql()
 
 
+def nation3_supplier_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph, Page et al. 1999 §6) over
+    the persisted trade edge state: the walk restarts into NATION_3's
+    suppliers, so ranks measure affinity TO that nation's supply network
+    — the related-entity retrieval primitive (which other suppliers sit
+    closest to this cohort through shared customers). Same power-method
+    loop as supplier_pagerank with the teleport vector swapped; the
+    oracle unrolls all 4 iterations with the identical seed-uniform
+    teleport arithmetic, so the personalized path value-hashes too."""
+    from rust_cdc_validator_spark.operators.graphstate import (
+        pagerank_from_state,
+    )
+
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    seeds = (
+        sup.join(
+            nat.filter(F.col("n_name") == "NATION_3"),
+            sup["s_nationkey"] == nat["n_nationkey"],
+        )
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    ranks = pagerank_from_state(
+        spark,
+        _trade_edge_state_for(spark, sf_dir),
+        damping=0.85,
+        iterations=4,
+        seeds=seeds,
+    )
+    return ranks.filter(F.col("node").startswith("s")).select(
+        F.col("node").substr(F.lit(2), F.lit(30)).cast("long").alias("suppkey"),
+        F.round("rank", 8).alias("affinity_r"),
+    )
+
+
+def _ppr_oracle_sql(iterations: int = 4, damping: float = 0.85) -> str:
+    """Unrolled personalized power method mirroring _pagerank_loop's
+    personalized mode step for step: seed-uniform teleport vector, init
+    at the teleport, (1−d)·t restart mass (the 1−d literal is emitted
+    with repr so the SQL double equals the loop's F.lit(1.0 − damping)
+    bit for bit). The undirected trade graph has no dangling nodes, so
+    the dm terms the loop skips are omitted here too."""
+    restart = repr(1.0 - damping)
+    ctes = [
+        """pair AS (
+  SELECT o.o_custkey AS c, l.l_suppkey AS s, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, l.l_suppkey
+)""",
+        """e0 AS (
+  SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst, w
+  FROM pair
+  UNION ALL
+  SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR), w FROM pair
+)""",
+        """nodes AS (
+  SELECT DISTINCT src AS node FROM e0
+  UNION
+  SELECT DISTINCT dst AS node FROM e0
+)""",
+        "ow AS (SELECT src, SUM(w) AS ow FROM e0 GROUP BY src)",
+        """e AS (
+  SELECT e0.src AS s, e0.dst AS d, e0.w / ow.ow AS p
+  FROM e0 JOIN ow ON e0.src = ow.src
+)""",
+        """seeds AS (
+  SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+)""",
+        """ns AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS c
+  FROM nodes JOIN seeds ON nodes.node = seeds.node
+)""",
+        """t AS (
+  SELECT nodes.node,
+         CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.c ELSE 0.0 END AS t
+  FROM nodes LEFT JOIN seeds s ON nodes.node = s.node CROSS JOIN ns
+)""",
+        "r0 AS (SELECT node, t AS rank FROM t)",
+    ]
+    for k in range(iterations):
+        ctes.append(
+            f"""c{k} AS (
+  SELECT e.d AS node, sum(r.rank * e.p) AS c
+  FROM e JOIN r{k} r ON e.s = r.node GROUP BY e.d
+)"""
+        )
+        ctes.append(
+            f"""r{k + 1} AS (
+  SELECT t.node, {restart} * t.t + {damping} * coalesce(c.c, 0.0) AS rank
+  FROM t LEFT JOIN c{k} c ON t.node = c.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(substring(node, 2) AS BIGINT) AS suppkey,
+       round(rank, 8) AS affinity_r
+FROM r{iterations} WHERE node LIKE 's%'"""
+    )
+
+
+NATION3_SUPPLIER_AFFINITY_SQL = _ppr_oracle_sql()
+
+
 def supplier_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection (operators/graph.label_propagation) on the
     bipartite customer↔supplier trade graph: 3 synchronous supersteps of
@@ -7888,6 +7999,7 @@ QUERIES: dict[str, QueryFn] = {
     "trade_edge_state_stats": trade_edge_state_stats,
     "q9_product_type_profit": q9_product_type_profit,
     "supplier_trade_kcore": supplier_trade_kcore,
+    "nation3_supplier_affinity": nation3_supplier_affinity,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
     "events_type_overlap_hll": events_type_overlap_hll,
@@ -8046,6 +8158,7 @@ ORACLES: dict[str, str] = {
     "trade_edge_state_stats": TRADE_EDGE_STATE_STATS_SQL,
     "q9_product_type_profit": Q9_PRODUCT_TYPE_PROFIT_SQL,
     "supplier_trade_kcore": SUPPLIER_TRADE_KCORE_SQL,
+    "nation3_supplier_affinity": NATION3_SUPPLIER_AFFINITY_SQL,
     "q17_small_quantity_revenue": Q17_SMALL_QUANTITY_REVENUE_SQL,
     "q18_large_volume_customers": Q18_LARGE_VOLUME_CUSTOMERS_SQL,
     "events_type_overlap_hll": EVENTS_TYPE_OVERLAP_HLL_SQL,

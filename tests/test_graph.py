@@ -482,3 +482,68 @@ def test_kcore_from_state_matches_direct(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="undirected"):
         k_core_from_state(spark, path2, k=2)
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (r11)
+# ---------------------------------------------------------------------------
+
+def _ppr_reference(edges, seeds, damping=0.85, iterations=5):
+    """Driver-side personalized power method: teleport and dangling mass
+    both follow the seed-uniform vector; init at the teleport vector."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    outd = {}
+    for a, _ in edges:
+        outd[a] = outd.get(a, 0) + 1
+    sset = [v for v in nodes if v in seeds]
+    t = {v: (1.0 / len(sset) if v in sset else 0.0) for v in nodes}
+    r = dict(t)
+    for _ in range(iterations):
+        dm = sum(r[v] for v in nodes if v not in outd)
+        nxt = {v: (1.0 - damping) * t[v] + damping * dm * t[v] for v in nodes}
+        for a, b in edges:
+            nxt[b] += damping * r[a] / outd[a]
+        r = nxt
+    return r
+
+
+def test_personalized_pagerank_matches_reference(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]  # d dangles
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("zzz",)], "node string")  # zzz ignored
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, seeds=seeds, iterations=5).collect()
+    }
+    want = _ppr_reference(edges, {"a"}, iterations=5)
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # restart mass concentrates near the seed: a outranks the uniform case
+    uniform = {
+        r["node"]: r["rank"] for r in pagerank(df, iterations=5).collect()
+    }
+    assert got["a"] > uniform["a"]
+
+
+def test_personalized_pagerank_from_state_and_validation(spark, tmp_path):
+    from rust_cdc_validator_spark.operators.graphstate import (
+        build_edge_state,
+        pagerank_from_state,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    path = str(tmp_path / "ppr_state")
+    build_edge_state(df, path, directed=False, buckets=2)
+    seeds = spark.createDataFrame([("d",)], "node string")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_from_state(spark, path, seeds=seeds, iterations=4).collect()
+    }
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert got["d"] == max(got.values())  # restart node dominates
+    bad = spark.createDataFrame([("nope",)], "node string")
+    with pytest.raises(ValueError, match="no seed"):
+        pagerank_from_state(spark, path, seeds=bad)
