@@ -7888,6 +7888,389 @@ GROUP BY d, tot.n
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape ("order priority checking"), adapted: lineitem has
+    no l_commitdate/l_receiptdate, so a "late" line := shipped more than
+    75 days after the order date. For one order-year, count orders per
+    priority that have AT LEAST ONE late line — the correlated EXISTS
+    whose subquery predicate references the OUTER row's o_orderdate.
+
+    Spark shape: the EXISTS decorrelates to ONE LEFT SEMI join on
+    l_orderkey with the date comparison riding as a residual condition
+    (both sides of the `>` come from different relations, so it cannot
+    be pushed below the join — exactly the Q4 pattern). No count-
+    distinct, no second pass: semi-join output IS the order set.
+
+    Scale shape: both relations shuffle once on the order key; the date
+    filter on orders prunes before the exchange. Reference parity:
+    op-code/predicate dispatch family, SURVEY.md §2 joins row.
+    """
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 75 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 75 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape ("volume shipping"): revenue flowing between two
+    specific REGIONS (supplier side vs customer side), either direction,
+    by ship year — the symmetric-disjunction join predicate over TWO
+    copies of the same dim that a naive plan turns into a cartesian.
+    (Q7 proper uses a nation pair; one nation is 1/25 of this corpus's
+    uniform key space, degenerate at the smoke SF, so the pair lifts to
+    the region level — the plan shape is identical.)
+
+    Spark shape: supplier and customer each pre-join their (broadcast)
+    region key, the pair restriction evaluates as two broadcast-side
+    IN filters plus a cross-direction residual on the final fact join —
+    both dim copies are tiny broadcasts so the disjunction costs nothing
+    and the only exchange is the lineitem⋈orders shuffle. Group by the
+    (supp_region, cust_region, year) triple; exact-decimal revenue.
+
+    Scale shape: one fact-fact shuffle on the order key; everything else
+    broadcast. The region filter prunes suppliers/customers BEFORE the
+    fact join (inner broadcast joins act as semi-filters), so the
+    disjunction never scans non-qualifying fact rows twice.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey").isin(0, 1))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_regionkey").alias("supp_region"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_regionkey").alias("cust_region"))
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("supp_region") != F.col("cust_region"))
+        .groupBy(
+            "supp_region",
+            "cust_region",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "decimal(24,8)",
+            ).alias("revenue")
+        )
+        .orderBy("supp_region", "cust_region", "l_year")
+    )
+
+
+Q7_NATION_VOLUME_SQL = """
+SELECT n1.n_regionkey AS supp_region,
+       n2.n_regionkey AS cust_region,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_regionkey = 0 AND n2.n_regionkey = 1)
+    OR (n1.n_regionkey = 1 AND n2.n_regionkey = 0))
+GROUP BY supp_region, cust_region, l_year
+ORDER BY supp_region, cust_region, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape ("national market share"): of all PROMO-part
+    revenue sold to customers in region 0, what fraction came from
+    NATION_3 suppliers, per order year — the conditional-aggregate-
+    over-a-deep-join-tree pattern (CASE inside SUM, ratio of two sums).
+
+    Spark shape: one pass — both sums come out of the SAME groupBy
+    (`sum(when(...))` for the numerator), so the share is a single
+    fact-side aggregation, not two subqueries. Numerator and
+    denominator accumulate as exact DECIMAL and divide once in double
+    (engine-portable); part/supplier/customer/nation all broadcast.
+
+    Scale shape: the p_type filter prunes via the broadcast part join
+    before the orders shuffle; AQE sees one exchange on o_orderkey.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n.filter(F.col("n_regionkey") == 0)),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("c_custkey")
+    )
+    sn = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("_sn"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "_sn")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_semi")
+        .join(F.broadcast(sn), F.col("l_suppkey") == sn["s_suppkey"])
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                _dsum(
+                    F.when(F.col("_sn") == "NATION_3", vol).otherwise(
+                        F.lit(0.0)
+                    ),
+                    "decimal(24,8)",
+                )
+                / _dsum(vol, "decimal(24,8)")
+            ).alias("mkt_share")
+        )
+        .select("o_year", F.round("mkt_share", 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+Q8_MARKET_SHARE_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       round(
+         CAST(SUM(CAST(CASE WHEN n1.n_name = 'NATION_3'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0.0 END AS DECIMAL(24,8))) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(24,8))) AS DOUBLE),
+         6) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey AND n2.n_regionkey = 0
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape ("important stock identification"), adapted to
+    the lineitem supply relation (this corpus has no partsupp): per
+    part, total traded value; keep parts whose value exceeds 0.1% of
+    the GLOBAL total — the group-HAVING-against-a-scalar-subquery
+    pattern.
+
+    Spark shape: one groupBy builds the per-part values; the global
+    total re-aggregates FROM the per-part relation (partkey-sized, not
+    a second fact scan) into a 1-row broadcast crossJoin. The threshold
+    compares in EXACT decimal (value*1000 > total — integer-exact in
+    both engines) so no double-epsilon row flips the filter.
+
+    Scale shape: one fact shuffle on l_partkey; the rollup and the
+    filter run over the parts-sized aggregate. This is Q11's
+    decorrelation — the naive plan re-scans the fact table for the
+    scalar; this plan never does.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(val.cast("decimal(24,8)")).alias("_val")
+    )
+    total = per_part.agg(
+        F.sum("_val").cast("decimal(30,8)").alias("_total"),
+        F.count(F.lit(1)).alias("_np"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("_val").cast("decimal(30,8)") * F.col("_np") * 2
+            > F.col("_total") * 3
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("_val").cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+Q11_IMPORTANT_PARTS_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS _val
+  FROM lineitem GROUP BY l_partkey
+), tot AS (
+  SELECT CAST(SUM(_val) AS DECIMAL(30,8)) AS _total,
+         CAST(COUNT(*) AS BIGINT) AS _np
+  FROM per_part
+)
+SELECT l_partkey AS partkey, CAST(_val AS DOUBLE) AS part_value
+FROM per_part CROSS JOIN tot
+WHERE CAST(_val AS DECIMAL(30,8)) * _np * 2 > _total * 3
+ORDER BY part_value DESC, partkey
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape ("parts/supplier relationship"): how many
+    DISTINCT suppliers trade each (brand, type, size) part family,
+    excluding suppliers on a complaints list — the COUNT(DISTINCT)
+    with a NOT-IN-subquery exclusion. Complaints list := suppliers
+    with a negative account balance (this corpus has no comment text).
+
+    Spark shape: the NOT IN decorrelates to a LEFT ANTI join against
+    the (tiny, broadcast) excluded-supplier relation BEFORE the
+    distinct aggregation — anti-then-aggregate, never aggregate-then-
+    filter. The supply relation dedups (partkey, suppkey) first so the
+    count-distinct is a plain count over an already-distinct relation.
+
+    Scale shape: one fact shuffle on (l_partkey, l_suppkey) for the
+    dedup; part attributes broadcast in afterwards. At 100 TB the
+    distinct pre-pass is the standard two-level distinct-agg rewrite.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & F.col("p_size").isin(1, 5, 15, 25, 35, 45)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    supply = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == bad["s_suppkey"],
+            "left_anti",
+        )
+    )
+    return (
+        supply.join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+Q16_SUPPLIER_PART_COUNTS_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) supply
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND p_size IN (1, 5, 15, 25, 35, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape ("potential part promotion"), adapted: which
+    suppliers DOMINATE the supply of some part — supplied more than 30%
+    of a part's total traded quantity over one year — the nested
+    correlated-aggregate subquery (supplier's own qty vs sum over ALL
+    suppliers of the same part).
+
+    Spark shape: decorrelated into TWO aggregates over one filtered
+    fact pass — per-(part, supplier) quantity, re-aggregated to
+    per-part totals — joined back on partkey. The 30% threshold
+    compares in exact decimal (qty*10 > total*3), and the supplier
+    names attach by broadcast at the very end, after the heavy
+    relation has shrunk to qualifying pairs.
+
+    Scale shape: one fact shuffle on (l_partkey, l_suppkey); the
+    per-part rollup reuses that partitioning (partial agg on partkey
+    prefix). No correlated re-scan — the naive Q20 plan runs the inner
+    SUM once per outer row.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01"))
+    )
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty")
+    )
+    part_tot = pair.groupBy("l_partkey").agg(
+        F.sum("_qty").cast("decimal(24,2)").alias("_tot")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    dominant = (
+        pair.join(part_tot, "l_partkey")
+        .filter(
+            F.col("_qty").cast("decimal(24,2)") * 10 > F.col("_tot") * 3
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("dominated_parts"))
+    )
+    return (
+        dominant.join(
+            F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"]
+        )
+        .select("s_name", "dominated_parts")
+        .orderBy(F.col("dominated_parts").desc(), "s_name")
+    )
+
+
+Q20_PART_PROMOTION_SQL = """
+WITH pair AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS _qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate <  TIMESTAMP '1999-01-01'
+  GROUP BY l_partkey, l_suppkey
+), part_tot AS (
+  SELECT l_partkey, CAST(SUM(_qty) AS DECIMAL(24,2)) AS _tot
+  FROM pair GROUP BY l_partkey
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS dominated_parts
+FROM pair
+JOIN part_tot USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE CAST(_qty AS DECIMAL(24,2)) * 10 > _tot * 3
+GROUP BY s_name
+ORDER BY dominated_parts DESC, s_name
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -8016,6 +8399,12 @@ QUERIES: dict[str, QueryFn] = {
     "supplier_trade_kcore": supplier_trade_kcore,
     "nation3_supplier_affinity": nation3_supplier_affinity,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q4_order_priority": q4_order_priority,
+    "q7_nation_volume": q7_nation_volume,
+    "q8_market_share": q8_market_share,
+    "q11_important_parts": q11_important_parts,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_part_promotion": q20_part_promotion,
     "q18_large_volume_customers": q18_large_volume_customers,
     "events_type_overlap_hll": events_type_overlap_hll,
     "embedding_pca_whiten": embedding_pca_whiten,
@@ -8175,6 +8564,12 @@ ORACLES: dict[str, str] = {
     "supplier_trade_kcore": SUPPLIER_TRADE_KCORE_SQL,
     "nation3_supplier_affinity": NATION3_SUPPLIER_AFFINITY_SQL,
     "q17_small_quantity_revenue": Q17_SMALL_QUANTITY_REVENUE_SQL,
+    "q4_order_priority": Q4_ORDER_PRIORITY_SQL,
+    "q7_nation_volume": Q7_NATION_VOLUME_SQL,
+    "q8_market_share": Q8_MARKET_SHARE_SQL,
+    "q11_important_parts": Q11_IMPORTANT_PARTS_SQL,
+    "q16_supplier_part_counts": Q16_SUPPLIER_PART_COUNTS_SQL,
+    "q20_part_promotion": Q20_PART_PROMOTION_SQL,
     "q18_large_volume_customers": Q18_LARGE_VOLUME_CUSTOMERS_SQL,
     "events_type_overlap_hll": EVENTS_TYPE_OVERLAP_HLL_SQL,
     "docs_compaction_plan": DOCS_COMPACTION_PLAN_SQL,
