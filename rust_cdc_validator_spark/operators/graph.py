@@ -49,6 +49,8 @@ __all__ = [
     "label_propagation",
     "shortest_hops",
     "k_core",
+    "hits",
+    "adamic_adar",
 ]
 
 
@@ -890,3 +892,165 @@ def _kcore_loop(
         if checkpoint:
             deg = deg.localCheckpoint(eager=True)
     return deg.select(F.col("_s").alias("node"), "core_deg")
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 3,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM 1999) over a directed
+    (optionally weighted) edge set: a node is a good HUB if it points at
+    good authorities and a good AUTHORITY if good hubs point at it — the
+    mutual-reinforcement pair PageRank collapses into one score. On a
+    bipartite relation (customer→supplier, query→document) the two
+    scores land on the two sides: hubs rank the pointing side,
+    authorities the pointed-at side.
+
+    Returns (node, hub, auth) for every node of the graph, L1-normalized
+    (each column sums to 1 — the standard normalization expressed
+    without a sqrt so a SQL oracle replays it with plain arithmetic;
+    HITS rankings are normalization-invariant).
+
+    Spark-first iterative shape (same discipline as ``pagerank``): each
+    half-step is ONE keyed join (edges ⋈ scores) and ONE map-side-
+    combining aggregation — no driver-side score state; lineage is
+    truncated once per full iteration (the hub frame). Because the
+    recurrence is LINEAR, normalizing per step only rescales every
+    subsequent vector by a constant — so the loop runs on RAW sums and
+    normalizes ONCE at the end (two 1-row in-plan totals), saving two
+    aggregate+crossJoin pairs per iteration. The price is growth of the
+    raw values at ~(max node strength)^iterations; doubles carry ~1e308,
+    so at the default 3 (and any sane ≤20 on real graphs) this is far
+    from overflow — pre-scale weights or lower ``iterations`` for
+    pathological magnitudes. The scores frame broadcast-gates against
+    the session threshold exactly like the rank loop.
+
+    Scale shape at 100 TB: two |E| shuffles per iteration (join on the
+    score key, agg on the opposite key), scores are O(|V|) two-column
+    rows, and the normalizing total is a 1-row in-plan aggregate —
+    never a collect. Nodes with no out-edges simply receive hub 0 (and
+    mirror-image for auth): HITS has no dangling-mass correction to
+    carry, which is why the loop is two joins, not three.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w"))
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionAll(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("hits: edge set is empty")
+    threshold = _parse_bytes(
+        edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+    )
+    broadcast_scores = 0 < n * _RANK_ROW_BYTES <= threshold
+
+    def _norm(scores: DataFrame, col: str) -> DataFrame:
+        total = scores.agg(F.sum(col).alias("_tot"))
+        return scores.crossJoin(F.broadcast(total)).select(
+            "node", (F.col(col) / F.col("_tot")).alias(col)
+        )
+
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for it in range(iterations):
+        hside = F.broadcast(hub) if broadcast_scores else hub
+        auth = (
+            e.join(hside, e["_s"] == hside["node"])
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum(F.col("_w") * F.col("hub")).alias("auth"))
+        )
+        last = it == iterations - 1
+        if checkpoint and last:
+            # the final auth is read three times (hub half-step, its own
+            # normalizing total, the output join) — cut it
+            auth = auth.localCheckpoint(eager=True)
+        aside = F.broadcast(auth) if broadcast_scores else auth
+        hub = (
+            e.join(aside, e["_d"] == aside["node"])
+            .groupBy(F.col("_s").alias("node"))
+            .agg(F.sum(F.col("_w") * F.col("auth")).alias("hub"))
+        )
+        if checkpoint:
+            # per-iteration lineage cut; the final hub is also read twice
+            # (normalizing total + output join)
+            hub = hub.localCheckpoint(eager=True)
+    auth = _norm(auth, "auth")
+    hub = _norm(hub, "hub")
+    return (
+        nodes.join(hub.withColumnRenamed("node", "_hn"),
+                   nodes["node"] == F.col("_hn"), "left")
+        .join(auth.withColumnRenamed("node", "_an"),
+              nodes["node"] == F.col("_an"), "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+        )
+    )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = 1000,
+) -> DataFrame:
+    """Adamic–Adar link prediction (Adamic & Adar, Social Networks 2003)
+    between DST nodes through shared SRC neighbors: for every pair of
+    dst nodes with at least one common src neighbor,
+    ``aa_score = Σ_{shared src c} 1 / ln(out_deg(c))`` — common-neighbor
+    counting where promiscuous neighbors (a customer who buys from
+    everyone) are discounted by their degree, the classic "predict the
+    missing link / recommend the partner" primitive. Returns
+    (node_a, node_b, common_neighbors, aa_score) with node_a < node_b.
+
+    Spark shape: out-degrees in one aggregation; src nodes with degree 1
+    (no pair to witness) or degree > ``max_degree`` are dropped BEFORE
+    the quadratic self-join — the same hub-cap hygiene as
+    ``association_rules.max_basket_size`` and the LSH bucket caps, making
+    worst-case fan-out |SRC| × cap². The 1/ln(d) weight attaches to each
+    edge pre-join so the pair aggregation is a plain sum.
+
+    Scale shape at 100 TB: one shuffle keys the self-join on src; pair
+    aggregation combines map-side on (node_a, node_b). A degree-capped
+    hub contributes ~1/ln(cap) ≈ 0.14 per pair it witnesses — dropping
+    it loses near-zero signal while removing cap² fan-out rows, which is
+    why the cap defaults ON (pass ``max_degree=None`` to disable).
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    if max_degree is not None:
+        deg = deg.filter(F.col("_deg") <= max_degree)
+    weighted = (
+        e.join(deg.filter(F.col("_deg") >= 2), "_s")
+        .select("_s", "_d", (1.0 / F.log(F.col("_deg"))).alias("_aa"))
+    )
+    other = weighted.select(
+        F.col("_s").alias("_s2"), F.col("_d").alias("_d2")
+    )
+    return (
+        weighted.join(
+            other,
+            (F.col("_s") == F.col("_s2")) & (F.col("_d") < F.col("_d2")),
+        )
+        .groupBy(
+            F.col("_d").alias("node_a"), F.col("_d2").alias("node_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum("_aa").alias("aa_score"),
+        )
+    )

@@ -8271,6 +8271,235 @@ ORDER BY dominated_parts DESC, s_name
 """
 
 
+def supplier_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS authority scores (operators/graph.hits, Kleinberg 1999) for
+    suppliers over the DIRECTED customer→supplier trade relation, read
+    from the SAME persisted edge state as the pagerank/LPA/BFS family:
+    the undirected state pre-explodes both directions, so selecting the
+    rows whose src is on the customer side reconstructs the directed
+    bipartite relation with summed weights — zero fact-table exchanges.
+    Customers act as hubs, suppliers as authorities; 3 mutual-
+    reinforcement iterations, L1-normalized. The oracle replays the edge
+    build and all unrolled half-steps in generated SQL from the raw
+    tables, so the state path itself is value-hash-checked (same
+    discipline as the PageRank/k-core oracles)."""
+    from rust_cdc_validator_spark.operators.graph import hits
+    from rust_cdc_validator_spark.operators.graphstate import (
+        edge_state_adjacency,
+    )
+
+    adj = edge_state_adjacency(
+        spark, _trade_edge_state_for(spark, sf_dir)
+    ).filter(F.col("src").startswith("c"))
+    scores = hits(adj, weight_col="w", iterations=3)
+    return (
+        scores.filter(F.col("node").startswith("s"))
+        .select(
+            F.col("node")
+            .substr(F.lit(2), F.lit(30))
+            .cast("long")
+            .alias("suppkey"),
+            F.round("auth", 8).alias("auth_r"),
+        )
+        .orderBy(F.col("auth_r").desc(), "suppkey")
+    )
+
+
+def _hits_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled HITS half-steps mirroring operators/graph.hits — RAW
+    mutual-reinforcement sums (auth from hub, then hub from the NEW
+    auth), L1-normalized ONCE at the end, exactly like the operator —
+    generated so the iteration count lives in one place (PageRank-oracle
+    discipline)."""
+    ctes = [
+        """pair AS (
+  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, l.l_suppkey
+)""",
+        "h0 AS (SELECT DISTINCT src AS node, 1.0 AS hub FROM pair)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""a{k} AS (
+  SELECT p.dst AS node, SUM(p.w * h.hub) AS auth
+  FROM pair p JOIN h{k - 1} h ON p.src = h.node GROUP BY p.dst
+)"""
+        )
+        ctes.append(
+            f"""h{k} AS (
+  SELECT p.src AS node, SUM(p.w * a.auth) AS hub
+  FROM pair p JOIN a{k} a ON p.dst = a.node GROUP BY p.src
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(substring(node, 2) AS BIGINT) AS suppkey,
+       round(auth / (SELECT SUM(auth) FROM a{iterations}), 8) AS auth_r
+FROM a{iterations}
+ORDER BY auth_r DESC, suppkey"""
+    )
+
+
+SUPPLIER_HITS_AUTHORITY_SQL = _hits_oracle_sql()
+
+
+def supplier_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction (operators/graph.adamic_adar, Adamic
+    & Adar 2003) between suppliers through shared customers, read from
+    the persisted trade edge state: which supplier pairs are most likely
+    to be substitutable / co-recommendable, with promiscuous customers
+    discounted by 1/ln(degree). Top-40 by rounded score with a
+    (suppkey_a, suppkey_b) tie-break — rounding BEFORE the order makes
+    the cut engine-portable (the sum of 1/ln(d) terms is a double)."""
+    from rust_cdc_validator_spark.operators.graph import adamic_adar
+    from rust_cdc_validator_spark.operators.graphstate import (
+        edge_state_adjacency,
+    )
+
+    adj = edge_state_adjacency(
+        spark, _trade_edge_state_for(spark, sf_dir)
+    ).filter(F.col("src").startswith("c"))
+    pairs = adamic_adar(adj, max_degree=1000)
+    return (
+        pairs.select(
+            F.col("node_a")
+            .substr(F.lit(2), F.lit(30))
+            .cast("long")
+            .alias("suppkey_a"),
+            F.col("node_b")
+            .substr(F.lit(2), F.lit(30))
+            .cast("long")
+            .alias("suppkey_b"),
+            "common_neighbors",
+            F.round("aa_score", 8).alias("aa_r"),
+        )
+        .orderBy(F.col("aa_r").desc(), "suppkey_a", "suppkey_b")
+        .limit(40)
+    )
+
+
+SUPPLIER_LINK_PREDICTION_SQL = """
+WITH pair AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), deg AS (
+  SELECT src, COUNT(*) AS d FROM pair GROUP BY src
+), weighted AS (
+  SELECT p.src, p.dst, 1.0 / ln(deg.d) AS aa
+  FROM pair p JOIN deg ON p.src = deg.src
+  WHERE deg.d BETWEEN 2 AND 1000
+), pairs AS (
+  SELECT a.dst AS node_a, b.dst AS node_b,
+         CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         round(SUM(a.aa), 8) AS aa_r
+  FROM weighted a JOIN weighted b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY a.dst, b.dst
+)
+SELECT CAST(substring(node_a, 2) AS BIGINT) AS suppkey_a,
+       CAST(substring(node_b, 2) AS BIGINT) AS suppkey_b,
+       common_neighbors, aa_r
+FROM pairs
+ORDER BY aa_r DESC, suppkey_a, suppkey_b
+LIMIT 40
+"""
+
+
+def docs_lang_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix from a distributed multinomial Naive
+    Bayes classifier (operators/classify.py): fit add-1-smoothed token
+    likelihoods on the md5-deterministic 7/8 train split, score the held
+    out 1/8, count (actual, predicted) pairs — the train/apply loop of a
+    corpus quality or language filter, fully oracled. Scores sum as
+    exact DECIMAL(20,12) (log-likelihoods quantized at fit time), so the
+    per-document argmax is bit-portable between Spark and the SQL
+    replay; the measured top-2 margin on this corpus is ~1e-3, six
+    orders above the quantization."""
+    from rust_cdc_validator_spark.operators.classify import (
+        naive_bayes_fit,
+        naive_bayes_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    ) % 8
+    train = docs.filter(bucket != 0)
+    test = docs.filter(bucket == 0)
+    model = naive_bayes_fit(train, text_col="text", label_col="lang")
+    scored = naive_bayes_score(test, model, id_col="doc_id", text_col="text")
+    return (
+        scored.join(test.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang").alias("actual"), "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )
+
+
+DOCS_LANG_NB_CONFUSION_SQL = """
+WITH train AS (
+  SELECT * FROM documents
+  WHERE (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8 <> 0
+), test AS (
+  SELECT * FROM documents
+  WHERE (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8 = 0
+), ttok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM train
+), tl AS (
+  SELECT lang, token, COUNT(*) AS c
+  FROM ttok WHERE token <> '' GROUP BY lang, token
+), lt AS (
+  SELECT lang, SUM(c) AS tot FROM tl GROUP BY lang
+), voc AS (
+  SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS v FROM tl
+), lik AS (
+  SELECT tl.lang, tl.token,
+         CAST(round(ln((tl.c + 1.0) / (lt.tot + voc.v)), 12)
+              AS DECIMAL(20,12)) AS ll
+  FROM tl JOIN lt ON tl.lang = lt.lang CROSS JOIN voc
+), stats AS (
+  SELECT lt.lang,
+         CAST(round(ln(1.0 / (lt.tot + voc.v)), 12)
+              AS DECIMAL(20,12)) AS ld,
+         CAST(round(ln(CAST(p.nd AS DOUBLE) / (SELECT COUNT(*) FROM train)),
+                    12) AS DECIMAL(20,12)) AS lp
+  FROM lt CROSS JOIN voc
+  JOIN (SELECT lang, COUNT(*) AS nd FROM train GROUP BY lang) p
+    ON p.lang = lt.lang
+), stok AS (
+  SELECT doc_id, lang AS actual, unnest(string_split(text, ' ')) AS token
+  FROM test
+), scored AS (
+  SELECT s.doc_id, s.actual, st.lang AS cand,
+         MAX(st.lp) + SUM(coalesce(l.ll, st.ld)) AS sc
+  FROM stok s
+  CROSS JOIN stats st
+  LEFT JOIN lik l ON l.token = s.token AND l.lang = st.lang
+  WHERE s.token <> ''
+  GROUP BY s.doc_id, s.actual, st.lang
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY sc DESC, cand) AS rn
+  FROM scored
+)
+SELECT actual, cand AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ranked WHERE rn = 1
+GROUP BY actual, cand
+ORDER BY actual, predicted
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -8405,6 +8634,9 @@ QUERIES: dict[str, QueryFn] = {
     "q11_important_parts": q11_important_parts,
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q20_part_promotion": q20_part_promotion,
+    "supplier_hits_authority": supplier_hits_authority,
+    "supplier_link_prediction": supplier_link_prediction,
+    "docs_lang_nb_confusion": docs_lang_nb_confusion,
     "q18_large_volume_customers": q18_large_volume_customers,
     "events_type_overlap_hll": events_type_overlap_hll,
     "embedding_pca_whiten": embedding_pca_whiten,
@@ -8570,6 +8802,9 @@ ORACLES: dict[str, str] = {
     "q11_important_parts": Q11_IMPORTANT_PARTS_SQL,
     "q16_supplier_part_counts": Q16_SUPPLIER_PART_COUNTS_SQL,
     "q20_part_promotion": Q20_PART_PROMOTION_SQL,
+    "supplier_hits_authority": SUPPLIER_HITS_AUTHORITY_SQL,
+    "supplier_link_prediction": SUPPLIER_LINK_PREDICTION_SQL,
+    "docs_lang_nb_confusion": DOCS_LANG_NB_CONFUSION_SQL,
     "q18_large_volume_customers": Q18_LARGE_VOLUME_CUSTOMERS_SQL,
     "events_type_overlap_hll": EVENTS_TYPE_OVERLAP_HLL_SQL,
     "docs_compaction_plan": DOCS_COMPACTION_PLAN_SQL,

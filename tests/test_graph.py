@@ -547,3 +547,118 @@ def test_personalized_pagerank_from_state_and_validation(spark, tmp_path):
     bad = spark.createDataFrame([("nope",)], "node string")
     with pytest.raises(ValueError, match="no seed"):
         pagerank_from_state(spark, path, seeds=bad)
+
+
+# ---------------------------------------------------------------- HITS
+
+
+def _hits_reference(edges, weights=None, iterations=3):
+    """Driver-side HITS with L1 normalization, same half-step order as
+    the operator (auth from hub, then hub from the NEW auth)."""
+    ws = weights or {e: 1.0 for e in edges}
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    hub = {v: 1.0 for v in nodes}
+    auth = {v: 0.0 for v in nodes}
+    for _ in range(iterations):
+        auth = {v: 0.0 for v in nodes}
+        for (a, b), w in ws.items():
+            auth[b] += w * hub[a]
+        tot = sum(auth.values())
+        auth = {v: s / tot for v, s in auth.items()}
+        hub = {v: 0.0 for v in nodes}
+        for (a, b), w in ws.items():
+            hub[a] += w * auth[b]
+        tot = sum(hub.values())
+        hub = {v: s / tot for v, s in hub.items()}
+    return hub, auth
+
+
+def test_hits_matches_reference_bipartite(spark):
+    from rust_cdc_validator_spark.operators.graph import hits
+
+    edges = [
+        ("c1", "s1"), ("c1", "s2"), ("c2", "s1"), ("c3", "s1"),
+        ("c3", "s3"), ("c4", "s2"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(df, checkpoint=False).collect()}
+    hub, auth = _hits_reference(edges)
+    assert set(got) == set(hub)
+    for v in hub:
+        assert got[v][0] == pytest.approx(hub[v], abs=1e-12)
+        assert got[v][1] == pytest.approx(auth[v], abs=1e-12)
+    # bipartite: the pointing side has auth 0, the pointed side hub 0
+    assert got["c1"][1] == 0.0 and got["s1"][0] == 0.0
+
+
+def test_hits_weighted_and_validation(spark):
+    from rust_cdc_validator_spark.operators.graph import hits
+
+    edges = [("c1", "s1", 10.0), ("c1", "s2", 1.0), ("c2", "s2", 1.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {r["node"]: r["auth"] for r in
+           hits(df, weight_col="w", checkpoint=False).collect()}
+    hub, auth = _hits_reference(
+        [(a, b) for a, b, _ in edges],
+        weights={(a, b): w for a, b, w in edges},
+    )
+    for v in auth:
+        assert got[v] == pytest.approx(auth[v], abs=1e-12)
+    assert got["s1"] > got["s2"]  # the heavy edge dominates
+    with pytest.raises(ValueError, match="iterations"):
+        hits(df, iterations=0)
+
+
+def test_hits_checkpointed_equals_uncheckpointed(spark):
+    from rust_cdc_validator_spark.operators.graph import hits
+
+    random.seed(7)
+    edges = list({
+        (f"u{random.randrange(8)}", f"v{random.randrange(8)}")
+        for _ in range(30)
+    })
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = {r["node"]: (r["hub"], r["auth"]) for r in hits(df, checkpoint=True).collect()}
+    b = {r["node"]: (r["hub"], r["auth"]) for r in hits(df, checkpoint=False).collect()}
+    assert a == b
+
+
+# --------------------------------------------------------- Adamic-Adar
+
+
+def test_adamic_adar_hand_computed(spark):
+    import math
+
+    from rust_cdc_validator_spark.operators.graph import adamic_adar
+
+    # c1 -> {s1, s2, s3} (deg 3); c2 -> {s1, s2} (deg 2); c3 -> {s3} (deg 1)
+    edges = [
+        ("c1", "s1"), ("c1", "s2"), ("c1", "s3"),
+        ("c2", "s1"), ("c2", "s2"), ("c3", "s3"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["node_a"], r["node_b"]): (r["common_neighbors"], r["aa_score"])
+        for r in adamic_adar(df).collect()
+    }
+    w3, w2 = 1 / math.log(3), 1 / math.log(2)
+    assert got[("s1", "s2")] == (2, pytest.approx(w3 + w2, abs=1e-12))
+    assert got[("s1", "s3")] == (1, pytest.approx(w3, abs=1e-12))
+    assert got[("s2", "s3")] == (1, pytest.approx(w3, abs=1e-12))
+    assert len(got) == 3  # degree-1 c3 witnesses no pair
+
+
+def test_adamic_adar_degree_cap_drops_hub(spark):
+    from rust_cdc_validator_spark.operators.graph import adamic_adar
+
+    edges = [("hub", f"s{i}") for i in range(5)] + [
+        ("c1", "s0"), ("c1", "s1")
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    capped = {
+        (r["node_a"], r["node_b"]) for r in
+        adamic_adar(df, max_degree=4).collect()
+    }
+    assert capped == {("s0", "s1")}  # only c1 (deg 2) survives the cap
+    full = adamic_adar(df, max_degree=None).collect()
+    assert len(full) == 10  # C(5,2) pairs from the hub; (s0,s1) merged
