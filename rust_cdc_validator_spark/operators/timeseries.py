@@ -285,3 +285,171 @@ def markov_transitions(
         F.col("n_transitions").cast("long").alias("n_transitions"),
         (F.col("n_transitions") / F.col("_t")).alias("prob"),
     )
+
+
+def autocorrelation(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    lags: list[int],
+    step: int = 1,
+) -> DataFrame:
+    """Sample autocorrelation (Pearson, pairwise-complete) of a regular
+    series at the given ``lags`` — the seasonality / burst-memory probe
+    (Box & Jenkins 1970 ch. 2): acf(k) ≈ 1 at k = season length, ≈ 0
+    for white noise. ``time_col`` must be an INTEGER tick (epoch hours,
+    day numbers, …) advancing by ``step``; gaps are fine — a pair
+    (t, t+k·step) simply doesn't form when either side is missing
+    (pairwise-complete semantics, the ``statsmodels acf(missing=
+    'conservative')`` convention).
+
+    Returns (lag, n_pairs, acf) per requested lag, where ``acf`` is the
+    Pearson correlation of (x_t, x_{t+lag·step}) over the formed pairs.
+
+    Spark shape: NO single-partition window — the lag alignment is a
+    self-EQUI-join on (time + lag·step) after a one-pass ``explode`` of
+    the lag list onto the left side (the r10 fan-out rule: one
+    generated row per (tick, lag), never |lags| unioned scans).
+    Correlation comes out of the standard five-sum formula with each
+    sum accumulated as EXACT DECIMAL over per-row double products, so
+    both the pair set and every intermediate sum are engine-portable —
+    the only double arithmetic is the final one-expression formula.
+
+    Scale shape at 100 TB: one shuffle keys the self-join on the tick
+    (the exploded side carries |lags| rows per tick); the five-sum
+    aggregation combines map-side per lag. A year of SECOND-level ticks
+    is ~3e7 rows — trivially partitionable; no per-key state, no sort.
+    """
+    if not lags or any(k < 1 for k in lags):
+        raise ValueError("lags must be a non-empty list of positive ints")
+    if step < 1:
+        raise ValueError("step must be >= 1")
+    base = series.select(
+        F.col(time_col).cast("long").alias("_t"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+    left = base.select(
+        "_t",
+        "_x",
+        F.explode(F.array(*[F.lit(int(k)) for k in lags])).alias("lag"),
+    )
+    right = base.select(
+        F.col("_t").alias("_t2"), F.col("_x").alias("_y")
+    )
+    dec = "decimal(38,12)"
+    paired = left.join(
+        right, left["_t"] + F.col("lag") * step == right["_t2"]
+    )
+    return (
+        paired.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("_x").cast(dec)).alias("_sx"),
+            F.sum(F.col("_y").cast(dec)).alias("_sy"),
+            F.sum((F.col("_x") * F.col("_x")).cast(dec)).alias("_sxx"),
+            F.sum((F.col("_y") * F.col("_y")).cast(dec)).alias("_syy"),
+            F.sum((F.col("_x") * F.col("_y")).cast(dec)).alias("_sxy"),
+        )
+        .select(
+            "lag",
+            "n_pairs",
+            (
+                (
+                    F.col("n_pairs") * F.col("_sxy").cast("double")
+                    - F.col("_sx").cast("double") * F.col("_sy").cast("double")
+                )
+                / F.sqrt(
+                    (
+                        F.col("n_pairs") * F.col("_sxx").cast("double")
+                        - F.col("_sx").cast("double") * F.col("_sx").cast("double")
+                    )
+                    * (
+                        F.col("n_pairs") * F.col("_syy").cast("double")
+                        - F.col("_sy").cast("double") * F.col("_sy").cast("double")
+                    )
+                )
+            ).alias("acf"),
+        )
+    )
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    period: int,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (Kendall & Stuart; the
+    ``statsmodels seasonal_decompose`` convention): centered moving
+    average of length ``period`` for the trend (half-weighted ends when
+    ``period`` is even — the standard 2×m MA), per-phase means of the
+    detrended series for the seasonal component, centered so the
+    indices sum to zero. Returns one row per phase:
+    (phase, n_obs, seasonal) — "how much does hour-of-day k sit above
+    or below trend", the seasonality fingerprint behind anomaly
+    baselines and rollup-granularity choices.
+
+    ``time_col`` must be an integer tick; the trend at tick t is only
+    defined when ALL ticks of the centered window exist (gap rows get
+    no trend and drop from the phase means — pairwise-complete, same
+    convention as :func:`autocorrelation`).
+
+    Spark shape: the trend is RANGE-frame window sums over the ordered
+    tick axis — on an already-aggregated series relation (ticks, not
+    events), the documented bounded-relation single-partition pattern.
+    Every accumulation (window sums, phase means, the grand centering
+    mean) runs as EXACT DECIMAL over per-row double casts, so the whole
+    decomposition replays bit-identically in a SQL oracle; the only
+    double arithmetic is per-row expressions.
+
+    Scale shape at 100 TB: the fact-sized work (bucketing events to
+    ticks) happens BEFORE this operator; a century of hourly ticks is
+    ~1e6 rows, so the ordered scan is metadata-sized. For per-key
+    decomposition, partition the window by the key — same plan, no
+    single-partition flag.
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    h = period // 2
+    even = period % 2 == 0
+    dec = "decimal(38,12)"
+    base = series.select(
+        F.col(time_col).cast("long").alias("_t"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+
+    def _rng(lo: int, hi: int):
+        return Window.orderBy("_t").rangeBetween(lo, hi)
+
+    xdec = F.col("_x").cast(dec)
+    n_window = F.count(F.lit(1)).over(_rng(-h, h))
+    if even:
+        trend = (
+            F.sum(xdec).over(_rng(-(h - 1), h - 1)).cast("double")
+            + 0.5 * F.sum(xdec).over(_rng(-h, -h)).cast("double")
+            + 0.5 * F.sum(xdec).over(_rng(h, h)).cast("double")
+        ) / period
+        required = period + 1
+    else:
+        trend = F.sum(xdec).over(_rng(-h, h)).cast("double") / period
+        required = period
+    detrended = base.select(
+        (F.col("_t") % period).alias("phase"),
+        F.when(n_window == required, F.col("_x") - trend).alias("_d"),
+    ).filter(F.col("_d").isNotNull())
+    phase_means = detrended.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (
+            F.sum(F.col("_d").cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_m"),
+    )
+    grand = phase_means.agg(
+        (
+            F.sum(F.col("_m").cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_g")
+    )
+    return phase_means.crossJoin(F.broadcast(grand)).select(
+        "phase", "n_obs", (F.col("_m") - F.col("_g")).alias("seasonal")
+    )

@@ -8500,6 +8500,278 @@ ORDER BY actual, predicted
 """
 
 
+def events_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation (operators/timeseries.autocorrelation) of the
+    hourly mean event value at lags 1–24h: does activity an hour / a day
+    ago predict activity now — the seasonality probe that decides
+    rollup granularity and anomaly baselines. The hourly series
+    aggregates value as exact decimal before the mean division, the lag
+    alignment is a self-equi-join (no single-partition window), and the
+    Pearson correlation assembles from five exact-decimal sums with one
+    final double expression — the whole pipeline replayed term-for-term
+    by the DuckDB oracle."""
+    from rust_cdc_validator_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.expr(f"ts_ns div {_NS_PER_HOUR}").alias("hour_bucket")
+    ).agg(
+        (
+            _dsum(F.col("value")) / F.count(F.lit(1))
+        ).alias("mean_value")
+    )
+    acf = autocorrelation(
+        hourly, "hour_bucket", "mean_value", lags=[1, 2, 3, 6, 12, 24]
+    )
+    return acf.select(
+        "lag", "n_pairs", F.round("acf", 8).alias("acf_r")
+    ).orderBy("lag")
+
+
+EVENTS_VALUE_ACF_SQL = f"""
+WITH hourly AS (
+  SELECT epoch_ns(ts) // {_NS_PER_HOUR} AS hour_bucket,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           AS mean_value
+  FROM events GROUP BY 1
+), lagged AS (
+  SELECT l.lag, a.mean_value AS x, b.mean_value AS y
+  FROM hourly a
+  CROSS JOIN (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag) l
+  JOIN hourly b ON a.hour_bucket + l.lag = b.hour_bucket
+), sums AS (
+  SELECT lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(CAST(x AS DECIMAL(38,12))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,12))) AS sy,
+         SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(38,12))) AS syy,
+         SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy
+  FROM lagged GROUP BY lag
+)
+SELECT lag, n_pairs,
+       round(
+         (n_pairs * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt(
+             (n_pairs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (n_pairs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+           ),
+         8) AS acf_r
+FROM sums
+ORDER BY lag
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape ("forecasting revenue change"): one-table scan with
+    a conjunctive range predicate on three columns and a single exact-
+    decimal product sum — the pushdown litmus test (every predicate
+    lands in PushedFilters; the scan reads four columns of sixteen).
+    Completes the TPC-H shape set: every one of the 22 queries now has
+    a catalog counterpart (direct or adapted — see SCALE.md)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * F.col("l_discount"),
+                "decimal(24,8)",
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q6_FORECAST_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,8)))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def nb_english_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC (operators/classify.roc_auc, Mann-Whitney midrank form)
+    of the Naive Bayes "en" log-posterior as a ranking score for
+    English test documents — the classifier-evaluation step after the
+    confusion matrix (``docs_lang_nb_confusion``): same md5 split, same
+    fit, but the per-label scores survive (keep_scores) and the en
+    column becomes the score of a binary en-vs-rest detector. The whole
+    U statistic stays integer until one final division (scores are
+    exact decimals, negatives-below is a prefix count), so the AUC is
+    bit-portable; the prefix scan runs over distinct-score buckets
+    (≤ one per test doc), never the fact relation."""
+    from rust_cdc_validator_spark.operators.classify import (
+        naive_bayes_fit,
+        naive_bayes_score,
+        roc_auc,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    ) % 8
+    train = docs.filter(bucket != 0)
+    test = docs.filter(bucket == 0)
+    model = naive_bayes_fit(train, text_col="text", label_col="lang")
+    scores = naive_bayes_score(
+        test, model, id_col="doc_id", text_col="text", keep_scores=True
+    ).filter(F.col("label") == "en")
+    labeled = scores.join(test.select("doc_id", "lang"), "doc_id").select(
+        (F.col("lang") == "en").alias("is_en"), "score"
+    )
+    auc = roc_auc(labeled, label_col="is_en", score_col="score")
+    return auc.select(
+        "n_pos", "n_neg", F.round("auc", 8).alias("auc_r")
+    )
+
+
+_NB_SCORED_CTE = """
+WITH train AS (
+  SELECT * FROM documents
+  WHERE (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8 <> 0
+), test AS (
+  SELECT * FROM documents
+  WHERE (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8 = 0
+), ttok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM train
+), tl AS (
+  SELECT lang, token, COUNT(*) AS c
+  FROM ttok WHERE token <> '' GROUP BY lang, token
+), lt AS (
+  SELECT lang, SUM(c) AS tot FROM tl GROUP BY lang
+), voc AS (
+  SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS v FROM tl
+), lik AS (
+  SELECT tl.lang, tl.token,
+         CAST(round(ln((tl.c + 1.0) / (lt.tot + voc.v)), 12)
+              AS DECIMAL(20,12)) AS ll
+  FROM tl JOIN lt ON tl.lang = lt.lang CROSS JOIN voc
+), stats AS (
+  SELECT lt.lang,
+         CAST(round(ln(1.0 / (lt.tot + voc.v)), 12)
+              AS DECIMAL(20,12)) AS ld,
+         CAST(round(ln(CAST(p.nd AS DOUBLE) / (SELECT COUNT(*) FROM train)),
+                    12) AS DECIMAL(20,12)) AS lp
+  FROM lt CROSS JOIN voc
+  JOIN (SELECT lang, COUNT(*) AS nd FROM train GROUP BY lang) p
+    ON p.lang = lt.lang
+), stok AS (
+  SELECT doc_id, lang AS actual, unnest(string_split(text, ' ')) AS token
+  FROM test
+), scored AS (
+  SELECT s.doc_id, s.actual, st.lang AS cand,
+         MAX(st.lp) + SUM(coalesce(l.ll, st.ld)) AS sc
+  FROM stok s
+  CROSS JOIN stats st
+  LEFT JOIN lik l ON l.token = s.token AND l.lang = st.lang
+  WHERE s.token <> ''
+  GROUP BY s.doc_id, s.actual, st.lang
+)"""
+
+NB_ENGLISH_AUC_SQL = _NB_SCORED_CTE + """,
+en_scores AS (
+  SELECT (actual = 'en') AS pos, sc FROM scored WHERE cand = 'en'
+), buckets AS (
+  SELECT sc,
+         SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+         SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+  FROM en_scores GROUP BY sc
+), pb AS (
+  SELECT np, nn,
+         SUM(nn) OVER (ORDER BY sc
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - nn AS cum_below
+  FROM buckets
+)
+SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+       CAST(SUM(nn) AS BIGINT) AS n_neg,
+       round(CAST(SUM(np * (2 * cum_below + nn)) AS DOUBLE)
+             / (2.0 * SUM(np) * SUM(nn)), 8) AS auc_r
+FROM pb
+"""
+
+
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal indices (operators/timeseries.
+    seasonal_decompose, classical additive 2×24 CMA) of the hourly mean
+    event value: how much each of the 24 daily phases sits above/below
+    trend — the seasonality fingerprint that pairs with
+    ``events_value_acf``'s lag view. Every accumulation is an exact
+    decimal sum over doubles (window sums, phase means, grand
+    centering), so the DuckDB oracle replays the full decomposition
+    term-for-term; the RANGE windows run over the bounded hourly
+    relation, never events."""
+    from rust_cdc_validator_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.expr(f"ts_ns div {_NS_PER_HOUR}").alias("hour_bucket")
+    ).agg((_dsum(F.col("value")) / F.count(F.lit(1))).alias("mean_value"))
+    dec = seasonal_decompose(hourly, "hour_bucket", "mean_value", period=24)
+    return dec.select(
+        F.col("phase").alias("hour_of_day"),
+        "n_obs",
+        F.round("seasonal", 8).alias("seasonal_r"),
+    ).orderBy("hour_of_day")
+
+
+EVENTS_HOURLY_SEASONALITY_SQL = f"""
+WITH hourly AS (
+  SELECT epoch_ns(ts) // {_NS_PER_HOUR} AS t,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS x
+  FROM events GROUP BY 1
+), trended AS (
+  SELECT t % 24 AS phase,
+         CASE WHEN COUNT(*) OVER w_full = 25 THEN
+           x - (
+             CAST(SUM(CAST(x AS DECIMAL(38,12)))
+                  OVER (ORDER BY t RANGE BETWEEN 11 PRECEDING AND 11 FOLLOWING)
+                  AS DOUBLE)
+             + 0.5 * CAST(SUM(CAST(x AS DECIMAL(38,12)))
+                  OVER (ORDER BY t RANGE BETWEEN 12 PRECEDING AND 12 PRECEDING)
+                  AS DOUBLE)
+             + 0.5 * CAST(SUM(CAST(x AS DECIMAL(38,12)))
+                  OVER (ORDER BY t RANGE BETWEEN 12 FOLLOWING AND 12 FOLLOWING)
+                  AS DOUBLE)
+           ) / 24
+         END AS d
+  FROM hourly
+  WINDOW w_full AS (ORDER BY t RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), phase_means AS (
+  SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+  FROM trended WHERE d IS NOT NULL GROUP BY phase
+), grand AS (
+  SELECT CAST(SUM(CAST(m AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS g
+  FROM phase_means
+)
+SELECT phase AS hour_of_day, n_obs, round(m - g, 8) AS seasonal_r
+FROM phase_means CROSS JOIN grand
+ORDER BY hour_of_day
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -8637,6 +8909,10 @@ QUERIES: dict[str, QueryFn] = {
     "supplier_hits_authority": supplier_hits_authority,
     "supplier_link_prediction": supplier_link_prediction,
     "docs_lang_nb_confusion": docs_lang_nb_confusion,
+    "events_value_acf": events_value_acf,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "nb_english_auc": nb_english_auc,
+    "events_hourly_seasonality": events_hourly_seasonality,
     "q18_large_volume_customers": q18_large_volume_customers,
     "events_type_overlap_hll": events_type_overlap_hll,
     "embedding_pca_whiten": embedding_pca_whiten,
@@ -8805,6 +9081,10 @@ ORACLES: dict[str, str] = {
     "supplier_hits_authority": SUPPLIER_HITS_AUTHORITY_SQL,
     "supplier_link_prediction": SUPPLIER_LINK_PREDICTION_SQL,
     "docs_lang_nb_confusion": DOCS_LANG_NB_CONFUSION_SQL,
+    "events_value_acf": EVENTS_VALUE_ACF_SQL,
+    "q6_forecast_revenue": Q6_FORECAST_REVENUE_SQL,
+    "nb_english_auc": NB_ENGLISH_AUC_SQL,
+    "events_hourly_seasonality": EVENTS_HOURLY_SEASONALITY_SQL,
     "q18_large_volume_customers": Q18_LARGE_VOLUME_CUSTOMERS_SQL,
     "events_type_overlap_hll": EVENTS_TYPE_OVERLAP_HLL_SQL,
     "docs_compaction_plan": DOCS_COMPACTION_PLAN_SQL,

@@ -112,3 +112,56 @@ def test_alpha_validation(spark):
     docs = spark.createDataFrame(TRAIN, "doc_id long, text string, label string")
     with pytest.raises(ValueError, match="alpha"):
         naive_bayes_fit(docs, alpha=0.0)
+
+
+# ------------------------------------------------------------- ROC-AUC
+
+
+def _auc_reference(pairs):
+    """O(P*N) driver-side AUC with midrank ties."""
+    pos = [s for y, s in pairs if y]
+    neg = [s for y, s in pairs if not y]
+    u = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p in pos
+        for n in neg
+    )
+    return len(pos), len(neg), u / (len(pos) * len(neg))
+
+
+def test_auc_matches_bruteforce_with_ties(spark):
+    import random
+
+    from rust_cdc_validator_spark.operators.classify import roc_auc
+
+    random.seed(3)
+    pairs = [
+        (random.random() < 0.4, float(random.randrange(20)) / 4.0)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(bool(y), s) for y, s in pairs], "label boolean, score double"
+    )
+    row = roc_auc(df).collect()[0]
+    n_pos, n_neg, want = _auc_reference(pairs)
+    assert (row["n_pos"], row["n_neg"]) == (n_pos, n_neg)
+    assert row["auc"] == pytest.approx(want, abs=1e-12)
+
+
+def test_auc_perfect_and_random_and_inverted(spark):
+    from rust_cdc_validator_spark.operators.classify import roc_auc
+
+    perfect = spark.createDataFrame(
+        [(True, 2.0), (True, 3.0), (False, 0.0), (False, 1.0)],
+        "label boolean, score double",
+    )
+    assert roc_auc(perfect).collect()[0]["auc"] == 1.0
+    inverted = spark.createDataFrame(
+        [(True, 0.0), (False, 1.0)], "label boolean, score double"
+    )
+    assert roc_auc(inverted).collect()[0]["auc"] == 0.0
+    all_tied = spark.createDataFrame(
+        [(True, 1.0), (False, 1.0), (True, 1.0)],
+        "label boolean, score double",
+    )
+    assert roc_auc(all_tied).collect()[0]["auc"] == 0.5

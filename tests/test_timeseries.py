@@ -96,3 +96,120 @@ def test_markov_transitions_tiebreak_total_order(spark):
         for r in markov_transitions(df, "u", "ts", "t", "eid").collect()
     }
     assert got == {("a", "b"), ("b", "c")}
+
+
+# ------------------------------------------------------- autocorrelation
+
+
+def test_acf_matches_numpy_on_seasonal_series(spark):
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.timeseries import autocorrelation
+
+    rng = np.random.default_rng(11)
+    n = 200
+    xs = (
+        10.0
+        + 3.0 * np.sin(2 * np.pi * np.arange(n) / 8.0)
+        + rng.normal(0, 0.5, n)
+    )
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(xs)], "t long, x double"
+    )
+    got = {
+        r["lag"]: (r["n_pairs"], r["acf"])
+        for r in autocorrelation(df, "t", "x", lags=[1, 4, 8]).collect()
+    }
+    for k in (1, 4, 8):
+        a, b = xs[:-k], xs[k:]
+        want = float(np.corrcoef(a, b)[0, 1])
+        assert got[k][0] == n - k
+        assert got[k][1] == pytest.approx(want, abs=1e-9)
+    # period-8 seasonality: strong positive at the season, negative at half
+    assert got[8][1] > 0.9 and got[4][1] < 0
+
+
+def test_acf_gaps_are_pairwise_complete(spark):
+    from rust_cdc_validator_spark.operators.timeseries import autocorrelation
+
+    rows = [(0, 1.0), (1, 2.0), (2, 4.0), (4, 8.0), (5, 3.0)]  # tick 3 missing
+    df = spark.createDataFrame(rows, "t long, x double")
+    got = {r["lag"]: r["n_pairs"] for r in
+           autocorrelation(df, "t", "x", lags=[1, 2]).collect()}
+    # lag 1 pairs: (0,1) (1,2) (4,5) -> 3; lag 2: (0,2) (2,4) -> 2
+    assert got == {1: 3, 2: 2}
+
+
+def test_acf_step_and_validation(spark):
+    from rust_cdc_validator_spark.operators.timeseries import autocorrelation
+
+    rows = [(0, 1.0), (10, 2.0), (20, 1.0), (30, 2.0)]
+    df = spark.createDataFrame(rows, "t long, x double")
+    got = {r["lag"]: r["n_pairs"] for r in
+           autocorrelation(df, "t", "x", lags=[1], step=10).collect()}
+    assert got[1] == 3
+    with pytest.raises(ValueError, match="lags"):
+        autocorrelation(df, "t", "x", lags=[])
+    with pytest.raises(ValueError, match="lags"):
+        autocorrelation(df, "t", "x", lags=[0])
+    with pytest.raises(ValueError, match="step"):
+        autocorrelation(df, "t", "x", lags=[1], step=0)
+
+
+# --------------------------------------------------- seasonal_decompose
+
+
+def test_seasonal_decompose_matches_statsmodels_convention(spark):
+    """Planted period-4 signal + linear trend: the phase indices must
+    recover the planted offsets (centered), computed exactly like the
+    classical 2x4 CMA decomposition."""
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    season = [3.0, -1.0, -2.0, 0.0]  # sums to 0
+    n = 96
+    xs = [0.05 * t + season[t % 4] + 10.0 for t in range(n)]
+    df = spark.createDataFrame(
+        [(t, x) for t, x in enumerate(xs)], "t long, x double"
+    )
+    got = {
+        r["phase"]: (r["n_obs"], r["seasonal"])
+        for r in seasonal_decompose(df, "t", "x", period=4).collect()
+    }
+    # reference: even-period CMA then centered phase means
+    h = 2
+    trend = {}
+    for t in range(h, n - h):
+        trend[t] = (
+            sum(xs[t - 1 : t + 2]) + 0.5 * xs[t - 2] + 0.5 * xs[t + 2]
+        ) / 4.0
+    det = {}
+    for t, tr in trend.items():
+        det.setdefault(t % 4, []).append(xs[t] - tr)
+    means = {p: sum(v) / len(v) for p, v in det.items()}
+    g = sum(means.values()) / 4.0
+    for p in range(4):
+        assert got[p][0] == len(det[p])
+        assert got[p][1] == pytest.approx(means[p] - g, abs=1e-9)
+    # a pure linear trend contributes nothing: indices ~ planted season
+    for p in range(4):
+        assert got[p][1] == pytest.approx(season[p], abs=1e-6)
+
+
+def test_seasonal_decompose_odd_period_and_gaps(spark):
+    from rust_cdc_validator_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    season = [1.0, 0.0, -1.0]
+    rows = [(t, season[t % 3] + 5.0) for t in range(30) if t != 14]
+    df = spark.createDataFrame(rows, "t long, x double")
+    got = {r["phase"]: r["seasonal"] for r in
+           seasonal_decompose(df, "t", "x", period=3).collect()}
+    for p in range(3):
+        assert got[p] == pytest.approx(season[p], abs=1e-9)
+    with pytest.raises(ValueError, match="period"):
+        seasonal_decompose(df, "t", "x", period=1)
