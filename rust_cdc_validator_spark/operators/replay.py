@@ -185,3 +185,55 @@ def apply_changes_sql(
             FROM __changes__
         ) t WHERE _rn = 1 AND coalesce({OP_COL}, 'I') <> 'D'
     """
+
+
+def scd2_history(
+    changes: DataFrame,
+    primary_key: list[str],
+    op_col: str = OP_COL,
+    seq_col: str = "_seq",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from the same ordered
+    change log :func:`net_effect` collapses — the history-PRESERVING
+    sibling (Kimball & Ross, The Data Warehouse Toolkit ch. 5): one row
+    per (key, version) with its validity interval instead of one row
+    per live key. Every I/U change opens a version effective at its own
+    sequence number; the next change on the same key closes it
+    (``valid_to`` = that change's sequence, half-open interval); a D
+    closes the chain without opening a version. Appended columns:
+
+    * ``valid_from`` — the opening change's ``seq_col`` value;
+    * ``valid_to`` — the next change's, NULL while open;
+    * ``is_current`` — this version is the key's live row (true on the
+      last change iff it isn't a delete).
+
+    The log's envelope columns are the caller's to drop — a dimension
+    build usually keeps them for lineage.
+
+    Spark shape: ONE window pass per key ordered by ``seq_col`` —
+    ``lead(seq)`` closes intervals, ``row_number`` from the top marks
+    currency — then deletes drop (their closing effect already
+    captured by the lead). Same partitioning and sort as
+    ``net_effect``'s last-row filter, so a validator can run both from
+    one shuffle. A delete followed by a re-insert of the same key
+    yields disjoint version chains, exactly like sequential SCD2
+    maintenance.
+
+    Scale shape at 100 TB: one hash shuffle on the key + per-key sort
+    (the groupBy cost class); no self-join, no collect. Versions are
+    output rows, never state.
+    """
+    if not primary_key:
+        raise ValueError("scd2_history requires a primary key")
+    op = F.coalesce(F.col(op_col), F.lit("I"))
+    w = Window.partitionBy(*primary_key).orderBy(F.col(seq_col).asc())
+    wd = Window.partitionBy(*primary_key).orderBy(F.col(seq_col).desc())
+    return (
+        changes.withColumn("_next_seq", F.lead(seq_col).over(w))
+        .withColumn("_rev", F.row_number().over(wd))
+        .filter(op != F.lit("D"))
+        .withColumn("valid_from", F.col(seq_col))
+        .withColumn("valid_to", F.col("_next_seq"))
+        .withColumn("is_current", F.col("_rev") == 1)
+        .drop("_next_seq", "_rev")
+    )

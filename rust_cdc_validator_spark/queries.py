@@ -8772,6 +8772,74 @@ ORDER BY hour_of_day
 """
 
 
+def cdc_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history (operators/replay.scd2_history) from the SAME
+    synthesized LOAD+U+D change log as ``cdc_replay_orders`` — the
+    history-preserving view of the replay the reference collapses to
+    final state (every version with its half-open validity interval,
+    deletes closing chains without opening versions). Sliced to keys
+    %100 = 0 so the result stays bounded while covering all three
+    lifecycles (plain insert, update chain, deleted key)."""
+    from rust_cdc_validator_spark.operators.replay import scd2_history
+
+    orders = _t(spark, sf_dir, "orders")
+    stride = F.lit(1 << 40)
+    load = orders.select(
+        "o_orderkey", "o_totalprice",
+        F.lit("I").alias("Op"), F.col("o_orderkey").cast("long").alias("_seq"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+        F.lit("U").alias("Op"),
+        (stride + F.col("o_orderkey")).cast("long").alias("_seq"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", "o_totalprice",
+        F.lit("D").alias("Op"),
+        (stride * 2 + F.col("o_orderkey")).cast("long").alias("_seq"),
+    )
+    hist = scd2_history(
+        load.unionByName(updates).unionByName(deletes), ["o_orderkey"]
+    )
+    return (
+        hist.filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey", "o_totalprice",
+            "valid_from", "valid_to", "is_current",
+        )
+        .orderBy("o_orderkey", "valid_from")
+    )
+
+
+CDC_ORDERS_SCD2_SQL = """
+WITH log AS (
+  SELECT o_orderkey, o_totalprice, 'I' AS op,
+         o_orderkey AS seq
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 10.0, 'U',
+         1099511627776 + o_orderkey
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 'D',
+         2199023255552 + o_orderkey
+  FROM orders WHERE o_orderkey % 13 = 0
+), h AS (
+  SELECT *,
+         lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS next_seq,
+         row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rev
+  FROM log
+)
+SELECT o_orderkey, o_totalprice,
+       seq AS valid_from, next_seq AS valid_to,
+       (rev = 1) AS is_current
+FROM h
+WHERE op <> 'D' AND o_orderkey % 100 = 0
+ORDER BY o_orderkey, valid_from
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -8913,6 +8981,7 @@ QUERIES: dict[str, QueryFn] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "nb_english_auc": nb_english_auc,
     "events_hourly_seasonality": events_hourly_seasonality,
+    "cdc_orders_scd2": cdc_orders_scd2,
     "q18_large_volume_customers": q18_large_volume_customers,
     "events_type_overlap_hll": events_type_overlap_hll,
     "embedding_pca_whiten": embedding_pca_whiten,
@@ -9085,6 +9154,7 @@ ORACLES: dict[str, str] = {
     "q6_forecast_revenue": Q6_FORECAST_REVENUE_SQL,
     "nb_english_auc": NB_ENGLISH_AUC_SQL,
     "events_hourly_seasonality": EVENTS_HOURLY_SEASONALITY_SQL,
+    "cdc_orders_scd2": CDC_ORDERS_SCD2_SQL,
     "q18_large_volume_customers": Q18_LARGE_VOLUME_CUSTOMERS_SQL,
     "events_type_overlap_hll": EVENTS_TYPE_OVERLAP_HLL_SQL,
     "docs_compaction_plan": DOCS_COMPACTION_PLAN_SQL,

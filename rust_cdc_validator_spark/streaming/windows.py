@@ -597,3 +597,138 @@ def concurrency_gauge_exact(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+_TOPK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("errs", T.ArrayType(T.LongType())),
+    ]
+)
+_TOPK_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("item", T.StringType()),
+        T.StructField("est_count", T.LongType()),
+        T.StructField("max_err", T.LongType()),
+    ]
+)
+
+
+def _count_prereduce(df: DataFrame, key_col: str, item_col: str) -> DataFrame:
+    """Stateless in-plan pre-reduce for the streaming top-k: partition-
+    local pandas (key, item) count sums collapse each partition to one
+    row per distinct (key, item) BEFORE the stateful operator. Counts
+    are additive, so partial sums feed SpaceSaving identically to raw
+    events — the same pre-reduce discipline as :func:`_hll_prereduce`
+    and :func:`_boundary_prereduce` (the stateful operator must never
+    see the raw stream)."""
+    pre = df.select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.col(item_col).cast("string").alias("_i"),
+    ).filter(F.col("_i").isNotNull())
+
+    def partial_counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [
+            pdf.groupby(["_k", "_i"], as_index=False, dropna=False)
+            .size()
+            .rename(columns={"size": "_c"})
+            for pdf in batches
+            if len(pdf)
+        ]
+        if parts:
+            yield (
+                pd.concat(parts)
+                .groupby(["_k", "_i"], as_index=False, dropna=False)["_c"]
+                .sum()
+            )
+
+    return pre.mapInPandas(partial_counts, schema="_k string, _i string, _c long")
+
+
+def topk_stateful(
+    stream: DataFrame,
+    key_col: str,
+    item_col: str,
+    k: int = 10,
+    capacity: int = 64,
+) -> DataFrame:
+    """Per-key streaming top-k heavy hitters whose STATE is a
+    SpaceSaving summary (Metwally, Agrawal & El Abbadi, ICDT 2005) —
+    ``capacity`` counters per key FOREVER, never the distinct-item set.
+    Emits the current top ``k`` per key each micro-batch:
+    (key, rank, item, est_count, max_err) with the SpaceSaving
+    guarantees ``true ≤ est_count`` and ``est_count − max_err ≤ true``;
+    any item whose true count exceeds N/capacity is guaranteed present.
+
+    Batched update: the pre-reduced (item, partial count) rows merge
+    into tracked counters by plain addition; untracked items enter (in
+    deterministic (count DESC, item ASC) order, so results are
+    partitioning-independent) by evicting the minimum counter and
+    inheriting its count as error — the standard batched SpaceSaving
+    generalization (increment-by-c ≡ c unit increments).
+
+    Scale shape: counting happens partition-locally in Arrow batches
+    (:func:`_count_prereduce`); the stateful operator's input is one
+    row per distinct (key, item) per partition per micro-batch, and
+    state is three capacity-length arrays per key. Estimates for
+    UNTRACKED items simply don't appear — downstream consumers treat
+    absence as "below the N/capacity watermark", exactly like the
+    batch CM heavy-hitter screen (operators/sketch.py)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if capacity < k:
+        raise ValueError("capacity must be >= k")
+    reduced = _count_prereduce(stream, key_col, item_col)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, errs = state.get
+            counters = {
+                i: [c, e] for i, c, e in zip(items, counts, errs)
+            }
+        else:
+            counters = {}
+        pending: dict[str, int] = {}
+        for pdf in pdfs:
+            for i, c in zip(pdf["_i"], pdf["_c"]):
+                if i in counters:
+                    counters[i][0] += int(c)
+                else:
+                    pending[i] = pending.get(i, 0) + int(c)
+        # deterministic admission order: heaviest new items first
+        for i, c in sorted(pending.items(), key=lambda kv: (-kv[1], kv[0])):
+            if len(counters) < capacity:
+                counters[i] = [c, 0]
+            else:
+                victim = min(counters.items(), key=lambda kv: (kv[1][0], kv[0]))
+                vmin = victim[1][0]
+                del counters[victim[0]]
+                counters[i] = [c + vmin, vmin]
+        state.update((
+            list(counters.keys()),
+            [v[0] for v in counters.values()],
+            [v[1] for v in counters.values()],
+        ))
+        top = sorted(counters.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(top),
+                "rank": list(range(1, len(top) + 1)),
+                "item": [i for i, _ in top],
+                "est_count": [v[0] for _, v in top],
+                "max_err": [v[1] for _, v in top],
+            }
+        )
+
+    return reduced.groupBy("_k").applyInPandasWithState(
+        update,
+        outputStructType=_TOPK_OUT_SCHEMA,
+        stateStructType=_TOPK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -219,3 +219,64 @@ def test_window_boundary_mtime_belongs_to_exactly_one_window(spark, tmp_path):
     cdc_n1 = [e.path for e in run_n1 if not e.is_load]
     assert cdc_n == []
     assert [p.rsplit("/", 1)[-1] for p in cdc_n1] == ["boundary.parquet"]
+
+
+# --------------------------------------------------------- scd2_history
+
+
+def test_scd2_intervals_currency_and_delete_chains(spark):
+    from rust_cdc_validator_spark.operators.replay import scd2_history
+
+    log = [
+        # key A: insert, update, delete -> two CLOSED versions, none current
+        ("A", 10.0, "I", 1), ("A", 11.0, "U", 5), ("A", 11.0, "D", 9),
+        # key B: insert only -> one OPEN current version
+        ("B", 20.0, "I", 2),
+        # key C: insert, delete, re-insert -> disjoint chains, last current
+        ("C", 30.0, "I", 3), ("C", 30.0, "D", 4), ("C", 31.0, "I", 6),
+    ]
+    df = spark.createDataFrame(log, "pk string, price double, Op string, _seq long")
+    rows = {
+        (r["pk"], r["valid_from"]): (r["valid_to"], r["is_current"], r["price"])
+        for r in scd2_history(df, ["pk"]).collect()
+    }
+    assert rows[("A", 1)] == (5, False, 10.0)
+    assert rows[("A", 5)] == (9, False, 11.0)   # closed by the delete
+    assert ("A", 9) not in rows                  # deletes open no version
+    assert rows[("B", 2)] == (None, True, 20.0)
+    assert rows[("C", 3)] == (4, False, 30.0)
+    assert rows[("C", 6)] == (None, True, 31.0)
+    assert len(rows) == 5
+
+
+def test_scd2_net_effect_consistency(spark):
+    """The open current versions ARE net_effect's live rows."""
+    import random
+
+    from rust_cdc_validator_spark.operators.replay import (
+        net_effect,
+        scd2_history,
+    )
+
+    random.seed(5)
+    log, seq = [], 0
+    for _ in range(300):
+        k = f"k{random.randrange(20)}"
+        op = random.choice(["I", "U", "U", "D"])
+        log.append((k, float(random.randrange(100)), op, seq))
+        seq += 1
+    df = spark.createDataFrame(log, "pk string, v double, Op string, _seq long")
+    current = {
+        (r["pk"], r["v"])
+        for r in scd2_history(df, ["pk"]).filter("is_current").collect()
+    }
+    live = {(r["pk"], r["v"]) for r in net_effect(df, ["pk"]).collect()}
+    assert current == live
+
+
+def test_scd2_requires_pk(spark):
+    from rust_cdc_validator_spark.operators.replay import scd2_history
+
+    df = spark.createDataFrame([("A", "I", 1)], "pk string, Op string, _seq long")
+    with pytest.raises(ValueError, match="primary key"):
+        scd2_history(df, [])

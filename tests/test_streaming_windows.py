@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pyspark.sql.types as T
@@ -772,3 +774,105 @@ def test_concurrency_gauge_exact_equals_batch_on_ordered_feed(spark, tmp_path):
     assert final["peak"] == want["peak_concurrency"]
     assert final["first_peak"] == want["first_peak"]
     assert final["current"] == 0
+
+
+def test_topk_stateful_exact_when_capacity_covers(spark, tmp_path):
+    """With capacity >= distinct items SpaceSaving degenerates to exact
+    counting: after both batches the per-key top-k IS the batch top-k,
+    errors all zero."""
+    from rust_cdc_validator_spark.streaming.windows import topk_stateful
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    _write_events(
+        str(src / "b1.parquet"),
+        [((0, 1), 1, "click", 1.0), ((0, 2), 1, "click", 1.0),
+         ((0, 3), 1, "view", 1.0), ((0, 4), 2, "buy", 1.0)],
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = (
+        topk_stateful(stream, "user_id", "event_type", k=3, capacity=16)
+        .writeStream.format("memory").queryName("topk1")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    _write_events(
+        str(src / "b2.parquet"),
+        [((1, 1), 1, "view", 1.0), ((1, 2), 1, "view", 1.0),
+         ((1, 3), 1, "view", 1.0), ((1, 4), 2, "buy", 1.0)],
+    )
+    q2 = (
+        topk_stateful(stream, "user_id", "event_type", k=3, capacity=16)
+        .writeStream.format("memory").queryName("topk2")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    rows = {
+        (r["key"], r["rank"]): (r["item"], r["est_count"], r["max_err"])
+        for r in spark.sql("SELECT * FROM topk2 ORDER BY key, rank").collect()
+    }
+    # user 1 totals: view 4, click 2; user 2: buy 2
+    assert rows[("1", 1)] == ("view", 4, 0)
+    assert rows[("1", 2)] == ("click", 2, 0)
+    assert rows[("2", 1)] == ("buy", 2, 0)
+
+
+def test_topk_stateful_bounds_under_eviction(spark, tmp_path):
+    """capacity 2 with 4 distinct items: the heavy hitter survives with
+    SpaceSaving bounds (true <= est, est - err <= true)."""
+    from rust_cdc_validator_spark.streaming.windows import topk_stateful
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    # batch 1: heavy x5, a, b  |  batch 2: heavy x3, c
+    _write_events(
+        str(src / "b1.parquet"),
+        [((0, i), 1, "heavy", 1.0) for i in range(5)]
+        + [((0, 20), 1, "a", 1.0), ((0, 21), 1, "b", 1.0)],
+    )
+    _write_events(
+        str(src / "b2.parquet"),
+        [((1, i), 1, "heavy", 1.0) for i in range(3)]
+        + [((1, 20), 1, "c", 1.0)],
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = (
+        topk_stateful(stream, "user_id", "event_type", k=2, capacity=2)
+        .writeStream.format("memory").queryName("topk_ev")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    last = {
+        r["item"]: (r["est_count"], r["max_err"])
+        for r in spark.sql(
+            "SELECT * FROM topk_ev WHERE key = '1' ORDER BY rank"
+        ).collect()
+    }
+    est, err = last["heavy"]
+    assert est >= 8 and est - err <= 8  # true count is 8
+    # every reported estimate dominates its possible true count
+    for item, (e, x) in last.items():
+        assert e >= e - x >= 0
+
+
+def test_topk_validation_and_prereduce_shape(spark):
+    import pandas as pd
+
+    from rust_cdc_validator_spark.streaming.windows import (
+        _count_prereduce,
+        topk_stateful,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "a")], "user_id long, item string"
+    )
+    with pytest.raises(ValueError, match="k must"):
+        topk_stateful(df, "user_id", "item", k=0)
+    with pytest.raises(ValueError, match="capacity"):
+        topk_stateful(df, "user_id", "item", k=5, capacity=2)
+    reduced = _count_prereduce(
+        df.repartition(1), "user_id", "item"
+    ).collect()
+    got = {(r["_k"], r["_i"]): r["_c"] for r in reduced}
+    assert got == {("1", "a"): 2, ("1", "b"): 1, ("2", "a"): 1}
+    assert len(reduced) == 3  # one row per distinct (key, item)
