@@ -8089,26 +8089,33 @@ ORDER BY o_year
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape ("important stock identification"), adapted to
     the lineitem supply relation (this corpus has no partsupp): per
-    part, total traded value; keep parts whose value exceeds 0.1% of
-    the GLOBAL total — the group-HAVING-against-a-scalar-subquery
-    pattern.
+    part, total traded value; keep parts whose value exceeds 1.5× the
+    MEAN part value — the group-HAVING-against-a-scalar-subquery
+    pattern. (TPC-H scales its Q11 fraction by 1/SF because the group
+    count grows with data size; a mean-relative threshold is the same
+    idea expressed scale-invariantly, so the query stays non-degenerate
+    at every test SF.)
 
-    Spark shape: one groupBy builds the per-part values; the global
-    total re-aggregates FROM the per-part relation (partkey-sized, not
-    a second fact scan) into a 1-row broadcast crossJoin. The threshold
-    compares in EXACT decimal (value*1000 > total — integer-exact in
-    both engines) so no double-epsilon row flips the filter.
+    Spark shape: one groupBy builds the per-part values, materialized
+    ONCE (localCheckpoint — parts-sized, the basket-relation
+    discipline) because BOTH the output and the global-total scalar
+    read it: without the cut the 1-row aggregate re-runs the whole
+    fact scan — the exact correlated re-scan this decorrelation exists
+    to avoid (AQE's ReusedExchange is not guaranteed across the
+    broadcast boundary; plan-pinned in test_plans). The total AND part
+    count then re-aggregate from it into a 1-row broadcast crossJoin.
+    The threshold compares in EXACT decimal (value·n_parts·2 >
+    total·3 — integer-exact in both engines) so no double-epsilon row
+    flips the filter.
 
     Scale shape: one fact shuffle on l_partkey; the rollup and the
-    filter run over the parts-sized aggregate. This is Q11's
-    decorrelation — the naive plan re-scans the fact table for the
-    scalar; this plan never does.
+    filter run over the parts-sized materialized aggregate.
     """
     li = _t(spark, sf_dir, "lineitem")
     val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_part = li.groupBy("l_partkey").agg(
         F.sum(val.cast("decimal(24,8)")).alias("_val")
-    )
+    ).localCheckpoint(eager=True)
     total = per_part.agg(
         F.sum("_val").cast("decimal(30,8)").alias("_total"),
         F.count(F.lit(1)).alias("_np"),

@@ -248,3 +248,60 @@ def test_q18_having_is_only_fact_exchange(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_plans_as_semi_join_no_cartesian(spark, sf_dir):
+    """r11 Q4 shape: the correlated EXISTS must plan as ONE LeftSemi on
+    the order key with the date comparison as a residual condition —
+    never a cartesian, never an aggregate-then-join rewrite."""
+    from rust_cdc_validator_spark.plans.inspect import explain_str
+    from rust_cdc_validator_spark.queries import q4_order_priority
+
+    df = q4_order_priority(spark, sf_dir)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_q6_all_predicates_pushed_and_scan_pruned(spark, sf_dir):
+    """r11 Q6 shape is the pushdown litmus: all three range predicates
+    reach the parquet scan and only the four referenced columns read."""
+    from rust_cdc_validator_spark.queries import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, sf_dir)
+    filters = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in filters, (col, filters)
+    assert set(scan_columns(df)[0]) == {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
+    }
+
+
+def test_q16_anti_join_precedes_distinct_aggregate(spark, sf_dir):
+    """r11 Q16 shape: the NOT-IN exclusion must plan as a broadcast
+    LeftAnti BEFORE the distinct aggregation (anti-then-aggregate), with
+    the part dim broadcast."""
+    from rust_cdc_validator_spark.plans.inspect import explain_str
+    from rust_cdc_validator_spark.queries import q16_supplier_part_counts
+
+    plan = explain_str(q16_supplier_part_counts(spark, sf_dir))
+    assert "LeftAnti" in plan
+    anti_pos = plan.index("LeftAnti")
+    # the final aggregate (count distinct over p_ grouping) appears above
+    # the anti join in the tree dump -> its offset is smaller
+    agg_pos = plan.index("HashAggregate")
+    assert agg_pos < anti_pos
+    assert plan.count("BroadcastHashJoin") >= 1 or "BroadcastExchange" in plan
+
+
+def test_q11_single_fact_pass_scalar_reaggregated(spark, sf_dir):
+    """r11 Q11 shape: ONE lineitem scan — the global total re-aggregates
+    from the per-part relation, never a second fact pass."""
+    from rust_cdc_validator_spark.plans.inspect import explain_str
+    from rust_cdc_validator_spark.queries import q11_important_parts
+
+    df = q11_important_parts(spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("lineitem.parquet") == 0  # checkpointed per-part relation
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan" in plan
