@@ -645,3 +645,113 @@ def decile_lift(
             ).alias("cum_capture"),
         )
     )
+
+
+def wasserstein_1d(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    round_to: float | None = None,
+) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between two empirical
+    distributions — W₁ = ∫|CDF_a − CDF_b| dx — the drift metric that
+    weighs HOW FAR mass moved where KS (:func:`ks_two_sample`) only
+    reports the largest CDF gap and PSI depends on a binning choice.
+    Returns ONE row (n_a, n_b, w1). ``round_to`` buckets values first,
+    same contract and same shuffle bound as the KS knob.
+
+    Exact over the empirical CDFs: the integral is a finite sum over
+    consecutive distinct values, Σᵢ |F_a(vᵢ) − F_b(vᵢ)|·(vᵢ₊₁ − vᵢ).
+    Each |CDF gap| is the INTEGER |cum_a·n_b − cum_b·n_a| (no per-row
+    division), the per-interval term multiplies it by the gap as one
+    double product, terms sum as exact DECIMAL, and the single division
+    by n_a·n_b happens once at the end — engine-portable throughout.
+
+    Scale shape: distinct-value cells and their cumulative counts are
+    the SAME plan as KS (map-side collapse, ONE two-phase prefix scan).
+    The consecutive-value gap needs a lead(), computed with the same
+    two-phase discipline instead of a global window: range exchange +
+    partition-local lead, each partition's LAST row patched from a
+    partitions-sized first-values relation (1-task window over
+    partition count, not rows). The global last value has no successor
+    and contributes exactly 0 (both CDFs are 1 there).
+    """
+    from rust_cdc_validator_spark.operators.layout import prefix_sums
+
+    if round_to is not None and not round_to > 0:
+        raise ValueError("round_to must be > 0")
+
+    def side(df: DataFrame, ca: int, cb: int) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        if round_to is not None:
+            v = F.floor(v / F.lit(float(round_to))) * F.lit(float(round_to))
+        return (
+            df.select(v.alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .select("_v", F.lit(ca).alias("_ca"), F.lit(cb).alias("_cb"))
+        )
+
+    pooled = side(a, 1, 0).unionAll(side(b, 0, 1))
+    cells = pooled.groupBy("_v").agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    cum = prefix_sums(cells, ["_v"], {"_na": "_cna", "_nb": "_cnb"})
+
+    parts = int(
+        cum.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = (
+        cum.repartitionByRange(parts, F.col("_v"))
+        .sortWithinPartitions("_v")
+        .withColumn("_pid", F.spark_partition_id())
+        # materialize ONCE: the lead pass and the firsts relation must see
+        # the SAME range boundaries — RangePartitioner re-samples per
+        # evaluation (seeded on the RDD id), so two evaluations of this
+        # subtree can stamp the same row with different _pid values and
+        # mis-patch the partition-boundary gaps (observed: nondeterministic
+        # W1). Cells-sized, and bounded by round_to on continuous columns.
+        .localCheckpoint(eager=True)
+    )
+    w_local = Window.partitionBy("_pid").orderBy("_v")
+    # partitions-sized relation; the 1-task window spans partition COUNT
+    w_pid = Window.orderBy("_pid")
+    firsts = (
+        ranged.groupBy("_pid")
+        .agg(F.min("_v").alias("_first_v"))
+        .withColumn("_next_first", F.lead("_first_v").over(w_pid))
+        .select("_pid", "_next_first")
+    )
+    with_gap = (
+        ranged.withColumn("_lead_local", F.lead("_v").over(w_local))
+        .join(F.broadcast(firsts), "_pid")
+        .withColumn(
+            "_gap",
+            F.coalesce(F.col("_lead_local"), F.col("_next_first"))
+            - F.col("_v"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("_na").cast("long").alias("_ta"),
+        F.sum("_nb").cast("long").alias("_tb"),
+    )
+    # the global last value has no successor: a NULL gap contributes 0
+    # (keeping the row, so a single-bucket input still aggregates)
+    term = (
+        F.abs(
+            (F.col("_cna") + F.col("_na")) * F.col("_tb")
+            - (F.col("_cnb") + F.col("_nb")) * F.col("_ta")
+        ).cast("double")
+        * F.coalesce(F.col("_gap"), F.lit(0.0))
+    ).cast("decimal(38,12)")
+    return (
+        with_gap.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("_ta").alias("n_a"),
+            F.max("_tb").alias("n_b"),
+            F.round(
+                F.sum(term).cast("double")
+                / (F.max("_ta") * F.max("_tb")).cast("double"),
+                6,
+            ).alias("w1"),
+        )
+    )

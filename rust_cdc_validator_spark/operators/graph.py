@@ -51,6 +51,7 @@ __all__ = [
     "k_core",
     "hits",
     "adamic_adar",
+    "clustering_coefficient",
 ]
 
 
@@ -1052,5 +1053,47 @@ def adamic_adar(
         .agg(
             F.count(F.lit(1)).alias("common_neighbors"),
             F.sum("_aa").alias("aa_score"),
+        )
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient (Watts & Strogatz 1998) per node of
+    the undirected graph induced by ``edges``: cc(v) = triangles(v) /
+    C(deg(v), 2) — what fraction of v's neighbor pairs are themselves
+    connected. (node, degree, triangles, cc) for every node of degree
+    ≥ 2; cc is triangles·2 as an exact integer numerator over the
+    integer wedge count, divided once — engine-portable.
+
+    Composes the degree-oriented triangle core with the degree relation
+    it already derives (one extra |V|-sized join over
+    :func:`triangle_count`, nothing fact-sized). A dedup/linkage
+    pipeline reads cc as "how clique-like is this node's neighborhood"
+    — near 1: a tight duplicate cluster or genuine community; near 0 on
+    high degree: a hub stitching unrelated records (the classic false-
+    link smell the fuzzy-match audits look for).
+    """
+    und, deg = _canonical_edges_and_degrees(edges, src, dst)
+    return _clustering_core(und, deg)
+
+
+def _clustering_core(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Shared back half of :func:`clustering_coefficient` and
+    ``graphstate.clustering_coefficient_from_state``."""
+    tri = _triangle_core(und, deg)
+    degs = deg.select("node", F.col("_deg").alias("degree"))
+    return (
+        degs.join(tri, "node", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            (
+                (F.coalesce("triangles", F.lit(0)) * 2).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+            ).alias("cc"),
         )
     )

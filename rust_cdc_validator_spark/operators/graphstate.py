@@ -68,6 +68,7 @@ __all__ = [
     "k_core_from_state",
     "triangle_count_from_state",
     "degree_assortativity_from_state",
+    "clustering_coefficient_from_state",
 ]
 
 
@@ -433,3 +434,15 @@ def degree_assortativity_from_state(spark: SparkSession, path: str) -> DataFrame
 
     und, deg = _state_und_deg(spark, path)
     return _assortativity_core(und, deg)
+
+
+def clustering_coefficient_from_state(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """:func:`graph.clustering_coefficient` over persisted undirected
+    edge state (shared ``_clustering_core``; pairs + degrees read, the
+    broadcast gate driven by the params' pinned n_nodes)."""
+    from rust_cdc_validator_spark.operators.graph import _clustering_core
+
+    und, deg = _state_und_deg(spark, path)
+    return _clustering_core(und, deg)

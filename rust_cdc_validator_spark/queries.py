@@ -8847,6 +8847,139 @@ ORDER BY o_orderkey, valid_from
 """
 
 
+def orders_price_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein drift (operators/drift.wasserstein_1d) between
+    early-era (< 1998) and late-era order prices — the KS companion
+    that weighs HOW FAR the mass moved, not just the largest CDF gap.
+    Same sides as ``orders_price_ks_drift`` so the two metrics read as
+    one drift panel. CDF gaps stay integer, per-interval terms sum as
+    exact decimal, one division at the end; the consecutive-value gap
+    is a two-phase distributed lead (no global window over the cells
+    relation)."""
+    from rust_cdc_validator_spark.operators.drift import wasserstein_1d
+
+    orders = _t(spark, sf_dir, "orders")
+    early = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01")).select(
+        "o_totalprice"
+    )
+    late = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01")).select(
+        "o_totalprice"
+    )
+    return wasserstein_1d(early, late, "o_totalprice")
+
+
+ORDERS_PRICE_WASSERSTEIN_SQL = """
+WITH cells AS (
+  SELECT _v,
+         SUM(_ca) AS _na,
+         SUM(_cb) AS _nb
+  FROM (
+    SELECT o_totalprice AS _v, 1 AS _ca, 0 AS _cb FROM orders
+    WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+    UNION ALL
+    SELECT o_totalprice, 0, 1 FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+  ) pooled
+  GROUP BY _v
+), cum AS (
+  SELECT _v,
+         SUM(_na) OVER (ORDER BY _v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS _fa,
+         SUM(_nb) OVER (ORDER BY _v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS _fb,
+         lead(_v) OVER (ORDER BY _v) AS _nxt
+  FROM cells
+), tot AS (
+  SELECT CAST(SUM(_na) AS BIGINT) AS ta, CAST(SUM(_nb) AS BIGINT) AS tb
+  FROM cells
+)
+SELECT ta AS n_a, tb AS n_b,
+       round(
+         CAST(SUM(CAST(CAST(abs(_fa * tb - _fb * ta) AS DOUBLE)
+                       * coalesce(_nxt - _v, 0.0)
+                       AS DECIMAL(38,12))) AS DOUBLE)
+         / (CAST(ta AS DOUBLE) * tb),
+         6) AS w1
+FROM cum CROSS JOIN tot
+GROUP BY ta, tb
+"""
+
+
+def parts_cotrade_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients (operators/graph.
+    clustering_coefficient, Watts & Strogatz 1998) of the 1995 co-order
+    parts graph, read from the SAME persisted co-occur edge state as
+    ``parts_cotrade_triangles``: cc(v) = closed neighbor pairs / all
+    neighbor pairs — near 1 marks basket cliques, near 0 on high degree
+    marks hub parts stitching unrelated baskets. Top-100 by
+    (cc_r DESC, degree DESC, partkey) — rounding before the order keeps
+    the cut engine-portable; the integer (triangles, degree) tie-break
+    makes it total."""
+    from rust_cdc_validator_spark.operators.graphstate import (
+        clustering_coefficient_from_state,
+    )
+
+    cc = clustering_coefficient_from_state(
+        spark, _cooccur_edge_state_for(spark, sf_dir, "l_partkey")
+    )
+    return (
+        cc.select(
+            F.col("node").alias("partkey"),
+            "degree",
+            "triangles",
+            F.round("cc", 8).alias("cc_r"),
+        )
+        .orderBy(F.col("cc_r").desc(), F.col("degree").desc(), "partkey")
+        .limit(100)
+    )
+
+
+PARTS_COTRADE_CLUSTERING_SQL = """
+WITH op AS (
+  SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+  FROM lineitem l JOIN orders od ON l.l_orderkey = od.o_orderkey
+  WHERE EXTRACT(year FROM od.o_orderdate) = 1995
+), und AS (
+  SELECT DISTINCT x.p AS a, y.p AS b
+  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+), deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+  ) GROUP BY node
+), orient AS (
+  SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS s,
+         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS t,
+         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN db.d ELSE da.d END AS td
+  FROM und u
+  JOIN deg da ON u.a = da.node
+  JOIN deg db ON u.b = db.node
+), tri AS (
+  SELECT o1.s AS u, o1.t AS x, o2.t AS y
+  FROM orient o1
+  JOIN orient o2 ON o1.s = o2.s
+  JOIN orient e ON e.s = o1.t AND e.t = o2.t
+  WHERE (o1.td, o1.t) < (o2.td, o2.t)
+), tcount AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+    SELECT u AS node FROM tri
+    UNION ALL SELECT x AS node FROM tri
+    UNION ALL SELECT y AS node FROM tri
+  ) GROUP BY node
+)
+SELECT deg.node AS partkey,
+       CAST(deg.d AS BIGINT) AS degree,
+       coalesce(t.triangles, 0) AS triangles,
+       round(CAST(coalesce(t.triangles, 0) * 2 AS DOUBLE)
+             / (CAST(deg.d AS DOUBLE) * (deg.d - 1)), 8) AS cc_r
+FROM deg LEFT JOIN tcount t ON deg.node = t.node
+WHERE deg.d >= 2
+ORDER BY cc_r DESC, degree DESC, partkey
+LIMIT 100
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -8989,6 +9122,8 @@ QUERIES: dict[str, QueryFn] = {
     "nb_english_auc": nb_english_auc,
     "events_hourly_seasonality": events_hourly_seasonality,
     "cdc_orders_scd2": cdc_orders_scd2,
+    "orders_price_wasserstein": orders_price_wasserstein,
+    "parts_cotrade_clustering": parts_cotrade_clustering,
     "q18_large_volume_customers": q18_large_volume_customers,
     "events_type_overlap_hll": events_type_overlap_hll,
     "embedding_pca_whiten": embedding_pca_whiten,
@@ -9162,6 +9297,8 @@ ORACLES: dict[str, str] = {
     "nb_english_auc": NB_ENGLISH_AUC_SQL,
     "events_hourly_seasonality": EVENTS_HOURLY_SEASONALITY_SQL,
     "cdc_orders_scd2": CDC_ORDERS_SCD2_SQL,
+    "orders_price_wasserstein": ORDERS_PRICE_WASSERSTEIN_SQL,
+    "parts_cotrade_clustering": PARTS_COTRADE_CLUSTERING_SQL,
     "q18_large_volume_customers": Q18_LARGE_VOLUME_CUSTOMERS_SQL,
     "events_type_overlap_hll": EVENTS_TYPE_OVERLAP_HLL_SQL,
     "docs_compaction_plan": DOCS_COMPACTION_PLAN_SQL,

@@ -531,3 +531,59 @@ def test_decile_lift_null_scores_excluded(spark):
     # cum_capture denominator counts only scored positives (20, not 30)
     last = max(got, key=lambda r: r["bucket"])
     assert abs(last["cum_capture"] - 1.0) < 1e-9
+
+
+# --------------------------------------------------------- wasserstein_1d
+
+
+def _w1_reference(xs, ys):
+    """Driver-side W1: integral of |CDF gap| over consecutive distinct
+    pooled values."""
+    vals = sorted(set(xs) | set(ys))
+    na, nb = len(xs), len(ys)
+    sx, sy = sorted(xs), sorted(ys)
+    import bisect
+
+    total = 0.0
+    for v, nxt in zip(vals, vals[1:]):
+        fa = bisect.bisect_right(sx, v) / na
+        fb = bisect.bisect_right(sy, v) / nb
+        total += abs(fa - fb) * (nxt - v)
+    return total
+
+
+def test_wasserstein_matches_reference(spark):
+    import random
+
+    from rust_cdc_validator_spark.operators.drift import wasserstein_1d
+
+    random.seed(9)
+    xs = [random.gauss(0.0, 1.0) for _ in range(400)]
+    ys = [random.gauss(0.7, 1.3) for _ in range(300)]
+    a = spark.createDataFrame([(x,) for x in xs], "v double")
+    b = spark.createDataFrame([(y,) for y in ys], "v double")
+    row = wasserstein_1d(a, b, "v").collect()[0]
+    assert (row["n_a"], row["n_b"]) == (400, 300)
+    assert row["w1"] == pytest.approx(_w1_reference(xs, ys), abs=1e-6)
+
+
+def test_wasserstein_point_masses_and_identity(spark):
+    from rust_cdc_validator_spark.operators.drift import wasserstein_1d
+
+    a = spark.createDataFrame([(0.0,)] * 5, "v double")
+    b = spark.createDataFrame([(1.0,)] * 3, "v double")
+    assert wasserstein_1d(a, b, "v").collect()[0]["w1"] == 1.0
+    same = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    assert wasserstein_1d(same, same, "v").collect()[0]["w1"] == 0.0
+
+
+def test_wasserstein_round_to_buckets(spark):
+    from rust_cdc_validator_spark.operators.drift import wasserstein_1d
+
+    a = spark.createDataFrame([(0.01,), (0.99,)], "v double")
+    b = spark.createDataFrame([(0.02,), (0.98,)], "v double")
+    # bucketed at width 1 the distributions coincide
+    row = wasserstein_1d(a, b, "v", round_to=1.0).collect()[0]
+    assert row["w1"] == 0.0
+    with pytest.raises(ValueError, match="round_to"):
+        wasserstein_1d(a, b, "v", round_to=0.0)

@@ -662,3 +662,68 @@ def test_adamic_adar_degree_cap_drops_hub(spark):
     assert capped == {("s0", "s1")}  # only c1 (deg 2) survives the cap
     full = adamic_adar(df, max_degree=None).collect()
     assert len(full) == 10  # C(5,2) pairs from the hub; (s0,s1) merged
+
+
+# ------------------------------------------------- clustering coefficient
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    from rust_cdc_validator_spark.operators.graph import clustering_coefficient
+
+    # triangle a-b-c plus pendant d on a: cc(a)=1/3 (d breaks one pair),
+    # cc(b)=cc(c)=1, d has degree 1 and is excluded
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: (r["degree"], r["triangles"], r["cc"])
+           for r in clustering_coefficient(df).collect()}
+    assert got["a"] == (3, 1, pytest.approx(1 / 3))
+    assert got["b"] == (2, 1, 1.0)
+    assert got["c"] == (2, 1, 1.0)
+    assert "d" not in got
+
+
+def test_clustering_coefficient_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from rust_cdc_validator_spark.operators.graph import clustering_coefficient
+
+    random.seed(13)
+    nodes = [f"n{i}" for i in range(12)]
+    edges = [
+        (a, b) for a, b in itertools.combinations(nodes, 2)
+        if random.random() < 0.3
+    ]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["cc"] for r in clustering_coefficient(df).collect()}
+    for v, nbrs in adj.items():
+        if len(nbrs) < 2:
+            assert v not in got
+            continue
+        closed = sum(
+            1 for x, y in itertools.combinations(sorted(nbrs), 2)
+            if y in adj.get(x, ())
+        )
+        want = closed / (len(nbrs) * (len(nbrs) - 1) / 2)
+        assert got[v] == pytest.approx(want, abs=1e-12), v
+
+
+def test_clustering_from_state_equals_direct(spark, tmp_path):
+    from rust_cdc_validator_spark.operators.graph import clustering_coefficient
+    from rust_cdc_validator_spark.operators.graphstate import (
+        build_edge_state,
+        clustering_coefficient_from_state,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("b", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    path = str(tmp_path / "es")
+    build_edge_state(df, path, directed=False)
+    direct = {tuple(r) for r in clustering_coefficient(df).collect()}
+    state = {tuple(r) for r in
+             clustering_coefficient_from_state(spark, path).collect()}
+    assert direct == state
