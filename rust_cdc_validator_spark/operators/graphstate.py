@@ -69,6 +69,7 @@ __all__ = [
     "triangle_count_from_state",
     "degree_assortativity_from_state",
     "clustering_coefficient_from_state",
+    "adamic_adar_from_state",
 ]
 
 
@@ -446,3 +447,30 @@ def clustering_coefficient_from_state(
 
     und, deg = _state_und_deg(spark, path)
     return _clustering_core(und, deg)
+
+
+def adamic_adar_from_state(
+    spark: SparkSession,
+    path: str,
+    src_prefix: str,
+    max_degree: int | None = 1000,
+) -> DataFrame:
+    """:func:`graph.adamic_adar` over persisted edge state: the directed
+    witness→candidate relation is the adjacency rows whose src starts
+    with ``src_prefix`` (the state pre-explodes both directions of an
+    undirected build, so one side's prefix selects one direction), and
+    witness degrees are the persisted nodes' out_deg — the distinct
+    exchange AND the degree aggregation the direct operator pays both
+    disappear (shared ``_adamic_adar_core``)."""
+    from rust_cdc_validator_spark.operators.graph import _adamic_adar_core
+
+    adj = edge_state_adjacency(spark, path)
+    e = adj.filter(F.col("src").startswith(src_prefix)).select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d")
+    )
+    deg = (
+        edge_state_nodes(spark, path)
+        .filter(F.col("node").startswith(src_prefix))
+        .select(F.col("node").alias("_s"), F.col("out_deg").alias("_deg"))
+    )
+    return _adamic_adar_core(e, deg, max_degree)

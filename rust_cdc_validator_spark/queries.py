@@ -8363,15 +8363,13 @@ def supplier_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     discounted by 1/ln(degree). Top-40 by rounded score with a
     (suppkey_a, suppkey_b) tie-break — rounding BEFORE the order makes
     the cut engine-portable (the sum of 1/ln(d) terms is a double)."""
-    from rust_cdc_validator_spark.operators.graph import adamic_adar
     from rust_cdc_validator_spark.operators.graphstate import (
-        edge_state_adjacency,
+        adamic_adar_from_state,
     )
 
-    adj = edge_state_adjacency(
-        spark, _trade_edge_state_for(spark, sf_dir)
-    ).filter(F.col("src").startswith("c"))
-    pairs = adamic_adar(adj, max_degree=1000)
+    pairs = adamic_adar_from_state(
+        spark, _trade_edge_state_for(spark, sf_dir), "c", max_degree=1000
+    )
     return (
         pairs.select(
             F.col("node_a")
