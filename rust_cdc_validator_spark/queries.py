@@ -6083,8 +6083,13 @@ def lineitem_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE pass over lineitem (r11): bloom_flag carries the pass bit, a
     # broadcast left join against the (unique-keyed) filter keys carries
     # the true-match bit, and one aggregate reads all three counts — the
-    # previous form scanned the probe THREE times (total, pass, semi)
-    flagged = bloom_flag(probe, "k", bloom).join(
+    # previous form scanned the probe THREE times (total, pass, semi).
+    # rebalance: this testdata file plans as 3 row-group-bound tasks, so
+    # without it the 4 md5 probes serialize onto 3 cores (2.8x measured);
+    # at production split counts pass None and keep the big side
+    # exchange-free
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    flagged = bloom_flag(probe, "k", bloom, rebalance=nparts).join(
         F.broadcast(keys), F.col("k") == F.col("kk"), "left"
     )
     return flagged.agg(

@@ -429,3 +429,22 @@ def test_bloom_flag_matches_prune(spark):
     assert passed == pruned
     with pytest.raises(ValueError, match="built with buckets=1"):
         bloom_flag(probe, "k", bloom, buckets=16)
+
+
+def test_bloom_flag_rebalance_identical_results(spark):
+    """The rebalance knob is a pure physical hint: flags identical to
+    the un-rebalanced form, partition count actually changes, and a
+    non-positive value raises."""
+    from rust_cdc_validator_spark.operators.sketch import bloom_flag, key_bloom
+
+    keys = spark.createDataFrame([(i,) for i in range(0, 200, 3)], "kk long")
+    bloom = key_bloom(keys, "kk").localCheckpoint(eager=True)
+    probe = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    plain = {
+        (r["k"], r["bloom_hit"]) for r in bloom_flag(probe, "k", bloom).collect()
+    }
+    reb = bloom_flag(probe, "k", bloom, rebalance=8)
+    assert {(r["k"], r["bloom_hit"]) for r in reb.collect()} == plain
+    assert reb.rdd.getNumPartitions() == 8
+    with pytest.raises(ValueError, match="rebalance"):
+        bloom_flag(probe, "k", bloom, rebalance=0)
