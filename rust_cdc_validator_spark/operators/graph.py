@@ -957,6 +957,22 @@ def hits(
         edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
     )
     broadcast_scores = 0 < n * _RANK_ROW_BYTES <= threshold
+    return _hits_loop(e, nodes, broadcast_scores, iterations, checkpoint)
+
+
+def _hits_loop(
+    e: DataFrame,
+    nodes: DataFrame,
+    broadcast_scores: bool,
+    iterations: int,
+    checkpoint: bool,
+) -> DataFrame:
+    """The mutual-reinforcement half-steps, shared by :func:`hits`
+    (which derives nodes from a raw edge frame) and
+    ``graphstate.hits_from_state`` (which reads the node set and edge
+    relation from persisted state and skips every prep job). ``e`` is
+    (_s, _d, _w); ``nodes`` is (node); both must already be materialized
+    (checkpoint or parquet scan)."""
 
     def _norm(scores: DataFrame, col: str) -> DataFrame:
         total = scores.agg(F.sum(col).alias("_tot"))

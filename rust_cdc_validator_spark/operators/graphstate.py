@@ -70,6 +70,7 @@ __all__ = [
     "degree_assortativity_from_state",
     "clustering_coefficient_from_state",
     "adamic_adar_from_state",
+    "hits_from_state",
 ]
 
 
@@ -474,3 +475,42 @@ def adamic_adar_from_state(
         .select(F.col("node").alias("_s"), F.col("out_deg").alias("_deg"))
     )
     return _adamic_adar_core(e, deg, max_degree)
+
+
+def hits_from_state(
+    spark: SparkSession,
+    path: str,
+    src_prefix: str | None = None,
+    iterations: int = 3,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """:func:`graph.hits` over persisted edge state: the edge relation
+    is a prefix FILTER on the pre-exploded adjacency (``src_prefix``
+    selects one direction of an undirected bipartite build; None runs
+    HITS on the full adjacency) and the node set + broadcast gate come
+    from the persisted nodes/params relations — zero prep jobs before
+    the first half-step (shared ``_hits_loop``)."""
+    from rust_cdc_validator_spark.operators.graph import (
+        _hits_loop,
+        _parse_bytes as _pb,
+        _RANK_ROW_BYTES as _rrb,
+    )
+
+    adj = edge_state_adjacency(spark, path)
+    if src_prefix is not None:
+        adj = adj.filter(F.col("src").startswith(src_prefix))
+    e = adj.select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d"),
+        F.col("w").alias("_w"),
+    )
+    nodes = edge_state_nodes(spark, path).select("node")
+    params = edge_state_params(spark, path)
+    n = int(params["n_nodes"])
+    if n == 0:
+        raise ValueError("hits_from_state: edge state is empty")
+    threshold = _pb(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+    )
+    return _hits_loop(
+        e, nodes, 0 < n * _rrb <= threshold, iterations, checkpoint
+    )

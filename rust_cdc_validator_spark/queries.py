@@ -8295,15 +8295,13 @@ def supplier_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     build and all unrolled half-steps in generated SQL from the raw
     tables, so the state path itself is value-hash-checked (same
     discipline as the PageRank/k-core oracles)."""
-    from rust_cdc_validator_spark.operators.graph import hits
     from rust_cdc_validator_spark.operators.graphstate import (
-        edge_state_adjacency,
+        hits_from_state,
     )
 
-    adj = edge_state_adjacency(
-        spark, _trade_edge_state_for(spark, sf_dir)
-    ).filter(F.col("src").startswith("c"))
-    scores = hits(adj, weight_col="w", iterations=3)
+    scores = hits_from_state(
+        spark, _trade_edge_state_for(spark, sf_dir), "c", iterations=3
+    )
     return (
         scores.filter(F.col("node").startswith("s"))
         .select(

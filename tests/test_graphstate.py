@@ -234,3 +234,28 @@ def test_triangles_and_assortativity_from_state_match_direct(spark, tmp_path):
     build_edge_state(df, path2, directed=True, buckets=2)
     with pytest.raises(ValueError, match="undirected"):
         triangle_count_from_state(spark, path2)
+
+
+def test_hits_from_state_equals_direct(spark, tmp_path):
+    """On a bipartite build every node appears in the prefix-filtered
+    direction, so the state path equals hits() on the same relation."""
+    from rust_cdc_validator_spark.operators.graph import hits
+    from rust_cdc_validator_spark.operators.graphstate import (
+        build_edge_state,
+        edge_state_adjacency,
+        hits_from_state,
+    )
+
+    edges = [("c1", "s1", 3.0), ("c1", "s2", 1.0), ("c2", "s1", 2.0),
+             ("c3", "s2", 1.0), ("c3", "s3", 4.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    path = str(tmp_path / "es")
+    build_edge_state(df, path, weight_col="w", directed=False)
+    adj = edge_state_adjacency(spark, path).filter(
+        F.col("src").startswith("c")
+    )
+    direct = {r["node"]: (r["hub"], r["auth"])
+              for r in hits(adj, weight_col="w", iterations=3).collect()}
+    state = {r["node"]: (r["hub"], r["auth"])
+             for r in hits_from_state(spark, path, "c", iterations=3).collect()}
+    assert direct == state
