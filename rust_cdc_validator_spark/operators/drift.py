@@ -667,17 +667,18 @@ def wasserstein_1d(
     double product, terms sum as exact DECIMAL, and the single division
     by n_a·n_b happens once at the end — engine-portable throughout.
 
-    Scale shape: distinct-value cells and their cumulative counts are
-    the SAME plan as KS (map-side collapse, ONE two-phase prefix scan).
-    The consecutive-value gap needs a lead(), computed with the same
-    two-phase discipline instead of a global window: range exchange +
-    partition-local lead, each partition's LAST row patched from a
-    partitions-sized first-values relation (1-task window over
-    partition count, not rows). The global last value has no successor
-    and contributes exactly 0 (both CDFs are 1 there).
+    Scale shape: distinct-value cells collapse map-side exactly like
+    KS, then cumulative counts AND the consecutive-value gap ride ONE
+    shared two-phase scan: a single range exchange (materialized once —
+    RangePartitioner re-samples per evaluation, so unmaterialized
+    double evaluation stamps inconsistent partition ids), partition-
+    local windows for the running sums and the lead, and one
+    partitions-sized offsets relation that carries both the cumulative
+    carry-ins and each partition's NEXT first value (patching the last
+    row's gap) — no global window, no second exchange. The global last
+    value has no successor and contributes exactly 0 (both CDFs are 1
+    there).
     """
-    from rust_cdc_validator_spark.operators.layout import prefix_sums
-
     if round_to is not None and not round_to > 0:
         raise ValueError("round_to must be > 0")
 
@@ -695,42 +696,58 @@ def wasserstein_1d(
     cells = pooled.groupBy("_v").agg(
         F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
     )
-    cum = prefix_sums(cells, ["_v"], {"_na": "_cna", "_nb": "_cnb"})
-
     parts = int(
-        cum.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        cells.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
     ranged = (
-        cum.repartitionByRange(parts, F.col("_v"))
+        cells.repartitionByRange(parts, F.col("_v"))
         .sortWithinPartitions("_v")
         .withColumn("_pid", F.spark_partition_id())
-        # materialize ONCE: the lead pass and the firsts relation must see
-        # the SAME range boundaries — RangePartitioner re-samples per
-        # evaluation (seeded on the RDD id), so two evaluations of this
-        # subtree can stamp the same row with different _pid values and
-        # mis-patch the partition-boundary gaps (observed: nondeterministic
-        # W1). Cells-sized, and bounded by round_to on continuous columns.
+        # materialize ONCE: every consumer below must see the SAME range
+        # boundaries — RangePartitioner re-samples per evaluation (seeded
+        # on the RDD id), so two evaluations of this subtree can stamp the
+        # same row with different _pid values and mis-patch the partition-
+        # boundary gaps (observed: nondeterministic W1). Cells-sized, and
+        # bounded by round_to on continuous columns.
         .localCheckpoint(eager=True)
     )
     w_local = Window.partitionBy("_pid").orderBy("_v")
-    # partitions-sized relation; the 1-task window spans partition COUNT
+    w_excl = w_local.rowsBetween(Window.unboundedPreceding, -1)
+    # partitions-sized relation; the 1-task windows span partition COUNT
     w_pid = Window.orderBy("_pid")
-    firsts = (
+    w_pid_excl = w_pid.rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
         ranged.groupBy("_pid")
-        .agg(F.min("_v").alias("_first_v"))
-        .withColumn("_next_first", F.lead("_first_v").over(w_pid))
-        .select("_pid", "_next_first")
+        .agg(
+            F.sum("_na").alias("_pa"),
+            F.sum("_nb").alias("_pb"),
+            F.min("_v").alias("_first_v"),
+        )
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_pa").over(w_pid_excl), F.lit(0)).alias("_offa"),
+            F.coalesce(F.sum("_pb").over(w_pid_excl), F.lit(0)).alias("_offb"),
+            F.lead("_first_v").over(w_pid).alias("_next_first"),
+        )
     )
     with_gap = (
-        ranged.withColumn("_lead_local", F.lead("_v").over(w_local))
-        .join(F.broadcast(firsts), "_pid")
+        ranged.withColumn(
+            "_cna", F.coalesce(F.sum("_na").over(w_excl), F.lit(0))
+        )
+        .withColumn(
+            "_cnb", F.coalesce(F.sum("_nb").over(w_excl), F.lit(0))
+        )
+        .withColumn("_lead_local", F.lead("_v").over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn("_cna", F.col("_cna") + F.col("_offa"))
+        .withColumn("_cnb", F.col("_cnb") + F.col("_offb"))
         .withColumn(
             "_gap",
             F.coalesce(F.col("_lead_local"), F.col("_next_first"))
             - F.col("_v"),
         )
     )
-    tot = cells.agg(
+    tot = ranged.agg(
         F.sum("_na").cast("long").alias("_ta"),
         F.sum("_nb").cast("long").alias("_tb"),
     )
