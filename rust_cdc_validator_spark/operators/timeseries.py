@@ -322,19 +322,29 @@ def autocorrelation(
     """
     if not lags or any(k < 1 for k in lags):
         raise ValueError("lags must be a non-empty list of positive ints")
-    if step < 1:
-        raise ValueError("step must be >= 1")
     base = series.select(
         F.col(time_col).cast("long").alias("_t"),
         F.col(value_col).cast("double").alias("_x"),
-    ).filter(F.col("_x").isNotNull())
-    left = base.select(
+        F.col(value_col).cast("double").alias("_yv"),
+    )
+    return _lagged_corr(base, lags, step).withColumnRenamed("corr", "acf")
+
+
+def _lagged_corr(base: DataFrame, lags: list[int], step: int) -> DataFrame:
+    """Shared core of :func:`autocorrelation` and
+    :func:`cross_correlation`: pair (x at t, y at t + lag·step) via one
+    exploded self-equi-join on the tick, Pearson from five exact-decimal
+    sums. ``base`` is (_t, _x, _yv); rows where EITHER side is NULL drop
+    from the pairing (pairwise-complete)."""
+    if step < 1:
+        raise ValueError("step must be >= 1")
+    left = base.filter(F.col("_x").isNotNull()).select(
         "_t",
         "_x",
         F.explode(F.array(*[F.lit(int(k)) for k in lags])).alias("lag"),
     )
-    right = base.select(
-        F.col("_t").alias("_t2"), F.col("_x").alias("_y")
+    right = base.filter(F.col("_yv").isNotNull()).select(
+        F.col("_t").alias("_t2"), F.col("_yv").alias("_y")
     )
     dec = "decimal(38,12)"
     paired = left.join(
@@ -368,9 +378,39 @@ def autocorrelation(
                         - F.col("_sy").cast("double") * F.col("_sy").cast("double")
                     )
                 )
-            ).alias("acf"),
+            ).alias("corr"),
         )
     )
+
+
+def cross_correlation(
+    series: DataFrame,
+    time_col: str,
+    x_col: str,
+    y_col: str,
+    lags: list[int],
+    step: int = 1,
+) -> DataFrame:
+    """Lagged cross-correlation between two columns of one regular
+    series — corr(x_t, y_{t+lag·step}) per requested lag — the lead-lag
+    probe (does volume LEAD value? does an upstream metric predict a
+    downstream one k ticks later?). Positive lags test "x leads y";
+    NEGATIVE lags test the reverse direction (y at an earlier tick),
+    so a full ±window reads as one panel. Returns (lag, n_pairs, corr).
+
+    Same Spark shape as :func:`autocorrelation` (shared core): one
+    exploded self-equi-join on the tick axis — no global window — and
+    five exact-decimal sums per lag with a single double expression at
+    the end. Gap ticks pair pairwise-complete.
+    """
+    if not lags:
+        raise ValueError("lags must be a non-empty list of ints")
+    base = series.select(
+        F.col(time_col).cast("long").alias("_t"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_yv"),
+    )
+    return _lagged_corr(base, lags, step)
 
 
 def seasonal_decompose(

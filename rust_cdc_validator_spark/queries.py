@@ -8981,6 +8981,131 @@ LIMIT 100
 """
 
 
+def events_value_volume_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation (operators/timeseries.
+    cross_correlation) between hourly event VOLUME and hourly mean
+    VALUE at lags −6…+6: does activity volume lead value or trail it —
+    the causal-direction probe that pairs with ``events_value_acf``'s
+    self-memory view. Positive lags test volume→value, negative the
+    reverse; one exploded self-equi-join, five exact-decimal sums per
+    lag, division once."""
+    from rust_cdc_validator_spark.operators.timeseries import (
+        cross_correlation,
+    )
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.expr(f"ts_ns div {_NS_PER_HOUR}").alias("hour_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("volume"),
+        (_dsum(F.col("value")) / F.count(F.lit(1))).alias("mean_value"),
+    )
+    xc = cross_correlation(
+        hourly, "hour_bucket", "volume", "mean_value",
+        lags=[-6, -3, -1, 0, 1, 3, 6],
+    )
+    return xc.select(
+        "lag", "n_pairs", F.round("corr", 8).alias("corr_r")
+    ).orderBy("lag")
+
+
+EVENTS_VALUE_VOLUME_XCORR_SQL = f"""
+WITH hourly AS (
+  SELECT epoch_ns(ts) // {_NS_PER_HOUR} AS t,
+         CAST(COUNT(*) AS DOUBLE) AS x,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS y
+  FROM events GROUP BY 1
+), lagged AS (
+  SELECT l.lag, a.x, b.y
+  FROM hourly a
+  CROSS JOIN (SELECT unnest([-6, -3, -1, 0, 1, 3, 6]) AS lag) l
+  JOIN hourly b ON a.t + l.lag = b.t
+), sums AS (
+  SELECT lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(CAST(x AS DECIMAL(38,12))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,12))) AS sy,
+         SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(38,12))) AS syy,
+         SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy
+  FROM lagged GROUP BY lag
+)
+SELECT lag, n_pairs,
+       round(
+         (n_pairs * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt(
+             (n_pairs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (n_pairs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+           ),
+         8) AS corr_r
+FROM sums
+ORDER BY lag
+"""
+
+
+def nb_english_score_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift (operators/drift.decile_lift) of the Naive Bayes
+    "en" score against the is-English truth — the calibration view that
+    completes the classifier-eval panel (confusion matrix → AUC →
+    lift): how concentrated are the true English docs in the top score
+    deciles. Reuses the exact-decimal NB scores, so the decile cut is
+    engine-portable; ranks come from the two-phase prefix scan, never a
+    global window."""
+    from rust_cdc_validator_spark.operators.classify import (
+        naive_bayes_fit,
+        naive_bayes_score,
+    )
+    from rust_cdc_validator_spark.operators.drift import decile_lift
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    ) % 8
+    train = docs.filter(bucket != 0)
+    test = docs.filter(bucket == 0)
+    model = naive_bayes_fit(train, text_col="text", label_col="lang")
+    scores = naive_bayes_score(
+        test, model, id_col="doc_id", text_col="text", keep_scores=True
+    ).filter(F.col("label") == "en")
+    labeled = scores.join(test.select("doc_id", "lang"), "doc_id").select(
+        F.col("score").cast("double").alias("en_score"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+        "doc_id",
+    )
+    return decile_lift(labeled, "en_score", "is_en", "doc_id", buckets=10)
+
+
+NB_ENGLISH_SCORE_LIFT_SQL = _NB_SCORED_CTE + """,
+lab AS (
+  SELECT s.doc_id, CAST(s.sc AS DOUBLE) AS sv,
+         CASE WHEN s.actual = 'en' THEN 1 ELSE 0 END AS y
+  FROM scored s WHERE s.cand = 'en'
+), r AS (
+  SELECT y, ROW_NUMBER() OVER (ORDER BY sv DESC, doc_id) - 1 AS rk FROM lab
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS p FROM lab
+), g AS (
+  SELECT CAST(FLOOR(CAST(rk AS DOUBLE) * 10 / t.n) AS INT) AS bucket, y
+  FROM r CROSS JOIN t
+), per AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM g GROUP BY bucket
+)
+SELECT bucket, n_rows, n_pos,
+       round(CAST(n_pos AS DOUBLE) / n_rows, 6) AS rate,
+       round((CAST(n_pos AS DOUBLE) / n_rows)
+             / (CAST(t.p AS DOUBLE) / t.n), 6) AS lift,
+       round(CAST(SUM(n_pos) OVER (ORDER BY bucket) AS DOUBLE) / t.p, 6)
+         AS cum_capture
+FROM per CROSS JOIN t
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -9125,6 +9250,8 @@ QUERIES: dict[str, QueryFn] = {
     "cdc_orders_scd2": cdc_orders_scd2,
     "orders_price_wasserstein": orders_price_wasserstein,
     "parts_cotrade_clustering": parts_cotrade_clustering,
+    "events_value_volume_xcorr": events_value_volume_xcorr,
+    "nb_english_score_lift": nb_english_score_lift,
     "q18_large_volume_customers": q18_large_volume_customers,
     "events_type_overlap_hll": events_type_overlap_hll,
     "embedding_pca_whiten": embedding_pca_whiten,
@@ -9300,6 +9427,8 @@ ORACLES: dict[str, str] = {
     "cdc_orders_scd2": CDC_ORDERS_SCD2_SQL,
     "orders_price_wasserstein": ORDERS_PRICE_WASSERSTEIN_SQL,
     "parts_cotrade_clustering": PARTS_COTRADE_CLUSTERING_SQL,
+    "events_value_volume_xcorr": EVENTS_VALUE_VOLUME_XCORR_SQL,
+    "nb_english_score_lift": NB_ENGLISH_SCORE_LIFT_SQL,
     "q18_large_volume_customers": Q18_LARGE_VOLUME_CUSTOMERS_SQL,
     "events_type_overlap_hll": EVENTS_TYPE_OVERLAP_HLL_SQL,
     "docs_compaction_plan": DOCS_COMPACTION_PLAN_SQL,

@@ -213,3 +213,52 @@ def test_seasonal_decompose_odd_period_and_gaps(spark):
         assert got[p] == pytest.approx(season[p], abs=1e-9)
     with pytest.raises(ValueError, match="period"):
         seasonal_decompose(df, "t", "x", period=1)
+
+
+# ------------------------------------------------------ cross-correlation
+
+
+def test_xcorr_matches_numpy_and_detects_lead(spark):
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.timeseries import (
+        cross_correlation,
+    )
+
+    rng = np.random.default_rng(21)
+    n = 200
+    xs = rng.normal(0, 1, n)
+    ys = np.roll(xs, 3) + rng.normal(0, 0.1, n)  # y lags x by 3 ticks
+    rows = [(int(t), float(xs[t]), float(ys[t])) for t in range(n)]
+    df = spark.createDataFrame(rows, "t long, x double, y double")
+    got = {
+        r["lag"]: (r["n_pairs"], r["corr"])
+        for r in cross_correlation(df, "t", "x", "y", lags=[-3, 0, 3]).collect()
+    }
+    for k in (-3, 0, 3):
+        if k >= 0:
+            a, b = xs[: n - k], ys[k:]
+        else:
+            a, b = xs[-k:], ys[: n + k]
+        want = float(np.corrcoef(a, b)[0, 1])
+        assert got[k][0] == n - abs(k)
+        assert got[k][1] == pytest.approx(want, abs=1e-9)
+    # x leads y by 3: corr peaks at +3, not at -3
+    assert got[3][1] > 0.95 and abs(got[-3][1]) < 0.5
+
+
+def test_xcorr_validation_and_acf_consistency(spark):
+    from rust_cdc_validator_spark.operators.timeseries import (
+        autocorrelation,
+        cross_correlation,
+    )
+
+    rows = [(t, float((t * 7) % 5), float((t * 7) % 5)) for t in range(40)]
+    df = spark.createDataFrame(rows, "t long, x double, y double")
+    acf = {r["lag"]: r["acf"] for r in
+           autocorrelation(df, "t", "x", lags=[1, 2]).collect()}
+    xc = {r["lag"]: r["corr"] for r in
+          cross_correlation(df, "t", "x", "y", lags=[1, 2]).collect()}
+    assert acf == xc  # x == y: cross-correlation IS the ACF
+    with pytest.raises(ValueError, match="lags"):
+        cross_correlation(df, "t", "x", "y", lags=[])
