@@ -772,3 +772,53 @@ def wasserstein_1d(
             ).alias("w1"),
         )
     )
+
+
+def psi_baseline(
+    df: DataFrame, value_col: str, bins: int = 10
+) -> DataFrame:
+    """The PSI reference histogram as a persistable RELATION —
+    (bin, bin_lo, width, share_before) over ``bins`` fixed-width
+    buckets of ``df``'s [min, max] — built ONCE from the training
+    snapshot so every later compare (batch :func:`psi_drift` shape, or
+    the live ``streaming.windows.psi_stream`` monitor) scores against
+    the SAME edges. Bins with no mass keep a zero-share row (the grid
+    is complete — a consumer can compile it without re-deriving edges).
+
+    Scale shape: one min/max aggregate (two doubles to the driver), one
+    map-side bucket+count pass, bins-sized output. NULLs excluded."""
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    lo, hi = df.agg(
+        F.min(F.col(value_col).cast("double")),
+        F.max(F.col(value_col).cast("double")),
+    ).collect()[0]
+    if lo is None or hi is None:
+        raise ValueError(f"{value_col} has no non-null values")
+    width = (hi - lo) / bins if hi > lo else 1.0
+    x = F.col(value_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    counts = (
+        df.filter(x.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    total = counts.agg(F.sum("_n").alias("_t"))
+    grid = df.sparkSession.range(bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    return (
+        grid.join(counts, "bin", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            F.lit(width).alias("width"),
+            (
+                F.coalesce(F.col("_n"), F.lit(0)) / F.col("_t")
+            ).alias("share_before"),
+        )
+    )

@@ -732,3 +732,83 @@ def topk_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def psi_stream(
+    stream: DataFrame,
+    baseline: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Streaming Population Stability Index: per event-time window, the
+    PSI of the window's value distribution against a STATIC baseline
+    histogram — the deployed-model drift monitor
+    (:func:`operators.drift.psi_drift`) moved onto the live stream.
+    Emits (window_start, window_end, n_events, psi) per window; the
+    standard reading applies (< 0.1 stable, > 0.25 investigate).
+
+    ``baseline`` is the reference histogram relation from
+    :func:`operators.drift.psi_baseline` — (bin, bin_lo, width,
+    share_before), built ONCE offline from the training snapshot. It is
+    bins-sized and static, so it is read to the driver here (the one
+    legitimate collect: reference metadata, not stream data) and
+    COMPILED INTO the aggregation: bucket assignment is per-row
+    arithmetic and the whole histogram is one windowed aggregate with a
+    conditional-sum column per bin — a single streaming aggregation
+    (chained per-bin-then-per-window aggs are not streaming-legal),
+    after which the PSI folds as a literal expression over the bin
+    columns, INCLUDING empty-bin epsilon terms, matching the batch
+    operator's sum exactly.
+
+    Scale shape: stateless bucketing, one watermarked windowed agg whose
+    state is windows × (bins + 1) longs per key; bin edges never drift
+    with the stream (out-of-range values clamp into the edge bins).
+    NULL values are excluded, matching the batch operator.
+    """
+    rows = sorted(
+        baseline.select("bin", "bin_lo", "width", "share_before").collect(),
+        key=lambda r: r["bin"],
+    )
+    if not rows:
+        raise ValueError("psi_stream: baseline histogram is empty")
+    bins = len(rows)
+    lo = float(rows[0]["bin_lo"])
+    width = float(rows[0]["width"])
+    shares = [float(r["share_before"]) for r in rows]
+    x = F.col(value_col).cast("double")
+    bucket = F.least(
+        F.greatest(F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    counts = (
+        stream.filter(x.isNotNull())
+        .select(F.col(ts_col), bucket.alias("_bin"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("_total"),
+            *[
+                F.sum(F.when(F.col("_bin") == i, 1).otherwise(0)).alias(
+                    f"_b{i}"
+                )
+                for i in range(bins)
+            ],
+        )
+    )
+    psi = None
+    for i in range(bins):
+        pa = F.greatest(
+            F.col(f"_b{i}").cast("double") / F.col("_total"), F.lit(epsilon)
+        )
+        pb = F.lit(max(shares[i], epsilon))
+        term = (pa - pb) * (F.log(pa) - F.log(pb))
+        psi = term if psi is None else psi + term
+    return counts.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        F.col("_total").cast("long").alias("n_events"),
+        psi.alias("psi"),
+    )

@@ -587,3 +587,17 @@ def test_wasserstein_round_to_buckets(spark):
     assert row["w1"] == 0.0
     with pytest.raises(ValueError, match="round_to"):
         wasserstein_1d(a, b, "v", round_to=0.0)
+
+
+def test_psi_baseline_complete_grid_and_shares(spark):
+    from rust_cdc_validator_spark.operators.drift import psi_baseline
+
+    df = spark.createDataFrame([(0.0,), (0.0,), (9.99,)], "v double")
+    rows = {r["bin"]: r for r in psi_baseline(df, "v", bins=5).collect()}
+    assert set(rows) == set(range(5))  # empty bins keep zero-share rows
+    assert rows[0]["share_before"] == pytest.approx(2 / 3)
+    assert rows[4]["share_before"] == pytest.approx(1 / 3)
+    assert sum(r["share_before"] for r in rows.values()) == pytest.approx(1.0)
+    assert all(r["width"] == rows[0]["width"] for r in rows.values())
+    with pytest.raises(ValueError, match="bins"):
+        psi_baseline(df, "v", bins=1)

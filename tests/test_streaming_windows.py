@@ -876,3 +876,57 @@ def test_topk_validation_and_prereduce_shape(spark):
     got = {(r["_k"], r["_i"]): r["_c"] for r in reduced}
     assert got == {("1", "a"): 2, ("1", "b"): 1, ("2", "a"): 1}
     assert len(reduced) == 3  # one row per distinct (key, item)
+
+
+def test_psi_stream_matches_batch_psi(spark, tmp_path):
+    """Per-window streaming PSI equals the batch psi_drift SUM computed
+    on the same window's rows against the same baseline edges."""
+    from rust_cdc_validator_spark.operators.drift import psi_baseline, psi_drift
+    from rust_cdc_validator_spark.streaming.windows import psi_stream
+
+    baseline_rows = [(float(v % 50),) for v in range(500)]
+    base_df = spark.createDataFrame(baseline_rows, "value double")
+    baseline = psi_baseline(base_df, "value", bins=10).localCheckpoint()
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    # hour 0: same distribution (low PSI); hour 1: shifted (high PSI)
+    h0 = [((0, i % 60), 1, "e", float(i % 50)) for i in range(120)]
+    h1 = [((1, i % 60), 1, "e", float(25 + i % 25)) for i in range(120)]
+    _write_events(str(src / "a.parquet"), h0 + h1)
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = (
+        psi_stream(stream, baseline, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory").queryName("psi_out")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"].hour: (r["n_events"], r["psi"])
+        for r in spark.sql("SELECT * FROM psi_out").collect()
+    }
+    import datetime as dt
+
+    for hour, rows in ((0, h0), (1, h1)):
+        batch = spark.createDataFrame(
+            [(r[3],) for r in rows], "value double"
+        )
+        want = (
+            psi_drift(base_df, batch, "value", bins=10)
+            .agg({"psi_contrib": "sum"})
+            .collect()[0][0]
+        )
+        assert got[hour][0] == len(rows)
+        assert got[hour][1] == pytest.approx(want, abs=1e-9)
+    assert got[0][1] < 0.1 < got[1][1]  # stable hour vs shifted hour
+
+
+def test_psi_stream_empty_baseline_raises(spark):
+    from rust_cdc_validator_spark.streaming.windows import psi_stream
+
+    empty = spark.createDataFrame(
+        [], "bin int, bin_lo double, width double, share_before double"
+    )
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="baseline"):
+        psi_stream(stream, empty, value_col="value", ts_col="timestamp")
