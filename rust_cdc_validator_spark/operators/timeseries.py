@@ -448,6 +448,19 @@ def seasonal_decompose(
     decomposition, partition the window by the key — same plan, no
     single-partition flag.
     """
+    trended = _trended_rows(series, time_col, value_col, period)
+    phase_means, grand = _phase_indices(trended)
+    return phase_means.crossJoin(F.broadcast(grand)).select(
+        "phase", "n_obs", (F.col("_m") - F.col("_g")).alias("seasonal")
+    )
+
+
+def _trended_rows(
+    series: DataFrame, time_col: str, value_col: str, period: int
+) -> DataFrame:
+    """(_t, phase, _x, _trend) per tick — _trend NULL where the centered
+    window is incomplete. Shared by :func:`seasonal_decompose` and
+    :func:`seasonal_residuals`."""
     if period < 2:
         raise ValueError("period must be >= 2")
     h = period // 2
@@ -473,10 +486,21 @@ def seasonal_decompose(
     else:
         trend = F.sum(xdec).over(_rng(-h, h)).cast("double") / period
         required = period
-    detrended = base.select(
+    return base.select(
+        "_t",
         (F.col("_t") % period).alias("phase"),
-        F.when(n_window == required, F.col("_x") - trend).alias("_d"),
-    ).filter(F.col("_d").isNotNull())
+        "_x",
+        F.when(n_window == required, trend).alias("_trend"),
+    )
+
+
+def _phase_indices(trended: DataFrame):
+    """(phase_means with raw mean _m, 1-row grand mean _g) from the
+    trended row relation — exact-decimal sums throughout."""
+    dec = "decimal(38,12)"
+    detrended = trended.filter(F.col("_trend").isNotNull()).select(
+        "phase", (F.col("_x") - F.col("_trend")).alias("_d")
+    )
     phase_means = detrended.groupBy("phase").agg(
         F.count(F.lit(1)).alias("n_obs"),
         (
@@ -490,6 +514,44 @@ def seasonal_decompose(
             / F.count(F.lit(1))
         ).alias("_g")
     )
-    return phase_means.crossJoin(F.broadcast(grand)).select(
-        "phase", "n_obs", (F.col("_m") - F.col("_g")).alias("seasonal")
+    return phase_means, grand
+
+
+def seasonal_residuals(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    period: int,
+) -> DataFrame:
+    """Per-tick decomposition components — (tick, phase, value, trend,
+    seasonal, residual) for every tick whose centered window is
+    complete — the anomaly-detection surface :func:`seasonal_decompose`
+    aggregates away: a residual far outside its own distribution is a
+    level change the seasonality cannot explain (the classical
+    residual-z anomaly detector).
+
+    Same plan as the decompose (shared trended-rows and phase-index
+    relations — the trended relation is materialized ONCE because both
+    the phase means and the output rows read it); one extra broadcast
+    join attaches the phase index back to the rows.
+    """
+    trended = _trended_rows(series, time_col, value_col, period)
+    trended = trended.localCheckpoint(eager=True)
+    phase_means, grand = _phase_indices(trended)
+    seasonal = phase_means.crossJoin(F.broadcast(grand)).select(
+        "phase", (F.col("_m") - F.col("_g")).alias("_seasonal")
+    )
+    return (
+        trended.filter(F.col("_trend").isNotNull())
+        .join(F.broadcast(seasonal), "phase")
+        .select(
+            F.col("_t").alias("tick"),
+            "phase",
+            F.col("_x").alias("value"),
+            F.col("_trend").alias("trend"),
+            F.col("_seasonal").alias("seasonal"),
+            (
+                F.col("_x") - F.col("_trend") - F.col("_seasonal")
+            ).alias("residual"),
+        )
     )

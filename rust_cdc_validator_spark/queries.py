@@ -9106,6 +9106,106 @@ FROM per CROSS JOIN t
 """
 
 
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-residual anomaly screen (operators/timeseries.
+    seasonal_residuals): hours whose mean event value sits furthest
+    from trend + hour-of-day seasonality, as residual z-scores — the
+    classical decomposition-based detector (a spike the daily rhythm
+    cannot explain). Top-20 by |z| with a tick tie-break; the z
+    denominator is the residuals' sample stddev assembled from exact
+    decimal sums, so the whole screen replays in SQL."""
+    from rust_cdc_validator_spark.operators.timeseries import (
+        seasonal_residuals,
+    )
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.expr(f"ts_ns div {_NS_PER_HOUR}").alias("hour_bucket")
+    ).agg((_dsum(F.col("value")) / F.count(F.lit(1))).alias("mean_value"))
+    res = seasonal_residuals(hourly, "hour_bucket", "mean_value", period=24)
+    dec = "decimal(38,12)"
+    stats = res.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("residual").cast(dec)).alias("_sr"),
+        F.sum((F.col("residual") * F.col("residual")).cast(dec)).alias(
+            "_srr"
+        ),
+    )
+    std = F.sqrt(
+        (
+            F.col("_n") * F.col("_srr").cast("double")
+            - F.col("_sr").cast("double") * F.col("_sr").cast("double")
+        )
+        / (F.col("_n") * (F.col("_n") - 1))
+    )
+    return (
+        res.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("tick").alias("hour_bucket"),
+            F.round("residual", 6).alias("residual_r"),
+            F.round(F.col("residual") / std, 6).alias("z_r"),
+        )
+        .orderBy(F.abs(F.col("z_r")).desc(), "hour_bucket")
+        .limit(20)
+    )
+
+
+EVENTS_HOURLY_ANOMALIES_SQL = f"""
+WITH hourly AS (
+  SELECT epoch_ns(ts) // {_NS_PER_HOUR} AS t,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS x
+  FROM events GROUP BY 1
+), trended AS (
+  SELECT t, t % 24 AS phase, x,
+         CASE WHEN COUNT(*) OVER w_full = 25 THEN
+           (
+             CAST(SUM(CAST(x AS DECIMAL(38,12)))
+                  OVER (ORDER BY t RANGE BETWEEN 11 PRECEDING AND 11 FOLLOWING)
+                  AS DOUBLE)
+             + 0.5 * CAST(SUM(CAST(x AS DECIMAL(38,12)))
+                  OVER (ORDER BY t RANGE BETWEEN 12 PRECEDING AND 12 PRECEDING)
+                  AS DOUBLE)
+             + 0.5 * CAST(SUM(CAST(x AS DECIMAL(38,12)))
+                  OVER (ORDER BY t RANGE BETWEEN 12 FOLLOWING AND 12 FOLLOWING)
+                  AS DOUBLE)
+           ) / 24
+         END AS trend
+  FROM hourly
+  WINDOW w_full AS (ORDER BY t RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), phase_means AS (
+  SELECT phase,
+         CAST(SUM(CAST(x - trend AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+  FROM trended WHERE trend IS NOT NULL GROUP BY phase
+), grand AS (
+  SELECT CAST(SUM(CAST(m AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS g
+  FROM phase_means
+), res AS (
+  SELECT tr.t, tr.x - tr.trend - (pm.m - grand.g) AS residual
+  FROM trended tr
+  JOIN phase_means pm ON tr.phase = pm.phase
+  CROSS JOIN grand
+  WHERE tr.trend IS NOT NULL
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(residual AS DECIMAL(38,12))) AS sr,
+         SUM(CAST(residual * residual AS DECIMAL(38,12))) AS srr
+  FROM res
+)
+SELECT t AS hour_bucket,
+       round(residual, 6) AS residual_r,
+       round(residual / sqrt(
+         (n * CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+         / (n * (n - 1))
+       ), 6) AS z_r
+FROM res CROSS JOIN stats
+ORDER BY abs(round(residual / sqrt(
+         (n * CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+         / (n * (n - 1))
+       ), 6)) DESC, hour_bucket
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -9252,6 +9352,7 @@ QUERIES: dict[str, QueryFn] = {
     "parts_cotrade_clustering": parts_cotrade_clustering,
     "events_value_volume_xcorr": events_value_volume_xcorr,
     "nb_english_score_lift": nb_english_score_lift,
+    "events_hourly_anomalies": events_hourly_anomalies,
     "q18_large_volume_customers": q18_large_volume_customers,
     "events_type_overlap_hll": events_type_overlap_hll,
     "embedding_pca_whiten": embedding_pca_whiten,
@@ -9429,6 +9530,7 @@ ORACLES: dict[str, str] = {
     "parts_cotrade_clustering": PARTS_COTRADE_CLUSTERING_SQL,
     "events_value_volume_xcorr": EVENTS_VALUE_VOLUME_XCORR_SQL,
     "nb_english_score_lift": NB_ENGLISH_SCORE_LIFT_SQL,
+    "events_hourly_anomalies": EVENTS_HOURLY_ANOMALIES_SQL,
     "q18_large_volume_customers": Q18_LARGE_VOLUME_CUSTOMERS_SQL,
     "events_type_overlap_hll": EVENTS_TYPE_OVERLAP_HLL_SQL,
     "docs_compaction_plan": DOCS_COMPACTION_PLAN_SQL,

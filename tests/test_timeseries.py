@@ -262,3 +262,28 @@ def test_xcorr_validation_and_acf_consistency(spark):
     assert acf == xc  # x == y: cross-correlation IS the ACF
     with pytest.raises(ValueError, match="lags"):
         cross_correlation(df, "t", "x", "y", lags=[])
+
+
+def test_seasonal_residuals_recover_planted_anomaly(spark):
+    from rust_cdc_validator_spark.operators.timeseries import (
+        seasonal_decompose,
+        seasonal_residuals,
+    )
+
+    season = [2.0, -1.0, -1.0, 0.0]
+    xs = [0.1 * t + season[t % 4] + 5.0 for t in range(60)]
+    xs[30] += 7.0  # planted level spike
+    df = spark.createDataFrame(list(enumerate(xs)), "t long, x double")
+    rows = {r["tick"]: r for r in
+            seasonal_residuals(df, "t", "x", period=4).collect()}
+    # identity: value == trend + seasonal + residual, bit-exact
+    for r in rows.values():
+        assert r["value"] == r["trend"] + r["seasonal"] + r["residual"]
+    # the spike owns the largest |residual| by a wide margin
+    top = max(rows.values(), key=lambda r: abs(r["residual"]))
+    assert top["tick"] == 30 and abs(top["residual"]) > 3.0
+    # phase indices agree with the aggregate operator
+    agg = {r["phase"]: r["seasonal"] for r in
+           seasonal_decompose(df, "t", "x", period=4).collect()}
+    for r in rows.values():
+        assert r["seasonal"] == agg[r["phase"]]
