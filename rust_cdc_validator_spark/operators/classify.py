@@ -77,7 +77,14 @@ def naive_bayes_fit(
         F.col(label_col).alias("label"),
         F.explode(F.split(F.col(text_col), delimiter)).alias("token"),
     ).filter(F.col("token") != "")
-    tl = tok.groupBy("label", "token").agg(F.count(F.lit(1)).alias("_c"))
+    tl = (
+        tok.groupBy("label", "token")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        # vocab×labels-sized; THREE consumers (likelihoods, per-label
+        # totals, vocabulary size) would each re-run the corpus token
+        # aggregation without the cut
+        .localCheckpoint(eager=True)
+    )
     label_tok = tl.groupBy("label").agg(F.sum("_c").alias("_tot"))
     vocab = tl.agg(
         F.count_distinct("token").cast("double").alias("_v")
