@@ -555,3 +555,97 @@ def seasonal_residuals(
             ).alias("residual"),
         )
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    subject_col: str,
+    date_col: str,
+    horizon=None,
+) -> DataFrame:
+    """Kaplan–Meier survival curve over inter-event gaps with right
+    censoring (Kaplan & Meier 1958): every consecutive pair of a
+    subject's event dates yields an OBSERVED duration (the subject
+    "re-ordered" after ``dur`` days); the stretch from each subject's
+    LAST event to the observation ``horizon`` (default: the max date in
+    the data) yields a CENSORED duration — the subject survived at least
+    that long without the next event, which is exactly what a naive
+    "average gap" silently drops. Subjects with a single event
+    contribute only a censored row — the churn-analysis framing.
+
+    Returns one row per distinct duration ``t_days`` with the risk set
+    ``n_risk`` (observations with duration >= t), event count
+    ``n_events``, ``n_censored``, and the product-limit estimate
+    ``survival`` = Π_{t_i <= t} (1 - d_i / n_i) rounded to 6 places
+    (computed as exp of the running sum of logs — the running sum is
+    sequential in duration order in both engines, so the value hash is
+    engine-portable). Censorings at t are conventionally still at risk
+    at t (events-before-censorings tie rule).
+
+    Scale shape: one shuffle on ``subject_col`` for the lag window, one
+    groupBy on duration (map-side combine collapses each partition to
+    one row per distinct day first), then a single-partition running
+    window over the KM table itself — bounded by the number of DISTINCT
+    day durations (≤ the date span of the data, thousands of rows at any
+    SF; same documented bounded-relation pattern as the prefix-scan
+    offset windows). The risk set is the suffix sum of (events +
+    censored), so no separate total-count job runs.
+    """
+    per = Window.partitionBy("_u").orderBy(F.col("_d").asc())
+    ev = df.select(
+        F.col(subject_col).alias("_u"), F.to_date(F.col(date_col)).alias("_d")
+    )
+    if horizon is None:
+        hz = ev.agg(F.max("_d").alias("_hz"))
+    else:
+        hz = ev.sparkSession.range(1).select(F.lit(horizon).cast("date").alias("_hz"))
+    gaps = (
+        ev.withColumn("_prev", F.lag("_d").over(per))
+        .filter(F.col("_prev").isNotNull())
+        .select(F.datediff("_d", "_prev").alias("dur"), F.lit(1).alias("ev"))
+    )
+    last = ev.groupBy("_u").agg(F.max("_d").alias("_ld"))
+    censored = last.crossJoin(F.broadcast(hz)).select(
+        F.datediff("_hz", "_ld").alias("dur"), F.lit(0).alias("ev")
+    )
+    obs = gaps.unionByName(censored)
+    agg = obs.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("n_events"),
+        F.sum(1 - F.col("ev")).cast("long").alias("n_censored"),
+    )
+    # KM table is bounded (distinct day durations): suffix sum = risk set,
+    # prefix sum of logs = product-limit estimate.
+    suffix = Window.orderBy(F.col("dur").asc()).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    prefix = Window.orderBy(F.col("dur").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = agg.withColumn(
+        "n_risk", F.sum(F.col("n_events") + F.col("n_censored")).over(suffix)
+    )
+    # d == n at the last event time drives the curve to EXACT zero; ln(0)
+    # is an error in DuckDB and a silent NULL (dropped from the sum) in
+    # Spark, so that case is carried as an explicit sticky flag instead of
+    # through the log path in both engines.
+    dead = F.max(
+        (F.col("n_events") >= F.col("n_risk")).cast("int")
+    ).over(prefix)
+    logsum = F.sum(
+        F.when(
+            F.col("n_events") < F.col("n_risk"),
+            F.log(
+                F.lit(1.0)
+                - F.col("n_events").cast("double") / F.col("n_risk")
+            ),
+        )
+    ).over(prefix)
+    return km.select(
+        F.col("dur").cast("int").alias("t_days"),
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.when(dead == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.coalesce(logsum, F.lit(0.0))), 6))
+        .alias("survival"),
+    )

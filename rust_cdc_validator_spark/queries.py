@@ -9112,8 +9112,11 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trend + hour-of-day seasonality, as residual z-scores — the
     classical decomposition-based detector (a spike the daily rhythm
     cannot explain). Top-20 by |z| with a tick tie-break; the z
-    denominator is the residuals' sample stddev assembled from exact
-    decimal sums, so the whole screen replays in SQL."""
+    denominator is the residuals' sample stddev via the TWO-PASS exact
+    decimal sum of squared deviations — non-negative by construction
+    (the one-pass n·Σr² − (Σr)² form cancels to a tiny NEGATIVE double
+    when residuals are near-identical, which DuckDB's sqrt rejects
+    outright), so the whole screen replays in SQL at every SF."""
     from rust_cdc_validator_spark.operators.timeseries import (
         seasonal_residuals,
     )
@@ -9123,27 +9126,27 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ts_ns div {_NS_PER_HOUR}").alias("hour_bucket")
     ).agg((_dsum(F.col("value")) / F.count(F.lit(1))).alias("mean_value"))
     res = seasonal_residuals(hourly, "hour_bucket", "mean_value", period=24)
+    res = res.localCheckpoint(eager=False)
     dec = "decimal(38,12)"
-    stats = res.agg(
+    mean_rel = res.agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum(F.col("residual").cast(dec)).alias("_sr"),
-        F.sum((F.col("residual") * F.col("residual")).cast(dec)).alias(
-            "_srr"
+        (F.sum(F.col("residual").cast(dec)).cast("double") / F.count(F.lit(1))).alias(
+            "_mu"
         ),
     )
-    std = F.sqrt(
-        (
-            F.col("_n") * F.col("_srr").cast("double")
-            - F.col("_sr").cast("double") * F.col("_sr").cast("double")
-        )
-        / (F.col("_n") * (F.col("_n") - 1))
+    dev = F.col("residual") - F.col("_mu")
+    s2_rel = res.crossJoin(F.broadcast(mean_rel)).agg(
+        F.max("_n").alias("_n"),
+        F.sum((dev * dev).cast(dec)).cast("double").alias("_s2"),
     )
+    std = F.sqrt(F.col("_s2") / (F.col("_n") - 1))
+    z = F.when(F.col("_s2") > 0, F.round(F.col("residual") / std, 6))
     return (
-        res.crossJoin(F.broadcast(stats))
+        res.crossJoin(F.broadcast(s2_rel))
         .select(
             F.col("tick").alias("hour_bucket"),
             F.round("residual", 6).alias("residual_r"),
-            F.round(F.col("residual") / std, 6).alias("z_r"),
+            z.alias("z_r"),
         )
         .orderBy(F.abs(F.col("z_r")).desc(), "hour_bucket")
         .limit(20)
@@ -9187,22 +9190,80 @@ WITH hourly AS (
   WHERE tr.trend IS NOT NULL
 ), stats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         SUM(CAST(residual AS DECIMAL(38,12))) AS sr,
-         SUM(CAST(residual * residual AS DECIMAL(38,12))) AS srr
+         CAST(SUM(CAST(residual AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mu
   FROM res
+), s2s AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(CAST((residual - mu) * (residual - mu)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM res CROSS JOIN stats
 )
 SELECT t AS hour_bucket,
        round(residual, 6) AS residual_r,
-       round(residual / sqrt(
-         (n * CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
-         / (n * (n - 1))
-       ), 6) AS z_r
-FROM res CROSS JOIN stats
-ORDER BY abs(round(residual / sqrt(
-         (n * CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
-         / (n * (n - 1))
-       ), 6)) DESC, hour_bucket
+       CASE WHEN s2 > 0
+            THEN round(residual / sqrt(s2 / (n - 1)), 6) END AS z_r
+FROM res CROSS JOIN s2s
+ORDER BY abs(CASE WHEN s2 > 0
+                  THEN round(residual / sqrt(s2 / (n - 1)), 6) END) DESC,
+         hour_bucket
 LIMIT 20
+"""
+
+
+def customer_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier product-limit survival of customer re-order gaps
+    (operators/timeseries.kaplan_meier): every consecutive order pair is
+    an observed "re-ordered after t days" duration; the stretch from each
+    customer's last order to the dataset horizon is right-CENSORED —
+    single-order customers contribute only censoring, which a naive
+    average-gap metric silently drops. Output is the full KM table
+    (risk set, events, censorings, survival) per distinct gap duration;
+    the oracle replays the identical estimator, including the
+    events-before-censorings tie rule and the sticky exact-zero guard."""
+    from rust_cdc_validator_spark.operators.timeseries import kaplan_meier
+
+    orders = _t(spark, sf_dir, "orders")
+    return kaplan_meier(orders, "o_custkey", "o_orderdate")
+
+
+CUSTOMER_REORDER_SURVIVAL_SQL = """
+WITH ev AS (
+  SELECT o_custkey AS u, o_orderdate AS d FROM orders
+), g AS (
+  SELECT date_diff('day', lag(d) OVER (PARTITION BY u ORDER BY d), d) AS dur,
+         1 AS ev
+  FROM ev
+), hz AS (
+  SELECT MAX(d) AS h FROM ev
+), cens AS (
+  SELECT date_diff('day', MAX(d), (SELECT h FROM hz)) AS dur, 0 AS ev
+  FROM ev GROUP BY u
+), obs AS (
+  SELECT dur, ev FROM g WHERE dur IS NOT NULL
+  UNION ALL SELECT dur, ev FROM cens
+), agg AS (
+  SELECT dur,
+         CAST(SUM(ev) AS BIGINT) AS n_events,
+         CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+  FROM obs GROUP BY dur
+), km AS (
+  SELECT dur, n_events, n_censored,
+         CAST(SUM(n_events + n_censored) OVER (
+           ORDER BY dur ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+         ) AS BIGINT) AS n_risk
+  FROM agg
+)
+SELECT CAST(dur AS INT) AS t_days, n_risk, n_events, n_censored,
+       CASE WHEN MAX(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
+                 OVER pre = 1
+            THEN 0.0
+            ELSE round(exp(COALESCE(SUM(
+                   CASE WHEN n_events < n_risk
+                        THEN ln(1 - n_events * 1.0 / n_risk) END
+                 ) OVER pre, 0.0)), 6)
+       END AS survival
+FROM km
+WINDOW pre AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
 
@@ -9402,6 +9463,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_pair_calibration": embedding_pair_calibration,
     "referential_integrity_report": referential_integrity_report,
     "orders_benford_drift": orders_benford_drift,
+    "customer_reorder_survival": customer_reorder_survival,
 }
 
 ORACLES: dict[str, str] = {
@@ -9578,6 +9640,7 @@ ORACLES: dict[str, str] = {
     "embedding_pair_calibration": EMBEDDING_PAIR_CALIBRATION_SQL,
     "referential_integrity_report": REFERENTIAL_INTEGRITY_SQL,
     "orders_benford_drift": ORDERS_BENFORD_DRIFT_SQL,
+    "customer_reorder_survival": CUSTOMER_REORDER_SURVIVAL_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /

@@ -287,3 +287,77 @@ def test_seasonal_residuals_recover_planted_anomaly(spark):
            seasonal_decompose(df, "t", "x", period=4).collect()}
     for r in rows.values():
         assert r["seasonal"] == agg[r["phase"]]
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_kaplan_meier_hand_computed(spark):
+    """Planted history, KM worked by hand.
+
+    Horizon = 2024-01-31 (max date). Subjects:
+      a: orders on 01, 11, 21  -> gaps 10, 10 observed; censored 10 (21->31)
+      b: orders on 01, 06      -> gap 5 observed; censored 25
+      c: order  on 01          -> censored 30 only
+    Observations: events {5, 10, 10}, censored {10, 25, 30}.
+      t=5:  n=6, d=1, c=0 -> S = 5/6
+      t=10: n=5, d=2, c=1 -> S = 5/6 * 3/5 = 0.5
+      t=25: n=2, d=0, c=1 -> S = 0.5
+      t=30: n=1, d=0, c=1 -> S = 0.5
+    """
+    from rust_cdc_validator_spark.operators.timeseries import kaplan_meier
+
+    rows = [
+        ("a", "2024-01-01"), ("a", "2024-01-11"), ("a", "2024-01-21"),
+        ("b", "2024-01-01"), ("b", "2024-01-06"),
+        ("c", "2024-01-01"),
+    ]
+    df = spark.createDataFrame(rows, "u string, d string")
+    out = {
+        r["t_days"]: (
+            r["n_risk"], r["n_events"], r["n_censored"], r["survival"]
+        )
+        for r in kaplan_meier(df, "u", "d", horizon="2024-01-31").collect()
+    }
+    assert out[5] == (6, 1, 0, round(5 / 6, 6))
+    assert out[10] == (5, 2, 1, 0.5)
+    assert out[25] == (2, 0, 1, 0.5)
+    assert out[30] == (1, 0, 1, 0.5)
+    assert set(out) == {5, 10, 25, 30}
+
+
+def test_kaplan_meier_exact_zero_tail(spark):
+    """When every subject at the last risk set dies (d == n), survival is
+    EXACT 0.0 — carried by the sticky flag, not ln(0) (which DuckDB
+    rejects and Spark silently NULLs out of the sum)."""
+    from rust_cdc_validator_spark.operators.timeseries import kaplan_meier
+
+    # Horizon forced past the data so the final gaps are all events with
+    # zero-length censoring rows landing at dur=0... instead pin horizon
+    # exactly at each subject's last date: censored durs collapse to 0.
+    rows = [
+        ("a", "2024-01-01"), ("a", "2024-01-11"),
+        ("b", "2024-01-01"), ("b", "2024-01-11"),
+    ]
+    df = spark.createDataFrame(rows, "u string, d string")
+    out = {
+        r["t_days"]: r["survival"]
+        for r in kaplan_meier(df, "u", "d").collect()
+    }
+    # obs: events {10, 10}, censored {0, 0} (last->horizon=last)
+    # t=0: n=4, d=0, c=2 -> S=1.0 ; t=10: n=2, d=2 -> S=0.0 exactly
+    assert out[0] == 1.0
+    assert out[10] == 0.0
+
+
+def test_kaplan_meier_single_event_subjects_only_censor(spark):
+    from rust_cdc_validator_spark.operators.timeseries import kaplan_meier
+
+    rows = [("a", "2024-01-01"), ("b", "2024-01-06")]
+    df = spark.createDataFrame(rows, "u string, d string")
+    out = kaplan_meier(df, "u", "d").collect()
+    # no observed events anywhere -> survival stays 1.0 on every row
+    assert all(r["survival"] == 1.0 for r in out)
+    assert sum(r["n_events"] for r in out) == 0
