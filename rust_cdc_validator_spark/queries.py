@@ -9267,6 +9267,97 @@ WINDOW pre AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
 
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by FIRST-order month,
+    then cumulative revenue per cohort member at each month of age — the
+    revenue companion to ``events_retention_cohorts`` (which only counts
+    activity). The running total stays an exact DECIMAL through the
+    cohort-partitioned window (ages per cohort are bounded by the date
+    span, so the frame buffer is tiny) and is cast to double once at the
+    end; cohort size joins back as a broadcast (one row per month).
+
+    Scale shape: one groupBy on customer (first month), one groupBy on
+    (cohort, age) — the fact table never shuffles wider than
+    (cust, month, price); the cumulative window partitions BY COHORT, so
+    it parallelizes across cohorts.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    dec = "decimal(18,2)"
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    o = orders.select(
+        F.col("o_custkey").alias("u"),
+        ym.alias("ym"),
+        F.col("o_totalprice").alias("p"),
+    )
+    first = o.groupBy("u").agg(F.min("ym").alias("cohort_ym"))
+    sizes = first.groupBy("cohort_ym").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    rev = (
+        o.join(first, "u")
+        .groupBy(
+            "cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("age_months")
+        )
+        .agg(F.sum(F.col("p").cast(dec)).alias("_mrev"))
+    )
+    w = (
+        Window.partitionBy("cohort_ym")
+        .orderBy(F.col("age_months").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.withColumn("_cum", F.sum("_mrev").over(w))
+        .join(F.broadcast(sizes), "cohort_ym")
+        .select(
+            (F.floor((F.col("cohort_ym") - 1) / 12)).cast("int").alias(
+                "cohort_year"
+            ),
+            ((F.col("cohort_ym") - 1) % 12 + 1).cast("int").alias(
+                "cohort_month"
+            ),
+            F.col("age_months").cast("int").alias("age_months"),
+            "cohort_size",
+            F.col("_mrev").cast("double").alias("month_revenue"),
+            F.col("_cum").cast("double").alias("cum_revenue"),
+            (F.col("_cum").cast("double") / F.col("cohort_size")).alias(
+                "ltv"
+            ),
+        )
+    )
+
+
+CUSTOMER_COHORT_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey AS u,
+         year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+         o_totalprice AS p
+  FROM orders
+), f AS (
+  SELECT u, MIN(ym) AS cohort_ym FROM o GROUP BY u
+), s AS (
+  SELECT cohort_ym, COUNT(*) AS cohort_size FROM f GROUP BY cohort_ym
+), r AS (
+  SELECT f.cohort_ym, o.ym - f.cohort_ym AS age_months,
+         SUM(CAST(p AS DECIMAL(18,2))) AS mrev
+  FROM o JOIN f ON o.u = f.u
+  GROUP BY 1, 2
+), c AS (
+  SELECT cohort_ym, age_months, mrev,
+         SUM(mrev) OVER (PARTITION BY cohort_ym ORDER BY age_months
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM r
+)
+SELECT CAST(floor((c.cohort_ym - 1) / 12) AS INT) AS cohort_year,
+       CAST((c.cohort_ym - 1) % 12 + 1 AS INT) AS cohort_month,
+       CAST(c.age_months AS INT) AS age_months,
+       s.cohort_size,
+       CAST(c.mrev AS DOUBLE) AS month_revenue,
+       CAST(c.cum AS DOUBLE) AS cum_revenue,
+       CAST(c.cum AS DOUBLE) / s.cohort_size AS ltv
+FROM c JOIN s ON c.cohort_ym = s.cohort_ym
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -9464,6 +9555,7 @@ QUERIES: dict[str, QueryFn] = {
     "referential_integrity_report": referential_integrity_report,
     "orders_benford_drift": orders_benford_drift,
     "customer_reorder_survival": customer_reorder_survival,
+    "customer_cohort_ltv": customer_cohort_ltv,
 }
 
 ORACLES: dict[str, str] = {
@@ -9641,6 +9733,7 @@ ORACLES: dict[str, str] = {
     "referential_integrity_report": REFERENTIAL_INTEGRITY_SQL,
     "orders_benford_drift": ORDERS_BENFORD_DRIFT_SQL,
     "customer_reorder_survival": CUSTOMER_REORDER_SURVIVAL_SQL,
+    "customer_cohort_ltv": CUSTOMER_COHORT_LTV_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /
