@@ -9358,6 +9358,83 @@ FROM c JOIN s ON c.cohort_ym = s.cohort_ym
 """
 
 
+def nation_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration metrics per nation: Herfindahl–Hirschman index
+    (Σ share²) and Gini coefficient of customer revenue — "is this
+    nation's revenue spread across its customers or owned by a few
+    whales". Every sum that crosses rows is EXACT decimal (rev, rev²,
+    rank·rev — ranks tie-break on custkey so the sorted-formula Gini is
+    deterministic); the handful of divisions happen once, in double, at
+    the end, replayed in the identical order by the oracle.
+
+    Scale shape: orders pre-aggregates to one row per customer BEFORE
+    joining the customer dim (map-side combine on o_custkey), the nation
+    attach is a broadcast, and the rank window partitions by nation — 25
+    independent sorts of per-customer rollups, never raw orders.
+    """
+    dec = "decimal(18,2)"
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    cr = orders.groupBy(F.col("o_custkey").alias("u")).agg(
+        F.sum(F.col("o_totalprice").cast(dec)).alias("rev")
+    )
+    cn = (
+        cr.join(cust, cr["u"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .select("n_name", "u", "rev")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("n_name").orderBy(
+                    F.col("rev").asc(), F.col("u").asc()
+                )
+            ),
+        )
+    )
+    agg = cn.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").alias("_tot"),
+        F.sum(F.col("rev") * F.col("rev")).alias("_ss"),
+        F.sum(F.col("rk") * F.col("rev")).alias("_srx"),
+    )
+    tot_d = F.col("_tot").cast("double")
+    n = F.col("n_customers")
+    return agg.select(
+        "n_name",
+        "n_customers",
+        tot_d.alias("revenue"),
+        (F.col("_ss").cast("double") / (tot_d * tot_d)).alias("hhi"),
+        (
+            (F.lit(2.0) * F.col("_srx").cast("double")) / (n * tot_d)
+            - (n + F.lit(1.0)) / n
+        ).alias("gini"),
+    )
+
+
+NATION_REVENUE_CONCENTRATION_SQL = """
+WITH cr AS (
+  SELECT o_custkey AS u, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY u
+), cn AS (
+  SELECT n_name, cr.u, cr.rev,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY cr.rev, cr.u) AS rk
+  FROM cr JOIN customer ON cr.u = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(rev) AS DOUBLE) AS revenue,
+       CAST(SUM(rev * rev) AS DOUBLE)
+         / (CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)) AS hhi,
+       (2.0 * CAST(SUM(rk * rev) AS DOUBLE))
+         / (COUNT(*) * CAST(SUM(rev) AS DOUBLE))
+         - (COUNT(*) + 1.0) / COUNT(*) AS gini
+FROM cn GROUP BY n_name
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -9556,6 +9633,7 @@ QUERIES: dict[str, QueryFn] = {
     "orders_benford_drift": orders_benford_drift,
     "customer_reorder_survival": customer_reorder_survival,
     "customer_cohort_ltv": customer_cohort_ltv,
+    "nation_revenue_concentration": nation_revenue_concentration,
 }
 
 ORACLES: dict[str, str] = {
@@ -9734,6 +9812,7 @@ ORACLES: dict[str, str] = {
     "orders_benford_drift": ORDERS_BENFORD_DRIFT_SQL,
     "customer_reorder_survival": CUSTOMER_REORDER_SURVIVAL_SQL,
     "customer_cohort_ltv": CUSTOMER_COHORT_LTV_SQL,
+    "nation_revenue_concentration": NATION_REVENUE_CONCENTRATION_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /
