@@ -71,6 +71,7 @@ __all__ = [
     "clustering_coefficient_from_state",
     "adamic_adar_from_state",
     "hits_from_state",
+    "harmonic_closeness_from_state",
 ]
 
 
@@ -513,4 +514,93 @@ def hits_from_state(
     )
     return _hits_loop(
         e, nodes, 0 < n * _rrb <= threshold, iterations, checkpoint
+    )
+
+
+def harmonic_closeness_from_state(
+    spark: SparkSession,
+    path: str,
+    pivots: DataFrame,
+    max_hops: int = 4,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Pivot-sampled harmonic centrality (Boldi & Vigna, "Axioms for
+    Centrality" 2014; Eppstein–Wang pivot sampling) over persisted edge
+    state: one labeled multi-source BFS carries (pivot, node) frontiers
+    for ALL pivots simultaneously — k pivots cost ONE set of supersteps,
+    not k BFS runs — then each node's closeness estimate is
+    Σ_{pivots p, d(p,n) >= 1} 1 / d(p,n).
+
+    The reciprocal sum is EXACT: distances are small integers, so each
+    term is accumulated as the integer ``lcm(1..max_hops) / d`` and the
+    single division by the lcm happens once, in double, at the end —
+    order-independent, hence engine-portable for the oracle (a plain
+    double Σ 1/d would hash differently per shuffle order).
+
+    Returns (node, n_reached, harmonic) for every node some pivot
+    reaches within ``max_hops``; a pivot does not count toward its own
+    centrality (d = 0 excluded). Scale shape: identical to
+    :func:`shortest_hops_from_state` with state rows multiplied by the
+    pivot fan-out (bounded by k·|V|); the same exact-count broadcast
+    gates apply to the frontier-expansion and settled anti-joins.
+    """
+    import math
+
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    e = edge_state_adjacency(spark, path).select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d")
+    )
+    threshold = _parse_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+    )
+    # (pivot, node) rows are two node ids wide — reuse the rank-row bound
+    # doubled as the conservative per-row estimate for the gates.
+    row_bytes = 2 * _RANK_ROW_BYTES
+    dist = pivots.select(F.col("node").alias("pivot")).distinct().select(
+        "pivot",
+        F.col("pivot").alias("node"),
+        F.lit(0).cast("int").alias("hops"),
+    )
+    if checkpoint:
+        dist = dist.localCheckpoint(eager=True)
+    frontier = dist.select("pivot", "node")
+    n_frontier = n_settled = dist.count()
+    for h in range(1, max_hops + 1):
+        fside = (
+            F.broadcast(frontier)
+            if 0 < n_frontier * row_bytes <= threshold
+            else frontier
+        )
+        cand = (
+            fside.join(e, fside["node"] == e["_s"])
+            .select("pivot", F.col("_d").alias("node"))
+            .distinct()
+        )
+        settled = dist.select("pivot", "node")
+        if 0 < n_settled * row_bytes <= threshold:
+            settled = F.broadcast(settled)
+        new = cand.join(settled, ["pivot", "node"], "left_anti").select(
+            "pivot", "node", F.lit(h).cast("int").alias("hops")
+        )
+        if checkpoint:
+            new = new.localCheckpoint(eager=True)
+        n_frontier = new.count()
+        if n_frontier == 0:
+            break
+        dist = dist.unionAll(new)
+        n_settled += n_frontier
+        frontier = new.select("pivot", "node")
+    scale = math.lcm(*range(1, max_hops + 1))
+    return (
+        dist.filter(F.col("hops") > 0)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            (
+                F.sum((F.lit(scale) / F.col("hops")).cast("long"))
+                .cast("double")
+                / F.lit(float(scale))
+            ).alias("harmonic"),
+        )
     )

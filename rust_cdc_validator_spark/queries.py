@@ -9435,6 +9435,57 @@ FROM cn GROUP BY n_name
 """
 
 
+def trade_network_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled harmonic centrality over the persisted trade edge
+    state (operators/graphstate.harmonic_closeness_from_state): one
+    labeled multi-source BFS from a deterministic supplier pivot sample
+    (s_suppkey % 12 == 1 — the sample grows with the graph), each node
+    scored Σ 1/d over pivots within 4 hops. The reciprocal sum is exact
+    (lcm-scaled integers, one final division), so the whole estimate —
+    sampling, distances, scores — replays as a bounded-depth recursive
+    CTE in the oracle."""
+    from rust_cdc_validator_spark.operators.graphstate import (
+        harmonic_closeness_from_state,
+    )
+
+    sup = _t(spark, sf_dir, "supplier")
+    pivots = sup.filter(F.col("s_suppkey") % 12 == 1).select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+    )
+    return harmonic_closeness_from_state(
+        spark, _trade_edge_state_for(spark, sf_dir), pivots, max_hops=4
+    )
+
+
+TRADE_NETWORK_CLOSENESS_SQL = """
+WITH RECURSIVE
+pair AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+e AS (SELECT a AS s, b AS d FROM pair UNION ALL SELECT b AS s, a AS d FROM pair),
+seeds AS (
+  SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS pv
+  FROM supplier WHERE s_suppkey % 12 = 1
+),
+walk(pv, node, h) AS (
+  SELECT pv, pv, 0 FROM seeds
+  UNION
+  SELECT w.pv, e.d, w.h + 1 FROM walk w JOIN e ON e.s = w.node
+  WHERE w.h < 4
+),
+d AS (
+  SELECT pv, node, MIN(h) AS dist FROM walk GROUP BY pv, node
+)
+SELECT node,
+       CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(CAST(12 / dist AS BIGINT)) AS DOUBLE) / 12.0 AS harmonic
+FROM d WHERE dist > 0
+GROUP BY node
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -9634,6 +9685,7 @@ QUERIES: dict[str, QueryFn] = {
     "customer_reorder_survival": customer_reorder_survival,
     "customer_cohort_ltv": customer_cohort_ltv,
     "nation_revenue_concentration": nation_revenue_concentration,
+    "trade_network_closeness": trade_network_closeness,
 }
 
 ORACLES: dict[str, str] = {
@@ -9813,6 +9865,7 @@ ORACLES: dict[str, str] = {
     "customer_reorder_survival": CUSTOMER_REORDER_SURVIVAL_SQL,
     "customer_cohort_ltv": CUSTOMER_COHORT_LTV_SQL,
     "nation_revenue_concentration": NATION_REVENUE_CONCENTRATION_SQL,
+    "trade_network_closeness": TRADE_NETWORK_CLOSENESS_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /

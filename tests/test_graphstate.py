@@ -259,3 +259,55 @@ def test_hits_from_state_equals_direct(spark, tmp_path):
     state = {r["node"]: (r["hub"], r["auth"])
              for r in hits_from_state(spark, path, "c", iterations=3).collect()}
     assert direct == state
+
+
+# ---------------------------------------------------------------------------
+# Harmonic closeness from pivots (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_harmonic_closeness_matches_per_pivot_bfs(spark, state_path):
+    """The one-pass labeled multi-source BFS must agree with running the
+    plain BFS once per pivot and summing reciprocals by hand."""
+    from rust_cdc_validator_spark.operators.graphstate import (
+        harmonic_closeness_from_state,
+    )
+
+    pivots = ["a", "d"]
+    pdf = spark.createDataFrame([(p,) for p in pivots], "node string")
+    got = {
+        r["node"]: (r["n_reached"], r["harmonic"])
+        for r in harmonic_closeness_from_state(
+            spark, state_path, pdf, max_hops=4
+        ).collect()
+    }
+    # reference: per-pivot single-source BFS
+    expected: dict[str, list[int]] = {}
+    for p in pivots:
+        seeds = spark.createDataFrame([(p,)], "node string")
+        for r in shortest_hops_from_state(
+            spark, state_path, seeds, max_hops=4
+        ).collect():
+            if r["hops"] > 0:
+                expected.setdefault(r["node"], []).append(r["hops"])
+    for node, dists in expected.items():
+        want = (len(dists), sum(12 // d for d in dists) / 12.0)
+        assert got[node] == want, (node, got[node], want)
+    assert set(got) == set(expected)
+
+
+def test_harmonic_closeness_pivot_excludes_self(spark, state_path):
+    from rust_cdc_validator_spark.operators.graphstate import (
+        harmonic_closeness_from_state,
+    )
+
+    pdf = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_closeness_from_state(
+            spark, state_path, pdf, max_hops=2
+        ).collect()
+    }
+    # chain a-b(1) a-c(1) c-d(2); "a" itself (d=0) must not appear
+    assert "a" not in got
+    assert got["b"] == 1.0 and got["c"] == 1.0 and got["d"] == 0.5
