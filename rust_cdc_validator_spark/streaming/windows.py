@@ -44,6 +44,53 @@ def windowed_counts(
     )
 
 
+def session_rollup(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Event-time session windows via Spark's BUILT-IN ``session_window``
+    — the declarative sibling of :func:`sessionize_stateful`: the engine
+    merges events within ``gap`` of each other into one growing window
+    per key, holds it in the streaming state store, and emits the closed
+    session when the watermark passes its end. No Python state function
+    runs anywhere — the whole operator is JVM-side (codegen'd merge +
+    RocksDB-compatible state), which is the right default; reach for the
+    ``applyInPandasWithState`` variant only when the session payload
+    needs custom Python logic the built-in aggregation can't express.
+
+    Late data beyond ``watermark`` is dropped (the same contract as the
+    tumbling windows); out-of-order data WITHIN the watermark lands in
+    the correct session even across micro-batches — the property the
+    order-sensitive stateful fold only gets from its per-batch sort.
+
+    Scale shape: one shuffle on ``key_col``; state is one (start, end,
+    aggregates) tuple per OPEN session per key — bounded by watermark
+    lag, independent of history length.
+    """
+    agg = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        agg.append(F.sum(value_col).alias("sum_value"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sess"),
+            F.col(key_col),
+        )
+        .agg(*agg)
+        .select(
+            F.col(key_col),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            *(["sum_value"] if value_col is not None else []),
+        )
+    )
+
+
 _STATE_SCHEMA = T.StructType(
     [T.StructField("total", T.DoubleType()), T.StructField("n", T.LongType())]
 )

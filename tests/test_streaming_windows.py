@@ -930,3 +930,103 @@ def test_psi_stream_empty_baseline_raises(spark):
     stream = spark.readStream.format("rate").load()
     with pytest.raises(ValueError, match="baseline"):
         psi_stream(stream, empty, value_col="value", ts_col="timestamp")
+
+
+# ---------------------------------------------------------------------------
+# Built-in session windows (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_session_rollup_builtin_session_window(spark, tmp_path):
+    """Two sessions per the 30-min gap, correct even though the second
+    batch delivers an EARLIER event (out-of-order within the watermark) —
+    the property the order-sensitive stateful fold only gets per-batch."""
+    from rust_cdc_validator_spark.streaming.windows import session_rollup
+
+    src = tmp_path / "sess_events"
+    src.mkdir()
+    # batch 1: u1 at 00:00, 00:10; then a gap; u1 at 01:00
+    _write_events(
+        str(src / "b1.parquet"),
+        [((0, 0), 1, "click", 1.0), ((0, 10), 1, "click", 2.0),
+         ((1, 0), 1, "click", 4.0)],
+    )
+    # batch 2: late-but-within-watermark event at 00:20 — belongs to the
+    # FIRST session; plus a far-future row to push the watermark past
+    # every session end so both emit.
+    _write_events(
+        str(src / "b2.parquet"),
+        [((0, 20), 1, "click", 8.0), ((9, 0), 2, "click", 0.5)],
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = session_rollup(stream, gap="30 minutes", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory").queryName("sess_rollup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["user_id"], r["session_start"].hour, r["session_start"].minute): (
+            r["n_events"], r["sum_value"]
+        )
+        for r in spark.sql("SELECT * FROM sess_rollup").collect()
+    }
+    # u1 session 1: 00:00-00:20 (3 events incl. the out-of-order 00:20)
+    assert rows[(1, 0, 0)] == (3, 11.0)
+    # u1 session 2: the lone 01:00 event
+    assert rows[(1, 1, 0)] == (1, 4.0)
+    # u2's 09:00 session stays OPEN (watermark never passes it) — append
+    # mode must not have emitted it
+    assert (2, 9, 0) not in rows
+
+
+def test_session_rollup_matches_batch_sessionize(spark, tmp_path):
+    """Session boundaries from the built-in session_window equal the
+    batch lag-gap sessionization on the same ordered feed."""
+    from rust_cdc_validator_spark.streaming.windows import session_rollup
+
+    rows = [((0, 0), 1, "a", 1.0), ((0, 10), 1, "a", 1.0),
+            ((1, 0), 1, "a", 1.0), ((0, 5), 2, "a", 1.0),
+            ((2, 0), 3, "a", 1.0)]
+    src = tmp_path / "sess_eq"
+    src.mkdir()
+    _write_events(str(src / "b1.parquet"), rows)
+    # sentinel far in the future closes everything
+    _write_events(str(src / "zz.parquet"), [((23, 59), 99, "zz", 0.0)])
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    out = session_rollup(stream, gap="30 minutes", watermark="1 minute")
+    q = (
+        out.writeStream.format("memory").queryName("sess_eq")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"].strftime("%H:%M"), r["n_events"])
+        for r in spark.sql(
+            "SELECT * FROM sess_eq WHERE user_id != 99"
+        ).collect()
+    }
+    # batch reference: per-key lag > 30min starts a new session
+    import datetime as dt
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for (h, m), u, _, _ in rows:
+        by_key[u].append(dt.datetime(2024, 1, 1, h, m))
+    want = set()
+    for u, ts_list in by_key.items():
+        ts_list.sort()
+        start, n = ts_list[0], 1
+        prev = ts_list[0]
+        for t in ts_list[1:]:
+            if (t - prev).total_seconds() > 1800:
+                want.add((u, start.strftime("%H:%M"), n))
+                start, n = t, 0
+            n += 1
+            prev = t
+        want.add((u, start.strftime("%H:%M"), n))
+    assert got == want
