@@ -859,3 +859,54 @@ def psi_stream(
         F.col("_total").cast("long").alias("n_events"),
         psi.alias("psi"),
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+    lookback: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time interval condition:
+    each LEFT row pairs with the RIGHT rows of the same key whose
+    timestamp falls in ``[left_ts - lookback, left_ts]`` — the
+    "purchase joined to the views that preceded it" enrichment shape,
+    fully declarative (no Python state function; Spark's symmetric hash
+    join buffers both sides in the state store).
+
+    The interval condition is what makes unbounded stream-stream join
+    FEASIBLE: together with the watermarks it gives the engine an
+    eviction bound — a buffered right row can be dropped once the
+    watermark guarantees no future left row's lookback window can reach
+    it, so state is O(rate × (watermark + lookback)) per side, not
+    O(history). Without a time-range constraint Spark would have to
+    keep every row forever (and rejects outer variants outright).
+
+    ``how``: "inner" or "leftOuter" (left rows with no match emit with
+    nulls once the watermark closes their window — the standard funnel
+    "views that never converted" complement comes from rightOuter, but
+    the unmatched-side semantics are symmetric).
+
+    Columns are prefixed ``l_`` / ``r_`` so self-joins of one stream
+    (the common case: events against events) never collide.
+    """
+    lpref = left.select(
+        [F.col(c).alias(f"l_{c}") for c in left.columns]
+    ).withWatermark(f"l_{left_ts}", left_watermark)
+    rpref = right.select(
+        [F.col(c).alias(f"r_{c}") for c in right.columns]
+    ).withWatermark(f"r_{right_ts}", right_watermark)
+    cond = (
+        (F.col(f"l_{key_col}") == F.col(f"r_{key_col}"))
+        & (
+            F.col(f"r_{right_ts}")
+            >= F.col(f"l_{left_ts}") - F.expr(f"INTERVAL {lookback}")
+        )
+        & (F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}"))
+    )
+    return lpref.join(rpref, cond, how)

@@ -1030,3 +1030,87 @@ def test_session_rollup_matches_batch_sessionize(spark, tmp_path):
             prev = t
         want.add((u, start.strftime("%H:%M"), n))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_interval_join_inner(spark, tmp_path):
+    """Purchases join the same user's views within the preceding 30 min —
+    across micro-batches (the view arrives in an earlier batch than the
+    purchase) and never outside the window."""
+    from rust_cdc_validator_spark.streaming.windows import (
+        stream_interval_join,
+    )
+
+    vdir, pdir = tmp_path / "views", tmp_path / "purch"
+    vdir.mkdir(); pdir.mkdir()
+    _write_events(
+        str(vdir / "b1.parquet"),
+        [((0, 0), 1, "view", 1.0), ((0, 50), 1, "view", 2.0),
+         ((0, 5), 2, "view", 3.0)],
+    )
+    _write_events(
+        str(pdir / "b1.parquet"),
+        [((0, 20), 1, "purchase", 10.0),   # joins u1 view@00:00
+         ((1, 10), 1, "purchase", 20.0),   # joins u1 view@00:50
+         ((1, 0), 2, "purchase", 30.0)],   # u2 view@00:05 outside 30min
+    )
+    views = spark.readStream.schema(SCHEMA).parquet(str(vdir))
+    purch = spark.readStream.schema(SCHEMA).parquet(str(pdir))
+    joined = stream_interval_join(
+        purch, views, key_col="user_id", lookback="30 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssj")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["l_user_id"], r["l_value"], r["r_value"])
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    assert got == {(1, 10.0, 1.0), (1, 20.0, 2.0)}
+
+
+def test_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    from rust_cdc_validator_spark.streaming.windows import (
+        stream_interval_join,
+    )
+
+    vdir, pdir = tmp_path / "views2", tmp_path / "purch2"
+    vdir.mkdir(); pdir.mkdir()
+    # a far-future view pushes the views watermark forward so the
+    # unmatched left row's window provably closes
+    _write_events(
+        str(vdir / "b1.parquet"),
+        [((0, 0), 1, "view", 1.0), ((9, 0), 9, "view", 0.0)],
+    )
+    _write_events(
+        str(pdir / "b1.parquet"),
+        [((0, 10), 1, "purchase", 10.0),
+         ((0, 10), 2, "purchase", 30.0),   # no view for u2
+         ((9, 0), 9, "purchase", 0.0)],    # watermark pusher
+    )
+    views = spark.readStream.schema(SCHEMA).parquet(str(vdir))
+    purch = spark.readStream.schema(SCHEMA).parquet(str(pdir))
+    joined = stream_interval_join(
+        purch, views, key_col="user_id",
+        lookback="30 minutes", how="leftOuter",
+        left_watermark="10 minutes", right_watermark="10 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssj_outer")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["l_user_id"], r["r_user_id"])
+        for r in spark.sql(
+            "SELECT * FROM ssj_outer WHERE l_user_id IN (1, 2)"
+        ).collect()
+    }
+    assert (1, 1) in got          # matched pair
+    assert (2, None) in got       # unmatched left emitted with nulls
