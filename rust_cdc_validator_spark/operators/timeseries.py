@@ -649,3 +649,65 @@ def kaplan_meier(
         .otherwise(F.round(F.exp(F.coalesce(logsum, F.lit(0.0))), 6))
         .alias("survival"),
     )
+
+
+def ewma_smooth(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    terms: int = 8,
+) -> DataFrame:
+    """EWMA smoothing as a FINITE weighted window (Roberts 1959's control
+    statistic, truncated): the smoothed value at tick t is
+    Σ_{i<terms} (1-α)^i · x_{t-i} / Σ_{i<terms} (1-α)^i over the ticks
+    that exist — the infinite recursion's geometric tail is dropped
+    (≈5.8% of the weight mass at α=0.3, terms=8) because a recursive
+    definition is neither
+    shuffle-friendly nor SQL-replayable, while a fixed LAG fan is both.
+    Missing leading ticks (series start) shrink the denominator rather
+    than biasing toward zero.
+
+    ``deviation`` = value − EWMA of the PRECEDING ticks only (lag-1
+    applied to the smoothed column's inputs — i runs 1..terms), i.e. the
+    one-step-ahead forecast error the EWMA control chart alarms on.
+
+    Determinism contract: each weight is an exact double power, the
+    term additions are written in FIXED ascending-lag order, and every
+    engine evaluates the same nested-sum expression — no cross-row
+    shuffle-order float sums anywhere, so the oracle hashes match.
+
+    Scale shape: one window over the tick series per key-less series
+    (bounded: ticks, not rows — pre-aggregate to ticks first, as every
+    caller here does); ``terms`` LAG reads resolve inside ONE window
+    sort, not ``terms`` of them.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    if terms < 1:
+        raise ValueError("terms must be >= 1")
+    w = Window.orderBy(F.col(time_col).asc())
+    x = F.col(value_col)
+
+    def _weighted(start: int) -> tuple:
+        num = F.lit(0.0)
+        den = F.lit(0.0)
+        for i in range(start, terms + start):
+            wt = (1.0 - alpha) ** (i - start)
+            lagged = F.lag(x, i).over(w) if i else x
+            num = num + F.when(
+                lagged.isNotNull(), F.lit(wt) * lagged
+            ).otherwise(F.lit(0.0))
+            den = den + F.when(
+                lagged.isNotNull(), F.lit(wt)
+            ).otherwise(F.lit(0.0))
+        return num, den
+
+    num0, den0 = _weighted(0)
+    num1, den1 = _weighted(1)
+    return series.select(
+        F.col(time_col).alias("tick"),
+        x.alias("value"),
+        (num0 / den0).alias("ewma"),
+        F.when(den1 > 0, x - num1 / den1).alias("deviation"),
+    )

@@ -9486,6 +9486,58 @@ GROUP BY node
 """
 
 
+def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control line over the hourly mean event value
+    (operators/timeseries.ewma_smooth): exponential-decay smoothing as a
+    fixed 8-term LAG fan (α = 0.3), plus the one-step-ahead forecast
+    deviation the EWMA chart alarms on. Complements the uniform-window
+    rolling features and the seasonal-residual screen with recency-
+    weighted smoothing; every weight is an exact double power and the
+    term additions evaluate in fixed order, so the oracle replays the
+    identical nested sum."""
+    from rust_cdc_validator_spark.operators.timeseries import ewma_smooth
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.expr(f"ts_ns div {_NS_PER_HOUR}").alias("hour_bucket")
+    ).agg((_dsum(F.col("value")) / F.count(F.lit(1))).alias("mean_value"))
+    return ewma_smooth(hourly, "hour_bucket", "mean_value", alpha=0.3, terms=8)
+
+
+def _ewma_oracle_sql(alpha: float = 0.3, terms: int = 8) -> str:
+    """The oracle twin of ewma_smooth's fixed-order nested sums: weight
+    literals are repr() of the same Python doubles Spark embeds via
+    F.lit, and the additions chain left-associatively in the same
+    ascending-lag order."""
+
+    def weighted(start: int) -> tuple[str, str]:
+        num, den = "0.0", "0.0"
+        for i in range(start, terms + start):
+            wt = repr((1.0 - alpha) ** (i - start))
+            lagged = f"lag(x, {i}) OVER w" if i else "x"
+            num += f" + (CASE WHEN {lagged} IS NOT NULL THEN {wt} * ({lagged}) ELSE 0.0 END)"
+            den += f" + (CASE WHEN {lagged} IS NOT NULL THEN {wt} ELSE 0.0 END)"
+        return num, den
+
+    num0, den0 = weighted(0)
+    num1, den1 = weighted(1)
+    return f"""
+WITH hourly AS (
+  SELECT epoch_ns(ts) // {_NS_PER_HOUR} AS t,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS x
+  FROM events GROUP BY 1
+)
+SELECT t AS tick, x AS value,
+       ({num0}) / ({den0}) AS ewma,
+       CASE WHEN ({den1}) > 0 THEN x - ({num1}) / ({den1}) END AS deviation
+FROM hourly
+WINDOW w AS (ORDER BY t)
+"""
+
+
+EVENTS_VALUE_EWMA_SQL = _ewma_oracle_sql()
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -9686,6 +9738,7 @@ QUERIES: dict[str, QueryFn] = {
     "customer_cohort_ltv": customer_cohort_ltv,
     "nation_revenue_concentration": nation_revenue_concentration,
     "trade_network_closeness": trade_network_closeness,
+    "events_value_ewma": events_value_ewma,
 }
 
 ORACLES: dict[str, str] = {
@@ -9866,6 +9919,7 @@ ORACLES: dict[str, str] = {
     "customer_cohort_ltv": CUSTOMER_COHORT_LTV_SQL,
     "nation_revenue_concentration": NATION_REVENUE_CONCENTRATION_SQL,
     "trade_network_closeness": TRADE_NETWORK_CLOSENESS_SQL,
+    "events_value_ewma": EVENTS_VALUE_EWMA_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /

@@ -361,3 +361,48 @@ def test_kaplan_meier_single_event_subjects_only_censor(spark):
     # no observed events anywhere -> survival stays 1.0 on every row
     assert all(r["survival"] == 1.0 for r in out)
     assert sum(r["n_events"] for r in out) == 0
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_numpy_truncated_form(spark):
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.timeseries import ewma_smooth
+
+    xs = [10.0, 12.0, 9.0, 20.0, 15.0, 15.0, 3.0]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "t long, x double"
+    )
+    out = {
+        r["tick"]: (r["ewma"], r["deviation"])
+        for r in ewma_smooth(df, "t", "x", alpha=0.3, terms=4).collect()
+    }
+    a = 0.3
+    for t in range(len(xs)):
+        lags = [xs[t - i] for i in range(0, 4) if t - i >= 0]
+        ws = [(1 - a) ** i for i in range(len(lags))]
+        want = float(np.dot(ws, lags) / np.sum(ws))
+        assert abs(out[t][0] - want) < 1e-12, (t, out[t][0], want)
+        plags = [xs[t - i] for i in range(1, 5) if t - i >= 0]
+        if plags:
+            pws = [(1 - a) ** (i - 1) for i in range(1, len(plags) + 1)]
+            pwant = xs[t] - float(np.dot(pws, plags) / np.sum(pws))
+            assert abs(out[t][1] - pwant) < 1e-12
+        else:
+            assert out[t][1] is None
+
+
+def test_ewma_validation(spark):
+    import pytest as _pytest
+
+    from rust_cdc_validator_spark.operators.timeseries import ewma_smooth
+
+    df = spark.createDataFrame([(0, 1.0)], "t long, x double")
+    with _pytest.raises(ValueError):
+        ewma_smooth(df, "t", "x", alpha=0.0)
+    with _pytest.raises(ValueError):
+        ewma_smooth(df, "t", "x", terms=0)
