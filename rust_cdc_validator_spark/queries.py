@@ -9438,19 +9438,28 @@ FROM cn GROUP BY n_name
 def trade_network_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot-sampled harmonic centrality over the persisted trade edge
     state (operators/graphstate.harmonic_closeness_from_state): one
-    labeled multi-source BFS from a deterministic supplier pivot sample
-    (s_suppkey % 12 == 1 — the sample grows with the graph), each node
-    scored Σ 1/d over pivots within 4 hops. The reciprocal sum is exact
-    (lcm-scaled integers, one final division), so the whole estimate —
-    sampling, distances, scores — replays as a bounded-depth recursive
-    CTE in the oracle."""
+    labeled multi-source BFS from a FIXED-SIZE deterministic pivot
+    sample — the 16 suppliers with the smallest md5(suppkey), i.e. a
+    uniform hash sample whose size does NOT grow with the graph
+    (Eppstein–Wang: estimator error depends on k alone, so k is a
+    precision knob, not a function of |V|; a %-of-keys sample made this
+    query's labeled frontier k·|V| with k ∝ |V| — quadratic). Each node
+    scores Σ 1/d over pivots within 4 hops; the reciprocal sum is exact
+    (lcm-scaled integers, one final division), so sampling, distances,
+    and scores all replay as a bounded-depth recursive CTE oracle."""
     from rust_cdc_validator_spark.operators.graphstate import (
         harmonic_closeness_from_state,
     )
 
     sup = _t(spark, sf_dir, "supplier")
-    pivots = sup.filter(F.col("s_suppkey") % 12 == 1).select(
-        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+    pivots = (
+        sup.select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias(
+                "node"
+            )
+        )
+        .orderBy(F.md5(F.col("node")))
+        .limit(16)
     )
     return harmonic_closeness_from_state(
         spark, _trade_edge_state_for(spark, sf_dir), pivots, max_hops=4
@@ -9466,8 +9475,10 @@ pair AS (
 ),
 e AS (SELECT a AS s, b AS d FROM pair UNION ALL SELECT b AS s, a AS d FROM pair),
 seeds AS (
-  SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS pv
-  FROM supplier WHERE s_suppkey % 12 = 1
+  SELECT 's' || CAST(s_suppkey AS VARCHAR) AS pv
+  FROM supplier
+  ORDER BY md5('s' || CAST(s_suppkey AS VARCHAR))
+  LIMIT 16
 ),
 walk(pv, node, h) AS (
   SELECT pv, pv, 0 FROM seeds
