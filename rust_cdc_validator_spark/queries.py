@@ -9549,6 +9549,92 @@ WINDOW w AS (ORDER BY t)
 EVENTS_VALUE_EWMA_SQL = _ewma_oracle_sql()
 
 
+def orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table fact reconciliation — the reference's validation
+    mission (row counts + value diffs between two copies) applied to a
+    DERIVABLE invariant: per order, o_totalprice vs the recomputed
+    Σ extendedprice·(1−discount)·(1+tax) over its lineitems, reported
+    per order status as consistent / inconsistent / missing-lineitems
+    counts with the worst absolute gap. Every per-row product is double
+    (IEEE-identical in both engines), every cross-row sum and the diff
+    comparison are exact DECIMAL, and the ±0.01 tolerance compares in
+    decimal too — no float threshold flicker.
+
+    Scale shape: lineitem pre-aggregates to order grain FIRST (map-side
+    combine on l_orderkey), then ONE co-partitioned join on the order
+    key — the canonical sort-merge shape for fact-to-fact
+    reconciliation at 100 TB — and the status rollup is a tiny final
+    agg. Nothing wider than (orderkey, decimal, count) shuffles.
+    """
+    dec = "decimal(24,8)"
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    charge = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    )
+    roll = li.groupBy("l_orderkey").agg(
+        F.sum(charge.cast(dec)).alias("_recomputed"),
+        F.count(F.lit(1)).alias("_n_lines"),
+    )
+    diff = F.col("o_totalprice").cast("decimal(18,2)") - F.col("_recomputed")
+    tol = F.lit("0.01").cast(dec)
+    j = orders.join(
+        roll, orders["o_orderkey"] == roll["l_orderkey"], "left"
+    ).select(
+        "o_orderstatus",
+        F.col("o_totalprice").alias("_tp"),
+        "_recomputed",
+        diff.alias("_diff"),
+        (F.abs(diff) <= tol).alias("_ok"),
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.when(F.col("_recomputed").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_missing_lineitems"),
+        F.sum(F.when(F.col("_ok"), 1).otherwise(0)).cast("long").alias(
+            "n_consistent"
+        ),
+        F.sum(
+            F.when(
+                F.col("_recomputed").isNotNull() & ~F.col("_ok"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_inconsistent"),
+        F.max(F.abs(F.col("_diff"))).cast("double").alias("max_abs_diff"),
+        _dsum(F.col("_tp")).alias("sum_totalprice"),
+        F.sum("_recomputed").cast("double").alias("sum_recomputed"),
+    )
+
+
+ORDERS_LINEITEM_RECONCILIATION_SQL = """
+WITH roll AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                  AS DECIMAL(24,8))) AS recomputed
+  FROM lineitem GROUP BY l_orderkey
+), j AS (
+  SELECT o_orderstatus, o_totalprice AS tp, recomputed,
+         CAST(o_totalprice AS DECIMAL(18,2)) - recomputed AS diff,
+         (abs(CAST(o_totalprice AS DECIMAL(18,2)) - recomputed)
+            <= CAST(0.01 AS DECIMAL(24,8))) AS ok
+  FROM orders LEFT JOIN roll ON o_orderkey = l_orderkey
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN recomputed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing_lineitems,
+       CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+       CAST(SUM(CASE WHEN recomputed IS NOT NULL AND NOT ok
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_inconsistent,
+       CAST(MAX(abs(diff)) AS DOUBLE) AS max_abs_diff,
+       CAST(SUM(CAST(tp AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice,
+       CAST(SUM(recomputed) AS DOUBLE) AS sum_recomputed
+FROM j GROUP BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -9750,6 +9836,7 @@ QUERIES: dict[str, QueryFn] = {
     "nation_revenue_concentration": nation_revenue_concentration,
     "trade_network_closeness": trade_network_closeness,
     "events_value_ewma": events_value_ewma,
+    "orders_lineitem_reconciliation": orders_lineitem_reconciliation,
 }
 
 ORACLES: dict[str, str] = {
@@ -9931,6 +10018,7 @@ ORACLES: dict[str, str] = {
     "nation_revenue_concentration": NATION_REVENUE_CONCENTRATION_SQL,
     "trade_network_closeness": TRADE_NETWORK_CLOSENESS_SQL,
     "events_value_ewma": EVENTS_VALUE_EWMA_SQL,
+    "orders_lineitem_reconciliation": ORDERS_LINEITEM_RECONCILIATION_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /
