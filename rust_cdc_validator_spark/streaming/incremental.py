@@ -42,6 +42,27 @@ _SRC_ROW = "_src_row"
 _BUCKET = "_bucket"
 
 
+def batch_net_effect(batch: DataFrame, primary_key: list[str]) -> DataFrame:
+    """Within-batch net effect: last change per key wins, ordered by
+    ingestion timestamp with (is_cdc, file_path, row_index) as the
+    tiebreaker (see the _merge_batch docstring for why each leg exists).
+    Shared by the parquet-state merge and the JDBC apply sink
+    (streaming/jdbc_apply.py) so both realize identical semantics."""
+    order_cols = [F.col("_dms_ingestion_timestamp").desc_nulls_last()]
+    meta_cols = [c for c in (_SRC_FILE, _SRC_ROW) if c in batch.columns]
+    if _SRC_FILE in batch.columns:
+        order_cols.append(
+            (~F.col(_SRC_FILE).contains("LOAD")).cast("int").desc()
+        )
+    order_cols += [F.col(c).desc() for c in meta_cols]
+    w = Window.partitionBy(*primary_key).orderBy(*order_cols)
+    return (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", *meta_cols)
+    )
+
+
 def _merge_batch(
     batch: DataFrame,
     state_path: str,
@@ -61,21 +82,8 @@ def _merge_batch(
     # (LOAD keys contain "LOAD", s3_operator.rs:178-182): a LOAD row never
     # beats a same-timestamp CDC row, even though "LOAD..." sorts after the
     # dated CDC folders lexicographically.
-    order_cols = [F.col("_dms_ingestion_timestamp").desc_nulls_last()]
-    meta_cols = [c for c in (_SRC_FILE, _SRC_ROW) if c in batch.columns]
-    if _SRC_FILE in batch.columns:
-        order_cols.append(
-            (~F.col(_SRC_FILE).contains("LOAD")).cast("int").desc()
-        )
-    order_cols += [F.col(c).desc() for c in meta_cols]
-    w = Window.partitionBy(*primary_key).orderBy(*order_cols)
-    last = (
-        batch.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", *meta_cols)
-        .withColumn(
-            _BUCKET, F.pmod(F.xxhash64(*primary_key), F.lit(n_buckets)).cast("int")
-        )
+    last = batch_net_effect(batch, primary_key).withColumn(
+        _BUCKET, F.pmod(F.xxhash64(*primary_key), F.lit(n_buckets)).cast("int")
     )
 
     data_cols = [c for c in last.columns if c not in ENVELOPE_COLS]
