@@ -377,3 +377,104 @@ def test_image_channel_stats_real_pixels(spark):
     assert rows[3]["width"] == 7 and rows[3]["height"] == 5
     assert rows[3]["channel_mean"] is None
     assert rows[4]["format"] is None and rows[4]["channel_mean"] is None
+
+
+# ---------------------------------------------------------------------------
+# WAV/PCM audio decode (r11)
+# ---------------------------------------------------------------------------
+
+
+def _wav_bytes(samples, sr=8000, bits=16, fmt_code=1, extra_chunk=False):
+    """Hand-rolled RIFF/WAVE writer: samples is (n, c) float in [-1, 1]."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="float64")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, c = arr.shape
+    if fmt_code == 1:
+        if bits == 16:
+            raw = (arr * 32767.0).round().astype("<i2").tobytes()
+        elif bits == 8:
+            raw = ((arr * 127.0).round() + 128).astype("u1").tobytes()
+        else:
+            raw = (arr * (2**31 - 1)).round().astype("<i4").tobytes()
+    else:
+        raw = arr.astype("<f4" if bits == 32 else "<f8").tobytes()
+    width = bits // 8
+    fmt_body = struct.pack(
+        "<HHIIHH", fmt_code, c, sr, sr * c * width, c * width, bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    if extra_chunk:
+        # odd-sized LIST chunk: the walker must skip it AND its pad byte
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_pcm16_round_trip():
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.multimodal import decode_wav_pcm
+
+    t = np.arange(160) / 8000.0
+    sig = np.stack([np.sin(2 * np.pi * 440 * t), np.cos(2 * np.pi * 440 * t)], 1)
+    got, sr = decode_wav_pcm(_wav_bytes(sig, bits=16, extra_chunk=True))
+    assert sr == 8000 and got.shape == (160, 2)
+    assert np.abs(got - sig).max() < 1e-3  # 16-bit quantization
+
+
+def test_decode_wav_8bit_unsigned_midpoint():
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.multimodal import decode_wav_pcm
+
+    got, _ = decode_wav_pcm(_wav_bytes(np.zeros(10), bits=8))
+    assert np.abs(got).max() <= 1 / 127.0  # silence decodes to ~0, not 0.5
+
+
+def test_decode_wav_float32_and_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    from rust_cdc_validator_spark.operators.multimodal import decode_wav_pcm
+
+    sig = np.linspace(-1, 1, 32)
+    got, _ = decode_wav_pcm(_wav_bytes(sig, bits=32, fmt_code=3))
+    assert np.allclose(got[:, 0], sig, atol=1e-6)
+    with _pytest.raises(NotImplementedError):  # ADPCM format code
+        decode_wav_pcm(_wav_bytes(sig, bits=16, fmt_code=2))
+    with _pytest.raises(ValueError):
+        decode_wav_pcm(b"RIFFxxxxWAVE")  # no chunks
+    with _pytest.raises(ValueError):
+        decode_wav_pcm(b"not audio at all")
+    truncated = _wav_bytes(sig, bits=16)[:-20]
+    with _pytest.raises(ValueError):
+        decode_wav_pcm(truncated)
+
+
+def test_audio_stats_triage_and_known_values(spark):
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.multimodal import audio_stats
+
+    sig = np.sin(2 * np.pi * 100 * np.arange(800) / 8000.0)
+    rows = [
+        (1, bytearray(_wav_bytes(sig, sr=8000, bits=16))),
+        (2, bytearray(b"garbage")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in audio_stats(df).collect()}
+    r1 = got[1]
+    assert r1["sample_rate"] == 8000 and r1["n_frames"] == 800
+    assert r1["duration_ms"] == pytest.approx(100.0)
+    assert r1["rms"] == pytest.approx(1 / 2**0.5, abs=1e-3)  # sine RMS
+    assert r1["peak"] == pytest.approx(1.0, abs=1e-3)
+    # 100 Hz at 8 kHz: zeros land EXACTLY on samples n=40k (signbit
+    # False), so each of the 19 interior zeros yields one transition
+    assert r1["zero_crossing_rate"] == pytest.approx(19 / 799, abs=1e-9)
+    assert got[2]["rms"] is None and got[3]["sample_rate"] is None
