@@ -9635,6 +9635,88 @@ FROM j GROUP BY o_orderstatus
 """
 
 
+def audio_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column plumbing with a FULL value oracle: per document, a
+    deterministic 8-bit PCM WAV is synthesized (sample k_i =
+    (doc_id·31 + i) mod 256, n = 64 + doc_id mod 64 frames @ 8 kHz),
+    pushed through the REAL RIFF container walk + PCM normalization
+    (operators/multimodal.decode_wav_pcm via audio_stats), and the
+    decoded RMS / peak / zero-crossing-rate / duration come back out.
+    The sample values are dyadic rationals ((k−128)/128 — denominator a
+    power of two), so every sum of squares is EXACT in double under any
+    accumulation order and the SQL oracle replays the whole decode
+    analytically — a binary codec path held to value-hash correctness,
+    not just row counts.
+
+    Scale shape: one Arrow-batched mapInPandas to synthesize, one to
+    decode (payload bytes never leave the executor), no shuffles at all
+    — embarrassingly parallel per document, the exact shape a real
+    100 TB audio feature pass has."""
+    from rust_cdc_validator_spark.operators.multimodal import audio_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 64 + d % 64
+                raw = ((d * 31 + np.arange(n)) % 256).astype("uint8").tobytes()
+                fmt_body = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+                chunks = (
+                    b"fmt " + struct.pack("<I", 16) + fmt_body
+                    + b"data" + struct.pack("<I", len(raw)) + raw
+                )
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return audio_stats(media).select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "n_frames",
+        "duration_ms",
+        "rms",
+        "peak",
+        "zero_crossing_rate",
+    )
+
+
+AUDIO_CORPUS_STATS_SQL = """
+WITH s AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+), samp AS (
+  SELECT s.doc_id, s.n, u.i,
+         (((s.doc_id * 31 + u.i) % 256) - 128) / 128.0 AS v
+  FROM s, LATERAL (SELECT unnest(generate_series(0, s.n - 1)) AS i) u
+), lagged AS (
+  SELECT doc_id, n, i, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM samp
+)
+SELECT doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(MAX(n) AS BIGINT) AS n_frames,
+       1000.0 * MAX(n) / 8000 AS duration_ms,
+       sqrt(SUM(v * v) / MAX(n)) AS rms,
+       MAX(abs(v)) AS peak,
+       CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                     THEN 1 ELSE 0 END) AS DOUBLE) / (MAX(n) - 1)
+         AS zero_crossing_rate
+FROM lagged GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -9837,6 +9919,7 @@ QUERIES: dict[str, QueryFn] = {
     "trade_network_closeness": trade_network_closeness,
     "events_value_ewma": events_value_ewma,
     "orders_lineitem_reconciliation": orders_lineitem_reconciliation,
+    "audio_corpus_stats": audio_corpus_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -10019,6 +10102,7 @@ ORACLES: dict[str, str] = {
     "trade_network_closeness": TRADE_NETWORK_CLOSENESS_SQL,
     "events_value_ewma": EVENTS_VALUE_EWMA_SQL,
     "orders_lineitem_reconciliation": ORDERS_LINEITEM_RECONCILIATION_SQL,
+    "audio_corpus_stats": AUDIO_CORPUS_STATS_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /
