@@ -305,3 +305,71 @@ def test_q11_single_fact_pass_scalar_reaggregated(spark, sf_dir):
     plan = explain_str(df)
     assert plan.count("lineitem.parquet") == 0  # checkpointed per-part relation
     assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan" in plan
+
+
+# ---------------------------------------------------------------------------
+# r11 second-wave plan pins
+# ---------------------------------------------------------------------------
+
+
+def test_concentration_broadcasts_nation_no_cartesian(spark, sf_dir):
+    from rust_cdc_validator_spark.plans.inspect import explain_str
+    from rust_cdc_validator_spark.queries import nation_revenue_concentration
+
+    df = nation_revenue_concentration(spark, sf_dir)
+    plan = explain_str(df)
+    assert uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    # orders scan reads only the two referenced columns
+    cols = [c for c in scan_columns(df) if "o_custkey" in c]
+    assert cols and set(cols[0]) == {"o_custkey", "o_totalprice"}
+
+
+def test_cohort_ltv_broadcasts_sizes(spark, sf_dir):
+    from rust_cdc_validator_spark.queries import customer_cohort_ltv
+
+    df = customer_cohort_ltv(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    cols = scan_columns(df)
+    # both order scans (cohort pass + revenue pass) stay 2-3 columns wide
+    for c in cols:
+        assert len(c) <= 3, cols
+
+
+def test_reconciliation_pregrouped_equijoin(spark, sf_dir):
+    """Fact-to-fact reconciliation must (a) pre-aggregate lineitem to
+    order grain BEFORE the join (the HashAggregate keyed by l_orderkey
+    sits below the join, so the join never sees raw lineitems) and (b)
+    stay an equi-join on the order key — never a cartesian. The
+    broadcast-vs-shuffle choice is deliberately LEFT TO CATALYST: it is
+    size-based, so the sf0.01 fixture legitimately broadcasts the
+    KB-sized rollup while a 100 TB run SMJs — pinning either physical
+    strategy would pin the wrong one at the other scale."""
+    from rust_cdc_validator_spark.plans.inspect import explain_str
+    from rust_cdc_validator_spark.queries import orders_lineitem_reconciliation
+
+    df = orders_lineitem_reconciliation(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    # the rollup aggregate keyed by l_orderkey is below the join
+    assert plan.index("HashAggregate") < plan.index("Join"), plan[:1500]
+    # lineitem reads only the charge inputs + join key
+    li_cols = [c for c in scan_columns(df) if "l_extendedprice" in c]
+    assert li_cols and set(li_cols[0]) == {
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax",
+    }
+
+
+def test_kaplan_meier_two_exchanges_only(spark, sf_dir):
+    """KM's heavy lineage is one key shuffle (lag window) + one duration
+    groupBy; the KM-table windows run on the bounded distinct-duration
+    relation. Pin the exchange count so a global-window rewrite (which
+    would funnel raw orders into one task) can't sneak in."""
+    from rust_cdc_validator_spark.plans.inspect import explain_str
+    from rust_cdc_validator_spark.queries import customer_reorder_survival
+
+    plan = explain_str(customer_reorder_survival(spark, sf_dir))
+    # hashpartitioning exchanges: custkey window, duration groupBy; the
+    # single-partition exchange for the bounded KM table is the only
+    # SinglePartition in the plan
+    assert plan.count("SinglePartition") <= 2, plan[:2000]
