@@ -9717,6 +9717,82 @@ FROM lagged GROUP BY doc_id
 """
 
 
+def supplier_late_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier reliability ranked by the Wilson score lower bound
+    (Wilson 1927 — the "how to not sort by average rating" interval):
+    late-shipment rate per supplier with the 95% lower confidence bound,
+    so a 1-late-of-2 supplier ranks as LESS reliably bad than
+    40-late-of-100. Late = shipped more than 90 days after the order
+    date. The bound is a fixed-order closed form over the two integer
+    counts (z embedded as the same double literal in both engines), so
+    the whole ranking value-hashes.
+
+    Scale shape: the lineitem⋈orders equi-join carries only
+    (orderkey, suppkey, late-bit) — pre-projected scans — and collapses
+    to one row per supplier with map-side combine before the formula;
+    no windows, no second exchange."""
+    z = 1.959963984540054
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_suppkey",
+        (
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 90)
+        ).cast("int").alias("late"),
+    )
+    agg = j.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_shipments"),
+        F.sum("late").cast("long").alias("n_late"),
+    )
+    n = F.col("n_shipments").cast("double")
+    p = F.col("n_late").cast("double") / n
+    zl = F.lit(z)
+    lower = (
+        p
+        + zl * zl / (2.0 * n)
+        - zl * F.sqrt(p * (1.0 - p) / n + zl * zl / (4.0 * n * n))
+    ) / (1.0 + zl * zl / n)
+    return agg.select(
+        "l_suppkey",
+        "n_shipments",
+        "n_late",
+        p.alias("late_rate"),
+        lower.alias("wilson_lower"),
+    )
+
+
+SUPPLIER_LATE_WILSON_SQL = """
+WITH j AS (
+  SELECT l_suppkey,
+         CASE WHEN CAST(l_shipdate AS DATE) >
+                   CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), agg AS (
+  SELECT l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_shipments,
+         CAST(SUM(late) AS BIGINT) AS n_late
+  FROM j GROUP BY l_suppkey
+)
+SELECT l_suppkey, n_shipments, n_late,
+       CAST(n_late AS DOUBLE) / CAST(n_shipments AS DOUBLE) AS late_rate,
+       (CAST(n_late AS DOUBLE) / CAST(n_shipments AS DOUBLE)
+         + 1.959963984540054 * 1.959963984540054
+           / (2.0 * CAST(n_shipments AS DOUBLE))
+         - 1.959963984540054 * sqrt(
+             (CAST(n_late AS DOUBLE) / CAST(n_shipments AS DOUBLE))
+               * (1.0 - CAST(n_late AS DOUBLE) / CAST(n_shipments AS DOUBLE))
+               / CAST(n_shipments AS DOUBLE)
+             + 1.959963984540054 * 1.959963984540054
+               / (4.0 * CAST(n_shipments AS DOUBLE)
+                      * CAST(n_shipments AS DOUBLE))))
+       / (1.0 + 1.959963984540054 * 1.959963984540054
+                  / CAST(n_shipments AS DOUBLE)) AS wilson_lower
+FROM agg
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -9920,6 +9996,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_value_ewma": events_value_ewma,
     "orders_lineitem_reconciliation": orders_lineitem_reconciliation,
     "audio_corpus_stats": audio_corpus_stats,
+    "supplier_late_wilson": supplier_late_wilson,
 }
 
 ORACLES: dict[str, str] = {
@@ -10103,6 +10180,7 @@ ORACLES: dict[str, str] = {
     "events_value_ewma": EVENTS_VALUE_EWMA_SQL,
     "orders_lineitem_reconciliation": ORDERS_LINEITEM_RECONCILIATION_SQL,
     "audio_corpus_stats": AUDIO_CORPUS_STATS_SQL,
+    "supplier_late_wilson": SUPPLIER_LATE_WILSON_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /
