@@ -209,3 +209,39 @@ def test_pagerank_from_state_1m_edges_fewer_jobs_than_direct(spark, tmp_path):
         f"\npagerank_from_state 1M edges x5 iters: {s1[1]:.1f}s, {s1[2]} "
         f"jobs (direct: {d[2]:.1f}s, {d[3]} jobs)"
     )
+
+
+def test_harmonic_closeness_1m_edges_wall_and_job_count(spark, tmp_path):
+    """r11: the labeled multi-source BFS must stay ONE set of supersteps
+    regardless of pivot count — 8 pivots over 1M edges may cost wider
+    shuffles than single-source BFS but NOT more jobs per hop. Pin wall,
+    job bound, and run-to-run job stability like the other supersteps."""
+    from rust_cdc_validator_spark.operators.graphstate import (
+        build_edge_state,
+        harmonic_closeness_from_state,
+    )
+
+    path = str(tmp_path / "closeness_state")
+    build_edge_state(_edges(spark), path, directed=False, buckets=16)
+    pivots = spark.createDataFrame([(i,) for i in range(8)], "node long")
+
+    def run():
+        out = harmonic_closeness_from_state(spark, path, pivots, max_hops=3)
+        return out.agg(
+            F.count(F.lit(1)).alias("n"), F.max("n_reached").alias("r")
+        ).first()
+
+    r1 = _count_jobs(spark, "closeness-pressure", run)
+    r2 = _count_jobs(spark, "closeness-pressure", run)
+    for row, elapsed, jobs in (r1, r2):
+        assert row["n"] > N_NODES // 2  # 3 hops reach most of the graph
+        assert row["r"] <= 8
+        assert elapsed < 150, f"closeness over 1M edges took {elapsed:.1f}s"
+        # same per-hop job structure as BFS (checkpoint + count probe per
+        # hop); the pivot dimension adds rows, never jobs
+        assert jobs <= 44, f"closeness launched {jobs} jobs"
+    assert r1[2] == r2[2], f"job count unstable: {r1[2]} != {r2[2]}"
+    print(
+        f"\ncloseness 1M edges x8 pivots x3 hops: "
+        f"{r1[1]:.1f}s, {r1[2]} jobs (run2 {r2[1]:.1f}s)"
+    )
