@@ -7941,6 +7941,84 @@ ORDER BY o_orderpriority
 """
 
 
+def q12_ship_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape ("shipping modes and order priority"), adapted:
+    lineitem has no l_shipmode / l_commitdate / l_receiptdate, so the
+    mode dimension derives from the ship delay (days from order date to
+    ship date): 'FAST' (1-90 days) vs 'SLOW' (longer) — and Q12's
+    two-mode IN restriction keeps exactly those classes (this corpus's
+    backdated lines, delay <= 0, play the excluded modes). One
+    ship-year window; per mode, the conditional-aggregation pair
+    counting lines belonging to high-priority (1-URGENT / 2-HIGH) vs
+    low-priority orders — the sum(CASE ...) pivot that folds both
+    counts into ONE aggregate pass, Q12's defining pattern.
+
+    Spark shape: one lineitem⋈orders shuffle on the order key; orders
+    carries only (o_orderkey, o_orderdate, o_orderpriority) through the
+    exchange and the ship-year filter prunes lineitem at the scan
+    (PushedFilters on l_shipdate). The mode CASE and both priority
+    CASEs are pure codegen expressions — no UDF, no second scan.
+
+    Scale shape: fact-fact shuffle on the join key with map-side
+    partial aggregation collapsing each task's output to <=2 rows; the
+    two-group result can never skew the exchange because the shuffle is
+    keyed on l_orderkey, not the mode. Reference parity: predicate
+    dispatch + conditional-count family (SURVEY.md §2 A2/P3).
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select("l_orderkey", "l_shipdate")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .withColumn(
+            "ship_mode",
+            F.when(delay.between(1, 90), F.lit("FAST")).when(
+                delay > 90, F.lit("SLOW")
+            ),
+        )
+        .filter(F.col("ship_mode").isNotNull())
+        .groupBy("ship_mode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
+
+
+Q12_SHIP_MODE_PRIORITY_SQL = """
+SELECT ship_mode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM (
+  SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) BETWEEN 1 AND 90
+              THEN 'FAST'
+              WHEN datediff('day', o_orderdate, l_shipdate) > 90
+              THEN 'SLOW' END AS ship_mode,
+         o_orderpriority
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+)
+WHERE ship_mode IS NOT NULL
+GROUP BY ship_mode
+ORDER BY ship_mode
+"""
+
+
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape ("volume shipping"): revenue flowing between two
     specific REGIONS (supplier side vs customer side), either direction,
@@ -9922,6 +10000,7 @@ QUERIES: dict[str, QueryFn] = {
     "nation3_supplier_affinity": nation3_supplier_affinity,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q4_order_priority": q4_order_priority,
+    "q12_ship_mode_priority": q12_ship_mode_priority,
     "q7_nation_volume": q7_nation_volume,
     "q8_market_share": q8_market_share,
     "q11_important_parts": q11_important_parts,
@@ -10108,6 +10187,7 @@ ORACLES: dict[str, str] = {
     "nation3_supplier_affinity": NATION3_SUPPLIER_AFFINITY_SQL,
     "q17_small_quantity_revenue": Q17_SMALL_QUANTITY_REVENUE_SQL,
     "q4_order_priority": Q4_ORDER_PRIORITY_SQL,
+    "q12_ship_mode_priority": Q12_SHIP_MODE_PRIORITY_SQL,
     "q7_nation_volume": Q7_NATION_VOLUME_SQL,
     "q8_market_share": Q8_MARKET_SHARE_SQL,
     "q11_important_parts": Q11_IMPORTANT_PARTS_SQL,

@@ -264,6 +264,29 @@ def test_q4_exists_plans_as_semi_join_no_cartesian(spark, sf_dir):
     assert any("o_orderdate" in f for f in pushed_filters(df))
 
 
+def test_q12_ship_year_pushed_and_single_fact_shuffle(spark, sf_dir):
+    """r11 Q12 shape: the ship-year window reaches the lineitem scan as
+    a pushed filter, the mode/priority CASEs stay codegen expressions
+    (no cartesian, no extra pass), and the only exchanges are the one
+    fact-fact join shuffle pair plus the 2-row final aggregate."""
+    from rust_cdc_validator_spark.plans.inspect import (
+        exchanges_carrying,
+        explain_str,
+    )
+    from rust_cdc_validator_spark.queries import q12_ship_mode_priority
+
+    df = q12_ship_mode_priority(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    # at most one shuffle per join side on the order key (at the test SF
+    # the year-filtered lineitem side broadcasts and the count is zero;
+    # at scale each side shuffles exactly once — never more)
+    assert exchanges_carrying(df, "l_orderkey") <= 1
+    assert exchanges_carrying(df, "o_orderpriority") <= 1
+
+
 def test_q6_all_predicates_pushed_and_scan_pruned(spark, sf_dir):
     """r11 Q6 shape is the pushdown litmus: all three range predicates
     reach the parquet scan and only the four referenced columns read."""
