@@ -8926,6 +8926,121 @@ ORDER BY o_orderkey, valid_from
 """
 
 
+def cdc_orders_scd2_asof_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal diff between two AS-OF instants of the SCD2 history
+    (operators/replay.scd2_asof_diff) — "what drifted between t1 and
+    t2?", the validator's own question answered from the history
+    relation in ONE pass instead of the reference's full source/target
+    re-diff per run (cdc_operator.rs:254-288). The synthesized change
+    log extends ``cdc_orders_scd2``'s with an insert wave of NEW
+    (negated) keys so all four transition classes occur: %7 keys update
+    (changed), %13 keys delete (removed), %11==3 keys are born between
+    the instants (added), %91 keys update THEN delete (removed — the
+    intermediate version must not leak into the verdict).
+
+    Spark shape: both instants are conditional aggregates of the same
+    scan — one hash shuffle on the key, at most one visible version per
+    instant picked by max(when(visible, col)), no self-join. Scale
+    shape: one groupBy over the history slice; valid_from <= t2 prunes
+    later versions at the scan."""
+    from rust_cdc_validator_spark.operators.replay import (
+        scd2_asof_diff,
+        scd2_history,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    stride = F.lit(1 << 40)
+    load = orders.select(
+        "o_orderkey", "o_totalprice",
+        F.lit("I").alias("Op"), F.col("o_orderkey").cast("long").alias("_seq"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+        F.lit("U").alias("Op"),
+        (stride + F.col("o_orderkey")).cast("long").alias("_seq"),
+    )
+    births = orders.filter(F.col("o_orderkey") % 11 == 3).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit("I").alias("Op"),
+        (stride + F.col("o_orderkey")).cast("long").alias("_seq"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", "o_totalprice",
+        F.lit("D").alias("Op"),
+        (stride * 2 + F.col("o_orderkey")).cast("long").alias("_seq"),
+    )
+    hist = scd2_history(
+        load.unionByName(updates).unionByName(births).unionByName(deletes),
+        ["o_orderkey"],
+    )
+    diff = scd2_asof_diff(
+        hist, ["o_orderkey"], 1 << 40, 3 * (1 << 40), ["o_totalprice"]
+    )
+    return (
+        diff.filter(F.col("change_type") != "unchanged")
+        .select(
+            "o_orderkey", "change_type",
+            "o_totalprice_t1", "o_totalprice_t2",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+CDC_ORDERS_SCD2_ASOF_DIFF_SQL = """
+WITH log AS (
+  SELECT o_orderkey, o_totalprice, 'I' AS op, o_orderkey AS seq
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 10.0, 'U', 1099511627776 + o_orderkey
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT -o_orderkey, o_totalprice, 'I', 1099511627776 + o_orderkey
+  FROM orders WHERE o_orderkey % 11 = 3
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 'D', 2199023255552 + o_orderkey
+  FROM orders WHERE o_orderkey % 13 = 0
+), h AS (
+  SELECT *, lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS next_seq
+  FROM log
+), hist AS (
+  SELECT o_orderkey, o_totalprice, seq AS valid_from, next_seq AS valid_to
+  FROM h WHERE op <> 'D'
+), flags AS (
+  SELECT o_orderkey,
+         MAX(CASE WHEN valid_from <= 1099511627776
+                   AND (valid_to IS NULL OR valid_to > 1099511627776)
+                  THEN o_totalprice END) AS o_totalprice_t1,
+         MAX(CASE WHEN valid_from <= 3298534883328
+                   AND (valid_to IS NULL OR valid_to > 3298534883328)
+                  THEN o_totalprice END) AS o_totalprice_t2,
+         MAX(CASE WHEN valid_from <= 1099511627776
+                   AND (valid_to IS NULL OR valid_to > 1099511627776)
+                  THEN 1 ELSE 0 END) AS has1,
+         MAX(CASE WHEN valid_from <= 3298534883328
+                   AND (valid_to IS NULL OR valid_to > 3298534883328)
+                  THEN 1 ELSE 0 END) AS has2
+  FROM hist
+  WHERE valid_from <= 3298534883328
+  GROUP BY o_orderkey
+), classified AS (
+  SELECT o_orderkey,
+         CASE WHEN has1 = 0 AND has2 = 1 THEN 'added'
+              WHEN has1 = 1 AND has2 = 0 THEN 'removed'
+              WHEN o_totalprice_t1 IS DISTINCT FROM o_totalprice_t2
+              THEN 'changed'
+              ELSE 'unchanged' END AS change_type,
+         o_totalprice_t1, o_totalprice_t2
+  FROM flags
+)
+SELECT o_orderkey, change_type, o_totalprice_t1, o_totalprice_t2
+FROM classified
+WHERE change_type <> 'unchanged'
+ORDER BY o_orderkey
+"""
+
+
 def orders_price_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D Wasserstein drift (operators/drift.wasserstein_1d) between
     early-era (< 1998) and late-era order prices — the KS companion
@@ -10014,6 +10129,7 @@ QUERIES: dict[str, QueryFn] = {
     "nb_english_auc": nb_english_auc,
     "events_hourly_seasonality": events_hourly_seasonality,
     "cdc_orders_scd2": cdc_orders_scd2,
+    "cdc_orders_scd2_asof_diff": cdc_orders_scd2_asof_diff,
     "orders_price_wasserstein": orders_price_wasserstein,
     "parts_cotrade_clustering": parts_cotrade_clustering,
     "events_value_volume_xcorr": events_value_volume_xcorr,
@@ -10201,6 +10317,7 @@ ORACLES: dict[str, str] = {
     "nb_english_auc": NB_ENGLISH_AUC_SQL,
     "events_hourly_seasonality": EVENTS_HOURLY_SEASONALITY_SQL,
     "cdc_orders_scd2": CDC_ORDERS_SCD2_SQL,
+    "cdc_orders_scd2_asof_diff": CDC_ORDERS_SCD2_ASOF_DIFF_SQL,
     "orders_price_wasserstein": ORDERS_PRICE_WASSERSTEIN_SQL,
     "parts_cotrade_clustering": PARTS_COTRADE_CLUSTERING_SQL,
     "events_value_volume_xcorr": EVENTS_VALUE_VOLUME_XCORR_SQL,

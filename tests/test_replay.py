@@ -280,3 +280,71 @@ def test_scd2_requires_pk(spark):
     df = spark.createDataFrame([("A", "I", 1)], "pk string, Op string, _seq long")
     with pytest.raises(ValueError, match="primary key"):
         scd2_history(df, [])
+
+
+# ------------------------------------------------- scd2_asof / asof_diff
+
+
+def _scd2_fixture(spark):
+    from rust_cdc_validator_spark.operators.replay import scd2_history
+
+    log = [
+        ("A", 10.0, "I", 1), ("A", 11.0, "U", 5), ("A", 11.0, "D", 9),
+        ("B", 20.0, "I", 2),
+        ("C", 30.0, "I", 3), ("C", 30.0, "D", 4), ("C", 31.0, "I", 6),
+        ("E", None, "I", 7),          # visible version with NULL value
+    ]
+    df = spark.createDataFrame(log, "pk string, price double, Op string, _seq long")
+    return scd2_history(df, ["pk"])
+
+
+def test_scd2_asof_replays_each_instant(spark):
+    from rust_cdc_validator_spark.operators.replay import scd2_asof
+
+    hist = scd2_asof(_scd2_fixture(spark), 4)
+    state = {r["pk"]: r["price"] for r in hist.collect()}
+    # at t=4: A on version 1, B live, C just deleted, E not yet born
+    assert state == {"A": 10.0, "B": 20.0}
+
+    late = {r["pk"]: r["price"] for r in scd2_asof(_scd2_fixture(spark), 100).collect()}
+    # final state: A deleted, C re-inserted, E live with NULL
+    assert late == {"B": 20.0, "C": 31.0, "E": None}
+
+
+def test_scd2_asof_diff_classifies_all_transitions(spark):
+    from rust_cdc_validator_spark.operators.replay import scd2_asof_diff
+
+    out = {
+        r["pk"]: (r["change_type"], r["price_t1"], r["price_t2"])
+        for r in scd2_asof_diff(
+            _scd2_fixture(spark), ["pk"], 4, 100, ["price"]
+        ).collect()
+    }
+    assert out["A"] == ("removed", 10.0, None)     # deleted by t2
+    assert out["B"] == ("unchanged", 20.0, 20.0)
+    assert out["C"] == ("changed", None, 31.0) or out["C"][0] == "added"
+    # C was deleted AT t1 (valid_to=4 half-open) then re-inserted: added
+    assert out["C"] == ("added", None, 31.0)
+    assert out["E"] == ("added", None, None)       # NULL value, still added
+    assert len(out) == 4
+
+
+def test_scd2_asof_diff_changed_and_validation(spark):
+    import pytest
+
+    from rust_cdc_validator_spark.operators.replay import (
+        scd2_asof_diff,
+        scd2_history,
+    )
+
+    log = [("K", 1.0, "I", 1), ("K", 2.0, "U", 10)]
+    df = spark.createDataFrame(log, "pk string, price double, Op string, _seq long")
+    hist = scd2_history(df, ["pk"])
+    row = scd2_asof_diff(hist, ["pk"], 5, 15, ["price"]).collect()[0]
+    assert (row["change_type"], row["price_t1"], row["price_t2"]) == (
+        "changed", 1.0, 2.0,
+    )
+    with pytest.raises(ValueError):
+        scd2_asof_diff(hist, [], 1, 2, ["price"])
+    with pytest.raises(ValueError):
+        scd2_asof_diff(hist, ["pk"], 1, 2, [])
