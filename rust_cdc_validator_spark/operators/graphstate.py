@@ -604,3 +604,147 @@ def harmonic_closeness_from_state(
             ).alias("harmonic"),
         )
     )
+
+
+def betweenness_from_state(
+    spark: SparkSession,
+    path: str,
+    pivots: DataFrame,
+    max_hops: int = 4,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Pivot-sampled betweenness centrality (Brandes 2001, "A faster
+    algorithm for betweenness centrality"; horizon-bounded pivot
+    estimator per Brandes & Pich 2007, "Centrality estimation in large
+    networks") over persisted edge state. Two bounded-superstep passes:
+
+    * FORWARD — the same labeled multi-source BFS as
+      :func:`harmonic_closeness_from_state`, except each (pivot, node)
+      row carries ``sigma``, the COUNT of shortest paths from the pivot:
+      a node first reached at depth h has sigma = Σ sigma(pred at h-1),
+      one join + sum per superstep, EXACT in long arithmetic
+      (order-independent, so the level relations are deterministic).
+    * BACKWARD — Brandes' dependency accumulation descending the
+      levels: delta(v) = Σ over shortest-path successors w of
+      (sigma_v / sigma_w) · (1 + delta_w); one join + sum per level.
+      bc(v) = Σ over pivots of delta(v), the pivot's own source row
+      excluded (Brandes accumulates only v ≠ s).
+
+    Paths are counted only up to ``max_hops`` — the estimator's error
+    depends on the pivot count and horizon, not |V|, so both are
+    precision knobs that hold flat at 100× the graph. On undirected
+    state each unordered pair is seen from both endpoints when both are
+    sampled, the standard convention for sampled undirected betweenness
+    (scores are comparable, not normalized).
+
+    Returns (node, betweenness, n_pivots) for every node reached by at
+    least one pivot within the horizon — ``n_pivots`` is how many pivot
+    BFS trees the node appears in (its estimate's support), betweenness
+    is the double dependency sum (only the final delta divisions are
+    floating point; rounding to 4 decimals is stable across
+    partitionings).
+
+    Scale shape: forward is closeness's frontier pattern with a sum
+    replacing the distinct; backward re-joins each level against the
+    edge relation once — 2·max_hops supersteps total, every frontier
+    bounded by k·|V| rows, the same exact-count broadcast gates on
+    frontier and settled sides, no collect.
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    e = edge_state_adjacency(spark, path).select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d")
+    )
+    threshold = _parse_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+    )
+    row_bytes = 3 * _RANK_ROW_BYTES  # (pivot, node, sigma)
+
+    def _gate(df: DataFrame, n_rows: int) -> DataFrame:
+        return F.broadcast(df) if 0 < n_rows * row_bytes <= threshold else df
+
+    level0 = (
+        pivots.select(F.col("node").alias("pivot"))
+        .distinct()
+        .select(
+            "pivot",
+            F.col("pivot").alias("node"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+    )
+    if checkpoint:
+        level0 = level0.localCheckpoint(eager=True)
+    levels = [level0]
+    counts = [level0.count()]
+    settled = level0.select("pivot", "node")
+    n_settled = counts[0]
+    for _h in range(1, max_hops + 1):
+        frontier = levels[-1]
+        cand = (
+            _gate(frontier, counts[-1])
+            .join(e, frontier["node"] == e["_s"])
+            .groupBy("pivot", F.col("_d").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        sside = settled
+        if 0 < n_settled * row_bytes <= threshold:
+            sside = F.broadcast(sside)
+        new = cand.join(sside, ["pivot", "node"], "left_anti")
+        if checkpoint:
+            new = new.localCheckpoint(eager=True)
+        n_new = new.count()
+        if n_new == 0:
+            break
+        levels.append(new)
+        counts.append(n_new)
+        settled = settled.unionAll(new.select("pivot", "node"))
+        n_settled += n_new
+
+    # backward: deepest level has zero dependency by construction
+    cur = levels[-1].withColumn("delta", F.lit(0.0))
+    per_level = [cur] if len(levels) > 1 else []
+    for h in range(len(levels) - 2, -1, -1):
+        w = cur.select(
+            "pivot",
+            F.col("node").alias("_w"),
+            F.col("sigma").alias("_ws"),
+            F.col("delta").alias("_wd"),
+        )
+        lvl = levels[h]
+        expanded = _gate(lvl, counts[h]).join(
+            e, lvl["node"] == e["_s"]
+        ).select("pivot", "node", "sigma", F.col("_d").alias("_w"))
+        deltas = (
+            expanded.join(_gate(w, counts[h + 1]), ["pivot", "_w"])
+            .groupBy("pivot", "node")
+            .agg(
+                F.sum(
+                    (F.col("sigma").cast("double") / F.col("_ws"))
+                    * (F.lit(1.0) + F.col("_wd"))
+                ).alias("delta")
+            )
+        )
+        cur = lvl.join(deltas, ["pivot", "node"], "left").select(
+            "pivot",
+            "node",
+            "sigma",
+            F.coalesce("delta", F.lit(0.0)).alias("delta"),
+        )
+        if checkpoint:
+            cur = cur.localCheckpoint(eager=True)
+        if h >= 1:
+            per_level.append(cur)
+
+    if not per_level:
+        return level0.select("node").limit(0).select(
+            "node",
+            F.lit(0.0).alias("betweenness"),
+            F.lit(0).cast("long").alias("n_pivots"),
+        )
+    all_deltas = per_level[0].select("pivot", "node", "delta")
+    for d in per_level[1:]:
+        all_deltas = all_deltas.unionAll(d.select("pivot", "node", "delta"))
+    return all_deltas.groupBy("node").agg(
+        F.sum("delta").alias("betweenness"),
+        F.count(F.lit(1)).cast("long").alias("n_pivots"),
+    )

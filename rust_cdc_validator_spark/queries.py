@@ -9659,6 +9659,41 @@ def trade_network_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def trade_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled betweenness centrality over the persisted trade
+    edge state (operators/graphstate.betweenness_from_state): Brandes'
+    forward sigma pass + backward dependency accumulation from the same
+    fixed 16-supplier md5 pivot sample as ``trade_network_closeness``,
+    horizon 3 — which customers/suppliers sit ON the shortest trade
+    paths, the brokerage complement to closeness's reachability score.
+    Path counts (sigma) are exact longs; only the final dependency
+    divisions are floating point, so the golden pin rounds at 4dp.
+    No SQL oracle: Brandes needs shortest-path COUNTS, which set-
+    semantics recursive CTEs cannot carry (UNION dedups the walks,
+    UNION ALL enumerates them combinatorially) — pinned against a
+    sequential Brandes reference in tests/test_graphstate.py instead."""
+    from rust_cdc_validator_spark.operators.graphstate import (
+        betweenness_from_state,
+    )
+
+    sup = _t(spark, sf_dir, "supplier")
+    pivots = (
+        sup.select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias(
+                "node"
+            )
+        )
+        .orderBy(F.md5(F.col("node")))
+        .limit(16)
+    )
+    bc = betweenness_from_state(
+        spark, _trade_edge_state_for(spark, sf_dir), pivots, max_hops=3
+    )
+    return bc.select(
+        "node", F.round("betweenness", 4).alias("betweenness_r"), "n_pivots"
+    ).orderBy(F.col("betweenness_r").desc(), "node").limit(100)
+
+
 TRADE_NETWORK_CLOSENESS_SQL = """
 WITH RECURSIVE
 pair AS (
@@ -10188,6 +10223,7 @@ QUERIES: dict[str, QueryFn] = {
     "customer_cohort_ltv": customer_cohort_ltv,
     "nation_revenue_concentration": nation_revenue_concentration,
     "trade_network_closeness": trade_network_closeness,
+    "trade_betweenness": trade_betweenness,
     "events_value_ewma": events_value_ewma,
     "orders_lineitem_reconciliation": orders_lineitem_reconciliation,
     "audio_corpus_stats": audio_corpus_stats,

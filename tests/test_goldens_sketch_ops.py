@@ -51,6 +51,7 @@ SKETCH_QUERIES = [
     "docs_lsh_planned_neardup",
     "bpe_token_budget",
     "embedding_pca_whiten",
+    "trade_betweenness",
 ]
 
 

@@ -311,3 +311,125 @@ def test_harmonic_closeness_pivot_excludes_self(spark, state_path):
     # chain a-b(1) a-c(1) c-d(2); "a" itself (d=0) must not appear
     assert "a" not in got
     assert got["b"] == 1.0 and got["c"] == 1.0 and got["d"] == 0.5
+
+
+# ------------------------------------------------ betweenness_from_state
+
+
+def _brandes_reference(edges, pivots, max_hops):
+    """Sequential horizon-bounded Brandes (2001) on an adjacency dict —
+    the textbook stack/queue form, independent of the Spark shape."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+        adj[d].add(s)
+    bc = defaultdict(float)
+    support = defaultdict(int)
+    for s in pivots:
+        sigma = defaultdict(int)
+        dist = {s: 0}
+        sigma[s] = 1
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            if dist[v] == max_hops:
+                continue
+            for w in sorted(adj[v]):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in sorted(adj[w]):
+                if dist.get(v) == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+        for v in order:
+            if v == s:
+                # Brandes never accumulates the source's own delta, and
+                # the Spark shape likewise excludes level-0 rows
+                continue
+            support[v] += 1
+            bc[v] += delta[v]
+    return bc, support
+
+
+def test_betweenness_matches_sequential_brandes(spark, tmp_path):
+    from rust_cdc_validator_spark.operators.graphstate import (
+        betweenness_from_state,
+    )
+
+    # diamond + tail: two shortest paths a->d (via b and c), e hangs off d
+    edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    path = str(tmp_path / "bw_state")
+    build_edge_state(df, path, directed=False, buckets=2)
+    pivots = spark.createDataFrame([("a",), ("e",)], "node string")
+
+    got = {
+        r["node"]: (r["betweenness"], r["n_pivots"])
+        for r in betweenness_from_state(
+            spark, path, pivots, max_hops=4
+        ).collect()
+    }
+    ref_bc, ref_support = _brandes_reference(
+        edges, ["a", "e"], max_hops=4
+    )
+    assert set(got) == set(ref_support)
+    for node, (bc, n_piv) in got.items():
+        assert n_piv == ref_support[node], node
+        assert bc == pytest.approx(ref_bc[node], abs=1e-9), node
+    # the split paths through b and c each carry half a dependency
+    assert got["b"][0] == pytest.approx(got["c"][0])
+    # d bridges everything: strictly the most between
+    assert got["d"][0] > max(got["b"][0], got["a"][0], got["e"][0])
+
+
+def test_betweenness_horizon_truncates_like_reference(spark, tmp_path):
+    """Randomized graph, bounded horizon: the distributed two-pass must
+    match sequential Brandes truncated at the same depth."""
+    import random
+
+    from rust_cdc_validator_spark.operators.graphstate import (
+        betweenness_from_state,
+    )
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(18)]
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(40)
+        }
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    path = str(tmp_path / "bw_rand")
+    build_edge_state(df, path, directed=False, buckets=2)
+    piv = ["n0", "n3", "n7"]
+    pivots = spark.createDataFrame([(p,) for p in piv], "node string")
+    for hops in (1, 2, 3):
+        got = {
+            r["node"]: r["betweenness"]
+            for r in betweenness_from_state(
+                spark, path, pivots, max_hops=hops
+            ).collect()
+        }
+        ref_bc, ref_support = _brandes_reference(edges, piv, max_hops=hops)
+        assert set(got) == set(ref_support), hops
+        for node, bc in got.items():
+            assert bc == pytest.approx(ref_bc[node], abs=1e-9), (node, hops)
+
+
+def test_betweenness_validates_hops(spark, state_path):
+    from rust_cdc_validator_spark.operators.graphstate import (
+        betweenness_from_state,
+    )
+
+    pivots = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError):
+        betweenness_from_state(spark, state_path, pivots, max_hops=0)
