@@ -58,6 +58,8 @@ from rust_cdc_validator_spark.operators.graph import (
 
 __all__ = [
     "build_edge_state",
+    "advance_edge_state",
+    "betweenness_from_state",
     "edge_state_params",
     "edge_state_adjacency",
     "edge_state_nodes",
@@ -120,27 +122,48 @@ def build_edge_state(
         raise ValueError("buckets must be >= 1")
     spark = edges.sparkSession
     canon = _canonical(edges, src, dst, weight_col, directed)
+    directed_edges = _expand_directions(canon, directed)
+    _write_state(
+        spark, directed_edges, path, directed, weight_col is not None, buckets
+    )
+
+
+def _expand_directions(canon: DataFrame, directed: bool) -> DataFrame:
+    """Direction-expand a canonical (src, dst, w) relation: directed
+    states pass through; undirected states get both directions in ONE
+    pass (explode, not unionAll — the union form would evaluate the
+    caller's edge build twice)."""
     if directed:
-        directed_edges = canon
-    else:
-        # both directions in ONE pass (explode, not unionAll — the union
-        # form would evaluate the caller's edge build twice)
-        directed_edges = canon.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("src").alias("src"),
-                        F.col("dst").alias("dst"),
-                        F.col("w").alias("w"),
-                    ),
-                    F.struct(
-                        F.col("dst").alias("src"),
-                        F.col("src").alias("dst"),
-                        F.col("w").alias("w"),
-                    ),
-                )
-            ).alias("_x")
-        ).select("_x.src", "_x.dst", "_x.w")
+        return canon
+    return canon.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("src"),
+                    F.col("dst").alias("dst"),
+                    F.col("w").alias("w"),
+                ),
+                F.struct(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    F.col("w").alias("w"),
+                ),
+            )
+        ).alias("_x")
+    ).select("_x.src", "_x.dst", "_x.w")
+
+
+def _write_state(
+    spark: SparkSession,
+    directed_edges: DataFrame,
+    path: str,
+    directed: bool,
+    weighted: bool,
+    buckets: int,
+) -> None:
+    """Write a direction-expanded aggregated (src, dst, w) relation as
+    the full state layout (adj + nodes + params) — shared by the
+    from-facts build and the state+delta advance."""
     # out-weights and transition probs attached BEFORE the write, so the
     # per-query prep cost is zero forever after; the out_w relation is a
     # groupBy over the (already aggregated) directed edges, not the input
@@ -189,10 +212,82 @@ def build_edge_state(
     n_edges = spark.read.parquet(f"{path}/adj").count()
     n_nodes = spark.read.parquet(f"{path}/nodes").count()
     spark.createDataFrame(
-        [(bool(directed), weight_col is not None, buckets, n_nodes, n_edges)],
+        [(bool(directed), bool(weighted), buckets, n_nodes, n_edges)],
         "directed boolean, weighted boolean, buckets int, "
         "n_nodes long, n_edges long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def advance_edge_state(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    new_path: str,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+) -> None:
+    """Incremental edge-state maintenance: fold an edge DELTA into the
+    state at ``path`` and write the result as a NEW state version at
+    ``new_path`` — the graph sibling of ``api.CdcValidator.advance_state``
+    (CDC window applied to bucketed PK state) and the same immutable-
+    version discipline as the ANN index builders.
+
+    The point at 100 TB: a standing pipeline re-derives the edge
+    relation from the FACT table per snapshot — a full terabyte scan +
+    join every day. Advancing instead reads O(|E|) state rows plus the
+    day's delta: the fact scan is paid once ever, after which graph
+    state stays current by folding deltas.
+
+    Delta semantics match the build's canonicalization contract
+    (undirected states canonicalize + drop self-loops, duplicates sum):
+    positive weights add or strengthen edges, NEGATIVE weights retract
+    (CDC deletes) — a merged edge whose weight falls to <= 0 disappears
+    entirely, from ``adj`` and from ``nodes``' degrees alike. For
+    unweighted states pass a ±1 weight column to retract co-occurrence
+    counts; integral deltas stay exact in double arithmetic.
+
+    The result is VALUE-IDENTICAL to rebuilding from the merged edge
+    multiset (pinned in tests/test_graphstate.py): adj, transition
+    probs, node roles/degrees, and params all re-derive from the merged
+    relation through the same ``_write_state`` path.
+
+    Scale shape: one groupBy over state∪delta (narrow (src, dst, w)
+    rows, the SAME bucketed key the state was written by — at scale the
+    scan-side partitioning feeds the merge with minimal movement), then
+    the build's write path. No fact-table exchange anywhere.
+    """
+    if posixpath_normcase(new_path) == posixpath_normcase(path):
+        raise ValueError(
+            "advance_edge_state writes a NEW state version: new_path must "
+            "differ from path (readers of the old version would race the "
+            "overwrite)"
+        )
+    params = edge_state_params(spark, path)
+    directed = bool(params["directed"])
+    old = spark.read.parquet(f"{path}/adj").select("src", "dst", "w")
+    canon = _canonical(delta, src, dst, weight_col, directed)
+    merged = (
+        old.unionByName(_expand_directions(canon, directed))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .filter(F.col("w") > 0)
+    )
+    _write_state(
+        spark,
+        merged,
+        new_path,
+        directed,
+        bool(params["weighted"]) or weight_col is not None,
+        int(params["buckets"]),
+    )
+
+
+def posixpath_normcase(p: str) -> str:
+    """Normalize a state path for the same-version guard (trailing
+    slashes and redundant separators only — scheme-qualified paths pass
+    through untouched)."""
+    return p.rstrip("/").replace("//", "/") if "://" not in p else p.rstrip("/")
 
 
 def edge_state_params(spark: SparkSession, path: str) -> dict:

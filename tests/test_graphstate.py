@@ -433,3 +433,112 @@ def test_betweenness_validates_hops(spark, state_path):
     pivots = spark.createDataFrame([("a",)], "node string")
     with pytest.raises(ValueError):
         betweenness_from_state(spark, state_path, pivots, max_hops=0)
+
+
+# --------------------------------------------------- advance_edge_state
+
+
+def _state_relations(spark, path):
+    adj = {
+        (r["src"], r["dst"]): (r["w"], round(r["p"], 12))
+        for r in edge_state_adjacency(spark, path).collect()
+    }
+    nodes = {
+        r["node"]: (r["has_out"], r["has_in"], r["out_deg"], r["in_deg"], r["out_w"])
+        for r in edge_state_nodes(spark, path).collect()
+    }
+    return adj, nodes
+
+
+def test_advance_equals_rebuild_on_net_multiset(spark, tmp_path):
+    from rust_cdc_validator_spark.operators.graphstate import (
+        advance_edge_state,
+    )
+
+    base = [("a", "b", 2.0), ("b", "c", 3.0), ("c", "d", 1.0)]
+    df = spark.createDataFrame(base, "src string, dst string, w double")
+    p0 = str(tmp_path / "v0")
+    build_edge_state(df, p0, weight_col="w", directed=False, buckets=2)
+
+    # delta: strengthen a-b, retract c-d entirely, partially decrement
+    # b-c, add brand-new d-e (new node e)
+    delta = [
+        ("a", "b", 1.5),
+        ("d", "c", -1.0),   # reversed orientation still canonicalizes
+        ("b", "c", -1.0),
+        ("d", "e", 4.0),
+    ]
+    ddf = spark.createDataFrame(delta, "src string, dst string, w double")
+    p1 = str(tmp_path / "v1")
+    advance_edge_state(spark, p0, ddf, p1, weight_col="w")
+
+    net = [("a", "b", 3.5), ("b", "c", 2.0), ("d", "e", 4.0)]
+    ref = str(tmp_path / "ref")
+    build_edge_state(
+        spark.createDataFrame(net, "src string, dst string, w double"),
+        ref, weight_col="w", directed=False, buckets=2,
+    )
+
+    assert _state_relations(spark, p1) == _state_relations(spark, ref)
+    adv_params = edge_state_params(spark, p1)
+    ref_params = edge_state_params(spark, ref)
+    assert adv_params == ref_params
+    # c-d fully retracted: edge gone from adj, d keeps only the new edge
+    adj, nodes = _state_relations(spark, p1)
+    assert ("c", "d") not in adj and ("d", "c") not in adj
+    assert "e" in nodes
+
+
+def test_advance_analytics_match_rebuild(spark, tmp_path):
+    from rust_cdc_validator_spark.operators.graphstate import (
+        advance_edge_state,
+    )
+
+    base = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)]
+    df = spark.createDataFrame(base, "src string, dst string, w double")
+    p0 = str(tmp_path / "v0")
+    build_edge_state(df, p0, weight_col="w", directed=False, buckets=2)
+    ddf = spark.createDataFrame(
+        [("c", "d", 2.0)], "src string, dst string, w double"
+    )
+    p1 = str(tmp_path / "v1")
+    advance_edge_state(spark, p0, ddf, p1, weight_col="w")
+    ref = str(tmp_path / "ref")
+    build_edge_state(
+        spark.createDataFrame(
+            base + [("c", "d", 2.0)], "src string, dst string, w double"
+        ),
+        ref, weight_col="w", directed=False, buckets=2,
+    )
+    got = {
+        r["node"]: round(r["rank"], 12)
+        for r in pagerank_from_state(spark, p1, iterations=3).collect()
+    }
+    want = {
+        r["node"]: round(r["rank"], 12)
+        for r in pagerank_from_state(spark, ref, iterations=3).collect()
+    }
+    assert got == want
+
+
+def test_advance_unweighted_counts_and_same_path_guard(spark, tmp_path):
+    import pytest as _pytest
+
+    from rust_cdc_validator_spark.operators.graphstate import (
+        advance_edge_state,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    p0 = str(tmp_path / "v0")
+    build_edge_state(df, p0, directed=False, buckets=2)
+    # unweighted state counts multiplicity: one more a-b co-occurrence
+    ddf = spark.createDataFrame([("b", "a")], "src string, dst string")
+    p1 = str(tmp_path / "v1")
+    advance_edge_state(spark, p0, ddf, p1)
+    adj, _ = _state_relations(spark, p1)
+    assert adj[("a", "b")][0] == 3.0 and adj[("b", "c")][0] == 1.0
+
+    with _pytest.raises(ValueError):
+        advance_edge_state(spark, p0, ddf, p0 + "/")
