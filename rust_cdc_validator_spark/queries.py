@@ -9033,6 +9033,73 @@ ORDER BY o_orderkey, valid_from
 """
 
 
+def cdc_orders_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time AS-OF read (operators/replay.scd2_asof) of the SCD2
+    history at the mid-log instant 1.5·2^40 — the update wave is already
+    applied (every %7 key shows its +10 version), the delete wave is
+    not (every %13 key is still present): the SQL:2011 temporal-table
+    read over the history relation the validator already maintains.
+    Spark shape: a pure interval filter on the history — no extra
+    shuffle beyond the history build's key window; on a PERSISTED
+    history the valid_from/valid_to range predicates prune at the scan.
+    Sliced to keys %100 = 0 like ``cdc_orders_scd2``."""
+    from rust_cdc_validator_spark.operators.replay import (
+        scd2_asof,
+        scd2_history,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    stride = F.lit(1 << 40)
+    load = orders.select(
+        "o_orderkey", "o_totalprice",
+        F.lit("I").alias("Op"), F.col("o_orderkey").cast("long").alias("_seq"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+        F.lit("U").alias("Op"),
+        (stride + F.col("o_orderkey")).cast("long").alias("_seq"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", "o_totalprice",
+        F.lit("D").alias("Op"),
+        (stride * 2 + F.col("o_orderkey")).cast("long").alias("_seq"),
+    )
+    hist = scd2_history(
+        load.unionByName(updates).unionByName(deletes), ["o_orderkey"]
+    )
+    state = scd2_asof(hist, (1 << 40) + (1 << 39))
+    return (
+        state.filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_totalprice", "valid_from")
+        .orderBy("o_orderkey")
+    )
+
+
+CDC_ORDERS_SCD2_ASOF_SQL = """
+WITH log AS (
+  SELECT o_orderkey, o_totalprice, 'I' AS op, o_orderkey AS seq
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 10.0, 'U', 1099511627776 + o_orderkey
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 'D', 2199023255552 + o_orderkey
+  FROM orders WHERE o_orderkey % 13 = 0
+), h AS (
+  SELECT *, lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS next_seq
+  FROM log
+)
+SELECT o_orderkey, o_totalprice, seq AS valid_from
+FROM h
+WHERE op <> 'D'
+  AND seq <= 1649267441664
+  AND (next_seq IS NULL OR next_seq > 1649267441664)
+  AND o_orderkey % 100 = 0
+ORDER BY o_orderkey
+"""
+
+
 def cdc_orders_scd2_asof_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal diff between two AS-OF instants of the SCD2 history
     (operators/replay.scd2_asof_diff) — "what drifted between t1 and
@@ -10272,6 +10339,7 @@ QUERIES: dict[str, QueryFn] = {
     "nb_english_auc": nb_english_auc,
     "events_hourly_seasonality": events_hourly_seasonality,
     "cdc_orders_scd2": cdc_orders_scd2,
+    "cdc_orders_scd2_asof": cdc_orders_scd2_asof,
     "cdc_orders_scd2_asof_diff": cdc_orders_scd2_asof_diff,
     "orders_price_wasserstein": orders_price_wasserstein,
     "parts_cotrade_clustering": parts_cotrade_clustering,
@@ -10462,6 +10530,7 @@ ORACLES: dict[str, str] = {
     "nb_english_auc": NB_ENGLISH_AUC_SQL,
     "events_hourly_seasonality": EVENTS_HOURLY_SEASONALITY_SQL,
     "cdc_orders_scd2": CDC_ORDERS_SCD2_SQL,
+    "cdc_orders_scd2_asof": CDC_ORDERS_SCD2_ASOF_SQL,
     "cdc_orders_scd2_asof_diff": CDC_ORDERS_SCD2_ASOF_DIFF_SQL,
     "orders_price_wasserstein": ORDERS_PRICE_WASSERSTEIN_SQL,
     "parts_cotrade_clustering": PARTS_COTRADE_CLUSTERING_SQL,
