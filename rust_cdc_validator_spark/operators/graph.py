@@ -48,6 +48,7 @@ __all__ = [
     "degree_assortativity",
     "label_propagation",
     "shortest_hops",
+    "weighted_shortest_paths",
     "k_core",
     "hits",
     "adamic_adar",
@@ -1134,3 +1135,131 @@ def _clustering_core(und: DataFrame, deg: DataFrame) -> DataFrame:
             ).alias("cc"),
         )
     )
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = "w",
+    max_hops: int = 5,
+    directed: bool = True,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Hop-bounded weighted shortest-path costs from ANY seed node —
+    Bellman-Ford relaxation (Bellman 1958) with the frontier pruning of
+    delta-stepping's simplest case: superstep h relaxes ONLY nodes whose
+    tentative distance improved in superstep h-1, and the loop stops
+    early the first time nothing improves. ``seeds`` is a one-column
+    (``node``) frame; edge lengths come from ``weight_col`` and must be
+    non-negative for the hop-bounded answer to equal true shortest
+    paths truncated at ``max_hops`` edges. Returns (node, dist) with
+    dist 0.0 for seeds; unreachable nodes are absent.
+
+    This is the weighted sibling of :func:`shortest_hops` — same
+    frontier supersteps, except the frontier carries (node, dist) and
+    improvement replaces novelty: a node can RE-ENTER the frontier when
+    a longer-hop-count but cheaper path reaches it (the case unweighted
+    BFS never has).
+
+    Spark shape per superstep: frontier ⋈ edges (size-gated for
+    broadcast with the driver-known frontier count), a map-side-
+    combining MIN per candidate node, then one left join against the
+    settled distances to keep strict improvements; the running distance
+    relation is lineage-cut per superstep. All arithmetic is double
+    path sums and MIN — order-independent, so a SQL oracle replays the
+    unrolled relaxation exactly.
+
+    Scale shape at 100 TB: ≤ max_hops supersteps of one |frontier|·deg
+    expansion + one min-combine shuffle; the distance relation is
+    O(|V|) narrow rows; nothing collects. Negative weights raise (the
+    hop bound would silently change the answer's meaning).
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    w = F.col(weight_col).cast("double")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w"))
+    if not directed:
+        e = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("_s"), F.col("_d"), F.col("_w")),
+                    F.struct(
+                        F.col("_d").alias("_s"),
+                        F.col("_s").alias("_d"),
+                        F.col("_w"),
+                    ),
+                )
+            ).alias("_x")
+        ).select("_x._s", "_x._d", "_x._w")
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    neg = e.agg(F.min("_w").alias("m")).first()["m"]
+    if neg is not None and neg < 0:
+        raise ValueError(
+            "weighted_shortest_paths requires non-negative edge weights "
+            f"(found {neg}): with a hop bound, negative relaxation changes "
+            "the meaning of the answer"
+        )
+    return _sssp_loop(e, seeds, max_hops, checkpoint)
+
+
+def _sssp_loop(
+    e: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    checkpoint: bool,
+) -> DataFrame:
+    """The relaxation supersteps, shared by :func:`weighted_shortest_paths`
+    and ``graphstate.weighted_paths_from_state``. ``e`` is (_s, _d, _w),
+    already direction-expanded and materialized. Frontier and distance
+    sizes are driver-known exactly (the per-step improvement probe IS the
+    count), so both the expansion join and the improvement join are
+    size-gated for broadcast with exact numbers — the `_bfs_loop`
+    discipline."""
+    threshold = _parse_bytes(
+        e.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+    )
+    dist = seeds.select("node").distinct().select(
+        "node", F.lit(0.0).alias("dist")
+    )
+    if checkpoint:
+        dist = dist.localCheckpoint(eager=True)
+    frontier = dist
+    n_frontier = n_dist = dist.count()
+    for _h in range(1, max_hops + 1):
+        fside = (
+            F.broadcast(frontier)
+            if 0 < n_frontier * _RANK_ROW_BYTES <= threshold
+            else frontier
+        )
+        cand = (
+            fside.join(e, fside["node"] == e["_s"])
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("_w")).alias("_cd"))
+        )
+        dside = dist.select("node", F.col("dist").alias("_old"))
+        if 0 < n_dist * _RANK_ROW_BYTES <= threshold:
+            dside = F.broadcast(dside)
+        improved = (
+            cand.join(dside, "node", "left")
+            .filter(F.col("_old").isNull() | (F.col("_cd") < F.col("_old")))
+            .select("node", F.col("_cd").alias("dist"))
+        )
+        if checkpoint:
+            improved = improved.localCheckpoint(eager=True)
+        n_frontier = improved.count()
+        if n_frontier == 0:
+            break
+        # strict improvements replace: min-combine old and new in ONE pass
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if checkpoint:
+            dist = dist.localCheckpoint(eager=True)
+        n_dist = dist.count()
+        frontier = improved
+    return dist

@@ -67,6 +67,7 @@ __all__ = [
     "pagerank_from_state",
     "label_propagation_from_state",
     "shortest_hops_from_state",
+    "weighted_paths_from_state",
     "k_core_from_state",
     "triangle_count_from_state",
     "degree_assortativity_from_state",
@@ -843,3 +844,29 @@ def betweenness_from_state(
         F.sum("delta").alias("betweenness"),
         F.count(F.lit(1)).cast("long").alias("n_pivots"),
     )
+
+
+def weighted_paths_from_state(
+    spark: SparkSession,
+    path: str,
+    seeds: DataFrame,
+    max_hops: int = 5,
+    inverse_weight: bool = False,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """:func:`graph.weighted_shortest_paths` over persisted edge state:
+    the direction-expanded weighted adjacency is read, not rebuilt
+    (shared ``_sssp_loop``, same frontier pruning and broadcast gates).
+    ``inverse_weight=True`` relaxes over length 1/w — the natural
+    "stronger tie = shorter distance" reading of co-occurrence weights
+    (Newman 2001, scientific-collaboration networks)."""
+    from rust_cdc_validator_spark.operators.graph import _sssp_loop
+
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    adj = edge_state_adjacency(spark, path)
+    length = (F.lit(1.0) / F.col("w")) if inverse_weight else F.col("w")
+    e = adj.select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d"), length.alias("_w")
+    )
+    return _sssp_loop(e, seeds, max_hops, checkpoint)

@@ -5014,6 +5014,79 @@ FROM l{iterations} WHERE node LIKE 's%'"""
 SUPPLIER_TRADE_COMMUNITIES_SQL = _lpa_oracle_sql()
 
 
+def trade_cheapest_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded WEIGHTED shortest-path costs (operators/graph.
+    weighted_shortest_paths via graphstate.weighted_paths_from_state):
+    from suppliers 1-3, relax over edge length 1/w — stronger trade
+    ties are shorter distances (Newman 2001) — for up to 4 edges. The
+    weighted sibling of ``trade_reach_hops``: BFS ranks reach by hop
+    count, this ranks it by tie strength, and a cheaper MORE-hop route
+    beats a direct weak tie (the case hop counting cannot express).
+    Bellman-Ford relaxation with frontier pruning; all arithmetic is
+    per-path double sums and MIN — order-independent — so the oracle
+    unrolls the same 4 relaxation rounds as chained CTEs and the whole
+    distance assignment value-hashes exactly. Reads the persisted trade
+    edge state; the oracle rebuilds from raw facts."""
+    from rust_cdc_validator_spark.operators.graphstate import (
+        weighted_paths_from_state,
+    )
+
+    seeds = spark.createDataFrame(
+        [("s1",), ("s2",), ("s3",)], "node string"
+    )
+    return weighted_paths_from_state(
+        spark,
+        _trade_edge_state_for(spark, sf_dir),
+        seeds,
+        max_hops=4,
+        inverse_weight=True,
+    )
+
+
+def _sssp_oracle_sql(max_hops: int = 4) -> str:
+    """Unrolled Bellman-Ford CTE chain mirroring graph._sssp_loop round
+    for round (same 1/w lengths, same per-path double sums, same MIN) —
+    generated so the hop count lives in ONE place."""
+    ctes = [
+        """pair AS (
+  SELECT o.o_custkey AS c, l.l_suppkey AS s, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, l.l_suppkey
+)""",
+        """e AS (
+  SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst,
+         1.0 / w AS len
+  FROM pair
+  UNION ALL
+  SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR), 1.0 / w
+  FROM pair
+)""",
+        """d0 AS (
+  SELECT node, 0.0 AS dist
+  FROM (VALUES ('s1'), ('s2'), ('s3')) AS seeds(node)
+)""",
+    ]
+    for h in range(1, max_hops + 1):
+        ctes.append(
+            f"""d{h} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{h - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + e.len AS dist
+    FROM d{h - 1} p JOIN e ON p.node = e.src
+  ) GROUP BY node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, dist FROM d{max_hops}"
+    )
+
+
+TRADE_CHEAPEST_REACH_SQL = _sssp_oracle_sql(4)
+
+
 def trade_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier BFS (operators/graph.shortest_hops): minimum hop distance
     from NATION_3's suppliers across the undirected customer↔supplier
@@ -10323,6 +10396,7 @@ QUERIES: dict[str, QueryFn] = {
     "supplier_pagerank": supplier_pagerank,
     "supplier_trade_communities": supplier_trade_communities,
     "trade_reach_hops": trade_reach_hops,
+    "trade_cheapest_reach": trade_cheapest_reach,
     "trade_edge_state_stats": trade_edge_state_stats,
     "trade_edge_state_advance_audit": trade_edge_state_advance_audit,
     "q9_product_type_profit": q9_product_type_profit,
@@ -10514,6 +10588,7 @@ ORACLES: dict[str, str] = {
     "supplier_pagerank": SUPPLIER_PAGERANK_SQL,
     "supplier_trade_communities": SUPPLIER_TRADE_COMMUNITIES_SQL,
     "trade_reach_hops": TRADE_REACH_HOPS_SQL,
+    "trade_cheapest_reach": TRADE_CHEAPEST_REACH_SQL,
     "trade_edge_state_stats": TRADE_EDGE_STATE_STATS_SQL,
     "trade_edge_state_advance_audit": TRADE_EDGE_STATE_ADVANCE_AUDIT_SQL,
     "q9_product_type_profit": Q9_PRODUCT_TYPE_PROFIT_SQL,

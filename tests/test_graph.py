@@ -727,3 +727,123 @@ def test_clustering_from_state_equals_direct(spark, tmp_path):
     state = {tuple(r) for r in
              clustering_coefficient_from_state(spark, path).collect()}
     assert direct == state
+
+
+# ---------------------------------------------- weighted_shortest_paths
+
+
+def _dijkstra_reference(edges, seeds, max_hops, directed):
+    """Sequential hop-bounded Bellman-Ford on dicts."""
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+        if not directed:
+            adj.setdefault(d, []).append((s, w))
+    dist = {s: 0.0 for s in seeds}
+    for _ in range(max_hops):
+        nxt = dict(dist)
+        for u, du in dist.items():
+            for v, w in adj.get(u, []):
+                if du + w < nxt.get(v, float("inf")):
+                    nxt[v] = du + w
+        dist = nxt
+    return dist
+
+
+def test_weighted_paths_prefer_cheap_long_routes(spark):
+    from rust_cdc_validator_spark.operators.graph import (
+        weighted_shortest_paths,
+    )
+
+    # a->z direct costs 10; a->b->c->z costs 3 — more hops, cheaper,
+    # the case unweighted BFS can never express
+    edges = [
+        ("a", "z", 10.0),
+        ("a", "b", 1.0), ("b", "c", 1.0), ("c", "z", 1.0),
+        ("z", "y", 2.0),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["dist"]
+        for r in weighted_shortest_paths(
+            df, seeds, max_hops=4, directed=True
+        ).collect()
+    }
+    assert got == {"a": 0.0, "b": 1.0, "c": 2.0, "z": 3.0, "y": 5.0}
+    # hop bound 1 only sees the direct edge
+    bounded = {
+        r["node"]: r["dist"]
+        for r in weighted_shortest_paths(
+            df, seeds, max_hops=1, directed=True
+        ).collect()
+    }
+    assert bounded == {"a": 0.0, "z": 10.0, "b": 1.0}
+
+
+def test_weighted_paths_match_reference_random(spark):
+    import random
+
+    from rust_cdc_validator_spark.operators.graph import (
+        weighted_shortest_paths,
+    )
+
+    rng = random.Random(13)
+    nodes = [f"n{i}" for i in range(20)]
+    edges = [
+        (*rng.sample(nodes, 2), round(rng.uniform(0.5, 5.0), 3))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    seeds_l = ["n0", "n5"]
+    seeds = spark.createDataFrame([(s,) for s in seeds_l], "node string")
+    for directed in (True, False):
+        for hops in (1, 3, 6):
+            got = {
+                r["node"]: r["dist"]
+                for r in weighted_shortest_paths(
+                    df, seeds, max_hops=hops, directed=directed
+                ).collect()
+            }
+            ref = _dijkstra_reference(edges, seeds_l, hops, directed)
+            assert set(got) == set(ref), (directed, hops)
+            for n, d in got.items():
+                assert d == pytest.approx(ref[n], abs=1e-9), (n, directed, hops)
+
+
+def test_weighted_paths_validation_and_state_variant(spark, tmp_path):
+    from rust_cdc_validator_spark.operators.graph import (
+        weighted_shortest_paths,
+    )
+    from rust_cdc_validator_spark.operators.graphstate import (
+        build_edge_state,
+        weighted_paths_from_state,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "b", -1.0)], "src string, dst string, w double"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError, match="non-negative"):
+        weighted_shortest_paths(df, seeds)
+    with pytest.raises(ValueError, match="max_hops"):
+        weighted_shortest_paths(df, seeds, max_hops=-1)
+
+    edges = [("a", "b", 4.0), ("b", "c", 1.0), ("a", "c", 1.0)]
+    good = spark.createDataFrame(edges, "src string, dst string, w double")
+    path = str(tmp_path / "sssp_state")
+    build_edge_state(good, path, weight_col="w", directed=False, buckets=2)
+    got = {
+        r["node"]: r["dist"]
+        for r in weighted_paths_from_state(spark, path, seeds, max_hops=3).collect()
+    }
+    # state weights: a-b 4, b-c 1, a-c 1 -> b best via c
+    assert got == {"a": 0.0, "c": 1.0, "b": 2.0}
+    inv = {
+        r["node"]: r["dist"]
+        for r in weighted_paths_from_state(
+            spark, path, seeds, max_hops=3, inverse_weight=True
+        ).collect()
+    }
+    # inverse: length(a-b)=0.25 direct beats 1/1+1/1=2.0 via c
+    assert inv == {"a": 0.0, "b": 0.25, "c": 1.0}
