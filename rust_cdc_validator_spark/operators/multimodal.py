@@ -226,18 +226,124 @@ def image_meta(df: DataFrame, id_col: str = "media_id", bin_col: str = "payload"
     )
 
 
-def decode_image_pixels(b: bytes | None):
-    """REAL pixel decode for UNCOMPRESSED raster formats — pure numpy, no
-    codec libraries: BMP with BITMAPINFOHEADER, 24/32-bit BI_RGB (row
-    stride padded to 4 bytes, bottom-up unless height is negative, BGR(A)
-    byte order), and binary PPM/PGM (P6/P5, maxval ≤ 255, '#' comments).
-    Returns an (h, w, c) uint8 array in RGB(/gray) channel order.
+def _png_paeth(a: int, up: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4) — byte-exact reference form."""
+    p = a + up - c
+    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return up
+    return c
 
-    Compressed containers (PNG/GIF/JPEG) RAISE NotImplementedError — the
-    honest boundary: their pixel data needs zlib/Huffman codecs this
-    environment doesn't ship. Corrupt/truncated recognized containers
-    raise ValueError; unrecognized bytes raise ValueError too (callers
-    that want triage instead of exceptions use :func:`image_meta` /
+
+def _decode_png(b: bytes):
+    """Pure stdlib+numpy PNG decode: chunk walk, zlib-inflated IDAT,
+    per-scanline unfilter (types 0-4). Supports the non-interlaced 8-bit
+    color types — gray (1ch), gray+alpha (2), RGB (3), RGBA (4);
+    palette, sub-byte/16-bit depths, and Adam7 raise NotImplementedError.
+    Filters None/Sub/Up are vectorized (Sub is a wrap-around prefix sum
+    per byte lane); Average/Paeth fall back to the spec's sequential
+    form — correctness over speed for the feature-extraction thumbnails
+    this path serves."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("missing PNG IHDR")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate PNG dimensions")
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG not supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(
+            f"PNG color type {ctype} (palette) not supported"
+        )
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    if not idat:
+        raise ValueError("missing PNG IDAT")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError("corrupt PNG IDAT stream") from exc
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    rpos = 0
+    for y in range(h):
+        f = raw[rpos]
+        rpos += 1
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=rpos
+        ).copy()
+        rpos += stride
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: wrap-around prefix sum per byte lane
+            for lane in range(channels):
+                np.add.accumulate(
+                    row[lane::channels], dtype=np.uint8, out=row[lane::channels]
+                )
+        elif f == 2:  # Up
+            row += prev
+        elif f == 3:  # Average — sequential (left depends on recon)
+            for i in range(stride):
+                left = int(row[i - channels]) if i >= channels else 0
+                row[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth — sequential
+            for i in range(stride):
+                left = int(row[i - channels]) if i >= channels else 0
+                upleft = int(prev[i - channels]) if i >= channels else 0
+                row[i] = (
+                    int(row[i]) + _png_paeth(left, int(prev[i]), upleft)
+                ) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = row
+        prev = row
+    return out.reshape(h, w, channels)
+
+
+def decode_image_pixels(b: bytes | None):
+    """REAL pixel decode, pure stdlib+numpy — no codec libraries: BMP
+    with BITMAPINFOHEADER, 24/32-bit BI_RGB (row stride padded to 4
+    bytes, bottom-up unless height is negative, BGR(A) byte order),
+    binary PPM/PGM (P6/P5, maxval ≤ 255, '#' comments), and
+    non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA — stdlib
+    ``zlib`` inflates IDAT, scanline filters 0-4 unfiltered per spec).
+    Returns an (h, w, c) uint8 array in RGB(A)(/gray) channel order.
+
+    GIF (LZW) and JPEG (Huffman/DCT) RAISE NotImplementedError — the
+    honest boundary: their entropy coders aren't in the stdlib. Palette
+    / 16-bit / interlaced PNGs raise NotImplementedError likewise.
+    Corrupt/truncated recognized containers raise ValueError;
+    unrecognized bytes raise ValueError too (callers that want triage
+    instead of exceptions use :func:`image_meta` /
     :func:`image_channel_stats`)."""
     import struct
 
@@ -246,7 +352,9 @@ def decode_image_pixels(b: bytes | None):
     if not b:
         raise ValueError("empty payload")
     fmt, _, _ = _parse_image_header(b)
-    if fmt in ("png", "gif", "jpeg"):
+    if fmt == "png":
+        return _decode_png(b)
+    if fmt in ("gif", "jpeg"):
         raise NotImplementedError(
             f"{fmt} pixel decode requires codec libs not present in this "
             "environment (header metadata is available via image_meta)"

@@ -317,11 +317,15 @@ def test_decode_image_pixels_bmp_golden():
     stride = len(raster) // 2
     td[54:] = raster[stride:] + raster[:stride]
     assert decode_image_pixels(bytes(td)).tolist() == px.tolist()
-    # truncated raster raises, compressed containers raise NotImplemented
+    # truncated raster raises; entropy-coded containers raise
+    # NotImplemented; corrupt PNG (decodable format, broken body) raises
+    # ValueError now that PNG has a real decode path
     with pytest.raises(ValueError, match="truncated"):
         decode_image_pixels(b[:-4])
-    with pytest.raises(NotImplementedError, match="png"):
+    with pytest.raises(ValueError, match="IHDR"):
         decode_image_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        decode_image_pixels(_tiny_jpeg(4, 4))
     with pytest.raises(ValueError, match="unrecognized"):
         decode_image_pixels(b"\x00\x01\x02\x03")
 
@@ -478,3 +482,156 @@ def test_audio_stats_triage_and_known_values(spark):
     # False), so each of the 19 interior zeros yields one transition
     assert r1["zero_crossing_rate"] == pytest.approx(19 / 799, abs=1e-9)
     assert got[2]["rms"] is None and got[3]["sample_rate"] is None
+
+
+# ---------------------------------------------------------------------------
+# PNG pixel decode (r11: stdlib zlib makes PNG a REAL decode path)
+# ---------------------------------------------------------------------------
+
+
+def _encode_png(pixels, ctype, filters):
+    """Forward PNG encoder for the test: filter each scanline with the
+    REQUESTED filter type (spec §9), deflate, wrap in chunks — so the
+    decoder's unfilter path is exercised per filter type against known
+    pixels. ``pixels`` is (h, w, c) uint8; ``filters`` one type per row."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = pixels.shape
+    bpp = c
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y, f in zip(range(h), filters):
+        cur = pixels[y].reshape(-1).astype(np.int32)
+        if f == 0:
+            filt = cur.copy()
+        elif f == 1:
+            filt = cur.copy()
+            filt[bpp:] -= cur[:-bpp]
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur.copy()
+            for i in range(len(cur)):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                filt[i] = cur[i] - ((left + int(prev[i])) >> 1)
+        elif f == 4:
+            from rust_cdc_validator_spark.operators.multimodal import (
+                _png_paeth,
+            )
+
+            filt = cur.copy()
+            for i in range(len(cur)):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                upleft = int(prev[i - bpp]) if i >= bpp else 0
+                filt[i] = cur[i] - _png_paeth(left, int(prev[i]), upleft)
+        raw += bytes([f]) + bytes((filt % 256).astype(np.uint8))
+        prev = cur
+
+    def chunk(typ, data):
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_roundtrip_every_filter_type():
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    for filters in ([0] * 5, [1] * 5, [0, 2, 2, 2, 2], [3] * 5, [4] * 5,
+                    [0, 1, 2, 3, 4]):
+        got = decode_image_pixels(_encode_png(px, 2, filters))
+        assert got.shape == (5, 7, 3)
+        assert got.tolist() == px.tolist(), filters
+
+
+def test_png_decode_gray_and_alpha_variants():
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    rng = np.random.RandomState(4)
+    for ctype, c in ((0, 1), (4, 2), (6, 4)):
+        px = rng.randint(0, 256, size=(3, 4, c), dtype=np.uint8)
+        got = decode_image_pixels(_encode_png(px, ctype, [0, 1, 4]))
+        assert got.shape == (3, 4, c)
+        assert got.tolist() == px.tolist(), ctype
+
+
+def test_png_decode_honest_boundaries():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from rust_cdc_validator_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = _encode_png(px, 2, [0, 0])
+    # corrupt the IDAT payload -> ValueError, not a crash
+    bad = bytearray(good)
+    idat_at = good.find(b"IDAT") + 4
+    bad[idat_at : idat_at + 4] = b"\xff\xff\xff\xff"
+    with _pytest.raises(ValueError, match="corrupt PNG IDAT"):
+        decode_image_pixels(bytes(bad))
+
+    def chunk(typ, data):
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    # palette and 16-bit and interlaced stay honestly unimplemented
+    for ihdr, msg in (
+        (struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0), "palette"),
+        (struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0), "16-bit"),
+        (struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1), "interlaced"),
+    ):
+        blob = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+            + chunk(b"IEND", b"")
+        )
+        with _pytest.raises(NotImplementedError, match=msg):
+            decode_image_pixels(blob)
+
+
+def test_image_channel_stats_decodes_png_now(spark):
+    """The triage path upgrades in place: a VALID png now yields real
+    channel stats where r10 returned NULLs."""
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.multimodal import (
+        image_channel_stats,
+    )
+
+    px = np.zeros((1, 2, 3), dtype=np.uint8)
+    px[0, 1] = (200, 100, 50)
+    df = spark.createDataFrame(
+        [(1, bytearray(_encode_png(px, 2, [0])))],
+        "media_id long, payload binary",
+    )
+    row = image_channel_stats(df).collect()[0]
+    assert row["format"] == "png"
+    assert row["channel_mean"] == [100.0, 50.0, 25.0]
