@@ -148,3 +148,85 @@ def maintain_ivf_index(
         vec_stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def init_edge_state_log(spark, versions_path: str, initial_path: str) -> None:
+    """Register an already-built edge state (``graphstate.build_edge_state``)
+    as version -1 of a maintenance log — the seed :func:`maintain_edge_state`
+    advances from."""
+    spark.createDataFrame(
+        [(-1, initial_path)], "batch_id long, path string"
+    ).write.mode("overwrite").parquet(versions_path)
+
+
+def current_edge_state(spark, versions_path: str, before: int | None = None) -> str:
+    """Resolve the newest complete edge-state version from the log —
+    optionally only versions strictly OLDER than ``before`` (the retry
+    guard: a re-run batch must advance from its original parent, never
+    from its own half-registered output)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(versions_path)
+    if before is not None:
+        df = df.filter(F.col("batch_id") < before)
+    row = df.orderBy(F.col("batch_id").desc()).first()
+    if row is None:
+        raise ValueError(
+            f"edge-state log {versions_path} has no version before {before} "
+            "— seed it with init_edge_state_log"
+        )
+    return row["path"]
+
+
+def maintain_edge_state(
+    edge_stream: DataFrame,
+    state_root: str,
+    versions_path: str,
+    checkpoint_dir: str,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+):
+    """Standing graph maintenance — the edge-state sibling of
+    :func:`maintain_minhash_index`: each micro-batch of edge deltas folds
+    into the persisted graph state (``graphstate.advance_edge_state``,
+    CDC semantics — negative weights retract) as an immutable NEW version
+    under ``{state_root}/v{batch_id}``, then registers in the version
+    log. Every ``*_from_state`` analytic reads
+    :func:`current_edge_state`'s resolution and always sees a COMPLETE
+    version — readers never race a half-written advance.
+
+    Recovery semantics (foreachBatch may re-run a batch): the parent is
+    resolved as the newest version with ``batch_id <`` this batch's — so
+    a retried batch re-advances from its ORIGINAL parent and overwrites
+    its own ``v{batch_id}`` instead of double-counting its delta;
+    duplicate log rows from a crash between write and checkpoint carry
+    identical values and are harmless to max-resolution. Old versions
+    are the caller's to vacuum once no reader pins them.
+
+    At 100 TB: per batch cost is O(|E| state read + |batch|) with zero
+    fact-table scans — the graph stays current at streaming cadence
+    while the expensive from-facts build runs exactly once, ever.
+    """
+    from rust_cdc_validator_spark.operators.graphstate import (
+        advance_edge_state,
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        parent = current_edge_state(spark, versions_path, before=batch_id)
+        new_path = f"{state_root}/v{batch_id}"
+        advance_edge_state(
+            spark, parent, batch, new_path,
+            src=src, dst=dst, weight_col=weight_col,
+        )
+        spark.createDataFrame(
+            [(batch_id, new_path)], "batch_id long, path string"
+        ).write.mode("append").parquet(versions_path)
+
+    return (
+        edge_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -1114,3 +1114,91 @@ def test_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
     }
     assert (1, 1) in got          # matched pair
     assert (2, None) in got       # unmatched left emitted with nulls
+
+
+def test_maintain_edge_state_across_batches(spark, tmp_path):
+    """Streaming graph maintenance: two delta batches fold into the
+    persisted edge state and the FINAL version equals a one-shot build
+    over everything ingested — including a batch-2 retraction of a
+    batch-1 edge. Readers resolve versions through the log only."""
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from rust_cdc_validator_spark.operators.graphstate import (
+        build_edge_state,
+        edge_state_adjacency,
+        edge_state_params,
+    )
+    from rust_cdc_validator_spark.streaming.index import (
+        current_edge_state,
+        init_edge_state_log,
+        maintain_edge_state,
+    )
+
+    base = [("a", "b", 2.0), ("b", "c", 1.0)]
+    b1 = [("a", "b", 1.0), ("c", "d", 3.0)]
+    b2 = [("b", "c", -1.0), ("d", "e", 1.0)]  # retracts b-c entirely
+
+    v0 = str(tmp_path / "v_init")
+    build_edge_state(
+        spark.createDataFrame(base, "src string, dst string, w double"),
+        v0, weight_col="w", directed=False, buckets=2,
+    )
+    versions = str(tmp_path / "versions")
+    init_edge_state_log(spark, versions, v0)
+    assert current_edge_state(spark, versions) == v0
+
+    src_dir = tmp_path / "edges_in"
+    src_dir.mkdir()
+    ck = str(tmp_path / "ck")
+    state_root = str(tmp_path / "state")
+
+    def w(name, rows):
+        pq_.write_table(
+            pa_.table({
+                "src": [r[0] for r in rows],
+                "dst": [r[1] for r in rows],
+                "w": [r[2] for r in rows],
+            }),
+            str(src_dir / name),
+        )
+
+    stream = spark.readStream.schema(
+        "src string, dst string, w double"
+    ).parquet(str(src_dir))
+
+    def drain():
+        q = (
+            maintain_edge_state(
+                stream, state_root, versions, ck, weight_col="w"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    w("b1.parquet", b1)
+    drain()
+    w("b2.parquet", b2)
+    drain()
+
+    final = current_edge_state(spark, versions)
+    assert final != v0 and final.startswith(state_root)
+
+    oneshot = str(tmp_path / "oneshot")
+    build_edge_state(
+        spark.createDataFrame(
+            base + b1 + [("d", "e", 1.0)],  # net of the b-c retraction
+            "src string, dst string, w double",
+        ).filter("NOT (src = 'b' AND dst = 'c')"),
+        oneshot, weight_col="w", directed=False, buckets=2,
+    )
+    got_adj = sorted(
+        map(tuple, edge_state_adjacency(spark, final).collect())
+    )
+    want_adj = sorted(
+        map(tuple, edge_state_adjacency(spark, oneshot).collect())
+    )
+    assert got_adj == want_adj
+    gp, wp = edge_state_params(spark, final), edge_state_params(spark, oneshot)
+    assert (gp["n_nodes"], gp["n_edges"]) == (wp["n_nodes"], wp["n_edges"])
