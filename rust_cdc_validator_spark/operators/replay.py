@@ -309,7 +309,15 @@ def scd2_asof_diff(
     # "not visible" so nullable compare columns classify correctly
     aggs.append(F.max(F.when(vis1, F.lit(1)).otherwise(0)).alias("_has_t1"))
     aggs.append(F.max(F.when(vis2, F.lit(1)).otherwise(0)).alias("_has_t2"))
-    g = history.filter(F.col("valid_from") <= hi).groupBy(*primary_key).agg(*aggs)
+    g = (
+        history.filter(F.col("valid_from") <= hi)
+        .groupBy(*primary_key)
+        .agg(*aggs)
+        # keys visible at NEITHER instant (born and fully deleted before
+        # t1, or in the (t1, t2) gap between disjoint version chains)
+        # don't exist at either point in time — absent, not "unchanged"
+        .filter((F.col("_has_t1") == 1) | (F.col("_has_t2") == 1))
+    )
     differs = F.lit(False)
     for c in compare_cols:
         a, b = F.col(f"{c}_t1"), F.col(f"{c}_t2")

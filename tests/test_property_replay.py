@@ -45,3 +45,54 @@ def test_net_effect_equals_sequential_apply(log):
         if rows else spark.createDataFrame([], "id int, Op string, val int, _seq long")
     got = {r["id"]: r["val"] for r in net_effect(df, ["id"]).collect()}
     assert got == sequential_apply(log)
+
+
+def test_scd2_asof_diff_equals_two_asof_materializations(spark):
+    """Property: the ONE-pass temporal diff must equal the definitional
+    form — materialize the history AS OF t1 and AS OF t2 independently
+    and full-outer-compare — on randomized I/U/D change logs."""
+    import random
+
+    from rust_cdc_validator_spark.operators.replay import (
+        scd2_asof,
+        scd2_asof_diff,
+        scd2_history,
+    )
+
+    rng = random.Random(42)
+    keys = [f"k{i}" for i in range(30)]
+    log, seq = [], 0
+    for _ in range(150):
+        seq += 1
+        k = rng.choice(keys)
+        op = rng.choice(["I", "U", "U", "D"])
+        val = None if rng.random() < 0.1 else round(rng.uniform(0, 100), 2)
+        log.append((k, val, op, seq))
+    df = spark.createDataFrame(log, "pk string, v double, Op string, _seq long")
+    hist = scd2_history(df, ["pk"])
+
+    t1, t2 = 40, 110
+    diff = {
+        r["pk"]: (r["change_type"], r["v_t1"], r["v_t2"])
+        for r in scd2_asof_diff(hist, ["pk"], t1, t2, ["v"]).collect()
+    }
+
+    s1 = {r["pk"]: r["v"] for r in scd2_asof(hist, t1).collect()}
+    s2 = {r["pk"]: r["v"] for r in scd2_asof(hist, t2).collect()}
+    expected = {}
+    for k in set(s1) | set(s2):
+        if k not in s1:
+            ct = "added"
+        elif k not in s2:
+            ct = "removed"
+        elif s1[k] != s2[k] and not (s1[k] is None and s2[k] is None):
+            ct = "changed"
+        else:
+            ct = "unchanged"
+        expected[k] = (ct, s1.get(k), s2.get(k))
+
+    assert diff == expected
+    # the randomized log must actually exercise every transition class
+    assert {v[0] for v in expected.values()} >= {
+        "added", "removed", "changed", "unchanged",
+    }
