@@ -542,3 +542,63 @@ def test_advance_unweighted_counts_and_same_path_guard(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         advance_edge_state(spark, p0, ddf, p0 + "/")
+
+
+def test_advance_property_random_deltas_equal_rebuild(spark, tmp_path):
+    """Property: for randomized base edges and a randomized delta mixing
+    increments, new edges, partial decrements, and exact retractions,
+    advance(base, delta) == build(net multiset) across adjacency,
+    transition probs, nodes, and params."""
+    import random
+    from collections import defaultdict
+
+    from rust_cdc_validator_spark.operators.graphstate import (
+        advance_edge_state,
+    )
+
+    rng = random.Random(99)
+    nodes = [f"n{i}" for i in range(12)]
+    net = defaultdict(float)
+    base = []
+    for _ in range(40):
+        a, b = rng.sample(nodes, 2)
+        w = float(rng.randint(1, 5))
+        base.append((a, b, w))
+        net[tuple(sorted((a, b)))] += w
+    delta = []
+    # increments + brand-new edges
+    for _ in range(15):
+        a, b = rng.sample(nodes + ["x1", "x2"], 2)
+        w = float(rng.randint(1, 4))
+        delta.append((a, b, w))
+        net[tuple(sorted((a, b)))] += w
+    # exact retractions of a few existing edges
+    for pair in rng.sample([p for p in net if net[p] > 0], 4):
+        delta.append((pair[0], pair[1], -net[pair]))
+        net[pair] = 0.0
+    # partial decrements
+    for pair in rng.sample([p for p in net if net[p] > 1], 3):
+        delta.append((pair[1], pair[0], -1.0))  # reversed orientation
+        net[pair] -= 1.0
+
+    p0, p1, ref = (str(tmp_path / n) for n in ("v0", "v1", "ref"))
+    build_edge_state(
+        spark.createDataFrame(base, "src string, dst string, w double"),
+        p0, weight_col="w", directed=False, buckets=3,
+    )
+    advance_edge_state(
+        spark, p0,
+        spark.createDataFrame(delta, "src string, dst string, w double"),
+        p1, weight_col="w",
+    )
+    net_rows = [(a, b, w) for (a, b), w in net.items() if w > 0]
+    build_edge_state(
+        spark.createDataFrame(net_rows, "src string, dst string, w double"),
+        ref, weight_col="w", directed=False, buckets=3,
+    )
+    assert _state_relations(spark, p1) == _state_relations(spark, ref)
+    assert edge_state_params(spark, p1) == edge_state_params(spark, ref)
+    # the scenario really contained every delta class
+    assert any(w < 0 for _, _, w in delta) and any(
+        net[p] == 0 for p in net
+    )
