@@ -396,3 +396,37 @@ def test_kaplan_meier_two_exchanges_only(spark, sf_dir):
     # single-partition exchange for the bounded KM table is the only
     # SinglePartition in the plan
     assert plan.count("SinglePartition") <= 2, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# r11 third-wave plan pins
+# ---------------------------------------------------------------------------
+
+
+def test_advance_audit_reads_only_state_parquet(spark, sf_dir):
+    """The incremental-maintenance audit's claim, pinned: the audited
+    plan scans the ADVANCED state's adjacency only — zero fact-table
+    scans (the fact join was paid during the one-time build+advance)."""
+    from rust_cdc_validator_spark.plans.inspect import explain_str
+    from rust_cdc_validator_spark.queries import (
+        trade_edge_state_advance_audit,
+    )
+
+    df = trade_edge_state_advance_audit(spark, sf_dir)
+    plan = explain_str(df)
+    for fact in ("lineitem.parquet", "orders.parquet"):
+        assert fact not in plan, fact
+    assert "trade_edge_adv" in plan  # the advanced version, not the base
+
+
+def test_cheapest_reach_no_cartesian_reads_state(spark, sf_dir):
+    """Weighted SSSP over state: equi-joins only, and the final relaxed
+    distance relation carries no fact scans (checkpointed supersteps)."""
+    from rust_cdc_validator_spark.plans.inspect import explain_str
+    from rust_cdc_validator_spark.queries import trade_cheapest_reach
+
+    df = trade_cheapest_reach(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    for fact in ("lineitem.parquet", "orders.parquet"):
+        assert fact not in plan, fact
