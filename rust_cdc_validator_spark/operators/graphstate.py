@@ -65,6 +65,7 @@ __all__ = [
     "edge_state_nodes",
     "edge_state_refit_needed",
     "pagerank_from_state",
+    "pivot_bfs_levels",
     "label_propagation_from_state",
     "shortest_hops_from_state",
     "weighted_paths_from_state",
@@ -154,33 +155,139 @@ def _expand_directions(canon: DataFrame, directed: bool) -> DataFrame:
     ).select("_x.src", "_x.dst", "_x.w")
 
 
-def _write_state(
+def _attach_transition_probs(directed_edges: DataFrame) -> DataFrame:
+    """(src, dst, w) -> (src, dst, w, p) with p = w / out_w(src). The
+    out_w relation is a groupBy over the (already aggregated) directed
+    edges, not the caller's input — and because the adjacency is
+    bucketed BY src, a src's p values derive entirely from its own
+    bucket's rows (the property the bucket-selective advance relies on:
+    untouched buckets keep valid probabilities verbatim)."""
+    out_w = directed_edges.groupBy(F.col("src").alias("_s")).agg(
+        F.sum("w").alias("_ow")
+    )
+    return directed_edges.join(
+        out_w, directed_edges["src"] == out_w["_s"]
+    ).select("src", "dst", "w", (F.col("w") / F.col("_ow")).alias("p"))
+
+
+def _write_adj_buckets(adj: DataFrame, path: str, buckets: int) -> None:
+    """Write (src, dst, w, p) under ``{path}/adj/_b={bucket}/`` — one
+    file per bucket: ``repartition(buckets, "src")`` is Spark's
+    HashPartitioning pmod(hash(src), buckets), exactly
+    ``state.bucket_id``, so each write task holds one bucket's rows and
+    ``partitionBy("_b")`` yields one sorted file per touched bucket
+    (src-keyed reads keep row-group min/max pruning)."""
+    from rust_cdc_validator_spark.operators.state import bucket_id
+
+    (
+        adj.withColumn("_b", bucket_id(["src"], buckets).cast("int"))
+        .repartition(buckets, "src")
+        .sortWithinPartitions("src")
+        .write.partitionBy("_b")
+        .mode("overwrite")
+        .parquet(f"{path}/adj")
+    )
+
+
+def _adj_manifest_path(path: str) -> str:
+    return f"{path}/adj_manifest.json"
+
+
+def _resolve_adj_entry(path: str, rel: str) -> str:
+    """A manifest entry is either absolute (scheme-qualified or rooted —
+    used when versions span filesystems) or relative to the STATE dir
+    ('adj/_b=3/part-…' for own files, '../v0/adj/_b=2/part-…' for
+    carried ones — portable when the whole version chain relocates)."""
+    import posixpath
+
+    if "://" in rel or rel.startswith("/"):
+        return rel
+    return posixpath.normpath(posixpath.join(path, rel))
+
+
+def _relativize_adj_entry(abs_path: str, base: str) -> str:
+    import posixpath
+
+    if "://" in abs_path or "://" in base:
+        return abs_path
+    return posixpath.relpath(abs_path, base)
+
+
+def _write_adj_manifest(
     spark: SparkSession,
-    directed_edges: DataFrame,
+    path: str,
+    bucket_files: dict[int, list[str]],
+    schema_json: str,
+    buckets: int,
+) -> None:
+    """The adjacency COMMIT record (write-then-rename, like
+    ``state._fs_write_text``): per bucket, the data files that make the
+    bucket up — own files for fresh/touched buckets, the parent
+    version's files (verbatim, zero bytes moved) for untouched ones.
+    The same design point as ``state.merge_into_state_manifest``."""
+    import json
+
+    from rust_cdc_validator_spark.operators.state import _fs_write_text
+
+    manifest = {
+        "n_buckets": buckets,
+        "schema": schema_json,
+        "buckets": {str(b): fs for b, fs in sorted(bucket_files.items())},
+    }
+    _fs_write_text(
+        spark, _adj_manifest_path(path), json.dumps(manifest, indent=1)
+    )
+
+
+def _load_adj_manifest(spark: SparkSession, path: str) -> dict | None:
+    """None for a legacy (pre-manifest, flat ``adj/``) state."""
+    import json
+
+    from rust_cdc_validator_spark.operators.state import (
+        _fs_read_text,
+        _hadoop_fs,
+    )
+
+    uri = _adj_manifest_path(path)
+    fs, p, _ = _hadoop_fs(spark, uri)
+    if not fs.exists(p):
+        return None
+    m = json.loads(_fs_read_text(spark, uri))
+    m["buckets"] = {int(k): v for k, v in m["buckets"].items()}
+    return m
+
+
+def _own_adj_files(spark: SparkSession, path: str) -> dict[int, list[str]]:
+    """Freshly written adj files under ``{path}/adj``, grouped by bucket
+    id, as paths relative to the state dir."""
+    import re
+
+    from rust_cdc_validator_spark.operators.state import _fs_list_names
+
+    out: dict[int, list[str]] = {}
+    for sub in _fs_list_names(spark, f"{path}/adj"):
+        m = re.fullmatch(r"_b=(\d+)", sub)
+        if not m:
+            continue
+        b = int(m.group(1))
+        out[b] = [
+            f"adj/{sub}/{name}"
+            for name in _fs_list_names(spark, f"{path}/adj/{sub}")
+            if name.startswith("part-")
+        ]
+    return out
+
+
+def _write_nodes_and_params(
+    spark: SparkSession,
+    written: DataFrame,
     path: str,
     directed: bool,
     weighted: bool,
     buckets: int,
 ) -> None:
-    """Write a direction-expanded aggregated (src, dst, w) relation as
-    the full state layout (adj + nodes + params) — shared by the
-    from-facts build and the state+delta advance."""
-    # out-weights and transition probs attached BEFORE the write, so the
-    # per-query prep cost is zero forever after; the out_w relation is a
-    # groupBy over the (already aggregated) directed edges, not the input
-    out_w = directed_edges.groupBy(F.col("src").alias("_s")).agg(
-        F.sum("w").alias("_ow")
-    )
-    adj = directed_edges.join(
-        out_w, directed_edges["src"] == out_w["_s"]
-    ).select("src", "dst", "w", (F.col("w") / F.col("_ow")).alias("p"))
-    adj.repartition(buckets, "src").sortWithinPartitions("src").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/adj")
-
-    # everything below derives from the WRITTEN adjacency — the input
-    # subtree has already been released
-    written = spark.read.parquet(f"{path}/adj")
+    """Derive nodes/ and params/ from the RESOLVED written adjacency —
+    the caller's input subtree has already been released."""
     nodes = (
         written.select(
             F.col("src").alias("node"),
@@ -210,13 +317,40 @@ def _write_state(
     )
     # counts come from the WRITTEN files (parquet row-group metadata),
     # never from re-running the input subtree
-    n_edges = spark.read.parquet(f"{path}/adj").count()
+    n_edges = edge_state_adjacency(spark, path).count()
     n_nodes = spark.read.parquet(f"{path}/nodes").count()
     spark.createDataFrame(
         [(bool(directed), bool(weighted), buckets, n_nodes, n_edges)],
         "directed boolean, weighted boolean, buckets int, "
         "n_nodes long, n_edges long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def _write_state(
+    spark: SparkSession,
+    directed_edges: DataFrame,
+    path: str,
+    directed: bool,
+    weighted: bool,
+    buckets: int,
+) -> None:
+    """Write a direction-expanded aggregated (src, dst, w) relation as
+    the full state layout (adj bucket dirs + manifest + nodes + params)
+    — the from-facts build path; the state+delta advance shares the
+    pieces but rewrites only delta-touched buckets."""
+    adj = _attach_transition_probs(directed_edges)
+    schema_json = adj.schema.json()
+    _write_adj_buckets(adj, path, buckets)
+    files = _own_adj_files(spark, path)
+    _write_adj_manifest(
+        spark,
+        path,
+        {b: files.get(b, []) for b in range(buckets)},
+        schema_json,
+        buckets,
+    )
+    written = edge_state_adjacency(spark, path)
+    _write_nodes_and_params(spark, written, path, directed, weighted, buckets)
 
 
 def advance_edge_state(
@@ -251,44 +385,115 @@ def advance_edge_state(
     The result is VALUE-IDENTICAL to rebuilding from the merged edge
     multiset (pinned in tests/test_graphstate.py): adj, transition
     probs, node roles/degrees, and params all re-derive from the merged
-    relation through the same ``_write_state`` path.
+    relation through the build's write pieces.
 
-    Scale shape: one groupBy over state∪delta (narrow (src, dst, w)
-    rows, the SAME bucketed key the state was written by — at scale the
-    scan-side partitioning feeds the merge with minimal movement), then
-    the build's write path. No fact-table exchange anywhere.
+    Scale shape (r12, bucket-selective): only DELTA-TOUCHED buckets are
+    read, merged, and rewritten — untouched buckets carry over as FILE
+    REFERENCES in the new version's adj manifest (the
+    ``state.merge_into_state_manifest`` discipline: zero bytes moved or
+    duplicated on any store, byte-identical files shared across
+    versions). Because the adjacency is bucketed by ``src`` and a src's
+    transition probabilities derive only from its own bucket's rows,
+    the touched-bucket rewrite is self-contained. Day-2 write cost is
+    O(|delta-touched fraction of E|), not O(|E|); the nodes/ relation
+    (O(|V|), degree bookkeeping spans buckets) and params are
+    recomputed from the resolved adjacency. No fact-table exchange
+    anywhere.
     """
-    if posixpath_normcase(new_path) == posixpath_normcase(path):
+    if _norm_state_path(new_path) == _norm_state_path(path):
         raise ValueError(
             "advance_edge_state writes a NEW state version: new_path must "
             "differ from path (readers of the old version would race the "
             "overwrite)"
         )
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from rust_cdc_validator_spark.operators.state import bucket_id
+
     params = edge_state_params(spark, path)
     directed = bool(params["directed"])
-    old = spark.read.parquet(f"{path}/adj").select("src", "dst", "w")
+    weighted = bool(params["weighted"]) or weight_col is not None
+    n_buckets = int(params["buckets"])
     canon = _canonical(delta, src, dst, weight_col, directed)
+    dexp = _expand_directions(canon, directed)
+
+    m = _load_adj_manifest(spark, path)
+    if m is None:
+        # legacy flat-adj state: full merge (upgrades to the bucket-dir
+        # + manifest layout on write, so the NEXT advance is selective)
+        old = edge_state_adjacency(spark, path).select("src", "dst", "w")
+        merged = (
+            old.unionByName(dexp)
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .filter(F.col("w") > 0)
+        )
+        _write_state(spark, merged, new_path, directed, weighted, n_buckets)
+        return
+
+    # the delta subtree feeds both the touched-bucket probe and the
+    # merge — materialize it once (it is O(|delta|) by contract)
+    dexp = dexp.localCheckpoint(eager=True)
+    touched = sorted(
+        r["_b"]
+        for r in dexp.select(
+            bucket_id(["src"], n_buckets).cast("int").alias("_b")
+        )
+        .distinct()
+        .collect()
+    )
+    touched_set = set(touched)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    old_paths = [
+        _resolve_adj_entry(path, rel)
+        for b in touched
+        for rel in m["buckets"].get(b, [])
+    ]
+    old_touched = (
+        spark.read.schema(schema).parquet(*old_paths).select("src", "dst", "w")
+        if old_paths
+        else spark.createDataFrame([], schema).select("src", "dst", "w")
+    )
     merged = (
-        old.unionByName(_expand_directions(canon, directed))
+        old_touched.unionByName(dexp)
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
         .filter(F.col("w") > 0)
     )
-    _write_state(
-        spark,
-        merged,
-        new_path,
-        directed,
-        bool(params["weighted"]) or weight_col is not None,
-        int(params["buckets"]),
+    _write_adj_buckets(
+        _attach_transition_probs(merged), new_path, n_buckets
+    )
+    new_files = _own_adj_files(spark, new_path)
+    bucket_files: dict[int, list[str]] = {}
+    for b in range(n_buckets):
+        if b in touched_set:
+            bucket_files[b] = new_files.get(b, [])  # empty = fully retracted
+        else:
+            bucket_files[b] = [
+                _relativize_adj_entry(_resolve_adj_entry(path, rel), new_path)
+                for rel in m["buckets"].get(b, [])
+            ]
+    _write_adj_manifest(spark, new_path, bucket_files, m["schema"], n_buckets)
+    written = edge_state_adjacency(spark, new_path)
+    _write_nodes_and_params(
+        spark, written, new_path, directed, weighted, n_buckets
     )
 
 
-def posixpath_normcase(p: str) -> str:
-    """Normalize a state path for the same-version guard (trailing
-    slashes and redundant separators only — scheme-qualified paths pass
-    through untouched)."""
-    return p.rstrip("/").replace("//", "/") if "://" not in p else p.rstrip("/")
+def _norm_state_path(p: str) -> str:
+    """Normalize a state path for the same-version guard. Non-scheme
+    paths go through ``posixpath.normpath`` (collapses ANY run of
+    redundant separators and ``.``/``..`` segments — a single
+    ``replace('//','/')`` pass missed ``///``, letting an advance
+    overwrite the state it reads); scheme-qualified paths only lose the
+    trailing slash (normpath would mangle ``s3://``)."""
+    import posixpath
+
+    if "://" in p:
+        return p.rstrip("/")
+    return posixpath.normpath(p)
 
 
 def edge_state_params(spark: SparkSession, path: str) -> dict:
@@ -297,8 +502,29 @@ def edge_state_params(spark: SparkSession, path: str) -> dict:
 
 
 def edge_state_adjacency(spark: SparkSession, path: str) -> DataFrame:
-    """(src, dst, w, p) — direction-expanded for undirected builds."""
-    return spark.read.parquet(f"{path}/adj")
+    """(src, dst, w, p) — direction-expanded for undirected builds.
+    Resolves through the adj manifest when present (bucket files may
+    live in a PARENT version's directory — the bucket-selective advance
+    carries untouched buckets as references, zero bytes copied); legacy
+    flat ``adj/`` dirs read directly."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    m = _load_adj_manifest(spark, path)
+    if m is None:
+        return spark.read.parquet(f"{path}/adj").select(
+            "src", "dst", "w", "p"
+        )
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    paths = [
+        _resolve_adj_entry(path, rel)
+        for b in sorted(m["buckets"])
+        for rel in m["buckets"][b]
+    ]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def edge_state_nodes(spark: SparkSession, path: str) -> DataFrame:
@@ -613,6 +839,146 @@ def hits_from_state(
     )
 
 
+def pivot_bfs_levels(
+    spark: SparkSession,
+    path: str,
+    pivots: DataFrame,
+    max_hops: int,
+    checkpoint: bool = True,
+    count_paths: bool = True,
+) -> tuple[list, list[DataFrame], list[int]]:
+    """The SHARED forward pass of the pivot-sampled centrality estimators
+    (:func:`harmonic_closeness_from_state` and
+    :func:`betweenness_from_state` both consume it): a labeled
+    multi-source BFS from k pivots, PIVOT-VECTORIZED — instead of
+    (pivot, node) rows, every relation carries ONE row per node with a
+    k-lane array, lane i holding pivot i's shortest-path count (sigma,
+    Brandes 2001) or reached flag (``count_paths=False``).
+
+    Why lanes instead of labels: the labeled form multiplies every
+    frontier, settled set, candidate expansion, and shuffle by k. With
+    lanes the expansion join, the settled anti-join (here a bitmask
+    merge), and every exchange move O(|V|)-bounded rows — the k factor
+    lives inside fixed-width arrays evaluated in whole-stage codegen
+    (k element_at sums per group), not in row counts. At 100 TB that is
+    the difference between a BFS whose relations scale with k·|V| and
+    one that scales with |V|, with k a pure arithmetic-width knob.
+
+    k is DRIVER-KNOWN by contract (pivot sampling is the estimator's
+    fixed-size precision knob — Eppstein–Wang/Brandes & Pich: error
+    depends on k, not |V|), so the pivot list is collected (k rows) and
+    the lane expressions are generated per lane. k is capped at 62 so
+    the settled bitmask fits a signed long.
+
+    ``count_paths=True`` accumulates exact sigma in long lanes (sum of
+    predecessor sigmas per superstep — order-independent); with
+    ``count_paths=False`` lanes clamp to 1 (pure reachability, immune
+    to sigma overflow at deep horizons on dense graphs).
+
+    Returns (pivot_list, levels, counts): ``pivot_list`` the sorted
+    collected pivot values (lane order), ``levels[h]`` the (node, sig)
+    frame of nodes FIRST reached at depth h, ``counts[h]`` its exact
+    driver-known row count (the broadcast-gate inputs downstream).
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    pivot_list = sorted(
+        r["node"] for r in pivots.select("node").distinct().collect()
+    )
+    k = len(pivot_list)
+    if k == 0:
+        raise ValueError("pivot_bfs_levels: no pivots")
+    if k > 62:
+        raise ValueError(
+            f"pivot_bfs_levels supports at most 62 pivots per pass (got "
+            f"{k}): the settled bitmask is a signed long — run batches "
+            "of pivots and sum the estimates (they are additive)"
+        )
+    adj = edge_state_adjacency(spark, path)
+    e = adj.select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
+    threshold = _parse_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+    )
+    # one node id + k long lanes per row (conservative per-row estimate)
+    row_bytes = 16 * k + 64
+
+    def _gate(df: DataFrame, n_rows: int) -> DataFrame:
+        return F.broadcast(df) if 0 < n_rows * row_bytes <= threshold else df
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    ntype = adj.schema["src"].dataType
+    level0 = spark.createDataFrame(
+        [(p, [1 if j == i else 0 for j in range(k)])
+         for i, p in enumerate(pivot_list)],
+        StructType([
+            StructField("node", ntype),
+            StructField("sig", ArrayType(LongType())),
+        ]),
+    )
+    if checkpoint:
+        level0 = level0.localCheckpoint(eager=True)
+    levels, counts = [level0], [k]
+    # settled bit i set iff lane i reached this node already — at level 0
+    # a pivot is settled for its OWN lane only (another pivot's BFS can
+    # still reach it at depth >= 1)
+    add_mask = F.aggregate(
+        F.zip_with(
+            F.col("sig"),
+            F.array(*[F.lit(1 << i).cast("long") for i in range(k)]),
+            lambda s, b: F.when(s > 0, b).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    settled = level0.select("node", add_mask.alias("mask"))
+    n_settled = k
+    for _h in range(1, max_hops + 1):
+        frontier = levels[-1]
+        cand = (
+            _gate(frontier, counts[-1])
+            .join(e, frontier["node"] == e["_s"])
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.array(
+                *[F.sum(F.col("sig")[i]) for i in range(k)]
+            ).alias("sig"))
+        )
+        joined = cand.join(_gate(settled, n_settled), ["node"], "left")
+        lane = [
+            F.when(
+                F.coalesce(F.col("mask"), F.lit(0))
+                .bitwiseAND(F.lit(1 << i)) != 0,
+                F.lit(0).cast("long"),
+            ).otherwise(
+                F.col("sig")[i]
+                if count_paths
+                else F.when(F.col("sig")[i] > 0, 1).otherwise(0).cast("long")
+            )
+            for i in range(k)
+        ]
+        new = joined.select(
+            "node", F.array(*lane).alias("sig")
+        ).filter(F.exists("sig", lambda x: x > 0))
+        if checkpoint:
+            new = new.localCheckpoint(eager=True)
+        n_new = new.count()
+        if n_new == 0:
+            break
+        levels.append(new)
+        counts.append(n_new)
+        settled = (
+            settled.unionByName(
+                new.select("node", add_mask.alias("mask"))
+            )
+            .groupBy("node")
+            .agg(F.sum("mask").alias("mask"))  # disjoint bits: sum == OR
+        )
+        if checkpoint:
+            settled = settled.localCheckpoint(eager=True)
+        n_settled += n_new  # upper bound (merged nodes counted once more)
+    return pivot_list, levels, counts
+
+
 def harmonic_closeness_from_state(
     spark: SparkSession,
     path: str,
@@ -635,70 +1001,44 @@ def harmonic_closeness_from_state(
 
     Returns (node, n_reached, harmonic) for every node some pivot
     reaches within ``max_hops``; a pivot does not count toward its own
-    centrality (d = 0 excluded). Scale shape: identical to
-    :func:`shortest_hops_from_state` with state rows multiplied by the
-    pivot fan-out (bounded by k·|V|); the same exact-count broadcast
-    gates apply to the frontier-expansion and settled anti-joins.
+    centrality (d = 0 excluded). r12: ONE aggregation over the shared
+    pivot-vectorized forward pass (:func:`pivot_bfs_levels`,
+    reachability lanes) — every BFS relation is O(|V|) rows instead of
+    the labeled form's k·|V|, and per level each node contributes
+    popcount(lanes) pivots at that distance.
     """
     import math
 
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
-    e = edge_state_adjacency(spark, path).select(
-        F.col("src").alias("_s"), F.col("dst").alias("_d")
+    _, levels, _ = pivot_bfs_levels(
+        spark, path, pivots, max_hops, checkpoint, count_paths=False
     )
-    threshold = _parse_bytes(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
-    )
-    # (pivot, node) rows are two node ids wide — reuse the rank-row bound
-    # doubled as the conservative per-row estimate for the gates.
-    row_bytes = 2 * _RANK_ROW_BYTES
-    dist = pivots.select(F.col("node").alias("pivot")).distinct().select(
-        "pivot",
-        F.col("pivot").alias("node"),
-        F.lit(0).cast("int").alias("hops"),
-    )
-    if checkpoint:
-        dist = dist.localCheckpoint(eager=True)
-    frontier = dist.select("pivot", "node")
-    n_frontier = n_settled = dist.count()
-    for h in range(1, max_hops + 1):
-        fside = (
-            F.broadcast(frontier)
-            if 0 < n_frontier * row_bytes <= threshold
-            else frontier
-        )
-        cand = (
-            fside.join(e, fside["node"] == e["_s"])
-            .select("pivot", F.col("_d").alias("node"))
-            .distinct()
-        )
-        settled = dist.select("pivot", "node")
-        if 0 < n_settled * row_bytes <= threshold:
-            settled = F.broadcast(settled)
-        new = cand.join(settled, ["pivot", "node"], "left_anti").select(
-            "pivot", "node", F.lit(h).cast("int").alias("hops")
-        )
-        if checkpoint:
-            new = new.localCheckpoint(eager=True)
-        n_frontier = new.count()
-        if n_frontier == 0:
-            break
-        dist = dist.unionAll(new)
-        n_settled += n_frontier
-        frontier = new.select("pivot", "node")
     scale = math.lcm(*range(1, max_hops + 1))
-    return (
-        dist.filter(F.col("hops") > 0)
-        .groupBy("node")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_reached"),
-            (
-                F.sum((F.lit(scale) / F.col("hops")).cast("long"))
-                .cast("double")
-                / F.lit(float(scale))
-            ).alias("harmonic"),
+    reached = F.size(F.filter("sig", lambda x: x > 0)).cast("long")
+    per_level = [
+        lvl.select(
+            "node",
+            reached.alias("_r"),
+            (reached * F.lit(scale // h)).alias("_hsum"),
         )
+        for h, lvl in enumerate(levels)
+        if h > 0  # a pivot does not count toward its own centrality
+    ]
+    if not per_level:
+        return levels[0].select("node").limit(0).select(
+            "node",
+            F.lit(0).cast("long").alias("n_reached"),
+            F.lit(0.0).alias("harmonic"),
+        )
+    allv = per_level[0]
+    for d in per_level[1:]:
+        allv = allv.unionAll(d)
+    return allv.groupBy("node").agg(
+        F.sum("_r").cast("long").alias("n_reached"),
+        (F.sum("_hsum").cast("double") / F.lit(float(scale))).alias(
+            "harmonic"
+        ),
     )
 
 
@@ -735,96 +1075,72 @@ def betweenness_from_state(
 
     Returns (node, betweenness, n_pivots) for every node reached by at
     least one pivot within the horizon — ``n_pivots`` is how many pivot
-    BFS trees the node appears in (its estimate's support), betweenness
-    is the double dependency sum (only the final delta divisions are
+    BFS trees the node appears in at depth >= 1 (its estimate's
+    support; a sampled pivot's OWN source tree is excluded, matching
+    Brandes' convention of accumulating only v != s), betweenness is
+    the double dependency sum (only the final delta divisions are
     floating point; rounding to 4 decimals is stable across
     partitionings).
 
-    Scale shape: forward is closeness's frontier pattern with a sum
-    replacing the distinct; backward re-joins each level against the
-    edge relation once — 2·max_hops supersteps total, every frontier
-    bounded by k·|V| rows, the same exact-count broadcast gates on
-    frontier and settled sides, no collect.
+    Scale shape (r12): the forward pass is the SHARED pivot-vectorized
+    BFS (:func:`pivot_bfs_levels`, sigma lanes — exact longs); the
+    backward pass descends the same level relations with k-lane delta
+    arrays. Every frontier and level is bounded by |V| rows (the pivot
+    dimension lives in fixed-width arrays, not row multiplicity) —
+    2·max_hops supersteps total, exact-count broadcast gates on every
+    join side, no collect beyond the k-row pivot list.
     """
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
-    e = edge_state_adjacency(spark, path).select(
-        F.col("src").alias("_s"), F.col("dst").alias("_d")
+    pivot_list, levels, counts = pivot_bfs_levels(
+        spark, path, pivots, max_hops, checkpoint, count_paths=True
     )
+    k = len(pivot_list)
+    adj = edge_state_adjacency(spark, path)
+    e = adj.select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
     threshold = _parse_bytes(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
     )
-    row_bytes = 3 * _RANK_ROW_BYTES  # (pivot, node, sigma)
+    row_bytes = 2 * (16 * k + 64)  # (node, sig lanes, delta lanes)
 
     def _gate(df: DataFrame, n_rows: int) -> DataFrame:
         return F.broadcast(df) if 0 < n_rows * row_bytes <= threshold else df
 
-    level0 = (
-        pivots.select(F.col("node").alias("pivot"))
-        .distinct()
-        .select(
-            "pivot",
-            F.col("pivot").alias("node"),
-            F.lit(1).cast("long").alias("sigma"),
-        )
-    )
-    if checkpoint:
-        level0 = level0.localCheckpoint(eager=True)
-    levels = [level0]
-    counts = [level0.count()]
-    settled = level0.select("pivot", "node")
-    n_settled = counts[0]
-    for _h in range(1, max_hops + 1):
-        frontier = levels[-1]
-        cand = (
-            _gate(frontier, counts[-1])
-            .join(e, frontier["node"] == e["_s"])
-            .groupBy("pivot", F.col("_d").alias("node"))
-            .agg(F.sum("sigma").alias("sigma"))
-        )
-        sside = settled
-        if 0 < n_settled * row_bytes <= threshold:
-            sside = F.broadcast(sside)
-        new = cand.join(sside, ["pivot", "node"], "left_anti")
-        if checkpoint:
-            new = new.localCheckpoint(eager=True)
-        n_new = new.count()
-        if n_new == 0:
-            break
-        levels.append(new)
-        counts.append(n_new)
-        settled = settled.unionAll(new.select("pivot", "node"))
-        n_settled += n_new
-
+    zero_deltas = F.array(*[F.lit(0.0) for _ in range(k)])
     # backward: deepest level has zero dependency by construction
-    cur = levels[-1].withColumn("delta", F.lit(0.0))
+    cur = levels[-1].withColumn("delta", zero_deltas)
     per_level = [cur] if len(levels) > 1 else []
     for h in range(len(levels) - 2, -1, -1):
         w = cur.select(
-            "pivot",
             F.col("node").alias("_w"),
-            F.col("sigma").alias("_ws"),
+            F.col("sig").alias("_ws"),
             F.col("delta").alias("_wd"),
         )
         lvl = levels[h]
         expanded = _gate(lvl, counts[h]).join(
             e, lvl["node"] == e["_s"]
-        ).select("pivot", "node", "sigma", F.col("_d").alias("_w"))
+        ).select("node", "sig", F.col("_d").alias("_w"))
+        # lane i contributes iff v is at level h AND w at level h+1 for
+        # pivot i (sig lanes > 0 on both sides) — exactly Brandes'
+        # shortest-path successor relation, evaluated element-wise
         deltas = (
-            expanded.join(_gate(w, counts[h + 1]), ["pivot", "_w"])
-            .groupBy("pivot", "node")
-            .agg(
+            expanded.join(_gate(w, counts[h + 1]), ["_w"])
+            .groupBy("node")
+            .agg(F.array(*[
                 F.sum(
-                    (F.col("sigma").cast("double") / F.col("_ws"))
-                    * (F.lit(1.0) + F.col("_wd"))
-                ).alias("delta")
-            )
+                    F.when(
+                        (F.col("sig")[i] > 0) & (F.col("_ws")[i] > 0),
+                        (F.col("sig")[i].cast("double") / F.col("_ws")[i])
+                        * (F.lit(1.0) + F.col("_wd")[i]),
+                    ).otherwise(F.lit(0.0))
+                )
+                for i in range(k)
+            ]).alias("delta"))
         )
-        cur = lvl.join(deltas, ["pivot", "node"], "left").select(
-            "pivot",
+        cur = lvl.join(deltas, ["node"], "left").select(
             "node",
-            "sigma",
-            F.coalesce("delta", F.lit(0.0)).alias("delta"),
+            "sig",
+            F.coalesce("delta", zero_deltas).alias("delta"),
         )
         if checkpoint:
             cur = cur.localCheckpoint(eager=True)
@@ -832,17 +1148,24 @@ def betweenness_from_state(
             per_level.append(cur)
 
     if not per_level:
-        return level0.select("node").limit(0).select(
+        return levels[0].select("node").limit(0).select(
             "node",
             F.lit(0.0).alias("betweenness"),
             F.lit(0).cast("long").alias("n_pivots"),
         )
-    all_deltas = per_level[0].select("pivot", "node", "delta")
+    # per node per level: delta summed over lanes where the node is in
+    # that pivot's tree; support = popcount of the sig lanes (each pivot
+    # reaches a node at exactly one level, so levels sum disjointly)
+    rowsum = F.aggregate(
+        "delta", F.lit(0.0), lambda acc, x: acc + x
+    ).alias("_d")
+    support = F.size(F.filter("sig", lambda x: x > 0)).cast("long").alias("_s")
+    all_deltas = per_level[0].select("node", rowsum, support)
     for d in per_level[1:]:
-        all_deltas = all_deltas.unionAll(d.select("pivot", "node", "delta"))
+        all_deltas = all_deltas.unionAll(d.select("node", rowsum, support))
     return all_deltas.groupBy("node").agg(
-        F.sum("delta").alias("betweenness"),
-        F.count(F.lit(1)).cast("long").alias("n_pivots"),
+        F.sum("_d").alias("betweenness"),
+        F.sum("_s").cast("long").alias("n_pivots"),
     )
 
 
@@ -865,6 +1188,18 @@ def weighted_paths_from_state(
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
     adj = edge_state_adjacency(spark, path)
+    # mirror weighted_shortest_paths' non-negativity guard: build_edge_state
+    # sums caller weights without filtering, so a state built from negative
+    # inputs would silently return hop-bound-dependent distances — and
+    # inverse_weight additionally needs strictly positive w (1/w length)
+    mn = adj.agg(F.min("w").alias("m")).first()["m"]
+    if mn is not None and (mn < 0 or (inverse_weight and mn <= 0)):
+        raise ValueError(
+            "weighted_paths_from_state requires "
+            + ("strictly positive" if inverse_weight else "non-negative")
+            + f" edge weights (state {path} has min w = {mn}): with a hop "
+            "bound, negative relaxation changes the meaning of the answer"
+        )
     length = (F.lit(1.0) / F.col("w")) if inverse_weight else F.col("w")
     e = adj.select(
         F.col("src").alias("_s"), F.col("dst").alias("_d"), length.alias("_w")

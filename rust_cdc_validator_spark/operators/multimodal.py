@@ -285,48 +285,110 @@ def _decode_png(b: bytes):
         raise NotImplementedError("interlaced (Adam7) PNG not supported")
     if not idat:
         raise ValueError("missing PNG IDAT")
+    stride = w * channels
+    need = h * (stride + 1)
+    # Decompression is CAPPED at the declared raster size: a crafted
+    # IDAT (zlib bomb) can otherwise inflate a few KiB to gigabytes and
+    # OOM the executor before the length check ever runs. A conformant
+    # stream inflates to exactly `need` bytes, so anything left
+    # unconsumed after the cap is a spec violation, not data we ignore.
     try:
-        raw = zlib.decompress(b"".join(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), need)
+        if dec.unconsumed_tail and dec.decompress(dec.unconsumed_tail, 1):
+            raise ValueError("PNG IDAT inflates past the declared raster size")
     except zlib.error as exc:
         raise ValueError("corrupt PNG IDAT stream") from exc
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
+    if len(raw) < need:
         raise ValueError("truncated PNG raster")
+    rows = np.frombuffer(raw, dtype=np.uint8, count=need).reshape(
+        h, stride + 1
+    )
+    ftypes = rows[:, 0]
+    bad = ftypes[ftypes > 4]
+    if bad.size:
+        raise ValueError(f"invalid PNG filter type {int(bad[0])}")
+    data = rows[:, 1:]
     out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    rpos = 0
-    for y in range(h):
-        f = raw[rpos]
-        rpos += 1
-        row = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=rpos
-        ).copy()
-        rpos += stride
-        if f == 0:
-            pass
-        elif f == 1:  # Sub: wrap-around prefix sum per byte lane
+    y = 0
+    while y < h:
+        f = int(ftypes[y])
+        if f >= 3:
+            # Average/Paeth: maximal run of consecutive rows, one
+            # anti-diagonal wavefront (vectorized; see helper)
+            y2 = y + 1
+            while y2 < h and ftypes[y2] >= 3:
+                y2 += 1
+            _png_unfilter_avg_paeth_run(
+                data[y:y2], ftypes[y:y2], out, y, w, channels
+            )
+            y = y2
+            continue
+        row = data[y].copy()
+        if f == 1:  # Sub: wrap-around prefix sum per byte lane
             for lane in range(channels):
                 np.add.accumulate(
                     row[lane::channels], dtype=np.uint8, out=row[lane::channels]
                 )
         elif f == 2:  # Up
-            row += prev
-        elif f == 3:  # Average — sequential (left depends on recon)
-            for i in range(stride):
-                left = int(row[i - channels]) if i >= channels else 0
-                row[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth — sequential
-            for i in range(stride):
-                left = int(row[i - channels]) if i >= channels else 0
-                upleft = int(prev[i - channels]) if i >= channels else 0
-                row[i] = (
-                    int(row[i]) + _png_paeth(left, int(prev[i]), upleft)
-                ) & 0xFF
-        else:
-            raise ValueError(f"invalid PNG filter type {f}")
+            row += out[y - 1] if y > 0 else 0
         out[y] = row
-        prev = row
+        y += 1
     return out.reshape(h, w, channels)
+
+
+def _png_unfilter_avg_paeth_run(filt, ftypes, out, y0, w, channels):
+    """Reconstruct a run of consecutive Average/Paeth scanlines by
+    ANTI-DIAGONAL WAVEFRONT instead of the spec's per-byte recurrence.
+
+    Both filters depend on left (same row), up (previous row), and —
+    Paeth — upleft: for the pixel grid (run-row r, pixel x) every
+    dependency of (r, x) lies on an EARLIER anti-diagonal (r + x - 1 or
+    r + x - 2), so all pixels with equal r + x reconstruct together in
+    one vectorized numpy step, channel lanes included. A run of R rows
+    costs R + w - 1 numpy steps instead of R·w·channels Python-int
+    iterations — the r11 sequential form made filter-3/4-heavy PNGs
+    ~2 orders of magnitude slower than filter-0/2 ones (measured ~40x
+    on 256x256 RGB Paeth; see BENCH_NOTES r12). Exact integer
+    arithmetic throughout: byte-identical to the spec recurrence
+    (pinned by the roundtrip tests' per-filter planted images).
+
+    ``rec`` carries one sentinel row (the previously reconstructed
+    scanline, or zeros at the image top) and one sentinel column
+    (left/upleft = 0 at x = 0, per spec)."""
+    import numpy as np
+
+    R = filt.shape[0]
+    rec = np.zeros((R + 1, w + 1, channels), dtype=np.int32)
+    if y0 > 0:
+        rec[0, 1:] = out[y0 - 1].reshape(w, channels)
+    fl = np.zeros((R + 1, w + 1, channels), dtype=np.int32)
+    fl[1:, 1:] = filt.reshape(R, w, channels)
+    is_avg = ftypes == 3
+    any_avg = bool(is_avg.any())
+    any_paeth = not bool(is_avg.all())
+    for d in range(R + w - 1):
+        rs = np.arange(max(1, d - w + 2), min(R, d + 1) + 1)
+        xs = d - (rs - 1) + 1
+        left = rec[rs, xs - 1]
+        up = rec[rs - 1, xs]
+        if any_paeth:
+            ul = rec[rs - 1, xs - 1]
+            p = left + up - ul
+            pa = np.abs(p - left)
+            pb = np.abs(p - up)
+            pc = np.abs(p - ul)
+            paeth = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+            )
+        if not any_avg:
+            pred = paeth
+        elif not any_paeth:
+            pred = (left + up) >> 1
+        else:
+            pred = np.where(is_avg[rs - 1][:, None], (left + up) >> 1, paeth)
+        rec[rs, xs] = (fl[rs, xs] + pred) & 0xFF
+    out[y0:y0 + R] = rec[1:, 1:].reshape(R, w * channels).astype(np.uint8)
 
 
 def decode_image_pixels(b: bytes | None):

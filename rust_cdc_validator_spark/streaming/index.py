@@ -196,13 +196,18 @@ def maintain_edge_state(
     :func:`current_edge_state`'s resolution and always sees a COMPLETE
     version — readers never race a half-written advance.
 
-    Recovery semantics (foreachBatch may re-run a batch): the parent is
-    resolved as the newest version with ``batch_id <`` this batch's — so
-    a retried batch re-advances from its ORIGINAL parent and overwrites
-    its own ``v{batch_id}`` instead of double-counting its delta;
-    duplicate log rows from a crash between write and checkpoint carry
-    identical values and are harmless to max-resolution. Old versions
-    are the caller's to vacuum once no reader pins them.
+    Recovery semantics (foreachBatch may re-run a batch): if this
+    batch's version is ALREADY in the log, the prior attempt completed
+    its advance and registered it — the retry is a no-op. Re-advancing
+    would overwrite a version concurrent readers may be resolving
+    (parquet ``mode=overwrite`` deletes before it rewrites, so a reader
+    of ``current_edge_state`` could observe missing files mid-rewrite).
+    If the prior attempt died BEFORE the log append, ``v{batch_id}`` is
+    at worst a half-written orphan no reader can resolve, and the retry
+    re-advances from its ORIGINAL parent (newest version with
+    ``batch_id <`` this batch's) and overwrites the orphan — never
+    double-counting the delta. Old versions are the caller's to vacuum
+    once no reader pins them (:func:`vacuum_edge_state_versions`).
 
     At 100 TB: per batch cost is O(|E| state read + |batch|) with zero
     fact-table scans — the graph stays current at streaming cadence
@@ -213,9 +218,20 @@ def maintain_edge_state(
     )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         if not batch.head(1):
             return
         spark = batch.sparkSession
+        # retry no-op guard: an already-registered version is COMPLETE —
+        # rewriting it in place would race readers (see docstring)
+        already = (
+            spark.read.parquet(versions_path)
+            .filter(F.col("batch_id") == batch_id)
+            .head(1)
+        )
+        if already:
+            return
         parent = current_edge_state(spark, versions_path, before=batch_id)
         new_path = f"{state_root}/v{batch_id}"
         advance_edge_state(
@@ -230,3 +246,155 @@ def maintain_edge_state(
         edge_stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def vacuum_edge_state_versions(
+    spark,
+    state_root: str,
+    versions_path: str,
+    keep_last: int = 2,
+    heal_orphans: bool = True,
+    dry_run: bool = False,
+) -> dict:
+    """Retention for :func:`maintain_edge_state`'s version chain — the
+    edge-state sibling of ``operators/state.gc_state_versions``.
+
+    The bucket-selective advance makes versions SHARE adjacency files
+    (an untouched bucket's file is referenced by every later manifest
+    until next touched), so deleting an old version's directory outright
+    would corrupt newer versions. Vacuum therefore works by
+    REACHABILITY, like table-format snapshot expiry:
+
+    * keep the newest ``keep_last`` REGISTERED versions (the resolved
+      current version is always among them — resolution is newest-row);
+    * a file is LIVE iff it lives under a kept version's directory or a
+      kept version's adj manifest references it;
+    * dropped registered versions lose their non-live files; their
+      directories survive while still holding live (shared) files;
+    * with ``heal_orphans``, an UNREGISTERED ``v{n}`` directory under
+      ``state_root`` — a batch that died between its advance write and
+      its log append, invisible to every reader — is deleted whole (the
+      retried batch rewrites it from its original parent anyway).
+
+    Only paths under ``state_root`` are ever touched: the seed version
+    (``init_edge_state_log``'s ``initial_path``) typically lives
+    elsewhere and is never vacuumed here. Log rows for dropped versions
+    are KEPT — the log is append-only and tiny, resolution reads only
+    the newest row, and rewriting the log in place would race readers.
+
+    Call from the maintenance scheduler when no advance is in flight
+    (``heal_orphans`` cannot tell a crashed orphan from an advance that
+    is mid-write right now). Returns ``{"kept", "dropped",
+    "deleted_files", "retained_shared_files", "healed_orphans"}``;
+    ``dry_run`` reports without deleting.
+    """
+    import posixpath
+    import re
+
+    from rust_cdc_validator_spark.operators.graphstate import (
+        _load_adj_manifest,
+        _resolve_adj_entry,
+    )
+    from rust_cdc_validator_spark.operators.state import (
+        _fs_list_names,
+        _hadoop_fs,
+    )
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 — vacuum never drops HEAD")
+
+    rows = spark.read.parquet(versions_path).collect()
+    by_id = {}
+    for r in rows:  # duplicate rows (crash between write and checkpoint)
+        by_id[int(r["batch_id"])] = r["path"]
+    ordered = sorted(by_id)  # oldest -> newest
+    kept_ids = ordered[-keep_last:]
+    dropped_ids = [v for v in ordered if v not in kept_ids]
+    root_norm = state_root.rstrip("/")
+
+    def _under_root(p: str) -> bool:
+        return (p.rstrip("/") + "/").startswith(root_norm + "/")
+
+    fs, _, jvm = _hadoop_fs(spark, state_root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+
+    def _walk_files(base: str) -> list[str]:
+        out = []
+        stack = [base]
+        while stack:
+            cur = stack.pop()
+            for name in _fs_list_names(spark, cur):
+                child = posixpath.join(cur, name)
+                if fs.isDirectory(hpath(child)):
+                    stack.append(child)
+                else:
+                    out.append(child)
+        return out
+
+    # live set: every file under a kept dir + every file a kept
+    # manifest references (shared files living in DROPPED version dirs)
+    live: set[str] = set()
+    for v in kept_ids:
+        p = by_id[v]
+        if fs.exists(hpath(p)):
+            live.update(_walk_files(p))
+        m = _load_adj_manifest(spark, p)
+        if m is not None:
+            for files in m["buckets"].values():
+                for rel in files:
+                    live.add(_resolve_adj_entry(p, rel))
+
+    deleted, retained = [], []
+    for v in dropped_ids:
+        p = by_id[v]
+        if not _under_root(p) or not fs.exists(hpath(p)):
+            continue  # the seed or an external version: never touched
+        for f in _walk_files(p):
+            if f in live:
+                retained.append(f)
+                continue
+            deleted.append(f)
+            if not dry_run:
+                fs.delete(hpath(f), False)
+        if not dry_run:
+            # prune now-empty subtrees (a dir holding live files stays)
+            stack, dirs = [p], []
+            while stack:
+                cur = stack.pop()
+                dirs.append(cur)
+                for name in _fs_list_names(spark, cur):
+                    child = posixpath.join(cur, name)
+                    if fs.isDirectory(hpath(child)):
+                        stack.append(child)
+            for d in sorted(dirs, key=len, reverse=True):
+                if not _fs_list_names(spark, d):
+                    fs.delete(hpath(d), False)
+
+    healed = []
+    if heal_orphans:
+        registered = {by_id[v].rstrip("/") for v in ordered}
+        for name in _fs_list_names(spark, state_root):
+            if not re.fullmatch(r"v-?\d+", name):
+                continue
+            child = posixpath.join(root_norm, name)
+            if child in registered or not fs.isDirectory(hpath(child)):
+                continue
+            # unregistered orphan: but its files may be LIVE through a
+            # kept manifest? impossible — manifests only reference their
+            # own files and ANCESTOR versions, and an unregistered dir
+            # was never anyone's parent. Still, guard by reachability.
+            own = set(_walk_files(child))
+            if own & live:
+                retained.extend(sorted(own & live))
+                continue
+            healed.append(child)
+            if not dry_run:
+                fs.delete(hpath(child), True)
+
+    return {
+        "kept": kept_ids,
+        "dropped": dropped_ids,
+        "deleted_files": sorted(deleted),
+        "retained_shared_files": sorted(set(retained)),
+        "healed_orphans": sorted(healed),
+    }

@@ -602,3 +602,169 @@ def test_advance_property_random_deltas_equal_rebuild(spark, tmp_path):
     assert any(w < 0 for _, _, w in delta) and any(
         net[p] == 0 for p in net
     )
+
+
+def test_advance_same_path_guard_normalizes_separator_runs(spark, tmp_path):
+    """The same-version guard must catch ANY spelling of the same path —
+    '///' runs and '.'/'..' segments included (a single '//' replace
+    missed '/tmp///s' vs '/tmp/s', letting an advance overwrite the
+    state it reads)."""
+    from rust_cdc_validator_spark.operators.graphstate import (
+        _norm_state_path,
+        advance_edge_state,
+    )
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    p0 = str(tmp_path / "v0")
+    build_edge_state(df, p0, directed=False, buckets=2)
+    ddf = spark.createDataFrame([("b", "c")], "src string, dst string")
+    for alias in (
+        p0 + "///",
+        p0.replace("/v0", "///v0"),
+        p0 + "/./",
+        p0 + "/sub/..",
+    ):
+        with pytest.raises(ValueError, match="NEW state version"):
+            advance_edge_state(spark, p0, ddf, alias)
+    # scheme-qualified paths keep their authority intact
+    assert _norm_state_path("s3://bucket/state/") == "s3://bucket/state"
+
+
+def test_weighted_paths_from_state_rejects_nonpositive_weights(
+    spark, tmp_path
+):
+    """build_edge_state does not filter negative net weights, so the
+    from-state SSSP must enforce the same guard weighted_shortest_paths
+    does — and inverse_weight needs strictly positive w (1/w length)."""
+    from rust_cdc_validator_spark.operators.graphstate import (
+        weighted_paths_from_state,
+    )
+
+    seeds = spark.createDataFrame([("a",)], "node string")
+
+    neg = str(tmp_path / "neg_state")
+    build_edge_state(
+        spark.createDataFrame(
+            [("a", "b", 2.0), ("b", "c", -1.0)],
+            "src string, dst string, w double",
+        ),
+        neg, weight_col="w", directed=False, buckets=2,
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        weighted_paths_from_state(spark, neg, seeds, max_hops=3)
+
+    # net-zero weight (every endpoint keeps other positive edges so the
+    # build's transition probs stay defined): fine for direct lengths,
+    # rejected for 1/w
+    zero = str(tmp_path / "zero_state")
+    build_edge_state(
+        spark.createDataFrame(
+            [
+                ("a", "b", 1.0),
+                ("a", "b", -1.0),
+                ("b", "c", 1.0),
+                ("a", "d", 1.0),
+            ],
+            "src string, dst string, w double",
+        ),
+        zero, weight_col="w", directed=False, buckets=2,
+    )
+    ok = {
+        r["node"]: r["dist"]
+        for r in weighted_paths_from_state(
+            spark, zero, seeds, max_hops=3
+        ).collect()
+    }
+    assert ok["b"] == 0.0 and ok["c"] == 1.0  # zero-length a-b edge walked
+    with pytest.raises(ValueError, match="strictly positive"):
+        weighted_paths_from_state(
+            spark, zero, seeds, max_hops=3, inverse_weight=True
+        )
+
+    # a healthy state still answers (guard is one MIN aggregate)
+    good = str(tmp_path / "good_state")
+    build_edge_state(
+        spark.createDataFrame(
+            [("a", "b", 2.0), ("b", "c", 4.0)],
+            "src string, dst string, w double",
+        ),
+        good, weight_col="w", directed=False, buckets=2,
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in weighted_paths_from_state(
+            spark, good, seeds, max_hops=3, inverse_weight=True
+        ).collect()
+    }
+    assert got == {"a": 0.0, "b": 0.5, "c": 0.75}
+
+
+def test_advance_rewrites_only_touched_buckets(spark, tmp_path):
+    """Bucket-selective advance: untouched buckets are CARRIED as file
+    references in the new version's adj manifest — the parent's files,
+    byte-identical, zero bytes rewritten (the state.py manifest-chain
+    discipline). Only delta-touched buckets get new data files."""
+    import json
+    import pathlib
+
+    from rust_cdc_validator_spark.operators.graphstate import (
+        _load_adj_manifest,
+        _resolve_adj_entry,
+        advance_edge_state,
+    )
+    from rust_cdc_validator_spark.operators.state import bucket_id
+
+    # many distinct srcs so every bucket is populated
+    base = [(f"n{i}", f"n{(i + 1) % 24}", float(1 + i % 3)) for i in range(24)]
+    df = spark.createDataFrame(base, "src string, dst string, w double")
+    p0 = str(tmp_path / "v0")
+    build_edge_state(df, p0, weight_col="w", directed=False, buckets=8)
+
+    m0 = _load_adj_manifest(spark, p0)
+    assert m0 is not None and m0["n_buckets"] == 8
+    before = {
+        rel: pathlib.Path(_resolve_adj_entry(p0, rel)).read_bytes()
+        for files in m0["buckets"].values()
+        for rel in files
+    }
+
+    delta = [("n0", "n1", 2.0)]
+    ddf = spark.createDataFrame(delta, "src string, dst string, w double")
+    p1 = str(tmp_path / "v1")
+    advance_edge_state(spark, p0, ddf, p1, weight_col="w")
+
+    # which buckets SHOULD the undirected delta touch (both directions)
+    exp_touched = {
+        r["_b"]
+        for r in spark.createDataFrame(
+            [("n0",), ("n1",)], "src string"
+        ).select(bucket_id(["src"], 8).cast("int").alias("_b")).collect()
+    }
+    m1 = _load_adj_manifest(spark, p1)
+    own_prefix = "adj/"
+    for b, files in m1["buckets"].items():
+        if b in exp_touched:
+            for rel in files:
+                assert rel.startswith(own_prefix), (b, rel)  # new data
+        else:
+            for rel in files:
+                resolved = _resolve_adj_entry(p1, rel)
+                # carried reference points INTO the parent version…
+                assert resolved.startswith(p0), (b, rel)
+                # …and the parent file is byte-identical (never rewritten)
+                parent_rel = resolved[len(p0) + 1:]
+                assert (
+                    pathlib.Path(resolved).read_bytes()
+                    == before[parent_rel]
+                ), (b, rel)
+    assert exp_touched  # the scenario exercised the selective path
+
+    # the parent's own files never changed on disk
+    for rel, data in before.items():
+        assert pathlib.Path(_resolve_adj_entry(p0, rel)).read_bytes() == data
+
+    # manifest JSON is the commit record; paths resolve through the API
+    raw = json.loads(
+        pathlib.Path(p1, "adj_manifest.json").read_text()
+    )
+    assert set(raw["buckets"]) == {str(b) for b in range(8)}

@@ -617,6 +617,38 @@ def test_png_decode_honest_boundaries():
             decode_image_pixels(blob)
 
 
+def test_png_decode_caps_idat_inflation():
+    """A crafted IDAT (zlib bomb) declaring a tiny raster but inflating
+    to megabytes must fail the size check WITHOUT materializing the
+    inflated bytes — decompression is capped at the declared raster
+    size, so the decoder's peak allocation stays h*(stride+1)."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from rust_cdc_validator_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    def chunk(typ, data):
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    # 2x2 RGB declares a 14-byte raster; the IDAT inflates to 64 MiB
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (64 << 20)))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="inflates past"):
+        decode_image_pixels(bomb)
+
+
 def test_image_channel_stats_decodes_png_now(spark):
     """The triage path upgrades in place: a VALID png now yields real
     channel stats where r10 returned NULLs."""
@@ -635,3 +667,23 @@ def test_image_channel_stats_decodes_png_now(spark):
     row = image_channel_stats(df).collect()[0]
     assert row["format"] == "png"
     assert row["channel_mean"] == [100.0, 50.0, 25.0]
+
+
+def test_png_decode_roundtrip_large_random_filters():
+    """Randomized per-row filter mix on a larger RGBA raster: the
+    wavefront Average/Paeth runs interleave with the vectorized
+    None/Sub/Up rows and must stay byte-identical to the independent
+    forward encoder."""
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(40, 23, 4), dtype=np.uint8)
+    filters = rng.randint(0, 5, size=40).tolist()
+    # force a long Paeth/Average run so the wavefront spans many rows
+    filters[10:30] = [4, 3] * 10
+    got = decode_image_pixels(_encode_png(px, 6, filters))
+    assert got.tolist() == px.tolist()
