@@ -9173,6 +9173,86 @@ ORDER BY o_orderkey
 """
 
 
+_SCD2_HISTORY_CACHE: dict[str, str] = {}
+
+
+def _orders_scd2_history_for(spark: SparkSession, sf_dir: str) -> str:
+    """Persist (once per process per sf_dir) the synthesized orders SCD2
+    history that ``cdc_orders_scd2_asof`` builds in-plan — RANGE-
+    partitioned and sorted by ``valid_from`` (the ``operators/state.py``
+    persistence discipline), so AS-OF range predicates prune whole
+    FILES (range partitioning keeps each valid_from span in its own
+    files) and row-groups (the within-file sort gives tight min/max
+    stats). This is the layout a standing temporal table actually has
+    at 100 TB: history written once per maintenance run, every
+    point-in-time read a pruned scan — exercised here so the pruning
+    claim is pinned against a real persisted relation
+    (tests/test_plans.py::test_scd2_asof_persisted_pruning), not just
+    documented."""
+    path = _SCD2_HISTORY_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        from rust_cdc_validator_spark.operators.replay import scd2_history
+
+        orders = _t(spark, sf_dir, "orders")
+        stride = F.lit(1 << 40)
+        load = orders.select(
+            "o_orderkey", "o_totalprice",
+            F.lit("I").alias("Op"),
+            F.col("o_orderkey").cast("long").alias("_seq"),
+        )
+        updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+            F.lit("U").alias("Op"),
+            (stride + F.col("o_orderkey")).cast("long").alias("_seq"),
+        )
+        deletes = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+            "o_orderkey", "o_totalprice",
+            F.lit("D").alias("Op"),
+            (stride * 2 + F.col("o_orderkey")).cast("long").alias("_seq"),
+        )
+        hist = scd2_history(
+            load.unionByName(updates).unionByName(deletes), ["o_orderkey"]
+        )
+        path = tempfile.mkdtemp(prefix="orders_scd2_hist_")
+        (
+            hist.repartitionByRange(8, "valid_from")
+            .sortWithinPartitions("valid_from")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _SCD2_HISTORY_CACHE[sf_dir] = path
+    return path
+
+
+def cdc_orders_scd2_asof_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL:2011 AS-OF read over a PERSISTED SCD2 history — the same
+    instant, slice, and answer as ``cdc_orders_scd2_asof``, but reading
+    the history back from parquet instead of synthesizing it in-plan:
+    ``scd2_asof``'s interval predicates (valid_from <= t, valid_to IS
+    NULL OR valid_to > t) reach the scan as PushedFilters, and because
+    the history is range-partitioned + sorted by valid_from the t-bound
+    prunes files and row-groups — the read pattern a temporal table
+    serves at 100 TB, where scanning the full history per point-in-time
+    query would be the dominant cost. History build memoized per
+    process (build-once/read-many, the standing-pipeline contract);
+    the oracle recomputes the same history arithmetic from raw orders."""
+    from rust_cdc_validator_spark.operators.replay import scd2_asof
+
+    hist = spark.read.parquet(_orders_scd2_history_for(spark, sf_dir))
+    state = scd2_asof(hist, (1 << 40) + (1 << 39))
+    return (
+        state.filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_totalprice", "valid_from")
+        .orderBy("o_orderkey")
+    )
+
+
+CDC_ORDERS_SCD2_ASOF_PERSISTED_SQL = CDC_ORDERS_SCD2_ASOF_SQL
+
+
 def cdc_orders_scd2_asof_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal diff between two AS-OF instants of the SCD2 history
     (operators/replay.scd2_asof_diff) — "what drifted between t1 and
@@ -10419,6 +10499,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_hourly_seasonality": events_hourly_seasonality,
     "cdc_orders_scd2": cdc_orders_scd2,
     "cdc_orders_scd2_asof": cdc_orders_scd2_asof,
+    "cdc_orders_scd2_asof_persisted": cdc_orders_scd2_asof_persisted,
     "cdc_orders_scd2_asof_diff": cdc_orders_scd2_asof_diff,
     "orders_price_wasserstein": orders_price_wasserstein,
     "parts_cotrade_clustering": parts_cotrade_clustering,
@@ -10611,6 +10692,7 @@ ORACLES: dict[str, str] = {
     "events_hourly_seasonality": EVENTS_HOURLY_SEASONALITY_SQL,
     "cdc_orders_scd2": CDC_ORDERS_SCD2_SQL,
     "cdc_orders_scd2_asof": CDC_ORDERS_SCD2_ASOF_SQL,
+    "cdc_orders_scd2_asof_persisted": CDC_ORDERS_SCD2_ASOF_PERSISTED_SQL,
     "cdc_orders_scd2_asof_diff": CDC_ORDERS_SCD2_ASOF_DIFF_SQL,
     "orders_price_wasserstein": ORDERS_PRICE_WASSERSTEIN_SQL,
     "parts_cotrade_clustering": PARTS_COTRADE_CLUSTERING_SQL,
