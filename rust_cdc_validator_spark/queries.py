@@ -9787,6 +9787,99 @@ WINDOW pre AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (Hughes, "Strategic Database Marketing" 1994 —
+    the classic recency/frequency/monetary customer grading): per
+    ordering customer, recency = latest order date, frequency = order
+    count, monetary = lifetime spend; each dimension is cut into exact
+    rank QUINTILES and the output is the segment lattice (r_q, f_q,
+    m_q) with member counts and spend — the marketing-mix relation a
+    warehouse refreshes daily.
+
+    Engine-portable arithmetic contract: monetary sums in CENTS (longs —
+    a double sum's addition order could flip a near-tie's rank between
+    engines), ranks use a deterministic (metric, custkey) tie-break, and
+    the quintile is the INTEGER form ``(5·(rank-1)) div n + 1`` (exact
+    in both engines; ceil(5·rank/n) in doubles can straddle a boundary
+    ulp).
+
+    Spark shape: the classic NTILE formulation funnels all customers
+    through ONE task (global window — the textbook scale cliff); here
+    each dimension's global rank is an exclusive prefix count
+    (operators/layout.prefix_sum: range exchange + partition-local
+    windows + a broadcast offset join over partition TOTALS — the
+    documented bounded single-partition-window class). Three ranked
+    dimensions = three range exchanges over the customer-level relation;
+    no row-scaled single-task stage anywhere. At 100 TB the customer
+    relation is the small output of the orders groupBy, and every
+    exchange is keyed."""
+    from rust_cdc_validator_spark.operators.layout import prefix_sum
+
+    orders = _t(spark, sf_dir, "orders")
+    base = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("recency"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("monetary_cents"),
+        )
+        .withColumn("_one", F.lit(1).cast("long"))
+    )
+    n = base.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    ranked = base
+    for metric, out in (
+        ("recency", "r_q"),
+        ("frequency", "f_q"),
+        ("monetary_cents", "m_q"),
+    ):
+        ranked = prefix_sum(
+            ranked, [metric, "o_custkey"], "_one", out_col="_rank0"
+        ).withColumn(out, F.col("_rank0")).drop("_rank0")
+    ranked = ranked.crossJoin(F.broadcast(n))
+    for out in ("r_q", "f_q", "m_q"):
+        ranked = ranked.withColumn(
+            out,
+            (F.expr(f"5 * {out} div _n") + F.lit(1)).cast("int"),
+        )
+    return (
+        ranked.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("monetary_cents").alias("segment_cents"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+CUSTOMER_RFM_SEGMENTS_SQL = """
+WITH base AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS recency,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey
+), n AS (SELECT COUNT(*) AS _n FROM base),
+ranked AS (
+  SELECT b.*,
+    ROW_NUMBER() OVER (ORDER BY recency, o_custkey) - 1 AS rr,
+    ROW_NUMBER() OVER (ORDER BY frequency, o_custkey) - 1 AS fr,
+    ROW_NUMBER() OVER (ORDER BY monetary_cents, o_custkey) - 1 AS mr
+  FROM base b
+)
+SELECT CAST((5 * rr) // _n + 1 AS INT) AS r_q,
+       CAST((5 * fr) // _n + 1 AS INT) AS f_q,
+       CAST((5 * mr) // _n + 1 AS INT) AS m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+FROM ranked, n
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curve: customers grouped by FIRST-order month,
     then cumulative revenue per cohort member at each month of age — the
@@ -10500,6 +10593,7 @@ QUERIES: dict[str, QueryFn] = {
     "cdc_orders_scd2": cdc_orders_scd2,
     "cdc_orders_scd2_asof": cdc_orders_scd2_asof,
     "cdc_orders_scd2_asof_persisted": cdc_orders_scd2_asof_persisted,
+    "customer_rfm_segments": customer_rfm_segments,
     "cdc_orders_scd2_asof_diff": cdc_orders_scd2_asof_diff,
     "orders_price_wasserstein": orders_price_wasserstein,
     "parts_cotrade_clustering": parts_cotrade_clustering,
@@ -10693,6 +10787,7 @@ ORACLES: dict[str, str] = {
     "cdc_orders_scd2": CDC_ORDERS_SCD2_SQL,
     "cdc_orders_scd2_asof": CDC_ORDERS_SCD2_ASOF_SQL,
     "cdc_orders_scd2_asof_persisted": CDC_ORDERS_SCD2_ASOF_PERSISTED_SQL,
+    "customer_rfm_segments": CUSTOMER_RFM_SEGMENTS_SQL,
     "cdc_orders_scd2_asof_diff": CDC_ORDERS_SCD2_ASOF_DIFF_SQL,
     "orders_price_wasserstein": ORDERS_PRICE_WASSERSTEIN_SQL,
     "parts_cotrade_clustering": PARTS_COTRADE_CLUSTERING_SQL,

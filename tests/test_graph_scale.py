@@ -226,6 +226,12 @@ def test_harmonic_closeness_1m_edges_wall_and_job_count(spark, tmp_path):
     pivots = spark.createDataFrame([(i,) for i in range(8)], "node long")
 
     def run():
+        # the shared forward pass memoizes per (state, pivots, horizon) —
+        # clear it so BOTH runs measure the full pass (the stability pin
+        # is about per-run job structure, not the cache)
+        from rust_cdc_validator_spark.operators import graphstate as gs
+
+        gs._PIVOT_BFS_CACHE.clear()
         out = harmonic_closeness_from_state(spark, path, pivots, max_hops=3)
         return out.agg(
             F.count(F.lit(1)).alias("n"), F.max("n_reached").alias("r")
@@ -263,6 +269,9 @@ def test_betweenness_1m_edges_wall_and_job_count(spark, tmp_path):
     pivots = spark.createDataFrame([(i,) for i in range(8)], "node long")
 
     def run():
+        from rust_cdc_validator_spark.operators import graphstate as gs
+
+        gs._PIVOT_BFS_CACHE.clear()  # measure the full pass both runs
         out = betweenness_from_state(spark, path, pivots, max_hops=2)
         return out.agg(
             F.count(F.lit(1)).alias("n"),
