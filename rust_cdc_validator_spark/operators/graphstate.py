@@ -172,17 +172,20 @@ def _attach_transition_probs(directed_edges: DataFrame) -> DataFrame:
 
 def _write_adj_buckets(adj: DataFrame, path: str, buckets: int) -> None:
     """Write (src, dst, w, p) under ``{path}/adj/_b={bucket}/`` — one
-    file per bucket: ``repartition(buckets, "src")`` is Spark's
-    HashPartitioning pmod(hash(src), buckets), exactly
-    ``state.bucket_id``, so each write task holds one bucket's rows and
-    ``partitionBy("_b")`` yields one sorted file per touched bucket
-    (src-keyed reads keep row-group min/max pruning)."""
+    file per bucket: repartitioning on ``_b`` ITSELF co-locates each
+    bucket's rows in one task by construction (repartitioning on
+    ``src`` relies on the write stage keeping pmod(hash(src), buckets)
+    intact, which AQE's runtime re-planning broke in the real build —
+    measured 8 files per bucket dir, an 8x file-count tax on every
+    manifest-resolved read). Within the task a (``_b``, ``src``) sort
+    keeps src-keyed row-group min/max pruning inside each bucket
+    file."""
     from rust_cdc_validator_spark.operators.state import bucket_id
 
     (
         adj.withColumn("_b", bucket_id(["src"], buckets).cast("int"))
-        .repartition(buckets, "src")
-        .sortWithinPartitions("src")
+        .repartition(buckets, "_b")
+        .sortWithinPartitions("_b", "src")
         .write.partitionBy("_b")
         .mode("overwrite")
         .parquet(f"{path}/adj")
@@ -237,6 +240,16 @@ def _write_adj_manifest(
     _fs_write_text(
         spark, _adj_manifest_path(path), json.dumps(manifest, indent=1)
     )
+    _ADJ_MANIFEST_CACHE.pop(path, None)  # a rebuild replaced the record
+
+
+#: path -> parsed manifest (or None for legacy flat-adj states). States
+#: are immutable versions by contract, so the commit record never changes
+#: under a path; without this cache EVERY from-state query execution paid
+#: an existence probe plus a line-by-line py4j manifest read (~0.3 s/call
+#: measured at sf0.1 — the r12-D bench regression on the graph family).
+#: _write_adj_manifest invalidates its key, covering in-place rebuilds.
+_ADJ_MANIFEST_CACHE: dict[str, dict | None] = {}
 
 
 def _load_adj_manifest(spark: SparkSession, path: str) -> dict | None:
@@ -248,12 +261,16 @@ def _load_adj_manifest(spark: SparkSession, path: str) -> dict | None:
         _hadoop_fs,
     )
 
+    if path in _ADJ_MANIFEST_CACHE:
+        return _ADJ_MANIFEST_CACHE[path]
     uri = _adj_manifest_path(path)
     fs, p, _ = _hadoop_fs(spark, uri)
     if not fs.exists(p):
-        return None
-    m = json.loads(_fs_read_text(spark, uri))
-    m["buckets"] = {int(k): v for k, v in m["buckets"].items()}
+        m = None
+    else:
+        m = json.loads(_fs_read_text(spark, uri))
+        m["buckets"] = {int(k): v for k, v in m["buckets"].items()}
+    _ADJ_MANIFEST_CACHE[path] = m
     return m
 
 
