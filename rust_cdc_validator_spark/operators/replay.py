@@ -125,6 +125,88 @@ def net_effect(
     return final.drop(*ENVELOPE_COLS) if drop_envelope else final
 
 
+def net_effect_partial(
+    changes: DataFrame,
+    primary_key: list[str],
+    op_col: str = OP_COL,
+    seq_col: str = "_seq",
+) -> DataFrame:
+    """Net effect over PARTIAL-image updates, in ONE hash aggregation.
+
+    The reference replays FULL row images (every DMS record carries the
+    whole row, postgres_operator_impl.rs:193-260), so last-row-wins is
+    enough. DMS/Debezium can also emit partial images — an update carries
+    only the changed columns, NULL meaning "unchanged". Final state is then
+    per key, per COLUMN: the last non-null value in ``seq_col`` order, with
+    delete fencing — a 'D' tombstone kills the key unless a later I/U
+    revives it, and revival must not resurrect pre-delete column values.
+
+    The Spark-first plan is one groupBy(pk).agg(...) — NOT a window:
+
+    * ``d``          = max(seq) among 'D' rows (the last tombstone),
+    * per column c:  ``v_c`` = max_by(c, seq) and ``s_c`` = max(seq) over
+      non-null, non-delete writes of c — max_by skips NULL ordering keys,
+      so (``s_c``, ``v_c``) IS the last non-null write of c,
+    * the key is live iff some I/U row has seq > d,
+    * c's final value is ``v_c`` when ``s_c > d`` else NULL: the LAST
+      non-null write is also the last non-null write after the fence
+      whenever any post-fence write exists.
+
+    max_by + max keep the whole reduction in HashAggregate with a partial
+    (map-side) combine — pinned in tests/test_plans.py — so at 100 TB the
+    single shuffle carries one reduced row per (task, hot key), not the
+    whole change log; unlike ``net_effect``'s last-row-wins, it is correct
+    when updates carry column subsets. Ties cannot occur: ``seq_col`` is
+    unique by construction (with_sequence packs file rank + row index).
+    """
+    if not primary_key:
+        raise ValueError("partial-image net effect requires a primary key")
+    op = F.coalesce(F.col(op_col), F.lit("I"))
+    is_del = op == F.lit("D")
+    seq = F.col(seq_col)
+    value_cols = [
+        c
+        for c in changes.columns
+        if c not in primary_key and c != op_col and c != seq_col
+    ]
+    aggs = [
+        F.max(F.when(is_del, seq)).alias("_d"),
+        F.max(F.when(~is_del, seq)).alias("_last_live"),
+    ]
+    for c in value_cols:
+        write_seq = F.when(~is_del & F.col(c).isNotNull(), seq)
+        aggs.append(F.max_by(F.col(c), write_seq).alias(f"_v_{c}"))
+        aggs.append(F.max(write_seq).alias(f"_s_{c}"))
+    fenced = changes.groupBy(*primary_key).agg(*aggs)
+    fence = F.coalesce(F.col("_d"), F.lit(-(1 << 62)))
+    out_cols = [F.col(c) for c in primary_key]
+    for c in value_cols:
+        out_cols.append(
+            F.when(F.col(f"_s_{c}") > fence, F.col(f"_v_{c}")).alias(c)
+        )
+    return fenced.filter(F.col("_last_live") > fence).select(*out_cols)
+
+
+def union_evolving(epochs: list[DataFrame]) -> DataFrame:
+    """Union CDC epochs whose schemas WIDEN over time (DMS ALTER TABLE
+    mid-stream: later files carry added columns the earlier ones lack).
+
+    The reference hard-fails on schema drift (its INSERT binds the first
+    file's column list, postgres_operator_impl.rs:193-231); the Spark-first
+    behavior is ``unionByName(allowMissingColumns=True)`` — name-aligned,
+    missing columns NULL — so one ``net_effect`` replay spans the ALTER.
+    Columns may be ADDED between epochs, never retyped: an incompatible
+    type on a shared name fails analysis in unionByName (compatible
+    widenings like int→long follow Spark's union coercion).
+    """
+    if not epochs:
+        raise ValueError("union_evolving needs at least one epoch")
+    out = epochs[0]
+    for e in epochs[1:]:
+        out = out.unionByName(e, allowMissingColumns=True)
+    return out
+
+
 def replay_snapshot(
     spark,
     entries: list[ManifestEntry],

@@ -29,7 +29,11 @@ from rust_cdc_validator_spark.operators.dedup import (
 )
 from rust_cdc_validator_spark.operators.diff import row_digest
 from rust_cdc_validator_spark.operators.multimodal import media_features
-from rust_cdc_validator_spark.operators.replay import net_effect
+from rust_cdc_validator_spark.operators.replay import (
+    net_effect,
+    net_effect_partial,
+    union_evolving,
+)
 from rust_cdc_validator_spark.operators.similarity import brute_force_topk, lsh_bucket_topk
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -10446,6 +10450,433 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# r12 continuation: partial-image CDC, schema-evolution replay, attribution,
+# jackknife CI, split-conformal intervals, oracled isotonic calibration
+# --------------------------------------------------------------------------
+
+
+def cdc_partial_image_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-image CDC net effect (operators/replay.net_effect_partial):
+    updates carry ONLY the changed column (the other NULL = "unchanged"),
+    deletes fence, a re-insert after a delete must NOT resurrect fenced
+    column values. Synthesized from `orders` in five epochs: full LOAD;
+    price-only updates (%7, +10); custkey-only updates (%11, → -1);
+    deletes (%13); full-image revivals (%26, price 999). Keys divisible by
+    both 7 and 26 (e.g. 182) prove the fence: their pre-delete +10 update
+    is dead, the revival's 999 wins. The oracle derives the expected final
+    table INDEPENDENTLY (semantic check, not a structural mirror)."""
+    orders = _t(spark, sf_dir, "orders")
+    stride = F.lit(1 << 40)
+    key = F.col("o_orderkey")
+    null_cust = F.lit(None).cast("long").alias("o_custkey")
+    null_price = F.lit(None).cast("double").alias("o_totalprice")
+    load = orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.lit("I").alias("Op"), key.cast("long").alias("_seq"),
+    )
+    price_up = orders.filter(key % 7 == 0).select(
+        "o_orderkey", null_cust,
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+        F.lit("U").alias("Op"), (stride + key).cast("long").alias("_seq"),
+    )
+    cust_up = orders.filter(key % 11 == 0).select(
+        "o_orderkey", F.lit(-1).cast("long").alias("o_custkey"), null_price,
+        F.lit("U").alias("Op"), (stride * 2 + key).cast("long").alias("_seq"),
+    )
+    deletes = orders.filter(key % 13 == 0).select(
+        "o_orderkey", null_cust, null_price,
+        F.lit("D").alias("Op"), (stride * 3 + key).cast("long").alias("_seq"),
+    )
+    revive = orders.filter(key % 26 == 0).select(
+        "o_orderkey", "o_custkey", F.lit(999.0).alias("o_totalprice"),
+        F.lit("I").alias("Op"), (stride * 4 + key).cast("long").alias("_seq"),
+    )
+    log = load.unionByName(price_up).unionByName(cust_up)
+    log = log.unionByName(deletes).unionByName(revive)
+    return net_effect_partial(log, ["o_orderkey"])
+
+
+CDC_PARTIAL_IMAGE_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 26 = 0 THEN o_custkey
+            WHEN o_orderkey % 11 = 0 THEN CAST(-1 AS BIGINT)
+            ELSE o_custkey END AS o_custkey,
+       CASE WHEN o_orderkey % 26 = 0 THEN 999.0
+            WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+WHERE o_orderkey % 13 <> 0 OR o_orderkey % 26 = 0
+"""
+
+
+def cdc_schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replay across a mid-stream ALTER TABLE ADD COLUMN
+    (operators/replay.union_evolving): epoch 1 is a narrow LOAD
+    (o_orderkey, o_custkey), epoch 2's update files carry the added
+    o_totalprice column for keys %3 = 0. unionByName(allowMissingColumns)
+    aligns the epochs (missing column NULL) and one net_effect replay spans
+    the ALTER — keys never updated post-ALTER keep a NULL o_totalprice.
+    The reference would hard-fail here (its INSERT binds the first file's
+    column list, postgres_operator_impl.rs:193-231). Semantic oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    stride = F.lit(1 << 40)
+    key = F.col("o_orderkey")
+    epoch1 = orders.select(
+        "o_orderkey", "o_custkey",
+        F.lit("I").alias("Op"), key.cast("long").alias("_seq"),
+    )
+    epoch2 = orders.filter(key % 3 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.lit("U").alias("Op"), (stride + key).cast("long").alias("_seq"),
+    )
+    return net_effect(union_evolving([epoch1, epoch2]), ["o_orderkey"])
+
+
+CDC_SCHEMA_EVOLUTION_SQL = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS o_totalprice
+FROM orders
+"""
+
+
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across the user's view/click touches since the previous
+    purchase (event_id order); purchases with no preceding touches are
+    'direct'. One row: per-channel attributed revenue + credited-touch
+    counts. Touch→purchase assignment is a running purchase counter (the
+    touch with cumulative count p feeds purchase p+1) — one window + one
+    keyed agg, no as-of self-join. Per-row credit arithmetic is double
+    (IEEE-identical); cross-row sums go through exact decimals."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.select(
+        "user_id", "event_id", "event_type", "value",
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(w).alias("p_cum"),
+    )
+    touches = marked.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", (F.col("p_cum") + 1).alias("p_no")
+    )
+    tc = touches.groupBy("user_id", "p_no").agg(
+        F.count(F.lit(1)).alias("n_touch"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
+    )
+    purchases = marked.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("p_cum").alias("p_no"), "value"
+    )
+    j = purchases.join(tc, ["user_id", "p_no"], "left")
+    dec = "decimal(38,12)"
+    view_credit = F.col("value") * F.col("n_view") / F.col("n_touch")
+    click_credit = F.col("value") * F.col("n_click") / F.col("n_touch")
+    direct = F.when(F.col("n_touch").isNull(), F.col("value"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.when(F.col("n_touch").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_direct"),
+        F.coalesce(F.sum(F.col("n_view")), F.lit(0)).cast("long").alias("view_touches"),
+        F.coalesce(F.sum(F.col("n_click")), F.lit(0)).cast("long").alias("click_touches"),
+        F.round(F.coalesce(F.sum(view_credit.cast(dec)).cast("double"), F.lit(0.0)), 6)
+        .alias("view_revenue"),
+        F.round(F.coalesce(F.sum(click_credit.cast(dec)).cast("double"), F.lit(0.0)), 6)
+        .alias("click_revenue"),
+        F.round(F.coalesce(F.sum(direct.cast(dec)).cast("double"), F.lit(0.0)), 6)
+        .alias("direct_revenue"),
+    )
+
+
+EVENTS_LINEAR_ATTRIBUTION_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, value,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_cum
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), tc AS (
+  SELECT user_id, p_cum + 1 AS p_no,
+         COUNT(*) AS n_touch,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click
+  FROM ev WHERE event_type <> 'purchase' GROUP BY user_id, p_cum + 1
+), j AS (
+  SELECT p.value, tc.n_touch, tc.n_view, tc.n_click
+  FROM (SELECT user_id, p_cum AS p_no, value FROM ev
+        WHERE event_type = 'purchase') p
+  LEFT JOIN tc ON p.user_id = tc.user_id AND p.p_no = tc.p_no
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN n_touch IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_direct,
+       CAST(COALESCE(SUM(n_view), 0) AS BIGINT) AS view_touches,
+       CAST(COALESCE(SUM(n_click), 0) AS BIGINT) AS click_touches,
+       round(COALESCE(CAST(SUM(CAST(value * n_view / n_touch
+             AS DECIMAL(38,12))) AS DOUBLE), 0.0), 6) AS view_revenue,
+       round(COALESCE(CAST(SUM(CAST(value * n_click / n_touch
+             AS DECIMAL(38,12))) AS DOUBLE), 0.0), 6) AS click_revenue,
+       round(COALESCE(CAST(SUM(CASE WHEN n_touch IS NULL THEN
+             CAST(value AS DECIMAL(38,12)) END) AS DOUBLE), 0.0), 6)
+         AS direct_revenue
+FROM j
+"""
+
+
+def orders_price_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-group jackknife CI for mean(o_totalprice): 16 deterministic
+    md5 buckets (engine-portable, partition-independent), leave-one-bucket-
+    out means, jackknife SE = sqrt((B-1)/B · Σ(m_i − m̄)²), 95% normal CI.
+    The whole estimator is ONE hash agg over orders + arithmetic over a
+    16-row relation; every cross-row float sum goes through exact decimals
+    (the per-bucket sums, Σm_i, and Σ(m_i − m̄)²), divisions happen once in
+    double — the repo's portability contract."""
+    from rust_cdc_validator_spark.operators.corpus import md5_bucket
+
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy(
+        md5_bucket(F.col("o_orderkey"), 16).alias("bucket")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("s_i"),
+        F.count(F.lit(1)).alias("n_i"),
+    )
+    tot = per.agg(
+        F.sum("s_i").alias("s_tot"),
+        F.sum("n_i").alias("n_tot"),
+        F.count(F.lit(1)).alias("b"),
+    )
+    dec = "decimal(38,12)"
+    m_i = (
+        (F.col("s_tot") - F.col("s_i")).cast("double")
+        / (F.col("n_tot") - F.col("n_i")).cast("double")
+    )
+    loo = per.crossJoin(F.broadcast(tot)).select(
+        m_i.alias("m_i"), "s_tot", "n_tot", "b"
+    )
+    mbar_rel = loo.groupBy("s_tot", "n_tot", "b").agg(
+        (F.sum(F.col("m_i").cast(dec)).cast("double") / F.col("b")).alias("mbar")
+    )
+    dev = F.col("m_i") - F.col("mbar")
+    out = (
+        loo.join(F.broadcast(mbar_rel), ["s_tot", "n_tot", "b"])
+        .agg(
+            F.max("n_tot").alias("n_orders"),
+            F.max(F.col("s_tot").cast("double") / F.col("n_tot").cast("double"))
+            .alias("_mean"),
+            F.max("b").alias("_b"),
+            F.sum((dev * dev).cast(dec)).cast("double").alias("_ss"),
+        )
+    )
+    se = F.sqrt((F.col("_b") - 1.0) / F.col("_b") * F.col("_ss"))
+    return out.select(
+        "n_orders",
+        F.round("_mean", 6).alias("mean_price"),
+        F.round(se, 6).alias("jk_se"),
+        F.round(F.col("_mean") - 1.959963984540054 * se, 6).alias("ci_lo"),
+        F.round(F.col("_mean") + 1.959963984540054 * se, 6).alias("ci_hi"),
+    )
+
+
+ORDERS_PRICE_JACKKNIFE_SQL = """
+WITH per AS (
+  SELECT (strpos('0123456789abcdef',
+                 substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) % 16
+           AS bucket,
+         SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS s_i,
+         COUNT(*) AS n_i
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT SUM(s_i) AS s_tot, SUM(n_i) AS n_tot, COUNT(*) AS b FROM per
+), loo AS (
+  SELECT CAST(t.s_tot - p.s_i AS DOUBLE) / CAST(t.n_tot - p.n_i AS DOUBLE)
+           AS m_i,
+         t.s_tot, t.n_tot, t.b
+  FROM per p CROSS JOIN tot t
+), mb AS (
+  SELECT s_tot, n_tot, b,
+         CAST(SUM(CAST(m_i AS DECIMAL(38,12))) AS DOUBLE) / b AS mbar
+  FROM loo GROUP BY s_tot, n_tot, b
+), fin AS (
+  SELECT MAX(l.n_tot) AS n_orders,
+         MAX(CAST(l.s_tot AS DOUBLE) / CAST(l.n_tot AS DOUBLE)) AS mean_p,
+         MAX(l.b) AS b,
+         CAST(SUM(CAST((l.m_i - m.mbar) * (l.m_i - m.mbar)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS ss
+  FROM loo l JOIN mb m
+    ON l.s_tot = m.s_tot AND l.n_tot = m.n_tot AND l.b = m.b
+)
+SELECT CAST(n_orders AS BIGINT) AS n_orders,
+       round(mean_p, 6) AS mean_price,
+       round(sqrt((b - 1.0) / b * ss), 6) AS jk_se,
+       round(mean_p - 1.959963984540054 * sqrt((b - 1.0) / b * ss), 6)
+         AS ci_lo,
+       round(mean_p + 1.959963984540054 * sqrt((b - 1.0) / b * ss), 6)
+         AS ci_hi
+FROM fin
+"""
+
+
+def events_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per event_type (Vovk et al.;
+    Lei et al. 2018): calibration = even event_ids, test = odd. Predictor =
+    calibration mean value per type; nonconformity = |value − pred|; q̂ =
+    the ⌈0.9·(n_cal+1)⌉-th smallest calibration residual (EXACT order
+    statistic via row_number — no interpolation, so it replays bit-for-bit
+    in SQL); report finite-sample test coverage of pred ± q̂ per type."""
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    cal = ev.filter(F.col("event_id") % 2 == 0)
+    test = ev.filter(F.col("event_id") % 2 == 1)
+    pred = cal.groupBy("event_type").agg(
+        (_dsum(F.col("value")) / F.count(F.lit(1))).alias("pred"),
+        F.count(F.lit(1)).alias("n_cal"),
+    )
+    resid = cal.join(F.broadcast(pred), "event_type").select(
+        "event_type", "event_id", "n_cal", "pred",
+        F.abs(F.col("value") - F.col("pred")).alias("r"),
+    )
+    k = F.least(F.col("n_cal"), F.ceil(0.9 * (F.col("n_cal") + 1)).cast("long"))
+    rw = Window.partitionBy("event_type").orderBy("r", "event_id")
+    qhat = (
+        resid.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == k)
+        .select("event_type", "n_cal", "pred", F.col("r").alias("qhat"))
+    )
+    cov = (
+        test.join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type", "n_cal", "pred", "qhat")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("pred")) <= F.col("qhat"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_covered"),
+        )
+    )
+    return cov.select(
+        "event_type", "n_cal", "n_test",
+        F.round("pred", 6).alias("pred_r"),
+        F.round("qhat", 6).alias("qhat_r"),
+        F.round(F.col("n_covered").cast("double") / F.col("n_test"), 6)
+        .alias("coverage_r"),
+    )
+
+
+EVENTS_CONFORMAL_SQL = """
+WITH cal AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0
+), pred AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS pred,
+         CAST(COUNT(*) AS BIGINT) AS n_cal
+  FROM cal GROUP BY event_type
+), resid AS (
+  SELECT c.event_type, p.n_cal, p.pred, abs(c.value - p.pred) AS r,
+         ROW_NUMBER() OVER (PARTITION BY c.event_type
+                            ORDER BY abs(c.value - p.pred), c.event_id) AS rn
+  FROM cal c JOIN pred p ON c.event_type = p.event_type
+), qh AS (
+  SELECT event_type, n_cal, pred, r AS qhat FROM resid
+  WHERE rn = LEAST(n_cal, CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT))
+)
+SELECT t.event_type, q.n_cal, CAST(COUNT(*) AS BIGINT) AS n_test,
+       round(q.pred, 6) AS pred_r,
+       round(q.qhat, 6) AS qhat_r,
+       round(CAST(SUM(CASE WHEN abs(t.value - q.pred) <= q.qhat
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS coverage_r
+FROM (SELECT event_type, value FROM events WHERE event_id % 2 = 1) t
+JOIN qh q ON t.event_type = q.event_type
+GROUP BY t.event_type, q.n_cal, q.pred, q.qhat
+"""
+
+
+def events_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of P(purchase | value) over 25 fixed-width
+    value bins, FULLY ORACLED via the minimax characterization of isotonic
+    regression (Robertson/Wright/Dykstra 1988: fit_i = max_{j≤i} min_{k≥i}
+    weightedMean(y, bins j..k)) — the closed form PAVA converges to,
+    expressible as bounded joins over the 25-row bin relation in both
+    engines (no sequential pool-merge loop, no driver collect, no global
+    window). tests/test_calibration.py proves minimax == sequential PAVA
+    on random inputs. Per-pair means divide once in double; min/max over
+    doubles are exact comparisons — deterministic in both engines."""
+    ev = _events(spark, sf_dir)
+    b = F.least(F.lit(24), F.floor(F.col("value") / 20.0)).cast("int")
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    bins = ev.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).cast("long").alias("pos"),
+    )
+    jk = (
+        bins.select(F.col("bin").alias("j"))
+        .join(bins.select(F.col("bin").alias("k")), F.col("j") <= F.col("k"))
+    )
+    spans = (
+        jk.join(
+            bins.select(F.col("bin").alias("m"), "n", "pos"),
+            (F.col("m") >= F.col("j")) & (F.col("m") <= F.col("k")),
+        )
+        .groupBy("j", "k")
+        .agg(
+            (F.sum("pos").cast("double") / F.sum("n").cast("double")).alias("mean_jk")
+        )
+    )
+    inner = (
+        spans.join(
+            bins.select(F.col("bin").alias("i")),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("mean_jk").alias("min_k"))
+    )
+    fit = inner.groupBy("i").agg(F.max("min_k").alias("fit"))
+    return (
+        bins.join(fit, bins["bin"] == fit["i"])
+        .select(
+            "bin", "n", "pos",
+            F.round(F.col("pos").cast("double") / F.col("n").cast("double"), 6)
+            .alias("rate_r"),
+            F.round("fit", 6).alias("fit_r"),
+        )
+        .orderBy("bin")
+    )
+
+
+EVENTS_ISOTONIC_SQL = """
+WITH bins AS (
+  SELECT CAST(LEAST(24, CAST(floor(value / 20.0) AS BIGINT)) AS INT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM events GROUP BY 1
+), spans AS (
+  SELECT j.bin AS j, k.bin AS k,
+         CAST(SUM(m.pos) AS DOUBLE) / CAST(SUM(m.n) AS DOUBLE) AS mean_jk
+  FROM bins j
+  JOIN bins k ON j.bin <= k.bin
+  JOIN bins m ON m.bin >= j.bin AND m.bin <= k.bin
+  GROUP BY j.bin, k.bin
+), inner_min AS (
+  SELECT i.bin AS i, s.j, MIN(s.mean_jk) AS min_k
+  FROM spans s JOIN bins i ON s.j <= i.bin AND s.k >= i.bin
+  GROUP BY i.bin, s.j
+), fit AS (
+  SELECT i, MAX(min_k) AS fit FROM inner_min GROUP BY i
+)
+SELECT b.bin, b.n, b.pos,
+       round(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS rate_r,
+       round(f.fit, 6) AS fit_r
+FROM bins b JOIN fit f ON b.bin = f.i
+ORDER BY b.bin
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -10658,6 +11089,12 @@ QUERIES: dict[str, QueryFn] = {
     "orders_lineitem_reconciliation": orders_lineitem_reconciliation,
     "audio_corpus_stats": audio_corpus_stats,
     "supplier_late_wilson": supplier_late_wilson,
+    "cdc_partial_image_replay": cdc_partial_image_replay,
+    "cdc_schema_evolution_replay": cdc_schema_evolution_replay,
+    "events_linear_attribution": events_linear_attribution,
+    "orders_price_jackknife_ci": orders_price_jackknife_ci,
+    "events_conformal_intervals": events_conformal_intervals,
+    "events_isotonic_calibration": events_isotonic_calibration,
 }
 
 ORACLES: dict[str, str] = {
@@ -10849,6 +11286,12 @@ ORACLES: dict[str, str] = {
     "orders_lineitem_reconciliation": ORDERS_LINEITEM_RECONCILIATION_SQL,
     "audio_corpus_stats": AUDIO_CORPUS_STATS_SQL,
     "supplier_late_wilson": SUPPLIER_LATE_WILSON_SQL,
+    "cdc_partial_image_replay": CDC_PARTIAL_IMAGE_SQL,
+    "cdc_schema_evolution_replay": CDC_SCHEMA_EVOLUTION_SQL,
+    "events_linear_attribution": EVENTS_LINEAR_ATTRIBUTION_SQL,
+    "orders_price_jackknife_ci": ORDERS_PRICE_JACKKNIFE_SQL,
+    "events_conformal_intervals": EVENTS_CONFORMAL_SQL,
+    "events_isotonic_calibration": EVENTS_ISOTONIC_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /

@@ -120,11 +120,34 @@ def dedup_stream(
     ts_col: str = "ts",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Exactly-once event dedup across micro-batches: Spark keeps the seen
-    id set as streaming state, bounded by the watermark (ids older than the
-    watermark can be evicted because duplicates that late are dropped by
-    the watermark anyway)."""
+    """EXACT event dedup across micro-batches: Spark keeps the seen id set
+    as streaming state. Caveat this docstring got wrong until r12: with
+    ``dropDuplicates([id_col])`` the watermark does NOT evict that state —
+    Spark only clears dedup state when the event-time column is part of
+    the dedup subset — so the id set grows for the stream's lifetime.
+    Correct for bounded id universes (CDC keys); for unbounded ones use
+    ``dedup_stream_within_watermark`` below, whose state IS evicted."""
     return stream.withWatermark(ts_col, watermark).dropDuplicates([id_col])
+
+
+def dedup_stream_within_watermark(
+    stream: DataFrame,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermark-BOUNDED streaming dedup (``dropDuplicatesWithinWatermark``,
+    Spark 3.5+): drops a record if a same-id record was already seen at an
+    event time within the watermark delay, and evicts ids once the
+    watermark passes them — state is O(ids per watermark window), not
+    O(all ids ever), the shape an unbounded 100 TB/day ingest needs.
+    The trade: a duplicate arriving after its first copy's state expired
+    is re-emitted (at-least-once dedup; downstream sinks stay idempotent —
+    the same contract streaming/jdbc_apply.py already assumes). Eviction
+    is pinned behaviorally in tests (a post-expiry duplicate re-emits)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
 
 
 def running_totals_stateful(stream: DataFrame, key_col: str = "user_id") -> DataFrame:

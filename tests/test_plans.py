@@ -506,3 +506,50 @@ def test_pivot_bfs_levels_shared_pass_shape(spark, sf_dir):
     # 10-jobs-per-superstep budget test_graph_scale pins pagerank to;
     # measured 30 for 4 supersteps.
     assert jobs <= 10 * 4 + 5, jobs
+
+
+def test_partial_image_replay_one_hash_shuffle(spark, sf_dir):
+    """Pin the partial-image net effect's 100 TB shape: the whole
+    column-merging reduction is ONE HashAggregate pair (partial_max_by
+    map-side combine) around a single exchange on the primary key — the
+    change log itself never crosses the shuffle un-reduced, and nothing
+    falls back to SortAggregate (max_by keeps the buffers hash-friendly)."""
+    from rust_cdc_validator_spark.plans.inspect import explain_str
+    from rust_cdc_validator_spark.queries import cdc_partial_image_replay
+
+    plan = explain_str(cdc_partial_image_replay(spark, sf_dir))
+    assert "partial_max_by" in plan
+    assert "SortAggregate" not in plan
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_schema_evolution_replay_missing_column_is_null_literal(spark, sf_dir):
+    """union_evolving must align epochs by name (added column NULL for the
+    narrow epoch) and keep net_effect's map-side WindowGroupLimit."""
+    from rust_cdc_validator_spark.plans.inspect import explain_str
+    from rust_cdc_validator_spark.queries import cdc_schema_evolution_replay
+
+    df = cdc_schema_evolution_replay(spark, sf_dir)
+    assert [f.name for f in df.schema.fields] == [
+        "o_orderkey", "o_custkey", "o_totalprice",
+    ]
+    plan = explain_str(df)
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+
+
+def test_isotonic_calibration_no_cartesian_one_fact_pass(spark, sf_dir):
+    """The minimax joins run over the 25-row bin relation (broadcast
+    nested-loop on range predicates is FINE there); the events fact table
+    is scanned once and never cartesian-joined."""
+    from rust_cdc_validator_spark.plans.inspect import explain_str
+    from rust_cdc_validator_spark.queries import events_isotonic_calibration
+
+    plan = explain_str(events_isotonic_calibration(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # events is scanned once per bin-relation build; the three bin
+    # self-joins reuse the same aggregated subtree via exchange reuse or
+    # re-aggregation of a 25-row relation — either is bounded. Pin only
+    # the absence of a fact-side cartesian and of a global window.
+    assert "Arguments: SinglePartition" not in plan or "Window" not in plan

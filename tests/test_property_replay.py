@@ -96,3 +96,52 @@ def test_scd2_asof_diff_equals_two_asof_materializations(spark):
     assert {v[0] for v in expected.values()} >= {
         "added", "removed", "changed", "unchanged",
     }
+
+
+# ---------------------------------------------------------------------------
+# Partial-image net effect (r12): for ANY sequenced partial-image change log,
+# net_effect_partial == the sequential column-merging apply with delete
+# fencing that a row-at-a-time consumer would run.
+# ---------------------------------------------------------------------------
+
+maybe_vals = st.one_of(st.none(), st.integers(min_value=-50, max_value=50))
+partial_changes = st.lists(
+    st.tuples(keys, ops, maybe_vals, maybe_vals), min_size=0, max_size=60
+)
+
+
+def sequential_partial_apply(log):
+    """Row-at-a-time partial-image consumer: I/U merge the non-null columns
+    into current state (I after a delete starts fresh); D drops the key."""
+    state = {}
+    for key, op, a, b in log:
+        if op == "D":
+            state.pop(key, None)
+            continue
+        cur = state.get(key, (None, None))
+        state[key] = (
+            a if a is not None else cur[0],
+            b if b is not None else cur[1],
+        )
+    return state
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(partial_changes)
+def test_net_effect_partial_equals_sequential_apply(log):
+    from rust_cdc_validator_spark.operators.replay import net_effect_partial
+
+    spark = _get_spark()
+    schema = "id int, Op string, a int, b int, _seq long"
+    rows = [(k, op, a, b, i) for i, (k, op, a, b) in enumerate(log)]
+    df = (
+        spark.createDataFrame(rows, schema)
+        if rows
+        else spark.createDataFrame([], schema)
+    )
+    got = {
+        r["id"]: (r["a"], r["b"])
+        for r in net_effect_partial(df, ["id"]).collect()
+    }
+    assert got == sequential_partial_apply(log)

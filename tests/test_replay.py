@@ -348,3 +348,75 @@ def test_scd2_asof_diff_changed_and_validation(spark):
         scd2_asof_diff(hist, [], 1, 2, ["price"])
     with pytest.raises(ValueError):
         scd2_asof_diff(hist, ["pk"], 1, 2, [])
+
+
+def test_net_effect_partial_column_merge_and_fence(spark):
+    """Partial-image semantics: per column last non-null wins; a delete
+    fences earlier writes; a revival must not resurrect fenced values."""
+    from rust_cdc_validator_spark.operators.replay import net_effect_partial
+
+    log = [
+        # key 1: insert full, then price-only update → cust from insert
+        (1, 100, 1.0, "I", 1),
+        (1, None, 2.0, "U", 2),
+        # key 2: insert, delete → gone
+        (2, 200, 9.0, "I", 1),
+        (2, None, None, "D", 2),
+        # key 3: insert, update, delete, revive with cust-only image
+        #        → price must be NULL (the 8.0 write is fenced)
+        (3, 300, 7.0, "I", 1),
+        (3, None, 8.0, "U", 2),
+        (3, None, None, "D", 3),
+        (3, 333, None, "I", 4),
+        # key 4: update on absent key (upsert), partial image
+        (4, None, 4.5, "U", 1),
+    ]
+    df = spark.createDataFrame(
+        log, "id int, cust int, price double, Op string, _seq long"
+    )
+    out = {
+        r["id"]: (r["cust"], r["price"])
+        for r in net_effect_partial(df, ["id"]).collect()
+    }
+    assert out == {
+        1: (100, 2.0),
+        3: (333, None),
+        4: (None, 4.5),
+    }
+
+
+def test_net_effect_partial_requires_pk(spark):
+    import pytest as _pytest
+
+    from rust_cdc_validator_spark.operators.replay import net_effect_partial
+
+    df = spark.createDataFrame([(1, "I", 1)], "v int, Op string, _seq long")
+    with _pytest.raises(ValueError):
+        net_effect_partial(df, [])
+
+
+def test_union_evolving_widens_schema(spark):
+    """ALTER TABLE ADD COLUMN mid-stream: epochs align by NAME, the added
+    column is NULL for pre-ALTER rows, and one net_effect spans both."""
+    from rust_cdc_validator_spark.operators.replay import (
+        net_effect,
+        union_evolving,
+    )
+
+    e1 = spark.createDataFrame(
+        [(1, "a", "I", 1), (2, "b", "I", 2)], "id int, name string, Op string, _seq long"
+    )
+    e2 = spark.createDataFrame(
+        [(2, "b2", 99.0, "U", 10)],
+        "id int, name string, score double, Op string, _seq long",
+    )
+    out = {
+        r["id"]: (r["name"], r["score"])
+        for r in net_effect(union_evolving([e1, e2]), ["id"]).collect()
+    }
+    assert out == {1: ("a", None), 2: ("b2", 99.0)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        union_evolving([])

@@ -1384,3 +1384,75 @@ def test_vacuum_edge_state_versions_respects_shared_files(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="keep_last"):
         vacuum_edge_state_versions(spark, str(root), versions, keep_last=0)
+
+
+def test_dedup_within_watermark_drops_then_reemits_after_expiry(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics across micro-batches:
+    a duplicate id within the watermark window is dropped; once the
+    watermark passes the first copy's event time, its state is evicted
+    and a later same-id record is RE-emitted (the documented
+    at-least-once boundary of the bounded-state variant)."""
+    from rust_cdc_validator_spark.streaming.windows import (
+        dedup_stream_within_watermark,
+    )
+
+    src = tmp_path / "dedup_wm"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()),
+         T.StructField("event_id", T.LongType())]
+    )
+    import datetime as dt
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    def w(name, rows):
+        pq_.write_table(
+            pa_.table(
+                {"ts": [dt.datetime(2024, 1, 1, h, m) for h, m, _ in rows],
+                 "event_id": [e for _, _, e in rows]}
+            ),
+            str(src / name),
+        )
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    # sequential availableNow drains against one checkpoint (file-source
+    # discovery order is not contractual — the index-maintenance pattern);
+    # file sink, because the memory sink cannot resume from a checkpoint
+    def drain():
+        q = (
+            dedup_stream_within_watermark(stream, "event_id", "ts", "10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch a: id 10 at 00:00 (same-batch dup at 00:01 → one copy emitted)
+    w("a.parquet", [(0, 0, 10), (0, 1, 10), (0, 2, 11)])
+    drain()
+    # batch b: dup id 10 at 00:05 is within the 10-minute window → dropped;
+    # id 12 at 01:00 advances the watermark to 00:50, expiring id 10's state
+    w("b.parquet", [(0, 5, 10), (1, 0, 12)])
+    drain()
+    # batch c: id 10 again at 01:01 — state expired → re-emitted
+    w("c.parquet", [(1, 1, 10)])
+    drain()
+
+    got = {
+        (r["event_id"], r["ts"].minute + 60 * r["ts"].hour)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (11, 2) in got and (12, 60) in got
+    # exactly ONE pre-expiry copy of id 10 (in-batch emission order is not
+    # contractual, so either the 00:00 or 00:01 copy) and the 00:05
+    # cross-batch duplicate dropped
+    assert len({g for g in got if g[0] == 10 and g[1] < 50}) == 1
+    assert (10, 5) not in got
+    assert (10, 61) in got  # post-expiry duplicate re-emitted
