@@ -557,6 +557,87 @@ def seasonal_residuals(
     )
 
 
+def _duration_risk_table(
+    df: DataFrame,
+    subject_col: str,
+    date_col: str,
+    horizon=None,
+) -> DataFrame:
+    """Shared survival-analysis base relation: per distinct inter-event
+    day duration, (dur, n_events, n_censored, n_risk) — observed gaps
+    from consecutive per-subject event pairs, right-censored tails to the
+    horizon, and the risk set as a suffix sum over the bounded duration
+    table. Consumed by :func:`kaplan_meier` and :func:`nelson_aalen`."""
+    per = Window.partitionBy("_u").orderBy(F.col("_d").asc())
+    ev = df.select(
+        F.col(subject_col).alias("_u"), F.to_date(F.col(date_col)).alias("_d")
+    )
+    if horizon is None:
+        hz = ev.agg(F.max("_d").alias("_hz"))
+    else:
+        hz = ev.sparkSession.range(1).select(F.lit(horizon).cast("date").alias("_hz"))
+    gaps = (
+        ev.withColumn("_prev", F.lag("_d").over(per))
+        .filter(F.col("_prev").isNotNull())
+        .select(F.datediff("_d", "_prev").alias("dur"), F.lit(1).alias("ev"))
+    )
+    last = ev.groupBy("_u").agg(F.max("_d").alias("_ld"))
+    censored = last.crossJoin(F.broadcast(hz)).select(
+        F.datediff("_hz", "_ld").alias("dur"), F.lit(0).alias("ev")
+    )
+    obs = gaps.unionByName(censored)
+    agg = obs.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("n_events"),
+        F.sum(1 - F.col("ev")).cast("long").alias("n_censored"),
+    )
+    # duration table is bounded (distinct day durations): suffix sum =
+    # risk set.
+    suffix = Window.orderBy(F.col("dur").asc()).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    return agg.withColumn(
+        "n_risk", F.sum(F.col("n_events") + F.col("n_censored")).over(suffix)
+    )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    subject_col: str,
+    date_col: str,
+    horizon=None,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator over the same censored
+    inter-event durations as :func:`kaplan_meier` (Nelson 1972, Aalen
+    1978): H(t) = Σ_{t_i ≤ t} d_i / n_i with the standard variance
+    estimate Σ d_i / n_i² (Klein & Moeschberger eq. 4.2.3). Where KM
+    multiplies survival factors, NA adds hazard increments — the additive
+    form is what hazard-ratio eyeballing and piecewise-exponential fits
+    consume, and exp(−H) gives the Breslow survival curve for free.
+
+    Engine portability: each increment divides once in double; the
+    running sums are ordered prefix windows over the BOUNDED duration
+    table (the same sequential-fold contract the KM log-sum relies on).
+    Scale shape: identical to KM — one subject shuffle, one duration
+    groupBy with map-side combine, bounded-table windows."""
+    na = _duration_risk_table(df, subject_col, date_col, horizon)
+    prefix = Window.orderBy(F.col("dur").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = F.col("n_events").cast("double")
+    n = F.col("n_risk").cast("double")
+    cumhaz = F.sum(d / n).over(prefix)
+    cumvar = F.sum(d / (n * n)).over(prefix)
+    return na.select(
+        F.col("dur").cast("int").alias("t_days"),
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.round(cumhaz, 6).alias("cum_hazard"),
+        F.round(F.sqrt(cumvar), 6).alias("hazard_se"),
+        F.round(F.exp(-cumhaz), 6).alias("breslow_survival"),
+    )
+
+
 def kaplan_meier(
     df: DataFrame,
     subject_col: str,
@@ -591,38 +672,9 @@ def kaplan_meier(
     offset windows). The risk set is the suffix sum of (events +
     censored), so no separate total-count job runs.
     """
-    per = Window.partitionBy("_u").orderBy(F.col("_d").asc())
-    ev = df.select(
-        F.col(subject_col).alias("_u"), F.to_date(F.col(date_col)).alias("_d")
-    )
-    if horizon is None:
-        hz = ev.agg(F.max("_d").alias("_hz"))
-    else:
-        hz = ev.sparkSession.range(1).select(F.lit(horizon).cast("date").alias("_hz"))
-    gaps = (
-        ev.withColumn("_prev", F.lag("_d").over(per))
-        .filter(F.col("_prev").isNotNull())
-        .select(F.datediff("_d", "_prev").alias("dur"), F.lit(1).alias("ev"))
-    )
-    last = ev.groupBy("_u").agg(F.max("_d").alias("_ld"))
-    censored = last.crossJoin(F.broadcast(hz)).select(
-        F.datediff("_hz", "_ld").alias("dur"), F.lit(0).alias("ev")
-    )
-    obs = gaps.unionByName(censored)
-    agg = obs.groupBy("dur").agg(
-        F.sum("ev").cast("long").alias("n_events"),
-        F.sum(1 - F.col("ev")).cast("long").alias("n_censored"),
-    )
-    # KM table is bounded (distinct day durations): suffix sum = risk set,
-    # prefix sum of logs = product-limit estimate.
-    suffix = Window.orderBy(F.col("dur").asc()).rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
-    )
+    km = _duration_risk_table(df, subject_col, date_col, horizon)
     prefix = Window.orderBy(F.col("dur").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
-    )
-    km = agg.withColumn(
-        "n_risk", F.sum(F.col("n_events") + F.col("n_censored")).over(suffix)
     )
     # d == n at the last event time drives the curve to EXACT zero; ln(0)
     # is an error in DuckDB and a silent NULL (dropped from the sum) in
@@ -710,4 +762,53 @@ def ewma_smooth(
         x.alias("value"),
         (num0 / den0).alias("ewma"),
         F.when(den1 > 0, x - num1 / den1).alias("deviation"),
+    )
+
+
+def brown_double_smooth(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    terms: int = 8,
+    horizon: int = 3,
+) -> DataFrame:
+    """Brown's double exponential smoothing with an h-step linear
+    forecast (Brown 1963): S' = EWMA(x), S'' = EWMA(S'), level =
+    2S' − S'', trend = α/(1−α)·(S' − S''), forecast = level + h·trend —
+    the classic trend-following extension of the EWMA control line.
+
+    Both smoothing passes are the same TRUNCATED fixed-order LAG fan as
+    :func:`ewma_smooth` (the recursion's geometric tail dropped), so the
+    estimator is two stacked bounded windows over the tick relation and
+    the oracle replays the identical nested sums — first fan over x in a
+    CTE, second fan over that CTE's output. Same determinism contract:
+    exact double weight literals, ascending-lag addition order, divisions
+    once per row.
+
+    Scale shape: the input must already be a pre-aggregated tick relation
+    (every caller here pre-reduces to hours); two ordered windows over
+    ticks, not rows.
+    """
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1) for the trend factor")
+    if terms < 1:
+        raise ValueError("terms must be >= 1")
+    if horizon < 0:
+        raise ValueError("horizon must be >= 0")
+    s1 = ewma_smooth(series, time_col, value_col, alpha=alpha, terms=terms)
+    s2 = ewma_smooth(s1, "tick", "ewma", alpha=alpha, terms=terms).select(
+        "tick", F.col("value").alias("s1"), F.col("ewma").alias("s2")
+    )
+    level = 2.0 * F.col("s1") - F.col("s2")
+    trend = (alpha / (1.0 - alpha)) * (F.col("s1") - F.col("s2"))
+    out = s1.select("tick", "value").join(s2, "tick")
+    return out.select(
+        "tick",
+        "value",
+        F.round("s1", 6).alias("s1_r"),
+        F.round("s2", 6).alias("s2_r"),
+        F.round(level, 6).alias("level_r"),
+        F.round(trend, 6).alias("trend_r"),
+        F.round(level + F.lit(float(horizon)) * trend, 6).alias("forecast_r"),
     )

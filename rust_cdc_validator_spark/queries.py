@@ -10877,6 +10877,333 @@ ORDER BY b.bin
 """
 
 
+def customer_reorder_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard of customer re-order gaps
+    (operators/timeseries.nelson_aalen) over the same censored duration
+    table as the KM query: H(t) = Σ d_i/n_i with the Σ d_i/n_i² variance
+    and the Breslow survival exp(−H) — the additive companion the
+    product-limit curve can't give you (hazard increments are what
+    piecewise-exponential fits and rate comparisons consume)."""
+    from rust_cdc_validator_spark.operators.timeseries import nelson_aalen
+
+    orders = _t(spark, sf_dir, "orders")
+    return nelson_aalen(orders, "o_custkey", "o_orderdate")
+
+
+CUSTOMER_REORDER_HAZARD_SQL = """
+WITH ev AS (
+  SELECT o_custkey AS u, o_orderdate AS d FROM orders
+), g AS (
+  SELECT date_diff('day', lag(d) OVER (PARTITION BY u ORDER BY d), d) AS dur,
+         1 AS ev
+  FROM ev
+), hz AS (
+  SELECT MAX(d) AS h FROM ev
+), cens AS (
+  SELECT date_diff('day', MAX(d), (SELECT h FROM hz)) AS dur, 0 AS ev
+  FROM ev GROUP BY u
+), obs AS (
+  SELECT dur, ev FROM g WHERE dur IS NOT NULL
+  UNION ALL SELECT dur, ev FROM cens
+), agg AS (
+  SELECT dur,
+         CAST(SUM(ev) AS BIGINT) AS n_events,
+         CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+  FROM obs GROUP BY dur
+), km AS (
+  SELECT dur, n_events, n_censored,
+         CAST(SUM(n_events + n_censored) OVER (
+           ORDER BY dur ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+         ) AS BIGINT) AS n_risk
+  FROM agg
+)
+SELECT CAST(dur AS INT) AS t_days, n_risk, n_events, n_censored,
+       round(SUM(CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE))
+               OVER pre, 6) AS cum_hazard,
+       round(sqrt(SUM(CAST(n_events AS DOUBLE)
+                      / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)))
+               OVER pre), 6) AS hazard_se,
+       round(exp(-SUM(CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE))
+               OVER pre), 6) AS breslow_survival
+FROM km
+WINDOW pre AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def events_brown_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing + 3-step linear forecast over
+    the hourly mean event value (operators/timeseries.brown_double_smooth):
+    S'=EWMA(x), S''=EWMA(S'), level=2S'−S'', trend=α/(1−α)(S'−S'') — the
+    trend-following extension of the EWMA control line. Both smoothing
+    passes are the truncated fixed-order LAG fan, so the oracle replays
+    the identical stacked nested sums (first fan in a CTE, second fan
+    over its output)."""
+    from rust_cdc_validator_spark.operators.timeseries import (
+        brown_double_smooth,
+    )
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.expr(f"ts_ns div {_NS_PER_HOUR}").alias("hour_bucket")
+    ).agg((_dsum(F.col("value")) / F.count(F.lit(1))).alias("mean_value"))
+    return brown_double_smooth(
+        hourly, "hour_bucket", "mean_value", alpha=0.3, terms=8, horizon=3
+    )
+
+
+def _brown_oracle_sql(
+    alpha: float = 0.3, terms: int = 8, horizon: int = 3
+) -> str:
+    """Oracle twin of brown_double_smooth: the same two stacked truncated
+    LAG fans as _ewma_oracle_sql, weight literals repr()'d from the same
+    Python doubles, additions chained in ascending-lag order."""
+
+    def fan(col: str) -> tuple[str, str]:
+        num, den = "0.0", "0.0"
+        for i in range(terms):
+            wt = repr((1.0 - alpha) ** i)
+            lagged = f"lag({col}, {i}) OVER w" if i else col
+            num += f" + (CASE WHEN {lagged} IS NOT NULL THEN {wt} * ({lagged}) ELSE 0.0 END)"
+            den += f" + (CASE WHEN {lagged} IS NOT NULL THEN {wt} ELSE 0.0 END)"
+        return num, den
+
+    n1, d1 = fan("x")
+    n2, d2 = fan("s1")
+    tf = repr(alpha / (1.0 - alpha))
+    h = repr(float(horizon))
+    s2 = f"(({n2}) / ({d2}))"
+    level = f"(2.0 * s1 - {s2})"
+    trend = f"({tf} * (s1 - {s2}))"
+    return f"""
+WITH hourly AS (
+  SELECT epoch_ns(ts) // {_NS_PER_HOUR} AS t,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS x
+  FROM events GROUP BY 1
+), sm1 AS (
+  SELECT t, x, ({n1}) / ({d1}) AS s1
+  FROM hourly
+  WINDOW w AS (ORDER BY t)
+)
+SELECT t AS tick, x AS value,
+       round(s1, 6) AS s1_r,
+       round({s2}, 6) AS s2_r,
+       round({level}, 6) AS level_r,
+       round({trend}, 6) AS trend_r,
+       round({level} + {h} * {trend}, 6) AS forecast_r
+FROM sm1
+WINDOW w AS (ORDER BY t)
+"""
+
+
+EVENTS_BROWN_FORECAST_SQL = _brown_oracle_sql()
+
+
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013):
+    per user, x = pre-period spend (first half of the time range), y =
+    experiment-period spend (second half); θ = cov(x,y)/var(x); the
+    CUPED-adjusted metric y − θ(x − x̄) has variance var(y)(1 − ρ²) — the
+    experiment-platform primitive that shrinks A/B confidence intervals
+    without touching the treatment effect. One row: θ, raw/adjusted
+    variance, and the realized reduction ρ². Moments are the TWO-PASS
+    exact-decimal form (the one-pass n·Σxy − ΣxΣy cancellation is not
+    engine-portable near zero); divisions happen once in double."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.min("ts_ns").alias("_mn"), F.max("ts_ns").alias("_mx")
+    ).select((F.col("_mn") + F.expr("(_mx - _mn) div 2")).alias("_mid"))
+    dec2 = "decimal(18,2)"
+    dec = "decimal(38,12)"
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ts_ns") <= F.col("_mid"),
+                        F.col("value").cast(dec2),
+                    )
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ts_ns") > F.col("_mid"),
+                        F.col("value").cast(dec2),
+                    )
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("y"),
+        )
+    )
+    means = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("x").cast(dec)).cast("double") / F.count(F.lit(1))).alias("mx"),
+        (F.sum(F.col("y").cast(dec)).cast("double") / F.count(F.lit(1))).alias("my"),
+    )
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    moms = per_user.crossJoin(F.broadcast(means)).agg(
+        F.max("n").alias("n_users"),
+        F.sum((dx * dx).cast(dec)).cast("double").alias("sxx"),
+        F.sum((dy * dy).cast(dec)).cast("double").alias("syy"),
+        F.sum((dx * dy).cast(dec)).cast("double").alias("sxy"),
+    )
+    theta = F.col("sxy") / F.col("sxx")
+    nm1 = (F.col("n_users") - 1).cast("double")
+    corr2 = (F.col("sxy") * F.col("sxy")) / (F.col("sxx") * F.col("syy"))
+    return moms.select(
+        "n_users",
+        F.round(theta, 6).alias("theta_r"),
+        F.round(F.col("syy") / nm1, 6).alias("var_y_r"),
+        F.round(
+            (F.col("syy") - (F.col("sxy") * F.col("sxy")) / F.col("sxx")) / nm1, 6
+        ).alias("var_adj_r"),
+        F.round(corr2, 6).alias("reduction_r"),
+    )
+
+
+EVENTS_CUPED_SQL = """
+WITH bounds AS (
+  SELECT MIN(epoch_ns(ts)) + (MAX(epoch_ns(ts)) - MIN(epoch_ns(ts))) // 2
+           AS mid
+  FROM events
+), per_user AS (
+  SELECT user_id,
+         COALESCE(CAST(SUM(CASE WHEN epoch_ns(ts) <= b.mid
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+           AS x,
+         COALESCE(CAST(SUM(CASE WHEN epoch_ns(ts) > b.mid
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+           AS y
+  FROM events CROSS JOIN bounds b
+  GROUP BY user_id
+), means AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mx,
+         CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS my
+  FROM per_user
+), moms AS (
+  SELECT MAX(m.n) AS n_users,
+         CAST(SUM(CAST((p.x - m.mx) * (p.x - m.mx) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST((p.y - m.my) * (p.y - m.my) AS DECIMAL(38,12)))
+              AS DOUBLE) AS syy,
+         CAST(SUM(CAST((p.x - m.mx) * (p.y - m.my) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sxy
+  FROM per_user p CROSS JOIN means m
+)
+SELECT n_users,
+       round(sxy / sxx, 6) AS theta_r,
+       round(syy / CAST(n_users - 1 AS DOUBLE), 6) AS var_y_r,
+       round((syy - (sxy * sxy) / sxx) / CAST(n_users - 1 AS DOUBLE), 6)
+         AS var_adj_r,
+       round((sxy * sxy) / (sxx * syy), 6) AS reduction_r
+FROM moms
+"""
+
+
+def docs_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of a document score
+    (length(text) here): each doc's within-source percentile is mapped
+    onto the POOLED score distribution's same-percentile value — the
+    batch-effect correction that makes per-source quality scores
+    comparable before mixing (the genomics quantile-norm recipe applied
+    to corpus curation). Output: per (source, decile-of-norm) counts and
+    integer score sums — compact but sensitive to every mapped value.
+
+    Spark shape: global ranks come from operators/layout.prefix_sum (range
+    exchange + partition-local windows + broadcast offsets) — NOT a
+    global single-task window and NOT per-source windows (a handful of
+    sources would be a skew cliff at 100 TB); the pooled lookup is one
+    equi-join on the target rank. Scores are integers, so every sum is
+    exact — no float contract needed anywhere."""
+    from rust_cdc_validator_spark.operators.layout import prefix_sum
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("score")
+    )
+    one = docs.withColumn("_one", F.lit(1))
+    pooled = prefix_sum(one, ["score", "doc_id"], "_one", out_col="g_rank")
+    bysrc = prefix_sum(
+        one, ["source", "score", "doc_id"], "_one", out_col="_sg"
+    )
+    src_sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    w_src = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # sources-sized frame: bounded single-task window
+    offsets = src_sizes.withColumn(
+        "_off", F.coalesce(F.sum("n_src").over(w_src), F.lit(0))
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n_all"))
+    ranked = (
+        bysrc.join(F.broadcast(offsets), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id", "source", "score", "n_src", "n_all",
+            (F.col("_sg") - F.col("_off")).alias("r"),
+        )
+    )
+    k = F.least(
+        F.col("n_all"),
+        F.greatest(
+            F.lit(1),
+            F.ceil(
+                (F.col("r") + 0.5) / F.col("n_src") * F.col("n_all")
+            ).cast("long"),
+        ),
+    )
+    mapped = ranked.withColumn("k", k).join(
+        pooled.select(F.col("g_rank"), F.col("score").alias("norm_score")),
+        F.col("k") - 1 == F.col("g_rank"),
+    )
+    decile = F.expr("least(9, (k * 10 - 1) div n_all)").cast("int")
+    return (
+        mapped.groupBy("source", decile.alias("norm_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("score").alias("sum_raw"),
+            F.sum("norm_score").alias("sum_norm"),
+        )
+        .orderBy("source", "norm_decile")
+    )
+
+
+DOCS_SCORE_QUANTILE_NORM_SQL = """
+WITH docs AS (
+  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS score
+  FROM documents
+), pooled AS (
+  SELECT score AS norm_score,
+         ROW_NUMBER() OVER (ORDER BY score, doc_id) - 1 AS g_rank
+  FROM docs
+), ranked AS (
+  SELECT d.doc_id, d.source, d.score,
+         ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.score, d.doc_id)
+           - 1 AS r,
+         COUNT(*) OVER (PARTITION BY d.source) AS n_src,
+         COUNT(*) OVER () AS n_all
+  FROM docs d
+), mapped AS (
+  SELECT r.source, r.score,
+         LEAST(r.n_all, GREATEST(1,
+           CAST(ceil((r.r + 0.5) / r.n_src * r.n_all) AS BIGINT))) AS k,
+         r.n_all
+  FROM ranked r
+)
+SELECT m.source,
+       CAST(LEAST(9, (m.k * 10 - 1) // m.n_all) AS INT) AS norm_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(m.score) AS BIGINT) AS sum_raw,
+       CAST(SUM(p.norm_score) AS BIGINT) AS sum_norm
+FROM mapped m JOIN pooled p ON m.k - 1 = p.g_rank
+GROUP BY m.source, CAST(LEAST(9, (m.k * 10 - 1) // m.n_all) AS INT)
+ORDER BY source, norm_decile
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -11095,6 +11422,10 @@ QUERIES: dict[str, QueryFn] = {
     "orders_price_jackknife_ci": orders_price_jackknife_ci,
     "events_conformal_intervals": events_conformal_intervals,
     "events_isotonic_calibration": events_isotonic_calibration,
+    "customer_reorder_hazard": customer_reorder_hazard,
+    "events_brown_forecast": events_brown_forecast,
+    "events_cuped_adjustment": events_cuped_adjustment,
+    "docs_score_quantile_norm": docs_score_quantile_norm,
 }
 
 ORACLES: dict[str, str] = {
@@ -11292,6 +11623,10 @@ ORACLES: dict[str, str] = {
     "orders_price_jackknife_ci": ORDERS_PRICE_JACKKNIFE_SQL,
     "events_conformal_intervals": EVENTS_CONFORMAL_SQL,
     "events_isotonic_calibration": EVENTS_ISOTONIC_SQL,
+    "customer_reorder_hazard": CUSTOMER_REORDER_HAZARD_SQL,
+    "events_brown_forecast": EVENTS_BROWN_FORECAST_SQL,
+    "events_cuped_adjustment": EVENTS_CUPED_SQL,
+    "docs_score_quantile_norm": DOCS_SCORE_QUANTILE_NORM_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /

@@ -406,3 +406,118 @@ def test_ewma_validation(spark):
         ewma_smooth(df, "t", "x", alpha=0.0)
     with _pytest.raises(ValueError):
         ewma_smooth(df, "t", "x", terms=0)
+
+
+def test_nelson_aalen_hand_computed(spark):
+    """3-subject example: A orders day1+day3 (observed gap 2, censored 0
+    at horizon), B orders day2 only (censored 1). Duration table is
+    dur0(0ev,1c) dur1(0ev,1c) dur2(1ev,0c); risk sets 3,2,1; H jumps only
+    at dur2 by 1/1; Breslow survival exp(-H)."""
+    import math
+
+    from rust_cdc_validator_spark.operators.timeseries import nelson_aalen
+
+    df = spark.createDataFrame(
+        [("A", "2024-01-01"), ("A", "2024-01-03"), ("B", "2024-01-02")],
+        "u string, d string",
+    )
+    rows = {r["t_days"]: r for r in nelson_aalen(df, "u", "d").collect()}
+    assert (rows[0]["n_risk"], rows[0]["n_events"], rows[0]["n_censored"]) == (3, 0, 1)
+    assert (rows[1]["n_risk"], rows[1]["n_events"]) == (2, 0)
+    assert (rows[2]["n_risk"], rows[2]["n_events"]) == (1, 1)
+    assert rows[0]["cum_hazard"] == 0.0 and rows[1]["cum_hazard"] == 0.0
+    assert rows[2]["cum_hazard"] == 1.0
+    assert rows[2]["hazard_se"] == 1.0
+    assert abs(rows[2]["breslow_survival"] - math.exp(-1.0)) < 1e-6
+
+
+def test_nelson_aalen_dominates_km(spark, sf_dir):
+    """Known estimator inequality: KM survival <= exp(-H_NA) everywhere
+    (1-x <= exp(-x) per factor), with equality only where no events.
+    Checked on the real orders relation — also pins that both consume the
+    identical duration/risk table after the r12 refactor."""
+    from rust_cdc_validator_spark.operators.timeseries import (
+        kaplan_meier,
+        nelson_aalen,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    km = {
+        r["t_days"]: r
+        for r in kaplan_meier(orders, "o_custkey", "o_orderdate").collect()
+    }
+    na = {
+        r["t_days"]: r
+        for r in nelson_aalen(orders, "o_custkey", "o_orderdate").collect()
+    }
+    assert set(km) == set(na)
+    for t in km:
+        assert (
+            km[t]["n_risk"],
+            km[t]["n_events"],
+            km[t]["n_censored"],
+        ) == (na[t]["n_risk"], na[t]["n_events"], na[t]["n_censored"])
+        assert km[t]["survival"] <= na[t]["breslow_survival"] + 1e-6, t
+    # hazard is monotone nondecreasing in t
+    hz = [na[t]["cum_hazard"] for t in sorted(na)]
+    assert hz == sorted(hz)
+
+
+def test_brown_double_smooth_constant_and_validation(spark):
+    """A constant series is a fixed point: s1 = s2 = level = forecast = c,
+    trend = 0 at every tick (truncated-fan denominators cancel)."""
+    import pytest as _pytest
+
+    from rust_cdc_validator_spark.operators.timeseries import (
+        brown_double_smooth,
+    )
+
+    df = spark.createDataFrame(
+        [(t, 5.0) for t in range(12)], "tick_in long, x double"
+    )
+    rows = brown_double_smooth(
+        df, "tick_in", "x", alpha=0.3, terms=4, horizon=2
+    ).collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert abs(r["s1_r"] - 5.0) < 1e-6
+        assert abs(r["s2_r"] - 5.0) < 1e-6
+        assert abs(r["level_r"] - 5.0) < 1e-6
+        assert abs(r["trend_r"]) < 1e-6
+        assert abs(r["forecast_r"] - 5.0) < 1e-6
+
+    for bad in (
+        dict(alpha=0.0),
+        dict(alpha=1.0),
+        dict(terms=0),
+        dict(horizon=-1),
+    ):
+        with _pytest.raises(ValueError):
+            brown_double_smooth(df, "tick_in", "x", **bad)
+
+
+def test_brown_double_smooth_tracks_linear_trend(spark):
+    """On x_t = 2t the steady-state trend estimate approaches the true
+    slope 2 and the h-step forecast leads the level by h*trend — the
+    property Brown's method exists for (EWMA alone lags a trend)."""
+    from rust_cdc_validator_spark.operators.timeseries import (
+        brown_double_smooth,
+    )
+
+    df = spark.createDataFrame(
+        [(t, 2.0 * t) for t in range(40)], "tick_in long, x double"
+    )
+    out = {
+        r["tick"]: r
+        for r in brown_double_smooth(
+            df, "tick_in", "x", alpha=0.5, terms=12, horizon=3
+        ).collect()
+    }
+    last = out[39]
+    assert abs(last["trend_r"] - 2.0) < 0.1
+    assert abs(
+        last["forecast_r"] - (last["level_r"] + 3 * last["trend_r"])
+    ) < 1e-5
+    # the EWMA alone (s1) lags the series; the trend-corrected level
+    # closes most of that gap
+    assert abs(last["level_r"] - 78.0) < abs(last["s1_r"] - 78.0)
