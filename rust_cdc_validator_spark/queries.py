@@ -10727,8 +10727,17 @@ def events_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lei et al. 2018): calibration = even event_ids, test = odd. Predictor =
     calibration mean value per type; nonconformity = |value − pred|; q̂ =
     the ⌈0.9·(n_cal+1)⌉-th smallest calibration residual (EXACT order
-    statistic via row_number — no interpolation, so it replays bit-for-bit
-    in SQL); report finite-sample test coverage of pred ± q̂ per type."""
+    statistic via a rank filter — no interpolation, so it replays
+    bit-for-bit in SQL); report finite-sample test coverage of pred ± q̂
+    per type.
+
+    Scale shape: the per-type residual rank does NOT use a window
+    partitioned by event_type (a handful of types = a skew cliff at
+    100 TB); it is layout.prefix_sum's range-exchange rank over
+    (type, resid, id) minus broadcast per-type offsets — the same
+    machinery as docs_score_quantile_norm."""
+    from rust_cdc_validator_spark.operators.layout import prefix_sum
+
     ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
     cal = ev.filter(F.col("event_id") % 2 == 0)
     test = ev.filter(F.col("event_id") % 2 == 1)
@@ -10741,9 +10750,21 @@ def events_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("value") - F.col("pred")).alias("r"),
     )
     k = F.least(F.col("n_cal"), F.ceil(0.9 * (F.col("n_cal") + 1)).cast("long"))
-    rw = Window.partitionBy("event_type").orderBy("r", "event_id")
+    ranked = prefix_sum(
+        resid.withColumn("_one", F.lit(1)),
+        ["event_type", "r", "event_id"],
+        "_one",
+        out_col="_rank0",
+    )
+    w_t = Window.orderBy("event_type").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # types-sized frame: bounded single-task window (offset relation)
+    offsets = pred.select("event_type", "n_cal").withColumn(
+        "_off", F.coalesce(F.sum("n_cal").over(w_t), F.lit(0))
+    )
     qhat = (
-        resid.withColumn("rn", F.row_number().over(rw))
+        ranked.join(F.broadcast(offsets.select("event_type", "_off")), "event_type")
+        .withColumn("rn", F.col("_rank0") + 1 - F.col("_off"))
         .filter(F.col("rn") == k)
         .select("event_type", "n_cal", "pred", F.col("r").alias("qhat"))
     )
