@@ -53,6 +53,8 @@ __all__ = [
     "hits",
     "adamic_adar",
     "clustering_coefficient",
+    "louvain_communities",
+    "modularity",
 ]
 
 
@@ -1263,3 +1265,262 @@ def _sssp_loop(
         n_dist = dist.count()
         frontier = improved
     return dist
+
+
+def louvain_communities(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    sweeps: int = 6,
+    checkpoint: bool = True,
+    track_convergence: bool = False,
+    return_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, GraphRunStats]:
+    """Modularity-based community detection: the LOCAL-MOVING phase of
+    Louvain (Blondel, Guillaume, Lambiotte & Lefebvre 2008) over the
+    undirected weighted graph induced by ``edges`` — each node
+    iteratively joins the neighboring community with the largest
+    modularity gain ΔQ(u→C) ∝ k_{u,C} − k_u·Σtot(C)/2m, starting from
+    singletons. The coarsening phase is deliberately omitted (a
+    supernode graph invalidates the node-level assignment most consumers
+    want; phase-1 alone is the "local moving" used by Leiden's first
+    step too), so the result is one community label per ORIGINAL node —
+    directly comparable to :func:`label_propagation`, but optimizing an
+    explicit objective instead of majority vote.
+
+    Determinism contract (no randomized sequential sweep): moves are
+    SYNCHRONOUS but parity-gated — sweep s only lets nodes whose first
+    md5 hex digit has parity s%2 move (the engine-portable md5_bucket
+    hash, so the SQL oracle replays the gate) — which breaks the
+    two-node swap oscillation of naive synchronous Louvain while keeping
+    runs bit-reproducible across partitionings; a node moves only on a
+    STRICT gain (staying wins all score ties via the window tie-break),
+    and equal-gain targets break toward the smallest community id.
+
+    Scale shape (the _lpa_loop discipline): per sweep, Σtot is a |V|
+    agg, k_{u,C} is the one |E| pass (join + map-side-combined sum),
+    the assignment/degree/Σtot joins are broadcast-gated exactly like
+    pagerank's rank frame, and the per-node argmax is a row_number
+    window bounded by the node's distinct neighbor-community count
+    (WindowGroupLimit collapses it below the exchange). Lineage is cut
+    per sweep. ``track_convergence`` early-stops on a zero-move sweep —
+    note a zero-move EVEN sweep can still be followed by odd-parity
+    moves, so convergence means one full even+odd round without moves.
+    """
+    if sweeps < 1:
+        raise ValueError("sweeps must be >= 1")
+    if track_convergence and not checkpoint:
+        raise ValueError(
+            "track_convergence requires checkpoint=True: each per-sweep "
+            "move-count would re-execute the un-truncated lineage"
+        )
+    a, b = F.col(src), F.col(dst)
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    und = (
+        edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"), w.alias("_w"))
+        .filter(F.col("_a") != F.col("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.sum("_w").alias("_w"))
+    )
+    adj = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("_a").alias("src"), F.col("_b").alias("dst"), F.col("_w").alias("w")),
+                F.struct(F.col("_b").alias("src"), F.col("_a").alias("dst"), F.col("_w").alias("w")),
+            )
+        ).alias("_x")
+    ).select("_x.src", "_x.dst", "_x.w")
+    if checkpoint:
+        adj = adj.localCheckpoint(eager=True)
+    kdeg = adj.groupBy(F.col("src").alias("node")).agg(F.sum("w").alias("k"))
+    if checkpoint:
+        kdeg = kdeg.localCheckpoint(eager=True)
+    comms = kdeg.select("node", F.col("node").alias("comm"))
+    return _louvain_loop(
+        adj, kdeg, comms, sweeps, checkpoint, track_convergence, return_stats
+    )
+
+
+def _md5_parity(col: F.Column) -> F.Column:
+    """Deterministic, engine-portable node parity: first md5 hex digit
+    mod 2 (the operators/corpus.md5_bucket contract — the SQL oracle
+    rebuilds it with one strpos lookup; xxhash64 has no DuckDB twin)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 1), 16, 10).cast("int")
+        % 2
+    )
+
+
+def _louvain_loop(
+    adj: DataFrame,
+    kdeg: DataFrame,
+    comms: DataFrame,
+    sweeps: int,
+    checkpoint: bool,
+    track_convergence: bool,
+    return_stats: bool,
+) -> DataFrame | tuple[DataFrame, GraphRunStats]:
+    """The parity-gated synchronous local-moving sweeps, shared by
+    :func:`louvain_communities` (which symmetrizes raw edges) and
+    ``graphstate.louvain_from_state`` (which reads the pre-exploded
+    adjacency + degree relations from persisted edge state). ``adj`` is
+    (src, dst, w) symmetric/dedup'd/self-loop-free and materialized;
+    ``kdeg`` is (node, k); ``comms`` the (node, comm) init."""
+    spark = adj.sparkSession
+    threshold = _parse_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+    )
+    n = kdeg.count()
+    gate = lambda df: (  # noqa: E731
+        F.broadcast(df) if 0 < n * _RANK_ROW_BYTES <= threshold else df
+    )
+    two_m = kdeg.agg(F.sum("k")).first()[0]
+    if not two_m:
+        out = comms
+        return (out, GraphRunStats(iterations=0, changes=[])) if return_stats else out
+    win = Window.partitionBy("src").orderBy(
+        F.col("_score").desc(), F.col("_stay").desc(), F.col("_nc").asc()
+    )
+    changes: list[int] | None = [] if track_convergence else None
+    sweeps_used = sweeps
+    for s in range(sweeps):
+        prev = comms
+        sig = (
+            comms.join(gate(kdeg), "node")
+            .groupBy("comm")
+            .agg(F.sum("k").alias("_sig"))
+        )
+        nbr_comm = adj.join(
+            gate(comms.select(F.col("node").alias("dst"), F.col("comm").alias("_nc"))),
+            "dst",
+        ).select("src", "_nc", "w")
+        stay_zero = comms.select(
+            F.col("node").alias("src"), F.col("comm").alias("_nc"), F.lit(0.0).alias("w")
+        )
+        kuc = (
+            nbr_comm.unionByName(stay_zero)
+            .groupBy("src", "_nc")
+            .agg(F.sum("w").alias("_kuc"))
+        )
+        cand = (
+            kuc.join(gate(comms.select(F.col("node").alias("src"), F.col("comm").alias("_d"))), "src")
+            .join(gate(kdeg.select(F.col("node").alias("src"), "k")), "src")
+            .join(gate(sig.select(F.col("comm").alias("_nc"), "_sig")), "_nc")
+        )
+        stay = F.col("_nc") == F.col("_d")
+        score = F.when(
+            stay,
+            F.col("_kuc") - F.col("k") * (F.col("_sig") - F.col("k")) / F.lit(two_m),
+        ).otherwise(F.col("_kuc") - F.col("k") * F.col("_sig") / F.lit(two_m))
+        winner = (
+            cand.select(
+                "src", "_nc", "_d",
+                score.alias("_score"),
+                stay.cast("int").alias("_stay"),
+            )
+            .withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") == 1)
+        )
+        eligible = _md5_parity(F.col("src")) == F.lit(s % 2)
+        comms = winner.select(
+            F.col("src").alias("node"),
+            F.when(eligible, F.col("_nc")).otherwise(F.col("_d")).alias("comm"),
+        )
+        if checkpoint:
+            comms = comms.localCheckpoint(eager=True)
+        if track_convergence:
+            moved = (
+                comms.join(prev.select("node", F.col("comm").alias("_p")), "node")
+                .filter(F.col("comm") != F.col("_p"))
+                .count()
+            )
+            changes.append(moved)
+            # converged = a full even+odd round without moves
+            if len(changes) >= 2 and changes[-1] == 0 and changes[-2] == 0:
+                sweeps_used = s + 1
+                break
+    if return_stats:
+        return comms, GraphRunStats(iterations=sweeps_used, changes=changes)
+    return comms
+
+
+def modularity(
+    edges: DataFrame,
+    assignment: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Newman modularity of a community ``assignment`` (node, comm) over
+    the undirected weighted graph induced by ``edges``: per community,
+    Σin (internal weight, both directions) and Σtot (member degree mass),
+    contribution = Σin/2m − (Σtot/2m)², and Q = Σ contributions
+    (Newman & Girvan 2004). Returns one row per community plus the exact
+    decimal-summed contributions so Q is partitioning-independent; the
+    estimator any community detector (LPA, Louvain) is scored against.
+
+    Scale shape: two broadcast-gated assignment joins onto the |E|
+    relation + one |V| degree agg; every cross-row float sum goes
+    through exact decimals (Σin/Σtot are sums of input weights; the
+    per-community contribution divides once in double)."""
+    a, b = F.col(src), F.col(dst)
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    und = (
+        edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"), w.alias("_w"))
+        .filter(F.col("_a") != F.col("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.sum("_w").alias("_w"))
+    )
+    adj = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("_a").alias("src"), F.col("_b").alias("dst"), F.col("_w").alias("w")),
+                F.struct(F.col("_b").alias("src"), F.col("_a").alias("dst"), F.col("_w").alias("w")),
+            )
+        ).alias("_x")
+    ).select("_x.src", "_x.dst", "_x.w")
+    return _modularity_core(adj, assignment)
+
+
+def _modularity_core(adj: DataFrame, assignment: DataFrame) -> DataFrame:
+    """Per-community modularity table from a pre-exploded symmetric
+    (src, dst, w) adjacency and a (node, comm) assignment."""
+    dec = "decimal(38,6)"
+    kdeg = adj.groupBy(F.col("src").alias("node")).agg(
+        F.sum(F.col("w").cast(dec)).alias("_k")
+    )
+    two_m_rel = kdeg.agg(F.sum("_k").cast("double").alias("_2m"))
+    sides = adj.join(
+        assignment.select(F.col("node").alias("src"), F.col("comm").alias("_cs")),
+        "src",
+    ).join(
+        assignment.select(F.col("node").alias("dst"), F.col("comm").alias("_cd")),
+        "dst",
+    )
+    inw = (
+        sides.filter(F.col("_cs") == F.col("_cd"))
+        .groupBy(F.col("_cs").alias("comm"))
+        .agg(F.sum(F.col("w").cast(dec)).alias("_in"))
+    )
+    sig = (
+        assignment.join(kdeg, "node")
+        .groupBy("comm")
+        .agg(F.sum("_k").alias("_sig"), F.count(F.lit(1)).alias("n_members"))
+    )
+    per = (
+        sig.join(inw, "comm", "left")
+        .crossJoin(F.broadcast(two_m_rel))
+        .select(
+            "comm",
+            "n_members",
+            F.coalesce(F.col("_in").cast("double"), F.lit(0.0)).alias("internal_w"),
+            F.col("_sig").cast("double").alias("sigma_tot"),
+            (
+                F.coalesce(F.col("_in").cast("double"), F.lit(0.0)) / F.col("_2m")
+                - (F.col("_sig").cast("double") / F.col("_2m"))
+                * (F.col("_sig").cast("double") / F.col("_2m"))
+            ).alias("contribution"),
+        )
+    )
+    return per

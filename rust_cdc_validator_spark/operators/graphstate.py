@@ -76,6 +76,8 @@ __all__ = [
     "adamic_adar_from_state",
     "hits_from_state",
     "harmonic_closeness_from_state",
+    "louvain_from_state",
+    "modularity_from_state",
 ]
 
 
@@ -1248,3 +1250,55 @@ def weighted_paths_from_state(
         F.col("src").alias("_s"), F.col("dst").alias("_d"), length.alias("_w")
     )
     return _sssp_loop(e, seeds, max_hops, checkpoint)
+
+
+def louvain_from_state(
+    spark: SparkSession,
+    path: str,
+    sweeps: int = 6,
+    checkpoint: bool = True,
+    track_convergence: bool = False,
+    return_stats: bool = False,
+):
+    """:func:`graph.louvain_communities` over persisted UNDIRECTED edge
+    state: the symmetric, dedup'd, self-loop-free weighted adjacency is
+    exactly ``adj/`` and the weighted degree k_u is ``nodes.out_w`` —
+    read, not rebuilt. Same parity-gated sweeps, bit-for-bit (shared
+    ``_louvain_loop``)."""
+    from rust_cdc_validator_spark.operators.graph import _louvain_loop
+
+    if sweeps < 1:
+        raise ValueError("sweeps must be >= 1")
+    if track_convergence and not checkpoint:
+        raise ValueError(
+            "track_convergence requires checkpoint=True: each per-sweep "
+            "move-count would re-execute the un-truncated lineage"
+        )
+    if edge_state_params(spark, path)["directed"]:
+        raise ValueError(
+            "louvain_from_state requires undirected edge state "
+            "(modularity is defined on the undirected graph; rebuild "
+            "with directed=False)"
+        )
+    adj = edge_state_adjacency(spark, path).select("src", "dst", "w")
+    kdeg = edge_state_nodes(spark, path).select(
+        "node", F.col("out_w").alias("k")
+    )
+    comms = kdeg.select("node", F.col("node").alias("comm"))
+    return _louvain_loop(
+        adj, kdeg, comms, sweeps, checkpoint, track_convergence, return_stats
+    )
+
+
+def modularity_from_state(
+    spark: SparkSession, path: str, assignment: DataFrame
+) -> DataFrame:
+    """Per-community Newman modularity table over persisted undirected
+    edge state (shared ``_modularity_core`` — ``adj/`` is already the
+    symmetric exploded relation :func:`graph.modularity` derives)."""
+    from rust_cdc_validator_spark.operators.graph import _modularity_core
+
+    if edge_state_params(spark, path)["directed"]:
+        raise ValueError("modularity_from_state requires undirected edge state")
+    adj = edge_state_adjacency(spark, path).select("src", "dst", "w")
+    return _modularity_core(adj, assignment)

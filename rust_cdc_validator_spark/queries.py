@@ -11225,6 +11225,394 @@ ORDER BY source, norm_decile
 """
 
 
+def events_ab_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full A/B readout with CUPED adjustment: deterministic md5 arms over
+    user_id (0 = control, 1 = treatment), per-user pre/experiment spend
+    split at the time-range midpoint, θ estimated on the POOLED data
+    (unbiased under randomization), per-arm raw and adjusted means with
+    two-sample z statistics — the experiment-platform decision query,
+    showing the realized CI shrink next to the raw readout. All moments
+    two-pass exact-decimal; divisions once in double."""
+    from rust_cdc_validator_spark.operators.corpus import md5_bucket
+
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.min("ts_ns").alias("_mn"), F.max("ts_ns").alias("_mx")
+    ).select((F.col("_mn") + F.expr("(_mx - _mn) div 2")).alias("_mid"))
+    dec2 = "decimal(18,2)"
+    dec = "decimal(38,12)"
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("ts_ns") <= F.col("_mid"), F.col("value").cast(dec2))
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("ts_ns") > F.col("_mid"), F.col("value").cast(dec2))
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("y"),
+        )
+        .withColumn("arm", md5_bucket(F.col("user_id"), 2))
+    )
+    means = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("x").cast(dec)).cast("double") / F.count(F.lit(1))).alias("mx"),
+        (F.sum(F.col("y").cast(dec)).cast("double") / F.count(F.lit(1))).alias("my"),
+    )
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    theta_rel = per_user.crossJoin(F.broadcast(means)).agg(
+        F.max("mx").alias("mx"),
+        (
+            F.sum((dx * dy).cast(dec)).cast("double")
+            / F.sum((dx * dx).cast(dec)).cast("double")
+        ).alias("theta"),
+    )
+    adj = per_user.crossJoin(F.broadcast(theta_rel)).select(
+        "arm", "y",
+        (F.col("y") - F.col("theta") * (F.col("x") - F.col("mx"))).alias("yadj"),
+        "theta",
+    )
+    arm_means = adj.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_a"),
+        (F.sum(F.col("y").cast(dec)).cast("double") / F.count(F.lit(1))).alias("m_y"),
+        (F.sum(F.col("yadj").cast(dec)).cast("double") / F.count(F.lit(1))).alias(
+            "m_adj"
+        ),
+    )
+    devy = F.col("y") - F.col("m_y")
+    deva = F.col("yadj") - F.col("m_adj")
+    arm_stats = (
+        adj.join(F.broadcast(arm_means), "arm")
+        .groupBy("arm")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("m_y").alias("m_y"),
+            F.max("m_adj").alias("m_adj"),
+            (
+                F.sum((devy * devy).cast(dec)).cast("double")
+                / (F.max("n_a") - 1).cast("double")
+            ).alias("v_y"),
+            (
+                F.sum((deva * deva).cast(dec)).cast("double")
+                / (F.max("n_a") - 1).cast("double")
+            ).alias("v_adj"),
+        )
+    )
+    c = lambda col: F.max(F.when(F.col("arm") == 0, F.col(col)))  # noqa: E731
+    t = lambda col: F.max(F.when(F.col("arm") == 1, F.col(col)))  # noqa: E731
+    fused = arm_stats.agg(
+        c("n_a").alias("n_control"),
+        t("n_a").alias("n_treatment"),
+        c("m_y").alias("mc_y"), t("m_y").alias("mt_y"),
+        c("m_adj").alias("mc_adj"), t("m_adj").alias("mt_adj"),
+        c("v_y").alias("vc_y"), t("v_y").alias("vt_y"),
+        c("v_adj").alias("vc_adj"), t("v_adj").alias("vt_adj"),
+    )
+    se_raw = F.sqrt(
+        F.col("vt_y") / F.col("n_treatment") + F.col("vc_y") / F.col("n_control")
+    )
+    se_adj = F.sqrt(
+        F.col("vt_adj") / F.col("n_treatment") + F.col("vc_adj") / F.col("n_control")
+    )
+    return fused.select(
+        "n_control", "n_treatment",
+        F.round(F.col("mt_y") - F.col("mc_y"), 6).alias("diff_raw_r"),
+        F.round((F.col("mt_y") - F.col("mc_y")) / se_raw, 6).alias("z_raw_r"),
+        F.round(F.col("mt_adj") - F.col("mc_adj"), 6).alias("diff_adj_r"),
+        F.round((F.col("mt_adj") - F.col("mc_adj")) / se_adj, 6).alias("z_adj_r"),
+        F.round(se_adj / se_raw, 6).alias("se_ratio_r"),
+    )
+
+
+EVENTS_AB_CUPED_SQL = """
+WITH bounds AS (
+  SELECT MIN(epoch_ns(ts)) + (MAX(epoch_ns(ts)) - MIN(epoch_ns(ts))) // 2
+           AS mid
+  FROM events
+), per_user AS (
+  SELECT user_id,
+         COALESCE(CAST(SUM(CASE WHEN epoch_ns(ts) <= b.mid
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+           AS x,
+         COALESCE(CAST(SUM(CASE WHEN epoch_ns(ts) > b.mid
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+           AS y,
+         (strpos('0123456789abcdef',
+                 substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2
+           AS arm
+  FROM events CROSS JOIN bounds b
+  GROUP BY user_id
+), means AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mx,
+         CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS my
+  FROM per_user
+), th AS (
+  SELECT MAX(m.mx) AS mx,
+         CAST(SUM(CAST((p.x - m.mx) * (p.y - m.my) AS DECIMAL(38,12)))
+              AS DOUBLE)
+         / CAST(SUM(CAST((p.x - m.mx) * (p.x - m.mx) AS DECIMAL(38,12)))
+              AS DOUBLE) AS theta
+  FROM per_user p CROSS JOIN means m
+), adj AS (
+  SELECT p.arm, p.y, p.y - t.theta * (p.x - t.mx) AS yadj
+  FROM per_user p CROSS JOIN th t
+), arm_means AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_a,
+         CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m_y,
+         CAST(SUM(CAST(yadj AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m_adj
+  FROM adj GROUP BY arm
+), arm_stats AS (
+  SELECT a.arm, MAX(m.n_a) AS n_a, MAX(m.m_y) AS m_y, MAX(m.m_adj) AS m_adj,
+         CAST(SUM(CAST((a.y - m.m_y) * (a.y - m.m_y) AS DECIMAL(38,12)))
+              AS DOUBLE) / CAST(MAX(m.n_a) - 1 AS DOUBLE) AS v_y,
+         CAST(SUM(CAST((a.yadj - m.m_adj) * (a.yadj - m.m_adj)
+              AS DECIMAL(38,12)))
+              AS DOUBLE) / CAST(MAX(m.n_a) - 1 AS DOUBLE) AS v_adj
+  FROM adj a JOIN arm_means m ON a.arm = m.arm
+  GROUP BY a.arm
+), fused AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n_a END) AS n_control,
+         MAX(CASE WHEN arm = 1 THEN n_a END) AS n_treatment,
+         MAX(CASE WHEN arm = 0 THEN m_y END) AS mc_y,
+         MAX(CASE WHEN arm = 1 THEN m_y END) AS mt_y,
+         MAX(CASE WHEN arm = 0 THEN m_adj END) AS mc_adj,
+         MAX(CASE WHEN arm = 1 THEN m_adj END) AS mt_adj,
+         MAX(CASE WHEN arm = 0 THEN v_y END) AS vc_y,
+         MAX(CASE WHEN arm = 1 THEN v_y END) AS vt_y,
+         MAX(CASE WHEN arm = 0 THEN v_adj END) AS vc_adj,
+         MAX(CASE WHEN arm = 1 THEN v_adj END) AS vt_adj
+  FROM arm_stats
+)
+SELECT n_control, n_treatment,
+       round(mt_y - mc_y, 6) AS diff_raw_r,
+       round((mt_y - mc_y)
+             / sqrt(vt_y / n_treatment + vc_y / n_control), 6) AS z_raw_r,
+       round(mt_adj - mc_adj, 6) AS diff_adj_r,
+       round((mt_adj - mc_adj)
+             / sqrt(vt_adj / n_treatment + vc_adj / n_control), 6)
+         AS z_adj_r,
+       round(sqrt(vt_adj / n_treatment + vc_adj / n_control)
+             / sqrt(vt_y / n_treatment + vc_y / n_control), 6) AS se_ratio_r
+FROM fused
+"""
+
+
+def orders_price_robust_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location estimates for o_totalprice: 5%-trimmed mean (drop
+    both tails by EXACT rank) and winsorized mean (clamp tails to the
+    p05/p95 order statistics) next to the raw mean — the outlier-resistant
+    aggregates a monitoring pipeline wants when heavy tails make the mean
+    jumpy. Cut ranks are INTEGER arithmetic (k = N·5 div 100) and the
+    boundary values exact order statistics, so the whole estimator
+    replays bit-for-bit; sums are exact decimals.
+
+    Spark shape: global ranks via layout.prefix_sum (range exchange +
+    broadcast offsets — no single-task row-scaled window); boundary
+    lookups are two 1-row filters broadcast back."""
+    from rust_cdc_validator_spark.operators.layout import prefix_sum
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("v")
+    )
+    ranked = prefix_sum(
+        orders.withColumn("_one", F.lit(1)),
+        ["v", "o_orderkey"],
+        "_one",
+        out_col="r",
+    )
+    tot = orders.agg(F.count(F.lit(1)).alias("n_all"))
+    rk = ranked.crossJoin(F.broadcast(tot))
+    k = F.expr("(n_all * 5) div 100")
+    bounds = rk.filter(
+        (F.col("r") == k) | (F.col("r") == F.col("n_all") - k - 1)
+    ).agg(
+        F.min("v").alias("p05"),
+        F.max("v").alias("p95"),
+    )
+    dec2 = "decimal(18,2)"
+    out = rk.crossJoin(F.broadcast(bounds)).agg(
+        F.max("n_all").alias("n_orders"),
+        (F.sum(F.col("v").cast(dec2)).cast("double") / F.count(F.lit(1))).alias(
+            "_mean"
+        ),
+        (
+            F.sum(
+                F.when(
+                    (F.col("r") >= k) & (F.col("r") < F.col("n_all") - k),
+                    F.col("v").cast(dec2),
+                )
+            ).cast("double")
+            / F.sum(
+                F.when(
+                    (F.col("r") >= k) & (F.col("r") < F.col("n_all") - k), 1
+                )
+            ).cast("double")
+        ).alias("_trimmed"),
+        (
+            F.sum(
+                F.greatest(
+                    F.col("p05"), F.least(F.col("p95"), F.col("v"))
+                ).cast(dec2)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_winsor"),
+        F.max("p05").alias("_p05"),
+        F.max("p95").alias("_p95"),
+    )
+    return out.select(
+        "n_orders",
+        F.round("_mean", 6).alias("mean_r"),
+        F.round("_trimmed", 6).alias("trimmed_mean_r"),
+        F.round("_winsor", 6).alias("winsorized_mean_r"),
+        F.round("_p05", 2).alias("p05_r"),
+        F.round("_p95", 2).alias("p95_r"),
+    )
+
+
+ORDERS_PRICE_ROBUST_MEAN_SQL = """
+WITH ranked AS (
+  SELECT o_totalprice AS v,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS r,
+         COUNT(*) OVER () AS n_all
+  FROM orders
+), bounds AS (
+  SELECT MIN(v) AS p05, MAX(v) AS p95
+  FROM ranked
+  WHERE r = (n_all * 5) // 100 OR r = n_all - (n_all * 5) // 100 - 1
+)
+SELECT CAST(MAX(n_all) AS BIGINT) AS n_orders,
+       round(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_r,
+       round(CAST(SUM(CASE WHEN r >= (n_all * 5) // 100
+                            AND r < n_all - (n_all * 5) // 100
+                           THEN CAST(v AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN r >= (n_all * 5) // 100
+                              AND r < n_all - (n_all * 5) // 100
+                             THEN 1 END) AS DOUBLE), 6) AS trimmed_mean_r,
+       round(CAST(SUM(CAST(GREATEST(b.p05, LEAST(b.p95, v))
+                           AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+         AS winsorized_mean_r,
+       round(MAX(b.p05), 2) AS p05_r,
+       round(MAX(b.p95), 2) AS p95_r
+FROM ranked CROSS JOIN bounds b
+"""
+
+
+def supplier_trade_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity-optimizing communities (operators/graph.
+    louvain_communities — Louvain's local-moving phase, Blondel et al.
+    2008) on the customer↔supplier trade graph, next to the
+    majority-vote LPA of supplier_trade_communities: each node joins the
+    neighboring community with the largest modularity gain, synchronous
+    sweeps parity-gated on the engine-portable md5 digit so the whole
+    iterative optimizer — gains, strict-improvement tie rule, parity
+    blend — replays in GENERATED unrolled SQL and value-hashes, the
+    supplier_pagerank discipline applied to community OPTIMIZATION.
+    Reads the persisted trade edge state; the oracle rebuilds from raw
+    facts. Trade weights are integer counts, so every cross-row double
+    sum (k_{u,C}, Σtot, 2m) is exact and order-free."""
+    from rust_cdc_validator_spark.operators.graphstate import (
+        louvain_from_state,
+    )
+
+    comms = louvain_from_state(
+        spark, _trade_edge_state_for(spark, sf_dir), sweeps=4
+    )
+    return comms.filter(F.col("node").startswith("s")).select(
+        F.col("node").substr(F.lit(2), F.lit(30)).cast("long").alias("suppkey"),
+        F.col("comm").alias("community"),
+    )
+
+
+def _louvain_oracle_sql(sweeps: int = 4) -> str:
+    """Unrolled Louvain local-moving CTE chain mirroring
+    graph._louvain_loop sweep for sweep: Σtot aggregation, stay-zero
+    unioned k_{u,C}, the same score expression tree (so double
+    arithmetic is bit-identical), DESC-score/DESC-stay/ASC-community
+    argmax, and the md5-parity move gate — generated so the sweep count
+    lives in one place."""
+    ctes = [
+        """pair AS (
+  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS b,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)""",
+        """adj AS (
+  SELECT a AS src, b AS dst, w FROM pair
+  UNION ALL
+  SELECT b AS src, a AS dst, w FROM pair
+)""",
+        "kdeg AS (SELECT src AS node, SUM(w) AS k FROM adj GROUP BY src)",
+        "tm AS (SELECT SUM(k) AS twom FROM kdeg)",
+        "c0 AS (SELECT node, node AS comm FROM kdeg)",
+    ]
+    for s in range(sweeps):
+        ctes.append(
+            f"""sig{s} AS (
+  SELECT c.comm, SUM(k.k) AS sig
+  FROM c{s} c JOIN kdeg k ON c.node = k.node GROUP BY c.comm
+)"""
+        )
+        ctes.append(
+            f"""kuc{s} AS (
+  SELECT u.src, u.nc, SUM(u.w) AS kuc FROM (
+    SELECT adj.src, c.comm AS nc, adj.w
+    FROM adj JOIN c{s} c ON adj.dst = c.node
+    UNION ALL
+    SELECT node AS src, comm AS nc, 0.0 AS w FROM c{s}
+  ) u GROUP BY u.src, u.nc
+)"""
+        )
+        ctes.append(
+            f"""win{s} AS (
+  SELECT src, nc, d,
+         ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY score DESC, stay DESC, nc ASC) AS rn
+  FROM (
+    SELECT kuc.src, kuc.nc, me.comm AS d,
+           CASE WHEN kuc.nc = me.comm
+                THEN kuc.kuc - kd.k * (sg.sig - kd.k) / tm.twom
+                ELSE kuc.kuc - kd.k * sg.sig / tm.twom END AS score,
+           CASE WHEN kuc.nc = me.comm THEN 1 ELSE 0 END AS stay
+    FROM kuc{s} kuc
+    JOIN c{s} me ON kuc.src = me.node
+    JOIN kdeg kd ON kuc.src = kd.node
+    JOIN sig{s} sg ON kuc.nc = sg.comm
+    CROSS JOIN tm
+  ) t
+)"""
+        )
+        ctes.append(
+            f"""c{s + 1} AS (
+  SELECT src AS node,
+         CASE WHEN (strpos('0123456789abcdef',
+                           substring(md5(src), 1, 1)) - 1) % 2 = {s % 2}
+              THEN nc ELSE d END AS comm
+  FROM win{s} WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(substring(node, 2) AS BIGINT) AS suppkey, comm AS community
+FROM c{sweeps} WHERE node LIKE 's%'"""
+    )
+
+
+SUPPLIER_TRADE_LOUVAIN_SQL = _louvain_oracle_sql()
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -11447,6 +11835,9 @@ QUERIES: dict[str, QueryFn] = {
     "events_brown_forecast": events_brown_forecast,
     "events_cuped_adjustment": events_cuped_adjustment,
     "docs_score_quantile_norm": docs_score_quantile_norm,
+    "events_ab_cuped_readout": events_ab_cuped_readout,
+    "orders_price_robust_mean": orders_price_robust_mean,
+    "supplier_trade_louvain": supplier_trade_louvain,
 }
 
 ORACLES: dict[str, str] = {
@@ -11648,6 +12039,9 @@ ORACLES: dict[str, str] = {
     "events_brown_forecast": EVENTS_BROWN_FORECAST_SQL,
     "events_cuped_adjustment": EVENTS_CUPED_SQL,
     "docs_score_quantile_norm": DOCS_SCORE_QUANTILE_NORM_SQL,
+    "events_ab_cuped_readout": EVENTS_AB_CUPED_SQL,
+    "orders_price_robust_mean": ORDERS_PRICE_ROBUST_MEAN_SQL,
+    "supplier_trade_louvain": SUPPLIER_TRADE_LOUVAIN_SQL,
     # minhash_near_dup / simhash_near_dup / ann_lsh_top1 / ann_ivf_top1 /
     # embedding_near_dup_docs / lsh_bucket_overflow_stats /
     # minhash_band_overflow_stats / minhash_index_probe / lsh_index_probe /

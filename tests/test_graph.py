@@ -847,3 +847,137 @@ def test_weighted_paths_validation_and_state_variant(spark, tmp_path):
     }
     # inverse: length(a-b)=0.25 direct beats 1/1+1/1=2.0 via c
     assert inv == {"a": 0.0, "b": 0.25, "c": 1.0}
+
+
+# ---------------------------------------------------------------------------
+# Louvain local-moving + modularity (r12)
+# ---------------------------------------------------------------------------
+
+
+def _two_cliques(spark):
+    """K4 {1..4} + K4 {5..8} joined by the bridge (4,5)."""
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges += [(a, b) for a in range(5, 9) for b in range(a + 1, 9)]
+    edges.append((4, 5))
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_louvain_finds_cliques_and_modularity_matches_hand_value(spark):
+    from rust_cdc_validator_spark.operators.graph import (
+        louvain_communities,
+        modularity,
+    )
+
+    g = _two_cliques(spark)
+    comms = louvain_communities(g, sweeps=6)
+    got = {r["node"]: r["comm"] for r in comms.collect()}
+    assert len(set(got.values())) == 2
+    assert len({got[n] for n in (1, 2, 3, 4)}) == 1
+    assert len({got[n] for n in (5, 6, 7, 8)}) == 1
+    per = modularity(g, comms).collect()
+    q = sum(r["contribution"] for r in per)
+    # hand value: m=13, per clique in=12, tot=13 → 2*(12/26 - (13/26)^2)
+    assert abs(q - 2 * (12 / 26 - 0.25)) < 1e-9
+    for r in per:
+        assert r["n_members"] == 4
+        assert r["internal_w"] == 12.0
+        assert r["sigma_tot"] == 13.0
+
+
+def test_louvain_deterministic_across_partitionings(spark):
+    from rust_cdc_validator_spark.operators.graph import louvain_communities
+
+    g = _two_cliques(spark)
+    a = sorted(map(tuple, louvain_communities(g, sweeps=4).collect()))
+    b = sorted(
+        map(tuple, louvain_communities(g.repartition(13), sweeps=4).collect())
+    )
+    assert a == b
+
+
+def test_louvain_modularity_nondecreasing_over_sweeps(spark):
+    """Pinned regression property on a fixed random graph: each extra
+    even+odd sweep round never lowers modularity (parity gating makes
+    each half-sweep a batch of independent strict-gain moves against a
+    frozen opposite-parity configuration)."""
+    from rust_cdc_validator_spark.operators.graph import (
+        louvain_communities,
+        modularity,
+    )
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(20), rng.randrange(20)) for _ in range(60)})
+    g = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "src long, dst long"
+    )
+    qs = []
+    for sweeps in (2, 4, 6):
+        comms = louvain_communities(g, sweeps=sweeps)
+        qs.append(
+            sum(r["contribution"] for r in modularity(g, comms).collect())
+        )
+    assert qs[0] <= qs[1] + 1e-12 and qs[1] <= qs[2] + 1e-12, qs
+
+
+def test_louvain_beats_singletons_and_validation(spark):
+    import pytest as _pytest
+
+    from rust_cdc_validator_spark.operators.graph import (
+        louvain_communities,
+        modularity,
+    )
+
+    g = _two_cliques(spark)
+    nodes = g.selectExpr("src as node").union(g.selectExpr("dst")).distinct()
+    singletons = nodes.selectExpr("node", "node as comm")
+    q0 = sum(r["contribution"] for r in modularity(g, singletons).collect())
+    comms, stats = louvain_communities(
+        g, sweeps=8, track_convergence=True, return_stats=True
+    )
+    q1 = sum(r["contribution"] for r in modularity(g, comms).collect())
+    assert q1 > q0
+    # converged: the recorded move counts end with a full zero round
+    assert stats.changes[-1] == 0 and stats.changes[-2] == 0
+    with _pytest.raises(ValueError):
+        louvain_communities(g, sweeps=0)
+    with _pytest.raises(ValueError):
+        louvain_communities(g, track_convergence=True, checkpoint=False)
+
+
+def test_louvain_from_state_equals_direct(spark, tmp_path):
+    from rust_cdc_validator_spark.operators.graph import (
+        louvain_communities,
+        modularity,
+    )
+    from rust_cdc_validator_spark.operators.graphstate import (
+        build_edge_state,
+        louvain_from_state,
+        modularity_from_state,
+    )
+
+    g = _two_cliques(spark)
+    path = str(tmp_path / "state")
+    build_edge_state(g, path, directed=False)
+    direct = sorted(map(tuple, louvain_communities(g, sweeps=4).collect()))
+    from_state = sorted(
+        map(tuple, louvain_from_state(spark, path, sweeps=4).collect())
+    )
+    assert direct == from_state
+    comms = louvain_from_state(spark, path, sweeps=4)
+    a = sorted(map(tuple, modularity_from_state(spark, path, comms).collect()))
+    b = sorted(map(tuple, modularity(g, comms).collect()))
+    assert a == b
+
+
+def test_modularity_singleton_formula(spark):
+    """Q over singletons = −Σ(k_u/2m)² exactly (no internal edges)."""
+    from rust_cdc_validator_spark.operators.graph import modularity
+
+    g = _two_cliques(spark)
+    nodes = g.selectExpr("src as node").union(g.selectExpr("dst")).distinct()
+    singletons = nodes.selectExpr("node", "node as comm")
+    per = modularity(g, singletons).collect()
+    degs = {1: 3, 2: 3, 3: 3, 5: 3, 6: 3, 7: 3, 4: 4, 8: 4}
+    expect = -sum((k / 26) ** 2 for k in degs.values())
+    assert abs(sum(r["contribution"] for r in per) - expect) < 1e-9
+    assert all(r["internal_w"] == 0.0 for r in per)
