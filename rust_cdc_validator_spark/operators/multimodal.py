@@ -4,11 +4,14 @@ with typed metadata, processed via Arrow-batched ``mapInPandas``.
 The codec libraries (PIL/librosa/ffmpeg) are NOT available in this
 container, so COMPRESSED media decoding is stubbed — either raising
 NotImplementedError (``strict=True``) or producing deterministic fake
-features (default, for tests). UNCOMPRESSED raster formats need no codec:
-:func:`decode_image_pixels` is a REAL pure-numpy decoder for BMP
-(24/32-bit BI_RGB) and PPM/PGM (binary P6/P5), and
-:func:`image_channel_stats` feeds real per-channel pixel statistics
-through the same Arrow-batched path. Everything Spark-side is real and
+features (default, for tests). Formats whose compression lives in the
+stdlib need no codec: :func:`decode_image_pixels` is a REAL pure-numpy
+decoder for BMP (24/32-bit BI_RGB), PPM/PGM (binary P6/P5),
+non-interlaced 8-bit PNG including palette+tRNS (zlib IDAT inflate +
+scanline unfilter), and GIF 87a/89a first frames (real LZW, de-interlace,
+transparency — r12); :func:`image_channel_stats` feeds real per-channel
+pixel statistics through the same Arrow-batched path. JPEG's Huffman/DCT
+entropy coder is the remaining honest raise. Everything Spark-side is real and
 scale-correct: schemas, batch iteration, partition sizing, and the UDF
 signatures match what a production decode stage needs. Swap
 ``_decode_stub`` for a codec-backed decoder and nothing else changes.
@@ -239,9 +242,11 @@ def _png_paeth(a: int, up: int, c: int) -> int:
 
 def _decode_png(b: bytes):
     """Pure stdlib+numpy PNG decode: chunk walk, zlib-inflated IDAT,
-    per-scanline unfilter (types 0-4). Supports the non-interlaced 8-bit
-    color types — gray (1ch), gray+alpha (2), RGB (3), RGBA (4);
-    palette, sub-byte/16-bit depths, and Adam7 raise NotImplementedError.
+    per-scanline unfilter (types 0-4). Supports ALL non-interlaced 8-bit
+    color types — gray (1ch), gray+alpha (2), RGB (3), RGBA (4), and
+    palette (r12: indices unfilter as a 1-channel raster, then map
+    through PLTE, with tRNS alpha → RGBA when present); sub-byte/16-bit
+    depths and Adam7 raise NotImplementedError.
     Filters None/Sub/Up are vectorized (Sub is a wrap-around prefix sum
     per byte lane); Average/Paeth fall back to the spec's sequential
     form — correctness over speed for the feature-extraction thumbnails
@@ -251,7 +256,7 @@ def _decode_png(b: bytes):
 
     import numpy as np
 
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
     while pos + 8 <= len(b):
         (ln,) = struct.unpack(">I", b[pos : pos + 4])
         typ = b[pos + 4 : pos + 8]
@@ -262,6 +267,10 @@ def _decode_png(b: bytes):
             ihdr = data
         elif typ == b"IDAT":
             idat.append(data)
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"tRNS":
+            trns = data
         elif typ == b"IEND":
             break
         pos += 12 + ln
@@ -274,11 +283,15 @@ def _decode_png(b: bytes):
         raise ValueError("degenerate PNG dimensions")
     if depth != 8:
         raise NotImplementedError(f"{depth}-bit PNG not supported")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    # color type 3 (palette): the raster is ONE index byte per pixel,
+    # unfiltered like any other 1-channel image, then mapped through PLTE
+    # (+ tRNS alpha when present) after the unfilter pass below
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
-        raise NotImplementedError(
-            f"PNG color type {ctype} (palette) not supported"
-        )
+        raise NotImplementedError(f"PNG color type {ctype} not supported")
+    if ctype == 3:
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError("palette PNG without a valid PLTE chunk")
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
     if interlace != 0:
@@ -334,7 +347,21 @@ def _decode_png(b: bytes):
             row += out[y - 1] if y > 0 else 0
         out[y] = row
         y += 1
-    return out.reshape(h, w, channels)
+    raster = out.reshape(h, w, channels)
+    if ctype != 3:
+        return raster
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = raster.reshape(h, w)
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("PNG palette index out of range")
+    rgb = pal[idx]
+    if trns is None:
+        return rgb
+    alpha_tab = np.full(pal.shape[0], 255, dtype=np.uint8)
+    alpha_tab[: min(len(trns), pal.shape[0])] = np.frombuffer(
+        trns[: pal.shape[0]], dtype=np.uint8
+    )
+    return np.dstack([rgb, alpha_tab[idx]])
 
 
 def _png_unfilter_avg_paeth_run(filt, ftypes, out, y0, w, channels):
@@ -391,22 +418,181 @@ def _png_unfilter_avg_paeth_run(filt, ftypes, out, y0, w, channels):
     out[y0:y0 + R] = rec[1:, 1:].reshape(R, w * channels).astype(np.uint8)
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
+    """GIF-variant LZW decode (GIF89a spec appendix F), pure stdlib:
+    LSB-first variable-width codes (min_code_size+1 … 12 bits), CLEAR
+    resets the table, END terminates. Output is CAPPED at ``max_pixels``
+    — a crafted stream (LZW bomb) cannot inflate past the image
+    descriptor's declared size, the same guard as the PNG IDAT cap."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"invalid GIF LZW minimum code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    base: list[bytes | None] = [bytes([i]) for i in range(clear)] + [None, None]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    buf = bitcount = pos = 0
+    n = len(data)
+    while True:
+        while bitcount < code_size:
+            if pos >= n:
+                raise ValueError("truncated GIF LZW stream (no END code)")
+            buf |= data[pos] << bitcount
+            bitcount += 8
+            pos += 1
+        code = buf & ((1 << code_size) - 1)
+        buf >>= code_size
+        bitcount -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt GIF LZW code {code}")
+        out += entry
+        if len(out) > max_pixels:
+            raise ValueError("GIF LZW inflates past the declared image size")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(b: bytes):
+    """Pure stdlib+numpy GIF decode (87a/89a) of the FIRST image frame:
+    logical screen descriptor, global/local color tables, extension-block
+    walk (capturing GCE transparency), real LZW decompression
+    (:func:`_gif_lzw_decode`), 4-pass de-interlace, palette lookup —
+    RGB, or RGBA when the frame declares a transparent index. Returns
+    the first frame's region (animations: later frames are composition
+    state the feature-extraction path does not need — documented, not
+    silently merged). Corrupt/truncated streams raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        ncol = 2 << (packed & 0x07)
+        if pos + 3 * ncol > len(b):
+            raise ValueError("truncated GIF global color table")
+        gct = np.frombuffer(b, np.uint8, 3 * ncol, pos).reshape(ncol, 3)
+        pos += 3 * ncol
+    transparent = None
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x21:  # extension: label + sub-blocks
+            if pos + 2 > len(b):
+                raise ValueError("truncated GIF extension")
+            label = b[pos + 1]
+            pos += 2
+            if label == 0xF9 and pos < len(b) and b[pos] >= 4:
+                if b[pos + 1] & 0x01:
+                    transparent = b[pos + 4]
+            while True:
+                if pos >= len(b):
+                    raise ValueError("truncated GIF extension sub-blocks")
+                sz = b[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                pos += sz
+        elif blk == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                raise ValueError("truncated GIF image descriptor")
+            _left, _top, iw, ih, ipacked = struct.unpack(
+                "<HHHHB", b[pos + 1 : pos + 10]
+            )
+            pos += 10
+            if iw == 0 or ih == 0:
+                raise ValueError("degenerate GIF frame dimensions")
+            pal = gct
+            if ipacked & 0x80:
+                ncol = 2 << (ipacked & 0x07)
+                if pos + 3 * ncol > len(b):
+                    raise ValueError("truncated GIF local color table")
+                pal = np.frombuffer(b, np.uint8, 3 * ncol, pos).reshape(ncol, 3)
+                pos += 3 * ncol
+            if pal is None:
+                raise ValueError("GIF frame without any color table")
+            if pos >= len(b):
+                raise ValueError("truncated GIF image data")
+            mcs = b[pos]
+            pos += 1
+            chunks = []
+            while True:
+                if pos >= len(b):
+                    raise ValueError("truncated GIF data sub-blocks")
+                sz = b[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                if pos + sz > len(b):
+                    raise ValueError("truncated GIF data sub-block")
+                chunks.append(b[pos : pos + sz])
+                pos += sz
+            idx_bytes = _gif_lzw_decode(b"".join(chunks), mcs, iw * ih)
+            if len(idx_bytes) < iw * ih:
+                raise ValueError("GIF LZW stream ends before the raster")
+            idx = np.frombuffer(bytes(idx_bytes), np.uint8, iw * ih).reshape(
+                ih, iw
+            )
+            if ipacked & 0x40:  # 4-pass interlace: rows are stored
+                order = np.concatenate(
+                    [np.arange(start, ih, step) for start, step in _GIF_INTERLACE_PASSES]
+                )
+                deinter = np.empty_like(idx)
+                deinter[order] = idx
+                idx = deinter
+            if int(idx.max(initial=0)) >= pal.shape[0]:
+                raise ValueError("GIF palette index out of range")
+            rgb = pal[idx]
+            if transparent is not None and transparent < pal.shape[0]:
+                alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
+                return np.dstack([rgb, alpha])
+            return rgb
+        elif blk == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{blk:02x}")
+    raise ValueError("GIF contains no image data")
+
+
 def decode_image_pixels(b: bytes | None):
     """REAL pixel decode, pure stdlib+numpy — no codec libraries: BMP
     with BITMAPINFOHEADER, 24/32-bit BI_RGB (row stride padded to 4
     bytes, bottom-up unless height is negative, BGR(A) byte order),
-    binary PPM/PGM (P6/P5, maxval ≤ 255, '#' comments), and
-    non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA — stdlib
-    ``zlib`` inflates IDAT, scanline filters 0-4 unfiltered per spec).
-    Returns an (h, w, c) uint8 array in RGB(A)(/gray) channel order.
+    binary PPM/PGM (P6/P5, maxval ≤ 255, '#' comments), non-interlaced
+    8-bit PNG (gray / gray+alpha / RGB / RGBA / palette+tRNS — stdlib
+    ``zlib`` inflates IDAT, scanline filters 0-4 unfiltered per spec),
+    and GIF 87a/89a first frames (r12: REAL LZW decompression,
+    variable-width LSB-first codes with clear/end handling, 4-pass
+    de-interlace, GCE transparency → RGBA). Returns an (h, w, c) uint8
+    array in RGB(A)(/gray) channel order.
 
-    GIF (LZW) and JPEG (Huffman/DCT) RAISE NotImplementedError — the
-    honest boundary: their entropy coders aren't in the stdlib. Palette
-    / 16-bit / interlaced PNGs raise NotImplementedError likewise.
-    Corrupt/truncated recognized containers raise ValueError;
-    unrecognized bytes raise ValueError too (callers that want triage
-    instead of exceptions use :func:`image_meta` /
-    :func:`image_channel_stats`)."""
+    JPEG (Huffman/DCT) RAISES NotImplementedError — the honest boundary:
+    its entropy coder isn't in the stdlib. 16-bit / interlaced PNGs
+    raise NotImplementedError likewise. Corrupt/truncated recognized
+    containers raise ValueError; unrecognized bytes raise ValueError too
+    (callers that want triage instead of exceptions use
+    :func:`image_meta` / :func:`image_channel_stats`)."""
     import struct
 
     import numpy as np
@@ -416,9 +602,11 @@ def decode_image_pixels(b: bytes | None):
     fmt, _, _ = _parse_image_header(b)
     if fmt == "png":
         return _decode_png(b)
-    if fmt in ("gif", "jpeg"):
+    if fmt == "gif":
+        return _decode_gif(b)
+    if fmt == "jpeg":
         raise NotImplementedError(
-            f"{fmt} pixel decode requires codec libs not present in this "
+            "jpeg pixel decode requires codec libs not present in this "
             "environment (header metadata is available via image_meta)"
         )
     if b[:2] == b"BM":

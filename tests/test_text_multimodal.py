@@ -602,9 +602,18 @@ def test_png_decode_honest_boundaries():
             ">I", zlib.crc32(body) & 0xFFFFFFFF
         )
 
-    # palette and 16-bit and interlaced stay honestly unimplemented
+    # palette decodes since r12 — missing PLTE is now a ValueError
+    noplte = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="PLTE"):
+        decode_image_pixels(noplte)
+
+    # 16-bit and interlaced stay honestly unimplemented
     for ihdr, msg in (
-        (struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0), "palette"),
         (struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0), "16-bit"),
         (struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1), "interlaced"),
     ):
@@ -687,3 +696,261 @@ def test_png_decode_roundtrip_large_random_filters():
     filters[10:30] = [4, 3] * 10
     got = decode_image_pixels(_encode_png(px, 6, filters))
     assert got.tolist() == px.tolist()
+
+
+# ---------------------------------------------------------------------------
+# GIF LZW decode + palette PNG (r12)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode_literals(indices, min_code_size):
+    """Forward GIF-LZW encoder for the tests: emits every pixel as a
+    LITERAL code while tracking the decoder's table growth (each literal
+    after the first adds one table entry, widening the code size at the
+    same boundaries), clearing whenever the table would hit 4096. Not
+    compressed — but a fully conformant stream, so the decoder's
+    variable-width reader, clear handling, and growth logic are all
+    exercised against known pixels."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    buf = bits = 0
+
+    def emit(code, size):
+        nonlocal buf, bits
+        buf |= code << bits
+        bits += size
+        while bits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            bits -= 8
+
+    code_size = min_code_size + 1
+    table_len = end + 1
+    emit(clear, code_size)
+    prev = False
+    for idx in indices:
+        emit(int(idx), code_size)
+        if prev:
+            table_len += 1
+            if table_len == (1 << code_size) and code_size < 12:
+                code_size += 1
+            if table_len >= 4095:
+                emit(clear, code_size)
+                code_size = min_code_size + 1
+                table_len = end + 1
+                prev = False
+                continue
+        prev = True
+    emit(end, code_size)
+    if bits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _encode_gif(indices, palette, interlaced=False, transparent=None,
+                local_table=False):
+    """Forward GIF89a encoder for the tests: logical screen + color
+    table + optional GCE (transparency) + one image descriptor with
+    literal-coded LZW data, in sub-blocks of ≤255 bytes."""
+    import struct
+
+    import numpy as np
+
+    h, w = indices.shape
+    ncol = palette.shape[0]
+    assert ncol & (ncol - 1) == 0 and ncol >= 4
+    size_field = ncol.bit_length() - 2  # 2<<size = ncol
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h,
+                       (0x80 | size_field) if not local_table else 0x00,
+                       0, 0)
+    if not local_table:
+        out += palette.tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    ipacked = (0x40 if interlaced else 0) | ((0x80 | size_field) if local_table else 0)
+    out += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+    if local_table:
+        out += palette.tobytes()
+    rows = indices
+    if interlaced:
+        order = np.concatenate(
+            [np.arange(s, h, st) for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))]
+        )
+        rows = indices[order]
+    mcs = max(2, size_field + 2)
+    out.append(mcs)
+    data = _lzw_encode_literals(rows.reshape(-1), mcs)
+    for i in range(0, len(data), 255):
+        blockb = data[i : i + 255]
+        out.append(len(blockb))
+        out += blockb
+    out += bytes([0x00, 0x3B])
+    return bytes(out)
+
+
+def test_gif_decode_roundtrip_plain_interlaced_transparent():
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    rng = np.random.RandomState(11)
+    pal = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.randint(0, 8, size=(13, 9), dtype=np.uint8)
+
+    got = decode_image_pixels(_encode_gif(idx, pal))
+    assert got.shape == (13, 9, 3)
+    assert (got == pal[idx]).all()
+
+    got_i = decode_image_pixels(_encode_gif(idx, pal, interlaced=True))
+    assert (got_i == pal[idx]).all()
+
+    got_t = decode_image_pixels(_encode_gif(idx, pal, transparent=3))
+    assert got_t.shape == (13, 9, 4)
+    assert (got_t[:, :, :3] == pal[idx]).all()
+    assert (got_t[:, :, 3] == np.where(idx == 3, 0, 255)).all()
+
+    got_l = decode_image_pixels(_encode_gif(idx, pal, local_table=True))
+    assert (got_l == pal[idx]).all()
+
+
+def test_gif_decode_large_frame_multi_subblock_and_code_growth():
+    """>255 bytes of LZW data forces multiple sub-blocks, and >2^mcs
+    literals force the decoder through several code-size widenings."""
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.randint(0, 4, size=(64, 64), dtype=np.uint8)
+    got = decode_image_pixels(_encode_gif(idx, pal))
+    assert (got == pal[idx]).all()
+
+
+def test_gif_decode_rejects_corruption_and_bombs():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from rust_cdc_validator_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        decode_image_pixels,
+    )
+
+    rng = np.random.RandomState(2)
+    pal = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.randint(0, 4, size=(6, 6), dtype=np.uint8)
+    good = _encode_gif(idx, pal)
+
+    with pytest.raises(ValueError):
+        decode_image_pixels(good[: len(good) // 2])  # truncated
+    # declared size cap: stream carries 36 pixels, descriptor says 2x2
+    bomb = bytearray(good)
+    off = bomb.find(bytes([0x2C]))
+    bomb[off + 5 : off + 9] = struct.pack("<HH", 2, 2)
+    with pytest.raises(ValueError):
+        decode_image_pixels(bytes(bomb))
+    # out-of-range palette index (index 5 against a 4-color table)
+    with pytest.raises(ValueError):
+        decode_image_pixels(
+            _encode_gif(np.full((2, 2), 5, dtype=np.uint8), pal)
+        )
+    # LZW reader: truncated stream without END code
+    with pytest.raises(ValueError):
+        _gif_lzw_decode(b"\x04", 2, 100)
+
+
+def test_png_palette_decode_with_and_without_trns():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(7, 5), dtype=np.uint8)
+
+    def chunk(typ, data):
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(7))
+    ihdr = struct.pack(">IIBBBBB", 5, 7, 8, 3, 0, 0, 0)
+    base = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal.tobytes())
+    )
+    png = base + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    got = decode_image_pixels(png)
+    assert got.shape == (7, 5, 3)
+    assert (got == pal[idx]).all()
+
+    trns = bytes([200] * 3)  # first three palette entries translucent
+    png_t = (
+        base
+        + chunk(b"tRNS", trns)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got_t = decode_image_pixels(png_t)
+    assert got_t.shape == (7, 5, 4)
+    expect_a = np.where(idx < 3, 200, 255)
+    assert (got_t[:, :, 3] == expect_a).all()
+
+    # palette index out of range raises
+    import pytest
+
+    bad_raw = b"".join(
+        b"\x00" + np.full(5, 99, dtype=np.uint8).tobytes() for _ in range(7)
+    )
+    bad = base + chunk(b"IDAT", zlib.compress(bad_raw)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_image_pixels(bad)
+    # missing PLTE raises
+    noplte = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_image_pixels(noplte)
+
+
+def test_channel_stats_now_covers_gif(spark):
+    """image_channel_stats triages GIF payloads into REAL stats now
+    (r11 behavior: format recognized, stats NULL)."""
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.multimodal import (
+        image_channel_stats,
+    )
+
+    rng = np.random.RandomState(4)
+    pal = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.randint(0, 8, size=(10, 10), dtype=np.uint8)
+    payload = _encode_gif(idx, pal)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = image_channel_stats(df).collect()[0]
+    assert row["format"] == "gif"
+    assert row["width"] == 10 and row["height"] == 10
+    expect = pal[idx].reshape(-1, 3).mean(axis=0)
+    assert all(
+        abs(m - e) < 1e-6 for m, e in zip(row["channel_mean"], expect)
+    )
