@@ -281,7 +281,7 @@ def _decode_png(b: bytes):
     )
     if w <= 0 or h <= 0:
         raise ValueError("degenerate PNG dimensions")
-    if depth != 8:
+    if depth not in (8, 16):
         raise NotImplementedError(f"{depth}-bit PNG not supported")
     # color type 3 (palette): the raster is ONE index byte per pixel,
     # unfiltered like any other 1-channel image, then mapped through PLTE
@@ -290,6 +290,8 @@ def _decode_png(b: bytes):
     if channels is None:
         raise NotImplementedError(f"PNG color type {ctype} not supported")
     if ctype == 3:
+        if depth != 8:
+            raise ValueError("palette PNG requires 8-bit depth")
         if plte is None or len(plte) % 3 or not plte:
             raise ValueError("palette PNG without a valid PLTE chunk")
     if comp != 0 or filt != 0:
@@ -298,7 +300,8 @@ def _decode_png(b: bytes):
         raise NotImplementedError("interlaced (Adam7) PNG not supported")
     if not idat:
         raise ValueError("missing PNG IDAT")
-    stride = w * channels
+    bpp = channels * (depth // 8)  # the spec's filter unit: BYTES/pixel
+    stride = w * bpp
     need = h * (stride + 1)
     # Decompression is CAPPED at the declared raster size: a crafted
     # IDAT (zlib bomb) can otherwise inflate a few KiB to gigabytes and
@@ -333,21 +336,25 @@ def _decode_png(b: bytes):
             while y2 < h and ftypes[y2] >= 3:
                 y2 += 1
             _png_unfilter_avg_paeth_run(
-                data[y:y2], ftypes[y:y2], out, y, w, channels
+                data[y:y2], ftypes[y:y2], out, y, w, bpp
             )
             y = y2
             continue
         row = data[y].copy()
         if f == 1:  # Sub: wrap-around prefix sum per byte lane
-            for lane in range(channels):
+            for lane in range(bpp):
                 np.add.accumulate(
-                    row[lane::channels], dtype=np.uint8, out=row[lane::channels]
+                    row[lane::bpp], dtype=np.uint8, out=row[lane::bpp]
                 )
         elif f == 2:  # Up
             row += out[y - 1] if y > 0 else 0
         out[y] = row
         y += 1
-    raster = out.reshape(h, w, channels)
+    raster = out.reshape(h, w, bpp)
+    if depth == 16:  # big-endian sample pairs -> uint16 channels
+        raster = (
+            raster[:, :, 0::2].astype(np.uint16) << 8
+        ) | raster[:, :, 1::2]
     if ctype != 3:
         return raster
     pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
@@ -742,17 +749,121 @@ def image_channel_stats(
     )
 
 
-def decode_wav_pcm(b: bytes | None):
-    """REAL audio decode for UNCOMPRESSED WAV — pure numpy, no codec
-    libraries: RIFF/WAVE container, PCM (format 1) or IEEE float
-    (format 3), 8/16/32-bit integer or 32/64-bit float samples, chunk
-    walker tolerant of extra chunks (LIST, fact, ...) and odd-length
-    chunk padding. Returns (samples, sample_rate) with ``samples`` a
-    float64 (n_frames, n_channels) array normalized to [-1, 1] for
-    integer encodings.
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
 
-    Compressed codecs inside WAV (ADPCM, mu-law, MP3-in-RIFF) RAISE
-    NotImplementedError — the same honest boundary as the image path;
+
+def _ima_adpcm_decode_block(data, pred, index, n_nibbles):
+    """One channel's nibble stream for one IMA ADPCM block (IMA 4:1
+    spec / Microsoft WAVE_FORMAT_IMA_ADPCM): low nibble first, the
+    canonical (2·delta+1)·step>>3 difference via the shift-add form.
+    Sequential by definition (the predictor is the recurrence state) —
+    per-payload Python, the same thumbnail-scale contract as the PNG
+    Average/Paeth inner decode. Returns (samples, pred, index) so the
+    stereo group interleave can carry channel state across groups."""
+    out = []
+    for i in range(n_nibbles):
+        byte = data[i >> 1]
+        nib = (byte & 0x0F) if i % 2 == 0 else (byte >> 4)
+        step = _IMA_STEP_TABLE[index]
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + _IMA_INDEX_TABLE[nib]))
+        out.append(pred)
+    return out, pred, index
+
+
+def _decode_ima_adpcm(data: bytes, n_channels: int, block_align: int):
+    """IMA ADPCM (WAV format tag 0x11) → int16 (n_frames, n_channels):
+    per block and channel, a 4-byte header (int16 predictor = the first
+    output sample, step index, reserved) followed by nibble data — mono
+    blocks run contiguously, stereo interleaves 4-byte groups
+    (8 nibbles) per channel. A short final block decodes the frames its
+    bytes actually carry."""
+    import struct
+
+    import numpy as np
+
+    header = 4 * n_channels
+    if block_align <= header or (block_align - header) % (4 * n_channels):
+        raise ValueError("invalid IMA ADPCM block alignment")
+    frames_per_block = (block_align - header) * 2 // n_channels + 1
+    chans = [[] for _ in range(n_channels)]
+    pos = 0
+    while pos + header <= len(data):
+        block = data[pos : pos + block_align]
+        pos += block_align
+        preds, idxs = [], []
+        for c in range(n_channels):
+            pred, index, _rsv = struct.unpack(
+                "<hBB", block[4 * c : 4 * c + 4]
+            )
+            if index > 88:
+                raise ValueError("IMA ADPCM step index out of range")
+            preds.append(pred)
+            idxs.append(index)
+            chans[c].append(pred)  # the header predictor IS sample 0
+        body = block[header:]
+        group_frames = 8  # one 4-byte group per channel = 8 nibbles
+        n_body_frames = min(
+            frames_per_block - 1, len(body) * 2 // n_channels
+        )
+        if n_channels == 1:
+            vals, _, _ = _ima_adpcm_decode_block(
+                body, preds[0], idxs[0], n_body_frames
+            )
+            chans[0].extend(vals)
+        else:
+            done = 0
+            off = 0
+            states = list(zip(preds, idxs))
+            while done < n_body_frames and off + 4 * n_channels <= len(body):
+                take = min(group_frames, n_body_frames - done)
+                for c in range(n_channels):
+                    seg = body[off + 4 * c : off + 4 * c + 4]
+                    pred, index = states[c]
+                    vals, pred, index = _ima_adpcm_decode_block(
+                        seg, pred, index, take
+                    )
+                    chans[c].extend(vals)
+                    states[c] = (pred, index)
+                off += 4 * n_channels
+                done += take
+        if pos > len(data):
+            break
+    if not chans[0]:
+        raise ValueError("empty IMA ADPCM stream")
+    n = min(len(c) for c in chans)
+    return np.stack([np.array(c[:n], dtype=np.int16) for c in chans], axis=1)
+
+
+def decode_wav_pcm(b: bytes | None):
+    """REAL audio decode for WAV — pure numpy, no codec libraries:
+    RIFF/WAVE container, PCM (format 1), IEEE float (format 3), or IMA
+    ADPCM (format 0x11 — r12: real block-structured 4-bit decode, mono
+    and stereo group interleave), 8/16/32-bit integer or 32/64-bit
+    float samples, chunk walker tolerant of extra chunks (LIST, fact,
+    ...) and odd-length chunk padding. Returns (samples, sample_rate)
+    with ``samples`` a float64 (n_frames, n_channels) array normalized
+    to [-1, 1] for integer encodings.
+
+    Remaining compressed codecs inside WAV (mu-law, MS-ADPCM,
+    MP3-in-RIFF) RAISE NotImplementedError — the honest boundary;
     corrupt/truncated containers raise ValueError."""
     import struct
 
@@ -778,9 +889,14 @@ def decode_wav_pcm(b: bytes | None):
         pos += 8 + size + (size & 1)  # chunks pad to even offsets
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    audio_format, n_channels, sample_rate, _, block_align, bits = fmt
     if n_channels < 1:
         raise ValueError("degenerate WAV channel count")
+    if audio_format == 0x11:  # IMA ADPCM — real block decode (r12)
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM declares {bits}-bit samples")
+        raw16 = _decode_ima_adpcm(data, n_channels, block_align)
+        return raw16.astype("float64") / 32768.0, int(sample_rate)
     if audio_format == 1:
         dtype = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
         if dtype is None:

@@ -612,9 +612,10 @@ def test_png_decode_honest_boundaries():
     with _pytest.raises(ValueError, match="PLTE"):
         decode_image_pixels(noplte)
 
-    # 16-bit and interlaced stay honestly unimplemented
+    # sub-byte depths and interlaced stay honestly unimplemented
+    # (8-bit everything and 16-bit decode since r12)
     for ihdr, msg in (
-        (struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0), "16-bit"),
+        (struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0), "4-bit"),
         (struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1), "interlaced"),
     ):
         blob = (
@@ -954,3 +955,185 @@ def test_channel_stats_now_covers_gif(spark):
     assert all(
         abs(m - e) < 1e-6 for m, e in zip(row["channel_mean"], expect)
     )
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM decode + 16-bit PNG (r12, part 2)
+# ---------------------------------------------------------------------------
+
+
+def _ref_ima_walk(nibbles, pred, index):
+    """Independent IMA reference walk for the tests (spec shift-add)."""
+    step_table = __import__(
+        "rust_cdc_validator_spark.operators.multimodal", fromlist=["x"]
+    )._IMA_STEP_TABLE
+    idx_table = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+    out = []
+    for nib in nibbles:
+        step = step_table[index]
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + idx_table[nib]))
+        out.append(pred)
+    return out
+
+
+def _adpcm_wav_bytes(blocks, n_channels, sample_rate=8000, block_align=None):
+    """RIFF/WAVE wrapper for raw IMA ADPCM block bytes."""
+    import struct
+
+    data = b"".join(blocks)
+    ba = block_align if block_align is not None else len(blocks[0])
+    fmt = struct.pack("<HHIIHH", 0x11, n_channels, sample_rate,
+                      sample_rate, ba, 4)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_ima_adpcm_mono_block_matches_reference_walk():
+    import struct
+
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.multimodal import decode_wav_pcm
+
+    nibbles = [2, 9, 15, 0, 7, 8, 1, 14]  # 8 nibbles = 4 data bytes
+    body = bytes(
+        nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, 8, 2)
+    )
+    pred0, idx0 = 100, 5
+    block = struct.pack("<hBB", pred0, idx0, 0) + body
+    samples, sr = decode_wav_pcm(_adpcm_wav_bytes([block], 1))
+    assert sr == 8000
+    expect = [pred0] + _ref_ima_walk(nibbles, pred0, idx0)
+    got = np.round(samples[:, 0] * 32768.0).astype(int).tolist()
+    assert got == expect
+
+
+def test_ima_adpcm_stereo_group_interleave_and_multi_block():
+    import struct
+
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.multimodal import decode_wav_pcm
+
+    rng = np.random.RandomState(3)
+    nl = rng.randint(0, 16, size=16).tolist()   # channel 0 nibbles
+    nr = rng.randint(0, 16, size=16).tolist()   # channel 1 nibbles
+
+    def pack4(nibs):
+        return bytes(nibs[i] | (nibs[i + 1] << 4) for i in range(0, 8, 2))
+
+    # stereo block: headers, then alternating 4-byte groups per channel
+    hdr = struct.pack("<hBB", 0, 0, 0) + struct.pack("<hBB", -500, 20, 0)
+    body = (
+        pack4(nl[:8]) + pack4(nr[:8]) + pack4(nl[8:]) + pack4(nr[8:])
+    )
+    block = hdr + body
+    samples, _ = decode_wav_pcm(_adpcm_wav_bytes([block, block], 2))
+    # two identical blocks: 17 frames each (header sample + 16)
+    assert samples.shape == (34, 2)
+    el = [0] + _ref_ima_walk(nl, 0, 0)
+    er = [-500] + _ref_ima_walk(nr, -500, 20)
+    got_l = np.round(samples[:17, 0] * 32768.0).astype(int).tolist()
+    got_r = np.round(samples[:17, 1] * 32768.0).astype(int).tolist()
+    assert got_l == el
+    assert got_r == er
+
+
+def test_ima_adpcm_rejects_bad_streams():
+    import struct
+
+    import pytest
+
+    from rust_cdc_validator_spark.operators.multimodal import decode_wav_pcm
+
+    # step index out of range
+    block = struct.pack("<hBB", 0, 99, 0) + b"\x00" * 4
+    with pytest.raises(ValueError):
+        decode_wav_pcm(_adpcm_wav_bytes([block], 1))
+    # block_align not nibble-group aligned
+    block = struct.pack("<hBB", 0, 0, 0) + b"\x00" * 3
+    with pytest.raises(ValueError):
+        decode_wav_pcm(_adpcm_wav_bytes([block], 1))
+
+
+def test_audio_stats_covers_adpcm(spark):
+    import struct
+
+    from rust_cdc_validator_spark.operators.multimodal import audio_stats
+
+    block = struct.pack("<hBB", 1000, 10, 0) + bytes(range(4))
+    payload = _adpcm_wav_bytes([block], 1)
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = audio_stats(df).collect()[0]
+    assert row["n_channels"] == 1 and row["n_frames"] == 9
+    assert row["rms"] is not None and row["rms"] > 0
+
+
+def test_png_16bit_roundtrip_filters():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    rng = np.random.RandomState(6)
+    px = rng.randint(0, 65536, size=(6, 4, 3), dtype=np.uint16)
+    h, w, c = px.shape
+    be = px.byteswap() if px.dtype.byteorder == "<" or (
+        px.dtype.byteorder == "=" and np.little_endian
+    ) else px
+    rows_bytes = be.tobytes()  # big-endian sample pairs
+    stride = w * c * 2
+    # filter 0 everywhere, plus one Up row and one Sub row (byte-wise,
+    # bpp = 6 bytes) to exercise the lane-parametrized unfilter
+    raws = []
+    prev = b"\x00" * stride
+    for y in range(h):
+        cur = rows_bytes[y * stride : (y + 1) * stride]
+        if y == 2:  # Up
+            raws.append(
+                b"\x02" + bytes((a - b) % 256 for a, b in zip(cur, prev))
+            )
+        elif y == 3:  # Sub with bpp=6
+            bpp = c * 2
+            filt = bytearray(cur)
+            for i in range(stride - 1, bpp - 1, -1):
+                filt[i] = (filt[i] - cur[i - bpp]) % 256
+            raws.append(b"\x01" + bytes(filt))
+        else:
+            raws.append(b"\x00" + cur)
+        prev = cur
+
+    def chunk(typ, data):
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(raws)))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_image_pixels(png)
+    assert got.dtype == np.uint16 and got.shape == (6, 4, 3)
+    assert (got == px).all()
