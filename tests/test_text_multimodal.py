@@ -612,11 +612,11 @@ def test_png_decode_honest_boundaries():
     with _pytest.raises(ValueError, match="PLTE"):
         decode_image_pixels(noplte)
 
-    # sub-byte depths and interlaced stay honestly unimplemented
-    # (8-bit everything and 16-bit decode since r12)
+    # sub-byte depths stay honestly unimplemented
+    # (8/16-bit, palette, and Adam7 all decode since r12)
     for ihdr, msg in (
         (struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0), "4-bit"),
-        (struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1), "interlaced"),
+        (struct.pack(">IIBBBBB", 2, 2, 1, 0, 0, 0, 0), "1-bit"),
     ):
         blob = (
             b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
@@ -1136,4 +1136,69 @@ def test_png_16bit_roundtrip_filters():
     )
     got = decode_image_pixels(png)
     assert got.dtype == np.uint16 and got.shape == (6, 4, 3)
+    assert (got == px).all()
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Forward Adam7 encoder: split the image into the 7 passes, filter
+    each pass independently (mixing filter types), deflate the
+    concatenated pass rasters — the decoder must reassemble the original
+    grid exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    rng = np.random.RandomState(8)
+    px = rng.randint(0, 256, size=(11, 10, 3), dtype=np.uint8)
+    h, w, c = px.shape
+    passes = [
+        (x0, y0, xs, ys)
+        for x0, y0, xs, ys in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        )
+        if x0 < w and y0 < h
+    ]
+    raw = bytearray()
+    for k, (x0, y0, xs, ys) in enumerate(passes):
+        sub = px[y0::ys, x0::xs]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        # alternate filter types per pass: None, Up, Sub
+        prev = np.zeros(pw * c, dtype=np.int32)
+        for y in range(ph):
+            cur = sub[y].reshape(-1).astype(np.int32)
+            f = (k + y) % 3
+            if f == 0:
+                filt = cur.copy()
+            elif f == 1:
+                filt = cur.copy()
+                filt[c:] -= cur[:-c]
+                f = 1
+            else:
+                filt = cur - prev
+                f = 2
+            raw += bytes([f]) + bytes((filt % 256).astype(np.uint8))
+            prev = cur
+
+    def chunk(typ, data):
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_image_pixels(png)
+    assert got.shape == (11, 10, 3)
     assert (got == px).all()
