@@ -282,17 +282,19 @@ def _decode_png(b: bytes):
     )
     if w <= 0 or h <= 0:
         raise ValueError("degenerate PNG dimensions")
-    if depth not in (8, 16):
-        raise NotImplementedError(f"{depth}-bit PNG not supported")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {depth}")
     # color type 3 (palette): the raster is ONE index byte per pixel,
     # unfiltered like any other 1-channel image, then mapped through PLTE
     # (+ tRNS alpha when present) after the unfilter pass below
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise NotImplementedError(f"PNG color type {ctype} not supported")
+    if depth < 8 and ctype not in (0, 3):
+        raise ValueError(f"sub-byte depth invalid for PNG color type {ctype}")
     if ctype == 3:
-        if depth != 8:
-            raise ValueError("palette PNG requires 8-bit depth")
+        if depth == 16:
+            raise ValueError("palette PNG cannot be 16-bit")
         if plte is None or len(plte) % 3 or not plte:
             raise ValueError("palette PNG without a valid PLTE chunk")
     if comp != 0 or filt != 0:
@@ -301,7 +303,13 @@ def _decode_png(b: bytes):
         raise ValueError(f"invalid PNG interlace method {interlace}")
     if not idat:
         raise ValueError("missing PNG IDAT")
-    bpp = channels * (depth // 8)  # the spec's filter unit: BYTES/pixel
+    # the spec's filter unit in BYTES (sub-byte depths filter with a
+    # 1-byte left offset, §9.2); per-row stride rounds up to whole bytes
+    bpp = max(1, channels * depth // 8)
+
+    def _stride(pw: int) -> int:
+        return (pw * channels * depth + 7) // 8
+
     if interlace == 0:
         passes = [(0, 0, 1, 1, w, h)]
     else:  # Adam7: (x0, y0, xstep, ystep) per pass, empty passes skipped
@@ -314,7 +322,7 @@ def _decode_png(b: bytes):
             if x0 < w and y0 < h
         ]
         passes = [p for p in passes if p[4] > 0 and p[5] > 0]
-    need = sum(ph * (pw * bpp + 1) for *_xy, pw, ph in passes)
+    need = sum(ph * (_stride(pw) + 1) for *_xy, pw, ph in passes)
     # Decompression is CAPPED at the declared raster size: a crafted
     # IDAT (zlib bomb) can otherwise inflate a few KiB to gigabytes and
     # OOM the executor before the length check ever runs. A conformant
@@ -329,19 +337,32 @@ def _decode_png(b: bytes):
         raise ValueError("corrupt PNG IDAT stream") from exc
     if len(raw) < need:
         raise ValueError("truncated PNG raster")
+    def _unfilter_pass(raw_slice, ph, pw):
+        """Unfilter one pass and expand to (ph, pw, channel-bytes):
+        sub-byte depths unpack bit-packed samples (MSB-first, trailing
+        pad bits dropped per row) to one byte per sample."""
+        flat = _png_unfilter_raster(raw_slice, ph, _stride(pw), bpp)
+        if depth >= 8:
+            return flat.reshape(ph, pw, bpp)
+        bits = np.unpackbits(flat, axis=1)
+        samples = bits.reshape(ph, -1, depth)
+        vals = np.zeros((ph, samples.shape[1]), dtype=np.uint8)
+        for k in range(depth):
+            vals = (vals << 1) | samples[:, :, k]
+        return vals[:, : pw * channels].reshape(ph, pw, channels)
+
     if interlace == 0:
-        raster = _png_unfilter_raster(raw, h, w, bpp).reshape(h, w, bpp)
+        raster = _unfilter_pass(raw, h, w)
     else:
         # each pass is an independent sub-image (its own scanline
         # filtering); unfilter then scatter into the full raster grid
-        raster = np.zeros((h, w, bpp), dtype=np.uint8)
+        raster = np.zeros((h, w, max(bpp, channels)), dtype=np.uint8)
         off = 0
         for x0, y0, xs, ys, pw, ph in passes:
-            span = ph * (pw * bpp + 1)
-            sub = _png_unfilter_raster(
-                raw[off : off + span], ph, pw, bpp
-            ).reshape(ph, pw, bpp)
-            raster[y0::ys, x0::xs] = sub
+            span = ph * (_stride(pw) + 1)
+            raster[y0::ys, x0::xs] = _unfilter_pass(
+                raw[off : off + span], ph, pw
+            )
             off += span
     if depth == 16:  # big-endian sample pairs -> uint16 channels
         raster = (
@@ -363,16 +384,17 @@ def _decode_png(b: bytes):
     return np.dstack([rgb, alpha_tab[idx]])
 
 
-def _png_unfilter_raster(raw, h, w, bpp):
+def _png_unfilter_raster(raw, h, stride, bpp):
     """Unfilter one PNG (sub-)raster: ``raw`` is h scanlines of
-    (1 filter byte + w·bpp data bytes); returns (h, w·bpp) uint8.
+    (1 filter byte + ``stride`` data bytes), ``bpp`` the spec's filter
+    unit in bytes (= max(1, channels·depth/8) — sub-byte depths filter
+    with a 1-byte left offset per spec §9.2); returns (h, stride) uint8.
     Shared by the non-interlaced path and each Adam7 pass (every pass
     filters independently per spec §8.2). None/Sub/Up vectorized (Sub is
     a wrap-around prefix sum per byte lane); Average/Paeth runs go
     through the anti-diagonal wavefront helper."""
     import numpy as np
 
-    stride = w * bpp
     rows = np.frombuffer(
         raw, dtype=np.uint8, count=h * (stride + 1)
     ).reshape(h, stride + 1)
@@ -392,7 +414,7 @@ def _png_unfilter_raster(raw, h, w, bpp):
             while y2 < h and ftypes[y2] >= 3:
                 y2 += 1
             _png_unfilter_avg_paeth_run(
-                data[y:y2], ftypes[y:y2], out, y, w, bpp
+                data[y:y2], ftypes[y:y2], out, y, stride // bpp, bpp
             )
             y = y2
             continue

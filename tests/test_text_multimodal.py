@@ -612,18 +612,20 @@ def test_png_decode_honest_boundaries():
     with _pytest.raises(ValueError, match="PLTE"):
         decode_image_pixels(noplte)
 
-    # sub-byte depths stay honestly unimplemented
-    # (8/16-bit, palette, and Adam7 all decode since r12)
+    # PNG support is complete since r12 (all depths, palette, Adam7);
+    # invalid spec combinations now fail loudly as ValueError
     for ihdr, msg in (
-        (struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0), "4-bit"),
-        (struct.pack(">IIBBBBB", 2, 2, 1, 0, 0, 0, 0), "1-bit"),
+        (struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0), "bit depth"),
+        (struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0), "sub-byte"),
+        (struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0), "16-bit"),
     ):
         blob = (
             b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", b"\x00" * 6)
             + chunk(b"IDAT", zlib.compress(b"\x00" * 20))
             + chunk(b"IEND", b"")
         )
-        with _pytest.raises(NotImplementedError, match=msg):
+        with _pytest.raises(ValueError, match=msg):
             decode_image_pixels(blob)
 
 
@@ -1202,3 +1204,101 @@ def test_png_adam7_interlaced_roundtrip():
     got = decode_image_pixels(png)
     assert got.shape == (11, 10, 3)
     assert (got == px).all()
+
+
+def _pack_subbyte_rows(vals, depth):
+    """Bit-pack (h, n_samples) uint8 rows MSB-first with trailing pad."""
+    import numpy as np
+
+    h, n = vals.shape
+    bits = np.zeros((h, n, depth), dtype=np.uint8)
+    for k in range(depth):
+        bits[:, :, k] = (vals >> (depth - 1 - k)) & 1
+    flat = bits.reshape(h, -1)
+    pad = (-flat.shape[1]) % 8
+    if pad:
+        flat = np.concatenate(
+            [flat, np.zeros((h, pad), dtype=np.uint8)], axis=1
+        )
+    return np.packbits(flat, axis=1)
+
+
+def _subbyte_png(vals, depth, ctype, palette=None, interlace=0):
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = vals.shape
+
+    def chunk(typ, data):
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    if interlace == 0:
+        passes = [(0, 0, 1, 1)]
+    else:
+        passes = [
+            p for p in (
+                (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+            ) if p[0] < w and p[1] < h
+        ]
+    raw = bytearray()
+    for x0, y0, xs, ys in passes:
+        sub = vals[y0::ys, x0::xs]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        packed = _pack_subbyte_rows(sub, depth)
+        for y in range(packed.shape[0]):
+            raw += b"\x00" + packed[y].tobytes()
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                                     interlace))
+    )
+    if palette is not None:
+        png += chunk(b"PLTE", palette.tobytes())
+    return png + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_subbyte_gray_and_palette_roundtrip():
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    rng = np.random.RandomState(12)
+    for depth in (1, 2, 4):
+        # width NOT a multiple of pixels-per-byte → pad bits exercised
+        vals = rng.randint(0, 1 << depth, size=(5, 11), dtype=np.uint8)
+        got = decode_image_pixels(_subbyte_png(vals, depth, 0))
+        assert got.shape == (5, 11, 1)
+        assert (got[:, :, 0] == vals).all(), depth
+
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(6, 7), dtype=np.uint8)
+    got = decode_image_pixels(_subbyte_png(idx, 4, 3, palette=pal))
+    assert got.shape == (6, 7, 3)
+    assert (got == pal[idx]).all()
+
+
+def test_png_subbyte_adam7_and_invalid_combos():
+    import numpy as np
+    import pytest
+
+    from rust_cdc_validator_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    rng = np.random.RandomState(13)
+    vals = rng.randint(0, 4, size=(9, 10), dtype=np.uint8)
+    got = decode_image_pixels(_subbyte_png(vals, 2, 0, interlace=1))
+    assert (got[:, :, 0] == vals).all()
+
+    # sub-byte RGB is invalid per spec
+    with pytest.raises(ValueError, match="sub-byte"):
+        decode_image_pixels(_subbyte_png(vals, 4, 2))
