@@ -822,3 +822,221 @@ def psi_baseline(
             ).alias("share_before"),
         )
     )
+
+
+def norm_sf(z) -> F.Column:
+    """Upper-tail standard-normal survival P(Z > z) for z >= 0 as a pure
+    column expression — Zelen & Severo's polynomial (Abramowitz & Stegun
+    26.2.17, |error| < 7.5e-8), so a SQL oracle replays the p-value
+    bit-for-bit: the formula is per-row double arithmetic (exp + one
+    Horner chain), which is IEEE-identical across engines — no erf/
+    gamma-function dependency either side may lack. Callers pass |z| and
+    double for a two-sided p."""
+    z = z if isinstance(z, F.Column) else F.col(z)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * z)
+    phi = F.exp(-(z * z) / F.lit(2.0)) * F.lit(0.3989422804014327)
+    horner = (
+        (
+            (
+                (F.lit(1.330274429) * t + F.lit(-1.821255978)) * t
+                + F.lit(1.781477937)
+            )
+            * t
+            + F.lit(-0.356563782)
+        )
+        * t
+        + F.lit(0.319381530)
+    ) * t
+    return phi * horner
+
+
+# the same polynomial as ANSI SQL, for oracle builders ({z} is substituted)
+NORM_SF_SQL = (
+    "(exp(-(({z}) * ({z})) / 2.0) * 0.3989422804014327 * "
+    "((((((1.330274429 * (1.0 / (1.0 + 0.2316419 * ({z})))) + -1.821255978)"
+    " * (1.0 / (1.0 + 0.2316419 * ({z}))) + 1.781477937)"
+    " * (1.0 / (1.0 + 0.2316419 * ({z}))) + -0.356563782)"
+    " * (1.0 / (1.0 + 0.2316419 * ({z}))) + 0.319381530)"
+    " * (1.0 / (1.0 + 0.2316419 * ({z})))))"
+)
+
+
+def mann_whitney_u(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric
+    location-shift companion to :func:`ks_two_sample`: KS asks "did the
+    shape move anywhere", this asks "does one side stochastically
+    dominate", robust to outliers a mean-based t-test chases. Returns ONE
+    row: (n_a, n_b, u_a, z, p_two, rank_biserial) with the tie-corrected
+    normal approximation (Mann & Whitney 1947; tie variance per Lehmann,
+    Nonparametrics 1975) and the rank-biserial effect size
+    r = 1 − 2U_a/(n_a·n_b) (Wendt 1972).
+
+    Scale shape — identical to KS: each side collapses map-side to a
+    (value, count) relation, one hash agg merges them, and the exclusive
+    cumulative counts ride ONE two-phase prefix scan (no single-task
+    global window). Rank sums use the midrank identity
+    2·R_a = Σ_v n_a(v)·(2·cum_before(v) + n(v) + 1), kept EXACT in
+    DECIMAL(38,0) (2R ≤ 2N² overflows int64 past ~3e9 rows), divided
+    once at the end — a SQL oracle replays U, z, and p bit-for-bit.
+    NULLs are excluded on both sides."""
+    from rust_cdc_validator_spark.operators.layout import prefix_sums
+
+    def side(df: DataFrame, ca: int, cb: int) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        return (
+            df.select(v.alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .select("_v", F.lit(ca).alias("_ca"), F.lit(cb).alias("_cb"))
+        )
+
+    cells = (
+        side(a, 1, 0)
+        .unionAll(side(b, 0, 1))
+        .groupBy("_v")
+        .agg(F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb"))
+    )
+    cum = prefix_sums(cells, ["_v"], {"_na": "_cna", "_nb": "_cnb"})
+    dec = "decimal(38,0)"
+    nv = (F.col("_na") + F.col("_nb")).cast(dec)
+    two_rank = (
+        F.lit(2).cast(dec) * (F.col("_cna") + F.col("_cnb")).cast(dec)
+        + nv
+        + F.lit(1).cast(dec)
+    )
+    agg = cum.agg(
+        F.sum("_na").cast("long").alias("n_a"),
+        F.sum("_nb").cast("long").alias("n_b"),
+        F.sum(F.col("_na").cast(dec) * two_rank).alias("_2ra"),
+        F.sum(nv * nv * nv - nv).alias("_ties"),
+    )
+    na, nb = F.col("n_a").cast(dec), F.col("n_b").cast(dec)
+    n = na + nb
+    two_u = (F.col("_2ra") - na * (na + F.lit(1).cast(dec))).alias("_2u")
+    stats = agg.select("n_a", "n_b", two_u, "_ties")
+    u = F.col("_2u").cast("double") / F.lit(2.0)
+    mu = F.col("n_a").cast("double") * F.col("n_b") / F.lit(2.0)
+    nd = (F.col("n_a") + F.col("n_b")).cast("double")
+    tie_term = F.col("_ties").cast("double") / (nd * (nd - F.lit(1.0)))
+    sigma = F.sqrt(
+        F.col("n_a").cast("double")
+        * F.col("n_b")
+        / F.lit(12.0)
+        * ((nd + F.lit(1.0)) - tie_term)
+    )
+    z = (u - mu) / sigma
+    return stats.select(
+        "n_a",
+        "n_b",
+        F.round(u, 2).alias("u_a"),
+        F.round(z, 6).alias("z"),
+        F.round(F.lit(2.0) * norm_sf(F.abs(z)), 6).alias("p_two"),
+        F.round(
+            F.lit(1.0)
+            - F.lit(2.0) * u / (F.col("n_a").cast("double") * F.col("n_b")),
+            6,
+        ).alias("rank_biserial"),
+    )
+
+
+def two_proportion_ztests(
+    df: DataFrame,
+    group_col: str,
+    success: F.Column,
+) -> DataFrame:
+    """Per-group two-proportion z-test of each group AGAINST ITS
+    COMPLEMENT: for every value of ``group_col``, is the group's success
+    share different from everyone else's? The screening pass that feeds
+    :func:`bh_fdr` — one test per group means multiple comparisons, and
+    raw p < 0.05 readouts at 25+ groups are noise without FDR control.
+
+    Pooled-variance form (Fleiss, Levin & Paik 2003 §3): with the group's
+    (n₁, s₁) and the complement's (n₂, s₂) = (N−n₁, S−s₁),
+    z = (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) where p̂ = S/N. Two-sided p via
+    :func:`norm_sf`. Degenerate splits (empty complement, p̂ ∈ {0,1})
+    return NULL z/p rather than ±inf.
+
+    Scale shape: ONE map-side-combined hash agg to a groups-sized
+    relation; the (N, S) totals re-aggregate FROM that relation and
+    broadcast back — the raw table is read once, shuffled never (counts
+    move, rows don't)."""
+    per = df.groupBy(F.col(group_col).alias("group_key")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(success, 1).otherwise(0)).alias("successes"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("_tn"),
+        F.sum("successes").cast("long").alias("_ts"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    n1 = F.col("n").cast("double")
+    s1 = F.col("successes").cast("double")
+    n2 = (F.col("_tn") - F.col("n")).cast("double")
+    s2 = (F.col("_ts") - F.col("successes")).cast("double")
+    pooled = F.col("_ts").cast("double") / F.col("_tn")
+    se = F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
+    )
+    z = F.when(
+        (n2 > 0) & (pooled > 0) & (pooled < 1), (s1 / n1 - s2 / n2) / se
+    )
+    return j.select(
+        "group_key",
+        "n",
+        "successes",
+        F.round(s1 / n1, 6).alias("share"),
+        F.round(F.when(n2 > 0, s2 / n2), 6).alias("rest_share"),
+        F.round(z, 6).alias("z"),
+        F.round(F.lit(2.0) * norm_sf(F.abs(z)), 6).alias("p_two"),
+    )
+
+
+def bh_fdr(
+    tests: DataFrame,
+    p_col: str,
+    key_cols: list[str],
+    q: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR control (Benjamini & Hochberg 1995)
+    over a relation of m tests: rank p-values ascending, find the largest
+    k with p₍ₖ₎ ≤ k·q/m, reject ranks 1..k. Adds (p_rank, bh_critical,
+    rejected) to every test row plus the shared cutoff rank — the
+    multiple-comparisons gate every per-segment screening pass
+    (:func:`two_proportion_ztests`, per-group drift tests) needs before
+    anyone acts on a p < 0.05.
+
+    The input is a TESTS relation — one row per hypothesis (groups-sized:
+    segments, nations, metrics), orders of magnitude smaller than the
+    data that produced it. The global rank window is therefore the
+    documented bounded-relation exception, not a row-scaled sort; m rows
+    is KBs. ``key_cols`` break p-ties deterministically (the BH decision
+    is tie-stable — equal p-values share a bh_critical ladder position
+    range, and step-up rejects a tied block iff its LAST rank passes, so
+    the tie order never changes who is rejected — but stable output needs
+    a total order). NULL p-values (degenerate tests) are never rejected
+    and sort last."""
+    if not 0 < q < 1:
+        raise ValueError("q must be in (0, 1)")
+    w = Window.orderBy(
+        F.col(p_col).asc_nulls_last(), *[F.col(c) for c in key_cols]
+    )
+    m = tests.count()
+    ranked = tests.withColumn("p_rank", F.row_number().over(w)).withColumn(
+        "bh_critical",
+        F.round(F.col("p_rank") * F.lit(float(q)) / F.lit(float(m)), 6),
+    )
+    passing = ranked.filter(
+        F.col(p_col).isNotNull() & (F.col(p_col) <= F.col("bh_critical"))
+    ).agg(F.max("p_rank").alias("_cutoff"))
+    return (
+        ranked.crossJoin(F.broadcast(passing))
+        .withColumn(
+            "rejected",
+            F.col(p_col).isNotNull()
+            & (F.col("p_rank") <= F.coalesce(F.col("_cutoff"), F.lit(0))),
+        )
+        .withColumnRenamed("_cutoff", "cutoff_rank")
+    )

@@ -11613,6 +11613,171 @@ FROM c{sweeps} WHERE node LIKE 's%'"""
 SUPPLIER_TRADE_LOUVAIN_SQL = _louvain_oracle_sql()
 
 
+def orders_price_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum drift (operators/drift.mann_whitney_u)
+    between early-era (< 1998) and late-era order prices — the same
+    sides as orders_price_ks_drift, asking the stochastic-dominance
+    question instead of the max-CDF-gap one. Tie-corrected normal
+    approximation with the p-value computed through the Abramowitz &
+    Stegun 26.2.17 polynomial, so the oracle replays z AND p bit-for-bit
+    (no erf dependency). Rank sums ride the same two-phase prefix scan
+    as KS; midrank arithmetic stays exact in DECIMAL(38,0)."""
+    from rust_cdc_validator_spark.operators.drift import mann_whitney_u
+
+    orders = _t(spark, sf_dir, "orders")
+    early = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01")).select(
+        "o_totalprice"
+    )
+    late = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01")).select(
+        "o_totalprice"
+    )
+    return mann_whitney_u(early, late, "o_totalprice")
+
+
+from rust_cdc_validator_spark.operators.drift import NORM_SF_SQL as _SF
+
+
+ORDERS_PRICE_MANNWHITNEY_SQL = f"""
+WITH pooled AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v,
+         CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS ca,
+         CASE WHEN o_orderdate < DATE '1998-01-01' THEN 0 ELSE 1 END AS cb
+  FROM orders WHERE o_totalprice IS NOT NULL
+), cells AS (
+  SELECT v, SUM(ca) AS na, SUM(cb) AS nb FROM pooled GROUP BY v
+), c AS (
+  SELECT v, na, nb,
+         COALESCE(SUM(na) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cna,
+         COALESCE(SUM(nb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+  FROM cells
+), s AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS n_a, CAST(SUM(nb) AS BIGINT) AS n_b,
+         SUM(CAST(na AS DECIMAL(38,0))
+             * (2 * CAST(cna + cnb AS DECIMAL(38,0))
+                + CAST(na + nb AS DECIMAL(38,0)) + 1)) AS r2a,
+         SUM(CAST(na + nb AS DECIMAL(38,0)) * CAST(na + nb AS DECIMAL(38,0))
+             * CAST(na + nb AS DECIMAL(38,0))
+             - CAST(na + nb AS DECIMAL(38,0))) AS ties
+  FROM c
+), m AS (
+  SELECT n_a, n_b,
+         CAST(r2a - CAST(n_a AS DECIMAL(38,0))
+                    * (CAST(n_a AS DECIMAL(38,0)) + 1) AS DOUBLE)
+           / 2.0 AS u,
+         CAST(n_a AS DOUBLE) * n_b / 2.0 AS mu,
+         CAST(n_a + n_b AS DOUBLE) AS nd,
+         CAST(ties AS DOUBLE) AS tie_sum
+  FROM s
+), zc AS (
+  SELECT n_a, n_b, u,
+         (u - mu) / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                         * ((nd + 1.0) - tie_sum / (nd * (nd - 1.0)))) AS z
+  FROM m
+)
+SELECT n_a, n_b, round(u, 2) AS u_a, round(z, 6) AS z,
+       round(2.0 * {_SF.format(z='abs(z)')}, 6) AS p_two,
+       round(1.0 - 2.0 * u / (CAST(n_a AS DOUBLE) * n_b), 6)
+         AS rank_biserial
+FROM zc
+"""
+
+
+def nation_segment_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation two-proportion z-tests with Benjamini–Hochberg FDR
+    control (operators/drift.two_proportion_ztests + bh_fdr): for each
+    nation, is its customers' BUILDING-segment share different from the
+    rest of the world's, and which nations survive multiple-comparison
+    control at q = 0.10? 25 simultaneous tests is exactly where raw
+    p < 0.05 readouts overcall — this is the screening pattern every
+    per-segment drift monitor needs. One hash agg to a nations-sized
+    relation; the BH rank window runs on that bounded relation (the
+    documented exception class), never the rows."""
+    from rust_cdc_validator_spark.operators.drift import (
+        bh_fdr,
+        two_proportion_ztests,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    joined = cust.join(
+        F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"]
+    ).select("n_name", "c_mktsegment")
+    rep = two_proportion_ztests(
+        joined, "n_name", F.col("c_mktsegment") == F.lit("BUILDING")
+    )
+    out = bh_fdr(rep, "p_two", ["group_key"], q=0.10)
+    return out.select(
+        F.col("group_key").alias("nation"),
+        "n",
+        "successes",
+        "share",
+        "z",
+        "p_two",
+        F.col("p_rank").cast("long").alias("p_rank"),
+        "bh_critical",
+        "rejected",
+        F.col("cutoff_rank").cast("long").alias("cutoff_rank"),
+    ).orderBy("nation")
+
+
+NATION_SEGMENT_FDR_SQL = f"""
+WITH j AS (
+  SELECT n.n_name, c.c_mktsegment
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+), per AS (
+  SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+              AS BIGINT) AS successes
+  FROM j GROUP BY n_name
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(successes) AS BIGINT) AS ts
+  FROM per
+), zt AS (
+  SELECT nation, n, successes,
+         round(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+         round(CASE WHEN CAST(tn - n AS DOUBLE) > 0 THEN
+           CAST(ts - successes AS DOUBLE) / CAST(tn - n AS DOUBLE)
+         END, 6) AS rest_share,
+         CASE WHEN CAST(tn - n AS DOUBLE) > 0
+               AND CAST(ts AS DOUBLE) / tn > 0
+               AND CAST(ts AS DOUBLE) / tn < 1 THEN
+           (CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+            - CAST(ts - successes AS DOUBLE) / CAST(tn - n AS DOUBLE))
+           / sqrt((CAST(ts AS DOUBLE) / tn)
+                  * (1.0 - CAST(ts AS DOUBLE) / tn)
+                  * (1.0 / CAST(n AS DOUBLE)
+                     + 1.0 / CAST(tn - n AS DOUBLE)))
+         END AS z_raw
+  FROM per CROSS JOIN tot
+), pz AS (
+  SELECT nation, n, successes, share, rest_share,
+         round(z_raw, 6) AS z,
+         round(2.0 * {_SF.format(z='abs(z_raw)')}, 6) AS p_two
+  FROM zt
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+              ORDER BY p_two ASC NULLS LAST, nation) AS BIGINT) AS p_rank
+  FROM pz
+), crit AS (
+  SELECT *, round(p_rank * CAST(0.1 AS DOUBLE)
+                  / (SELECT CAST(COUNT(*) AS DOUBLE)
+                     FROM ranked), 6) AS bh_critical
+  FROM ranked
+), cut AS (
+  SELECT MAX(p_rank) AS cutoff_rank FROM crit
+  WHERE p_two IS NOT NULL AND p_two <= bh_critical
+)
+SELECT nation, n, successes, share, z, p_two, p_rank, bh_critical,
+       (p_two IS NOT NULL AND p_rank <= COALESCE(cutoff_rank, 0))
+         AS rejected,
+       cutoff_rank
+FROM crit CROSS JOIN cut
+ORDER BY nation
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -11782,6 +11947,8 @@ QUERIES: dict[str, QueryFn] = {
     "docs_bigram_pmi": docs_bigram_pmi,
     "events_value_hour_trend": events_value_hour_trend,
     "orders_price_ks_drift": orders_price_ks_drift,
+    "orders_price_mannwhitney": orders_price_mannwhitney,
+    "nation_segment_fdr": nation_segment_fdr,
     "orders_record_price_frontier": orders_record_price_frontier,
     "events_markov_transitions": events_markov_transitions,
     "customer_golden_entities": customer_golden_entities,
@@ -11988,6 +12155,8 @@ ORACLES: dict[str, str] = {
     "docs_bigram_pmi": DOCS_BIGRAM_PMI_SQL,
     "events_value_hour_trend": EVENTS_VALUE_HOUR_TREND_SQL,
     "orders_price_ks_drift": ORDERS_PRICE_KS_DRIFT_SQL,
+    "orders_price_mannwhitney": ORDERS_PRICE_MANNWHITNEY_SQL,
+    "nation_segment_fdr": NATION_SEGMENT_FDR_SQL,
     "orders_record_price_frontier": ORDERS_RECORD_PRICE_FRONTIER_SQL,
     "events_markov_transitions": EVENTS_MARKOV_TRANSITIONS_SQL,
     "customer_golden_entities": CUSTOMER_GOLDEN_ENTITIES_SQL,

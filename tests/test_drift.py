@@ -601,3 +601,155 @@ def test_psi_baseline_complete_grid_and_shares(spark):
     assert all(r["width"] == rows[0]["width"] for r in rows.values())
     with pytest.raises(ValueError, match="bins"):
         psi_baseline(df, "v", bins=1)
+
+
+def _mw_reference(xs: list[float], ys: list[float]):
+    """Sequential tie-corrected Mann-Whitney (Lehmann 1975)."""
+    import math
+
+    pooled = sorted(xs + ys)
+    # midranks
+    ranks: dict[float, float] = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j] == pooled[i]:
+            j += 1
+        ranks[pooled[i]] = (i + 1 + j) / 2  # average of ranks i+1..j
+        i = j
+    ra = sum(ranks[x] for x in xs)
+    na, nb = len(xs), len(ys)
+    n = na + nb
+    u = ra - na * (na + 1) / 2
+    tie_sum = 0
+    for v in set(pooled):
+        t = pooled.count(v)
+        tie_sum += t**3 - t
+    sigma = math.sqrt(na * nb / 12 * ((n + 1) - tie_sum / (n * (n - 1))))
+    z = (u - na * nb / 2) / sigma
+    return u, z
+
+
+def test_mann_whitney_matches_reference(spark):
+    from rust_cdc_validator_spark.operators.drift import mann_whitney_u
+
+    xs = [float((7 * i) % 23) for i in range(40)]  # plenty of ties
+    ys = [float((5 * i) % 23 + 9) for i in range(55)]  # shifted up by 9
+    a = spark.createDataFrame([(x,) for x in xs], "v double")
+    b = spark.createDataFrame([(y,) for y in ys], "v double")
+    row = mann_whitney_u(a, b, "v").collect()[0]
+    u, z = _mw_reference(xs, ys)
+    assert (row["n_a"], row["n_b"]) == (40, 55)
+    assert row["u_a"] == pytest.approx(u, abs=0.01)
+    assert row["z"] == pytest.approx(z, abs=1e-5)
+    # shifted-up b side -> a stochastically smaller -> U_a below mean
+    assert row["z"] < 0 and row["p_two"] < 0.05
+    assert row["rank_biserial"] == pytest.approx(
+        1 - 2 * u / (40 * 55), abs=1e-5
+    )
+
+
+def test_mann_whitney_identical_distributions(spark):
+    from rust_cdc_validator_spark.operators.drift import mann_whitney_u
+
+    same = spark.createDataFrame(
+        [(float(i % 11),) for i in range(66)], "v double"
+    )
+    row = mann_whitney_u(same, same, "v").collect()[0]
+    assert row["z"] == 0.0
+    assert row["p_two"] == pytest.approx(1.0, abs=1e-6)
+    assert row["rank_biserial"] == 0.0
+
+
+def test_norm_sf_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.drift import norm_sf
+
+    df = spark.createDataFrame(
+        [(0.0,), (1.0,), (1.959964,), (2.575829,)], "z double"
+    )
+    got = {
+        r["z"]: r["sf"]
+        for r in df.select("z", norm_sf(F.col("z")).alias("sf")).collect()
+    }
+    # Abramowitz & Stegun 26.2.17 is good to 7.5e-8
+    assert got[0.0] == pytest.approx(0.5, abs=1e-7)
+    assert got[1.0] == pytest.approx(0.15865525, abs=1e-6)
+    assert got[1.959964] == pytest.approx(0.025, abs=1e-6)
+    assert got[2.575829] == pytest.approx(0.005, abs=1e-6)
+
+
+def test_two_proportion_ztests_hand_computed(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.drift import (
+        two_proportion_ztests,
+    )
+
+    # group g: 30/100 successes, group h: 10/100
+    rows = (
+        [("g", 1)] * 30 + [("g", 0)] * 70 + [("h", 1)] * 10 + [("h", 0)] * 90
+    )
+    df = spark.createDataFrame(rows, "grp string, s int")
+    rep = {
+        r["group_key"]: r
+        for r in two_proportion_ztests(
+            df, "grp", F.col("s") == 1
+        ).collect()
+    }
+    pooled = 40 / 200
+    se = math.sqrt(pooled * (1 - pooled) * (1 / 100 + 1 / 100))
+    z = (0.3 - 0.1) / se
+    assert rep["g"]["z"] == pytest.approx(z, abs=1e-5)
+    assert rep["h"]["z"] == pytest.approx(-z, abs=1e-5)
+    assert rep["g"]["share"] == pytest.approx(0.3)
+    assert rep["g"]["rest_share"] == pytest.approx(0.1)
+    assert rep["g"]["p_two"] == rep["h"]["p_two"]
+
+
+def test_two_proportion_degenerate_pooled_null(spark):
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.drift import (
+        two_proportion_ztests,
+    )
+
+    # every row is a success -> pooled share 1 -> z undefined, never inf
+    df = spark.createDataFrame(
+        [("g", 1)] * 3 + [("h", 1)] * 4, "grp string, s int"
+    )
+    for r in two_proportion_ztests(df, "grp", F.col("s") == 1).collect():
+        assert r["z"] is None and r["p_two"] is None
+
+
+def test_bh_fdr_textbook_stepup(spark):
+    from rust_cdc_validator_spark.operators.drift import bh_fdr
+
+    tests = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.005), ("e", 0.2)],
+        "name string, p double",
+    )
+    out = {r["name"]: r for r in bh_fdr(tests, "p", ["name"], q=0.05).collect()}
+    # sorted p: .005 .01 .03 .04 .2 with criticals .01 .02 .03 .04 .05
+    assert out["d"]["p_rank"] == 1 and out["e"]["p_rank"] == 5
+    assert [out[k]["rejected"] for k in "abcde"] == [
+        True, True, True, True, False,
+    ]
+    assert all(r["cutoff_rank"] == 4 for r in out.values())
+
+
+def test_bh_fdr_nothing_passes_and_nulls_sort_last(spark):
+    from rust_cdc_validator_spark.operators.drift import bh_fdr
+
+    tests = spark.createDataFrame(
+        [("a", 0.9), ("b", None), ("c", 0.8)], "name string, p double"
+    )
+    out = {r["name"]: r for r in bh_fdr(tests, "p", ["name"], q=0.05).collect()}
+    assert not any(r["rejected"] for r in out.values())
+    assert all(r["cutoff_rank"] is None for r in out.values())
+    assert out["b"]["p_rank"] == 3  # NULL p ranks after real p-values
+    with pytest.raises(ValueError, match="q must"):
+        bh_fdr(tests, "p", ["name"], q=1.5)
