@@ -812,3 +812,192 @@ def brown_double_smooth(
         F.round(trend, 6).alias("trend_r"),
         F.round(level + F.lit(float(horizon)) * trend, 6).alias("forecast_r"),
     )
+
+
+def cusum_chart(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    k: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """Tabular CUSUM control chart (Page 1954) over a tick series —
+    the drift-sensitive companion to the EWMA line: one-sided cumulative
+    sums S⁺_t = max(0, S⁺_{t−1} + z_t − k) and
+    S⁻_t = max(0, S⁻_{t−1} − z_t − k) of the standardized value, with an
+    alarm when either exceeds ``h`` (both in σ units; k = allowance,
+    h = decision interval — the classic (0.5, 4) detects ~1σ sustained
+    shifts an individual-point Shewhart chart misses).
+
+    The recursion never runs: by the prefix identity
+    S_t = P_t − min_{0≤j≤t} P_j with P_t = Σ_{i≤t}(z_i − k), both sides
+    are a cumulative sum plus a running min — two stacked windows over
+    the tick relation, the same bounded class as the EWMA fan. All window
+    arithmetic is EXACT: deviations are half-up-scaled to integer
+    micro-units (floor(x·1e6 + 0.5), the sq8 discipline) and accumulated
+    as DECIMAL(38,0), so cumulative sums replay bit-for-bit in any
+    engine regardless of its windowed-sum association order; the single
+    divide back to σ units happens per row at the end.
+
+    Standardization is self-baselined in-plan: μ, σ come from exact
+    integer-scaled sums over the same ticks (one aggregate, broadcast
+    back as a 1-row relation). Returns (tick, value, z, s_plus, s_minus,
+    alarm) per tick.
+
+    Scale shape: callers pre-aggregate to ticks (hourly/daily means), so
+    every window here sorts ticks, not rows; the raw table is scanned
+    once by the caller's aggregation."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    if h <= 0:
+        raise ValueError("h must be > 0")
+    dec = "decimal(38,0)"
+    x = F.round(F.col(value_col).cast("double"), 6)
+    x6 = F.floor(x * F.lit(1e6) + F.lit(0.5)).cast(dec)
+    base = series.select(
+        F.col(time_col).alias("tick"), x.alias("value"), x6.alias("_x6")
+    )
+    params = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_x6").alias("_sx"),
+        F.sum(F.col("_x6") * F.col("_x6")).alias("_sxx"),
+    )
+    mu = F.col("_sx").cast("double") / F.col("_n") / F.lit(1e6)
+    var = (
+        F.col("_sxx").cast("double") / F.col("_n") / F.lit(1e12) - mu * mu
+    )
+    withz = base.crossJoin(F.broadcast(params)).select(
+        "tick",
+        "value",
+        ((F.col("value") - mu) / F.sqrt(var)).alias("_z"),
+    )
+    kd = float(k)
+    dplus = F.floor((F.col("_z") - F.lit(kd)) * F.lit(1e6) + F.lit(0.5)).cast(
+        dec
+    )
+    dminus = F.floor(
+        (-F.col("_z") - F.lit(kd)) * F.lit(1e6) + F.lit(0.5)
+    ).cast(dec)
+    w = (
+        Window.orderBy(F.col("tick").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = withz.select(
+        "tick",
+        "value",
+        "_z",
+        F.sum(dplus).over(w).alias("_cp"),
+        F.sum(dminus).over(w).alias("_cm"),
+    )
+    zero = F.lit(0).cast(dec)
+    sp = F.col("_cp") - F.least(zero, F.min("_cp").over(w))
+    sm = F.col("_cm") - F.least(zero, F.min("_cm").over(w))
+    h6 = F.floor(F.lit(float(h)) * F.lit(1e6) + F.lit(0.5)).cast(dec)
+    return stepped.select(
+        "tick",
+        "value",
+        F.round("_z", 6).alias("z"),
+        F.round(sp.cast("double") / F.lit(1e6), 6).alias("s_plus"),
+        F.round(sm.cast("double") / F.lit(1e6), 6).alias("s_minus"),
+        ((sp > h6) | (sm > h6)).alias("alarm"),
+    )
+
+
+def mann_kendall(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann–Kendall trend test + Sen's slope (Mann 1945; Kendall 1975;
+    Sen 1968) over a tick series — the nonparametric "is this metric
+    trending" readout: S = Σ_{i<j} sign(x_j − x_i) with the tie-corrected
+    variance Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18, the
+    continuity-corrected z = (S∓1)/√Var(S), a two-sided p through the
+    portable normal polynomial (drift.norm_sf), and the robust trend
+    magnitude as the MEDIAN pairwise slope.
+
+    Pairs are a self-join of the TICK relation with itself (i < j by
+    tick) — ticks², never rows², the documented bounded class: callers
+    pre-aggregate (daily/hourly means) so a month of daily ticks is 435
+    pairs. S and the tie sums are exact integers; the median slope is
+    selected by rank over the bounded pairs relation (positions
+    ⌈m/2⌉ and ⌊m/2⌋+1 averaged — written identically in the oracle, no
+    engine median() whose interpolation may differ). Returns ONE row:
+    (n_ticks, s_stat, var_s, z, p_two, sen_slope, trend)."""
+    from rust_cdc_validator_spark.operators.drift import norm_sf
+
+    t = F.col(time_col).cast("double")
+    x = F.round(F.col(value_col).cast("double"), 6)
+    base = series.select(t.alias("_t"), x.alias("_x"))
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a._t") < F.col("b._t")).select(
+        F.col("a._t").alias("_ti"),
+        F.col("b._t").alias("_tj"),
+        F.col("a._x").alias("_xi"),
+        F.col("b._x").alias("_xj"),
+    )
+    sgn = F.when(F.col("_xj") > F.col("_xi"), 1).otherwise(
+        F.when(F.col("_xj") < F.col("_xi"), -1).otherwise(0)
+    )
+    s_and_n = pairs.agg(
+        F.sum(sgn).cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("_m"),
+    )
+    n_row = base.agg(F.count(F.lit(1)).cast("long").alias("n_ticks"))
+    ties = (
+        base.groupBy("_x")
+        .agg(F.count(F.lit(1)).cast("long").alias("_tg"))
+        .agg(
+            F.sum(
+                F.col("_tg")
+                * (F.col("_tg") - 1)
+                * (2 * F.col("_tg") + 5)
+            )
+            .cast("long")
+            .alias("_tie_sum")
+        )
+    )
+    slope = (F.col("_xj") - F.col("_xi")) / (F.col("_tj") - F.col("_ti"))
+    ws = Window.orderBy(slope.asc(), F.col("_ti").asc(), F.col("_tj").asc())
+    ranked = pairs.select(
+        slope.alias("_slope"), F.row_number().over(ws).alias("_r")
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(s_and_n.select("_m")))
+        .filter(
+            (F.col("_r") == F.ceil(F.col("_m") / F.lit(2.0)))
+            | (F.col("_r") == F.floor(F.col("_m") / F.lit(2.0)) + 1)
+        )
+        .agg(
+            (F.sum("_slope") / F.count(F.lit(1))).alias("sen_slope")
+        )
+    )
+    joined = (
+        s_and_n.crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(med))
+    )
+    nd = F.col("n_ticks").cast("double")
+    var_s = (
+        nd * (nd - F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(5.0))
+        - F.col("_tie_sum").cast("double")
+    ) / F.lit(18.0)
+    sd = F.col("s_stat").cast("double")
+    z = F.when(F.col("s_stat") > 0, (sd - F.lit(1.0)) / F.sqrt(var_s)).when(
+        F.col("s_stat") < 0, (sd + F.lit(1.0)) / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    p = F.round(F.lit(2.0) * norm_sf(F.abs(z)), 6)
+    return joined.select(
+        "n_ticks",
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        p.alias("p_two"),
+        F.round("sen_slope", 6).alias("sen_slope"),
+        F.when(
+            (p < 0.05) & (F.col("s_stat") > 0), F.lit("increasing")
+        )
+        .when((p < 0.05) & (F.col("s_stat") < 0), F.lit("decreasing"))
+        .otherwise(F.lit("no trend"))
+        .alias("trend"),
+    )

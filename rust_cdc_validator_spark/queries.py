@@ -11778,6 +11778,146 @@ ORDER BY nation
 """
 
 
+def events_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular CUSUM control chart (operators/timeseries.cusum_chart)
+    over the hourly mean event value — the sustained-shift detector next
+    to the EWMA line (k = 0.5, h = 4 in σ units, the classic tuning for
+    ~1σ drifts). The recursion never runs: S⁺/S⁻ come from the prefix
+    identity (cumulative sum + running min, two stacked tick windows),
+    and every window accumulates half-up-scaled integer micro-units in
+    DECIMAL(38,0), so the oracle replays bit-for-bit whatever either
+    engine's windowed-sum association order is."""
+    from rust_cdc_validator_spark.operators.timeseries import cusum_chart
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.expr(f"ts_ns div {_NS_PER_HOUR}").alias("hour_bucket")
+    ).agg((_dsum(F.col("value")) / F.count(F.lit(1))).alias("mean_value"))
+    return cusum_chart(hourly, "hour_bucket", "mean_value", k=0.5, h=4.0)
+
+
+EVENTS_VALUE_CUSUM_SQL = f"""
+WITH hourly AS (
+  SELECT epoch_ns(ts) // {_NS_PER_HOUR} AS tick,
+         round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*), 6) AS value
+  FROM events GROUP BY 1
+), p AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(floor(value * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(floor(value * 1000000.0 + 0.5) AS DECIMAL(38,0))
+             * CAST(floor(value * 1000000.0 + 0.5) AS DECIMAL(38,0)))
+           AS sxx
+  FROM hourly
+), pm AS (
+  SELECT CAST(sx AS DOUBLE) / n / 1000000.0 AS mu,
+         CAST(sxx AS DOUBLE) / n / 1000000000000.0 AS ex2
+  FROM p
+), zt AS (
+  SELECT tick, value, (value - mu) / sqrt(ex2 - mu * mu) AS z
+  FROM hourly CROSS JOIN pm
+), c AS (
+  SELECT tick, value, z,
+         SUM(CAST(floor((z - 0.5) * 1000000.0 + 0.5) AS DECIMAL(38,0)))
+           OVER wc AS cp,
+         SUM(CAST(floor((-z - 0.5) * 1000000.0 + 0.5) AS DECIMAL(38,0)))
+           OVER wc AS cm
+  FROM zt
+  WINDOW wc AS (ORDER BY tick
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+  SELECT tick, value, z,
+         cp - LEAST(CAST(0 AS DECIMAL(38,0)), MIN(cp) OVER wc) AS sp,
+         cm - LEAST(CAST(0 AS DECIMAL(38,0)), MIN(cm) OVER wc) AS sm
+  FROM c
+  WINDOW wc AS (ORDER BY tick
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT tick, value, round(z, 6) AS z,
+       round(CAST(sp AS DOUBLE) / 1000000.0, 6) AS s_plus,
+       round(CAST(sm AS DOUBLE) / 1000000.0, 6) AS s_minus,
+       (sp > CAST(4000000 AS DECIMAL(38,0))
+        OR sm > CAST(4000000 AS DECIMAL(38,0))) AS alarm
+FROM s
+"""
+
+
+_NS_PER_DAY = 86_400_000_000_000
+
+
+def events_daily_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test + Sen's slope
+    (operators/timeseries.mann_kendall) on the daily mean event value —
+    the nonparametric "is this metric trending" readout beside the OLS
+    hour-trend query: S from pairwise signs over the 30-day tick
+    relation (ticks², bounded by construction), tie-corrected variance,
+    continuity-corrected z with the portable-polynomial p, and the
+    median pairwise slope selected by rank (no engine median() whose
+    even-count interpolation could differ)."""
+    from rust_cdc_validator_spark.operators.timeseries import mann_kendall
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.expr(f"ts_ns div {_NS_PER_DAY}").alias("day_bucket")
+    ).agg((_dsum(F.col("value")) / F.count(F.lit(1))).alias("mean_value"))
+    return mann_kendall(daily, "day_bucket", "mean_value")
+
+
+EVENTS_DAILY_TREND_MK_SQL = f"""
+WITH daily AS (
+  SELECT CAST(epoch_ns(ts) // {_NS_PER_DAY} AS DOUBLE) AS t,
+         round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*), 6) AS x
+  FROM events GROUP BY epoch_ns(ts) // {_NS_PER_DAY}
+), pairs AS (
+  SELECT a.t AS ti, b.t AS tj, a.x AS xi, b.x AS xj
+  FROM daily a JOIN daily b ON a.t < b.t
+), sn AS (
+  SELECT CAST(SUM(CASE WHEN xj > xi THEN 1 WHEN xj < xi THEN -1
+                       ELSE 0 END) AS BIGINT) AS s_stat,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM pairs
+), nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ticks FROM daily
+), ties AS (
+  SELECT CAST(COALESCE(SUM(tg * (tg - 1) * (2 * tg + 5)), 0) AS BIGINT)
+           AS tie_sum
+  FROM (SELECT COUNT(*) AS tg FROM daily GROUP BY x)
+), ranked AS (
+  SELECT (xj - xi) / (tj - ti) AS slope,
+         row_number() OVER (ORDER BY (xj - xi) / (tj - ti) ASC,
+                            ti ASC, tj ASC) AS r
+  FROM pairs
+), med AS (
+  SELECT SUM(slope) / COUNT(*) AS sen_slope
+  FROM ranked CROSS JOIN sn
+  WHERE r = ceil(m / 2.0) OR r = floor(m / 2.0) + 1
+), f AS (
+  SELECT s_stat, n_ticks, tie_sum, sen_slope,
+         (CAST(n_ticks AS DOUBLE) * (CAST(n_ticks AS DOUBLE) - 1.0)
+          * (2.0 * CAST(n_ticks AS DOUBLE) + 5.0)
+          - CAST(tie_sum AS DOUBLE)) / 18.0 AS var_s
+  FROM sn CROSS JOIN nr CROSS JOIN ties CROSS JOIN med
+), zc AS (
+  SELECT *,
+         CASE WHEN s_stat > 0
+                THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+              WHEN s_stat < 0
+                THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+              ELSE 0.0 END AS z
+  FROM f
+)
+SELECT n_ticks, s_stat, round(var_s, 6) AS var_s, round(z, 6) AS z,
+       round(2.0 * {_SF.format(z='abs(z)')}, 6) AS p_two,
+       round(sen_slope, 6) AS sen_slope,
+       CASE WHEN round(2.0 * {_SF.format(z='abs(z)')}, 6) < 0.05
+                 AND s_stat > 0 THEN 'increasing'
+            WHEN round(2.0 * {_SF.format(z='abs(z)')}, 6) < 0.05
+                 AND s_stat < 0 THEN 'decreasing'
+            ELSE 'no trend' END AS trend
+FROM zc
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -11948,6 +12088,8 @@ QUERIES: dict[str, QueryFn] = {
     "events_value_hour_trend": events_value_hour_trend,
     "orders_price_ks_drift": orders_price_ks_drift,
     "orders_price_mannwhitney": orders_price_mannwhitney,
+    "events_value_cusum": events_value_cusum,
+    "events_daily_trend_mk": events_daily_trend_mk,
     "nation_segment_fdr": nation_segment_fdr,
     "orders_record_price_frontier": orders_record_price_frontier,
     "events_markov_transitions": events_markov_transitions,
@@ -12156,6 +12298,8 @@ ORACLES: dict[str, str] = {
     "events_value_hour_trend": EVENTS_VALUE_HOUR_TREND_SQL,
     "orders_price_ks_drift": ORDERS_PRICE_KS_DRIFT_SQL,
     "orders_price_mannwhitney": ORDERS_PRICE_MANNWHITNEY_SQL,
+    "events_value_cusum": EVENTS_VALUE_CUSUM_SQL,
+    "events_daily_trend_mk": EVENTS_DAILY_TREND_MK_SQL,
     "nation_segment_fdr": NATION_SEGMENT_FDR_SQL,
     "orders_record_price_frontier": ORDERS_RECORD_PRICE_FRONTIER_SQL,
     "events_markov_transitions": EVENTS_MARKOV_TRANSITIONS_SQL,

@@ -521,3 +521,121 @@ def test_brown_double_smooth_tracks_linear_trend(spark):
     # the EWMA alone (s1) lags the series; the trend-corrected level
     # closes most of that gap
     assert abs(last["level_r"] - 78.0) < abs(last["s1_r"] - 78.0)
+
+
+def _cusum_reference(xs: list[float], k: float = 0.5):
+    """Sequential Page recursion over standardized values."""
+    import math
+
+    n = len(xs)
+    mu = sum(xs) / n
+    var = sum(v * v for v in xs) / n - mu * mu
+    sd = math.sqrt(var)
+    sp = sm = 0.0
+    out = []
+    for v in xs:
+        z = (v - mu) / sd
+        sp = max(0.0, sp + z - k)
+        sm = max(0.0, sm - z - k)
+        out.append((sp, sm))
+    return out
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    from rust_cdc_validator_spark.operators.timeseries import cusum_chart
+
+    # stable regime then a sustained +2 shift from tick 30
+    xs = [10.0 + (i % 5) * 0.1 for i in range(30)] + [
+        12.0 + (i % 5) * 0.1 for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "t long, v double"
+    )
+    rows = cusum_chart(df, "t", "v", k=0.5, h=4.0).orderBy("tick").collect()
+    ref = _cusum_reference(xs, k=0.5)
+    for r, (sp, sm) in zip(rows, ref):
+        assert r["s_plus"] == pytest.approx(sp, abs=2e-5)
+        assert r["s_minus"] == pytest.approx(sm, abs=2e-5)
+        assert r["alarm"] == (sp > 4.0 or sm > 4.0) or abs(sp - 4.0) < 1e-4
+    # the shift must eventually alarm on the upper side
+    assert any(r["alarm"] and r["s_plus"] > 4.0 for r in rows[30:])
+    # self-baselined mu sits between the regimes, so the pre-shift era
+    # legitimately accumulates on the LOWER side — but nothing alarms
+    # before the sums have had ticks to build
+    assert not any(r["alarm"] for r in rows[:8])
+
+
+def test_cusum_validation(spark):
+    from rust_cdc_validator_spark.operators.timeseries import cusum_chart
+
+    df = spark.createDataFrame([(0, 1.0)], "t long, v double")
+    with pytest.raises(ValueError, match="k must"):
+        cusum_chart(df, "t", "v", k=-1.0)
+    with pytest.raises(ValueError, match="h must"):
+        cusum_chart(df, "t", "v", h=0.0)
+
+
+def _mk_reference(xs: list[float]):
+    """Sequential Mann-Kendall with tie correction + Sen's slope."""
+    import math
+    from collections import Counter
+
+    n = len(xs)
+    s = 0
+    slopes = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = xs[j] - xs[i]
+            s += (d > 0) - (d < 0)
+            slopes.append(d / (j - i))
+    ties = Counter(xs)
+    tie_sum = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var = (n * (n - 1) * (2 * n + 5) - tie_sum) / 18
+    if s > 0:
+        z = (s - 1) / math.sqrt(var)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var)
+    else:
+        z = 0.0
+    slopes.sort()
+    m = len(slopes)
+    med = (
+        slopes[(m - 1) // 2]
+        if m % 2
+        else (slopes[m // 2 - 1] + slopes[m // 2]) / 2
+    )
+    return s, var, z, med
+
+
+def test_mann_kendall_matches_reference(spark):
+    from rust_cdc_validator_spark.operators.timeseries import mann_kendall
+
+    xs = [3.0, 5.0, 2.0, 5.0, 7.0, 6.0, 9.0, 9.0, 11.0, 10.0]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "t long, v double"
+    )
+    row = mann_kendall(df, "t", "v").collect()[0]
+    s, var, z, med = _mk_reference(xs)
+    assert row["n_ticks"] == 10
+    assert row["s_stat"] == s
+    assert row["var_s"] == pytest.approx(var, abs=1e-6)
+    assert row["z"] == pytest.approx(z, abs=1e-5)
+    assert row["sen_slope"] == pytest.approx(med, abs=1e-6)
+
+
+def test_mann_kendall_trend_labels(spark):
+    from rust_cdc_validator_spark.operators.timeseries import mann_kendall
+
+    up = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "t long, v double"
+    )
+    assert mann_kendall(up, "t", "v").collect()[0]["trend"] == "increasing"
+    down = spark.createDataFrame(
+        [(i, float(-i)) for i in range(20)], "t long, v double"
+    )
+    assert mann_kendall(down, "t", "v").collect()[0]["trend"] == "decreasing"
+    flat = spark.createDataFrame(
+        [(i, 1.0 if i % 2 else 2.0) for i in range(12)], "t long, v double"
+    )
+    r = mann_kendall(flat, "t", "v").collect()[0]
+    assert r["trend"] == "no trend"
