@@ -30,7 +30,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["k_anonymity_report", "quasi_group_sizes"]
+__all__ = [
+    "k_anonymity_report",
+    "quasi_group_sizes",
+    "t_closeness_groups",
+    "t_closeness_report",
+    "dp_noisy_counts",
+]
 
 
 def quasi_group_sizes(
@@ -99,4 +105,159 @@ def k_anonymity_report(
     return rep.withColumn(
         "at_risk_ratio",
         F.round(F.col("rows_at_risk") / F.col("n_rows"), 6),
+    )
+
+
+def t_closeness_groups(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+) -> DataFrame:
+    """Per quasi-group t-closeness distance (Li, Li & Venkatasubramanian
+    2007) for a CATEGORICAL sensitive column: the variational distance
+    ½ Σ_v |p_group(v) − p_global(v)| between the group's sensitive
+    distribution and the table's. l-diversity counts values; t-closeness
+    catches the subtler leak where a group's MIX skews far from
+    background (50 distinct diagnoses, 90% of them one disease).
+
+    Exactness contract: the distance is computed as an INTEGER numerator
+    over a common denominator —
+    Σ_present |cnt·N − gcnt·gn| + gn·(N − Σ_present gcnt), all
+    DECIMAL-exact — divided once by 2·gn·N in double, so a SQL oracle
+    replays it bit-for-bit (no cross-row double sums whose association
+    order could differ).
+
+    Scale shape: ONE (quasi, sensitive) hash agg with map-side partials;
+    group totals and the global sensitive distribution both re-aggregate
+    FROM the cells relation (the raw table is read once); the global
+    relation is sensitive-cardinality-sized and broadcast. Output is
+    groups-sized: (quasi..., group_rows, t_distance)."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    dec = "decimal(18,0)"
+    cells = df.groupBy(
+        *[F.col(c) for c in quasi_cols], F.col(sensitive_col).alias("_s")
+    ).agg(F.count(F.lit(1)).alias("_cnt"))
+    g = cells.groupBy(*quasi_cols).agg(
+        F.sum("_cnt").cast("long").alias("_gn")
+    )
+    gl = cells.groupBy("_s").agg(F.sum("_cnt").cast("long").alias("_gcnt"))
+    tot = cells.agg(F.sum("_cnt").cast("long").alias("_nt"))
+    joined = (
+        cells.join(g, quasi_cols)
+        .join(F.broadcast(gl), "_s")
+        .crossJoin(F.broadcast(tot))
+    )
+    num_cell = F.abs(
+        F.col("_cnt").cast(dec) * F.col("_nt").cast(dec)
+        - F.col("_gcnt").cast(dec) * F.col("_gn").cast(dec)
+    )
+    per = joined.groupBy(*quasi_cols).agg(
+        F.sum(num_cell).alias("_num_present"),
+        F.sum("_gcnt").cast("long").alias("_gcnt_present"),
+        F.max("_gn").alias("_gn"),
+        F.max("_nt").alias("_nt"),
+    )
+    dist = (
+        F.col("_num_present")
+        + F.col("_gn").cast(dec)
+        * (F.col("_nt").cast(dec) - F.col("_gcnt_present").cast(dec))
+    ).cast("double") / (
+        F.lit(2.0) * F.col("_gn") * F.col("_nt")
+    )
+    return per.select(
+        *quasi_cols,
+        F.col("_gn").alias("group_rows"),
+        dist.alias("t_distance"),
+    )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float,
+) -> DataFrame:
+    """One-row t-closeness audit over :func:`t_closeness_groups`: the
+    worst group distance, how many groups (and rows) sit beyond the
+    release threshold ``t``, and the at-risk row share. Same plan as the
+    drill-down plus a groups-sized final re-aggregation."""
+    if not 0 < t < 1:
+        raise ValueError("t must be in (0, 1)")
+    groups = t_closeness_groups(df, quasi_cols, sensitive_col)
+    viol = F.col("t_distance") > F.lit(float(t))
+    return (
+        groups.agg(
+            F.sum("group_rows").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.round(F.max("t_distance"), 6).alias("t_max"),
+            F.sum(F.when(viol, 1).otherwise(0))
+            .cast("long")
+            .alias("groups_above_t"),
+            F.sum(F.when(viol, F.col("group_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_above_t"),
+        )
+        .withColumn(
+            "at_risk_ratio",
+            F.round(F.col("rows_above_t") / F.col("n_rows"), 6),
+        )
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float,
+    seed: str = "dp",
+    sensitivity: int = 1,
+) -> DataFrame:
+    """ε-differentially-private group counts via the Laplace mechanism
+    (Dwork et al. 2006) with DETERMINISTIC seeded noise: each group's
+    draw is u = (md5_32(seed:group) + 0.5)/2³², folded through the
+    Laplace inverse CDF −b·sign(u−½)·ln(1−2|u−½|) with scale
+    b = sensitivity/ε. Seeding by group key makes the release
+    reproducible (re-running the pipeline never re-randomizes a
+    published number — re-randomizing would burn privacy budget per
+    run), stage-retry-stable, and SQL-replayable: the oracle
+    reconstructs the identical hash integer and the identical per-row
+    double arithmetic. The +0.5 centering keeps u in (0,1), so the log
+    never sees 0.
+
+    Returns (group..., n, noise, noisy_n) — ``n`` is the EXACT count and
+    stays inside the pipeline boundary; only ``noisy_n`` is the
+    releasable column (kept together here because this operator is the
+    utility-loss audit as much as the release).
+
+    Scale shape: one map-side-combined count agg; noise is a per-group
+    scalar expression over the groups-sized relation. At 100 TB the
+    count is the only thing that touches data."""
+    if epsilon <= 0:
+        raise ValueError("epsilon must be > 0")
+    if sensitivity < 1:
+        raise ValueError("sensitivity must be >= 1")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    counts = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    key = F.concat_ws(
+        ":",
+        F.lit(seed),
+        *[F.col(c).cast("string") for c in group_cols],
+    )
+    x = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    u = (x.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    v = u - F.lit(0.5)
+    b = float(sensitivity) / float(epsilon)
+    noise = (
+        -F.lit(b)
+        * F.signum(v)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(v))
+    )
+    return counts.select(
+        *group_cols,
+        "n",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("n") + noise, 6).alias("noisy_n"),
     )

@@ -11918,6 +11918,128 @@ FROM zc
 """
 
 
+def customers_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release audit (operators/privacy.t_closeness_report)
+    over (nation, market-segment) quasi-groups with the account-balance
+    band (2000-wide) as the sensitive attribute — the distributional
+    leak l-diversity misses: a group can have every band present and
+    still skew far from background. The distance is an exact integer
+    numerator over 2·gn·N (no cross-row double sums), so the one-row
+    report value-hashes against the SQL replay."""
+    from rust_cdc_validator_spark.operators.privacy import (
+        t_closeness_report,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(2000.0)).alias(
+            "band"
+        ),
+    )
+    return t_closeness_report(cust, ["nk", "seg"], "band", t=0.2)
+
+
+CUSTOMERS_T_CLOSENESS_SQL = """
+WITH base AS (
+  SELECT c_nationkey AS nk, c_mktsegment AS seg,
+         CAST(floor(CAST(c_acctbal AS DOUBLE) / 2000.0) AS BIGINT) AS band
+  FROM customer
+), cells AS (
+  SELECT nk, seg, band, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM base GROUP BY 1, 2, 3
+), g AS (
+  SELECT nk, seg, CAST(SUM(cnt) AS BIGINT) AS gn FROM cells GROUP BY 1, 2
+), gl AS (
+  SELECT band, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM cells GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS nt FROM cells
+), per AS (
+  SELECT c.nk, c.seg,
+         SUM(ABS(CAST(c.cnt AS DECIMAL(18,0)) * CAST(t.nt AS DECIMAL(18,0))
+                 - CAST(l.gcnt AS DECIMAL(18,0))
+                   * CAST(g.gn AS DECIMAL(18,0)))) AS num_present,
+         CAST(SUM(l.gcnt) AS BIGINT) AS gcnt_present,
+         MAX(g.gn) AS gn, MAX(t.nt) AS nt
+  FROM cells c
+  JOIN g ON c.nk = g.nk AND c.seg = g.seg
+  JOIN gl l ON c.band = l.band
+  CROSS JOIN tot t
+  GROUP BY 1, 2
+), vd AS (
+  SELECT gn,
+         CAST(num_present
+              + CAST(gn AS DECIMAL(18,0))
+                * (CAST(nt AS DECIMAL(18,0))
+                   - CAST(gcnt_present AS DECIMAL(18,0))) AS DOUBLE)
+           / (2.0 * CAST(gn AS DOUBLE) * nt) AS dist
+  FROM per
+), rep AS (
+  SELECT CAST(SUM(gn) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         round(MAX(dist), 6) AS t_max,
+         CAST(SUM(CASE WHEN dist > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS groups_above_t,
+         CAST(SUM(CASE WHEN dist > 0.2 THEN gn ELSE 0 END) AS BIGINT)
+           AS rows_above_t
+  FROM vd
+)
+SELECT n_rows, n_groups, t_max, groups_above_t, rows_above_t,
+       round(rows_above_t / n_rows, 6) AS at_risk_ratio
+FROM rep
+"""
+
+
+def _md5_u32_sql(expr: str) -> str:
+    """First 8 hex digits of md5(expr) as a 32-bit integer — the oracle
+    twin of F.conv(F.substring(F.md5(...), 1, 8), 16, 10) built from
+    strpos digit lookups (DuckDB has no base-16 conv)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substring(md5({expr}), {i + 1}, 1))"
+        f" - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + "\n   + ".join(terms) + ")"
+
+
+def nation_customer_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private per-nation customer counts
+    (operators/privacy.dp_noisy_counts, ε = 1, sensitivity 1) with
+    deterministic seeded Laplace noise — reproducible releases
+    (re-randomizing per run would burn budget per run) that the oracle
+    replays exactly: the md5-derived uniform, the inverse-CDF fold, and
+    the exact count are all engine-portable arithmetic."""
+    from rust_cdc_validator_spark.operators.privacy import dp_noisy_counts
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    joined = cust.join(
+        F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"]
+    ).select("n_name")
+    return dp_noisy_counts(
+        joined, ["n_name"], epsilon=1.0, seed="dp"
+    ).orderBy("n_name")
+
+
+NATION_CUSTOMER_DP_SQL = f"""
+WITH counts AS (
+  SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+), noisy AS (
+  SELECT n_name, n,
+         (CAST({_md5_u32_sql("'dp:' || n_name")} AS DOUBLE) + 0.5)
+           / 4294967296.0 - 0.5 AS v
+  FROM counts
+)
+SELECT n_name, n,
+       round(-1.0 * sign(v) * ln(1.0 - 2.0 * abs(v)), 6) AS noise,
+       round(n + (-1.0 * sign(v) * ln(1.0 - 2.0 * abs(v))), 6) AS noisy_n
+FROM noisy
+ORDER BY n_name
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -12090,6 +12212,8 @@ QUERIES: dict[str, QueryFn] = {
     "orders_price_mannwhitney": orders_price_mannwhitney,
     "events_value_cusum": events_value_cusum,
     "events_daily_trend_mk": events_daily_trend_mk,
+    "customers_t_closeness": customers_t_closeness,
+    "nation_customer_dp": nation_customer_dp,
     "nation_segment_fdr": nation_segment_fdr,
     "orders_record_price_frontier": orders_record_price_frontier,
     "events_markov_transitions": events_markov_transitions,
@@ -12300,6 +12424,8 @@ ORACLES: dict[str, str] = {
     "orders_price_mannwhitney": ORDERS_PRICE_MANNWHITNEY_SQL,
     "events_value_cusum": EVENTS_VALUE_CUSUM_SQL,
     "events_daily_trend_mk": EVENTS_DAILY_TREND_MK_SQL,
+    "customers_t_closeness": CUSTOMERS_T_CLOSENESS_SQL,
+    "nation_customer_dp": NATION_CUSTOMER_DP_SQL,
     "nation_segment_fdr": NATION_SEGMENT_FDR_SQL,
     "orders_record_price_frontier": ORDERS_RECORD_PRICE_FRONTIER_SQL,
     "events_markov_transitions": EVENTS_MARKOV_TRANSITIONS_SQL,
