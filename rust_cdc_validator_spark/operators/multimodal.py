@@ -8,8 +8,9 @@ features (default, for tests). Formats whose compression lives in the
 stdlib need no codec: :func:`decode_image_pixels` is a REAL pure-numpy
 decoder for BMP (24/32-bit BI_RGB), PPM/PGM (binary P6/P5), 8/16-bit
 PNG including palette+tRNS and Adam7 interlacing (zlib IDAT inflate +
-per-pass scanline unfilter), and GIF 87a/89a first frames (real LZW,
-de-interlace, transparency — r12); :func:`image_channel_stats` feeds real per-channel
+per-pass scanline unfilter), GIF 87a/89a first frames (real LZW,
+de-interlace, transparency — r12), and baseline TIFF (both byte orders,
+strips, PackBits RLE — r12); :func:`image_channel_stats` feeds real per-channel
 pixel statistics through the same Arrow-batched path. JPEG's Huffman/DCT
 entropy coder is the remaining honest raise. Everything Spark-side is real and
 scale-correct: schemas, batch iteration, partition sizing, and the UDF
@@ -174,6 +175,12 @@ def _parse_image_header(b: bytes | None):
             w, h = struct.unpack("<ii", b[18:26])
             return ("bmp", w, abs(h))  # negative height = top-down rows
         return ("bmp", None, None)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        try:
+            arr_dims = _tiff_dims(b)
+        except ValueError:
+            return ("tiff", None, None)
+        return ("tiff", arr_dims[0], arr_dims[1])
     if b[:2] == b"\xff\xd8":
         i = 2
         while i + 3 < len(b):
@@ -642,6 +649,143 @@ def _decode_gif(b: bytes):
     raise ValueError("GIF contains no image data")
 
 
+def _packbits_decode(data: bytes, expect: int) -> bytearray:
+    """Apple PackBits RLE (TIFF compression 32773): n in 0..127 copies
+    n+1 literal bytes, n in -127..-1 repeats the next byte 1-n times,
+    -128 is a no-op. Bounded by ``expect`` so a crafted run can't
+    inflate past the declared strip size."""
+    out = bytearray()
+    i = 0
+    n_data = len(data)
+    while i < n_data and len(out) < expect:
+        n = data[i]
+        i += 1
+        if n == 128:
+            continue
+        if n < 128:
+            if i + n + 1 > n_data:
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + n + 1]
+            i += n + 1
+        else:
+            if i >= n_data:
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    if len(out) < expect:
+        raise ValueError("PackBits strip shorter than declared raster")
+    return out[:expect]
+
+
+def _decode_tiff(b: bytes):
+    """REAL baseline-TIFF decode, pure stdlib+numpy (TIFF 6.0 §2-§9):
+    both byte orders, first-IFD walk, 8-bit grayscale (photometric 0/1)
+    and RGB(A) (photometric 2, samples-per-pixel 3/4, contiguous planar
+    config), strip-organized, compression 1 (none) or 32773 (PackBits —
+    real RLE). Returns (h, w, c) uint8. Tiled layouts, palette color,
+    16-bit samples, planar=2, and LZW/JPEG/Deflate compression raise
+    NotImplementedError; corrupt structures raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 8:
+        raise ValueError("truncated TIFF header")
+    if b[:4] == b"II*\x00":
+        e = "<"
+    elif b[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("unrecognized image container")
+    (ifd_off,) = struct.unpack(e + "I", b[4:8])
+    if ifd_off + 2 > len(b):
+        raise ValueError("truncated TIFF IFD")
+    (n_entries,) = struct.unpack(e + "H", b[ifd_off : ifd_off + 2])
+    type_width = {1: 1, 3: 2, 4: 4}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+
+    def read_tag(pos: int):
+        tag, typ, cnt = struct.unpack(e + "HHI", b[pos : pos + 8])
+        if typ not in type_width:
+            return tag, None  # RATIONAL/ASCII etc — not needed here
+        total = type_width[typ] * cnt
+        if total <= 4:
+            raw = b[pos + 8 : pos + 8 + total]
+        else:
+            (off,) = struct.unpack(e + "I", b[pos + 8 : pos + 12])
+            if off + total > len(b):
+                raise ValueError("TIFF tag value past end of file")
+            raw = b[off : off + total]
+        return tag, list(struct.unpack(e + type_fmt[typ] * cnt, raw))
+
+    tags: dict[int, list[int]] = {}
+    for k in range(n_entries):
+        pos = ifd_off + 2 + 12 * k
+        if pos + 12 > len(b):
+            raise ValueError("truncated TIFF IFD entry")
+        tag, vals = read_tag(pos)
+        if vals is not None:
+            tags[tag] = vals
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag {exc}") from exc
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate TIFF dimensions")
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [1])
+    rows_per_strip = tags.get(278, [h])[0] or h
+    planar = tags.get(284, [1])[0]
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF not supported")
+    if planar != 1:
+        raise NotImplementedError("planar TIFF (284=2) not supported")
+    if photo == 3:
+        raise NotImplementedError("palette TIFF not supported")
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(f"TIFF photometric {photo} not supported")
+    if any(bv != 8 for bv in bits) or (photo == 2 and spp not in (3, 4)):
+        raise NotImplementedError(
+            "only 8-bit grayscale/RGB(A) TIFF is supported"
+        )
+    if photo in (0, 1) and spp != 1:
+        raise NotImplementedError("extra-sample grayscale TIFF not supported")
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} requires codec libs not present in "
+            "this environment"
+        )
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF strip offsets/counts length mismatch")
+    row_bytes = w * spp
+    raster = bytearray()
+    remaining = h
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(b):
+            raise ValueError("TIFF strip past end of file")
+        strip_rows = min(rows_per_strip, remaining)
+        expect = strip_rows * row_bytes
+        chunk = b[off : off + cnt]
+        if comp == 32773:
+            raster += _packbits_decode(chunk, expect)
+        else:
+            if len(chunk) < expect:
+                raise ValueError("truncated TIFF strip")
+            raster += chunk[:expect]
+        remaining -= strip_rows
+    if remaining > 0:
+        raise ValueError("TIFF strips cover fewer rows than declared")
+    arr = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(h, w, spp)
+    if photo == 0:  # WhiteIsZero: invert so 0 stays black like everywhere
+        arr = 255 - arr
+    return arr
+
+
 def decode_image_pixels(b: bytes | None):
     """REAL pixel decode, pure stdlib+numpy — no codec libraries: BMP
     with BITMAPINFOHEADER, 24/32-bit BI_RGB (row stride padded to 4
@@ -649,10 +793,12 @@ def decode_image_pixels(b: bytes | None):
     binary PPM/PGM (P6/P5, maxval ≤ 255, '#' comments), non-interlaced
     8-bit PNG (gray / gray+alpha / RGB / RGBA / palette+tRNS — stdlib
     ``zlib`` inflates IDAT, scanline filters 0-4 unfiltered per spec),
-    and GIF 87a/89a first frames (r12: REAL LZW decompression,
+    GIF 87a/89a first frames (r12: REAL LZW decompression,
     variable-width LSB-first codes with clear/end handling, 4-pass
-    de-interlace, GCE transparency → RGBA). Returns an (h, w, c) uint8
-    array in RGB(A)(/gray) channel order.
+    de-interlace, GCE transparency → RGBA), and baseline TIFF (II/MM
+    byte orders, 8-bit gray incl. WhiteIsZero and RGB(A), strip layout,
+    compression 1/32773 with real PackBits RLE). Returns an (h, w, c)
+    uint8 array in RGB(A)(/gray) channel order.
 
     JPEG (Huffman/DCT) RAISES NotImplementedError — the honest boundary:
     its entropy coder isn't in the stdlib. 16-bit / interlaced PNGs
@@ -671,6 +817,8 @@ def decode_image_pixels(b: bytes | None):
         return _decode_png(b)
     if fmt == "gif":
         return _decode_gif(b)
+    if fmt == "tiff":
+        return _decode_tiff(b)
     if fmt == "jpeg":
         raise NotImplementedError(
             "jpeg pixel decode requires codec libs not present in this "
@@ -922,9 +1070,12 @@ def decode_wav_pcm(b: bytes | None):
     with ``samples`` a float64 (n_frames, n_channels) array normalized
     to [-1, 1] for integer encodings.
 
-    Remaining compressed codecs inside WAV (mu-law, MS-ADPCM,
-    MP3-in-RIFF) RAISE NotImplementedError — the honest boundary;
-    corrupt/truncated containers raise ValueError."""
+    G.711 companded telephony codecs (format 6 = A-law, 7 = µ-law) are
+    REAL decodes too — the expansion is a closed-form 256-entry table
+    built from the CCITT segment arithmetic, no codec libs. Remaining
+    compressed codecs inside WAV (MS-ADPCM, MP3-in-RIFF) RAISE
+    NotImplementedError — the honest boundary; corrupt/truncated
+    containers raise ValueError."""
     import struct
 
     import numpy as np
@@ -957,6 +1108,17 @@ def decode_wav_pcm(b: bytes | None):
             raise ValueError(f"IMA ADPCM declares {bits}-bit samples")
         raw16 = _decode_ima_adpcm(data, n_channels, block_align)
         return raw16.astype("float64") / 32768.0, int(sample_rate)
+    if audio_format in (6, 7):  # G.711 A-law / µ-law — table expand (r12)
+        if bits not in (0, 8):
+            raise ValueError(f"G.711 declares {bits}-bit samples")
+        n = len(data) // n_channels
+        if n == 0:
+            raise ValueError("empty WAV data chunk")
+        table = _alaw_table() if audio_format == 6 else _ulaw_table()
+        lin = table[
+            np.frombuffer(data, dtype=np.uint8, count=n * n_channels)
+        ].reshape(n, n_channels)
+        return lin.astype("float64") / 32768.0, int(sample_rate)
     if audio_format == 1:
         dtype = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
         if dtype is None:
@@ -987,6 +1149,213 @@ def decode_wav_pcm(b: bytes | None):
     return samples, int(sample_rate)
 
 
+def _ulaw_table():
+    """256-entry µ-law → linear int16 expansion (CCITT G.711
+    ulaw2linear): invert, split sign/segment/mantissa, rebuild
+    ((m·8 + 0x84) << seg) − 0x84 with the sign restored. Matches the
+    classic reference decoder (and CPython's audioop) bit-for-bit."""
+    import numpy as np
+
+    u = ~np.arange(256, dtype=np.int32) & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t = t << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _alaw_table():
+    """256-entry A-law → linear int16 expansion (CCITT G.711
+    alaw2linear): XOR 0x55, then the segment ladder — segment 0 is
+    linear (step 16, offset 8), segment s ≥ 1 shifts (m·16 + 0x108) left
+    by s − 1. Matches the classic reference decoder bit-for-bit."""
+    import numpy as np
+
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    m = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(
+        seg == 0,
+        m + 8,
+        np.where(seg == 1, m + 0x108, (m + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def _read_float80(b: bytes) -> float:
+    """IEEE 754 extended-precision (80-bit, big-endian) → float — the
+    sample-rate encoding AIFF's COMM chunk uses (Apple IFF-85 spec).
+    Pure integer arithmetic: value = mantissa · 2^(exp − 16383 − 63)."""
+    import struct
+
+    if len(b) != 10:
+        raise ValueError("extended float must be 10 bytes")
+    (se,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:10])
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp == 0x7FFF:
+        raise ValueError("non-finite extended float")
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def decode_au(b: bytes | None):
+    """REAL audio decode for Sun/NeXT .au (big-endian '.snd' header):
+    µ-law (enc 1), linear PCM int8/16/24/32 BE (enc 2-5), IEEE float
+    32/64 BE (enc 6-7), and A-law (enc 27) — the complete
+    stdlib-decodable set. Returns (samples, sample_rate), samples
+    float64 (n_frames, n_channels) in [-1, 1] for integer encodings.
+    Unknown encodings (G.721/G.723 ADPCM, ...) raise
+    NotImplementedError; corrupt/truncated payloads raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    if not b or len(b) < 24:
+        raise ValueError("truncated AU header")
+    if b[:4] != b".snd":
+        raise ValueError("unrecognized audio container")
+    off, size, enc, rate, nch = struct.unpack(">IIIII", b[4:24])
+    if nch < 1 or rate < 1 or off < 24:
+        raise ValueError("degenerate AU header")
+    data = b[off:] if size == 0xFFFFFFFF else b[off : off + size]
+    if size != 0xFFFFFFFF and len(data) < size:
+        raise ValueError("truncated AU data")
+    if enc in (1, 27):
+        n = len(data) // nch
+        if n == 0:
+            raise ValueError("empty AU data")
+        table = _ulaw_table() if enc == 1 else _alaw_table()
+        lin = table[
+            np.frombuffer(data, dtype=np.uint8, count=n * nch)
+        ].reshape(n, nch)
+        return lin.astype("float64") / 32768.0, int(rate)
+    if enc == 4:  # int24 BE: widen to int32 via byte assembly
+        n = len(data) // (3 * nch)
+        if n == 0:
+            raise ValueError("empty AU data")
+        raw = np.frombuffer(data, dtype=np.uint8, count=n * nch * 3)
+        raw = raw.reshape(-1, 3).astype(np.int32)
+        v = (raw[:, 0] << 16) | (raw[:, 1] << 8) | raw[:, 2]
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        return (
+            v.reshape(n, nch).astype("float64") / float(1 << 23),
+            int(rate),
+        )
+    spec = {
+        2: (">i1", 1 << 7),
+        3: (">i2", 1 << 15),
+        5: (">i4", 1 << 31),
+        6: (">f4", None),
+        7: (">f8", None),
+    }.get(enc)
+    if spec is None:
+        raise NotImplementedError(
+            f"AU encoding {enc} requires codec libs not present in this "
+            "environment"
+        )
+    dt, scale = spec
+    width = np.dtype(dt).itemsize
+    n = len(data) // (width * nch)
+    if n == 0:
+        raise ValueError("empty AU data")
+    raw = np.frombuffer(data, dtype=dt, count=n * nch).reshape(n, nch)
+    if scale is None:
+        return raw.astype("float64"), int(rate)
+    return raw.astype("float64") / float(scale), int(rate)
+
+
+def decode_aiff(b: bytes | None):
+    """REAL audio decode for AIFF (big-endian IFF-85 FORM/AIFF): COMM
+    chunk (channels, frames, bit depth, 80-bit extended-float sample
+    rate — parsed with integer arithmetic, no struct 'e' support
+    needed) + SSND chunk (offset/blocksize prelude), PCM int8/16/24/32
+    big-endian. Returns (samples, sample_rate) like the WAV/AU paths.
+    AIFC compressed variants raise NotImplementedError; corrupt or
+    truncated containers raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    if not b or len(b) < 12:
+        raise ValueError("truncated IFF header")
+    if b[:4] != b"FORM" or b[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("unrecognized audio container")
+    if b[8:12] == b"AIFC":
+        raise NotImplementedError(
+            "AIFC compressed audio requires codec libs not present in "
+            "this environment"
+        )
+    pos = 12
+    comm = None
+    ssnd = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack(">I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            if len(body) < 18:
+                raise ValueError("truncated COMM chunk")
+            nch, nframes, bits = struct.unpack(">hIh", body[:8])
+            rate = _read_float80(body[8:18])
+            comm = (nch, nframes, bits, rate)
+        elif cid == b"SSND":
+            if len(body) < 8 or len(body) < size:
+                raise ValueError("truncated SSND chunk")
+            (off,) = struct.unpack(">I", body[:4])
+            ssnd = body[8 + off :]
+        pos += 8 + size + (size & 1)  # IFF chunks pad to even offsets
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    nch, nframes, bits, rate = comm
+    if nch < 1 or rate <= 0:
+        raise ValueError("degenerate AIFF COMM")
+    if bits == 24:
+        n = len(ssnd) // (3 * nch)
+        n = min(n, nframes) if nframes else n
+        if n == 0:
+            raise ValueError("empty AIFF sound data")
+        raw = np.frombuffer(ssnd, dtype=np.uint8, count=n * nch * 3)
+        raw = raw.reshape(-1, 3).astype(np.int32)
+        v = (raw[:, 0] << 16) | (raw[:, 1] << 8) | raw[:, 2]
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        return (
+            v.reshape(n, nch).astype("float64") / float(1 << 23),
+            int(round(rate)),
+        )
+    dt = {8: ">i1", 16: ">i2", 32: ">i4"}.get(bits)
+    if dt is None:
+        raise NotImplementedError(f"{bits}-bit AIFF not supported")
+    width = np.dtype(dt).itemsize
+    n = len(ssnd) // (width * nch)
+    n = min(n, nframes) if nframes else n
+    if n == 0:
+        raise ValueError("empty AIFF sound data")
+    raw = np.frombuffer(ssnd, dtype=dt, count=n * nch).reshape(n, nch)
+    return (
+        raw.astype("float64") / float(1 << (bits - 1)),
+        int(round(rate)),
+    )
+
+
+def decode_audio(b: bytes | None):
+    """Container dispatch over every REAL audio decoder here: RIFF/WAVE
+    → :func:`decode_wav_pcm` (PCM, float, IMA ADPCM, G.711), '.snd' →
+    :func:`decode_au`, FORM/AIFF → :func:`decode_aiff`. Same
+    (samples, sample_rate) contract and the same honest boundaries —
+    unknown containers raise ValueError so triage callers
+    (:func:`audio_stats`) can NULL them."""
+    if not b or len(b) < 4:
+        raise ValueError("empty payload")
+    if b[:4] == b"RIFF":
+        return decode_wav_pcm(b)
+    if b[:4] == b".snd":
+        return decode_au(b)
+    if b[:4] == b"FORM":
+        return decode_aiff(b)
+    raise ValueError("unrecognized audio container")
+
+
 AUDIO_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -1005,7 +1374,8 @@ def audio_stats(
     df: DataFrame, id_col: str = "media_id", bin_col: str = "payload"
 ) -> DataFrame:
     """REAL per-clip audio statistics for every payload
-    :func:`decode_wav_pcm` can decode — sample rate, channel/frame
+    :func:`decode_audio` can decode (WAV/PCM-float-ADPCM-G.711, Sun AU,
+    AIFF) — sample rate, channel/frame
     counts, duration, RMS level, absolute peak, and zero-crossing rate
     (the crudest pitch/noisiness proxy) over the channel-mean signal.
     Undecodable payloads (compressed codecs, corrupt bytes, non-WAV)
@@ -1024,7 +1394,7 @@ def audio_stats(
             )
             for p in pdf[bin_col]:
                 try:
-                    samples, sr = decode_wav_pcm(p)
+                    samples, sr = decode_audio(p)
                 except (NotImplementedError, ValueError):
                     for acc in (srs, ncs, nfs, durs, rmss, peaks, zcrs):
                         acc.append(None)
@@ -1057,3 +1427,37 @@ def audio_stats(
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
         gen, schema=AUDIO_STATS_SCHEMA
     )
+
+
+def _tiff_dims(b: bytes):
+    """(width, height) from a TIFF first IFD — the header-parse sibling
+    of :func:`_decode_tiff` for :func:`image_meta` triage (dimensions
+    only, no strip reads). Raises ValueError on corrupt structure."""
+    import struct
+
+    if len(b) < 8:
+        raise ValueError("truncated TIFF header")
+    e = "<" if b[:4] == b"II*\x00" else ">"
+    (ifd_off,) = struct.unpack(e + "I", b[4:8])
+    if ifd_off + 2 > len(b):
+        raise ValueError("truncated TIFF IFD")
+    (n_entries,) = struct.unpack(e + "H", b[ifd_off : ifd_off + 2])
+    w = h = None
+    for k in range(n_entries):
+        pos = ifd_off + 2 + 12 * k
+        if pos + 12 > len(b):
+            raise ValueError("truncated TIFF IFD entry")
+        tag, typ, cnt = struct.unpack(e + "HHI", b[pos : pos + 8])
+        if tag not in (256, 257) or typ not in (3, 4) or cnt != 1:
+            continue
+        val = struct.unpack(
+            e + ("H" if typ == 3 else "I"),
+            b[pos + 8 : pos + 8 + (2 if typ == 3 else 4)],
+        )[0]
+        if tag == 256:
+            w = val
+        else:
+            h = val
+    if w is None or h is None:
+        raise ValueError("TIFF IFD missing dimensions")
+    return (w, h)

@@ -1302,3 +1302,277 @@ def test_png_subbyte_adam7_and_invalid_combos():
     # sub-byte RGB is invalid per spec
     with pytest.raises(ValueError, match="sub-byte"):
         decode_image_pixels(_subbyte_png(vals, 4, 2))
+
+
+def _tiff_bytes(w, h, pixels, *, endian="<", photometric=1, spp=1,
+                compression=1, rows_per_strip=None, bits=8):
+    """Minimal strip-organized baseline TIFF writer for fixtures."""
+    import struct
+
+    e = endian
+    rows_per_strip = rows_per_strip or h
+    row_bytes = w * spp
+    strips = []
+    y = 0
+    while y < h:
+        rows = min(rows_per_strip, h - y)
+        raw = bytes(pixels[y * row_bytes : (y + rows) * row_bytes])
+        if compression == 32773:
+            # naive PackBits: emit literal runs of <=128 bytes
+            out = bytearray()
+            for i in range(0, len(raw), 128):
+                chunk = raw[i : i + 128]
+                out.append(len(chunk) - 1)
+                out += chunk
+            raw = bytes(out)
+        strips.append(raw)
+        y += rows
+    n_strips = len(strips)
+    tags = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, bits),
+        (259, 3, 1, compression), (262, 3, 1, photometric),
+        (277, 3, 1, spp), (278, 3, 1, rows_per_strip),
+    ]
+    # layout: 8-byte header, IFD, then offset arrays, then strips
+    n_tags = len(tags) + 2  # + 273 offsets + 279 counts
+    ifd_size = 2 + 12 * n_tags + 4
+    arrays_off = 8 + ifd_size
+    extra = b""
+    if n_strips > 1:
+        off273 = arrays_off
+        off279 = arrays_off + 4 * n_strips
+        data_off = off279 + 4 * n_strips
+    else:
+        data_off = arrays_off
+    offs, pos = [], data_off
+    for sdata in strips:
+        offs.append(pos)
+        pos += len(sdata)
+    if n_strips > 1:
+        extra = struct.pack(e + "I" * n_strips, *offs) + struct.pack(
+            e + "I" * n_strips, *[len(sd) for sd in strips]
+        )
+        tags.append((273, 4, n_strips, off273))
+        tags.append((279, 4, n_strips, off279))
+    else:
+        tags.append((273, 4, 1, offs[0]))
+        tags.append((279, 4, 1, len(strips[0])))
+    tags.sort()
+    hdr = (b"II*\x00" if e == "<" else b"MM\x00*") + struct.pack(e + "I", 8)
+    ifd = struct.pack(e + "H", n_tags)
+    for tag, typ, cnt, val in tags:
+        if typ == 3 and cnt == 1:
+            ifd += struct.pack(e + "HHI", tag, typ, cnt) + struct.pack(
+                e + "HH", val, 0
+            )
+        else:
+            ifd += struct.pack(e + "HHII", tag, typ, cnt, val)
+    ifd += struct.pack(e + "I", 0)
+    return hdr + ifd + extra + b"".join(strips)
+
+
+def test_tiff_decode_gray_both_orders_and_whitezero():
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.multimodal import (
+        _parse_image_header,
+        decode_image_pixels,
+    )
+
+    pix = list(range(12))  # 4x3 gradient
+    for e in ("<", ">"):
+        b = _tiff_bytes(4, 3, pix, endian=e)
+        assert _parse_image_header(b) == ("tiff", 4, 3)
+        arr = decode_image_pixels(b)
+        assert arr.shape == (3, 4, 1)
+        assert arr.flatten().tolist() == pix
+    inv = decode_image_pixels(_tiff_bytes(4, 3, pix, photometric=0))
+    assert np.array_equal(inv.flatten(), 255 - np.array(pix))
+
+
+def test_tiff_decode_rgb_packbits_multistrip():
+    from rust_cdc_validator_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    w, h = 5, 6
+    pix = [(x * 7 + y * 11 + c * 3) % 256
+           for y in range(h) for x in range(w) for c in range(3)]
+    plain = decode_image_pixels(
+        _tiff_bytes(w, h, pix, spp=3, photometric=2)
+    )
+    packed = decode_image_pixels(
+        _tiff_bytes(w, h, pix, spp=3, photometric=2,
+                    compression=32773, rows_per_strip=2)
+    )
+    assert plain.shape == (h, w, 3)
+    assert (plain == packed).all()
+    assert plain.reshape(-1).tolist() == pix
+
+
+def test_tiff_decode_packbits_repeat_runs():
+    from rust_cdc_validator_spark.operators.multimodal import (
+        _packbits_decode,
+    )
+
+    # literal(3) + repeat(4 x 0xAB) + noop + literal(1)
+    data = bytes([2, 1, 2, 3, 257 - 4, 0xAB, 128, 0, 9])
+    assert _packbits_decode(data, 8) == bytearray(
+        [1, 2, 3, 0xAB, 0xAB, 0xAB, 0xAB, 9]
+    )
+    with pytest.raises(ValueError, match="shorter"):
+        _packbits_decode(bytes([1, 5, 6]), 10)
+
+
+def test_tiff_honest_boundaries():
+    from rust_cdc_validator_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    with pytest.raises(NotImplementedError, match="palette"):
+        decode_image_pixels(_tiff_bytes(2, 2, [0, 1, 2, 3], photometric=3))
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        decode_image_pixels(_tiff_bytes(2, 2, [0, 1, 2, 3], compression=5))
+    with pytest.raises(ValueError, match="past end of file"):
+        decode_image_pixels(_tiff_bytes(4, 3, list(range(12)))[:-4])
+
+
+def _wav_bytes(fmt_code, data, n_channels=1, rate=8000, bits=8):
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, n_channels, rate,
+        rate * n_channels * max(bits // 8, 1), n_channels, bits,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_g711_wav_decode_matches_audioop():
+    import warnings
+
+    import numpy as np
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from rust_cdc_validator_spark.operators.multimodal import (
+        decode_audio,
+        decode_wav_pcm,
+    )
+
+    raw = bytes(range(256))
+    for code, expand in ((7, audioop.ulaw2lin), (6, audioop.alaw2lin)):
+        samples, sr = decode_wav_pcm(_wav_bytes(code, raw))
+        ref = np.frombuffer(expand(raw, 2), dtype=np.int16) / 32768.0
+        assert sr == 8000 and samples.shape == (256, 1)
+        assert np.array_equal(samples[:, 0], ref)
+        # dispatcher reaches the same decoder
+        via, _ = decode_audio(_wav_bytes(code, raw))
+        assert np.array_equal(via, samples)
+    # stereo G.711 de-interleaves
+    st, _ = decode_wav_pcm(_wav_bytes(7, raw, n_channels=2))
+    assert st.shape == (128, 2)
+
+
+def _au_bytes(enc, data, rate=8000, nch=1):
+    import struct
+
+    return b".snd" + struct.pack(
+        ">IIIII", 28, len(data), enc, rate, nch
+    ) + b"\x00" * 4 + data
+
+
+def test_au_decode_all_encodings():
+    import struct
+    import warnings
+
+    import numpy as np
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from rust_cdc_validator_spark.operators.multimodal import decode_au
+
+    # mu-law
+    raw = bytes(range(256))
+    s, sr = decode_au(_au_bytes(1, raw))
+    ref = np.frombuffer(audioop.ulaw2lin(raw, 2), dtype=np.int16) / 32768.0
+    assert sr == 8000 and np.array_equal(s[:, 0], ref)
+    # int16 BE
+    vals = [-32768, -1, 0, 1, 32767]
+    s, _ = decode_au(_au_bytes(3, struct.pack(">5h", *vals)))
+    assert np.allclose(s[:, 0], np.array(vals) / 32768.0)
+    # int24 BE round-trip of known values
+    v24 = [-(1 << 23), -1, 0, 1, (1 << 23) - 1]
+    payload = b"".join(
+        (v & 0xFFFFFF).to_bytes(3, "big") for v in v24
+    )
+    s, _ = decode_au(_au_bytes(4, payload))
+    assert np.allclose(s[:, 0], np.array(v24) / float(1 << 23))
+    # float64 BE passes through
+    s, _ = decode_au(_au_bytes(7, struct.pack(">3d", -0.5, 0.0, 0.25)))
+    assert s[:, 0].tolist() == [-0.5, 0.0, 0.25]
+    with pytest.raises(NotImplementedError, match="encoding 23"):
+        decode_au(_au_bytes(23, b"\x00\x00"))
+    with pytest.raises(ValueError, match="truncated AU header"):
+        decode_au(b".snd\x00")
+
+
+def _aiff_bytes(frames_data, nch, bits, rate_f80, nframes):
+    import struct
+
+    comm = struct.pack(">hIh", nch, nframes, bits) + rate_f80
+    ssnd = struct.pack(">II", 0, 0) + frames_data
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def test_aiff_decode_pcm_and_rate():
+    import struct
+
+    import numpy as np
+
+    from rust_cdc_validator_spark.operators.multimodal import (
+        decode_aiff,
+        decode_audio,
+    )
+
+    rate44100 = bytes.fromhex("400eac44000000000000")  # 44100.0 as f80
+    vals = [-32768, -12345, 0, 12345, 32767]
+    data = struct.pack(">5h", *vals)
+    s, sr = decode_aiff(_aiff_bytes(data, 1, 16, rate44100, 5))
+    assert sr == 44100
+    assert np.allclose(s[:, 0], np.array(vals) / 32768.0)
+    via, _ = decode_audio(_aiff_bytes(data, 1, 16, rate44100, 5))
+    assert np.array_equal(via, s)
+    # 24-bit stereo
+    v24 = [-(1 << 23), 42, -42, (1 << 23) - 1]
+    payload = b"".join((v & 0xFFFFFF).to_bytes(3, "big") for v in v24)
+    s, _ = decode_aiff(_aiff_bytes(payload, 2, 24, rate44100, 2))
+    assert s.shape == (2, 2)
+    assert np.allclose(
+        s.reshape(-1), np.array(v24) / float(1 << 23)
+    )
+    with pytest.raises(NotImplementedError, match="AIFC"):
+        decode_aiff(b"FORM" + b"\x00\x00\x00\x04" + b"AIFC")
+    with pytest.raises(ValueError, match="COMM/SSND"):
+        decode_aiff(b"FORM" + b"\x00\x00\x00\x04" + b"AIFF")
+
+
+def test_decode_audio_dispatch_boundaries():
+    from rust_cdc_validator_spark.operators.multimodal import decode_audio
+
+    with pytest.raises(ValueError, match="empty payload"):
+        decode_audio(b"")
+    with pytest.raises(ValueError, match="unrecognized audio"):
+        decode_audio(b"OggS\x00\x00\x00\x00")
