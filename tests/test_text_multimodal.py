@@ -1437,7 +1437,7 @@ def test_tiff_honest_boundaries():
         decode_image_pixels(_tiff_bytes(4, 3, list(range(12)))[:-4])
 
 
-def _wav_bytes(fmt_code, data, n_channels=1, rate=8000, bits=8):
+def _g711_wav_bytes(fmt_code, data, n_channels=1, rate=8000, bits=8):
     import struct
 
     fmt = struct.pack(
@@ -1467,15 +1467,15 @@ def test_g711_wav_decode_matches_audioop():
 
     raw = bytes(range(256))
     for code, expand in ((7, audioop.ulaw2lin), (6, audioop.alaw2lin)):
-        samples, sr = decode_wav_pcm(_wav_bytes(code, raw))
+        samples, sr = decode_wav_pcm(_g711_wav_bytes(code, raw))
         ref = np.frombuffer(expand(raw, 2), dtype=np.int16) / 32768.0
         assert sr == 8000 and samples.shape == (256, 1)
         assert np.array_equal(samples[:, 0], ref)
         # dispatcher reaches the same decoder
-        via, _ = decode_audio(_wav_bytes(code, raw))
+        via, _ = decode_audio(_g711_wav_bytes(code, raw))
         assert np.array_equal(via, samples)
     # stereo G.711 de-interleaves
-    st, _ = decode_wav_pcm(_wav_bytes(7, raw, n_channels=2))
+    st, _ = decode_wav_pcm(_g711_wav_bytes(7, raw, n_channels=2))
     assert st.shape == (128, 2)
 
 
