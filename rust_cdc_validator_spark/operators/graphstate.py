@@ -1302,3 +1302,125 @@ def modularity_from_state(
         raise ValueError("modularity_from_state requires undirected edge state")
     adj = edge_state_adjacency(spark, path).select("src", "dst", "w")
     return _modularity_core(adj, assignment)
+
+
+def _nf_alpha_m2(p: int) -> float:
+    m = 1 << p
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    elif m == 64:
+        alpha = 0.709
+    elif m == 32:
+        alpha = 0.697
+    else:
+        alpha = 0.673
+    return alpha * m * m
+
+
+def _nf_radius_row(regs: DataFrame, radius: int, p: int) -> DataFrame:
+    """One (radius, n_nodes, nf) row from a sparse register relation —
+    the per-node HLL estimate with the harmonic sum kept EXACT: each
+    2^−ρ is the integer 2^(tail+1−ρ) (BIGINT, never rounded), divided
+    back once per node; per-node estimates round to 6dp and sum as
+    DECIMAL so the cross-node total is order-independent."""
+    m = 1 << p
+    tail1 = 60 - p + 1
+    per = regs.groupBy("node").agg(
+        F.count(F.lit(1)).alias("_nz"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {tail1} - _rho)")
+        ).alias("_ss"),
+    )
+    s_full = (
+        F.col("_ss").cast("double") / F.lit(float(1 << tail1))
+        + (F.lit(m) - F.col("_nz")) * F.lit(1.0)
+    )
+    raw = F.lit(_nf_alpha_m2(p)) / s_full
+    zeros = F.lit(m) - F.col("_nz")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return per.select(est.alias("_est")).agg(
+        F.lit(radius).alias("radius"),
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.round(F.col("_est"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("_nf"),
+    )
+
+
+def neighborhood_function_from_state(
+    spark: SparkSession,
+    path: str,
+    horizon: int = 3,
+    p: int = 6,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """HyperBall neighborhood function (Boldi & Vigna 2013, "In-Core
+    Computation of Geometric Centralities with HyperBall") over
+    persisted edge state: per radius r ≤ ``horizon``, the estimated
+    number of (node, reachable-node) pairs within r hops — the curve
+    behind effective-diameter and average-distance readouts, computable
+    on graphs where exact all-pairs BFS is quadratically out of reach.
+
+    Each node carries an HLL register set seeded with its own hash;
+    a superstep merges every neighbor's registers into the node's
+    (register-wise max — exactly :func:`sketch.hll_merge`'s semantics),
+    so after r steps node v's sketch estimates |ball(v, r)|. Registers
+    live as SPARSE (node, idx, rho) rows: a superstep is ONE adjacency
+    join + ONE (node, idx) max-aggregation with map-side combine —
+    shuffle ∝ |E| · (non-zero registers) rows of three small ints,
+    never a gather of neighbor arrays (no celebrity-degree collect_list
+    buffer). Lineage truncates per superstep like every loop here.
+
+    Determinism/oracle contract: node hashes are the md5-derived 60-bit
+    _h60 (SQL-replayable); the per-node harmonic sum accumulates EXACT
+    integers (Σ 2^(tail+1−ρ) in BIGINT, one divide at the end); per-node
+    estimates round to 6dp and cross-node totals sum in DECIMAL — an
+    unrolled SQL oracle replays every radius bit-for-bit.
+
+    Returns one row per radius 0..horizon: (radius, n_nodes, nf_est,
+    avg_ball, coverage) where coverage is N(r)/N(horizon) — read the
+    effective diameter as the smallest r with coverage ≥ 0.9. Estimate
+    error ~1.04/√(2^p); p=6 keeps superstep rows ≤ 64/node (the knob to
+    raise on precision-critical graphs)."""
+    from functools import reduce
+
+    from rust_cdc_validator_spark.operators.sketch import hll_index_rank
+
+    if horizon < 0:
+        raise ValueError("horizon must be >= 0")
+    if not 4 <= p <= 12:
+        raise ValueError("p must be in [4, 12]")
+    adj = edge_state_adjacency(spark, path).select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d")
+    )
+    idx, rho = hll_index_rank(F.col("node"), p)
+    regs = edge_state_nodes(spark, path).select(
+        "node", idx.alias("_idx"), rho.alias("_rho")
+    )
+    if checkpoint:
+        regs = regs.localCheckpoint(eager=True)
+    rows = [_nf_radius_row(regs, 0, p)]
+    for t in range(1, horizon + 1):
+        msgs = adj.join(regs, adj["_s"] == regs["node"]).select(
+            F.col("_d").alias("node"), "_idx", "_rho"
+        )
+        regs = (
+            regs.unionAll(msgs)
+            .groupBy("node", "_idx")
+            .agg(F.max("_rho").alias("_rho"))
+        )
+        if checkpoint:
+            regs = regs.localCheckpoint(eager=True)
+        rows.append(_nf_radius_row(regs, t, p))
+    curve = reduce(lambda a, b: a.unionAll(b), rows)
+    final = rows[-1].select(F.col("_nf").alias("_nf_final"))
+    return curve.crossJoin(F.broadcast(final)).select(
+        "radius",
+        "n_nodes",
+        F.round("_nf", 6).alias("nf_est"),
+        F.round(F.col("_nf") / F.col("n_nodes"), 6).alias("avg_ball"),
+        F.round(F.col("_nf") / F.col("_nf_final"), 6).alias("coverage"),
+    )

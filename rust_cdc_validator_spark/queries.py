@@ -12040,6 +12040,113 @@ ORDER BY n_name
 """
 
 
+def trade_neighborhood_function(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HyperBall neighborhood function (Boldi & Vigna 2013;
+    operators/graphstate.neighborhood_function_from_state) over the
+    persisted customer↔supplier trade graph: per radius 0..3, the
+    estimated (node, reachable) pair count, average ball size, and
+    coverage vs the horizon ball — the effective-diameter curve
+    computed with per-node HLL registers instead of quadratic all-pairs
+    BFS. Registers propagate as sparse rows (one adjacency join + one
+    max-agg per superstep); the harmonic sums are exact scaled
+    integers and the cross-node totals DECIMAL-summed, so the whole
+    iterative sketch value-hashes against a generated unrolled SQL
+    oracle — radius by radius."""
+    from rust_cdc_validator_spark.operators.graphstate import (
+        neighborhood_function_from_state,
+    )
+
+    return neighborhood_function_from_state(
+        spark, _trade_edge_state_for(spark, sf_dir), horizon=3, p=6
+    )
+
+
+def _nf_oracle_sql(horizon: int = 3, p: int = 6) -> str:
+    """Generated oracle twin of neighborhood_function_from_state: the
+    md5 register seeds, every unrolled register-max superstep, the
+    exact-integer harmonic sums, and the DECIMAL cross-node totals —
+    so the iterative HyperBall path is value-hash-checked end to end
+    (the pagerank/Louvain generated-oracle discipline)."""
+    m = 1 << p
+    tail = 60 - p
+    a_m2 = repr(0.709 * m * m if m == 64 else None)
+    assert m == 64, "oracle builder pinned to p=6"
+    est = (
+        f"CASE WHEN {a_m2} / (CAST(s_scaled AS DOUBLE)"
+        f" / {float(1 << (tail + 1))!r}"
+        f" + ({m} - nz) * 1.0) <= {2.5 * m!r}"
+        f" AND ({m} - nz) > 0"
+        f" THEN {float(m)!r} * ln({float(m)!r} / ({m} - nz))"
+        f" ELSE {a_m2} / (CAST(s_scaled AS DOUBLE)"
+        f" / {float(1 << (tail + 1))!r}"
+        f" + ({m} - nz) * 1.0) END"
+    )
+    ctes = [
+        f"""pair AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), e AS (
+  SELECT a AS s, b AS d FROM pair UNION ALL SELECT b AS s, a AS d FROM pair
+), nodes AS (SELECT DISTINCT s AS node FROM e
+), hh AS (
+  SELECT node,
+         CAST('0x' || substring(md5(node), 1, 15) AS BIGINT) AS h
+  FROM nodes
+), r0 AS (
+  SELECT node, h >> {tail} AS idx,
+         CASE WHEN (h & ((CAST(1 AS BIGINT) << {tail}) - 1)) = 0
+              THEN {tail + 1}
+              ELSE {tail} - (length(printf('%b',
+                     h & ((CAST(1 AS BIGINT) << {tail}) - 1))) - 1)
+         END AS rho
+  FROM hh
+)"""
+    ]
+    for t in range(1, horizon + 1):
+        ctes.append(
+            f"""r{t} AS (
+  SELECT node, idx, MAX(rho) AS rho FROM (
+    SELECT node, idx, rho FROM r{t - 1}
+    UNION ALL
+    SELECT e.d AS node, r.idx, r.rho FROM e JOIN r{t - 1} r ON r.node = e.s
+  ) GROUP BY node, idx
+)"""
+        )
+    for t in range(horizon + 1):
+        ctes.append(
+            f"""a{t} AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS nz,
+         SUM(CAST(1 AS BIGINT) << ({tail + 1} - rho)) AS s_scaled
+  FROM r{t} GROUP BY node
+), e{t} AS (
+  SELECT {est} AS est FROM a{t}
+), n{t} AS (
+  SELECT {t} AS radius, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(CAST(round(est, 6) AS DECIMAL(38,6))) AS DOUBLE) AS nf
+  FROM e{t}
+)"""
+        )
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT * FROM n{t}" for t in range(horizon + 1)
+    )
+    return f"""
+WITH {','.join(ctes)},
+curve AS (
+  {union}
+), fin AS (SELECT nf AS nf_final FROM n{horizon})
+SELECT radius, n_nodes, round(nf, 6) AS nf_est,
+       round(nf / n_nodes, 6) AS avg_ball,
+       round(nf / nf_final, 6) AS coverage
+FROM curve CROSS JOIN fin
+"""
+
+
+TRADE_NEIGHBORHOOD_FUNCTION_SQL = _nf_oracle_sql()
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -12214,6 +12321,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_daily_trend_mk": events_daily_trend_mk,
     "customers_t_closeness": customers_t_closeness,
     "nation_customer_dp": nation_customer_dp,
+    "trade_neighborhood_function": trade_neighborhood_function,
     "nation_segment_fdr": nation_segment_fdr,
     "orders_record_price_frontier": orders_record_price_frontier,
     "events_markov_transitions": events_markov_transitions,
@@ -12426,6 +12534,7 @@ ORACLES: dict[str, str] = {
     "events_daily_trend_mk": EVENTS_DAILY_TREND_MK_SQL,
     "customers_t_closeness": CUSTOMERS_T_CLOSENESS_SQL,
     "nation_customer_dp": NATION_CUSTOMER_DP_SQL,
+    "trade_neighborhood_function": TRADE_NEIGHBORHOOD_FUNCTION_SQL,
     "nation_segment_fdr": NATION_SEGMENT_FDR_SQL,
     "orders_record_price_frontier": ORDERS_RECORD_PRICE_FRONTIER_SQL,
     "events_markov_transitions": EVENTS_MARKOV_TRANSITIONS_SQL,

@@ -768,3 +768,84 @@ def test_advance_rewrites_only_touched_buckets(spark, tmp_path):
         pathlib.Path(p1, "adj_manifest.json").read_text()
     )
     assert set(raw["buckets"]) == {str(b) for b in range(8)}
+
+
+def _py_hll_index_rank(value: str, p: int = 6):
+    """Python twin of sketch.hll_index_rank over _h60's md5 hash."""
+    import hashlib
+
+    h = int(hashlib.md5(value.encode()).hexdigest()[:15], 16)
+    tail = 60 - p
+    idx = h >> tail
+    w = h & ((1 << tail) - 1)
+    rho = (tail + 1) if w == 0 else tail - (w.bit_length() - 1)
+    return idx, rho
+
+
+def _py_nf_estimate(members: set[str], p: int = 6) -> float:
+    """Python twin of the per-node HyperBall estimate: exact scaled
+    harmonic sum over the ball's register set."""
+    import math
+
+    m = 1 << p
+    regs = {}
+    for v in members:
+        idx, rho = _py_hll_index_rank(v, p)
+        regs[idx] = max(regs.get(idx, 0), rho)
+    tail1 = 60 - p + 1
+    s_scaled = sum(1 << (tail1 - r) for r in regs.values())
+    nz = len(regs)
+    s = s_scaled / float(1 << tail1) + (m - nz) * 1.0
+    raw = 0.709 * m * m / s
+    zeros = m - nz
+    if raw <= 2.5 * m and zeros > 0:
+        return float(m) * math.log(float(m) / zeros)
+    return raw
+
+
+def test_neighborhood_function_matches_python_hyperball(spark, tmp_path):
+    from collections import defaultdict
+
+    from rust_cdc_validator_spark.operators.graphstate import (
+        build_edge_state,
+        neighborhood_function_from_state,
+    )
+
+    # two components: a 6-cycle and a 3-path (different growth curves)
+    cyc = [(f"n{i}", f"n{(i + 1) % 6}") for i in range(6)]
+    pth = [("p0", "p1"), ("p1", "p2")]
+    df = spark.createDataFrame(cyc + pth, "src string, dst string")
+    path = str(tmp_path / "nf_state")
+    build_edge_state(df, path, buckets=2)
+    got = {
+        r["radius"]: r
+        for r in neighborhood_function_from_state(
+            spark, path, horizon=3, p=6
+        ).collect()
+    }
+    # python reference: exact balls per node, HLL-estimated, summed
+    adj = defaultdict(set)
+    for a, b in cyc + pth:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = set(adj)
+    for r in range(4):
+        balls = []
+        for v in nodes:
+            ball = {v}
+            for _ in range(r):
+                ball = ball | {u for x in ball for u in adj[x]}
+            balls.append(round(_py_nf_estimate(ball), 6))
+        want = round(sum(balls), 6)
+        assert got[r]["nf_est"] == pytest.approx(want, abs=1e-5), r
+        assert got[r]["n_nodes"] == 9
+    # curve is monotone, horizon coverage is exactly 1
+    assert (
+        got[0]["nf_est"] <= got[1]["nf_est"] <= got[2]["nf_est"]
+        <= got[3]["nf_est"]
+    )
+    assert got[3]["coverage"] == 1.0
+    with pytest.raises(ValueError, match="horizon"):
+        neighborhood_function_from_state(spark, path, horizon=-1)
+    with pytest.raises(ValueError, match="p must"):
+        neighborhood_function_from_state(spark, path, p=3)
