@@ -1317,12 +1317,10 @@ def _nf_alpha_m2(p: int) -> float:
     return alpha * m * m
 
 
-def _nf_radius_row(regs: DataFrame, radius: int, p: int) -> DataFrame:
-    """One (radius, n_nodes, nf) row from a sparse register relation —
-    the per-node HLL estimate with the harmonic sum kept EXACT: each
-    2^−ρ is the integer 2^(tail+1−ρ) (BIGINT, never rounded), divided
-    back once per node; per-node estimates round to 6dp and sum as
-    DECIMAL so the cross-node total is order-independent."""
+def _nf_node_estimates(regs: DataFrame, p: int) -> DataFrame:
+    """(node, _est) from a sparse register relation — the per-node HLL
+    estimate with the harmonic sum kept EXACT: each 2^−ρ is the integer
+    2^(tail+1−ρ) (BIGINT, never rounded), divided back once per node."""
     m = 1 << p
     tail1 = 60 - p + 1
     per = regs.groupBy("node").agg(
@@ -1341,7 +1339,13 @@ def _nf_radius_row(regs: DataFrame, radius: int, p: int) -> DataFrame:
         (raw <= F.lit(2.5 * m)) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(raw)
-    return per.select(est.alias("_est")).agg(
+    return per.select("node", est.alias("_est"))
+
+
+def _nf_radius_row(regs: DataFrame, radius: int, p: int) -> DataFrame:
+    """One (radius, n_nodes, nf) row: per-node estimates round to 6dp
+    and sum as DECIMAL so the cross-node total is order-independent."""
+    return _nf_node_estimates(regs, p).select("_est").agg(
         F.lit(radius).alias("radius"),
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum(F.round(F.col("_est"), 6).cast("decimal(38,6)"))
@@ -1424,3 +1428,70 @@ def neighborhood_function_from_state(
         F.round(F.col("_nf") / F.col("n_nodes"), 6).alias("avg_ball"),
         F.round(F.col("_nf") / F.col("_nf_final"), 6).alias("coverage"),
     )
+
+
+def hyperball_harmonic_from_state(
+    spark: SparkSession,
+    path: str,
+    horizon: int = 3,
+    p: int = 6,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Approximate harmonic centrality for EVERY node via HyperBall
+    (Boldi & Vigna 2013 §4 — the paper's headline application):
+    H(v) ≈ Σ_{r=1..horizon} (|ball(v,r)| − |ball(v,r−1)|)/r, reading
+    each ball size from the node's HLL registers after r merge
+    supersteps. The exact pivot closeness
+    (:func:`closeness_from_state`) prices a handful of sources
+    precisely; this prices ALL nodes at once for the cost of ``horizon``
+    register supersteps — the curve the exact query cannot afford at
+    every node.
+
+    Same sparse-register supersteps (and the same oracle-exact
+    arithmetic contract) as :func:`neighborhood_function_from_state`;
+    the per-radius estimates join back on the node key (H+1 node-sized
+    relations, co-partitioned on the join key). Ball differences clamp
+    at 0 — register estimates are near- but not strictly monotone
+    across the linear-counting/raw regime switch, and a negative
+    "shell" is sketch noise, not signal. Returns (node,
+    harmonic_approx) for every node; callers rank/filter."""
+    from rust_cdc_validator_spark.operators.sketch import hll_index_rank
+
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
+    if not 4 <= p <= 12:
+        raise ValueError("p must be in [4, 12]")
+    adj = edge_state_adjacency(spark, path).select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d")
+    )
+    idx, rho = hll_index_rank(F.col("node"), p)
+    regs = edge_state_nodes(spark, path).select(
+        "node", idx.alias("_idx"), rho.alias("_rho")
+    )
+    if checkpoint:
+        regs = regs.localCheckpoint(eager=True)
+    ests = _nf_node_estimates(regs, p).withColumnRenamed("_est", "_est_0")
+    for t in range(1, horizon + 1):
+        msgs = adj.join(regs, adj["_s"] == regs["node"]).select(
+            F.col("_d").alias("node"), "_idx", "_rho"
+        )
+        regs = (
+            regs.unionAll(msgs)
+            .groupBy("node", "_idx")
+            .agg(F.max("_rho").alias("_rho"))
+        )
+        if checkpoint:
+            regs = regs.localCheckpoint(eager=True)
+        ests = ests.join(
+            _nf_node_estimates(regs, p).withColumnRenamed(
+                "_est", f"_est_{t}"
+            ),
+            "node",
+        )
+    harm = None
+    for t in range(1, horizon + 1):
+        shell = F.greatest(
+            F.col(f"_est_{t}") - F.col(f"_est_{t - 1}"), F.lit(0.0)
+        ) / F.lit(float(t))
+        harm = shell if harm is None else harm + shell
+    return ests.select("node", F.round(harm, 6).alias("harmonic_approx"))

@@ -12122,7 +12122,7 @@ def _nf_oracle_sql(horizon: int = 3, p: int = 6) -> str:
          SUM(CAST(1 AS BIGINT) << ({tail + 1} - rho)) AS s_scaled
   FROM r{t} GROUP BY node
 ), e{t} AS (
-  SELECT {est} AS est FROM a{t}
+  SELECT node, {est} AS est FROM a{t}
 ), n{t} AS (
   SELECT {t} AS radius, CAST(COUNT(*) AS BIGINT) AS n_nodes,
          CAST(SUM(CAST(round(est, 6) AS DECIMAL(38,6))) AS DOUBLE) AS nf
@@ -12145,6 +12145,67 @@ FROM curve CROSS JOIN fin
 
 
 TRADE_NEIGHBORHOOD_FUNCTION_SQL = _nf_oracle_sql()
+
+
+def supplier_harmonic_hyperball(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate harmonic centrality for EVERY supplier via HyperBall
+    (operators/graphstate.hyperball_harmonic_from_state, horizon 3,
+    p = 6) — the all-nodes companion to trade_network_closeness's exact
+    16-pivot run: H(v) ≈ Σ_r clamp(|ball(v,r)|−|ball(v,r−1)|, 0)/r from
+    the same register supersteps the neighborhood-function query runs.
+    Top 100 by centrality (suppkey tiebreak). The generated oracle
+    replays the seeds, every superstep, the per-node estimates, and the
+    shell arithmetic — an iterative all-nodes centrality that
+    value-hashes end to end."""
+    from rust_cdc_validator_spark.operators.graphstate import (
+        hyperball_harmonic_from_state,
+    )
+
+    h = hyperball_harmonic_from_state(
+        spark, _trade_edge_state_for(spark, sf_dir), horizon=3, p=6
+    )
+    return (
+        h.filter(F.col("node").startswith("s"))
+        .select(
+            F.col("node")
+            .substr(F.lit(2), F.lit(30))
+            .cast("long")
+            .alias("suppkey"),
+            F.col("harmonic_approx").alias("harmonic_r"),
+        )
+        .orderBy(F.desc("harmonic_r"), F.asc("suppkey"))
+        .limit(100)
+    )
+
+
+def _hyperball_harmonic_oracle_sql(horizon: int = 3, p: int = 6) -> str:
+    """Generated oracle twin of hyperball_harmonic_from_state: the same
+    seed/superstep/estimate CTEs as _nf_oracle_sql (same builder
+    template), joined per node with the clamped shell sum replayed in
+    fixed ascending-radius order."""
+    base = _nf_oracle_sql(horizon, p)
+    # reuse everything up to the curve assembly; rebuild the tail
+    ctes = base.split(",\ncurve AS (")[0]
+    joins = " ".join(
+        f"JOIN e{t} ON e0.node = e{t}.node" for t in range(1, horizon + 1)
+    )
+    shells = " + ".join(
+        f"greatest(e{t}.est - e{t - 1}.est, 0.0) / {float(t)!r}"
+        for t in range(1, horizon + 1)
+    )
+    return f"""{ctes}
+SELECT CAST(substring(e0.node, 2) AS BIGINT) AS suppkey,
+       round({shells}, 6) AS harmonic_r
+FROM e0 {joins}
+WHERE e0.node LIKE 's%'
+ORDER BY harmonic_r DESC, suppkey ASC
+LIMIT 100
+"""
+
+
+SUPPLIER_HARMONIC_HYPERBALL_SQL = _hyperball_harmonic_oracle_sql()
 
 
 QUERIES: dict[str, QueryFn] = {
@@ -12322,6 +12383,7 @@ QUERIES: dict[str, QueryFn] = {
     "customers_t_closeness": customers_t_closeness,
     "nation_customer_dp": nation_customer_dp,
     "trade_neighborhood_function": trade_neighborhood_function,
+    "supplier_harmonic_hyperball": supplier_harmonic_hyperball,
     "nation_segment_fdr": nation_segment_fdr,
     "orders_record_price_frontier": orders_record_price_frontier,
     "events_markov_transitions": events_markov_transitions,
@@ -12535,6 +12597,7 @@ ORACLES: dict[str, str] = {
     "customers_t_closeness": CUSTOMERS_T_CLOSENESS_SQL,
     "nation_customer_dp": NATION_CUSTOMER_DP_SQL,
     "trade_neighborhood_function": TRADE_NEIGHBORHOOD_FUNCTION_SQL,
+    "supplier_harmonic_hyperball": SUPPLIER_HARMONIC_HYPERBALL_SQL,
     "nation_segment_fdr": NATION_SEGMENT_FDR_SQL,
     "orders_record_price_frontier": ORDERS_RECORD_PRICE_FRONTIER_SQL,
     "events_markov_transitions": EVENTS_MARKOV_TRANSITIONS_SQL,

@@ -849,3 +849,32 @@ def test_neighborhood_function_matches_python_hyperball(spark, tmp_path):
         neighborhood_function_from_state(spark, path, horizon=-1)
     with pytest.raises(ValueError, match="p must"):
         neighborhood_function_from_state(spark, path, p=3)
+
+
+def test_hyperball_harmonic_ranks_hubs(spark, tmp_path):
+    from rust_cdc_validator_spark.operators.graphstate import (
+        build_edge_state,
+        hyperball_harmonic_from_state,
+    )
+
+    # star: hub reaches everything at r=1; leaves need 2 hops
+    edges = [("hub", f"leaf{i}") for i in range(8)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    path = str(tmp_path / "hb_state")
+    build_edge_state(df, path, buckets=2)
+    got = {
+        r["node"]: r["harmonic_approx"]
+        for r in hyperball_harmonic_from_state(
+            spark, path, horizon=2, p=8
+        ).collect()
+    }
+    assert len(got) == 9
+    assert max(got, key=got.get) == "hub"
+    leaves = [v for k, v in got.items() if k != "hub"]
+    # every leaf has the same ball structure -> identical approximations
+    assert len(set(leaves)) == 1
+    # hub ~ 8/1; leaf ~ 1/1 + 7/2 = 4.5 (sketch noise at p=8 is a few %)
+    assert got["hub"] == pytest.approx(8.0, rel=0.2)
+    assert leaves[0] == pytest.approx(4.5, rel=0.2)
+    with pytest.raises(ValueError, match="horizon"):
+        hyperball_harmonic_from_state(spark, path, horizon=0)
