@@ -933,3 +933,118 @@ def stream_interval_join(
         & (F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}"))
     )
     return lpref.join(rpref, cond, how)
+
+
+_CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("sp6", T.LongType()),
+        T.StructField("sm6", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+_CUSUM_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType()),
+        T.StructField("tick_us", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("s_plus", T.DoubleType()),
+        T.StructField("s_minus", T.DoubleType()),
+        T.StructField("alarm", T.BooleanType()),
+    ]
+)
+
+
+def cusum_stateful(
+    stream: DataFrame,
+    mu: float,
+    sigma: float,
+    k: float = 0.5,
+    h: float = 4.0,
+    key_col: str = "series",
+    ts_us_col: str = "ts_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming CUSUM control chart — the stateful sibling of the batch
+    ``operators/timeseries.cusum_chart``: per series key, Page's
+    one-sided sums S⁺/S⁻ of the standardized tick value fold across
+    micro-batches as explicit state, alarming live when either crosses
+    ``h``. Baseline (``mu``, ``sigma``) is FIXED from a training
+    snapshot — the ``psi_baseline`` discipline: a self-baselined chart
+    would re-standardize history every batch, and a control chart's
+    whole point is a pinned reference regime.
+
+    Equivalence contract (pytest-gated): on in-order ticks the emitted
+    S⁺/S⁻ match the batch chart's prefix-identity values tick for tick —
+    the state carries the SAME half-up-scaled integer micro-units
+    (``floor(x·1e6 + 0.5)``), so batch/stream never drift by float
+    association. Within a batch ticks process in event-time order; a
+    tick at-or-before the last folded event time is DROPPED (the
+    monotonicity guard — the recursion cannot retro-insert; callers who
+    need exact disorder handling buffer with a watermark first, the
+    ``concurrency_gauge_exact`` pattern).
+
+    Scale shape: state is three scalars per series; each micro-batch
+    shuffles once on the series key."""
+    if sigma <= 0:
+        raise ValueError("sigma must be > 0")
+    if k < 0 or h <= 0:
+        raise ValueError("k must be >= 0 and h > 0")
+    kd = float(k)
+    h6 = int(float(h) * 1e6 + 0.5)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        sp6, sm6, last_us = state.get if state.exists else (0, 0, None)
+        ticks = sorted(
+            (int(t), float(v))
+            for pdf in pdfs
+            for t, v in zip(pdf[ts_us_col], pdf[value_col])
+            if v == v  # NaN ticks carry no signal
+        )
+        out = []
+        for t, v in ticks:
+            if last_us is not None and t <= last_us:
+                continue  # monotonicity guard (see docstring)
+            z = (round(v, 6) - mu) / sigma
+            dp = math.floor((z - kd) * 1e6 + 0.5)
+            dm = math.floor((-z - kd) * 1e6 + 0.5)
+            sp6 = max(0, sp6 + dp)
+            sm6 = max(0, sm6 + dm)
+            last_us = t
+            out.append(
+                (
+                    key[0],
+                    t,
+                    round(v, 6),
+                    round(sp6 / 1e6, 6),
+                    round(sm6 / 1e6, 6),
+                    sp6 > h6 or sm6 > h6,
+                )
+            )
+        state.update((sp6, sm6, last_us))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "series", "tick_us", "value", "s_plus", "s_minus", "alarm",
+            ],
+        ) if out else pd.DataFrame(
+            {
+                "series": pd.Series(dtype="object"),
+                "tick_us": pd.Series(dtype="int64"),
+                "value": pd.Series(dtype="float64"),
+                "s_plus": pd.Series(dtype="float64"),
+                "s_minus": pd.Series(dtype="float64"),
+                "alarm": pd.Series(dtype="bool"),
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_CUSUM_OUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1456,3 +1456,121 @@ def test_dedup_within_watermark_drops_then_reemits_after_expiry(spark, tmp_path)
     assert len({g for g in got if g[0] == 10 and g[1] < 50}) == 1
     assert (10, 5) not in got
     assert (10, 61) in got  # post-expiry duplicate re-emitted
+
+
+def test_cusum_stateful_matches_batch_chart(spark, tmp_path):
+    import math
+
+    from rust_cdc_validator_spark.operators.timeseries import cusum_chart
+    from rust_cdc_validator_spark.streaming.windows import cusum_stateful
+
+    xs = [10.0 + (i % 7) * 0.25 for i in range(25)] + [
+        13.0 + (i % 7) * 0.25 for i in range(15)
+    ]
+    # batch chart (self-baselined) is the reference
+    batch_df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "t long, v double"
+    )
+    batch = {
+        r["tick"]: r
+        for r in cusum_chart(batch_df, "t", "v", k=0.5, h=4.0).collect()
+    }
+    # the stream gets the SAME baseline, computed the batch way
+    x6 = [math.floor(round(x, 6) * 1e6 + 0.5) for x in xs]
+    n = len(xs)
+    mu = sum(x6) / n / 1e6
+    var = sum(v * v for v in x6) / n / 1e12 - mu * mu
+    sigma = math.sqrt(var)
+
+    src = tmp_path / "cusum_src"
+    src.mkdir()
+    half = len(xs) // 2
+    for part, lo, hi in (("a", 0, half), ("b", half, len(xs))):
+        pq.write_table(
+            pa.table(
+                {
+                    "series": ["s"] * (hi - lo),
+                    "ts_us": list(range(lo, hi)),
+                    "value": xs[lo:hi],
+                }
+            ),
+            str(src / f"{part}.parquet"),
+        )
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        cusum_stateful(stream, mu=mu, sigma=sigma, k=0.5, h=4.0)
+        .writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["tick_us"]: r
+        for r in spark.sql("SELECT * FROM cusum_stream").collect()
+    }
+    assert len(got) == len(xs)
+    for t in range(len(xs)):
+        assert got[t]["s_plus"] == batch[t]["s_plus"], t
+        assert got[t]["s_minus"] == batch[t]["s_minus"], t
+        assert got[t]["alarm"] == batch[t]["alarm"], t
+    # sustained +3 shift must alarm in the streamed chart too
+    assert any(r["alarm"] for r in got.values())
+
+
+def test_cusum_stateful_drops_out_of_order_ticks(spark, tmp_path):
+    from rust_cdc_validator_spark.streaming.windows import cusum_stateful
+
+    src = tmp_path / "cusum_ooo"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {"series": ["s", "s"], "ts_us": [10, 20], "value": [1.0, 2.0]}
+        ),
+        str(src / "a.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"series": ["s", "s"], "ts_us": [15, 30], "value": [9.0, 3.0]}
+        ),
+        str(src / "b.parquet"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        cusum_stateful(stream, mu=2.0, sigma=1.0)
+        .writeStream.format("memory")
+        .queryName("cusum_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    ticks = sorted(
+        r["tick_us"] for r in spark.sql("SELECT * FROM cusum_ooo").collect()
+    )
+    assert ticks == [10, 20, 30]  # the straggler at 15 was dropped
+    with pytest.raises(ValueError, match="sigma"):
+        cusum_stateful(stream, mu=0.0, sigma=0.0)
