@@ -21,7 +21,7 @@ harmonic mean with the small-range linear-counting correction.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HASH_BITS = 60  # 15 md5 hex digits — stays positive in a signed 64-bit
@@ -720,3 +720,140 @@ def bloom_flag(
         df, key_col, bloom, k, built_buckets
     )
     return out.withColumn(flag_col, cond).drop(*drop)
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch: k-minimum-values distinct sketch with SET ALGEBRA
+# (Bar-Yossef et al. 2002; Dasgupta et al. 2016 "Theta sketch framework")
+# ---------------------------------------------------------------------------
+
+_KMV_FULL = float(1 << 60)  # hash domain size: _h60 is uniform in [0, 2^60)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """One KMV (bottom-k / theta) sketch per group: the ``k`` SMALLEST
+    distinct md5-derived hashes of ``value_col``. Where HLL registers
+    only union, KMV supports the full set algebra — intersection and
+    DIFFERENCE estimates via :func:`kmv_pair_overlap` — because the
+    sketch is an order-statistics sample: everything below the kth
+    minimum is a uniform θ-fraction view of the set.
+
+    Returns (group..., hashes ASC array ≤ k, n_distinct_seen flag as
+    ``saturated``, and ``est`` — exact count when the group has < k
+    distinct values, else the unbiased (k−1)/θ estimator). Standard
+    error ≈ 1/√(k−2) (k=256 → ±6.3%).
+
+    Scale shape: ONE (group, hash) dedup agg with map-side combine;
+    bottom-k runs two-phase — per (group, input-partition) rank bounds
+    every first-phase sort at partition size, the per-group second
+    phase ranks ≤ k·P survivors (never the raw distinct relation, so a
+    hot group cannot funnel its whole value set through one task). The
+    sketch relation is groups × k longs — KBs; merges and estimates
+    never touch raw data. All arithmetic is exact integer hashes +
+    per-row double division, so a SQL oracle replays estimates
+    bit-for-bit."""
+    if k < 8:
+        raise ValueError("k must be >= 8")
+    h = _h60(F.col(value_col))
+    cells = (
+        df.select(*group_cols, h.alias("_h"))
+        .filter(F.col("_h").isNotNull())
+        .groupBy(*group_cols, "_h")
+        .agg(F.lit(1).alias("_one"))
+    )
+    wp = Window.partitionBy(
+        *group_cols, F.spark_partition_id()
+    ).orderBy(F.col("_h").asc())
+    survivors = cells.withColumn("_r1", F.row_number().over(wp)).filter(
+        F.col("_r1") <= k
+    )
+    wg = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
+    kept = survivors.withColumn("_r2", F.row_number().over(wg)).filter(
+        F.col("_r2") <= k
+    )
+    sk = kept.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("_h")).alias("hashes"),
+        F.count(F.lit(1)).cast("long").alias("_nz"),
+    )
+    theta = F.element_at(F.col("hashes"), k).cast("double")
+    return sk.select(
+        *group_cols,
+        "hashes",
+        (F.col("_nz") >= k).alias("saturated"),
+        F.when(F.col("_nz") < k, F.col("_nz").cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(_KMV_FULL) / theta)
+        .alias("est"),
+    )
+
+
+def kmv_pair_overlap(
+    sketches: DataFrame,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise set algebra over :func:`kmv_sketch` output: for every
+    unordered group pair (a < b), estimated |A|, |B|, |A∪B|, |A∩B|, and
+    both DIFFERENCES |A∖B| / |B∖A| — the subtraction HLL registers
+    cannot express. Union re-ranks the merged hash sets (k smallest of
+    the union = the union's own sketch, exactly); intersection and
+    difference count sketch hashes below θ = min(θ_A, θ_B) and scale by
+    1/θ (the theta-framework estimator — exact when neither side is
+    saturated, since θ is then the full domain).
+
+    Scale shape: the sketch relation is groups-sized; pairs fan out
+    groups²/2 rows of ≤ k-long arrays, all array expressions JVM-side —
+    micro-scale by construction, raw data untouched."""
+    a = sketches.select(
+        F.col(group_col).alias("ga"),
+        F.col("hashes").alias("ha"),
+        F.col("saturated").alias("sa"),
+        F.col("est").alias("est_a"),
+    )
+    b = sketches.select(
+        F.col(group_col).alias("gb"),
+        F.col("hashes").alias("hb"),
+        F.col("saturated").alias("sb"),
+        F.col("est").alias("est_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("ga") < F.col("gb"))
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("ha"), F.col("hb")))),
+        1,
+        k,
+    )
+    n_merged = F.size(
+        F.array_distinct(F.concat(F.col("ha"), F.col("hb")))
+    )
+    theta_u = F.element_at(merged, k).cast("double")
+    union_est = F.when(n_merged < k, n_merged.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_FULL) / theta_u
+    )
+    theta_a = F.when(
+        F.col("sa"), F.element_at(F.col("ha"), k).cast("double")
+    ).otherwise(F.lit(_KMV_FULL))
+    theta_b = F.when(
+        F.col("sb"), F.element_at(F.col("hb"), k).cast("double")
+    ).otherwise(F.lit(_KMV_FULL))
+    theta = F.least(theta_a, theta_b)
+    below = lambda arr: F.size(  # noqa: E731
+        F.filter(arr, lambda x: x.cast("double") < theta)
+    )
+    inter = below(F.array_intersect(F.col("ha"), F.col("hb")))
+    only_a = below(F.array_except(F.col("ha"), F.col("hb")))
+    only_b = below(F.array_except(F.col("hb"), F.col("ha")))
+    scale = F.lit(_KMV_FULL) / theta
+    return pairs.select(
+        "ga",
+        "gb",
+        F.round("est_a", 4).alias("est_a_r"),
+        F.round("est_b", 4).alias("est_b_r"),
+        F.round(union_est, 4).alias("est_union_r"),
+        F.round(inter.cast("double") * scale, 4).alias("est_intersect_r"),
+        F.round(only_a.cast("double") * scale, 4).alias("est_a_minus_b_r"),
+        F.round(only_b.cast("double") * scale, 4).alias("est_b_minus_a_r"),
+    )

@@ -12208,6 +12208,112 @@ LIMIT 100
 SUPPLIER_HARMONIC_HYPERBALL_SQL = _hyperball_harmonic_oracle_sql()
 
 
+def events_type_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch set algebra (operators/sketch.kmv_sketch +
+    kmv_pair_overlap, k = 256) over per-event-type user sets: estimated
+    |A|, |B|, |A∪B|, |A∩B|, and both DIFFERENCES for every type pair —
+    the subtraction the HLL overlap query (events_type_overlap_hll)
+    cannot express, because KMV is an order-statistics sample rather
+    than a register table. Bottom-k runs two-phase (per-partition rank
+    then a ≤ k·P survivor rank — no hot type funnels its user set
+    through one task); every estimate is exact integer hashes + one
+    double division, replayed bit-for-bit by the relational oracle."""
+    from rust_cdc_validator_spark.operators.sketch import (
+        kmv_pair_overlap,
+        kmv_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = kmv_sketch(ev, ["event_type"], "user_id", k=256)
+    return kmv_pair_overlap(sk, "event_type", k=256).orderBy("ga", "gb")
+
+
+EVENTS_TYPE_KMV_OVERLAP_SQL = """
+WITH hh AS (
+  SELECT DISTINCT event_type AS g,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+), ranked AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h ASC) AS r
+  FROM hh
+), kept AS (
+  SELECT g, h, r FROM ranked WHERE r <= 256
+), sk AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS nz,
+         MAX(CASE WHEN r = 256 THEN h END) AS kth
+  FROM kept GROUP BY g
+), est AS (
+  SELECT g, nz, kth,
+         CASE WHEN nz < 256 THEN CAST(nz AS DOUBLE)
+              ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE)
+                   / CAST(kth AS DOUBLE) END AS est
+  FROM sk
+), pr AS (
+  SELECT a.g AS ga, b.g AS gb, a.est AS est_a, b.est AS est_b,
+         CASE WHEN a.nz >= 256 THEN CAST(a.kth AS DOUBLE)
+              ELSE CAST(1152921504606846976 AS DOUBLE) END AS ta,
+         CASE WHEN b.nz >= 256 THEN CAST(b.kth AS DOUBLE)
+              ELSE CAST(1152921504606846976 AS DOUBLE) END AS tb
+  FROM est a JOIN est b ON a.g < b.g
+), mh AS (
+  SELECT pr.ga, pr.gb, x.h FROM pr JOIN kept x ON x.g = pr.ga
+  UNION
+  SELECT pr.ga, pr.gb, x.h FROM pr JOIN kept x ON x.g = pr.gb
+), mr AS (
+  SELECT ga, gb, h,
+         row_number() OVER (PARTITION BY ga, gb ORDER BY h ASC) AS r
+  FROM mh
+), mu AS (
+  SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n_merged,
+         MAX(CASE WHEN r = 256 THEN h END) AS kth_u
+  FROM mr GROUP BY ga, gb
+), ix AS (
+  SELECT pr.ga, pr.gb, CAST(COUNT(*) AS BIGINT) AS n_int
+  FROM pr
+  JOIN kept x ON x.g = pr.ga
+  JOIN kept y ON y.g = pr.gb AND y.h = x.h
+  WHERE CAST(x.h AS DOUBLE) < LEAST(pr.ta, pr.tb)
+  GROUP BY pr.ga, pr.gb
+), da AS (
+  SELECT pr.ga, pr.gb, CAST(COUNT(*) AS BIGINT) AS n_only
+  FROM pr JOIN kept x ON x.g = pr.ga
+  WHERE CAST(x.h AS DOUBLE) < LEAST(pr.ta, pr.tb)
+    AND NOT EXISTS (SELECT 1 FROM kept y
+                    WHERE y.g = pr.gb AND y.h = x.h)
+  GROUP BY pr.ga, pr.gb
+), db AS (
+  SELECT pr.ga, pr.gb, CAST(COUNT(*) AS BIGINT) AS n_only
+  FROM pr JOIN kept x ON x.g = pr.gb
+  WHERE CAST(x.h AS DOUBLE) < LEAST(pr.ta, pr.tb)
+    AND NOT EXISTS (SELECT 1 FROM kept y
+                    WHERE y.g = pr.ga AND y.h = x.h)
+  GROUP BY pr.ga, pr.gb
+)
+SELECT pr.ga, pr.gb,
+       round(pr.est_a, 4) AS est_a_r,
+       round(pr.est_b, 4) AS est_b_r,
+       round(CASE WHEN mu.n_merged < 256 THEN CAST(mu.n_merged AS DOUBLE)
+                  ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE)
+                       / CAST(mu.kth_u AS DOUBLE) END, 4) AS est_union_r,
+       round(CAST(COALESCE(ix.n_int, 0) AS DOUBLE)
+             * (CAST(1152921504606846976 AS DOUBLE)
+                / LEAST(pr.ta, pr.tb)), 4) AS est_intersect_r,
+       round(CAST(COALESCE(da.n_only, 0) AS DOUBLE)
+             * (CAST(1152921504606846976 AS DOUBLE)
+                / LEAST(pr.ta, pr.tb)), 4) AS est_a_minus_b_r,
+       round(CAST(COALESCE(db.n_only, 0) AS DOUBLE)
+             * (CAST(1152921504606846976 AS DOUBLE)
+                / LEAST(pr.ta, pr.tb)), 4) AS est_b_minus_a_r
+FROM pr
+JOIN mu ON mu.ga = pr.ga AND mu.gb = pr.gb
+LEFT JOIN ix ON ix.ga = pr.ga AND ix.gb = pr.gb
+LEFT JOIN da ON da.ga = pr.ga AND da.gb = pr.gb
+LEFT JOIN db ON db.ga = pr.ga AND db.gb = pr.gb
+ORDER BY pr.ga, pr.gb
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -12384,6 +12490,7 @@ QUERIES: dict[str, QueryFn] = {
     "nation_customer_dp": nation_customer_dp,
     "trade_neighborhood_function": trade_neighborhood_function,
     "supplier_harmonic_hyperball": supplier_harmonic_hyperball,
+    "events_type_kmv_overlap": events_type_kmv_overlap,
     "nation_segment_fdr": nation_segment_fdr,
     "orders_record_price_frontier": orders_record_price_frontier,
     "events_markov_transitions": events_markov_transitions,
@@ -12598,6 +12705,7 @@ ORACLES: dict[str, str] = {
     "nation_customer_dp": NATION_CUSTOMER_DP_SQL,
     "trade_neighborhood_function": TRADE_NEIGHBORHOOD_FUNCTION_SQL,
     "supplier_harmonic_hyperball": SUPPLIER_HARMONIC_HYPERBALL_SQL,
+    "events_type_kmv_overlap": EVENTS_TYPE_KMV_OVERLAP_SQL,
     "nation_segment_fdr": NATION_SEGMENT_FDR_SQL,
     "orders_record_price_frontier": ORDERS_RECORD_PRICE_FRONTIER_SQL,
     "events_markov_transitions": EVENTS_MARKOV_TRANSITIONS_SQL,

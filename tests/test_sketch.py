@@ -448,3 +448,81 @@ def test_bloom_flag_rebalance_identical_results(spark):
     assert reb.rdd.getNumPartitions() == 8
     with pytest.raises(ValueError, match="rebalance"):
         bloom_flag(probe, "k", bloom, rebalance=0)
+
+
+def test_kmv_sketch_exact_below_k_and_estimates(spark):
+    from rust_cdc_validator_spark.operators.sketch import kmv_sketch
+
+    # group 'small' has 50 distinct values -> exact; 'big' has 5000 -> est
+    rows = [("small", i) for i in range(50)] * 3 + [
+        ("big", i) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r for r in kmv_sketch(df, ["g"], "v", k=256).collect()}
+    assert got["small"]["est"] == 50.0
+    assert not got["small"]["saturated"]
+    assert len(got["small"]["hashes"]) == 50
+    assert got["big"]["saturated"]
+    assert len(got["big"]["hashes"]) == 256
+    assert got["big"]["est"] == pytest.approx(5000, rel=0.25)
+    # hashes are the k smallest, ascending
+    hs = got["big"]["hashes"]
+    assert hs == sorted(hs)
+    with pytest.raises(ValueError, match="k must"):
+        kmv_sketch(df, ["g"], "v", k=4)
+
+
+def test_kmv_sketch_partition_invariant(spark):
+    from rust_cdc_validator_spark.operators.sketch import kmv_sketch
+
+    rows = [("g", i) for i in range(3000)]
+    df1 = spark.createDataFrame(rows, "g string, v long").repartition(1)
+    df16 = spark.createDataFrame(rows, "g string, v long").repartition(16)
+    a = kmv_sketch(df1, ["g"], "v", k=64).collect()[0]
+    b = kmv_sketch(df16, ["g"], "v", k=64).collect()[0]
+    assert a["hashes"] == b["hashes"]
+    assert a["est"] == b["est"]
+
+
+def test_kmv_pair_overlap_set_algebra(spark):
+    from rust_cdc_validator_spark.operators.sketch import (
+        kmv_pair_overlap,
+        kmv_sketch,
+    )
+
+    # A = 0..59, B = 40..99: |A|=60 |B|=60 |A∩B|=20 |A∪B|=100 — all
+    # below k, so every estimate is EXACT
+    rows = [("A", i) for i in range(60)] + [("B", i) for i in range(40, 100)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = kmv_sketch(df, ["g"], "v", k=256)
+    r = kmv_pair_overlap(sk, "g", k=256).collect()[0]
+    assert (r["ga"], r["gb"]) == ("A", "B")
+    assert r["est_a_r"] == 60.0 and r["est_b_r"] == 60.0
+    assert r["est_union_r"] == 100.0
+    assert r["est_intersect_r"] == 20.0
+    assert r["est_a_minus_b_r"] == 40.0
+    assert r["est_b_minus_a_r"] == 40.0
+
+
+def test_kmv_pair_overlap_saturated_estimates(spark):
+    from rust_cdc_validator_spark.operators.sketch import (
+        kmv_pair_overlap,
+        kmv_sketch,
+    )
+
+    # big overlapping sets: A = 0..3999, B = 2000..5999
+    rows = [("A", i) for i in range(4000)] + [
+        ("B", i) for i in range(2000, 6000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = kmv_sketch(df, ["g"], "v", k=256)
+    r = kmv_pair_overlap(sk, "g", k=256).collect()[0]
+    assert r["est_union_r"] == pytest.approx(6000, rel=0.25)
+    assert r["est_intersect_r"] == pytest.approx(2000, rel=0.45)
+    assert r["est_a_minus_b_r"] == pytest.approx(2000, rel=0.45)
+    # inclusion-exclusion consistency of the theta estimators:
+    # the three disjoint parts sum to everything both sketches see
+    total = (
+        r["est_intersect_r"] + r["est_a_minus_b_r"] + r["est_b_minus_a_r"]
+    )
+    assert total == pytest.approx(6000, rel=0.3)
