@@ -256,3 +256,107 @@ def prefix_max(
         )
         .drop("_pid", "_lmax", "_off")
     )
+
+
+def hilbert_key(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    bits: int = 16,
+    out_col: str = "_hilbert",
+) -> DataFrame:
+    """2-D Hilbert curve index of (x, y) on a 2^bits × 2^bits grid —
+    the better-locality sibling of :func:`zorder_value`: consecutive
+    Hilbert keys are ALWAYS grid neighbors (Z-order jumps across the
+    plane at every power-of-two boundary), so range-partitioned files
+    cover tighter rectangles and parquet min/max pruning cuts deeper on
+    both clustered columns. This is the clustering transform behind
+    modern "liquid"-style layouts.
+
+    The classic xy→d bit walk (one rotation/reflection per bit level,
+    MSB first) runs as ``bits`` chained PROJECTIONS, each materializing
+    the rotated frame as named columns — deliberately NOT one nested
+    Column expression: the conditional swap consumes the previous
+    frame ~3 times, so a single expression tree grows 3^bits nodes and
+    stalls analysis/codegen (measured: 4 min at bits=8); the projected
+    form is linear and Catalyst keeps it so (CollapseProject never
+    inlines non-cheap multi-referenced aliases). Inputs must already
+    lie in [0, 2^bits) (:func:`hilbert_layout` scales them; callers
+    mask otherwise). Exact integer arithmetic end to end, so a
+    generated SQL oracle replays the key bit-for-bit."""
+    if bits < 1 or 2 * bits > 62:
+        raise ValueError("bits must be in [1, 31]")
+    n = 1 << bits
+    base = [F.col(c) for c in df.columns]
+    cur = df.select(
+        *base,
+        x.cast("long").alias("_hx"),
+        y.cast("long").alias("_hy"),
+        F.lit(0).cast("long").alias(out_col),
+    )
+    for i in reversed(range(bits)):
+        s_ = 1 << i
+        rx = F.shiftright(F.col("_hx"), i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col("_hy"), i).bitwiseAND(F.lit(1))
+        d = F.col(out_col) + F.lit(s_) * F.lit(s_) * (
+            (F.lit(3) * rx).bitwiseXOR(ry).cast("long")
+        )
+        # rotate the frame: ry==1 keeps orientation; ry==0 swaps axes,
+        # and rx==1 additionally reflects both through the grid
+        nx = F.when(ry == 1, F.col("_hx")).otherwise(
+            F.when(rx == 1, F.lit(n - 1) - F.col("_hy")).otherwise(
+                F.col("_hy")
+            )
+        )
+        ny = F.when(ry == 1, F.col("_hy")).otherwise(
+            F.when(rx == 1, F.lit(n - 1) - F.col("_hx")).otherwise(
+                F.col("_hx")
+            )
+        )
+        cur = cur.select(
+            *base,
+            nx.alias("_hx"),
+            ny.alias("_hy"),
+            d.alias(out_col),
+        )
+    return cur.drop("_hx", "_hy")
+
+
+def hilbert_layout(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    key_col: str = "_hilbert",
+) -> DataFrame:
+    """Cluster ``df`` on the 2-D Hilbert key of two numeric columns —
+    :func:`zorder_layout`'s plan shape (one min/max scaling pass, one
+    range exchange, per-partition sort) with the Hilbert transform as
+    the key: each written file covers a CONTIGUOUS curve segment, which
+    on the grid is a compact blob rather than Z's split rectangles —
+    measurably tighter per-file min/max spans on both columns (pinned
+    in test_layout.py)."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_layout is the 2-D transform: pass 2 cols")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+    row = df.agg(*aggs).first()
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cols:
+        lo = float(row[f"_lo_{c}"] or 0.0)
+        hi = float(row[f"_hi_{c}"] or 0.0)
+        span = hi - lo
+        if span <= 0:
+            scaled.append(F.lit(0))
+            continue
+        cell = F.floor(
+            (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(top + 1)
+        ).cast("long")
+        scaled.append(F.least(F.greatest(cell, F.lit(0)), F.lit(top)))
+    keyed = hilbert_key(df, scaled[0], scaled[1], bits, out_col=key_col)
+    parts = num_files or df.sparkSession.sparkContext.defaultParallelism
+    return keyed.repartitionByRange(parts, F.col(key_col)).sortWithinPartitions(
+        key_col
+    )

@@ -12314,6 +12314,64 @@ ORDER BY pr.ga, pr.gb
 """
 
 
+def events_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Hilbert clustering key (operators/layout.hilbert_value) over
+    (user_id low byte, hour-of-day) — the better-locality sibling of
+    events_zorder: consecutive keys are always grid neighbors, so
+    range-partitioned files cover compact blobs instead of Z's split
+    rectangles (per-file span shrink pinned in test_layout.py). The
+    unrolled bit walk is pure integer shift/mask/xor codegen; the
+    generated oracle replays every rotation round bit-for-bit."""
+    from rust_cdc_validator_spark.operators.layout import hilbert_key
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    keyed = hilbert_key(
+        ev,
+        F.col("user_id").bitwiseAND(F.lit(255)),
+        F.hour("ts"),
+        bits=8,
+        out_col="hval",
+    )
+    return keyed.select("event_id", "hval")
+
+
+def _hilbert_oracle_sql(bits: int = 8) -> str:
+    """Generated oracle twin of layout.hilbert_value: one chained CTE
+    per bit level carrying the rotated (x, y) frame and the running d —
+    the same MSB-first walk, in exact integer SQL."""
+    n = 1 << bits
+    ctes = [
+        f"""h0 AS (
+  SELECT event_id, CAST(user_id & {n - 1} AS BIGINT) AS x,
+         CAST(hour(ts) AS BIGINT) AS y, CAST(0 AS BIGINT) AS d
+  FROM events
+)"""
+    ]
+    for j, i in enumerate(reversed(range(bits))):
+        s = 1 << i
+        rx = f"((x >> {i}) & 1)"
+        ry = f"((y >> {i}) & 1)"
+        ctes.append(
+            f"""h{j + 1} AS (
+  SELECT event_id,
+         CASE WHEN {ry} = 1 THEN x
+              WHEN {rx} = 1 THEN {n - 1} - y ELSE y END AS x,
+         CASE WHEN {ry} = 1 THEN y
+              WHEN {rx} = 1 THEN {n - 1} - x ELSE x END AS y,
+         d + {s * s} * CAST(xor(3 * {rx}, {ry}) AS BIGINT) AS d
+  FROM h{j}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT event_id, d AS hval FROM h{bits}\n"
+    )
+
+
+EVENTS_HILBERT_SQL = _hilbert_oracle_sql()
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -12491,6 +12549,7 @@ QUERIES: dict[str, QueryFn] = {
     "trade_neighborhood_function": trade_neighborhood_function,
     "supplier_harmonic_hyperball": supplier_harmonic_hyperball,
     "events_type_kmv_overlap": events_type_kmv_overlap,
+    "events_hilbert": events_hilbert,
     "nation_segment_fdr": nation_segment_fdr,
     "orders_record_price_frontier": orders_record_price_frontier,
     "events_markov_transitions": events_markov_transitions,
@@ -12706,6 +12765,7 @@ ORACLES: dict[str, str] = {
     "trade_neighborhood_function": TRADE_NEIGHBORHOOD_FUNCTION_SQL,
     "supplier_harmonic_hyperball": SUPPLIER_HARMONIC_HYPERBALL_SQL,
     "events_type_kmv_overlap": EVENTS_TYPE_KMV_OVERLAP_SQL,
+    "events_hilbert": EVENTS_HILBERT_SQL,
     "nation_segment_fdr": NATION_SEGMENT_FDR_SQL,
     "orders_record_price_frontier": ORDERS_RECORD_PRICE_FRONTIER_SQL,
     "events_markov_transitions": EVENTS_MARKOV_TRANSITIONS_SQL,

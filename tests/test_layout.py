@@ -157,3 +157,101 @@ def test_prefix_sums_multi_column_matches_single(spark):
         assert rid == i and ca == run_a == want_a[rid] and cb == run_b
         run_a += i % 7
         run_b += i % 5
+
+
+def _py_xy2d(n: int, x: int, y: int) -> int:
+    """Classic Hilbert xy->d reference walk (MSB first)."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference_and_is_a_space_filling_curve(spark):
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.layout import hilbert_key
+
+    bits, n = 4, 16
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["_hilbert"]
+        for r in hilbert_key(df, F.col("x"), F.col("y"), bits).collect()
+    }
+    for (x, y), d in got.items():
+        assert d == _py_xy2d(n, x, y), (x, y)
+    # bijection onto 0..n^2-1, and consecutive keys are GRID NEIGHBORS
+    # (the locality property Z-order lacks at power-of-two boundaries)
+    by_d = {d: xy for xy, d in got.items()}
+    assert sorted(by_d) == list(range(n * n))
+    for d in range(1, n * n):
+        (x0, y0), (x1, y1) = by_d[d - 1], by_d[d]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, d
+
+
+def test_hilbert_key_deep_bits_no_expression_blowup(spark):
+    import time
+
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.layout import hilbert_key
+
+    # the nested-Column form took minutes at bits=8 (3^bits tree); the
+    # projected form must analyze + run full-depth quickly
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 65536, (i * 101) % 65536) for i in range(100)],
+        "id long, x long, y long",
+    )
+    t0 = time.time()
+    rows = hilbert_key(df, F.col("x"), F.col("y"), bits=16).collect()
+    assert time.time() - t0 < 60
+    assert len(rows) == 100
+    assert len({r["_hilbert"] for r in rows}) == 100
+    with pytest.raises(ValueError, match="bits"):
+        hilbert_key(df, F.col("x"), F.col("y"), bits=32)
+
+
+def test_hilbert_layout_tighter_file_spans_than_zorder(spark):
+    from pyspark.sql import functions as F
+
+    from rust_cdc_validator_spark.operators.layout import (
+        hilbert_layout,
+        zorder_layout,
+    )
+
+    rows = [((i * 7919) % 1024, (i * 104729) % 1024) for i in range(4096)]
+    df = spark.createDataFrame(rows, "a long, b long")
+
+    def mean_span(laid, key):
+        import statistics
+
+        parts = (
+            laid.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid")
+            .agg(
+                (F.max("a") - F.min("a")).alias("sa"),
+                (F.max("b") - F.min("b")).alias("sb"),
+            )
+            .collect()
+        )
+        return statistics.mean((r["sa"] + r["sb"]) / 2 for r in parts)
+
+    hs = mean_span(hilbert_layout(df, ["a", "b"], bits=10, num_files=16), "_hilbert")
+    zs = mean_span(zorder_layout(df, ["a", "b"], bits=10, num_files=16), "_z")
+    raw = mean_span(df.repartition(16), None)
+    # both clustered layouts beat random placement by a wide margin;
+    # hilbert's contiguous curve segments are at least as tight as Z
+    assert hs < raw / 2 and zs < raw / 2
+    assert hs <= zs * 1.10
+    with pytest.raises(ValueError, match="2-D"):
+        hilbert_layout(df, ["a"], bits=10)
