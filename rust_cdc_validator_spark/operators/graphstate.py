@@ -1317,17 +1317,86 @@ def _nf_alpha_m2(p: int) -> float:
     return alpha * m * m
 
 
+#: (normalized state path, p) -> list of per-radius LANE register frames
+#: (each localCheckpointed; index = radius). Extended in place when a
+#: caller wants a deeper horizon — the pivot_bfs_levels memo contract.
+_NF_REGS_CACHE: dict = {}
+
+
+def _nf_lane_registers(
+    spark: SparkSession, path: str, horizon: int, p: int, checkpoint: bool
+) -> list[DataFrame]:
+    """Per-radius HyperBall register frames, LANE-VECTORIZED: one row
+    per node with m = 2^p register COLUMNS ``_r0.._r{m-1}`` — a
+    superstep is ONE adjacency join + ONE hash agg of m plain max()
+    lanes with MAP-SIDE COMBINE, so shuffle is bounded by
+    nodes-per-partition × m ints, never |E| × live-registers rows (the
+    sparse (node, idx, ρ) form measured 27 s/query at sf0.1; lanes cut
+    the superstep volume the way pivot_bfs_levels' lanes cut the
+    centrality BFS). Memoized per (state path, p): the neighborhood
+    function and the harmonic estimator share every superstep."""
+    key = (_norm_state_path(path), p)
+    cached = _NF_REGS_CACHE.get(key, [])
+    if len(cached) > horizon:
+        return cached[: horizon + 1]
+    from rust_cdc_validator_spark.operators.sketch import hll_index_rank
+
+    m = 1 << p
+    lanes = [f"_r{j}" for j in range(m)]
+    if cached:
+        frames = list(cached)
+    else:
+        idx, rho = hll_index_rank(F.col("node"), p)
+        init = edge_state_nodes(spark, path).select(
+            "node",
+            *[
+                F.when(idx == j, rho).otherwise(F.lit(0)).alias(lane)
+                for j, lane in enumerate(lanes)
+            ],
+        )
+        if checkpoint:
+            init = init.localCheckpoint(eager=True)
+        frames = [init]
+    adj = edge_state_adjacency(spark, path).select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d")
+    )
+    while len(frames) <= horizon:
+        regs = frames[-1]
+        msgs = adj.join(regs, adj["_s"] == regs["node"]).select(
+            F.col("_d").alias("node"), *lanes
+        )
+        nxt = (
+            regs.unionAll(msgs)
+            .groupBy("node")
+            .agg(*[F.max(lane).alias(lane) for lane in lanes])
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=True)
+        frames.append(nxt)
+    _NF_REGS_CACHE[key] = frames
+    return frames[: horizon + 1]
+
+
 def _nf_node_estimates(regs: DataFrame, p: int) -> DataFrame:
-    """(node, _est) from a sparse register relation — the per-node HLL
+    """(node, _est) from a lane register frame — the per-node HLL
     estimate with the harmonic sum kept EXACT: each 2^−ρ is the integer
-    2^(tail+1−ρ) (BIGINT, never rounded), divided back once per node."""
+    2^(tail+1−ρ) (BIGINT, never rounded) summed in fixed lane order,
+    divided back once per node. Identical values to the sparse-row
+    form, so the relational SQL oracles replay unchanged."""
     m = 1 << p
     tail1 = 60 - p + 1
-    per = regs.groupBy("node").agg(
-        F.count(F.lit(1)).alias("_nz"),
-        F.sum(
-            F.expr(f"shiftleft(cast(1 as bigint), {tail1} - _rho)")
-        ).alias("_ss"),
+    nz = None
+    ss = None
+    for j in range(m):
+        r = F.col(f"_r{j}")
+        one = F.when(r > 0, F.lit(1)).otherwise(F.lit(0))
+        term = F.when(
+            r > 0, F.expr(f"shiftleft(cast(1 as bigint), {tail1} - _r{j})")
+        ).otherwise(F.lit(0).cast("long"))
+        nz = one if nz is None else nz + one
+        ss = term if ss is None else ss + term
+    per = regs.select(
+        "node", nz.alias("_nz"), ss.alias("_ss")
     )
     s_full = (
         F.col("_ss").cast("double") / F.lit(float(1 << tail1))
@@ -1368,57 +1437,33 @@ def neighborhood_function_from_state(
     behind effective-diameter and average-distance readouts, computable
     on graphs where exact all-pairs BFS is quadratically out of reach.
 
-    Each node carries an HLL register set seeded with its own hash;
-    a superstep merges every neighbor's registers into the node's
-    (register-wise max — exactly :func:`sketch.hll_merge`'s semantics),
-    so after r steps node v's sketch estimates |ball(v, r)|. Registers
-    live as SPARSE (node, idx, rho) rows: a superstep is ONE adjacency
-    join + ONE (node, idx) max-aggregation with map-side combine —
-    shuffle ∝ |E| · (non-zero registers) rows of three small ints,
-    never a gather of neighbor arrays (no celebrity-degree collect_list
-    buffer). Lineage truncates per superstep like every loop here.
+    Each node carries an HLL register set seeded with its own hash; a
+    superstep merges every neighbor's registers into the node's
+    (register-wise max — :func:`sketch.hll_merge`'s semantics), so
+    after r steps node v's sketch estimates |ball(v, r)|. Registers
+    live as m LANE COLUMNS (see :func:`_nf_lane_registers` — map-side
+    combined max aggs, shuffle ∝ nodes × m, supersteps memoized and
+    SHARED with :func:`hyperball_harmonic_from_state`).
 
     Determinism/oracle contract: node hashes are the md5-derived 60-bit
     _h60 (SQL-replayable); the per-node harmonic sum accumulates EXACT
-    integers (Σ 2^(tail+1−ρ) in BIGINT, one divide at the end); per-node
-    estimates round to 6dp and cross-node totals sum in DECIMAL — an
-    unrolled SQL oracle replays every radius bit-for-bit.
+    integers (Σ 2^(tail+1−ρ) in BIGINT, one divide at the end);
+    per-node estimates round to 6dp and cross-node totals sum in
+    DECIMAL — an unrolled SQL oracle replays every radius bit-for-bit.
 
     Returns one row per radius 0..horizon: (radius, n_nodes, nf_est,
     avg_ball, coverage) where coverage is N(r)/N(horizon) — read the
     effective diameter as the smallest r with coverage ≥ 0.9. Estimate
-    error ~1.04/√(2^p); p=6 keeps superstep rows ≤ 64/node (the knob to
-    raise on precision-critical graphs)."""
+    error ~1.04/√(2^p); p trades precision for exactly the lane
+    factor."""
     from functools import reduce
-
-    from rust_cdc_validator_spark.operators.sketch import hll_index_rank
 
     if horizon < 0:
         raise ValueError("horizon must be >= 0")
     if not 4 <= p <= 12:
         raise ValueError("p must be in [4, 12]")
-    adj = edge_state_adjacency(spark, path).select(
-        F.col("src").alias("_s"), F.col("dst").alias("_d")
-    )
-    idx, rho = hll_index_rank(F.col("node"), p)
-    regs = edge_state_nodes(spark, path).select(
-        "node", idx.alias("_idx"), rho.alias("_rho")
-    )
-    if checkpoint:
-        regs = regs.localCheckpoint(eager=True)
-    rows = [_nf_radius_row(regs, 0, p)]
-    for t in range(1, horizon + 1):
-        msgs = adj.join(regs, adj["_s"] == regs["node"]).select(
-            F.col("_d").alias("node"), "_idx", "_rho"
-        )
-        regs = (
-            regs.unionAll(msgs)
-            .groupBy("node", "_idx")
-            .agg(F.max("_rho").alias("_rho"))
-        )
-        if checkpoint:
-            regs = regs.localCheckpoint(eager=True)
-        rows.append(_nf_radius_row(regs, t, p))
+    frames = _nf_lane_registers(spark, path, horizon, p, checkpoint)
+    rows = [_nf_radius_row(f, t, p) for t, f in enumerate(frames)]
     curve = reduce(lambda a, b: a.unionAll(b), rows)
     final = rows[-1].select(F.col("_nf").alias("_nf_final"))
     return curve.crossJoin(F.broadcast(final)).select(
@@ -1444,46 +1489,27 @@ def hyperball_harmonic_from_state(
     supersteps. The exact pivot closeness
     (:func:`closeness_from_state`) prices a handful of sources
     precisely; this prices ALL nodes at once for the cost of ``horizon``
-    register supersteps — the curve the exact query cannot afford at
-    every node.
+    register supersteps — and those supersteps are MEMOIZED and shared
+    with :func:`neighborhood_function_from_state` (same
+    (state, p) key), so running both queries pays for one pass.
 
-    Same sparse-register supersteps (and the same oracle-exact
-    arithmetic contract) as :func:`neighborhood_function_from_state`;
-    the per-radius estimates join back on the node key (H+1 node-sized
+    Per-radius estimates join back on the node key (H+1 node-sized
     relations, co-partitioned on the join key). Ball differences clamp
     at 0 — register estimates are near- but not strictly monotone
     across the linear-counting/raw regime switch, and a negative
     "shell" is sketch noise, not signal. Returns (node,
     harmonic_approx) for every node; callers rank/filter."""
-    from rust_cdc_validator_spark.operators.sketch import hll_index_rank
-
     if horizon < 1:
         raise ValueError("horizon must be >= 1")
     if not 4 <= p <= 12:
         raise ValueError("p must be in [4, 12]")
-    adj = edge_state_adjacency(spark, path).select(
-        F.col("src").alias("_s"), F.col("dst").alias("_d")
+    frames = _nf_lane_registers(spark, path, horizon, p, checkpoint)
+    ests = _nf_node_estimates(frames[0], p).withColumnRenamed(
+        "_est", "_est_0"
     )
-    idx, rho = hll_index_rank(F.col("node"), p)
-    regs = edge_state_nodes(spark, path).select(
-        "node", idx.alias("_idx"), rho.alias("_rho")
-    )
-    if checkpoint:
-        regs = regs.localCheckpoint(eager=True)
-    ests = _nf_node_estimates(regs, p).withColumnRenamed("_est", "_est_0")
     for t in range(1, horizon + 1):
-        msgs = adj.join(regs, adj["_s"] == regs["node"]).select(
-            F.col("_d").alias("node"), "_idx", "_rho"
-        )
-        regs = (
-            regs.unionAll(msgs)
-            .groupBy("node", "_idx")
-            .agg(F.max("_rho").alias("_rho"))
-        )
-        if checkpoint:
-            regs = regs.localCheckpoint(eager=True)
         ests = ests.join(
-            _nf_node_estimates(regs, p).withColumnRenamed(
+            _nf_node_estimates(frames[t], p).withColumnRenamed(
                 "_est", f"_est_{t}"
             ),
             "node",
