@@ -398,3 +398,94 @@ def vacuum_edge_state_versions(
         "retained_shared_files": sorted(set(retained)),
         "healed_orphans": sorted(healed),
     }
+
+
+def maintain_kmv_sketch(
+    vstream: DataFrame,
+    state_root: str,
+    versions_path: str,
+    checkpoint_dir: str,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+):
+    """Standing KMV/theta sketches (``operators/sketch.kmv_sketch``)
+    maintained from a stream — the set-algebra sibling of
+    :func:`maintain_minhash_index`: per micro-batch, sketch the batch,
+    merge into the persisted per-group sketches (k smallest of the
+    hash union — EXACTLY the sketch of the unioned data, the
+    order-statistics twin of HLL's register-max property,
+    pytest-pinned), and write an immutable ``{state_root}/v{batch_id}``
+    version registered in the same append-only log format as
+    :func:`maintain_edge_state` (shared ``init_edge_state_log`` /
+    ``current_edge_state`` resolution; same already-registered retry
+    no-op, so readers never race a rewrite).
+
+    State is groups × k longs — KBs; each micro-batch costs ∝ |batch|
+    plus one groups-sized merge join. Downstream
+    ``kmv_pair_overlap`` reads the resolved version for live
+    union/intersection/difference estimates."""
+    from rust_cdc_validator_spark.operators.sketch import (
+        _KMV_FULL,
+        kmv_sketch,
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        already = (
+            spark.read.parquet(versions_path)
+            .filter(F.col("batch_id") == batch_id)
+            .head(1)
+        )
+        if already:
+            return
+        parent = current_edge_state(spark, versions_path, before=batch_id)
+        old = spark.read.parquet(parent).select(
+            F.col(group_col), F.col("hashes").alias("_old")
+        )
+        delta = kmv_sketch(batch, [group_col], value_col, k=k).select(
+            F.col(group_col), F.col("hashes").alias("_new")
+        )
+        merged_hashes = F.slice(
+            F.array_sort(
+                F.array_distinct(
+                    F.concat(
+                        F.coalesce("_old", F.array().cast("array<long>")),
+                        F.coalesce("_new", F.array().cast("array<long>")),
+                    )
+                )
+            ),
+            1,
+            k,
+        )
+        nz = F.size(F.col("hashes"))
+        merged = (
+            old.join(delta, group_col, "full_outer")
+            .select(group_col, merged_hashes.alias("hashes"))
+            .select(
+                group_col,
+                "hashes",
+                (nz >= k).alias("saturated"),
+                F.when(nz < k, nz.cast("double"))
+                .otherwise(
+                    F.lit(float(k - 1))
+                    * F.lit(_KMV_FULL)
+                    / F.element_at(F.col("hashes"), k).cast("double")
+                )
+                .alias("est"),
+            )
+        )
+        new_path = f"{state_root}/v{batch_id}"
+        merged.write.mode("overwrite").parquet(new_path)
+        spark.createDataFrame(
+            [(batch_id, new_path)], "batch_id long, path string"
+        ).write.mode("append").parquet(versions_path)
+
+    return (
+        vstream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )

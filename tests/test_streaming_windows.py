@@ -1574,3 +1574,72 @@ def test_cusum_stateful_drops_out_of_order_ticks(spark, tmp_path):
     assert ticks == [10, 20, 30]  # the straggler at 15 was dropped
     with pytest.raises(ValueError, match="sigma"):
         cusum_stateful(stream, mu=0.0, sigma=0.0)
+
+
+def test_maintain_kmv_sketch_merge_equals_one_shot(spark, tmp_path):
+    from rust_cdc_validator_spark.operators.sketch import kmv_sketch
+    from rust_cdc_validator_spark.streaming.index import (
+        current_edge_state,
+        init_edge_state_log,
+        maintain_kmv_sketch,
+    )
+
+    k = 32
+    seed_rows = [("a", i) for i in range(20)] + [("b", i) for i in range(200)]
+    b1 = [("a", i) for i in range(10, 60)] + [("b", i) for i in range(150, 400)]
+    b2 = [("a", i) for i in range(55, 90)] + [("c", i) for i in range(40)]
+
+    root = str(tmp_path / "kmv_state")
+    versions = str(tmp_path / "kmv_versions")
+    seed_path = f"{root}/seed"
+    kmv_sketch(
+        spark.createDataFrame(seed_rows, "g string, v long"), ["g"], "v", k=k
+    ).write.parquet(seed_path)
+    init_edge_state_log(spark, versions, seed_path)
+
+    src = tmp_path / "kmv_src"
+    src.mkdir()
+    for name, rows in (("b1", b1), ("b2", b2)):
+        pq.write_table(
+            pa.table(
+                {"g": [r[0] for r in rows], "v": [r[1] for r in rows]}
+            ),
+            str(src / f"{name}.parquet"),
+        )
+    schema = T.StructType(
+        [T.StructField("g", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        maintain_kmv_sketch(
+            stream, root, versions, str(tmp_path / "ckpt"), "g", "v", k=k
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    resolved = current_edge_state(spark, versions)
+    got = {
+        r["g"]: r for r in spark.read.parquet(resolved).collect()
+    }
+    want = {
+        r["g"]: r
+        for r in kmv_sketch(
+            spark.createDataFrame(
+                seed_rows + b1 + b2, "g string, v long"
+            ),
+            ["g"],
+            "v",
+            k=k,
+        ).collect()
+    }
+    assert set(got) == set(want) == {"a", "b", "c"}
+    for g in want:  # merge-of-sketches == sketch-of-union, bit-identical
+        assert got[g]["hashes"] == want[g]["hashes"], g
+        assert got[g]["est"] == want[g]["est"], g
+        assert got[g]["saturated"] == want[g]["saturated"], g
