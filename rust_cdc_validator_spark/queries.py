@@ -12372,6 +12372,120 @@ def _hilbert_oracle_sql(bits: int = 8) -> str:
 EVENTS_HILBERT_SQL = _hilbert_oracle_sql()
 
 
+def orders_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality contract (operators/expect.expect_report)
+    over the orders table — the reference's validation mission turned
+    single-table: nullability, key uniqueness, value ranges, enum
+    membership, format regex, and customer-FK referential integrity as
+    ONE auditable report. Every row-level check folds into a single
+    aggregation pass; uniqueness rides the same pass as a
+    count-distinct; the FK check is one broadcast-able anti-join count.
+    Exact integer counting throughout — the oracle replays each report
+    row bit-for-bit."""
+    from rust_cdc_validator_spark.operators.expect import (
+        Expectation,
+        expect_report,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return expect_report(
+        orders,
+        [
+            Expectation("orderkey_not_null", "not_null", "o_orderkey"),
+            Expectation("orderkey_unique", "unique", "o_orderkey"),
+            Expectation(
+                "totalprice_range",
+                "in_range",
+                "o_totalprice",
+                {"lo": 0, "hi": 600000},
+            ),
+            Expectation("orderdate_not_null", "not_null", "o_orderdate"),
+            Expectation(
+                "status_enum",
+                "in_set",
+                "o_orderstatus",
+                {"values": ["O", "F", "P"]},
+            ),
+            Expectation(
+                "priority_format",
+                "matches_regex",
+                "o_orderpriority",
+                {"pattern": "^[0-9]-"},
+            ),
+            Expectation(
+                "custkey_fk",
+                "referential",
+                "o_custkey",
+                {"ref": cust, "ref_col": "c_custkey"},
+            ),
+        ],
+    )
+
+
+ORDERS_QUALITY_EXPECTATIONS_SQL = """
+WITH s AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS ok_null,
+    CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS ok_nn,
+    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ok_dst,
+    CAST(SUM(CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS tp_nn,
+    CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                   AND (o_totalprice < 0 OR o_totalprice > 600000)
+              THEN 1 ELSE 0 END) AS BIGINT) AS tp_bad,
+    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS od_null,
+    CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS st_nn,
+    CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                   AND o_orderstatus NOT IN ('O', 'F', 'P')
+              THEN 1 ELSE 0 END) AS BIGINT) AS st_bad,
+    CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS ck_nn,
+    CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                   AND NOT regexp_matches(o_orderpriority, '^[0-9]-')
+              THEN 1 ELSE 0 END) AS BIGINT) AS ck_bad
+  FROM orders
+), fk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS fk_checked,
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS fk_bad
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_custkey IS NOT NULL
+), rep AS (
+  SELECT 'orderkey_not_null' AS expectation, 'not_null' AS kind,
+         'o_orderkey' AS "column", n_rows AS n_checked, ok_null AS n_failed
+  FROM s
+  UNION ALL
+  SELECT 'orderkey_unique', 'unique', 'o_orderkey', ok_nn,
+         ok_nn - ok_dst FROM s
+  UNION ALL
+  SELECT 'totalprice_range', 'in_range', 'o_totalprice', tp_nn, tp_bad
+  FROM s
+  UNION ALL
+  SELECT 'orderdate_not_null', 'not_null', 'o_orderdate', n_rows, od_null
+  FROM s
+  UNION ALL
+  SELECT 'status_enum', 'in_set', 'o_orderstatus', st_nn, st_bad FROM s
+  UNION ALL
+  SELECT 'priority_format', 'matches_regex', 'o_orderpriority',
+         ck_nn, ck_bad FROM s
+  UNION ALL
+  SELECT 'custkey_fk', 'referential', 'o_custkey', fk_checked, fk_bad
+  FROM fk
+)
+SELECT expectation, kind, "column", n_checked, n_failed,
+       round(CASE WHEN n_checked > 0
+                  THEN (n_checked - n_failed) / n_checked
+                  ELSE 1.0 END, 6) AS pass_ratio
+FROM rep
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -12550,6 +12664,7 @@ QUERIES: dict[str, QueryFn] = {
     "supplier_harmonic_hyperball": supplier_harmonic_hyperball,
     "events_type_kmv_overlap": events_type_kmv_overlap,
     "events_hilbert": events_hilbert,
+    "orders_quality_expectations": orders_quality_expectations,
     "nation_segment_fdr": nation_segment_fdr,
     "orders_record_price_frontier": orders_record_price_frontier,
     "events_markov_transitions": events_markov_transitions,
@@ -12766,6 +12881,7 @@ ORACLES: dict[str, str] = {
     "supplier_harmonic_hyperball": SUPPLIER_HARMONIC_HYPERBALL_SQL,
     "events_type_kmv_overlap": EVENTS_TYPE_KMV_OVERLAP_SQL,
     "events_hilbert": EVENTS_HILBERT_SQL,
+    "orders_quality_expectations": ORDERS_QUALITY_EXPECTATIONS_SQL,
     "nation_segment_fdr": NATION_SEGMENT_FDR_SQL,
     "orders_record_price_frontier": ORDERS_RECORD_PRICE_FRONTIER_SQL,
     "events_markov_transitions": EVENTS_MARKOV_TRANSITIONS_SQL,
