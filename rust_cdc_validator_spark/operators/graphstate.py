@@ -1521,3 +1521,36 @@ def hyperball_harmonic_from_state(
         ) / F.lit(float(t))
         harm = shell if harm is None else harm + shell
     return ests.select("node", F.round(harm, 6).alias("harmonic_approx"))
+
+
+def edge_state_diff(
+    spark: SparkSession, path_a: str, path_b: str
+) -> DataFrame:
+    """Graph CDC between two persisted edge-state versions: per
+    adjacency row (src, dst), the before/after weights and a status in
+    {added, removed, changed, unchanged} — the drift_between_states
+    idea applied to the graph's own version chain (what did yesterday's
+    delta actually do to the network). ONE full-outer join of two
+    state adjacency relations co-keyed on (src, dst) — the states are
+    already algorithm-ready parquet, so no fact table is touched; at
+    100 TB this is two state scans + one co-partitioned join, the same
+    cost class as reading either version.
+
+    Direction-expanded states carry each undirected edge twice (both
+    directions); callers wanting per-EDGE semantics filter one side
+    (e.g. ``src LIKE 'c%'`` on a bipartite build) — the catalog query
+    does exactly that."""
+    a = edge_state_adjacency(spark, path_a).select(
+        "src", "dst", F.col("w").alias("w_before")
+    )
+    b = edge_state_adjacency(spark, path_b).select(
+        "src", "dst", F.col("w").alias("w_after")
+    )
+    j = a.join(b, ["src", "dst"], "full_outer")
+    status = (
+        F.when(F.col("w_before").isNull(), F.lit("added"))
+        .when(F.col("w_after").isNull(), F.lit("removed"))
+        .when(F.col("w_before") != F.col("w_after"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("src", "dst", "w_before", "w_after", status.alias("status"))

@@ -5193,6 +5193,7 @@ FROM nodes GROUP BY side
 
 
 _ADV_EDGE_STATE_CACHE: dict[str, str] = {}
+_ADV_EDGE_BASE_CACHE: dict[str, str] = {}
 
 
 def _advanced_trade_edge_state_for(spark: SparkSession, sf_dir: str) -> str:
@@ -5235,6 +5236,7 @@ def _advanced_trade_edge_state_for(spark: SparkSession, sf_dir: str) -> str:
 
         cutoff = F.lit("1999-01-01")
         base_path = tempfile.mkdtemp(prefix="trade_edge_base_")
+        _ADV_EDGE_BASE_CACHE[sf_dir] = base_path
         build_edge_state(
             _pairs(F.col("l_shipdate") < cutoff),
             base_path,
@@ -12486,6 +12488,79 @@ FROM rep
 """
 
 
+def trade_edge_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph CDC between edge-state versions
+    (operators/graphstate.edge_state_diff): what the folded 1999+ trade
+    delta DID to the network — per status (added / changed / unchanged),
+    edge counts and before/after weight mass, read entirely from the
+    base and advanced state versions the incremental pipeline already
+    maintains (zero fact scans in the diffed plan). The oracle
+    recomputes both eras' canonical edge relations from raw facts and
+    replays the classification — so the version-diff semantics are
+    value-hash-checked end to end. (``removed`` cannot occur here —
+    co-trade deltas only add weight; a CDC retraction delta would
+    populate it.)"""
+    from rust_cdc_validator_spark.operators.graphstate import (
+        edge_state_diff,
+    )
+
+    _advanced_trade_edge_state_for(spark, sf_dir)  # ensures base too
+    d = edge_state_diff(
+        spark,
+        _ADV_EDGE_BASE_CACHE[sf_dir],
+        _ADV_EDGE_STATE_CACHE[sf_dir],
+    )
+    dec = "decimal(18,3)"
+    return (
+        d.filter(F.col("src").startswith("c"))  # one row per edge
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.round(
+                F.sum(F.col("w_before").cast(dec)).cast("double"), 3
+            ).alias("w_before_sum"),
+            F.round(
+                F.sum(F.col("w_after").cast(dec)).cast("double"), 3
+            ).alias("w_after_sum"),
+        )
+        .orderBy("status")
+    )
+
+
+TRADE_EDGE_STATE_DIFF_SQL = """
+WITH base AS (
+  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS w_before
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate < DATE '1999-01-01'
+  GROUP BY 1, 2
+), fullr AS (
+  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS w_after
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), d AS (
+  SELECT COALESCE(b.src, f.src) AS src, b.w_before, f.w_after,
+         CASE WHEN b.w_before IS NULL THEN 'added'
+              WHEN f.w_after IS NULL THEN 'removed'
+              WHEN b.w_before <> f.w_after THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM base b FULL OUTER JOIN fullr f
+    ON b.src = f.src AND b.dst = f.dst
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_edges,
+       round(CAST(SUM(CAST(w_before AS DECIMAL(18,3))) AS DOUBLE), 3)
+         AS w_before_sum,
+       round(CAST(SUM(CAST(w_after AS DECIMAL(18,3))) AS DOUBLE), 3)
+         AS w_after_sum
+FROM d WHERE src LIKE 'c%'
+GROUP BY status
+ORDER BY status
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -12665,6 +12740,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_type_kmv_overlap": events_type_kmv_overlap,
     "events_hilbert": events_hilbert,
     "orders_quality_expectations": orders_quality_expectations,
+    "trade_edge_state_diff": trade_edge_state_diff,
     "nation_segment_fdr": nation_segment_fdr,
     "orders_record_price_frontier": orders_record_price_frontier,
     "events_markov_transitions": events_markov_transitions,
@@ -12882,6 +12958,7 @@ ORACLES: dict[str, str] = {
     "events_type_kmv_overlap": EVENTS_TYPE_KMV_OVERLAP_SQL,
     "events_hilbert": EVENTS_HILBERT_SQL,
     "orders_quality_expectations": ORDERS_QUALITY_EXPECTATIONS_SQL,
+    "trade_edge_state_diff": TRADE_EDGE_STATE_DIFF_SQL,
     "nation_segment_fdr": NATION_SEGMENT_FDR_SQL,
     "orders_record_price_frontier": ORDERS_RECORD_PRICE_FRONTIER_SQL,
     "events_markov_transitions": EVENTS_MARKOV_TRANSITIONS_SQL,

@@ -878,3 +878,49 @@ def test_hyperball_harmonic_ranks_hubs(spark, tmp_path):
     assert leaves[0] == pytest.approx(4.5, rel=0.2)
     with pytest.raises(ValueError, match="horizon"):
         hyperball_harmonic_from_state(spark, path, horizon=0)
+
+
+def test_edge_state_diff_all_statuses(spark, tmp_path):
+    from rust_cdc_validator_spark.operators.graphstate import (
+        advance_edge_state,
+        build_edge_state,
+        edge_state_diff,
+    )
+
+    base = str(tmp_path / "diff_base")
+    build_edge_state(
+        spark.createDataFrame(
+            [("a", "b", 1.0), ("a", "c", 2.0), ("b", "c", 3.0)],
+            "src string, dst string, w double",
+        ),
+        base,
+        weight_col="w",
+        buckets=2,
+    )
+    adv = str(tmp_path / "diff_adv")
+    # delta: bump a-b, retract b-c entirely, add c-d
+    advance_edge_state(
+        spark,
+        base,
+        spark.createDataFrame(
+            [("a", "b", 4.0), ("b", "c", -3.0), ("c", "d", 7.0)],
+            "src string, dst string, w double",
+        ),
+        adv,
+        weight_col="w",
+    )
+    d = {
+        (r["src"], r["dst"]): r
+        for r in edge_state_diff(spark, base, adv).collect()
+    }
+    # direction-expanded: check the canonical direction rows
+    assert d[("a", "b")]["status"] == "changed"
+    assert (d[("a", "b")]["w_before"], d[("a", "b")]["w_after"]) == (1.0, 5.0)
+    assert d[("a", "c")]["status"] == "unchanged"
+    assert d[("b", "c")]["status"] == "removed"
+    assert d[("b", "c")]["w_after"] is None
+    assert d[("c", "d")]["status"] == "added"
+    assert d[("c", "d")]["w_before"] is None
+    # both directions carry the same verdicts
+    assert d[("b", "a")]["status"] == "changed"
+    assert d[("d", "c")]["status"] == "added"
