@@ -110,6 +110,18 @@ def build_parser() -> argparse.ArgumentParser:
              "versions (exit 1 when any metric drifts past 1%%)",
     )
     p.add_argument(
+        "--quality-audit", nargs=2, metavar=("TABLE_PARQUET", "SPEC_JSON"),
+        help="extension: run a declarative expectation suite "
+             "(operators/expect.py) over a parquet table; SPEC_JSON is a "
+             "list of {name, kind, column, ...params}; referential specs "
+             "name a ref_table resolved under --quality-ref-root",
+    )
+    p.add_argument("--quality-ref-root",
+                   help="dir holding {ref_table}.parquet for referential "
+                        "expectations")
+    p.add_argument("--quality-fail-on-violation", action="store_true",
+                   help="exit 2 when any expectation has failures")
+    p.add_argument(
         "--advance-state", nargs=2, metavar=("STATE_TABLE", "NEW_STATE_TABLE"),
         help="incremental mode (extension): apply only the window's CDC "
              "files to the bucketed STATE_TABLE, writing NEW_STATE_TABLE "
@@ -235,11 +247,61 @@ def _run_corpus_prep(args) -> int:
     return 0
 
 
+def _run_quality_audit(args) -> int:
+    """The data-contract CLI leg: parquet table + JSON expectation spec →
+    printed report, machine-readable JSON line, and an exit contract
+    (--quality-fail-on-violation → exit 2 on any failed expectation) so
+    a scheduler can gate a pipeline on table health."""
+    from rust_cdc_validator_spark.operators.expect import (
+        Expectation,
+        expect_report,
+    )
+
+    table_path, spec_path = args.quality_audit
+    with open(spec_path) as f:
+        raw = json.load(f)
+    spark = get_spark("quality-audit-cli")
+    exps = []
+    for item in raw:
+        params = {
+            k: v
+            for k, v in item.items()
+            if k not in ("name", "kind", "column", "ref_table")
+        }
+        if item["kind"] == "referential":
+            if not args.quality_ref_root:
+                print("referential expectation needs --quality-ref-root",
+                      file=sys.stderr)
+                return 1
+            params["ref"] = spark.read.parquet(
+                f"{args.quality_ref_root}/{item['ref_table']}.parquet"
+            )
+        exps.append(
+            Expectation(item["name"], item["kind"], item["column"], params)
+        )
+    rep = expect_report(spark.read.parquet(table_path), exps)
+    rows = rep.collect()
+    rep.show(truncate=False)
+    print(json.dumps({
+        "table": table_path,
+        "expectations": len(rows),
+        "failed": sum(1 for r in rows if r["n_failed"] > 0),
+        "rows": [r.asDict() for r in rows],
+    }, default=str))
+    if args.quality_fail_on_violation and any(
+        r["n_failed"] > 0 for r in rows
+    ):
+        return 2
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
     if args.corpus_prep:
         return _run_corpus_prep(args)
+    if args.quality_audit:
+        return _run_quality_audit(args)
     if args.drift_states:
         from rust_cdc_validator_spark.operators.drift import drift_report
 

@@ -265,3 +265,42 @@ def test_cli_corpus_prep_splits_column(spark, tmp_path):
     rc2 = main(["--corpus-prep", inp, str(tmp_path / "x"),
                 "--corpus-splits", "garbage"])
     assert rc2 == 2
+
+
+def test_cli_quality_audit(spark, tmp_path):
+    import json
+
+    tbl = str(tmp_path / "qa_table.parquet")
+    spark.createDataFrame(
+        [(1, 10), (2, 10), (None, 99)], "k long, fk long"
+    ).write.parquet(tbl)
+    refroot = tmp_path / "refs"
+    refroot.mkdir()
+    spark.createDataFrame([(10,), (20,)], "rk long").write.parquet(
+        str(refroot / "dim.parquet")
+    )
+    spec = tmp_path / "spec.json"
+    spec.write_text(json.dumps([
+        {"name": "k_nn", "kind": "not_null", "column": "k"},
+        {"name": "fk_ok", "kind": "referential", "column": "fk",
+         "ref_table": "dim", "ref_col": "rk"},
+    ]))
+    rc = main(["--quality-audit", tbl, str(spec),
+               "--quality-ref-root", str(refroot)])
+    assert rc == 0  # report mode never gates
+    rc = main(["--quality-audit", tbl, str(spec),
+               "--quality-ref-root", str(refroot),
+               "--quality-fail-on-violation"])
+    assert rc == 2  # null k + unmatched fk 99 violate
+    # a clean table passes the gate
+    clean = str(tmp_path / "qa_clean.parquet")
+    spark.createDataFrame([(1, 10), (2, 20)], "k long, fk long").write.parquet(
+        clean
+    )
+    rc = main(["--quality-audit", clean, str(spec),
+               "--quality-ref-root", str(refroot),
+               "--quality-fail-on-violation"])
+    assert rc == 0
+    # referential without a ref root is a usage error
+    rc = main(["--quality-audit", tbl, str(spec)])
+    assert rc == 1
