@@ -14,3 +14,7 @@ from rust_cdc_validator_spark.operators.drift import (  # noqa: F401
     drift_report,
     psi_drift,
 )
+from rust_cdc_validator_spark.operators.expect import (  # noqa: F401
+    Expectation,
+    expect_report,
+)
