@@ -27,6 +27,9 @@ SCHEMA = T.StructType(
 )
 
 
+_MTIME_SEQ = [0]
+
+
 def _write(path, rows):
     ops, ts, ids, vs = zip(*rows)
     pq.write_table(
@@ -40,6 +43,14 @@ def _write(path, rows):
         ),
         str(path),
     )
+    # pin strictly-increasing mtimes: files written microseconds apart can
+    # tie on mtime, and the file source's modified-time ordering then
+    # becomes load-dependent — the CDC apply order must be deterministic
+    import os
+
+    _MTIME_SEQ[0] += 1
+    t = 1_700_000_000 + _MTIME_SEQ[0]
+    os.utime(str(path), (t, t))
 
 
 def _read_target(spark, url):

@@ -1533,6 +1533,8 @@ def test_cusum_stateful_matches_batch_chart(spark, tmp_path):
 def test_cusum_stateful_drops_out_of_order_ticks(spark, tmp_path):
     from rust_cdc_validator_spark.streaming.windows import cusum_stateful
 
+    import os
+
     src = tmp_path / "cusum_ooo"
     src.mkdir()
     pq.write_table(
@@ -1547,6 +1549,12 @@ def test_cusum_stateful_drops_out_of_order_ticks(spark, tmp_path):
         ),
         str(src / "b.parquet"),
     )
+    # pin strictly-increasing mtimes so the one-file-per-trigger order is
+    # a.parquet THEN b.parquet whatever the filesystem timestamp
+    # granularity — the straggler-drop semantics under test require the
+    # batches to arrive in that order
+    os.utime(str(src / "a.parquet"), (1_700_000_000, 1_700_000_000))
+    os.utime(str(src / "b.parquet"), (1_700_000_001, 1_700_000_001))
     schema = T.StructType(
         [
             T.StructField("series", T.StringType()),
