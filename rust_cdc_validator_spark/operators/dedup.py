@@ -145,11 +145,19 @@ def build_minhash_index(
         [(num_hashes, num_bands, shingle_n, seed)],
         "num_hashes int, num_bands int, shingle_n int, seed int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    from rust_cdc_validator_spark.operators._memo import invalidate_index
+
+    invalidate_index(path)
 
 
 def _minhash_index_params(spark, path: str) -> tuple[int, int, int, int]:
-    r = spark.read.parquet(f"{path}/params").first()
-    return r["num_hashes"], r["num_bands"], r["shingle_n"], r["seed"]
+    from rust_cdc_validator_spark.operators._memo import index_fact
+
+    def load() -> tuple[int, int, int, int]:
+        r = spark.read.parquet(f"{path}/params").first()
+        return r["num_hashes"], r["num_bands"], r["shingle_n"], r["seed"]
+
+    return index_fact(spark, path, "minhash_params", load)
 
 
 def append_to_minhash_index(

@@ -243,6 +243,7 @@ def _write_adj_manifest(
         spark, _adj_manifest_path(path), json.dumps(manifest, indent=1)
     )
     _ADJ_MANIFEST_CACHE.pop(path, None)  # a rebuild replaced the record
+    _STATE_FACTS_CACHE.pop(path, None)
 
 
 #: path -> parsed manifest (or None for legacy flat-adj states). States
@@ -252,6 +253,25 @@ def _write_adj_manifest(
 #: measured at sf0.1 — the r12-D bench regression on the graph family).
 #: _write_adj_manifest invalidates its key, covering in-place rebuilds.
 _ADJ_MANIFEST_CACHE: dict[str, dict | None] = {}
+
+#: path -> {fact key: value} of per-state SCALAR facts that are pure
+#: functions of the immutable state under that path: the params row,
+#: pagerank's 3-scalar role probe, the SSSP min-weight guard. Same
+#: contract as _ADJ_MANIFEST_CACHE (states are immutable versions; the
+#: writers invalidate alongside the manifest). Without this, every
+#: from-state query EXECUTION re-ran the scan behind the fact — for the
+#: min(w) guard that was a full O(|E|) adjacency pass per call (guide
+#: §1.2: remove passes the job does not need; measured 0.10-0.27 s/call
+#: at sf0.1, and a whole extra state scan per analytic at scale).
+_STATE_FACTS_CACHE: dict[str, dict] = {}
+
+
+def _state_fact(path: str, key: str, compute):
+    """Memoized scalar fact of an immutable edge state."""
+    facts = _STATE_FACTS_CACHE.setdefault(path, {})
+    if key not in facts:
+        facts[key] = compute()
+    return facts[key]
 
 
 def _load_adj_manifest(spark: SparkSession, path: str) -> dict | None:
@@ -516,8 +536,16 @@ def _norm_state_path(p: str) -> str:
 
 
 def edge_state_params(spark: SparkSession, path: str) -> dict:
-    """The build's pinned parameters + size facts as a plain dict."""
-    return spark.read.parquet(f"{path}/params").first().asDict()
+    """The build's pinned parameters + size facts as a plain dict
+    (memoized per immutable state path — one driver job per state, not
+    per query execution)."""
+    return dict(
+        _state_fact(
+            path,
+            "params",
+            lambda: spark.read.parquet(f"{path}/params").first().asDict(),
+        )
+    )
 
 
 def edge_state_adjacency(spark: SparkSession, path: str) -> DataFrame:
@@ -604,11 +632,15 @@ def pagerank_from_state(
         F.col("src").alias("_s"), F.col("dst").alias("_d"), F.col("p").alias("_p")
     )
     role = edge_state_nodes(spark, path)
-    probe = role.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.max(F.when(F.col("has_out") == 0, 1).otherwise(0)).alias("dang"),
-        F.max(F.when(F.col("has_in") == 0, 1).otherwise(0)).alias("srco"),
-    ).first()
+    probe = _state_fact(
+        path,
+        "pagerank_role_probe",
+        lambda: role.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.when(F.col("has_out") == 0, 1).otherwise(0)).alias("dang"),
+            F.max(F.when(F.col("has_in") == 0, 1).otherwise(0)).alias("srco"),
+        ).first(),
+    )
     n = int(probe["n"])
     if n == 0:
         raise ValueError("pagerank_from_state: edge state is empty")
@@ -1237,7 +1269,11 @@ def weighted_paths_from_state(
     # sums caller weights without filtering, so a state built from negative
     # inputs would silently return hop-bound-dependent distances — and
     # inverse_weight additionally needs strictly positive w (1/w length)
-    mn = adj.agg(F.min("w").alias("m")).first()["m"]
+    mn = _state_fact(
+        path,
+        "min_w",
+        lambda: adj.agg(F.min("w").alias("m")).first()["m"],
+    )
     if mn is not None and (mn < 0 or (inverse_weight and mn <= 0)):
         raise ValueError(
             "weighted_paths_from_state requires "

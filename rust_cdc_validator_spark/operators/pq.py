@@ -269,6 +269,9 @@ def build_ivfpq_index(
     # fitted-state quantization error: the baseline ivfpq_refit_needed's
     # codebook-drift check compares appended data against (r7)
     write_ivfpq_quant_baseline(spark, path)
+    from rust_cdc_validator_spark.operators._memo import invalidate_index
+
+    invalidate_index(path)
 
 
 def _load_codebooks(spark, path: str) -> np.ndarray:
@@ -308,13 +311,24 @@ def ivfpq_topk_from_index(
     per-cell ADC scoring → exact re-rank of the refine_factor·k candidate
     pool against full vectors. Returns (query_id, neighbor_id, cos_sim,
     rank) with EXACT cosine values (ADC only selects candidates)."""
-    cent_pdf = (
-        spark.read.parquet(f"{index_path}/centroids").orderBy("cell").toPandas()
+    from rust_cdc_validator_spark.operators._memo import index_fact
+
+    def load_centroids():
+        pdf = (
+            spark.read.parquet(f"{index_path}/centroids")
+            .orderBy("cell")
+            .toPandas()
+        )
+        c = np.stack(pdf["centroid"].to_numpy()).astype(np.float64)
+        return c, spark.sparkContext.broadcast(c)
+
+    _, bc_c = index_fact(spark, index_path, "ivfpq_centroids", load_centroids)
+    bc_b = index_fact(
+        spark,
+        index_path,
+        "ivfpq_codebooks",
+        lambda: spark.sparkContext.broadcast(_load_codebooks(spark, index_path)),
     )
-    cents = np.stack(cent_pdf["centroid"].to_numpy()).astype(np.float64)
-    bc_c = spark.sparkContext.broadcast(cents)
-    books = _load_codebooks(spark, index_path)
-    bc_b = spark.sparkContext.broadcast(books)
 
     qb = _assign_cells(
         queries, id_col, vec_col, bc_c, n_probe, np.float64, _assign_schema("float64")

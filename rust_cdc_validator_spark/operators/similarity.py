@@ -448,11 +448,19 @@ def build_lsh_index(
         [(dim, num_planes, num_tables, seed)],
         "dim int, num_planes int, num_tables int, seed int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    from rust_cdc_validator_spark.operators._memo import invalidate_index
+
+    invalidate_index(path)
 
 
 def _lsh_index_params(spark, path: str) -> tuple[int, int, int, int]:
-    r = spark.read.parquet(f"{path}/params").first()
-    return r["dim"], r["num_planes"], r["num_tables"], r["seed"]
+    from rust_cdc_validator_spark.operators._memo import index_fact
+
+    def load() -> tuple[int, int, int, int]:
+        r = spark.read.parquet(f"{path}/params").first()
+        return r["dim"], r["num_planes"], r["num_tables"], r["seed"]
+
+    return index_fact(spark, path, "lsh_params", load)
 
 
 def append_to_lsh_index(
@@ -975,6 +983,9 @@ def build_ivf_index(
     spark.createDataFrame(
         cent_rows, "cell int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    from rust_cdc_validator_spark.operators._memo import invalidate_index
+
+    invalidate_index(path)
 
 
 def append_to_ivf_index(
@@ -1063,11 +1074,18 @@ def ivf_topk_from_index(
     grouped per-cell matmuls, exact cosine, window top-k — so results
     match the non-indexed operator exactly for the same build parameters.
     """
-    cent_pdf = (
-        spark.read.parquet(f"{index_path}/centroids").orderBy("cell").toPandas()
-    )
-    cents = np.stack(cent_pdf["centroid"].to_numpy()).astype(np.float64)
-    bc = spark.sparkContext.broadcast(cents)
+    from rust_cdc_validator_spark.operators._memo import index_fact
+
+    def load_centroids():
+        pdf = (
+            spark.read.parquet(f"{index_path}/centroids")
+            .orderBy("cell")
+            .toPandas()
+        )
+        c = np.stack(pdf["centroid"].to_numpy()).astype(np.float64)
+        return c, spark.sparkContext.broadcast(c)
+
+    cents, bc = index_fact(spark, index_path, "ivf_centroids", load_centroids)
 
     vectors = spark.read.parquet(f"{index_path}/vectors")
     payload_dtype = (
