@@ -1421,18 +1421,22 @@ def _nf_node_estimates(regs: DataFrame, p: int) -> DataFrame:
     form, so the relational SQL oracles replay unchanged."""
     m = 1 << p
     tail1 = 60 - p + 1
-    nz = None
-    ss = None
-    for j in range(m):
-        r = F.col(f"_r{j}")
-        one = F.when(r > 0, F.lit(1)).otherwise(F.lit(0))
-        term = F.when(
-            r > 0, F.expr(f"shiftleft(cast(1 as bigint), {tail1} - _r{j})")
-        ).otherwise(F.lit(0).cast("long"))
-        nz = one if nz is None else nz + one
-        ss = term if ss is None else ss + term
+    # ONE F.expr per aggregate instead of 64 chained Column objects: the
+    # per-lane F.when/F.col/+ chain cost ~3.5 s of py4j round-trips PER
+    # QUERY BUILD (measured — build 4.1 s vs 0.14 s Catalyst planning,
+    # 0.6 s execution). A single SQL string parses JVM-side in one call
+    # and yields the same left-fold expression tree, so values (exact
+    # integer lane arithmetic) are unchanged.
+    nz_sql = " + ".join(
+        f"(CASE WHEN _r{j} > 0 THEN 1 ELSE 0 END)" for j in range(m)
+    )
+    ss_sql = " + ".join(
+        f"(CASE WHEN _r{j} > 0 THEN shiftleft(cast(1 as bigint), "
+        f"{tail1} - _r{j}) ELSE cast(0 as bigint) END)"
+        for j in range(m)
+    )
     per = regs.select(
-        "node", nz.alias("_nz"), ss.alias("_ss")
+        "node", F.expr(nz_sql).alias("_nz"), F.expr(ss_sql).alias("_ss")
     )
     s_full = (
         F.col("_ss").cast("double") / F.lit(float(1 << tail1))
