@@ -993,14 +993,17 @@ def pivot_bfs_levels(
     # settled bit i set iff lane i reached this node already — at level 0
     # a pivot is settled for its OWN lane only (another pivot's BFS can
     # still reach it at depth >= 1)
-    add_mask = F.aggregate(
-        F.zip_with(
-            F.col("sig"),
-            F.array(*[F.lit(1 << i).cast("long") for i in range(k)]),
-            lambda s, b: F.when(s > 0, b).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # single-F.expr construction (the HyperBall/betweenness lane fix):
+    # the zip_with/when/aggregate lambda chain and the per-lane loops
+    # below each cost hundreds of py4j round trips per superstep when
+    # built as Column objects; the SQL strings parse JVM-side in one
+    # call and produce the same trees (L-suffixed literals are BIGINT,
+    # matching the .cast("long") forms).
+    masks_sql = ", ".join(f"{1 << i}L" for i in range(k))
+    add_mask = F.expr(
+        f"aggregate(zip_with(sig, array({masks_sql}), "
+        "(s, b) -> CASE WHEN s > 0 THEN b ELSE 0L END), "
+        "0L, (acc, x) -> acc + x)"
     )
     # settled stays LAZY: a union of (node, mask) over the CHECKPOINTED
     # levels, merged by bit_or inside the next superstep's join stage —
@@ -1015,9 +1018,13 @@ def pivot_bfs_levels(
             _gate(frontier, counts[-1])
             .join(e, frontier["node"] == e["_s"])
             .groupBy(F.col("_d").alias("node"))
-            .agg(F.array(
-                *[F.sum(F.col("sig")[i]) for i in range(k)]
-            ).alias("sig"))
+            .agg(
+                F.expr(
+                    "array("
+                    + ", ".join(f"SUM(sig[{i}])" for i in range(k))
+                    + ")"
+                ).alias("sig")
+            )
         )
         settled = settled_parts[0]
         for part in settled_parts[1:]:
@@ -1026,21 +1033,19 @@ def pivot_bfs_levels(
             F.bit_or("mask").alias("mask")
         )
         joined = cand.join(_gate(settled, n_settled), ["node"], "left")
-        lane = [
-            F.when(
-                F.coalesce(F.col("mask"), F.lit(0))
-                .bitwiseAND(F.lit(1 << i)) != 0,
-                F.lit(0).cast("long"),
-            ).otherwise(
-                F.col("sig")[i]
+        lane_sql = ", ".join(
+            f"CASE WHEN (coalesce(mask, 0L) & {1 << i}L) != 0 THEN 0L "
+            + (
+                f"ELSE sig[{i}] END"
                 if count_paths
-                else F.when(F.col("sig")[i] > 0, 1).otherwise(0).cast("long")
+                else f"ELSE CAST(CASE WHEN sig[{i}] > 0 THEN 1 ELSE 0 END"
+                " AS BIGINT) END"
             )
             for i in range(k)
-        ]
+        )
         new = joined.select(
-            "node", F.array(*lane).alias("sig")
-        ).filter(F.exists("sig", lambda x: x > 0))
+            "node", F.expr(f"array({lane_sql})").alias("sig")
+        ).filter(F.expr("exists(sig, x -> x > 0)"))
         if checkpoint:
             new = new.localCheckpoint(eager=True)
         n_new = new.count()
@@ -1092,7 +1097,7 @@ def harmonic_closeness_from_state(
         spark, path, pivots, max_hops, checkpoint, count_paths=False
     )
     scale = math.lcm(*range(1, max_hops + 1))
-    reached = F.size(F.filter("sig", lambda x: x > 0)).cast("long")
+    reached = F.expr("CAST(size(filter(sig, x -> x > 0)) AS BIGINT)")
     per_level = [
         lvl.select(
             "node",
@@ -1183,10 +1188,21 @@ def betweenness_from_state(
     def _gate(df: DataFrame, n_rows: int) -> DataFrame:
         return F.broadcast(df) if 0 < n_rows * row_bytes <= threshold else df
 
-    zero_deltas = F.array(*[F.lit(0.0) for _ in range(k)])
+    # Lane expressions are built as ONE F.expr string per level instead
+    # of k chained Column objects — the per-lane py4j construction cost
+    # ~2.6 s per query build at k=16 (same fix, same measured shape as
+    # the HyperBall lanes); the parsed trees and double arithmetic are
+    # identical (0.0D/1.0D are DOUBLE literals, matching F.lit(0.0)).
+    zero_deltas = F.expr(f"array({', '.join('0.0D' for _ in range(k))})")
     # backward: deepest level has zero dependency by construction
     cur = levels[-1].withColumn("delta", zero_deltas)
     per_level = [cur] if len(levels) > 1 else []
+    delta_lanes_sql = ", ".join(
+        f"SUM(CASE WHEN sig[{i}] > 0 AND _ws[{i}] > 0 THEN "
+        f"(CAST(sig[{i}] AS DOUBLE) / _ws[{i}]) * (1.0D + _wd[{i}]) "
+        f"ELSE 0.0D END)"
+        for i in range(k)
+    )
     for h in range(len(levels) - 2, -1, -1):
         w = cur.select(
             F.col("node").alias("_w"),
@@ -1203,16 +1219,7 @@ def betweenness_from_state(
         deltas = (
             expanded.join(_gate(w, counts[h + 1]), ["_w"])
             .groupBy("node")
-            .agg(F.array(*[
-                F.sum(
-                    F.when(
-                        (F.col("sig")[i] > 0) & (F.col("_ws")[i] > 0),
-                        (F.col("sig")[i].cast("double") / F.col("_ws")[i])
-                        * (F.lit(1.0) + F.col("_wd")[i]),
-                    ).otherwise(F.lit(0.0))
-                )
-                for i in range(k)
-            ]).alias("delta"))
+            .agg(F.expr(f"array({delta_lanes_sql})").alias("delta"))
         )
         cur = lvl.join(deltas, ["node"], "left").select(
             "node",
@@ -1233,10 +1240,10 @@ def betweenness_from_state(
     # per node per level: delta summed over lanes where the node is in
     # that pivot's tree; support = popcount of the sig lanes (each pivot
     # reaches a node at exactly one level, so levels sum disjointly)
-    rowsum = F.aggregate(
-        "delta", F.lit(0.0), lambda acc, x: acc + x
-    ).alias("_d")
-    support = F.size(F.filter("sig", lambda x: x > 0)).cast("long").alias("_s")
+    rowsum = F.expr("aggregate(delta, 0.0D, (acc, x) -> acc + x)").alias("_d")
+    support = F.expr(
+        "CAST(size(filter(sig, x -> x > 0)) AS BIGINT)"
+    ).alias("_s")
     all_deltas = per_level[0].select("node", rowsum, support)
     for d in per_level[1:]:
         all_deltas = all_deltas.unionAll(d.select("node", rowsum, support))
