@@ -631,6 +631,7 @@ def _lpa_loop(
     iterations: int,
     checkpoint: bool,
     track_convergence: bool,
+    n: int | None = None,
 ) -> tuple[DataFrame, int, list[int] | None]:
     """The synchronous LPA supersteps, shared by
     :func:`label_propagation` (which symmetrizes a raw edge frame) and
@@ -654,7 +655,8 @@ def _lpa_loop(
             "spark.sql.autoBroadcastJoinThreshold", "10m"
         )
     )
-    n = labels.count()
+    if n is None:  # from-state callers pass the params' pinned n_nodes
+        n = labels.count()
     broadcast_labels = 0 < n * _RANK_ROW_BYTES <= threshold
     w = Window.partitionBy("_n").orderBy(
         F.col("_c").desc(), F.col("label").asc()
@@ -1247,13 +1249,27 @@ def _sssp_loop(
         improved = (
             cand.join(dside, "node", "left")
             .filter(F.col("_old").isNull() | (F.col("_cd") < F.col("_old")))
-            .select("node", F.col("_cd").alias("dist"))
+            .select(
+                "node",
+                F.col("_cd").alias("dist"),
+                F.col("_old").isNull().cast("int").alias("_new"),
+            )
         )
         if checkpoint:
             improved = improved.localCheckpoint(eager=True)
-        n_frontier = improved.count()
+        # ONE probe job per round instead of two: the frontier count and
+        # the post-merge dist size together — n_dist grows by exactly the
+        # never-seen nodes (improved-existing rows replace via the
+        # min-combine, leaving the count unchanged), so the second O(|V|)
+        # count() pass over the merged dist relation is redundant.
+        probe = improved.agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("_new").alias("_a")
+        ).first()
+        n_frontier = int(probe["_n"])
         if n_frontier == 0:
             break
+        n_dist += int(probe["_a"] or 0)
+        improved = improved.select("node", "dist")
         # strict improvements replace: min-combine old and new in ONE pass
         dist = (
             dist.unionByName(improved)
@@ -1262,7 +1278,6 @@ def _sssp_loop(
         )
         if checkpoint:
             dist = dist.localCheckpoint(eager=True)
-        n_dist = dist.count()
         frontier = improved
     return dist
 
@@ -1360,6 +1375,8 @@ def _louvain_loop(
     checkpoint: bool,
     track_convergence: bool,
     return_stats: bool,
+    n: int | None = None,
+    two_m: float | None = None,
 ) -> DataFrame | tuple[DataFrame, GraphRunStats]:
     """The parity-gated synchronous local-moving sweeps, shared by
     :func:`louvain_communities` (which symmetrizes raw edges) and
@@ -1371,11 +1388,18 @@ def _louvain_loop(
     threshold = _parse_bytes(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
     )
-    n = kdeg.count()
+    # callers with pinned graph facts (louvain_from_state: params n_nodes
+    # and the memoized Σout_w — both pure functions of the immutable
+    # state) pass them in; the raw-edges path still probes. out_w sums
+    # integral doubles, so the memoized value is bit-identical to a
+    # fresh aggregation whatever the partition order.
+    if n is None:
+        n = kdeg.count()
     gate = lambda df: (  # noqa: E731
         F.broadcast(df) if 0 < n * _RANK_ROW_BYTES <= threshold else df
     )
-    two_m = kdeg.agg(F.sum("k")).first()[0]
+    if two_m is None:
+        two_m = kdeg.agg(F.sum("k")).first()[0]
     if not two_m:
         out = comms
         return (out, GraphRunStats(iterations=0, changes=[])) if return_stats else out

@@ -705,7 +705,12 @@ def label_propagation_from_state(
         "node", F.col("node").alias("label")
     )
     labels, iterations_used, changes = _lpa_loop(
-        nbr, labels, iterations, checkpoint, track_convergence
+        nbr,
+        labels,
+        iterations,
+        checkpoint,
+        track_convergence,
+        n=int(edge_state_params(spark, path)["n_nodes"]),
     )
     if return_stats:
         return labels, GraphRunStats(iterations=iterations_used, changes=changes)
@@ -1328,8 +1333,22 @@ def louvain_from_state(
         "node", F.col("out_w").alias("k")
     )
     comms = kdeg.select("node", F.col("node").alias("comm"))
+    n = int(edge_state_params(spark, path)["n_nodes"])
+    two_m = _state_fact(
+        path,
+        "sum_out_w",
+        lambda: kdeg.agg(F.sum("k")).first()[0],
+    )
     return _louvain_loop(
-        adj, kdeg, comms, sweeps, checkpoint, track_convergence, return_stats
+        adj,
+        kdeg,
+        comms,
+        sweeps,
+        checkpoint,
+        track_convergence,
+        return_stats,
+        n=n,
+        two_m=two_m,
     )
 
 
