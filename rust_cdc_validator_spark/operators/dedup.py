@@ -452,13 +452,16 @@ def connected_components(
     """
     spark = edges.sparkSession
 
-    # Probe-and-keep: limit(threshold+1).collect() materializes the edge
-    # pipeline ONCE — if everything fit, those rows ARE the edge set (a
-    # separate count() would recompute the whole upstream candidate
-    # pipeline just to decide the path).
-    probe = edges.select(id_a, id_b).limit(driver_threshold + 1).collect()
-    if len(probe) <= driver_threshold:
-        pairs = probe
+    # Probe-and-keep: limit(threshold+1) materializes the edge pipeline
+    # ONCE — if everything fit, those rows ARE the edge set (a separate
+    # count() would recompute the whole upstream candidate pipeline just
+    # to decide the path). Arrow toPandas instead of collect(): pickled
+    # Row transfer cost ~1.9 s at the 100k-edge threshold (guide §6,
+    # Arrow for driver transfers); plain int lists also drop the Row
+    # __getitem__ overhead from the union-find loop.
+    pdf = edges.select(id_a, id_b).limit(driver_threshold + 1).toPandas()
+    if len(pdf) <= driver_threshold:
+        pairs = zip(pdf[id_a].tolist(), pdf[id_b].tolist())
         parent: dict = {}
 
         def find(x):
@@ -467,8 +470,8 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for r in pairs:
-            ra, rb = find(r[0]), find(r[1])
+        for ra, rb in pairs:
+            ra, rb = find(ra), find(rb)
             if ra != rb:
                 # union by min id so the component label is the min node
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
