@@ -18,6 +18,14 @@ STOPWORDS = (
 ).split()
 
 
+def _str_array_expr(words) -> Column:
+    """array<string> literal as ONE parsed SQL expression — the
+    per-word F.lit loop costs a py4j round trip per element on every
+    query build (the HyperBall-lane fix applied to literals)."""
+    quoted = ", ".join("'" + w.replace("'", "\\'") + "'" for w in words)
+    return F.expr(f"array({quoted})")
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization: array of non-empty tokens."""
     return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != F.lit(""))
@@ -79,7 +87,7 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
 def stopword_ratio(text: Column) -> Column:
     """Fraction of tokens that are stopwords — a classic quality signal."""
     toks = tokens(F.lower(text))
-    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    sw = _str_array_expr(STOPWORDS)
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return n_sw / F.greatest(F.size(toks), F.lit(1))
 
@@ -210,7 +218,7 @@ def gopher_signals(text: Column) -> Column:
     alpha_words = F.size(
         F.filter(words, lambda w: w.rlike("[A-Za-z]"))
     ).cast("double")
-    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    sw = _str_array_expr(GOPHER_STOPWORDS)
     distinct_sw = F.size(F.array_intersect(F.transform(words, F.lower), sw))
     dup_line = F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines
     dup_para = F.lit(1.0) - F.size(F.array_distinct(paras)).cast("double") / n_paras

@@ -1100,7 +1100,9 @@ def _quality_gate(docs: DataFrame, text_col: str, min_chars: int, min_stopwords:
     """(gated_df, token_array_expr, stopword_count_expr) — the shared
     front gate of the composed corpus pipelines."""
     toks = F.split(F.col(text_col), " ")
-    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    from rust_cdc_validator_spark.functions.text import _str_array_expr
+
+    sw = _str_array_expr(STOPWORDS)
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     gated = docs.filter((F.length(text_col) >= min_chars) & (n_sw >= min_stopwords))
     return gated, toks, n_sw

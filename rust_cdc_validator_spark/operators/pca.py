@@ -184,11 +184,13 @@ def pca_project(
     comps = model.components
     if whiten:
         comps = comps / np.sqrt(model.eigenvalues + eps)[:, None]
-    mean_arr = F.array(*[F.lit(float(m)) for m in model.mean])
+    from rust_cdc_validator_spark.operators.quantize import _dbl_array_expr
+
+    mean_arr = _dbl_array_expr([float(m) for m in model.mean])
     centered = F.zip_with(vec, mean_arr, lambda v, m: v.cast("double") - m)
     outs = []
     for row in comps:
-        w = F.array(*[F.lit(float(c)) for c in row])
+        w = _dbl_array_expr([float(c) for c in row])
         outs.append(
             F.aggregate(
                 F.zip_with(centered, w, lambda c, x: c * x),

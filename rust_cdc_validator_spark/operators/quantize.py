@@ -71,9 +71,24 @@ def sq8_fit(df: DataFrame, vec_col: str) -> list[tuple[float, float]]:
     return [(float(r["_lo"]), float(r["_hi"])) for r in rows]
 
 
+def _dbl_array_expr(vals: list[float]) -> Column:
+    """array<double> literal built as ONE parsed SQL expression — the
+    per-element F.lit loop cost ~1 s of py4j round-trips per call at
+    dim=64 (measured; the HyperBall-lane fix applied to literals).
+    ``%.17e`` round-trips every finite double exactly; non-finite values
+    fall back to the Column API (SQL has no inf/nan literal)."""
+    import math
+
+    if all(math.isfinite(v) for v in vals):
+        return F.expr(
+            "array(" + ", ".join(f"{v:.17e}" for v in vals) + ")"
+        )
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
 def _bounds_arrays(bounds: list[tuple[float, float]]) -> tuple[Column, Column]:
-    lo = F.array(*[F.lit(float(b[0])) for b in bounds])
-    hi = F.array(*[F.lit(float(b[1])) for b in bounds])
+    lo = _dbl_array_expr([float(b[0]) for b in bounds])
+    hi = _dbl_array_expr([float(b[1]) for b in bounds])
     return lo, hi
 
 
