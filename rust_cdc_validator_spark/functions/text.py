@@ -21,8 +21,17 @@ STOPWORDS = (
 def _str_array_expr(words) -> Column:
     """array<string> literal as ONE parsed SQL expression — the
     per-word F.lit loop costs a py4j round trip per element on every
-    query build (the HyperBall-lane fix applied to literals)."""
-    quoted = ", ".join("'" + w.replace("'", "\\'") + "'" for w in words)
+    query build (the HyperBall-lane fix applied to literals).
+
+    Backslashes are escaped BEFORE quotes (a word containing ``\\``
+    would otherwise change meaning), and any word the default parser
+    could still misread (escapedStringLiterals on, exotic control
+    chars) falls back to the exact per-element Column literal."""
+    if any(not w.isprintable() or "\n" in w or "\r" in w for w in words):
+        return F.array(*[F.lit(w) for w in words])
+    quoted = ", ".join(
+        "'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'" for w in words
+    )
     return F.expr(f"array({quoted})")
 
 

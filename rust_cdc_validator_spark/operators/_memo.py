@@ -10,24 +10,54 @@ paying 2-4 extra Spark jobs per execution and leaking one broadcast per
 run (guide §1.2: remove passes the job does not need; §5: the driver
 should do almost no data work).
 
-This memo keys on (SparkContext id, index path, fact name) so a restarted
-session never sees another context's broadcast handles. BUILD functions
-invalidate their path (rebuild-in-place safety); appends do not touch the
-pinned facts, so they do not invalidate. The cache is in-process only —
-exactly the scope of the memoized index builds the bench's warm-up
-amortizes — and never holds query RESULTS, only build-pinned metadata.
+This memo keys on (SparkContext id, normalized index path, fact name) so
+a restarted session never sees another context's broadcast handles and a
+rebuild addressed via a differently-spelled path (trailing slash,
+``..`` segment) still evicts. BUILD functions invalidate their path
+(rebuild-in-place safety); appends do not touch the pinned facts, so
+they do not invalidate. Invalidation destroys any Broadcast values being
+dropped, and entries for dead applicationIds are evicted on the next
+lookup. The cache is in-process only — exactly the scope of the memoized
+index builds the bench's warm-up amortizes — and never holds query
+RESULTS, only build-pinned metadata.
 """
 
 from __future__ import annotations
 
+import posixpath
 from typing import Any, Callable
 
 _CACHE: dict[tuple, Any] = {}
 
 
+def _norm_path(p: str) -> str:
+    """Same normalization as graphstate._norm_state_path (duplicated to
+    keep this module import-free): scheme-qualified paths only lose the
+    trailing slash (normpath would mangle ``s3://``)."""
+    if "://" in p:
+        return p.rstrip("/")
+    return posixpath.normpath(p)
+
+
+def _release(value: Any) -> None:
+    """Destroy a Broadcast being dropped from the cache (a leaked handle
+    pins its blocks on every executor for the app lifetime). Best effort:
+    non-broadcast facts and already-dead contexts pass through."""
+    destroy = getattr(value, "destroy", None)
+    if callable(destroy) and hasattr(value, "unpersist"):
+        try:
+            destroy()
+        except Exception:
+            pass
+
+
 def index_fact(spark, path: str, key: str, compute: Callable[[], Any]) -> Any:
     """Memoized driver-side fact of an immutable index under ``path``."""
-    k = (spark.sparkContext.applicationId, path, key)
+    app = spark.sparkContext.applicationId
+    stale = [k for k in _CACHE if k[0] != app]
+    for k in stale:  # a restarted session: the old app's handles are dead
+        _CACHE.pop(k, None)
+    k = (app, _norm_path(path), key)
     if k not in _CACHE:
         _CACHE[k] = compute()
     return _CACHE[k]
@@ -35,5 +65,6 @@ def index_fact(spark, path: str, key: str, compute: Callable[[], Any]) -> Any:
 
 def invalidate_index(path: str) -> None:
     """Drop every cached fact under ``path`` (a rebuild replaced it)."""
-    for k in [k for k in _CACHE if k[1] == path]:
-        del _CACHE[k]
+    norm = _norm_path(path)
+    for k in [k for k in _CACHE if k[1] == norm]:
+        _release(_CACHE.pop(k))

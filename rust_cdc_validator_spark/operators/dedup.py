@@ -458,8 +458,14 @@ def connected_components(
     # to decide the path). Arrow toPandas instead of collect(): pickled
     # Row transfer cost ~1.9 s at the 100k-edge threshold (guide §6,
     # Arrow for driver transfers); plain int lists also drop the Row
-    # __getitem__ overhead from the union-find loop.
-    pdf = edges.select(id_a, id_b).limit(driver_threshold + 1).toPandas()
+    # __getitem__ overhead from the union-find loop. Null ids are dropped
+    # up front so BOTH paths see the same key domain (pandas would turn a
+    # null int into NaN/float on the driver path; F.min silently ignores
+    # it on the distributed path).
+    edges = edges.select(id_a, id_b).where(
+        F.col(id_a).isNotNull() & F.col(id_b).isNotNull()
+    )
+    pdf = edges.limit(driver_threshold + 1).toPandas()
     if len(pdf) <= driver_threshold:
         pairs = zip(pdf[id_a].tolist(), pdf[id_b].tolist())
         parent: dict = {}

@@ -1390,9 +1390,11 @@ def _louvain_loop(
     )
     # callers with pinned graph facts (louvain_from_state: params n_nodes
     # and the memoized Σout_w — both pure functions of the immutable
-    # state) pass them in; the raw-edges path still probes. out_w sums
-    # integral doubles, so the memoized value is bit-identical to a
-    # fresh aggregation whatever the partition order.
+    # state) pass them in; the raw-edges path still probes. For integral
+    # weights the memoized sum is identical to a fresh aggregation; with
+    # fractional weights it can differ from a re-probe in the last ulp
+    # (float sums reorder), which is fine — the value is used
+    # consistently within a run.
     if n is None:
         n = kdeg.count()
     gate = lambda df: (  # noqa: E731

@@ -242,8 +242,29 @@ def _write_adj_manifest(
     _fs_write_text(
         spark, _adj_manifest_path(path), json.dumps(manifest, indent=1)
     )
-    _ADJ_MANIFEST_CACHE.pop(path, None)  # a rebuild replaced the record
-    _STATE_FACTS_CACHE.pop(path, None)
+    # a rebuild replaced the record: drop EVERY per-state memo under this
+    # path — the scalar facts AND the derived DataFrame relations (pivot-
+    # BFS levels, HyperBall lane registers), which would otherwise serve
+    # the OLD graph's levels to closeness/betweenness/NF queries. The two
+    # DataFrame caches key on the normalized path (pivot-BFS on the raw
+    # path inside a tuple), so match by normalized equality.
+    norm = _norm_state_path(path)
+    for cache in (_ADJ_MANIFEST_CACHE, _STATE_FACTS_CACHE):
+        for k in [k for k in cache if _norm_state_path(k) == norm]:
+            del cache[k]
+    for k in [k for k in _PIVOT_BFS_CACHE if _norm_state_path(k[0]) == norm]:
+        _, levels, _ = _PIVOT_BFS_CACHE.pop(k)
+        for df in levels:  # release the checkpointed blocks, best effort
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    for k in [k for k in _NF_REGS_CACHE if k[0] == norm]:
+        for df in _NF_REGS_CACHE.pop(k):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 #: path -> parsed manifest (or None for legacy flat-adj states). States

@@ -204,7 +204,10 @@ def test_pagerank_from_state_1m_edges_fewer_jobs_than_direct(spark, tmp_path):
         assert jobs < d[3], (
             f"state path must skip prep jobs: {jobs} vs direct {d[3]}"
         )
-    assert s1[2] == s2[2], f"job count unstable: {s1[2]} != {s2[2]}"
+    # run 1 may pay one-time cold driver-fact probes (the per-state memo
+    # of pagerank's role scan); run 2 is the steady path and must never
+    # launch MORE jobs than the cold run
+    assert s2[2] <= s1[2], f"steady run regressed jobs: {s2[2]} > {s1[2]}"
     print(
         f"\npagerank_from_state 1M edges x5 iters: {s1[1]:.1f}s, {s1[2]} "
         f"jobs (direct: {d[2]:.1f}s, {d[3]} jobs)"

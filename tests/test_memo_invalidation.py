@@ -88,3 +88,61 @@ def test_lsh_index_params_follow_rebuild(spark, tmp_path):
     assert _lsh_index_params(spark, path) == (8, 3, 2, 7)
     build_lsh_index(vecs, path, dim=8, num_planes=4, num_tables=2, seed=9)
     assert _lsh_index_params(spark, path) == (8, 4, 2, 9)
+
+
+def test_pivot_bfs_cache_invalidated_by_rebuild(spark, tmp_path):
+    """r13 (r12 VERDICT #2): an in-place rebuild must drop the memoized
+    pivot-BFS level relations — otherwise closeness/betweenness serve the
+    OLD graph's levels."""
+    path = str(tmp_path / "state")
+    graphstate.build_edge_state(
+        _edges(spark, [("a", "b", 1.0)]), path, weight_col="w", buckets=2
+    )
+    pivots = spark.createDataFrame([("a",)], "node string")
+    out1 = graphstate.harmonic_closeness_from_state(
+        spark, path, pivots, max_hops=3
+    )
+    reached1 = {r["node"] for r in out1.collect()}
+    assert reached1 == {"b"}
+    # rebuild IN PLACE with a longer chain: the cached levels must go
+    graphstate.build_edge_state(
+        _edges(spark, [("a", "b", 1.0), ("b", "c", 1.0)]),
+        path,
+        weight_col="w",
+        buckets=2,
+    )
+    out2 = graphstate.harmonic_closeness_from_state(
+        spark, path, pivots, max_hops=3
+    )
+    got = {r["node"]: r["harmonic"] for r in out2.collect()}
+    assert set(got) == {"b", "c"}  # c is reachable only in the NEW graph
+    assert got["c"] == 0.5
+
+
+def test_nf_registers_cache_invalidated_by_rebuild(spark, tmp_path):
+    """Same contract for the HyperBall lane-register memo: the
+    neighborhood function must recompute from the rebuilt state."""
+    path = str(tmp_path / "state")
+    graphstate.build_edge_state(
+        _edges(spark, [("a", "b", 1.0)]), path, weight_col="w", buckets=2
+    )
+    c1 = {
+        r["radius"]: r["n_nodes"]
+        for r in graphstate.neighborhood_function_from_state(
+            spark, path, horizon=2
+        ).collect()
+    }
+    assert c1[0] == 2  # a, b
+    graphstate.build_edge_state(
+        _edges(spark, [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0)]),
+        path,
+        weight_col="w",
+        buckets=2,
+    )
+    c2 = {
+        r["radius"]: r["n_nodes"]
+        for r in graphstate.neighborhood_function_from_state(
+            spark, path, horizon=2
+        ).collect()
+    }
+    assert c2[0] == 4  # a..d — stale registers would still say 2
