@@ -1383,7 +1383,13 @@ def _louvain_loop(
     ``graphstate.louvain_from_state`` (which reads the pre-exploded
     adjacency + degree relations from persisted edge state). ``adj`` is
     (src, dst, w) symmetric/dedup'd/self-loop-free and materialized;
-    ``kdeg`` is (node, k); ``comms`` the (node, comm) init."""
+    ``kdeg`` is (node, k); ``comms`` the (node, comm) init.
+
+    When ``kdeg`` carries a ``_par`` column (graphstate's long-encoded
+    caller: the md5 parity of the ORIGINAL node string, pinned at dict
+    build), the move gate reads it instead of hashing the key — the
+    long-encoded key must NOT be hashed (md5 of the long's decimal form
+    is a different schedule than md5 of the node string)."""
     spark = adj.sparkSession
     threshold = _parse_bytes(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
@@ -1429,9 +1435,11 @@ def _louvain_loop(
             .groupBy("src", "_nc")
             .agg(F.sum("w").alias("_kuc"))
         )
+        pinned_parity = "_par" in kdeg.columns
+        kcols = ["k", "_par"] if pinned_parity else ["k"]
         cand = (
             kuc.join(gate(comms.select(F.col("node").alias("src"), F.col("comm").alias("_d"))), "src")
-            .join(gate(kdeg.select(F.col("node").alias("src"), "k")), "src")
+            .join(gate(kdeg.select(F.col("node").alias("src"), *kcols)), "src")
             .join(gate(sig.select(F.col("comm").alias("_nc"), "_sig")), "_nc")
         )
         stay = F.col("_nc") == F.col("_d")
@@ -1441,14 +1449,18 @@ def _louvain_loop(
         ).otherwise(F.col("_kuc") - F.col("k") * F.col("_sig") / F.lit(two_m))
         winner = (
             cand.select(
-                "src", "_nc", "_d",
+                "src", "_nc", "_d", *(["_par"] if pinned_parity else []),
                 score.alias("_score"),
                 stay.cast("int").alias("_stay"),
             )
             .withColumn("_rn", F.row_number().over(win))
             .filter(F.col("_rn") == 1)
         )
-        eligible = _md5_parity(F.col("src")) == F.lit(s % 2)
+        eligible = (
+            F.col("_par") == F.lit(s % 2)
+            if pinned_parity
+            else _md5_parity(F.col("src")) == F.lit(s % 2)
+        )
         comms = winner.select(
             F.col("src").alias("node"),
             F.when(eligible, F.col("_nc")).otherwise(F.col("_d")).alias("comm"),

@@ -265,6 +265,24 @@ def _write_adj_manifest(
                 df.unpersist()
             except Exception:
                 pass
+    enc = _ENC_GRAPH_CACHE.pop(norm, None)
+    if enc is not None:
+        for df in [enc["dict"], *enc["adj"].values()]:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    # a rebuild also invalidates the PERSISTED derived artifacts (the
+    # enc_dict/enc_adj parquet): delete the whole derived/ subtree so a
+    # stale encoding can never serve the new graph
+    try:
+        from rust_cdc_validator_spark.operators.state import _hadoop_fs
+
+        fs, p, _ = _hadoop_fs(spark, f"{path}/derived")
+        if fs.exists(p):
+            fs.delete(p, True)
+    except Exception:
+        pass
 
 
 #: path -> parsed manifest (or None for legacy flat-adj states). States
@@ -600,6 +618,291 @@ def edge_state_nodes(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/nodes")
 
 
+#: normalized state path -> {"dict": DataFrame, "adj": {src_prefix: DataFrame}}
+#: — the long-encoded graph relations (see _encoded_node_dict). Same
+#: immutable-version memo contract as _PIVOT_BFS_CACHE; invalidated by
+#: _write_adj_manifest.
+_ENC_GRAPH_CACHE: dict = {}
+
+
+def _derived_ready(spark: SparkSession, uri: str) -> bool:
+    """True iff a derived parquet relation was COMMITTED at ``uri``
+    (Spark's _SUCCESS marker — a killed writer leaves no marker, so a
+    partial directory is recomputed, never read)."""
+    from rust_cdc_validator_spark.operators.state import _hadoop_fs
+
+    try:
+        fs, p, _ = _hadoop_fs(spark, f"{uri}/_SUCCESS")
+        return bool(fs.exists(p))
+    except Exception:
+        return False
+
+
+def _persist_derived(spark: SparkSession, df: DataFrame, uri: str) -> DataFrame:
+    """Write a derived relation next to its state version and read it
+    back (cold JVMs then pay a parquet scan, not the derivation — the
+    versioned-artifact contract of centroids/codebooks). Falls back to a
+    localCheckpoint when the state location is not writable, keeping the
+    old session-memo behavior."""
+    try:
+        df.write.mode("overwrite").parquet(uri)
+        return spark.read.parquet(uri)
+    except Exception:
+        return df.localCheckpoint(eager=True)
+
+
+def _read_derived_frames(
+    spark: SparkSession, base_uri: str
+) -> tuple[list[DataFrame], list[int]] | None:
+    """(frames, counts) of a committed multi-level derived artifact
+    (``{base_uri}/meta.json`` + ``level_<h>/`` parquet dirs), or None if
+    absent/partial. meta.json is written LAST, so its presence is the
+    commit record; each level additionally needs its _SUCCESS marker."""
+    import json
+
+    from rust_cdc_validator_spark.operators.state import _fs_read_text
+
+    try:
+        meta = json.loads(_fs_read_text(spark, f"{base_uri}/meta.json"))
+    except Exception:
+        return None
+    frames = []
+    for h in range(int(meta["n"])):
+        uri = f"{base_uri}/level_{h}"
+        if not _derived_ready(spark, uri):
+            return None
+        frames.append(spark.read.parquet(uri))
+    return frames, [int(c) for c in meta.get("counts") or []]
+
+
+def _write_derived_frames(
+    spark: SparkSession,
+    base_uri: str,
+    frames: list[DataFrame],
+    counts: list[int] | None,
+) -> list[DataFrame] | None:
+    """Persist per-level frames under ``base_uri`` and return the
+    read-back frames (so warm and cold sessions share the same scan
+    path), or None when the location is not writable. Level dirs that
+    already exist are SKIPPED, not rewritten — a level's content is a
+    pure function of the immutable state version, so an extension pass
+    only writes the new depths. meta.json commits last."""
+    import json
+
+    from rust_cdc_validator_spark.operators.state import _fs_write_text
+
+    try:
+        out = []
+        for h, df in enumerate(frames):
+            uri = f"{base_uri}/level_{h}"
+            if not _derived_ready(spark, uri):
+                df.write.mode("overwrite").parquet(uri)
+            out.append(spark.read.parquet(uri))
+        _fs_write_text(
+            spark,
+            f"{base_uri}/meta.json",
+            json.dumps({"n": len(frames), "counts": counts}),
+        )
+        return out
+    except Exception:
+        return None
+
+#: estimated in-memory bytes per node-dict row (node string + long id +
+#: parity + role flags) for the encode-join broadcast gate — deliberately
+#: above _RANK_ROW_BYTES because the dict row is wider than a rank row
+_DICT_ROW_BYTES = 160
+
+
+def _encoded_node_dict(spark: SparkSession, path: str) -> DataFrame:
+    """(node, nid, parity, has_out, has_in, out_w) — the per-state node
+    dictionary behind the long-keyed superstep family (guide §2.3,
+    "narrower types": every iterative exchange moves an 8-byte long
+    instead of a node string).
+
+    ``nid`` is an ORDER-PRESERVING dense rank of the node string
+    (nid_a < nid_b ⇔ node_a < node_b), so every string-semantic
+    comparison the algorithms make — LPA's min-label tie-break,
+    Louvain's ASC-community argmax and min-label community identity —
+    is isomorphic under the encoding and decodes back bit-for-bit.
+    ``parity`` pins the Louvain md5 move gate, which is defined on the
+    node STRING, as a build-time node attribute.
+
+    The rank is computed scale-safely (never a single-partition window):
+    range-repartition by node, materialize ONCE (so every consumer sees
+    the same partition boundaries), per-partition row_number plus a
+    driver-side running offset over the per-partition counts (the
+    partition count is `buckets` — bounded, driver-small).
+
+    PERSISTED as a versioned state artifact (``{path}/derived/enc_dict``)
+    on first use — cold JVMs read the parquet back instead of re-ranking
+    — and memoized per immutable state version (the pivot-BFS contract);
+    rebuild invalidation (memo pop + derived-dir delete) lives in
+    _write_adj_manifest."""
+    from pyspark.sql import Window
+
+    from rust_cdc_validator_spark.operators.graph import _md5_parity
+
+    key = _norm_state_path(path)
+    hit = _ENC_GRAPH_CACHE.get(key)
+    if hit is not None:
+        return hit["dict"]
+    dict_uri = f"{path}/derived/enc_dict"
+    if _derived_ready(spark, dict_uri):
+        dic = spark.read.parquet(dict_uri)
+        _ENC_GRAPH_CACHE[key] = {"dict": dic, "adj": {}}
+        return dic
+    buckets = int(edge_state_params(spark, path)["buckets"])
+    staged = (
+        edge_state_nodes(spark, path)
+        .repartitionByRange(buckets, "node")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sizes = {
+        r["_pid"]: r["_cnt"]
+        for r in staged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .collect()
+    }
+    offsets, running = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, running))
+        running += sizes[pid]
+    off = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy("node")
+    dic = (
+        staged.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off), "_pid")
+        .select(
+            "node",
+            (F.col("_off") + F.col("_rn") - 1).cast("long").alias("nid"),
+            _md5_parity(F.col("node")).alias("parity"),
+            "has_out",
+            "has_in",
+            "out_w",
+        )
+    )
+    dic = _persist_derived(spark, dic, dict_uri)
+    staged.unpersist()
+    _ENC_GRAPH_CACHE[key] = {"dict": dic, "adj": {}}
+    return dic
+
+
+def _dict_gate(spark: SparkSession, path: str, df: DataFrame):
+    """Broadcast the node dict side of an encode/decode join when it
+    fits the session threshold (|V| rows — the same explicit decision
+    the rank loops make)."""
+    n = int(edge_state_params(spark, path)["n_nodes"])
+    threshold = _parse_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+    )
+    return F.broadcast(df) if 0 < n * _DICT_ROW_BYTES <= threshold else df
+
+
+def _encoded_adjacency(
+    spark: SparkSession, path: str, src_prefix: str | None = None
+) -> DataFrame:
+    """(sid, did, w, p) — the state adjacency with both endpoints
+    long-encoded through :func:`_encoded_node_dict`. The unprefixed
+    relation is PERSISTED as a versioned state artifact
+    (``{path}/derived/enc_adj``) on first use — cold JVMs read it back,
+    no encode joins — and memoized; a ``src_prefix`` read (the directed
+    bipartite HITS slice) derives from it as a broadcast-gated semi-join
+    on the prefix's nids (value-identical to filtering the string src
+    first: the dict is a bijection), checkpointed per (version, prefix).
+    Every superstep thereafter joins and aggregates on 8-byte longs."""
+    dic = _encoded_node_dict(spark, path)
+    entry = _ENC_GRAPH_CACHE[_norm_state_path(path)]
+    cached = entry["adj"].get(src_prefix)
+    if cached is not None:
+        return cached
+    if src_prefix is not None:
+        base = _encoded_adjacency(spark, path, None)
+        nids = dic.filter(F.col("node").startswith(src_prefix)).select(
+            F.col("nid").alias("sid")
+        )
+        enc = base.join(
+            _dict_gate(spark, path, nids), "sid", "left_semi"
+        ).localCheckpoint(eager=True)
+        entry["adj"][src_prefix] = enc
+        return enc
+    adj_uri = f"{path}/derived/enc_adj"
+    if _derived_ready(spark, adj_uri):
+        enc = spark.read.parquet(adj_uri)
+    else:
+        adj = edge_state_adjacency(spark, path)
+        ds = _dict_gate(
+            spark,
+            path,
+            dic.select(F.col("node").alias("src"), F.col("nid").alias("sid")),
+        )
+        dd = _dict_gate(
+            spark,
+            path,
+            dic.select(F.col("node").alias("dst"), F.col("nid").alias("did")),
+        )
+        enc = _persist_derived(
+            spark,
+            adj.join(ds, "src").join(dd, "dst").select("sid", "did", "w", "p"),
+            adj_uri,
+        )
+    entry["adj"][src_prefix] = enc
+    return enc
+
+
+def _encode_seed_nodes(
+    spark: SparkSession, path: str, seeds: DataFrame
+) -> DataFrame:
+    """(node: long) — caller seed node strings mapped through the dict
+    (seeds outside the node set drop out here, exactly as the string
+    loops' joins dropped them)."""
+    dic = _encoded_node_dict(spark, path)
+    return (
+        seeds.select("node")
+        .distinct()
+        .join(_dict_gate(spark, path, dic.select("node", "nid")), "node")
+        .select(F.col("nid").alias("node"))
+    )
+
+
+def _seeds_outside_state(
+    spark: SparkSession, path: str, seeds: DataFrame
+) -> DataFrame:
+    """(node: string) — the caller's distinct seeds that are NOT in the
+    state's node set (the BFS/SSSP loops keep them in the output at
+    distance 0; the dict encode would silently drop them)."""
+    dic = _encoded_node_dict(spark, path)
+    return (
+        seeds.select("node")
+        .distinct()
+        .join(
+            _dict_gate(spark, path, dic.select("node")), "node", "left_anti"
+        )
+    )
+
+
+def _decode_node_cols(
+    spark: SparkSession, path: str, df: DataFrame, cols: tuple[str, ...]
+) -> DataFrame:
+    """Map long-encoded node columns back to the original strings —
+    one |V|-sized (broadcast-gated) join per encoded column, only at
+    the output boundary."""
+    dic = _encoded_node_dict(spark, path)
+    out = df
+    for c in cols:
+        dec = _dict_gate(
+            spark,
+            path,
+            dic.select(F.col("nid").alias(f"_k_{c}"), F.col("node").alias(f"_s_{c}")),
+        )
+        out = (
+            out.join(dec, out[c] == dec[f"_k_{c}"])
+            .drop(c, f"_k_{c}")
+            .withColumnRenamed(f"_s_{c}", c)
+        )
+    return out.select(*df.columns)
+
+
 def edge_state_refit_needed(
     current_edges: DataFrame,
     path: str,
@@ -648,10 +951,6 @@ def pagerank_from_state(
             "tol requires checkpoint=True: each delta probe would "
             "re-execute the un-truncated iteration lineage"
         )
-    adj = edge_state_adjacency(spark, path)
-    trans = adj.select(
-        F.col("src").alias("_s"), F.col("dst").alias("_d"), F.col("p").alias("_p")
-    )
     role = edge_state_nodes(spark, path)
     probe = _state_fact(
         path,
@@ -665,12 +964,26 @@ def pagerank_from_state(
     n = int(probe["n"])
     if n == 0:
         raise ValueError("pagerank_from_state: edge state is empty")
-    nodes = role.select("node")
+    # long-keyed supersteps (guide §2.3): every per-iteration exchange
+    # and rank-frame broadcast moves 8-byte nids, not node strings; the
+    # encode is one memoized pass per state version, the decode one
+    # |V|-sized gated join at the output boundary. Rank arithmetic is a
+    # pure function of the grouping (a bijection), so values and mass
+    # are unchanged.
+    dic = _encoded_node_dict(spark, path)
+    trans = _encoded_adjacency(spark, path).select(
+        F.col("sid").alias("_s"), F.col("did").alias("_d"), F.col("p").alias("_p")
+    )
+    nodes = dic.select(F.col("nid").alias("node"))
     if seeds is not None:
         from rust_cdc_validator_spark.operators.graph import _attach_teleport
 
-        nodes = _attach_teleport(nodes, seeds, checkpoint)
-    dangling_nodes = role.filter(F.col("has_out") == 0).select("node")
+        nodes = _attach_teleport(
+            nodes, _encode_seed_nodes(spark, path, seeds), checkpoint
+        )
+    dangling_nodes = dic.filter(F.col("has_out") == 0).select(
+        F.col("nid").alias("node")
+    )
     threshold = _parse_bytes(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
     )
@@ -688,6 +1001,7 @@ def pagerank_from_state(
         tol,
         checkpoint,
     )
+    ranks = _decode_node_cols(spark, path, ranks, ("node",))
     if return_stats:
         return ranks, GraphRunStats(iterations=iterations_used, delta=last_delta)
     return ranks
@@ -719,11 +1033,14 @@ def label_propagation_from_state(
             "(LPA is defined on the undirected graph; rebuild with "
             "directed=False)"
         )
-    nbr = edge_state_adjacency(spark, path).select(
-        F.col("src").alias("_n"), F.col("dst").alias("_nb")
+    # long-keyed supersteps: nids are an ORDER-PRESERVING encoding of the
+    # node strings, so LPA's min-label tie-break (label ASC) picks the
+    # SAME label under encoding; labels decode back bit-for-bit.
+    nbr = _encoded_adjacency(spark, path).select(
+        F.col("sid").alias("_n"), F.col("did").alias("_nb")
     )
-    labels = edge_state_nodes(spark, path).select(
-        "node", F.col("node").alias("label")
+    labels = _encoded_node_dict(spark, path).select(
+        F.col("nid").alias("node"), F.col("nid").alias("label")
     )
     labels, iterations_used, changes = _lpa_loop(
         nbr,
@@ -733,6 +1050,7 @@ def label_propagation_from_state(
         track_convergence,
         n=int(edge_state_params(spark, path)["n_nodes"]),
     )
+    labels = _decode_node_cols(spark, path, labels, ("node", "label"))
     if return_stats:
         return labels, GraphRunStats(iterations=iterations_used, changes=changes)
     return labels
@@ -751,10 +1069,24 @@ def shortest_hops_from_state(
     direction). Same frontier supersteps (shared ``_bfs_loop``)."""
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
-    e = edge_state_adjacency(spark, path).select(
-        F.col("src").alias("_s"), F.col("dst").alias("_d")
+    # long-keyed frontiers: hop counts are key-agnostic, so the encoding
+    # is a pure bijection — only the per-hop candidate exchanges narrow
+    e = _encoded_adjacency(spark, path).select(
+        F.col("sid").alias("_s"), F.col("did").alias("_d")
     )
-    return _bfs_loop(e, seeds, max_hops, checkpoint)
+    out = _bfs_loop(
+        e, _encode_seed_nodes(spark, path, seeds), max_hops, checkpoint
+    )
+    decoded = _decode_node_cols(spark, path, out, ("node",))
+    # the string loop keeps seeds OUTSIDE the node set in the output at
+    # hops 0 (they just never expand); the dict join would drop them —
+    # add them back so *_from_state stays value-identical to the direct
+    # operator
+    return decoded.unionByName(
+        _seeds_outside_state(spark, path, seeds).select(
+            "node", F.lit(0).cast("int").alias("hops")
+        )
+    )
 
 
 def k_core_from_state(
@@ -779,10 +1111,14 @@ def k_core_from_state(
             "is defined on the undirected graph; rebuild with "
             "directed=False)"
         )
-    adj = edge_state_adjacency(spark, path).select(
-        F.col("src").alias("_s"), F.col("dst").alias("_d")
+    # long-keyed peels (guide §2.3): the k-core is degree counting over
+    # survivor-restricted joins — key-agnostic — so the encoding is a
+    # pure bijection and every peel round joins/aggregates 8-byte longs
+    adj = _encoded_adjacency(spark, path).select(
+        F.col("sid").alias("_s"), F.col("did").alias("_d")
     )
-    return _kcore_loop(adj, k, rounds, checkpoint)
+    core = _kcore_loop(adj, k, rounds, checkpoint)
+    return _decode_node_cols(spark, path, core, ("node",))
 
 
 def _state_und_deg(spark: SparkSession, path: str):
@@ -896,24 +1232,28 @@ def hits_from_state(
         _RANK_ROW_BYTES as _rrb,
     )
 
-    adj = edge_state_adjacency(spark, path)
-    if src_prefix is not None:
-        adj = adj.filter(F.col("src").startswith(src_prefix))
-    e = adj.select(
-        F.col("src").alias("_s"), F.col("dst").alias("_d"),
-        F.col("w").alias("_w"),
-    )
-    nodes = edge_state_nodes(spark, path).select("node")
     params = edge_state_params(spark, path)
     n = int(params["n_nodes"])
     if n == 0:
         raise ValueError("hits_from_state: edge state is empty")
+    # long-keyed half-steps (guide §2.3): HITS is weighted sums + one
+    # L1 normalization — key-agnostic — so the encoding is a pure
+    # bijection. The src_prefix filter runs on the STRING side inside
+    # _encoded_adjacency (prefix semantics are string-only).
+    e = _encoded_adjacency(spark, path, src_prefix).select(
+        F.col("sid").alias("_s"), F.col("did").alias("_d"),
+        F.col("w").alias("_w"),
+    )
+    nodes = _encoded_node_dict(spark, path).select(
+        F.col("nid").alias("node")
+    )
     threshold = _pb(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
     )
-    return _hits_loop(
+    scores = _hits_loop(
         e, nodes, 0 < n * _rrb <= threshold, iterations, checkpoint
     )
+    return _decode_node_cols(spark, path, scores, ("node",))
 
 
 #: (path, pivot tuple, horizon, count_paths) -> (pivot_list, levels, counts)
@@ -978,10 +1318,27 @@ def pivot_bfs_levels(
         r["node"] for r in pivots.select("node").distinct().collect()
     )
     cache_key = (path, tuple(pivot_list), max_hops, count_paths)
+    derived_uri = None
     if checkpoint:
         hit = _PIVOT_BFS_CACHE.get(cache_key)
         if hit is not None:
             return hit
+        # persisted next to the state version (r13, the "standing
+        # artifact" half of the memo contract below): cold JVMs read the
+        # committed level relations back instead of re-running the
+        # forward pass
+        import hashlib
+
+        digest = hashlib.md5(
+            ("\x1f".join(str(p) for p in pivot_list)
+             + f"|{max_hops}|{count_paths}").encode()
+        ).hexdigest()[:16]
+        derived_uri = f"{path}/derived/pivot_bfs_{digest}"
+        got = _read_derived_frames(spark, derived_uri)
+        if got is not None:
+            result = (pivot_list, got[0], got[1])
+            _PIVOT_BFS_CACHE[cache_key] = result
+            return result
     k = len(pivot_list)
     if k == 0:
         raise ValueError("pivot_bfs_levels: no pivots")
@@ -1081,10 +1438,19 @@ def pivot_bfs_levels(
         counts.append(n_new)
         settled_parts.append(new.select("node", add_mask.alias("mask")))
         n_settled += n_new  # upper bound (merged nodes counted once more)
-    result = (pivot_list, levels, counts)
     if checkpoint:
+        persisted = _write_derived_frames(spark, derived_uri, levels, counts)
+        if persisted is not None:
+            for df in levels:  # release the checkpointed compute frames
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+            levels = persisted
+        result = (pivot_list, levels, counts)
         _PIVOT_BFS_CACHE[cache_key] = result
-    return result
+        return result
+    return (pivot_list, levels, counts)
 
 
 def harmonic_closeness_from_state(
@@ -1314,11 +1680,26 @@ def weighted_paths_from_state(
             + f" edge weights (state {path} has min w = {mn}): with a hop "
             "bound, negative relaxation changes the meaning of the answer"
         )
+    # long-keyed relaxation supersteps (guide §2.3): distances are per-path
+    # double sums and MIN — key-agnostic — so the encoding is a pure
+    # bijection; only the per-round candidate/improvement exchanges narrow
+    enc = _encoded_adjacency(spark, path)
     length = (F.lit(1.0) / F.col("w")) if inverse_weight else F.col("w")
-    e = adj.select(
-        F.col("src").alias("_s"), F.col("dst").alias("_d"), length.alias("_w")
+    e = enc.select(
+        F.col("sid").alias("_s"), F.col("did").alias("_d"), length.alias("_w")
     )
-    return _sssp_loop(e, seeds, max_hops, checkpoint)
+    out = _sssp_loop(
+        e, _encode_seed_nodes(spark, path, seeds), max_hops, checkpoint
+    )
+    decoded = _decode_node_cols(spark, path, out, ("node",))
+    # the string loop keeps seeds OUTSIDE the node set in the output at
+    # dist 0.0 (they just never expand); the dict join would drop them —
+    # add them back so *_from_state stays value-identical
+    return decoded.unionByName(
+        _seeds_outside_state(spark, path, seeds).select(
+            "node", F.lit(0.0).alias("dist")
+        )
+    )
 
 
 def louvain_from_state(
@@ -1349,9 +1730,21 @@ def louvain_from_state(
             "(modularity is defined on the undirected graph; rebuild "
             "with directed=False)"
         )
-    adj = edge_state_adjacency(spark, path).select("src", "dst", "w")
-    kdeg = edge_state_nodes(spark, path).select(
-        "node", F.col("out_w").alias("k")
+    # long-keyed sweeps (guide §2.3): nids order-preserve the node
+    # strings, so the ASC-community argmax tie-break and min-label
+    # community identity pick the SAME winners under encoding; the md5
+    # move gate is defined on the node STRING, so the dict's pinned
+    # parity column rides kdeg into the loop (``_par``). Trade weights
+    # are summed per identical groups either way, so scores are the
+    # same doubles and every oracle replay holds.
+    dic = _encoded_node_dict(spark, path)
+    adj = _encoded_adjacency(spark, path).select(
+        F.col("sid").alias("src"), F.col("did").alias("dst"), "w"
+    )
+    kdeg = dic.select(
+        F.col("nid").alias("node"),
+        F.col("out_w").alias("k"),
+        F.col("parity").alias("_par"),
     )
     comms = kdeg.select("node", F.col("node").alias("comm"))
     n = int(edge_state_params(spark, path)["n_nodes"])
@@ -1360,7 +1753,7 @@ def louvain_from_state(
         "sum_out_w",
         lambda: kdeg.agg(F.sum("k")).first()[0],
     )
-    return _louvain_loop(
+    out = _louvain_loop(
         adj,
         kdeg,
         comms,
@@ -1371,6 +1764,13 @@ def louvain_from_state(
         n=n,
         two_m=two_m,
     )
+    if return_stats:
+        comms_out, stats = out
+        return (
+            _decode_node_cols(spark, path, comms_out, ("node", "comm")),
+            stats,
+        )
+    return _decode_node_cols(spark, path, out, ("node", "comm"))
 
 
 def modularity_from_state(
@@ -1426,20 +1826,33 @@ def _nf_lane_registers(
 
     m = 1 << p
     lanes = [f"_r{j}" for j in range(m)]
+    derived_uri = f"{path}/derived/nf_regs_p{p}" if checkpoint else None
     if cached:
         frames = list(cached)
     else:
-        idx, rho = hll_index_rank(F.col("node"), p)
-        init = edge_state_nodes(spark, path).select(
-            "node",
-            *[
-                F.when(idx == j, rho).otherwise(F.lit(0)).alias(lane)
-                for j, lane in enumerate(lanes)
-            ],
-        )
+        frames = None
         if checkpoint:
-            init = init.localCheckpoint(eager=True)
-        frames = [init]
+            # persisted next to the state version (r13): cold JVMs read
+            # the committed register relations back instead of re-running
+            # the HyperBall forward pass
+            got = _read_derived_frames(spark, derived_uri)
+            if got is not None:
+                frames = got[0]
+                if len(frames) > horizon:
+                    _NF_REGS_CACHE[key] = frames
+                    return frames[: horizon + 1]
+        if frames is None:
+            idx, rho = hll_index_rank(F.col("node"), p)
+            init = edge_state_nodes(spark, path).select(
+                "node",
+                *[
+                    F.when(idx == j, rho).otherwise(F.lit(0)).alias(lane)
+                    for j, lane in enumerate(lanes)
+                ],
+            )
+            if checkpoint:
+                init = init.localCheckpoint(eager=True)
+            frames = [init]
     adj = edge_state_adjacency(spark, path).select(
         F.col("src").alias("_s"), F.col("dst").alias("_d")
     )
@@ -1456,6 +1869,18 @@ def _nf_lane_registers(
         if checkpoint:
             nxt = nxt.localCheckpoint(eager=True)
         frames.append(nxt)
+    if checkpoint:
+        # already-committed level dirs are skipped (pure function of the
+        # immutable state version), so a deeper horizon writes only the
+        # new radii; cache-extension frames re-read their own dirs
+        persisted = _write_derived_frames(spark, derived_uri, frames, None)
+        if persisted is not None:
+            for df in frames:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+            frames = persisted
     _NF_REGS_CACHE[key] = frames
     return frames[: horizon + 1]
 

@@ -201,12 +201,15 @@ def test_pagerank_from_state_1m_edges_fewer_jobs_than_direct(spark, tmp_path):
     for row, elapsed, jobs in (s1, s2):
         assert abs(row["s"] - 1.0) < 1e-6  # mass conserved
         assert elapsed < 120, f"state pagerank took {elapsed:.1f}s"
-        assert jobs < d[3], (
-            f"state path must skip prep jobs: {jobs} vs direct {d[3]}"
-        )
-    # run 1 may pay one-time cold driver-fact probes (the per-state memo
-    # of pagerank's role scan); run 2 is the steady path and must never
-    # launch MORE jobs than the cold run
+    # run 1 pays the ONCE-PER-STATE-VERSION costs: the cold driver-fact
+    # probes plus building + persisting the long-encoded dict/adjacency
+    # artifacts (r13) — amortized across the whole from_state family and
+    # across sessions (later JVMs read the parquet back). Run 2 is the
+    # steady path: it must skip every prep job the direct operator pays
+    # and must never launch MORE jobs than the cold run.
+    assert s2[2] < d[3], (
+        f"steady state path must skip prep jobs: {s2[2]} vs direct {d[3]}"
+    )
     assert s2[2] <= s1[2], f"steady run regressed jobs: {s2[2]} > {s1[2]}"
     print(
         f"\npagerank_from_state 1M edges x5 iters: {s1[1]:.1f}s, {s1[2]} "

@@ -146,3 +146,42 @@ def test_nf_registers_cache_invalidated_by_rebuild(spark, tmp_path):
         ).collect()
     }
     assert c2[0] == 4  # a..d — stale registers would still say 2
+
+
+def test_encoded_graph_artifacts_invalidated_by_rebuild(spark, tmp_path):
+    """r13: the long-encoded dict/adjacency are BOTH memoized and
+    persisted under {path}/derived — an in-place rebuild must drop the
+    memo AND delete the on-disk artifacts, or the superstep family
+    serves the OLD graph's encoding."""
+    import os
+
+    path = str(tmp_path / "state")
+    graphstate.build_edge_state(
+        _edges(spark, [("a", "b", 1.0)]), path, weight_col="w", buckets=2
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    h1 = {
+        r["node"]: r["hops"]
+        for r in graphstate.shortest_hops_from_state(
+            spark, path, seeds, max_hops=3
+        ).collect()
+    }
+    assert h1 == {"a": 0, "b": 1}
+    # first use persisted the encoded artifacts next to the state
+    assert os.path.exists(os.path.join(path, "derived", "enc_dict", "_SUCCESS"))
+    assert os.path.exists(os.path.join(path, "derived", "enc_adj", "_SUCCESS"))
+    # rebuild IN PLACE with a longer chain: memo + artifacts must go
+    graphstate.build_edge_state(
+        _edges(spark, [("a", "b", 1.0), ("b", "c", 1.0)]),
+        path,
+        weight_col="w",
+        buckets=2,
+    )
+    assert not os.path.exists(os.path.join(path, "derived"))
+    h2 = {
+        r["node"]: r["hops"]
+        for r in graphstate.shortest_hops_from_state(
+            spark, path, seeds, max_hops=3
+        ).collect()
+    }
+    assert h2 == {"a": 0, "b": 1, "c": 2}  # c exists only in the NEW graph
